@@ -1,0 +1,96 @@
+"""Core row-level operators: filter, project, enrich, dedup, casts.
+
+Reference parity (SURVEY.md §2.1):
+
+- null-rejection filter      → ``glue/etl_api.py:30``
+  (``df.filter(col("important_field").isNotNull())``)
+- dedup on key subset        → ``glue/etl_api.py:31``
+  (``df.dropDuplicates(["unique_key_column"])``)
+- CASE-WHEN derived column   → ``glue/etl_api.py:34-35``
+  (``withColumn("status", when(col("value") > 100, "High").otherwise("Low"))``)
+
+Scale notes: ``dropDuplicates`` plans as partial+final hash-aggregate around
+one shuffle on the key — fine at any scale but *nondeterministic* about which
+row survives. :func:`dedup_deterministic` is the testable variant (window +
+``row_number``): same single shuffle, deterministic survivor, required for
+oracle comparison.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def filter_not_null(df: DataFrame, *cols: str) -> DataFrame:
+    """Drop rows where any of ``cols`` is null (reference R4)."""
+    out = df
+    for c in cols:
+        out = out.filter(F.col(c).isNotNull())
+    return out
+
+
+def dedup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Keep one (arbitrary) row per key — reference R5 semantics.
+
+    Fastest form (no sort inside groups); use when any survivor is
+    acceptable, e.g. when duplicates are known-identical.
+    """
+    return df.dropDuplicates(list(keys))
+
+
+def dedup_deterministic(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]
+) -> DataFrame:
+    """Keep the first row per key under ``order_by`` — deterministic R5.
+
+    One shuffle on ``keys`` (same as dropDuplicates); the per-partition sort
+    is local. ``order_by`` must be a total order within each key group for
+    full determinism.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_status(
+    df: DataFrame,
+    value_col: str = "value",
+    threshold: float = 100.0,
+    out_col: str = "status",
+    high: str = "High",
+    low: str = "Low",
+) -> DataFrame:
+    """CASE-WHEN enrichment (reference R6, ``glue/etl_api.py:34-35``)."""
+    return df.withColumn(
+        out_col,
+        F.when(F.col(value_col) > F.lit(threshold), F.lit(high)).otherwise(F.lit(low)),
+    )
+
+
+def project(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Column projection/pruning; Catalyst narrows the scan's ReadSchema."""
+    return df.select(*cols)
+
+
+def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """Cast columns by name → target type string (schema-cleanup after
+    inferred reads, reference's implicit need at glue/etl_api.py:24)."""
+    out = df
+    for c, t in casts.items():
+        out = out.withColumn(c, F.col(c).cast(t))
+    return out
+
+
+def incremental_window(
+    df: DataFrame, ts_col: str, start, end
+) -> DataFrame:
+    """Half-open time-slice filter [start, end) — reference R8's incremental
+    daily window (``airflow/dags/etl_api.py:74-76``). On a date-partitioned
+    layout Catalyst turns this into partition pruning."""
+    return df.filter((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))

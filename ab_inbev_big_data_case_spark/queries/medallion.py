@@ -1,0 +1,101 @@
+"""The reference pipeline as harness queries (flagship).
+
+Mirrors ``/root/reference/glue/etl_api.py:29-45`` on the ``events`` fixture:
+null-filter → dedup on ``event_id`` → CASE-WHEN status → group-by count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.operators.relational import incremental_window
+from ab_inbev_big_data_case_spark.pipeline import gold_from_silver, silver_from_bronze
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+#: Deterministic survivor order for event dedup (total order per event_id).
+_EVENT_ORDER = ["ts", "user_id", "event_type", "value", "props"]
+
+_SILVER_SQL = """
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_id
+            ORDER BY ts NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST,
+                     value NULLS FIRST, props NULLS FIRST
+        ) AS __rn
+        FROM events WHERE value IS NOT NULL
+    ) WHERE __rn = 1
+"""
+
+
+def _events_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bronze = table(spark, sf_dir, "events")
+    return silver_from_bronze(
+        bronze,
+        important_field="value",
+        unique_key="event_id",
+        order_by=_EVENT_ORDER,
+        value_col="value",
+    )
+
+
+@register(
+    "medallion_gold",
+    oracle=f"""
+    SELECT event_type,
+           CASE WHEN value > 100 THEN 'High' ELSE 'Low' END AS status,
+           count(*) AS n_rows
+    FROM ({_SILVER_SQL})
+    GROUP BY 1, 2
+    """,
+)
+def medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's full bronze→silver→gold program (R1+R4+R5+R6+R7)."""
+    silver = _events_silver(spark, sf_dir)
+    return gold_from_silver(silver, ["event_type", "status"])
+
+
+@register(
+    "medallion_silver",
+    oracle=f"""
+    SELECT event_id, event_type, user_id,
+           CASE WHEN value > 100 THEN 'High' ELSE 'Low' END AS status,
+           round(value, 2) AS value_r
+    FROM ({_SILVER_SQL})
+    """,
+)
+def medallion_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver layer row-level check: dedup survivor + enrichment per row."""
+    silver = _events_silver(spark, sf_dir)
+    return silver.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "status",
+        F.round("value", 2).alias("value_r"),
+    )
+
+
+@register(
+    "incremental_window",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+    """,
+)
+def incremental_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: the incremental [day, day+1) slice (airflow/dags/etl_api.py:74-76).
+
+    On a date-partitioned layout this predicate becomes partition pruning;
+    on plain parquet it is pushed into the scan (PushedFilters).
+    """
+    events = table(spark, sf_dir, "events")
+    sliced = incremental_window(
+        events, "ts", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    )
+    return sliced.select(
+        "event_id", "event_type", F.round("value", 2).alias("value_r")
+    )

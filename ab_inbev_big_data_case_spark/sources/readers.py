@@ -1,0 +1,99 @@
+"""File-source scans.
+
+Generalizes the reference's bronze ingestion (``spark.read.json`` at
+``/root/reference/glue/etl_api.py:24``) with schema pinning: the reference
+relies on inference, which at 100 TB means a second full pass over the input
+and silent schema drift. Engine policy: infer once (or declare), then always
+read with the pinned schema so drift fails loudly.
+
+All readers return lazy DataFrames — Catalyst pushes filters/column pruning
+into the scan (``PushedFilters`` / ``ReadSchema`` in ``explain``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical fixture tables (see /root/repo/FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan with predicate pushdown + column pruning (the default)."""
+    return spark.read.parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """JSON scan. Pin ``schema`` wherever possible — at scale an inference
+    pass is a full extra read (reference relies on inference, glue/etl_api.py:24).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Inference on CSV is an extra pass; acceptable for small control
+        # tables only. Production paths should pin the schema.
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from a scale-factor directory.
+
+    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read it as long nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a microsecond
+    TimestampType (lossless here — fixture values are µs-granular, matching
+    what the DuckDB oracle sees).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load fixture tables and register each as a temp view (for spark.sql)."""
+    out = {}
+    for name in names:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

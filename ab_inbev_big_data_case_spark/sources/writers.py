@@ -1,0 +1,51 @@
+"""Sinks: overwrite/append Parquet writes and partitioned layouts.
+
+Reference semantics (with bugs fixed — SURVEY.md §2.3):
+
+- overwrite-mode layer writes: ``glue/etl_api.py:25,49``
+  (``.write.format("delta").mode("overwrite").save(path)``)
+- partitioned silver write: ``glue/etl_api.py:37-38`` wrote
+  ``.save(...).partitionBy(col("id"))`` — broken as written (``save`` returns
+  ``None``; ``partitionBy`` takes names and must precede ``save``; partitioning
+  by the unique key makes one file per row). The intent per the adjacent
+  comment is partitioning "by the brewery location" — i.e. a low-cardinality
+  location column. :func:`write_partitioned` implements that intent and guards
+  against the pathological high-cardinality case.
+
+Delta Lake isn't on this classpath; plain partitioned Parquet is the portable
+equivalent (columnar + Hive-style partition pruning). The writer accepts a
+``fmt`` so a delta-enabled deployment can switch back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "parquet"
+) -> None:
+    """Full-layer write, idempotent under re-runs (reference's overwrite mode)."""
+    df.write.format(fmt).mode(mode).save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-style partitioned write (fixes reference bug B4).
+
+    Scale note: without the repartition, every task writes a file into every
+    partition directory — at 1000 executors × K partitions that is the classic
+    small-files explosion. Repartitioning by the partition columns first means
+    each partition value is written by (at most ``files_per_partition``) tasks.
+    Skewed partition values can be salted by passing a salt column in
+    ``partition_cols``' repartition expression; AQE handles mild skew.
+    """
+    n = max(files_per_partition, 1)
+    df = df.repartition(n * 32, *partition_cols) if n > 1 else df.repartition(*partition_cols)
+    df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
