@@ -1,1 +1,322 @@
-"""aggregates queries (filled in incrementally)."""
+"""Aggregation operators (SURVEY.md §2.2 "Aggregation").
+
+Generalizes reference R7 (group-by count, glue/etl_api.py:42-45) and R5
+(dedup) to the full agg surface: multi-agg groupBy, distinct/approx-distinct,
+rollup/cube/grouping-sets, filtered aggs, collect_set, percentiles/stats,
+pivot, top-k, histogram.
+
+Scale notes: every groupBy here plans partial (map-side) + final hash
+aggregation around one shuffle keyed on the group columns — shuffle volume is
+#groups, not #rows. ``approx_count_distinct`` (HLL) exists precisely for the
+100 TB case where exact distinct would shuffle every key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.operators.relational import dedup_deterministic
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+
+@register(
+    "groupby_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the headline multi-agg groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("approx_count_distinct")  # HLL sketch ≠ DuckDB's estimator → rows-only check
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct — the 100 TB path where exact distinct is too
+    expensive. Estimator internals differ from DuckDB's, so no value oracle;
+    pytest asserts the estimate is within rsd bounds of the exact count."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst plan as rollup/cube)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "filtered_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2) AS hi_disc_rev,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           round(avg(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 4) AS hi_tax_avg
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (reference R6+R7 composition)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2).alias(
+            "hi_disc_rev"
+        ),
+        F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
+        F.round(F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 4).alias(
+            "hi_tax_avg"
+        ),
+    )
+
+
+@register(
+    "collect_set_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set surface, projected to a sorted joined string so the
+    result is order-insensitive for the oracle hash."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "percentiles_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(stddev_samp(l_quantity), 4) AS std_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + dispersion stats (both engines interpolate
+    linearly, so exact percentile is oracle-able; approx_percentile is not)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+@register("approx_percentile")  # t-digest/KLL internals differ from DuckDB → rows-only
+def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles — the scale path for percentile at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "pivot_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (explicit list avoids the extra
+    distinct-values job at scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_r
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
+    heap + single-driver merge of k rows, no global sort even at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_r"))
+    )
+
+
+@register(
+    "histogram_bucket",
+    oracle="""
+    SELECT (floor(value / 50) * 50)::BIGINT AS bucket_lo,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via bucketed groupBy (scales as a plain agg)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(
+            (F.floor(F.col("value") / 50) * 50).cast("long").alias("bucket_lo")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "dedup_latest",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, round(value, 2) AS value_r
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup per key — the deterministic R5 variant that CDC /
+    upsert compaction needs (row_number over desc ts; one shuffle)."""
+    e = table(spark, sf_dir, "events")
+    deduped = dedup_deterministic(
+        e,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return deduped.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("last_ts"),
+        F.round("value", 2).alias("value_r"),
+    )

@@ -1,1 +1,265 @@
-"""scalar queries (filled in incrementally)."""
+"""Scalar-expression operators: strings, dates, math, null handling, JSON,
+arrays/lambdas, casts, predicates (SURVEY.md §2.2 "Projection / filter /
+scalar expressions").
+
+All expressions stay JVM-side (built-in ``pyspark.sql.functions``) so they run
+inside whole-stage codegen; no Python UDFs on these paths.
+
+Cross-engine notes baked into the oracle SQL:
+- DuckDB ``regexp_replace`` replaces the first match unless the ``'g'`` flag
+  is given; Spark replaces all → oracle always passes ``'g'``.
+- double→int casts: Spark truncates, DuckDB rounds → always ``floor`` first.
+- per-row libm doubles (sqrt/ln) are identical to the last ulp in practice;
+  still rounded in both engines to keep the hash stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)  AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substring(p_type, 1, 5) AS type_prefix,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           length(p_name) AS name_len,
+           trim(concat(' ', p_name, ' ')) AS name_trimmed,
+           regexp_replace(p_name, 'a', 'X', 'g') AS name_sub,
+           replace(p_name, ' ', '_') AS name_snake,
+           left(p_name, 3) AS name_l3,
+           lpad(p_brand, 12, '.') AS brand_pad,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (EXT; text-analysis mandate)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.regexp_replace("p_name", "a", "X").alias("name_sub"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.left(F.col("p_name"), F.lit(3)).alias("name_l3"),
+        F.lpad("p_brand", 12, ".").alias("brand_pad"),
+        F.when(F.col("p_name").like("%a%"), F.lit(1)).otherwise(F.lit(0)).alias("has_a"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)  AS o_year,
+           month(o_orderdate) AS o_month,
+           dayofmonth(o_orderdate) AS o_day,
+           quarter(o_orderdate) AS o_quarter,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+           o_orderdate::DATE AS o_date,
+           o_orderdate::DATE + 30 AS due_date,
+           datediff('day', o_orderdate::DATE, DATE '1998-12-31') AS days_to_eoy,
+           epoch(o_orderdate)::BIGINT AS o_epoch
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (generalizes reference R8's y/m/d split,
+    airflow/dags/etl_api.py:76)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.to_date("o_orderdate").alias("o_date"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_eoy"
+        ),
+        F.unix_timestamp("o_orderdate").alias("o_epoch"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           round(abs(l_discount - 0.05), 4) AS disc_dev,
+           ceil(l_quantity)  AS qty_ceil,
+           floor(l_quantity) AS qty_floor,
+           round(sqrt(l_extendedprice), 4) AS price_sqrt,
+           round(l_discount * l_discount, 6) AS disc_sq,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(l_extendedprice % 97, 4) AS price_mod,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           sign(l_discount - 0.05) AS disc_sign
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.col("l_discount") * F.col("l_discount"), 6).alias("disc_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.col("l_extendedprice") % 97, 4).alias("price_mod"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment_clean,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END AS was_building,
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END, 0.0) AS bal_nonneg,
+           ifnull(NULL, c_name) AS name_filled
+    FROM customer
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / fillna surface (reference R4 generalized)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("UNKNOWN")).alias(
+            "segment_clean"
+        ),
+        F.when(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("was_building"),
+        F.coalesce(
+            F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.round("c_acctbal", 2)),
+            F.lit(0.0),
+        ).alias("bal_nonneg"),
+        F.coalesce(F.lit(None), F.col("c_name")).alias("name_filled"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           props->>'$.k' AS k_str,
+           (props->>'$.k')::BIGINT AS k_int,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
+    FROM events
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction — the reference's bronze layer is raw JSON
+    (glue/etl_api.py:24); events.props is a JSON string."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.when(F.try_parse_json(F.col("props")).isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_valid"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           CASE WHEN list_contains(string_split(text, ' '), 'data') THEN 1 ELSE 0 END AS has_data,
+           array_to_string(string_split(text, ' ')[1:3], '|') AS first3,
+           array_to_string(list_transform(string_split(text, ' ')[1:3], x -> upper(x)), '|') AS first3_upper,
+           len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long_tokens
+    FROM documents
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/lambda surface over tokenized text (EXT; embeddings + text
+    mandates). Lambdas run JVM-side via Catalyst HigherOrderFunctions."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.when(F.array_contains(toks, "data"), F.lit(1)).otherwise(F.lit(0)).alias("has_data"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+        F.array_join(F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), "|").alias(
+            "first3_upper"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
+    )
+
+
+@register(
+    "casts",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber::BIGINT AS linenum_l,
+           l_quantity::VARCHAR AS qty_str,
+           floor(l_extendedprice)::BIGINT AS price_trunc,
+           l_linenumber::DOUBLE AS linenum_d,
+           (l_quantity > 25) AS is_bulk
+    FROM lineitem
+    """,
+)
+def casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast/coercion surface (schema cleanup after inferred reads)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("linenum_l"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+        F.floor("l_extendedprice").cast("long").alias("price_trunc"),
+        F.col("l_linenumber").cast("double").alias("linenum_d"),
+        (F.col("l_quantity") > 25).alias("is_bulk"),
+    )
+
+
+@register(
+    "predicates",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size, p_type
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_size BETWEEN 10 AND 40
+      AND p_type NOT LIKE '%BRASS%'
+      AND p_retailprice IS NOT NULL
+    """,
+)
+def predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate surface: IN / BETWEEN / LIKE / IS NOT NULL (R4/R6).
+    All of these push into the parquet scan (PushedFilters)."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_size").between(10, 40)
+        & ~F.col("p_type").like("%BRASS%")
+        & F.col("p_retailprice").isNotNull()
+    ).select("p_partkey", "p_brand", "p_size", "p_type")
