@@ -1,1 +1,247 @@
-"""joins queries (filled in incrementally)."""
+"""Join-family harness queries (SURVEY.md §2.2 "Joins").
+
+Plan-shape expectations at scale (verified via .explain on the bench):
+- dim joins (customer/nation/region/ranges) broadcast — fact side unshuffled;
+- fact-fact joins (lineitem⋈orders) sort-merge on the join key, AQE handles
+  skew;
+- the as-of join is the union+window formulation (one shuffle, no explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.operators.joins import (
+    asof_join,
+    broadcast_dim,
+    range_join,
+)
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT c.c_mktsegment, year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact⋈dim star join: lineitem ⋈ orders (sort-merge) ⋈
+    broadcast(customer)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = broadcast_dim(table(spark, sf_dir, "customer"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left_semi — no row duplication, right side only probes."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti (customers with no order above 300k)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1),
+         ss AS (SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1)
+    SELECT coalesce(cc.nk, ss.nk) AS nationkey,
+           coalesce(cc.n, 0) AS n_cust,
+           coalesce(ss.n, 0) AS n_supp
+    FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls surviving on both sides."""
+    cc = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    ss = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cc.join(ss, cc.nk == ss.nk, "full").select(
+        F.coalesce(cc.nk, ss.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_multikey",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           round(l.l_quantity / ps.pair_qty, 6) AS qty_share
+    FROM lineitem l
+    JOIN ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+    """,
+)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key join (self-join against a two-key aggregate).
+
+    Both sides hash-partition on the same composite key, so the shuffle is
+    shared; AQE coalesces the post-join partitions.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("pair_qty"))
+    return li.join(ps, ["l_partkey", "l_suppkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") / F.col("pair_qty"), 6).alias("qty_share"),
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small inputs (explicit crossJoin)."""
+    r = table(spark, sf_dir, "region")
+    s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", "o_orderstatus")
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT rng.label,
+           count(*) AS n_lines,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l
+    JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 30.0), ('big', 30.0, 100.0))
+         rng(label, lo, hi)
+      ON l.l_quantity >= rng.lo AND l.l_quantity < rng.hi
+    GROUP BY 1
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/theta join against a broadcast range table (engine
+    ``range_join``: BroadcastNestedLoopJoin, fact side never shuffles)."""
+    li = table(spark, sf_dir, "lineitem")
+    ranges = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("mid", 10.0, 30.0), ("big", 30.0, 100.0)],
+        "label string, lo double, hi double",
+    )
+    joined = range_join(li, ranges, "l_quantity", "lo", "hi")
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, max(s.ts) AS last_signup_ts
+    FROM events p
+    LEFT JOIN events s
+      ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest signup at-or-before each purchase, per user.
+
+    Engine op is the union+window formulation (one shuffle on user_id); the
+    oracle uses the equivalent — but quadratic — inequality-join + argmax.
+    """
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_value="signup_ts",
+        out_col="last_signup_ts",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_signup_ts"
+    )
