@@ -1,0 +1,179 @@
+"""Deduplication stack: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All four standard dedup flavors for training-data curation, each a pure
+DataFrame pipeline over the portable hash (``functions.text``):
+
+- **exact**: sha256 content hash → group. One shuffle on the hash.
+- **MinHash-LSH**: shingle → per-seed affine min-hash signature → band
+  buckets → candidate pairs from equi-join on (band, band_sig). At 100 TB
+  the candidate join is the whole point: near-dup detection without the
+  O(n²) pair scan — only same-bucket docs ever meet, and the band join is a
+  plain shuffled equi-join AQE can handle.
+- **SimHash**: per-bit signed vote over token hashes → compact bit
+  signature; hamming-adjacent signatures are near-dups.
+- **n-gram Jaccard**: exact shingle-set overlap via shingle-equijoin —
+  quadratic in shared shingles, used as the verifier behind MinHash's
+  candidates (classic candidate→verify split).
+
+MinHash math: shingle hash h is reduced mod P=1e9+7; seed i applies the
+affine permutation ``(2i+1)·h + 104729·i mod P`` (odd multiplier, so it's a
+bijection on Z_P); the signature is the per-seed min. All arithmetic stays
+below 2^63 so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.functions.text import (
+    HASH_MOD,
+    shingles,
+    token_hash64,
+    token_hash_mod,
+    tokens,
+)
+
+
+def content_hash(df: DataFrame, text_col: str, out_col: str = "content_hash") -> DataFrame:
+    """Exact-dedup key: sha256 of the raw text (glue/etl_api.py:31's dedup
+    generalized to content identity)."""
+    return df.withColumn(out_col, F.sha2(F.col(text_col), 256))
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-row exact-dup accounting: content hash, #copies of that content,
+    and whether this row is the canonical (min-id) survivor."""
+    hashed = content_hash(df, text_col)
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        id_col,
+        "content_hash",
+        F.count("*").over(w).alias("n_copies"),
+        (F.col(id_col) == F.min(id_col).over(w)).cast("int").alias("is_canonical"),
+    )
+
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per doc: (id, shingle) rows."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """(id, seed, minhash) signature rows from a (id, shingle) set.
+
+    The seeds table is tiny and broadcast; the only shuffle is the final
+    groupBy on (id, seed) — n_hashes × #shingle-rows map-side, pre-combined.
+    """
+    spark = shingle_df.sparkSession
+    seeds = F.broadcast(spark.range(n_hashes).withColumnRenamed("id", "seed"))
+    hashed = shingle_df.withColumn("h9", token_hash_mod(F.col("shingle")))
+    return (
+        hashed.crossJoin(seeds)
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(
+                ((2 * F.col("seed") + 1) * F.col("h9") + 104729 * F.col("seed"))
+                % F.lit(HASH_MOD)
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_band_buckets(
+    sig: DataFrame, id_col: str, rows_per_band: int = 2
+) -> DataFrame:
+    """Collapse the signature into band buckets: (id, band, band_sig).
+
+    band_sig packs the band's minhashes into one int64 (position-weighted by
+    P^pos — injective since minhash < P), so bucket identity is a single
+    equi-join key.
+    """
+    sig = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
+    weight = F.when(F.col("seed") % rows_per_band == 0, F.lit(HASH_MOD)).otherwise(F.lit(1))
+    return sig.groupBy(id_col, "band").agg(
+        F.sum(F.col("minhash") * weight).alias("band_sig")
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Near-dup candidates: doc pairs sharing any band bucket (id1 < id2)."""
+    a = buckets.select(
+        F.col(id_col).alias("id1"), "band", F.col("band_sig").alias("sig1")
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id2"), "band", F.col("band_sig").alias("sig2")
+    )
+    return (
+        a.join(b, ["band"])
+        .filter((F.col("id1") < F.col("id2")) & (F.col("sig1") == F.col("sig2")))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingle_df: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing >=1 shingle.
+
+    (id1, id2, jaccard) with jaccard >= threshold. The shingle equi-join only
+    materializes pairs that share content — disjoint docs never meet.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingle_df.select(F.col(id_col).alias("id1"), "shingle")
+    b = shingle_df.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(F.broadcast(sa), "id1")
+        .join(F.broadcast(sb), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
+    """SimHash signature per doc: per-bit majority vote over distinct-token
+    hashes, packed into an int (id, simhash).
+
+    Two shuffles ((id,bit) then id), both pre-combined map-side; bits table
+    is broadcast.
+    """
+    spark = df.sparkSession
+    bits = F.broadcast(spark.range(n_bits).withColumnRenamed("id", "bit"))
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("h", token_hash64(F.col("tok")))
+    votes = (
+        toks.crossJoin(bits)
+        # expr: pyspark's shiftright() helper only takes a literal shift
+        .withColumn("vote", F.expr("(shiftright(h, cast(bit AS int)) % 2) * 2 - 1"))
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("net_vote"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("net_vote") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), cast(bit AS int))"),
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

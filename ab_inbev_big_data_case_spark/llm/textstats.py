@@ -1,0 +1,115 @@
+"""Text analysis: token stats, quality scoring, language-ID features,
+document fingerprinting.
+
+Everything is built-in-function arithmetic (no UDFs): tokenization via
+``split``, ratios via integer length arithmetic where possible so the
+classifier cut-points are exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.functions.text import HASH_MOD, token_hash_mod, tokens
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc token counts + type-token ratio (lexical diversity)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def word_frequencies(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
+    """Corpus-level term frequencies (explode → count; one shuffle on token)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality signals: length, vowel ratio, mean token length,
+    stopword share — the standard cheap pre-filters for corpus curation."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    no_vowels = F.regexp_replace(t, "[aeiou]", "")
+    no_spaces = F.replace(t, F.lit(" "), F.lit(""))
+    stop_toks = F.filter(toks, lambda x: x.isin("the", "and", "of", "a", "to"))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (F.length(t) - F.length(no_vowels)).alias("n_vowels"),
+        F.round((F.length(t) - F.length(no_vowels)) / F.length(t), 4).alias("vowel_ratio"),
+        F.round(F.length(no_spaces) / n_tokens, 4).alias("mean_token_len"),
+        F.size(stop_toks).alias("n_stopwords"),
+        F.round(F.size(stop_toks) / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def lang_id_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """N-gram-style language-ID heuristic with exact integer cut-points.
+
+    Classifies on vowel density and mean token length using cross-multiplied
+    integer comparisons (``100·vowels > 42·chars``) instead of float ratios,
+    so the decision boundary is bit-exact in any engine. On real corpora the
+    features would be char n-gram profiles; the *shape* (featurize → compare
+    → label) is what the operator demonstrates.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_vowels = n_chars - F.length(F.regexp_replace(t, "[aeiou]", ""))
+    alpha_chars = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n_tokens = F.size(toks)
+    pred = (
+        F.when(100 * n_vowels > 42 * n_chars, F.lit("vowel_heavy"))
+        .when(10 * alpha_chars > 52 * n_tokens, F.lit("long_words"))
+        .otherwise(F.lit("short_words"))
+    )
+    return df.select(F.col(id_col), F.col("lang"), pred.alias("pred_class"))
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted token-hash sum.
+
+    fp = Σ_pos (pos+1) · (hash(token) mod P)  — a rolling-hash-style content
+    signature that distinguishes permutations (unlike set hashes) yet is a
+    plain explode + weighted-sum aggregation: one shuffle on doc id, exact in
+    int64 (pos < 2^17, hash < 2^30 ⇒ each term < 2^47).
+    """
+    exploded = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    term = (F.col("pos") + 1) * token_hash_mod(F.col("tok"))
+    return exploded.groupBy(id_col).agg(F.sum(term).alias("fingerprint"))
+
+
+def tfidf_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """TF-IDF-ish term stats: per (doc, token) term frequency joined with
+    corpus document frequency. IDF is left as the exact integer pair
+    (n_docs, doc_freq) plus a rounded log-idf."""
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.countDistinct(id_col).alias("doc_freq"))
+    return tf.join(F.broadcast(dfreq), "token").select(
+        id_col,
+        "token",
+        "tf",
+        "doc_freq",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("log_idf"),
+    )

@@ -1,1 +1,441 @@
-"""llm queries (filled in incrementally)."""
+"""LLM-data-pipeline harness queries (SURVEY.md §2.2 "LLM-data-pipeline
+operators"): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force + LSH ANN), text analysis, multimodal
+plumbing.
+
+Every hash-based oracle mirrors the engine's portable sha256 hash
+(``functions.text``): ``('0x' || substr(sha256(x),1,15))::BIGINT`` ≡
+``conv(substring(sha2(x,256),1,15),16,10)::long`` — verified bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.llm.dedup import (
+    exact_dedup_stats,
+    lsh_band_buckets,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_set,
+    simhash,
+)
+from ab_inbev_big_data_case_spark.llm.multimodal import (
+    attach_binary_payload,
+    extract_byte_features,
+)
+from ab_inbev_big_data_case_spark.llm.similarity import (
+    ann_lsh_search,
+    cosine_topk,
+    hyperplane_buckets,
+    with_l2_norm,
+)
+from ab_inbev_big_data_case_spark.llm.textstats import (
+    doc_fingerprint,
+    lang_id_heuristic,
+    quality_features,
+    tfidf_stats,
+    token_stats,
+    word_frequencies,
+)
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+# ---------------------------------------------------------------- SQL bits
+
+_H64 = "('0x' || substr(sha256({x}), 1, 15))::BIGINT"
+_H9 = f"({_H64} % 1000000007)"
+
+_SHINGLES_CTE = """
+    toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        ))) AS shingle
+        FROM toksrc
+    )
+"""
+
+_SIG_CTE = (
+    "hashed AS (SELECT doc_id, "
+    + _H9.format(x="shingle")
+    + """ AS h9 FROM sh),
+    sig AS (
+        SELECT doc_id, seed,
+               min(((2*seed + 1) * h9 + 104729 * seed) % 1000000007) AS minhash
+        FROM hashed CROSS JOIN range(8) t(seed)
+        GROUP BY 1, 2
+    )"""
+)
+
+_BANDS_CTE = """
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               sum(minhash * (CASE WHEN seed % 2 = 0 THEN 1000000007 ELSE 1 END)) AS band_sig
+        FROM sig GROUP BY 1, 2
+    )"""
+
+# ------------------------------------------------------------------ dedup
+
+
+@register(
+    "exact_dedup_hash",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS content_hash,
+           count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
+           (doc_id = min(doc_id) OVER (PARTITION BY sha256(text)))::INT AS is_canonical
+    FROM documents
+    """,
+)
+def exact_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: sha256 hash + per-content copy counts."""
+    d = table(spark, sf_dir, "documents")
+    return exact_dedup_stats(d, "doc_id", "text")
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}
+    SELECT doc_id, seed, minhash FROM sig
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 seeds) over distinct 3-token shingles —
+    value-checked against the same affine-permutation math in DuckDB."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_signatures(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from LSH banding (4 bands × 2 rows):
+    the scale path — only same-bucket docs are ever compared."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    return lsh_candidate_pairs(lsh_band_buckets(sig, "doc_id", 2), "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id1
+    JOIN sizes sb ON sb.doc_id = id2
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the verifier
+    behind MinHash's candidates."""
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(shingle_set(d, "doc_id", "text", 3), "doc_id", 0.5)
+
+
+@register(
+    "simhash_docs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {_H64.format(x='tok')} AS h FROM toks),
+    votes AS (
+        SELECT doc_id, bit, sum(((h >> bit::INT) % 2) * 2 - 1) AS net_vote
+        FROM h CROSS JOIN range(16) t(bit)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(CASE WHEN net_vote > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END) AS simhash
+    FROM votes GROUP BY 1
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (per-bit majority vote)."""
+    d = table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", 16)
+
+
+# ---------------------------------------------------------- text analysis
+
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           round(len(list_distinct(string_split(text, ' '))) /
+                 len(string_split(text, ' ')), 4) AS ttr,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counting + type-token ratio."""
+    return token_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "word_freq",
+    oracle="""
+    SELECT tok AS token, count(*) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY 1
+    """,
+)
+def word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies (explode → count)."""
+    return word_frequencies(table(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "quality_features",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
+           round((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                 / length(text), 4) AS vowel_ratio,
+           round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4)
+               AS mean_token_len,
+           len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','and','of','a','to'], x))) AS n_stopwords,
+           round(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','and','of','a','to'], x)))
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio
+    FROM documents
+    """,
+)
+def quality_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring features for corpus curation."""
+    return quality_features(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    SELECT lang, pred_class, count(*) AS n_docs
+    FROM (
+        SELECT lang,
+               CASE WHEN 100 * (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                         > 42 * length(text) THEN 'vowel_heavy'
+                    WHEN 10 * length(replace(text, ' ', ''))
+                         > 52 * len(string_split(text, ' ')) THEN 'long_words'
+                    ELSE 'short_words' END AS pred_class
+        FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic confusion counts (featurize → integer-exact
+    cut-points → label, aggregated against the true ``lang``)."""
+    d = table(spark, sf_dir, "documents")
+    pred = lang_id_heuristic(d, "doc_id", "text")
+    return pred.groupBy("lang", "pred_class").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_sum(list_transform(range(1, len(toks) + 1),
+                    i -> i * ({_H9.format(x='toks[i]')})))::BIGINT AS fingerprint
+    FROM toksrc
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling-hash document fingerprint."""
+    return doc_fingerprint(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "tfidf_stats",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok AS token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+           round(ln(n.n_docs * 1.0 / dfreq.doc_freq), 6) AS log_idf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    """,
+)
+def tfidf_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term statistics: per-(doc,term) TF joined with corpus DF."""
+    return tfidf_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ------------------------------------------------------- similarity search
+
+_DOT = """(SELECT sum(a * b) FROM (SELECT unnest({x})::DOUBLE AS a, unnest({y})::DOUBLE AS b) z)"""
+_NORM = """sqrt((SELECT sum(a * a) FROM (SELECT unnest({x})::DOUBLE AS a) z{tag}))"""
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    pairs AS (
+        SELECT qid AS query_id, cid AS cand_id,
+               round({_DOT.format(x='qv', y='cv')} /
+                     ({_NORM.format(x='qv', tag='q')} * {_NORM.format(x='cv', tag='c')}),
+                     3) AS cosine
+        FROM q, c WHERE cid != qid
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, cand_id) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the query subset (vec_id % 50 = 0).
+
+    Cosine is quantized to 3 decimals before ranking (tie-broken by cand_id)
+    so the ordering is FP-implementation-independent.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg({_NORM.format(x='embedding', tag='n')}), 4) AS avg_norm,
+           round(min({_NORM.format(x='embedding', tag='m')}), 4) AS min_norm,
+           round(max({_NORM.format(x='embedding', tag='x')}), 4) AS max_norm
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics over the embedding column."""
+    e = with_l2_norm(table(spark, sf_dir, "embeddings"), "embedding")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("l2_norm"), 4).alias("avg_norm"),
+        F.round(F.min("l2_norm"), 4).alias("min_norm"),
+        F.round(F.max("l2_norm"), 4).alias("max_norm"),
+    )
+
+
+_BUCKET_SQL = """
+    buckets AS (
+        SELECT vec_id,
+               sum(CASE WHEN proj > 0 THEN (1::BIGINT << i::INT) ELSE 0 END) AS bucket
+        FROM (
+            SELECT e.vec_id, s.i,
+                   (SELECT sum(e.embedding[j + 1]::DOUBLE *
+                               ((((s.i * 2654435761 + j * 40503 + 12345) % 1997) - 998))::DOUBLE)
+                    FROM range(64) t(j)) AS proj
+            FROM embeddings e CROSS JOIN range(8) s(i)
+        )
+        GROUP BY 1
+    )
+"""
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH {_BUCKET_SQL}
+    SELECT bucket, count(*) AS n_vecs
+    FROM buckets GROUP BY 1
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 planes → 256 buckets):
+    the partitioning step of ANN at scale. Value-checked bucket histogram."""
+    e = table(spark, sf_dir, "embeddings")
+    b = hyperplane_buckets(e, "vec_id", "embedding", 8)
+    return b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+@register(
+    "ann_lsh_search",
+    oracle=f"""
+    WITH {_BUCKET_SQL},
+    v AS (SELECT e.vec_id, e.embedding, b.bucket
+          FROM embeddings e JOIN buckets b USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM v WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv, bucket FROM v)
+    SELECT query_id, cand_id,
+           round({_DOT.format(x='qv', y='cv')} /
+                 ({_NORM.format(x='qv', tag='q')} * {_NORM.format(x='cv', tag='c')}),
+                 3) AS cosine
+    FROM q JOIN c USING (bucket)
+    WHERE cand_id != query_id
+      AND round({_DOT.format(x='qv', y='cv')} /
+                ({_NORM.format(x='qv', tag='q2')} * {_NORM.format(x='cv', tag='c2')}),
+                3) >= 0.1
+    """,
+)
+def ann_lsh_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN search: queries meet only same-bucket candidates
+    (the O(n²)→O(n²/B) reduction), cosine ≥ 0.1."""
+    e = table(spark, sf_dir, "embeddings")
+    return ann_lsh_search(
+        e,
+        "vec_id",
+        "embedding",
+        query_filter=lambda vid: vid % 50 == 0,
+        n_planes=8,
+        min_cosine=0.1,
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           (list_sum(list_transform(range(1, least(8, length(text)) + 1),
+                     k -> ascii(substr(text, k, 1)))) % 256)::BIGINT AS byte_checksum
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque payload + metadata through
+    an Arrow-batched mapInPandas feature extractor (deterministic byte-level
+    stand-in for a real decoder — see llm.multimodal docstring)."""
+    d = table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(d, "doc_id", "text")
+    return extract_byte_features(payloads)

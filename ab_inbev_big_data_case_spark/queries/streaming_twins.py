@@ -1,1 +1,161 @@
-"""streaming_twins queries (filled in incrementally)."""
+"""Batch twins of the streaming operators (SURVEY.md §2.2 "Streaming").
+
+Each query runs the exact window expression the streaming path uses
+(``F.window`` / ``F.session_window`` behave identically on static input), so
+the DuckDB oracle checks the streaming semantics in batch; the streaming
+execution itself is verified by identity with these twins in
+``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.operators.relational import dedup_deterministic
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+from ab_inbev_big_data_case_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event type."""
+    e = table(spark, sf_dir, "events")
+    return tumbling_agg(
+        e,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+    SELECT ws AS window_start,
+           ws + INTERVAL '1 hour' AS window_end,
+           count(*) AS n_events
+    FROM (
+        SELECT unnest([
+            time_bucket(INTERVAL '30 minutes', ts),
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+        ]) AS ws
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event in 2 windows)."""
+    e = table(spark, sf_dir, "events")
+    return sliding_agg(
+        e, "ts", "1 hour", "30 minutes", [], [F.count("*").alias("n_events")]
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, 30-minute gap (merge when gap < 30 min;
+    session_end = last event + gap). Oracle is the classic gaps-and-islands
+    formulation of the same semantics."""
+    e = table(spark, sf_dir, "events")
+    return session_agg(
+        e,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+@register(
+    "dedup_first_seen",
+    oracle="""
+    SELECT event_id, ts AS first_ts, event_type
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_id
+            ORDER BY ts NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST,
+                     value NULLS FIRST, props NULLS FIRST
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming stateful dedup: first-seen row per event_id
+    (streaming path: withWatermark + dropDuplicates, jobs.stateful_dedup)."""
+    e = table(spark, sf_dir, "events")
+    first = dedup_deterministic(
+        e, ["event_id"], ["ts", "user_id", "event_type", "value", "props"]
+    )
+    return first.select("event_id", F.col("ts").alias("first_ts"), "event_type")
+
+
+@register(
+    "late_data_filter",
+    oracle="""
+    SELECT event_id, ts, event_type
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL '24 hours' FROM events)
+    """,
+)
+def late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch: keep only rows within the allowed
+    lateness horizon of the max event time seen."""
+    e = table(spark, sf_dir, "events")
+    horizon = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("__horizon")
+    )
+    return (
+        e.crossJoin(F.broadcast(horizon))
+        .filter(F.col("ts") >= F.col("__horizon"))
+        .select("event_id", "ts", "event_type")
+    )

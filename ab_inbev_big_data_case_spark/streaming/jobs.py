@@ -1,0 +1,78 @@
+"""Streaming job surface: sources, watermarking, stateful ops, sinks.
+
+The boundary the reference crosses by polling Glue
+(``airflow/dags/etl_api.py:189-196``) disappears in-process: a streaming
+query is started and driven to completion synchronously for tests
+(``processAllAvailable``), or left running under a trigger in deployment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_from_parquet(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """File-based streaming source (one file = one micro-batch for tests;
+    production would point at an arriving-files directory or Kafka)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Bound state: rows later than ``delay`` behind the max event time seen
+    are dropped and window state older than that is evicted — this is what
+    makes unbounded streams runnable in bounded memory at scale."""
+    return df.withWatermark(ts_col, delay)
+
+
+def stateful_dedup(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
+    """Streaming dedup: first-seen row per key wins; watermark bounds the
+    dedup state (reference R5 made incremental)."""
+    return df.withWatermark(ts_col, delay).dropDuplicates(keys)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query over all currently-available input and stop.
+    Returns the SparkSession-queryable in-memory table name."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def running_count_per_key(
+    df: DataFrame, key_col: str
+) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: cumulative event
+    count per key across micro-batches (the custom-stateful-operator surface,
+    SURVEY.md §2.2 streaming)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("count", T.LongType())])
+
+    def update(key, pdf_iter, state: GroupState):
+        n = sum(len(pdf) for pdf in pdf_iter)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [total]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
