@@ -352,18 +352,31 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_SQL = """
+# Multi-table LSH: 4 tables × 4 planes; global plane index g = tbl*4 + il.
+# Coefficients are sha256-derived in Python (llm.similarity.lsh_hyperplane)
+# and inlined as one flat 16×64 literal so Spark and DuckDB share them.
+from ab_inbev_big_data_case_spark.llm.similarity import lsh_hyperplane  # noqa: E402
+
+_PLANES_FLAT = "[" + ",".join(
+    str(lsh_hyperplane(g, j)) for g in range(16) for j in range(64)
+) + "]"
+
+_BUCKET_SQL = f"""
+    planes AS (
+        SELECT (r // 64) AS g, (r % 64) AS j, ({_PLANES_FLAT})[r + 1] AS h
+        FROM range(1024) t(r)
+    ),
+    proj AS (
+        SELECT e.vec_id, p.g // 4 AS tbl, p.g % 4 AS il,
+               sum(e.embedding[p.j + 1]::DOUBLE * p.h::DOUBLE) AS proj
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY 1, 2, 3
+    ),
     buckets AS (
-        SELECT vec_id,
-               sum(CASE WHEN proj > 0 THEN (1::BIGINT << i::INT) ELSE 0 END) AS bucket
-        FROM (
-            SELECT e.vec_id, s.i,
-                   (SELECT sum(e.embedding[j + 1]::DOUBLE *
-                               ((((s.i * 2654435761 + j * 40503 + 12345) % 1997) - 998))::DOUBLE)
-                    FROM range(64) t(j)) AS proj
-            FROM embeddings e CROSS JOIN range(8) s(i)
-        )
-        GROUP BY 1
+        SELECT vec_id, tbl,
+               sum(CASE WHEN proj > 0 THEN (1::BIGINT << il::INT) ELSE 0 END) AS bucket
+        FROM proj
+        GROUP BY 1, 2
     )
 """
 
@@ -372,47 +385,53 @@ _BUCKET_SQL = """
     "ann_lsh_buckets",
     oracle=f"""
     WITH {_BUCKET_SQL}
-    SELECT bucket, count(*) AS n_vecs
-    FROM buckets GROUP BY 1
+    SELECT tbl, bucket, count(*) AS n_vecs
+    FROM buckets GROUP BY 1, 2
     """,
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket assignment (8 planes → 256 buckets):
-    the partitioning step of ANN at scale. Value-checked bucket histogram."""
+    """Multi-table random-hyperplane LSH bucket assignment (4 tables × 4
+    planes → 16 buckets each): the partitioning step of ANN at scale.
+    Value-checked bucket histogram."""
     e = table(spark, sf_dir, "embeddings")
-    b = hyperplane_buckets(e, "vec_id", "embedding", 8)
-    return b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+    b = hyperplane_buckets(e, "vec_id", "embedding", n_planes=4, n_tables=4)
+    return b.groupBy("tbl", "bucket").agg(F.count("*").alias("n_vecs"))
 
 
 @register(
     "ann_lsh_search",
     oracle=f"""
     WITH {_BUCKET_SQL},
-    v AS (SELECT e.vec_id, e.embedding, b.bucket
-          FROM embeddings e JOIN buckets b USING (vec_id)),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM v WHERE vec_id % 50 = 0),
-    c AS (SELECT vec_id AS cand_id, embedding AS cv, bucket FROM v)
-    SELECT query_id, cand_id,
-           round({_DOT.format(x='qv', y='cv')} /
-                 ({_NORM.format(x='qv', tag='q')} * {_NORM.format(x='cv', tag='c')}),
-                 3) AS cosine
-    FROM q JOIN c USING (bucket)
-    WHERE cand_id != query_id
-      AND round({_DOT.format(x='qv', y='cv')} /
-                ({_NORM.format(x='qv', tag='q2')} * {_NORM.format(x='cv', tag='c2')}),
-                3) >= 0.1
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id % 50 = 0),
+    pairs AS (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
+        FROM qb JOIN buckets cb USING (tbl, bucket)
+        WHERE cb.vec_id != qb.query_id
+    ),
+    sims AS (
+        SELECT p.query_id, p.cand_id,
+               round({_DOT.format(x='q.embedding', y='c.embedding')} /
+                     ({_NORM.format(x='q.embedding', tag='q')} *
+                      {_NORM.format(x='c.embedding', tag='c')}), 3) AS cosine
+        FROM pairs p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = p.cand_id
+    )
+    SELECT query_id, cand_id, cosine FROM sims WHERE cosine >= 0.1
     """,
 )
 def ann_lsh_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN search: queries meet only same-bucket candidates
-    (the O(n²)→O(n²/B) reduction), cosine ≥ 0.1."""
+    """Multi-table LSH ANN search: queries meet only candidates sharing a
+    bucket in any table (candidate equi-join replaces the cross join),
+    cosine ≥ 0.1."""
     e = table(spark, sf_dir, "embeddings")
     return ann_lsh_search(
         e,
         "vec_id",
         "embedding",
         query_filter=lambda vid: vid % 50 == 0,
-        n_planes=8,
+        n_planes=4,
+        n_tables=4,
         min_cosine=0.1,
     )
 

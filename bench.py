@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver records this as BENCH_r{N}.json each round (BASELINE.md target:
+within 2x of baseline at the same scale factor).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: one representative per operator family.
+HEADLINE = [
+    "medallion_gold",       # reference pipeline end-to-end
+    "groupby_agg",          # TPC-H Q1-shaped aggregation
+    "join_inner",           # star join (broadcast dims + sort-merge fact join)
+    "join_asof",            # union+window as-of join
+    "window_topk_group",    # window functions over the fact table
+    "session_window_agg",   # streaming-twin sessionization
+    "dedup_latest",         # keep-latest dedup
+    "topk_global",          # TakeOrderedAndProject
+    "minhash_lsh_pairs",    # MinHash+LSH near-dup pipeline
+    "cosine_topk",          # embedding similarity search
+    "tfidf_stats",          # text analysis explode/join
+    "multimodal_features",  # Arrow mapInPandas path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+    from ab_inbev_big_data_case_spark.session import get_spark
+
+    load_all()
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        # count() forces full execution without driver-side row transfer
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""LLM-operator property tests (SURVEY.md §5.2): MinHash recall against the
+exact Jaccard verifier, SimHash locality, ANN vs brute-force recall,
+multimodal batch plumbing, approx-sketch error bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.llm.dedup import (
+    lsh_band_buckets,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_set,
+    simhash,
+)
+from ab_inbev_big_data_case_spark.llm.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    extract_byte_features,
+)
+from ab_inbev_big_data_case_spark.llm.similarity import ann_lsh_search, cosine_topk
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    d.cache().count()
+    return d
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """Every high-Jaccard pair (>=0.9) must be an LSH candidate: with 4
+    bands x 2 rows, P(miss at j=0.9) = (1-0.9^2)^4 ≈ 0.1% per pair."""
+    sh = shingle_set(docs, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, "doc_id", 8)
+    cands = {
+        (r["id1"], r["id2"])
+        for r in lsh_candidate_pairs(lsh_band_buckets(sig, "doc_id", 2), "doc_id").collect()
+    }
+    true_pairs = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(sh, "doc_id", 0.9).collect()
+    }
+    assert true_pairs, "fixture should contain planted near-duplicates"
+    missed = true_pairs - cands
+    assert len(missed) <= max(1, len(true_pairs) // 10)
+
+
+def test_simhash_locality(spark, docs):
+    """Near-dup pairs (jaccard>=0.9) get hamming-close simhashes; the
+    average over random pairs is ~8 of 16 bits."""
+    sh = shingle_set(docs, "doc_id", "text", 3)
+    pairs = ngram_jaccard_pairs(sh, "doc_id", 0.9)
+    sims = simhash(docs, "doc_id", "text", 16)
+    a = sims.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
+    b = sims.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    joined = pairs.join(a, "id1").join(b, "id2")
+    ham = joined.select(
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("d")
+    ).agg(F.avg("d")).collect()[0][0]
+    assert ham <= 4.0  # near-dups: far below the ~8-bit random baseline
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """LSH ANN vs brute-force top-5. The fixture embeddings are pure random
+    (top-neighbor cosine ≈0.35, θ≈70°), the hardest case for hyperplane LSH;
+    4 tables × 4 planes measures 0.46 recall there (matches the
+    1-(1-p^b)^L theory at p≈0.61) while comparing ~22% of the corpus.
+    Clustered real-world embeddings fare far better at the same settings."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    brute = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
+    truth = {(r["query_id"], r["cand_id"]) for r in brute.collect()}
+    ann = ann_lsh_search(
+        e, "vec_id", "embedding", lambda vid: vid % 50 == 0,
+        n_planes=4, n_tables=4, min_cosine=-1.0,
+    )
+    got = {(r["query_id"], r["cand_id"]) for r in ann.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3
+    # the point of ANN: the candidate set is a fraction of the corpus
+    n_total = e.count()
+    assert len(got) < 0.5 * len(truth) / 5 * n_total
+
+
+def test_multimodal_roundtrip(spark, docs):
+    payloads = attach_binary_payload(docs, "doc_id", "text")
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    feats = extract_byte_features(payloads)
+    joined = feats.join(docs, "doc_id")
+    mismatch = joined.filter(F.col("n_bytes") != F.length("text")).count()
+    assert mismatch == 0  # ascii corpus: bytes == chars
+    assert feats.count() == docs.count()
+
+
+def test_decode_media_is_stubbed(spark, docs):
+    with pytest.raises(NotImplementedError):
+        decode_media(attach_binary_payload(docs, "doc_id", "text"))
+
+
+def test_approx_count_distinct_bounds(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = li.select(F.approx_count_distinct("l_partkey", 0.01)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05

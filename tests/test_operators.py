@@ -1,0 +1,68 @@
+"""Operator-level tests: as-of join, range join, writers' small-file
+hygiene, sort/set-op properties."""
+
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.operators.joins import asof_join, range_join
+
+
+def test_asof_join_exact_semantics(spark):
+    """Latest right value at-or-before each left ts, per key — including the
+    equal-timestamp case (<=) and the no-prior-row null."""
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)],
+        "sym string, qts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("A", 4), ("A", 7), ("B", 2), ("B", 3)],
+        "sym string, tts long",
+    )
+    out = asof_join(trades, quotes, "sym", "tts", "qts", "px", "last_px")
+    got = {(r["sym"], r["tts"]): r["last_px"] for r in out.collect()}
+    assert got == {
+        ("A", 0): None,   # before any quote
+        ("A", 1): 10.0,   # equal ts counts (<=)
+        ("A", 4): 10.0,
+        ("A", 7): 11.0,
+        ("B", 2): None,
+        ("B", 3): 20.0,
+    }
+
+
+def test_asof_join_preserves_left_rowcount(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.sources.readers import table
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(purchases, signups, "user_id", "ts", "signup_ts", "signup_ts")
+    assert out.count() == purchases.count()
+
+
+def test_range_join_buckets(spark):
+    fact = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 95.0)], "id long, v double")
+    ranges = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 100.0)], "label string, lo double, hi double"
+    )
+    out = range_join(fact, ranges, "v", "lo", "hi")
+    got = {r["id"]: r["label"] for r in out.collect()}
+    assert got == {1: "lo", 2: "hi", 3: "hi"}
+
+
+def test_partitioned_writer_single_file_per_partition(spark, tmp_path):
+    """write_partitioned repartitions by the partition cols first — each
+    partition directory gets ONE file, not one per task (the small-files
+    guard that matters at 1000 executors)."""
+    import os
+
+    from ab_inbev_big_data_case_spark.sources.writers import write_partitioned
+
+    df = spark.range(1000).withColumn("part", (F.col("id") % 3).cast("string"))
+    out = str(tmp_path / "p")
+    write_partitioned(df, out, ["part"])
+    for d in os.listdir(out):
+        if d.startswith("part="):
+            files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, f"{d} has {len(files)} files"

@@ -1,0 +1,87 @@
+"""Streaming verification: each streaming op must equal its batch twin on
+the same input (SURVEY.md §5.2 — batch twins are the oracle-checked truth;
+these tests close the loop by running the real streaming path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.sources.readers import table
+from ab_inbev_big_data_case_spark.streaming.jobs import (
+    run_to_memory,
+    running_count_per_key,
+    stateful_dedup,
+    stream_from_parquet,
+    with_watermark,
+)
+from ab_inbev_big_data_case_spark.streaming.windows import session_agg, tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    df = table(spark, sf_dir, "events")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def events_stream_path(spark, events_batch, tmp_path_factory):
+    """Re-materialize events as µs-timestamp parquet so readStream can use a
+    plain schema (streaming reader can't do the nanos conversion)."""
+    p = str(tmp_path_factory.mktemp("stream") / "events")
+    events_batch.write.mode("overwrite").parquet(p)
+    return p
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_batch, events_stream_path):
+    stream = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+    agg = tumbling_agg(
+        with_watermark(stream, "ts", "1 hour"),
+        "ts", "1 day", ["event_type"], [F.count("*").alias("n_events")],
+    )
+    name = run_to_memory(agg, "tumbling_out", "complete")
+    got = spark.sql(f"SELECT * FROM {name}")
+    want = tumbling_agg(
+        events_batch, "ts", "1 day", ["event_type"], [F.count("*").alias("n_events")]
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_stream_equals_batch(spark, events_batch, events_stream_path):
+    stream = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+    agg = session_agg(
+        with_watermark(stream, "ts", "1 hour"),
+        "ts", "30 minutes", ["user_id"], [F.count("*").alias("n_events")],
+    )
+    name = run_to_memory(agg, "session_out", "complete")
+    got = spark.sql(f"SELECT * FROM {name}")
+    want = session_agg(
+        events_batch, "ts", "30 minutes", ["user_id"], [F.count("*").alias("n_events")]
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stateful_dedup_stream(spark, events_batch, events_stream_path):
+    stream = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+    dedup = stateful_dedup(stream, ["event_id"], "ts", "1 hour")
+    name = run_to_memory(dedup, "dedup_out", "append")
+    got = spark.sql(f"SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM {name}").collect()[0]
+    n_ids = events_batch.select("event_id").distinct().count()
+    assert got["n"] == got["d"] == n_ids
+
+
+def test_apply_in_pandas_with_state(spark, events_batch, events_stream_path):
+    stream = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+    counted = running_count_per_key(stream, "user_id")
+    name = run_to_memory(counted, "state_out", "update")
+    got = {r["user_id"]: r["n_events"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in events_batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
