@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ab_inbev_big_data_case_spark.operators.partitioning import spread
 from ab_inbev_big_data_case_spark.functions.text import (
     HASH_MOD,
     shingles,
@@ -55,7 +56,11 @@ def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per doc: (id, shingle) rows."""
+    """Distinct n-token shingles per doc: (id, shingle) rows.
+
+    ``spread`` first: shingling cost is rows x tokens, not bytes — a
+    single-file scan partition would serialize it on one core."""
+    df = spread(df)
     return df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("shingle"),
@@ -159,7 +164,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> Data
     """
     spark = df.sparkSession
     bits = F.broadcast(spark.range(n_bits).withColumnRenamed("id", "bit"))
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).withColumn("h", token_hash64(F.col("tok")))
     votes = (

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ab_inbev_big_data_case_spark.operators.partitioning import spread
+
 
 def attach_binary_payload(
     df: DataFrame, id_col: str, text_col: str, media_type: str = "text/plain"
@@ -33,7 +35,10 @@ def attach_binary_payload(
     (Fixtures have no real media; UTF-8-encoded text stands in as the opaque
     payload — the engine treats it as bytes from here on.)
     """
-    return df.select(
+    # Python-path parallelism: unlike JVM expressions, each partition pays a
+    # Python-worker spin-up, so cap the fan-out (8 measured optimal cold;
+    # workers are reused on subsequent batches).
+    return spread(df, min_partitions=8).select(
         F.col(id_col),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.lit(media_type).alias("media_type"),

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.functions.text import HASH_MOD, token_hash_mod, tokens
+from ab_inbev_big_data_case_spark.operators.partitioning import spread
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -88,7 +89,7 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     plain explode + weighted-sum aggregation: one shuffle on doc id, exact in
     int64 (pos < 2^17, hash < 2^30 ⇒ each term < 2^47).
     """
-    exploded = df.select(
+    exploded = spread(df).select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
     )
     term = (F.col("pos") + 1) * token_hash_mod(F.col("tok"))
@@ -101,7 +102,7 @@ def tfidf_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (n_docs, doc_freq) plus a rounded log-idf."""
     n_docs = df.count()
     tf = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
     )

@@ -41,9 +41,9 @@ def main() -> None:
     load_all()
     spark = get_spark("bench")
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # query, not session startup
-    spark.range(1).count()
+    # Warm the JVM, codegen, parquet reader, and shuffle machinery once so
+    # per-query times measure steady-state query cost, not session startup.
+    QUERIES["medallion_gold"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
