@@ -263,3 +263,54 @@ def predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.col("p_type").like("%BRASS%")
         & F.col("p_retailprice").isNotNull()
     ).select("p_partkey", "p_brand", "p_size", "p_type")
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_val,
+           2 AS n_keys,
+           'props,type' AS keys_sorted,
+           concat(event_type, '|', props) AS values_joined
+    FROM events
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: create_map / element_at / map_keys / map_values /
+    size. The oracle validates the extracted values (DuckDB's MAP accessors
+    differ syntactically; the semantics under test are Spark's)."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("props"), F.col("props")
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.array_join(F.map_values(m), "|").alias("values_joined"),
+    )
+
+
+@register(
+    "json_struct_roundtrip",
+    oracle="""
+    SELECT event_id,
+           (props->>'$.k')::INT AS k_parsed,
+           to_json(struct_pack(event_id := event_id, event_type := event_type))
+               AS row_json
+    FROM events
+    """,
+)
+def json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json (schema-pinned parse -> struct field) + to_json
+    (struct -> JSON string) — the bronze-layer JSON round trip
+    (glue/etl_api.py:24 semantics at column level)."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_parsed"),
+        F.to_json(F.struct("event_id", "event_type")).alias("row_json"),
+    )

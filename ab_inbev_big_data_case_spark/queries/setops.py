@@ -105,3 +105,37 @@ def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_df.select(
         "n_name", "n_regionkey", F.row_number().over(w).alias("sort_pos")
     )
+
+
+@register(
+    "intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+    INTERSECT ALL
+    SELECT o_custkey FROM orders
+    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    """,
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: min multiplicity survives)."""
+    jan = _month_slice(spark, sf_dir, 1995, 1).select("o_custkey")
+    feb = _month_slice(spark, sf_dir, 1995, 2).select("o_custkey")
+    return jan.intersectAll(feb)
+
+
+@register(
+    "except_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+    EXCEPT ALL
+    SELECT o_custkey FROM orders
+    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    """,
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: multiplicities subtract)."""
+    jan = _month_slice(spark, sf_dir, 1995, 1).select("o_custkey")
+    feb = _month_slice(spark, sf_dir, 1995, 2).select("o_custkey")
+    return jan.exceptAll(feb)

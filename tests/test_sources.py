@@ -1,0 +1,91 @@
+"""Source/sink coverage: schema-pinned JSON/CSV scans, write roundtrips,
+and the runner's orchestration semantics."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.runner import Stage, run_stages
+from ab_inbev_big_data_case_spark.sources.readers import read_csv, read_json, read_parquet
+
+SCHEMA = "id string, name string, value double"
+ROWS = [
+    {"id": "a", "name": "x", "value": 1.5},
+    {"id": "b", "name": None, "value": 2.5},
+]
+
+
+def test_json_scan_schema_pinned(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text("\n".join(json.dumps(r) for r in ROWS))
+    df = read_json(spark, str(p), SCHEMA)
+    assert df.schema.simpleString() == "struct<id:string,name:string,value:double>"
+    assert df.count() == 2
+    # pinned schema: unknown fields in data are dropped, missing become null
+    p2 = tmp_path / "drift.json"
+    p2.write_text(json.dumps({"id": "c", "extra": 1}))
+    drifted = read_json(spark, str(p2), SCHEMA)
+    row = drifted.collect()[0]
+    assert row["id"] == "c" and row["value"] is None
+    assert "extra" not in drifted.columns
+
+
+def test_csv_scan(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,value\na,x,1.5\nb,,2.5\n")
+    df = read_csv(spark, str(p), SCHEMA)
+    assert df.count() == 2
+    assert dict(df.dtypes)["value"] == "double"
+
+
+def test_json_write_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1.0)], "id string, v double")
+    out = str(tmp_path / "out_json")
+    df.write.mode("overwrite").json(out)
+    back = read_json(spark, out, "id string, v double")
+    assert [tuple(r) for r in back.collect()] == [("a", 1.0)]
+
+
+def test_parquet_roundtrip_preserves_types(spark, tmp_path, sf_dir):
+    src = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "li")
+    src.limit(100).write.mode("overwrite").parquet(out)
+    back = read_parquet(spark, out)
+    assert back.schema == src.schema
+    assert back.count() == 100
+
+
+def test_runner_chain_and_retry():
+    calls = {"flaky": 0}
+
+    def extract(ctx):
+        return {**ctx, "raw": [1, 2, 3]}
+
+    def flaky_transform(ctx):
+        calls["flaky"] += 1
+        if calls["flaky"] == 1:
+            raise RuntimeError("transient")
+        return {**ctx, "clean": [x * 2 for x in ctx["raw"]]}
+
+    stages = [
+        Stage("extract", extract),
+        Stage("transform", flaky_transform, retries=1, retry_delay_s=0),
+    ]
+    ctx, report = run_stages(stages)
+    assert ctx["clean"] == [2, 4, 6]
+    assert report.attempts == {"extract": 1, "transform": 2}
+
+
+def test_runner_failure_hook_fires():
+    hook_calls = []
+
+    def boom(ctx):
+        raise ValueError("permanent")
+
+    with pytest.raises(ValueError):
+        run_stages(
+            [Stage("boom", boom, retries=0)],
+            on_failure=lambda name, exc: hook_calls.append((name, str(exc))),
+        )
+    assert hook_calls == [("boom", "permanent")]
