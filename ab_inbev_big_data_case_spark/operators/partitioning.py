@@ -23,3 +23,52 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    agg_exprs: "list",
+    salt_buckets: int = 16,
+):
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups on (keys, salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers — phase 2 merges the partials on keys alone.
+    Only **decomposable** aggregates (sum/count/min/max) can be salted this
+    way; the caller passes phase-1 expressions and the matching phase-2
+    merge is sum/min/max of the partial columns.
+
+    AQE's skew handling covers joins but NOT aggregation skew — a hot group
+    key still lands on one reducer without salting.
+    """
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn(
+        "__salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+    )
+    return salted.groupBy(*keys, "__salt").agg(*agg_exprs)
+
+
+def salted_sum_count(
+    df: DataFrame, keys: list[str], value_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-safe sum+count per key (→ also mean) via two-phase salting.
+
+    Output columns: keys, sum_<value_col>, count_rows.
+    """
+    from pyspark.sql import functions as F
+
+    partial = salted_aggregate(
+        df,
+        keys,
+        [
+            F.sum(value_col).alias("__psum"),
+            F.count("*").alias("__pcnt"),
+        ],
+        salt_buckets,
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__psum").alias(f"sum_{value_col}"),
+        F.sum("__pcnt").alias("count_rows"),
+    )

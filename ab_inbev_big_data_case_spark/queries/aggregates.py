@@ -320,3 +320,29 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.round("value", 2).alias("value_r"),
     )
+
+
+@register(
+    "salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), 2) AS sum_price_r,
+           count(*) AS count_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase (salted) aggregation — semantics-identical to the
+    plain groupBy (the oracle IS the plain groupBy); the salt only changes
+    the physical distribution. AQE skew-join handling does not cover
+    aggregation skew, so a hot group key needs this at 100 TB."""
+    from ab_inbev_big_data_case_spark.operators.partitioning import salted_sum_count
+
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_sum_count(li, ["l_returnflag"], "l_extendedprice", salt_buckets=16)
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_extendedprice", 2).alias("sum_price_r"),
+        "count_rows",
+    )

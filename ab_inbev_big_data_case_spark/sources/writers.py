@@ -49,3 +49,23 @@ def write_partitioned(
     n = max(files_per_partition, 1)
     df = df.repartition(n * 32, *partition_cols) if n > 1 else df.repartition(*partition_cols)
     df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table: later joins/aggregations on
+    ``bucket_cols`` between tables bucketed the same way need NO shuffle —
+    the co-location is recorded in the catalog and Catalyst drops the
+    Exchange. This is the at-rest answer to repeated 100 TB fact-fact joins
+    on the same key (shuffle once at write time, never again).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
