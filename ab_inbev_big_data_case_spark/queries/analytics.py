@@ -1,0 +1,172 @@
+"""Composed analytical queries: subqueries (scalar / IN / correlated
+EXISTS / NOT IN), CTE pipelines, and TPC-H-shaped multi-join reports.
+
+These prove the engine handles real composed analytics, not just isolated
+operators — Catalyst decorrelates the subqueries into joins (SURVEY.md §4.2),
+so each of these still executes as broadcast/sort-merge join plans.
+Expressed through the SQL API (temp views over the fixture scans) — the
+DataFrame and SQL paths produce identical Catalyst plans, and SQL is the
+clearer notation at this altitude.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import load_tables
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) -> DataFrame:
+    load_tables(spark, sf_dir, tables)
+    return spark.sql(sql)
+
+
+_SCALAR_SUBQ = """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal_r
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+@register("scalar_subquery", oracle=_SCALAR_SUBQ)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (above-average filter)."""
+    return _sql(spark, sf_dir, ("customer",), _SCALAR_SUBQ)
+
+
+_IN_SUBQ = """
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+    )
+"""
+
+
+@register("in_subquery", oracle=_IN_SUBQ)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery → decorrelated to a left-semi join by Catalyst."""
+    return _sql(spark, sf_dir, ("part", "lineitem"), _IN_SUBQ)
+
+
+_CORR_EXISTS = """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+    )
+"""
+
+_CORR_EXISTS_DUCK = """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+"""
+
+
+@register("correlated_exists", oracle=_CORR_EXISTS_DUCK)
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-equi correlated predicate (late-shipping
+    orders — TPC-H Q4 shape)."""
+    return _sql(spark, sf_dir, ("orders", "lineitem"), _CORR_EXISTS)
+
+
+_NOT_IN_SUBQ = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey NOT IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_discount > 0.09 AND l_quantity > 49
+    )
+"""
+
+
+@register("not_in_subquery", oracle=_NOT_IN_SUBQ)
+def not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (null-aware anti join — the subtle one; fixture keys are
+    non-null so the semantics match DuckDB's)."""
+    return _sql(spark, sf_dir, ("supplier", "lineitem"), _NOT_IN_SUBQ)
+
+
+_TPCH_Q3 = """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+"""
+
+
+@register("tpch_q3_shape", oracle=_TPCH_Q3)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) shape: selective dim filter + two fact
+    joins + grouped revenue. Full result set (no LIMIT) so the oracle hash
+    covers every group."""
+    return _sql(spark, sf_dir, ("customer", "orders", "lineitem"), _TPCH_Q3)
+
+
+_TPCH_Q5 = """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE year(o.o_orderdate) = 1995
+    GROUP BY n.n_name
+"""
+
+
+@register("tpch_q5_shape", oracle=_TPCH_Q5)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table star join (region→nation→supplier dims all
+    broadcast; the two fact joins sort-merge)."""
+    return _sql(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+        _TPCH_Q5,
+    )
+
+
+_CTE_PIPELINE = """
+    WITH cust_orders AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    tiers AS (
+        SELECT o_custkey, n_orders, spend,
+               CASE WHEN spend > 1500000 THEN 'platinum'
+                    WHEN spend > 750000 THEN 'gold'
+                    ELSE 'standard' END AS tier
+        FROM cust_orders
+    )
+    SELECT t.tier,
+           count(*) AS n_customers,
+           round(avg(t.n_orders), 4) AS avg_orders,
+           round(sum(t.spend), 2) AS tier_spend
+    FROM tiers t
+    GROUP BY t.tier
+"""
+
+
+@register("cte_pipeline", oracle=_CTE_PIPELINE)
+def cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage CTE pipeline (aggregate → derive tier → re-aggregate) —
+    the medallion pattern expressed in one SQL statement."""
+    return _sql(spark, sf_dir, ("orders",), _CTE_PIPELINE)

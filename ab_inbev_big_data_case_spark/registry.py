@@ -29,6 +29,7 @@ _QUERY_MODULES = [
     "ab_inbev_big_data_case_spark.queries.setops",
     "ab_inbev_big_data_case_spark.queries.streaming_twins",
     "ab_inbev_big_data_case_spark.queries.udfs",
+    "ab_inbev_big_data_case_spark.queries.analytics",
     "ab_inbev_big_data_case_spark.queries.llm",
 ]
 
