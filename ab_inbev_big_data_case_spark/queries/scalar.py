@@ -314,3 +314,56 @@ def json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_parsed"),
         F.to_json(F.struct("event_id", "event_type")).alias("row_json"),
     )
+
+
+@register(
+    "regex_funcs",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+           regexp_extract(p_name, '(zzz+)', 1) AS no_match,
+           CASE WHEN regexp_matches(p_type, '[A-Z]{4,}') THEN 1 ELSE 0 END AS has_long_upper,
+           regexp_replace(p_brand, '[0-9]', '#', 'g') AS brand_masked
+    FROM part
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract (incl. the no-match→'' convention both engines
+    share), match test (rlike), masking replace."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", r"(zzz+)", 1).alias("no_match"),
+        F.when(F.col("p_type").rlike("[A-Z]{4,}"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "has_long_upper"
+        ),
+        F.regexp_replace("p_brand", "[0-9]", "#").alias("brand_masked"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(o_orderdate)::DATE AS month_end,
+           (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus_3mo,
+           (o_orderdate - INTERVAL 7 DAY)::DATE AS minus_week,
+           dayofweek(o_orderdate) + 1 AS dow_sun1,
+           weekofyear(o_orderdate) AS week_no
+    FROM orders
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: last_day, add_months (month-end clamped in both
+    engines), date_sub, day-of-week (Spark Sunday=1 vs DuckDB Sunday=0 —
+    oracle shifts), ISO week."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus_3mo"),
+        F.date_sub(F.to_date("o_orderdate"), 7).alias("minus_week"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.weekofyear("o_orderdate").alias("week_no"),
+    )

@@ -44,7 +44,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The harness may hand us a session without engine defaults;
+            # timestamp semantics (tz-naive fixtures vs session TZ) and AQE
+            # are runtime-settable, so pin them here defensively.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

@@ -85,3 +85,20 @@ def test_apply_in_pandas_with_state(spark, events_batch, events_stream_path):
         for r in events_batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_sliding_stream_equals_batch(spark, events_batch, events_stream_path):
+    from ab_inbev_big_data_case_spark.streaming.windows import sliding_agg
+
+    stream = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+    agg = sliding_agg(
+        with_watermark(stream, "ts", "1 hour"),
+        "ts", "1 hour", "30 minutes", [], [F.count("*").alias("n_events")],
+    )
+    name = run_to_memory(agg, "sliding_out", "complete")
+    got = spark.sql(f"SELECT * FROM {name}")
+    want = sliding_agg(
+        events_batch, "ts", "1 hour", "30 minutes", [], [F.count("*").alias("n_events")]
+    )
+    cols = ["window_start", "window_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
