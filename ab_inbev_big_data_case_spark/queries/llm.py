@@ -458,3 +458,101 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(d, "doc_id", "text")
     return extract_byte_features(payloads)
+
+
+@register(
+    "near_dup_dedup_corpus",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    verified AS (
+        SELECT c.id1, c.id2
+        FROM cand c
+        JOIN (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i ON i.id1 = c.id1 AND i.id2 = c.id2
+        JOIN sizes sa ON sa.doc_id = c.id1
+        JOIN sizes sb ON sb.doc_id = c.id2
+        WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id2 FROM verified)
+    """,
+)
+def near_dup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup corpus dedup — the actual curation operation:
+    MinHash-LSH candidates → exact-Jaccard verification (>= 0.5) → drop the
+    higher-id member of each verified pair, keep the canonical corpus.
+
+    The classic candidate→verify split: the O(n²) Jaccard check runs only on
+    LSH candidates, so cost scales with true-duplicate density, not corpus².
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = shingle_set(d, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, "doc_id", 8)
+    cand = lsh_candidate_pairs(lsh_band_buckets(sig, "doc_id", 2), "doc_id")
+    verified = (
+        ngram_jaccard_pairs(sh, "doc_id", 0.5)
+        .join(cand, ["id1", "id2"], "left_semi")
+    )
+    dupes = verified.select(F.col("id2").alias("doc_id")).distinct()
+    return d.join(dupes, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+@register(
+    "bpe_ish_tokenize",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]+|[aeiou]+|[^a-z ]'))
+               AS n_subword_tokens,
+           round(len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]+|[aeiou]+|[^a-z ]'))
+                 * 1.0 / len(string_split(text, ' ')), 4) AS subwords_per_word
+    FROM documents
+    """,
+)
+def bpe_ish_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    segmentation (consonant/vowel cluster units — the cheap stand-in for a
+    real BPE vocab; the operator shape is regexp_extract_all + size)."""
+    d = table(spark, sf_dir, "documents")
+    pat = F.lit("[bcdfghjklmnpqrstvwxyz]+|[aeiou]+|[^a-z ]")
+    sub = F.regexp_extract_all(F.col("text"), pat, 0)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_word_tokens"),
+        F.size(sub).alias("n_subword_tokens"),
+        F.round(F.size(sub) / F.size(words), 4).alias("subwords_per_word"),
+    )
+
+
+@register(
+    "corpus_curation_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE lang IN ('en', 'es')
+      AND len(string_split(text, ' ')) >= 20
+      AND len(list_distinct(string_split(text, ' '))) * 10
+          >= len(string_split(text, ' ')) * 3
+    """,
+)
+def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard curation gate: language whitelist + min length + lexical
+    diversity floor (integer cross-multiplied so the cut is engine-exact).
+    All three predicates are scan-level filters — at 100 TB this is a single
+    pushed-down pass that never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.filter(
+        F.col("lang").isin("en", "es")
+        & (F.size(toks) >= 20)
+        & (F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 3)
+    ).select("doc_id", "lang", "n_chars")
