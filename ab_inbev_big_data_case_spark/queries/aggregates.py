@@ -25,9 +25,10 @@ from ab_inbev_big_data_case_spark.sources.readers import table
     "groupby_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS sum_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            min(l_quantity) AS min_qty,
@@ -45,11 +46,21 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # decimal accumulation: double sums differ across engines in the
+            # last ulp at 100k+ rows and round(x,2) then flips cents; decimal
+            # sums are exact and order-independent
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.min("l_quantity").alias("min_qty"),
@@ -113,7 +124,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_agg",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS sum_price,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS sum_price,
            count(*) AS n_orders
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -122,7 +133,8 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double").alias("sum_price"),
         F.count("*").alias("n_orders"),
     )
 
@@ -151,7 +163,8 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filtered_agg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2) AS hi_disc_rev,
+           round(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice END
+                          AS DECIMAL(18,6))), 2)::DOUBLE AS hi_disc_rev,
            count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
            round(avg(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 4) AS hi_tax_avg
     FROM lineitem
@@ -162,9 +175,14 @@ def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (reference R6+R7 composition)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2).alias(
-            "hi_disc_rev"
-        ),
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        ).cast("double").alias("hi_disc_rev"),
         F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
         F.round(F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 4).alias(
             "hi_tax_avg"
@@ -326,7 +344,7 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_agg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice), 2) AS sum_price_r,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE AS sum_price_r,
            count(*) AS count_rows
     FROM lineitem
     GROUP BY l_returnflag
@@ -339,10 +357,12 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation skew, so a hot group key needs this at 100 TB."""
     from ab_inbev_big_data_case_spark.operators.partitioning import salted_sum_count
 
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("decimal(18,6)")
+    )  # decimal: partial sums must merge order-independently
     out = salted_sum_count(li, ["l_returnflag"], "l_extendedprice", salt_buckets=16)
     return out.select(
         "l_returnflag",
-        F.round("sum_l_extendedprice", 2).alias("sum_price_r"),
+        F.round("sum_l_extendedprice", 2).cast("double").alias("sum_price_r"),
         "count_rows",
     )

@@ -97,7 +97,8 @@ def not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q3 = """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS revenue,
            o.o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -120,7 +121,8 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q5 = """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -146,7 +148,7 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTE_PIPELINE = """
     WITH cust_orders AS (
         SELECT o_custkey, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS spend
+               round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS spend
         FROM orders GROUP BY o_custkey
     ),
     tiers AS (
@@ -158,8 +160,8 @@ _CTE_PIPELINE = """
     )
     SELECT t.tier,
            count(*) AS n_customers,
-           round(avg(t.n_orders), 4) AS avg_orders,
-           round(sum(t.spend), 2) AS tier_spend
+           round(avg(t.n_orders), 4)::DOUBLE AS avg_orders,
+           round(sum(t.spend), 2)::DOUBLE AS tier_spend
     FROM tiers t
     GROUP BY t.tier
 """

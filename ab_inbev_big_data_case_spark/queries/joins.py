@@ -25,7 +25,8 @@ from ab_inbev_big_data_case_spark.sources.readers import table
     "join_inner",
     oracle="""
     SELECT c.c_mktsegment, year(o.o_orderdate) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -44,9 +45,14 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )

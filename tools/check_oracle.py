@@ -35,8 +35,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse last-ulp noise; queries already round explicitly
-        return f"{v:.6g}"
+        # 12 significant digits: strict enough to catch a one-cent divergence
+        # in 1e8-magnitude rounded sums (the driver may compare raw values),
+        # loose enough to absorb true last-ulp noise
+        return f"{v:.12g}"
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, (datetime, date)):
