@@ -67,33 +67,44 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     )
 
 
+def minhash_signatures_wide(
+    shingle_df: DataFrame, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """Wide MinHash signature: one row per id with columns minhash_0..n-1.
+
+    All seeds are computed as parallel min-aggregations over the SAME
+    shingle rows — one shuffle on ``id``, no row multiplication. (The naive
+    formulation crossJoins a seeds table, inflating the shuffle n_hashes×;
+    at 100 TB that's n_hashes× the map output for zero benefit.)
+    """
+    hashed = shingle_df.withColumn("h9", token_hash_mod(F.col("shingle")))
+    aggs = [
+        F.min(((2 * i + 1) * F.col("h9") + 104729 * i) % F.lit(HASH_MOD)).alias(
+            f"minhash_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     shingle_df: DataFrame, id_col: str, n_hashes: int = 8
 ) -> DataFrame:
-    """(id, seed, minhash) signature rows from a (id, shingle) set.
-
-    The seeds table is tiny and broadcast; the only shuffle is the final
-    groupBy on (id, seed) — n_hashes × #shingle-rows map-side, pre-combined.
-    """
-    spark = shingle_df.sparkSession
-    seeds = F.broadcast(spark.range(n_hashes).withColumnRenamed("id", "seed"))
-    hashed = shingle_df.withColumn("h9", token_hash_mod(F.col("shingle")))
-    return (
-        hashed.crossJoin(seeds)
-        .groupBy(id_col, "seed")
-        .agg(
-            F.min(
-                ((2 * F.col("seed") + 1) * F.col("h9") + 104729 * F.col("seed"))
-                % F.lit(HASH_MOD)
-            ).alias("minhash")
-        )
+    """(id, seed, minhash) signature rows — the narrow/tall view of
+    :func:`minhash_signatures_wide` (one stack/unpivot, no extra shuffle)."""
+    wide = minhash_signatures_wide(shingle_df, id_col, n_hashes)
+    stack_expr = ", ".join(f"{i}L, minhash_{i}" for i in range(n_hashes))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({n_hashes}, {stack_expr}) AS (seed, minhash)"),
     )
 
 
 def lsh_band_buckets(
     sig: DataFrame, id_col: str, rows_per_band: int = 2
 ) -> DataFrame:
-    """Collapse the signature into band buckets: (id, band, band_sig).
+    """Collapse a narrow (id, seed, minhash) signature into band buckets:
+    (id, band, band_sig).
 
     band_sig packs the band's minhashes into one int64 (position-weighted by
     P^pos — injective since minhash < P), so bucket identity is a single
@@ -103,6 +114,27 @@ def lsh_band_buckets(
     weight = F.when(F.col("seed") % rows_per_band == 0, F.lit(HASH_MOD)).otherwise(F.lit(1))
     return sig.groupBy(id_col, "band").agg(
         F.sum(F.col("minhash") * weight).alias("band_sig")
+    )
+
+
+def lsh_band_buckets_wide(
+    wide_sig: DataFrame, id_col: str, n_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band buckets straight from the wide signature — pure projection + one
+    stack, NO shuffle (the narrow path costs an extra groupBy). Same output
+    as :func:`lsh_band_buckets` on the equivalent narrow signature."""
+    n_bands = n_hashes // rows_per_band
+    terms = []
+    for b in range(n_bands):
+        sig_expr = " + ".join(
+            f"minhash_{b * rows_per_band + r} * "
+            + ("1000000007" if r == 0 else "1")
+            for r in range(rows_per_band)
+        )
+        terms.append(f"{b}L, {sig_expr}")
+    return wide_sig.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {', '.join(terms)}) AS (band, band_sig)"),
     )
 
 
@@ -162,23 +194,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> Data
     Two shuffles ((id,bit) then id), both pre-combined map-side; bits table
     is broadcast.
     """
-    spark = df.sparkSession
-    bits = F.broadcast(spark.range(n_bits).withColumnRenamed("id", "bit"))
     toks = spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).withColumn("h", token_hash64(F.col("tok")))
-    votes = (
-        toks.crossJoin(bits)
-        # expr: pyspark's shiftright() helper only takes a literal shift
-        .withColumn("vote", F.expr("(shiftright(h, cast(bit AS int)) % 2) * 2 - 1"))
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("net_vote"))
+    # all bit-votes as parallel aggregations over the same token rows: ONE
+    # shuffle on id, no n_bits× row inflation (the crossJoin-a-bits-table
+    # formulation multiplies the shuffle 16×)
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {j}) % 2) * 2 - 1")).alias(f"v_{j}")
+            for j in range(n_bits)
+        ]
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("net_vote") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), cast(bit AS int))"),
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
+    packed = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(n_bits)
     )
+    return votes.select(F.col(id_col), F.expr(packed).alias("simhash"))

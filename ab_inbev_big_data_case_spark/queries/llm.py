@@ -15,9 +15,10 @@ from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.llm.dedup import (
     exact_dedup_stats,
-    lsh_band_buckets,
+    lsh_band_buckets_wide,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_wide,
     ngram_jaccard_pairs,
     shingle_set,
     simhash,
@@ -124,8 +125,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs from LSH banding (4 bands × 2 rows):
     the scale path — only same-bucket docs are ever compared."""
     d = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
-    return lsh_candidate_pairs(lsh_band_buckets(sig, "doc_id", 2), "doc_id")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    return lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
 
 
 @register(
@@ -495,8 +496,8 @@ def near_dup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     sh = shingle_set(d, "doc_id", "text", 3)
-    sig = minhash_signatures(sh, "doc_id", 8)
-    cand = lsh_candidate_pairs(lsh_band_buckets(sig, "doc_id", 2), "doc_id")
+    sig = minhash_signatures_wide(sh, "doc_id", 8)
+    cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
     verified = (
         ngram_jaccard_pairs(sh, "doc_id", 0.5)
         .join(cand, ["id1", "id2"], "left_semi")

@@ -6,9 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.llm.dedup import (
-    lsh_band_buckets,
+    lsh_band_buckets_wide,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_wide,
     ngram_jaccard_pairs,
     shingle_set,
     simhash,
@@ -33,10 +33,12 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     """Every high-Jaccard pair (>=0.9) must be an LSH candidate: with 4
     bands x 2 rows, P(miss at j=0.9) = (1-0.9^2)^4 ≈ 0.1% per pair."""
     sh = shingle_set(docs, "doc_id", "text", 3)
-    sig = minhash_signatures(sh, "doc_id", 8)
+    sig = minhash_signatures_wide(sh, "doc_id", 8)
     cands = {
         (r["id1"], r["id2"])
-        for r in lsh_candidate_pairs(lsh_band_buckets(sig, "doc_id", 2), "doc_id").collect()
+        for r in lsh_candidate_pairs(
+            lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id"
+        ).collect()
     }
     true_pairs = {
         (r["id1"], r["id2"])
