@@ -66,3 +66,41 @@ def test_partitioned_writer_single_file_per_partition(spark, tmp_path):
         if d.startswith("part="):
             files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
             assert len(files) == 1, f"{d} has {len(files)} files"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check against an independent reference implementation
+    (pandas.merge_asof, backward direction) on randomized inputs."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        quotes=st.lists(
+            st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 50), st.integers(1, 999)),
+            min_size=1, max_size=12, unique_by=lambda t: (t[0], t[1]),
+        ),
+        trades=st.lists(
+            st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 50)),
+            min_size=1, max_size=12, unique_by=lambda t: (t[0], t[1]),
+        ),
+    )
+    def check(quotes, trades):
+        qdf = spark.createDataFrame(quotes, "sym string, qts long, px long")
+        tdf = spark.createDataFrame(trades, "sym string, tts long")
+        got = {
+            (r["sym"], r["tts"]): r["last_px"]
+            for r in asof_join(tdf, qdf, "sym", "tts", "qts", "px", "last_px").collect()
+        }
+        qp = pd.DataFrame(quotes, columns=["sym", "qts", "px"]).sort_values("qts")
+        tp = pd.DataFrame(trades, columns=["sym", "tts"]).sort_values("tts")
+        ref = pd.merge_asof(
+            tp, qp, left_on="tts", right_on="qts", by="sym", direction="backward"
+        )
+        want = {
+            (r.sym, r.tts): (None if pd.isna(r.px) else int(r.px))
+            for r in ref.itertuples()
+        }
+        assert got == want
+
+    check()

@@ -102,3 +102,59 @@ def test_sliding_stream_equals_batch(spark, events_batch, events_stream_path):
     )
     cols = ["window_start", "window_end", "n_events"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_multibatch_stateful_count(spark, events_batch, tmp_path_factory):
+    """State must accumulate ACROSS micro-batches: 3 files → 3 batches via
+    maxFilesPerTrigger=1; the last update-mode output per user equals the
+    global count."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    d = str(tmp_path_factory.mktemp("mb") / "events")
+    os.makedirs(d, exist_ok=True)
+    # 3 time-sliced files, written in order (file pickup is mtime-ordered)
+    for i, (lo, hi) in enumerate(
+        [("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")]
+    ):
+        sl = events_batch.filter((F2.col("ts") >= lo) & (F2.col("ts") < hi))
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+    import shutil
+
+    for i in range(3):
+        for f in os.listdir(f"{d}/b{i}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{d}/b{i}/{f}", f"{d}/part{i}.parquet")
+        shutil.rmtree(f"{d}/b{i}")
+
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    counted = running_count_per_key(stream, "user_id")
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mb_state")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends each update; the MAX per user is the
+    # final accumulated count
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n FROM mb_state GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in events_batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    # and state really was incremental: more output rows than distinct users
+    n_updates = spark.sql("SELECT count(*) AS c FROM mb_state").collect()[0]["c"]
+    assert n_updates > len(want)
