@@ -106,11 +106,14 @@ def tfidf_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("token").agg(F.countDistinct(id_col).alias("doc_freq"))
-    return tf.join(F.broadcast(dfreq), "token").select(
+    # tf has one row per (doc, token), so doc-frequency is a plain count over
+    # the token window — one extra shuffle, and the tf subtree is computed
+    # once (a groupBy+join-back formulation recomputes it for the DF side)
+    w = Window.partitionBy("token")
+    return tf.select(
         id_col,
         "token",
         "tf",
-        "doc_freq",
-        F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("log_idf"),
+        F.count("*").over(w).alias("doc_freq"),
+        F.round(F.log(F.lit(float(n_docs)) / F.count("*").over(w)), 6).alias("log_idf"),
     )
