@@ -172,3 +172,79 @@ def cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-stage CTE pipeline (aggregate → derive tier → re-aggregate) —
     the medallion pattern expressed in one SQL statement."""
     return _sql(spark, sf_dir, ("orders",), _CTE_PIPELINE)
+
+
+_TPCH_Q6 = """
+    SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)::DOUBLE
+               AS promo_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_shape", oracle=_TPCH_Q6)
+def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter + global agg —
+    every predicate pushes into the parquet scan (row-group skipping at
+    scale), zero joins, one partial+final agg."""
+    return _sql(spark, sf_dir, ("lineitem",), _TPCH_Q6)
+
+
+_TPCH_Q12 = """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-07-01 00:00:00'
+    GROUP BY l.l_returnflag
+"""
+
+
+@register("tpch_q12_shape", oracle=_TPCH_Q12)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional counting."""
+    return _sql(spark, sf_dir, ("orders", "lineitem"), _TPCH_Q12)
+
+
+_TPCH_Q18 = """
+    SELECT o.o_orderkey, o.o_custkey,
+           round(sum(CAST(l.l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,6))) > 250
+"""
+
+
+@register("tpch_q18_shape", oracle=_TPCH_Q18)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): join + group + HAVING on
+    the aggregate (decimal-exact so the cut is engine-identical)."""
+    return _sql(spark, sf_dir, ("orders", "lineitem"), _TPCH_Q18)
+
+
+_TPCH_Q19 = """
+    SELECT round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 5)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25 AND l.l_quantity >= 15)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 35 AND l.l_quantity >= 25)
+"""
+
+
+@register("tpch_q19_shape", oracle=_TPCH_Q19)
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute join predicates (the
+    OR-of-ANDs pattern Catalyst splits into join + residual filter)."""
+    return _sql(spark, sf_dir, ("lineitem", "part"), _TPCH_Q19)

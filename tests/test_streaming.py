@@ -158,3 +158,27 @@ def test_multibatch_stateful_count(spark, events_batch, tmp_path_factory):
     # and state really was incremental: more output rows than distinct users
     n_updates = spark.sql("SELECT count(*) AS c FROM mb_state").collect()[0]["c"]
     assert n_updates > len(want)
+
+
+def test_rate_source_smoke(spark):
+    """Built-in rate source: the always-available streaming source for
+    load/smoke tests (SURVEY §2.2 'streaming file/rate source')."""
+    import time as _t
+
+    df = spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    deadline = _t.time() + 10
+    n = 0
+    while _t.time() < deadline:
+        n = spark.sql("SELECT count(*) AS c FROM rate_out").collect()[0]["c"]
+        if n > 0:
+            break
+        _t.sleep(0.3)
+    q.stop()
+    assert n > 0
+    assert set(df.columns) == {"timestamp", "value"}
