@@ -69,3 +69,34 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. The maintenance op every long-lived
+    ingestion layout needs — streaming/incremental writes accumulate small
+    files, and scan/task overhead at 100 TB is dominated by file count.
+    Returns the resulting file count. (Not atomic: stages to a sibling dir
+    then swaps, so a concurrent reader sees old or new, never half.)
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    staged = path.rstrip("/") + ".__compact__"
+    df.coalesce(n_files).write.mode("overwrite").parquet(staged)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return n_files

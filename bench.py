@@ -41,9 +41,11 @@ def main() -> None:
     load_all()
     spark = get_spark("bench")
 
-    # Warm the JVM, codegen, parquet reader, and shuffle machinery once so
-    # per-query times measure steady-state query cost, not session startup.
+    # Warm the JVM, codegen, parquet reader, shuffle machinery, and the
+    # Python worker pool once so per-query times measure steady-state query
+    # cost, not session/worker startup (workers are reused afterwards).
     QUERIES["medallion_gold"](spark, "/root/testdata/sf0.001").count()
+    QUERIES["multimodal_features"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -89,3 +89,19 @@ def test_runner_failure_hook_fires():
             on_failure=lambda name, exc: hook_calls.append((name, str(exc))),
         )
     assert hook_calls == [("boom", "permanent")]
+
+
+def test_compact_parquet(spark, tmp_path):
+    from ab_inbev_big_data_case_spark.sources.writers import compact_parquet
+
+    out = str(tmp_path / "frag")
+    # fragment: 20 files for a tiny table
+    spark.range(10_000).repartition(20).write.parquet(out)
+    import os
+
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_before == 20
+    n_target = compact_parquet(spark, out, target_file_bytes=10**9)
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_target == n_after == 1
+    assert spark.read.parquet(out).count() == 10_000
