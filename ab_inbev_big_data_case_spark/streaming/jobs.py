@@ -76,3 +76,37 @@ def running_count_per_key(
     return df.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_to_parquet_checkpointed(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    partition_cols: list[str] | None = None,
+):
+    """Fault-tolerant streaming sink: checkpointed foreachBatch parquet
+    writes.
+
+    The checkpoint (WAL + source offsets) gives at-least-once batch
+    delivery; writing each micro-batch into a ``batch_id=N`` subdirectory
+    with overwrite mode makes replays idempotent → effectively exactly-once
+    at the file level (the standard foreachBatch pattern for sinks without
+    native transactional support). Downstream reads the directory tree as
+    one partitioned dataset.
+
+    Returns the started StreamingQuery; caller drives it
+    (``processAllAvailable``/``awaitTermination``).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(write_batch)
+        .start()
+    )

@@ -182,3 +182,31 @@ def test_rate_source_smoke(spark):
     q.stop()
     assert n > 0
     assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_checkpointed_parquet_sink(spark, events_batch, events_stream_path, tmp_path_factory):
+    """foreachBatch + checkpoint: all rows land exactly once; a restart from
+    the same checkpoint reprocesses nothing."""
+    from ab_inbev_big_data_case_spark.streaming.jobs import (
+        stream_to_parquet_checkpointed,
+    )
+
+    base = tmp_path_factory.mktemp("ckpt_sink")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+
+    def start():
+        stream = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+        return stream_to_parquet_checkpointed(stream, out, ckpt)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    first = spark.read.parquet(out)
+    assert first.drop("batch_id").count() == events_batch.count()
+
+    # restart on the same checkpoint: no new data -> no duplicate rows
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    again = spark.read.parquet(out)
+    assert again.count() == first.count()
