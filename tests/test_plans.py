@@ -120,3 +120,42 @@ def test_salted_agg_matches_plain(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
+    """Date-partitioned layout (the reference's incremental intent, R8):
+    a literal date filter must prune at planning time (PartitionFilters),
+    and a join against a filtered dim must plan dynamic partition pruning."""
+    from ab_inbev_big_data_case_spark.sources.writers import write_partitioned
+
+    events = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(events, out, ["event_date"])
+    part = spark.read.parquet(out)
+
+    # static pruning: the partition filter never touches row data
+    pruned = part.filter(F.col("event_date") == "2024-01-02")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+    # dynamic pruning: partition values only known after the dim filter runs
+    # (DPP requires a selective predicate on the filtering side)
+    import datetime
+
+    dim = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 2), "campaign"),
+            (datetime.date(2024, 1, 3), "other"),
+        ],
+        "event_date date, tag string",
+    )
+    joined = part.join(
+        F.broadcast(dim.filter(F.col("tag") == "campaign")), "event_date"
+    )
+    assert "dynamicpruningexpression" in _plan(joined).lower()
+    # correctness: pruned read sees exactly that day's rows
+    want = events.filter(F.col("event_date") == "2024-01-02").count()
+    assert pruned.count() == want == joined.count()
