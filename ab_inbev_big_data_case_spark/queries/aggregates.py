@@ -366,3 +366,29 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_l_extendedprice", 2).cast("double").alias("sum_price_r"),
         "count_rows",
     )
+
+
+@register(
+    "argmax_agg",
+    oracle="""
+    SELECT l_returnflag,
+           arg_max(l_orderkey, round(l_extendedprice * 100)::BIGINT * 10000000 + l_orderkey)
+               AS top_orderkey,
+           round(max(l_extendedprice), 2) AS top_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax (max_by) aggregation — 'which row attains the max' without a
+    window or self-join. The ordering value packs (price, orderkey) into one
+    int64 so ties are broken deterministically and identically everywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    ordval = (
+        F.round(F.col("l_extendedprice") * 100).cast("long") * 10000000
+        + F.col("l_orderkey")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", ordval).alias("top_orderkey"),
+        F.round(F.max("l_extendedprice"), 2).alias("top_price"),
+    )

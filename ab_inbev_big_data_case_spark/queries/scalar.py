@@ -367,3 +367,29 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("dow_sun1"),
         F.weekofyear("o_orderdate").alias("week_no"),
     )
+
+
+@register(
+    "try_ops",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(props AS INTEGER) AS props_as_int,
+           TRY_CAST(event_type AS DOUBLE) AS type_as_num,
+           floor(value / nullif(floor(value), 0) * 1000000 + 0.5) / 1000000 AS safe_ratio,
+           TRY_CAST(props->>'$.k' AS BIGINT) AS k_safe
+    FROM events
+    """,
+)
+def try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions: try_cast / try_divide return NULL instead of
+    failing — the ANSI-mode-compatible way to survive dirty data at scale
+    (one bad row must not kill a 100 TB job)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("props").try_cast("int").alias("props_as_int"),
+        F.col("event_type").try_cast("double").alias("type_as_num"),
+        (F.floor(F.try_divide(F.col("value"), F.floor("value")) * 1000000 + 0.5) / 1000000)
+        .alias("safe_ratio"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_safe"),
+    )

@@ -159,3 +159,56 @@ def late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("__horizon"))
         .select("event_id", "ts", "event_type")
     )
+
+
+@register(
+    "sessionize_lag_cumsum",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+           ts
+    FROM flagged
+    """,
+)
+def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as an operator COMPOSITION (lag → gap flag → running
+    sum), assigning a per-user session id to every event — the general
+    gaps-and-islands pattern that `session_window_agg` specializes; also the
+    fallback formulation when session_window isn't available."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # µs precision: cast-to-long truncates to seconds and misflags
+            # gaps within a second of the threshold
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                >= 1800 * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    return flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+        "ts",
+    )
