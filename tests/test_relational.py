@@ -70,3 +70,26 @@ def test_incremental_window_half_open(spark):
 def test_filter_subset_property(spark):
     df = _events(spark)
     assert filter_not_null(df, "value").count() <= df.count()
+
+
+def test_medallion_on_empty_input(spark):
+    """Empty bronze must flow through the full pipeline without errors —
+    at 100 TB an empty incremental slice (no events yesterday) is routine."""
+    from ab_inbev_big_data_case_spark.pipeline import gold_from_silver, silver_from_bronze
+
+    empty = spark.createDataFrame([], "id long, ts timestamp, value double")
+    silver = silver_from_bronze(empty, "value", "id", ["ts"], value_col="value")
+    gold = gold_from_silver(silver, ["status"])
+    assert silver.count() == 0
+    assert gold.count() == 0
+    assert "status" in silver.columns
+
+
+def test_asof_join_empty_right(spark):
+    from ab_inbev_big_data_case_spark.operators.joins import asof_join
+
+    trades = spark.createDataFrame([("A", 1)], "sym string, tts long")
+    quotes = spark.createDataFrame([], "sym string, qts long, px double")
+    out = asof_join(trades, quotes, "sym", "tts", "qts", "px", "last_px")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["last_px"] is None
