@@ -139,16 +139,19 @@ def lsh_band_buckets_wide(
 
 
 def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
-    """Near-dup candidates: doc pairs sharing any band bucket (id1 < id2)."""
-    a = buckets.select(
-        F.col(id_col).alias("id1"), "band", F.col("band_sig").alias("sig1")
-    )
-    b = buckets.select(
-        F.col(id_col).alias("id2"), "band", F.col("band_sig").alias("sig2")
-    )
+    """Near-dup candidates: doc pairs sharing any band bucket (id1 < id2).
+
+    The join key is the COMPOSITE (band, band_sig): band alone has only
+    #bands distinct values, so joining on it and post-filtering signature
+    equality would build a per-band cartesian (corpus²/#bands rows) — the
+    exact blow-up LSH exists to avoid. On the composite key, join fan-out is
+    bucket-occupancy², i.e. proportional to true duplicate density.
+    """
+    a = buckets.select(F.col(id_col).alias("id1"), "band", "band_sig")
+    b = buckets.select(F.col(id_col).alias("id2"), "band", "band_sig")
     return (
-        a.join(b, ["band"])
-        .filter((F.col("id1") < F.col("id2")) & (F.col("sig1") == F.col("sig2")))
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
     )
