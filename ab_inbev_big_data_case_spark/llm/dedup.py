@@ -158,13 +158,31 @@ def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    shingle_df: DataFrame, id_col: str, threshold: float
+    shingle_df: DataFrame, id_col: str, threshold: float, max_shingle_df: int | None = None
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs sharing >=1 shingle.
 
     (id1, id2, jaccard) with jaccard >= threshold. The shingle equi-join only
     materializes pairs that share content — disjoint docs never meet.
+
+    Scale guard: the join fans out quadratically per shingle VALUE, so a
+    stop-shingle appearing in k docs contributes k² rows. ``max_shingle_df``
+    drops shingles above that document frequency before the join (slightly
+    perturbing jaccard — which is why it's opt-in and the oracle-checked
+    query leaves it off; in a 100 TB corpus the cap, or MinHash-LSH
+    prefiltering as in ``near_dup_dedup_corpus``, is mandatory).
     """
+    if max_shingle_df is not None:
+        df_counts = shingle_df.groupBy("shingle").agg(
+            F.count("*").alias("__shingle_df")
+        )
+        shingle_df = (
+            shingle_df.join(
+                F.broadcast(df_counts.filter(F.col("__shingle_df") > max_shingle_df)),
+                "shingle",
+                "left_anti",
+            )
+        )
     sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingle_df.select(F.col(id_col).alias("id1"), "shingle")
     b = shingle_df.select(F.col(id_col).alias("id2"), "shingle")
