@@ -393,3 +393,47 @@ def try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("safe_ratio"),
         F.get_json_object("props", "$.k").try_cast("bigint").alias("k_safe"),
     )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val_r
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_tax, l_discount FROM lineitem)
+    UNPIVOT (val FOR metric IN (l_quantity, l_tax, l_discount))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metrics → long (metric, value) rows — the inverse
+    of pivot_agg; a narrow per-row expansion, no shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_tax", "l_discount"],
+        "metric",
+        "val",
+    ).select(
+        "l_orderkey", "l_linenumber", "metric", F.round("val", 4).alias("val_r")
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_r
+    FROM orders
+    WHERE ('0x' || substr(sha256(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 10
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via hash-mod on the key — unlike
+    ``df.sample`` (RNG- and partition-layout-dependent), a hash predicate
+    yields the SAME sample on any engine, any cluster, any day; it also
+    pushes to the scan and composes with joins (sampling both sides by the
+    same key keeps referential integrity)."""
+    from ab_inbev_big_data_case_spark.functions.text import token_hash64
+
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        token_hash64(F.col("o_orderkey").cast("string")) % 100 < 10
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_r"))
