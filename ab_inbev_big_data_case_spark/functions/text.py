@@ -44,7 +44,12 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
     For a k-token doc produces k-n+1 shingles; assumes k >= n.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))  # <n tokens → no shingles,
+    # matching the SQL oracle's range(1, len-1) → empty list (sequence()
+    # with a negative bound would throw instead)

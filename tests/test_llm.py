@@ -106,3 +106,15 @@ def test_approx_count_distinct_bounds(spark, sf_dir):
     exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
     approx = li.select(F.approx_count_distinct("l_partkey", 0.01)).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_shingles_short_docs(spark):
+    """Docs shorter than the shingle width produce zero shingles (not an
+    error) — matches the oracle's range() semantics."""
+    from ab_inbev_big_data_case_spark.llm.dedup import shingle_set
+
+    d = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "one")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["shingle"] for r in shingle_set(d, "doc_id", "text", 3).collect()}
+    assert got == {2: "a b c"}
