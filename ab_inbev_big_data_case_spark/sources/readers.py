@@ -33,9 +33,20 @@ TABLES = (
 )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Columnar scan with predicate pushdown + column pruning (the default)."""
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Columnar scan with predicate pushdown + column pruning (the default).
+
+    ``merge_schema=True`` unions schemas across files (schema evolution on
+    long-lived layouts: old files missing a later-added column read it as
+    null). Off by default — the merge pass reads every footer, a real cost
+    at 100 TB file counts; evolved tables should pin the merged schema once.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(path)
 
 
 def read_json(

@@ -100,3 +100,25 @@ def compact_parquet(
     os.rename(staged, path)
     shutil.rmtree(old)
     return n_files
+
+
+def delta_available(spark) -> bool:
+    """True when the delta-spark connector is on the classpath. The
+    reference writes Delta (glue/etl_api.py:25,38,49); this deployment seam
+    lets the same writer calls target Delta when present and plain
+    partitioned parquet otherwise (same columnar layout + partition pruning,
+    minus the txn log)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")
+        return True
+    except Exception:
+        return False
+
+
+def write_layer(df: DataFrame, path: str, spark=None, mode: str = "overwrite") -> str:
+    """Reference-style layer write (R2): Delta when available, parquet
+    fallback. Returns the format used."""
+    spark = spark or df.sparkSession
+    fmt = "delta" if delta_available(spark) else "parquet"
+    df.write.format(fmt).mode(mode).save(path)
+    return fmt

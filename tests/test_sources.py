@@ -105,3 +105,26 @@ def test_compact_parquet(spark, tmp_path):
     n_after = sum(f.endswith(".parquet") for f in os.listdir(out))
     assert n_target == n_after == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_write_layer_falls_back_without_delta(spark, tmp_path):
+    from ab_inbev_big_data_case_spark.sources.writers import delta_available, write_layer
+
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    out = str(tmp_path / "layer")
+    fmt = write_layer(df, out, spark)
+    # this container has no delta-spark → parquet fallback, data readable
+    assert fmt == ("delta" if delta_available(spark) else "parquet") == "parquet"
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_merge_schema_reads_evolved_layout(spark, tmp_path):
+    from ab_inbev_big_data_case_spark.sources.readers import read_parquet
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1,)], "id long").write.parquet(f"{out}/f1")
+    spark.createDataFrame([(2, "new")], "id long, extra string").write.parquet(f"{out}/f2")
+    merged = read_parquet(spark, f"{out}/*", merge_schema=True)
+    assert set(merged.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows == {1: None, 2: "new"}
