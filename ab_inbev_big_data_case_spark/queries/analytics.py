@@ -248,3 +248,75 @@ def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive multi-attribute join predicates (the
     OR-of-ANDs pattern Catalyst splits into join + residual filter)."""
     return _sql(spark, sf_dir, ("lineitem", "part"), _TPCH_Q19)
+
+
+_TPCH_Q2_CORR = """
+    SELECT p.p_partkey, p.p_brand, l.l_suppkey, round(l.l_extendedprice, 2) AS price_r
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+    )
+"""
+
+
+@register("correlated_scalar_min", oracle=_TPCH_Q2_CORR)
+def correlated_scalar_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery (cheapest line per part) —
+    Catalyst decorrelates to an aggregate + join."""
+    return _sql(spark, sf_dir, ("part", "lineitem"), _TPCH_Q2_CORR)
+
+
+_TPCH_Q7 = """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           year(l.l_shipdate) AS l_year,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+      AND n1.n_nationkey != n2.n_nationkey
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q7_shape", oracle=_TPCH_Q7)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dim table joined twice under different roles
+    (customer nation vs supplier nation) + cross-nation filter."""
+    return _sql(
+        spark, sf_dir,
+        ("lineitem", "orders", "customer", "nation", "supplier"),
+        _TPCH_Q7,
+    )
+
+
+_TPCH_Q10 = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS revenue,
+           count(*) AS n_returned_lines
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q10_shape", oracle=_TPCH_Q10)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-items customer report (selective fact
+    filter + three joins + grouped revenue)."""
+    return _sql(
+        spark, sf_dir, ("customer", "orders", "lineitem", "nation"), _TPCH_Q10
+    )

@@ -128,3 +128,14 @@ def test_merge_schema_reads_evolved_layout(spark, tmp_path):
     assert set(merged.columns) == {"id", "extra"}
     rows = {r["id"]: r["extra"] for r in merged.collect()}
     assert rows == {1: None, 2: "new"}
+
+
+def test_orc_roundtrip(spark, tmp_path, sf_dir):
+    """ORC: the other columnar format Spark supports natively — same
+    pushdown/pruning machinery as parquet."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(200)
+    out = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == 200
+    assert back.schema == src.schema
