@@ -106,10 +106,18 @@ def lsh_band_buckets(
     """Collapse a narrow (id, seed, minhash) signature into band buckets:
     (id, band, band_sig).
 
-    band_sig packs the band's minhashes into one int64 (position-weighted by
-    P^pos — injective since minhash < P), so bucket identity is a single
-    equi-join key.
+    band_sig packs the band's minhashes into one int64: position r in the
+    band is weighted P^(rows_per_band-1-r), i.e. m0·P + m1 for the default
+    rows_per_band=2 — injective since each minhash < P. rows_per_band > 2 is
+    rejected: the leading weight P^2 ≈ 2^60 would overflow int64, and
+    degrading the tail weights to 1 silently makes the sum order-insensitive
+    (false bucket collisions). Use more/narrower bands instead.
     """
+    if rows_per_band > 2:
+        raise ValueError(
+            "rows_per_band > 2 cannot be packed injectively into int64 "
+            "(P^2 term overflows); use rows_per_band <= 2 with more bands"
+        )
     sig = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
     weight = F.when(F.col("seed") % rows_per_band == 0, F.lit(HASH_MOD)).otherwise(F.lit(1))
     return sig.groupBy(id_col, "band").agg(
@@ -122,7 +130,13 @@ def lsh_band_buckets_wide(
 ) -> DataFrame:
     """Band buckets straight from the wide signature — pure projection + one
     stack, NO shuffle (the narrow path costs an extra groupBy). Same output
-    as :func:`lsh_band_buckets` on the equivalent narrow signature."""
+    as :func:`lsh_band_buckets` on the equivalent narrow signature (and the
+    same rows_per_band <= 2 injectivity bound)."""
+    if rows_per_band > 2:
+        raise ValueError(
+            "rows_per_band > 2 cannot be packed injectively into int64 "
+            "(P^2 term overflows); use rows_per_band <= 2 with more bands"
+        )
     n_bands = n_hashes // rows_per_band
     terms = []
     for b in range(n_bands):

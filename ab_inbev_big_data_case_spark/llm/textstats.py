@@ -99,8 +99,13 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def tfidf_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """TF-IDF-ish term stats: per (doc, token) term frequency joined with
     corpus document frequency. IDF is left as the exact integer pair
-    (n_docs, doc_freq) plus a rounded log-idf."""
-    n_docs = df.count()
+    (n_docs, doc_freq) plus a rounded log-idf.
+
+    n_docs stays inside the plan as a broadcast 1-row aggregate (crossJoin)
+    rather than a driver-side ``df.count()`` — a ``.count()`` here would be an
+    eager extra full scan of the corpus and a hard serialization point per
+    invocation."""
+    n_docs_df = df.agg(F.count("*").cast("double").alias("_n_docs"))
     tf = (
         spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
@@ -110,10 +115,19 @@ def tfidf_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # the token window — one extra shuffle, and the tf subtree is computed
     # once (a groupBy+join-back formulation recomputes it for the DF side)
     w = Window.partitionBy("token")
-    return tf.select(
-        id_col,
-        "token",
-        "tf",
-        F.count("*").over(w).alias("doc_freq"),
-        F.round(F.log(F.lit(float(n_docs)) / F.count("*").over(w)), 6).alias("log_idf"),
+    return (
+        tf.select(
+            id_col,
+            "token",
+            "tf",
+            F.count("*").over(w).alias("doc_freq"),
+        )
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "doc_freq",
+            F.round(F.log(F.col("_n_docs") / F.col("doc_freq")), 6).alias("log_idf"),
+        )
     )

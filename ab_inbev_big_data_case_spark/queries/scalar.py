@@ -101,15 +101,15 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1) AS price_r1,
            round(abs(l_discount - 0.05), 4) AS disc_dev,
-           ceil(l_quantity)  AS qty_ceil,
-           floor(l_quantity) AS qty_floor,
+           ceil(l_quantity)::BIGINT  AS qty_ceil,
+           floor(l_quantity)::BIGINT AS qty_floor,
            round(sqrt(l_extendedprice), 4) AS price_sqrt,
            round(l_discount * l_discount, 6) AS disc_sq,
            round(ln(l_extendedprice + 1), 6) AS price_ln,
            round(l_extendedprice % 97, 4) AS price_mod,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate,
-           sign(l_discount - 0.05) AS disc_sign
+           sign(l_discount - 0.05)::DOUBLE AS disc_sign
     FROM lineitem
     """,
 )

@@ -33,9 +33,15 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
 
 
 def stateful_dedup(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
-    """Streaming dedup: first-seen row per key wins; watermark bounds the
-    dedup state (reference R5 made incremental)."""
-    return df.withWatermark(ts_col, delay).dropDuplicates(keys)
+    """Streaming dedup: first-seen row per key wins (reference R5 made
+    incremental).
+
+    Uses ``dropDuplicatesWithinWatermark`` so the state store actually evicts
+    entries once they age past the watermark. Plain ``withWatermark +
+    dropDuplicates(keys)`` only evicts when the event-time column is part of
+    the dedup keys — with keys alone the state grows without bound on a real
+    stream."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):

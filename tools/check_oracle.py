@@ -30,17 +30,20 @@ TABLES = (
 
 
 def norm_cell(v):
+    # Type-tagged, full-precision cells: the driver hashes raw values, so an
+    # int 47 vs float 47.0 (or a last-digit float divergence) must FAIL here
+    # too, or the local gate green-lights queries the driver rejects
+    # (round-1 math_funcs lesson).
     if isinstance(v, Decimal):
         v = float(v)
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # 12 significant digits: strict enough to catch a one-cent divergence
-        # in 1e8-magnitude rounded sums (the driver may compare raw values),
-        # loose enough to absorb true last-ulp noise
-        return f"{v:.12g}"
-    if isinstance(v, bool):
-        return str(v)
+            return "f:NaN"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
