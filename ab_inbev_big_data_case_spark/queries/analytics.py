@@ -320,3 +320,34 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(
         spark, sf_dir, ("customer", "orders", "lineitem", "nation"), _TPCH_Q10
     )
+
+
+_TPCH_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS sum_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS sum_disc_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(18,6))), 2)::DOUBLE AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_shape", oracle=_TPCH_Q1)
+def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary report): the canonical scan-heavy
+    aggregate — full lineitem pass, 4-group rollup, partial+final agg with
+    zero joins. Sums accumulate in DECIMAL(18,6) (exact) before the
+    round+double cast so both engines agree at any row count; averages divide
+    the exact decimal sum by count in double."""
+    return _sql(spark, sf_dir, ("lineitem",), _TPCH_Q1)

@@ -84,6 +84,37 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: fact stream on the left, preserved customer dim on
+    the right (SURVEY §2.2 joins left/right/full — the right-outer leg).
+
+    Planner note: Spark rewrites this to the same physical join as the left
+    variant with build sides flipped; it still broadcast-joins when the
+    preserved side is small enough only via shuffle (broadcast can't be on
+    the preserved side), so at scale this is a sort-merge on o_custkey."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer c

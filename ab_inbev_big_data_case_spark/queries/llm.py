@@ -395,7 +395,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes → 16 buckets each): the partitioning step of ANN at scale.
     Value-checked bucket histogram."""
     e = table(spark, sf_dir, "embeddings")
-    b = hyperplane_buckets(e, "vec_id", "embedding", n_planes=4, n_tables=4)
+    b = hyperplane_buckets(e, "vec_id", "embedding", n_planes=4, n_tables=4, dim=64)
     return b.groupBy("tbl", "bucket").agg(F.count("*").alias("n_vecs"))
 
 
@@ -434,6 +434,7 @@ def ann_lsh_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=4,
         n_tables=4,
         min_cosine=0.1,
+        dim=64,
     )
 
 

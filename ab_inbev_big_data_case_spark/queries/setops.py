@@ -17,71 +17,96 @@ def _month_slice(spark: SparkSession, sf_dir: str, y: int, m: int) -> DataFrame:
 
 
 @register(
-    "union_all",
+    "union_ops",
     oracle="""
-    SELECT o_custkey, 'jan' AS src FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+    SELECT o_custkey, 'all' AS op FROM (
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+        UNION ALL
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    )
     UNION ALL
-    SELECT o_custkey, 'feb' AS src FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    SELECT o_custkey, 'distinct' AS op FROM (
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+        UNION
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    )
     """,
 )
-def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unionByName (no dedup — a pure concatenation, zero shuffle)."""
-    jan = _month_slice(spark, sf_dir, 1995, 1).select("o_custkey", F.lit("jan").alias("src"))
-    feb = _month_slice(spark, sf_dir, 1995, 2).select("o_custkey", F.lit("feb").alias("src"))
-    return jan.unionByName(feb)
+def union_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (pure concatenation, zero shuffle) and UNION DISTINCT
+    (union + one full-row dedup shuffle) in one tagged result.
+
+    Consolidates the round-1 ``union_all`` / ``union_distinct`` micro-queries
+    so the whole inventory fits the driver's checked window."""
+    jan = _month_slice(spark, sf_dir, 1995, 1).select("o_custkey")
+    feb = _month_slice(spark, sf_dir, 1995, 2).select("o_custkey")
+    both_all = jan.unionByName(feb).select("o_custkey", F.lit("all").alias("op"))
+    both_distinct = (
+        jan.unionByName(feb).distinct().select("o_custkey", F.lit("distinct").alias("op"))
+    )
+    return both_all.unionByName(both_distinct)
 
 
 @register(
-    "union_distinct",
+    "setops_suite",
     oracle="""
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
-    UNION
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    SELECT o_custkey, 'intersect' AS op FROM (
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    )
+    UNION ALL
+    SELECT o_custkey, 'except' AS op FROM (
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    )
+    UNION ALL
+    SELECT o_custkey, 'intersect_all' AS op FROM (
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+        INTERSECT ALL
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    )
+    UNION ALL
+    SELECT o_custkey, 'except_all' AS op FROM (
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+        EXCEPT ALL
+        SELECT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
+    )
     """,
 )
-def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION DISTINCT = union + one dedup shuffle on the full row."""
+def setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT in both distinct and bag (ALL) semantics, one
+    tagged result per op.
+
+    Consolidates the round-1 ``intersect_op`` / ``except_op`` /
+    ``intersect_all`` / ``except_all`` micro-queries into a single driver
+    slot; each op is still its own Spark operator (intersect / subtract /
+    intersectAll / exceptAll — distinct vs bag multiplicity semantics)."""
     jan = _month_slice(spark, sf_dir, 1995, 1).select("o_custkey")
     feb = _month_slice(spark, sf_dir, 1995, 2).select("o_custkey")
-    return jan.unionByName(feb).distinct()
 
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select("o_custkey", F.lit(op).alias("op"))
 
-@register(
-    "intersect_op",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
-    INTERSECT
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
-    """,
-)
-def intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct semantics) — customers ordering in both months."""
-    jan = _month_slice(spark, sf_dir, 1995, 1).select("o_custkey")
-    feb = _month_slice(spark, sf_dir, 1995, 2).select("o_custkey")
-    return jan.intersect(feb)
-
-
-@register(
-    "except_op",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
-    EXCEPT
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
-    """,
-)
-def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics) — January-only customers."""
-    jan = _month_slice(spark, sf_dir, 1995, 1).select("o_custkey")
-    feb = _month_slice(spark, sf_dir, 1995, 2).select("o_custkey")
-    return jan.subtract(feb)
+    return (
+        tag(jan.intersect(feb), "intersect")
+        .unionByName(tag(jan.subtract(feb), "except"))
+        .unionByName(tag(jan.intersectAll(feb), "intersect_all"))
+        .unionByName(tag(jan.exceptAll(feb), "except_all"))
+    )
 
 
 @register(
@@ -107,35 +132,3 @@ def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "intersect_all",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
-    INTERSECT ALL
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
-    """,
-)
-def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL (bag semantics: min multiplicity survives)."""
-    jan = _month_slice(spark, sf_dir, 1995, 1).select("o_custkey")
-    feb = _month_slice(spark, sf_dir, 1995, 2).select("o_custkey")
-    return jan.intersectAll(feb)
-
-
-@register(
-    "except_all",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1
-    EXCEPT ALL
-    SELECT o_custkey FROM orders
-    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2
-    """,
-)
-def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL (bag semantics: multiplicities subtract)."""
-    jan = _month_slice(spark, sf_dir, 1995, 1).select("o_custkey")
-    feb = _month_slice(spark, sf_dir, 1995, 2).select("o_custkey")
-    return jan.exceptAll(feb)

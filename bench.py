@@ -27,7 +27,9 @@ HEADLINE = [
     "dedup_latest",         # keep-latest dedup
     "topk_global",          # TakeOrderedAndProject
     "minhash_lsh_pairs",    # MinHash+LSH near-dup pipeline
-    "cosine_topk",          # embedding similarity search
+    "cosine_topk",          # embedding similarity search (exact baseline)
+    "ann_lsh_search",       # embedding ANN — the scale path (recall ~0.46
+                            # at 4 tables x 4 planes, see llm/similarity.py)
     "tfidf_stats",          # text analysis explode/join
     "multimodal_features",  # Arrow mapInPandas path
 ]
