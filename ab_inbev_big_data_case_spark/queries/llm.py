@@ -30,7 +30,10 @@ from ab_inbev_big_data_case_spark.llm.multimodal import (
 from ab_inbev_big_data_case_spark.llm.similarity import (
     ann_lsh_search,
     cosine_topk,
+    embedding_near_dup,
     hyperplane_buckets,
+    ivf_assign,
+    ivf_search,
     with_l2_norm,
 )
 from ab_inbev_big_data_case_spark.llm.textstats import (
@@ -558,3 +561,135 @@ def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(toks) >= 20)
         & (F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 3)
     ).select("doc_id", "lang", "n_chars")
+
+
+# ------------------------------------------------ IVF ANN + embedding dedup
+
+# IVF coarse quantizer shared CTEs: centroids are a deterministic corpus
+# subset (vec_id % 29 = 0); assignment = argmax rounded cosine, ties to the
+# smaller cell id. The oracle states the argmax as a row_number window; the
+# Spark side computes the same thing as a struct-max aggregate (map-side
+# combinable — see llm.similarity.ivf_assign).
+_IVF_ASSIGN_SQL = f"""
+    cents AS (
+        SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+        WHERE vec_id % 29 = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cell_id,
+               round({_DOT.format(x='e.embedding', y='c.cv')} /
+                     ({_NORM.format(x='e.embedding', tag='a')} *
+                      {_NORM.format(x='c.cv', tag='b')}), 3) AS cos
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC NULLS LAST, cell_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ivf_cells",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    SELECT cell_id, count(*) AS n_vecs
+    FROM assign GROUP BY 1
+    """,
+)
+def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer cell histogram: every vector assigned to its
+    nearest centroid (broadcast K centroids, one narrow corpus pass, struct-
+    max argmax). The inverted-file partitioning step of IVF ANN."""
+    e = table(spark, sf_dir, "embeddings")
+    assign = ivf_assign(e, "vec_id", "embedding", lambda vid: vid % 29 == 0)
+    return assign.groupBy("cell_id").agg(F.count("*").alias("n_vecs"))
+
+
+@register(
+    "ivf_search",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cell_id, row_number() OVER (
+                PARTITION BY q.query_id ORDER BY
+                round({_DOT.format(x='q.qv', y='c.cv')} /
+                      ({_NORM.format(x='q.qv', tag='p')} *
+                       {_NORM.format(x='c.cv', tag='q')}), 3) DESC NULLS LAST,
+                c.cell_id) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM probes p JOIN assign a USING (cell_id)
+        WHERE a.vec_id != p.query_id
+    ),
+    sims AS (
+        SELECT cd.query_id, cd.cand_id,
+               round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                     ({_NORM.format(x='x.embedding', tag='x')} *
+                      {_NORM.format(x='y.embedding', tag='y')}), 3) AS cosine
+        FROM cand cd
+        JOIN embeddings x ON x.vec_id = cd.query_id
+        JOIN embeddings y ON y.vec_id = cd.cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, cand_id) AS rank
+        FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: each query (vec_id % 50 = 0) probes its 2 nearest
+    cells and ranks only vectors assigned there — the inverted-file scale
+    path beside the hyperplane-LSH one (`ann_lsh_search`)."""
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_search(
+        e,
+        "vec_id",
+        "embedding",
+        query_filter=lambda vid: vid % 50 == 0,
+        centroid_filter=lambda vid: vid % 29 == 0,
+        n_probe=2,
+        k=5,
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH {_BUCKET_SQL},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM buckets a JOIN buckets b USING (tbl, bucket)
+        WHERE a.vec_id < b.vec_id
+    ),
+    dupes AS (
+        SELECT DISTINCT c.id2
+        FROM cand c
+        JOIN embeddings x ON x.vec_id = c.id1
+        JOIN embeddings y ON y.vec_id = c.id2
+        WHERE round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                    ({_NORM.format(x='x.embedding', tag='x')} *
+                     {_NORM.format(x='y.embedding', tag='y')}), 3) >= 0.25
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT id2 FROM dupes)
+    """,
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (the fifth dedup modality beside
+    exact/MinHash/SimHash/Jaccard): LSH-bucketed candidates, cosine >= 0.25
+    verification, keep the lower id of each duplicate pair."""
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(
+        e, "vec_id", "embedding", threshold=0.25, n_planes=4, n_tables=4, dim=64
+    )

@@ -118,3 +118,57 @@ def test_shingles_short_docs(spark):
     )
     got = {r["doc_id"]: r["shingle"] for r in shingle_set(d, "doc_id", "text", 3).collect()}
     assert got == {2: "a b c"}
+
+
+def test_ivf_assign_partitions_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cell, and cells are centroid ids."""
+    from ab_inbev_big_data_case_spark.llm.similarity import ivf_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    assign = ivf_assign(e, "vec_id", "embedding", lambda vid: vid % 29 == 0)
+    n = e.count()
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+    bad_cells = assign.filter(F.col("cell_id") % 29 != 0).count()
+    assert bad_cells == 0
+
+
+def test_ivf_search_recall_vs_brute_force(spark, sf_dir):
+    """IVF with 2 probes over ~N/29 cells must beat random-candidate recall
+    on brute-force top-5 while scanning a fraction of the corpus."""
+    from ab_inbev_big_data_case_spark.llm.similarity import ivf_search
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5).collect()
+    }
+    got = {
+        (r["query_id"], r["cand_id"])
+        for r in ivf_search(
+            e, "vec_id", "embedding",
+            query_filter=lambda vid: vid % 50 == 0,
+            centroid_filter=lambda vid: vid % 29 == 0,
+            n_probe=2, k=5,
+        ).collect()
+    }
+    # 2 probes of ~18 cells ≈ 11% of a random corpus; random candidate
+    # selection would give ~11% recall — require clearly better.
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2
+
+
+def test_embedding_near_dup_keeps_canonicals(spark, sf_dir):
+    """Kept set is a subset of ids, every dropped id has a kept (or smaller-
+    id) partner with cosine >= threshold, and the smallest id survives."""
+    from ab_inbev_big_data_case_spark.llm.similarity import embedding_near_dup
+
+    e = table(spark, sf_dir, "embeddings")
+    kept = {r["vec_id"] for r in embedding_near_dup(
+        e, "vec_id", "embedding", threshold=0.25, dim=64
+    ).collect()}
+    all_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert kept <= all_ids
+    assert min(all_ids) in kept  # the global smallest id can never be an id2
+    assert len(kept) < len(all_ids)  # fixture has cosine>=0.25 bucket pairs
