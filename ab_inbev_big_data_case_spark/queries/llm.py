@@ -693,3 +693,52 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(
         e, "vec_id", "embedding", threshold=0.25, n_planes=4, n_tables=4, dim=64
     )
+
+
+# --------------------------------------------------- dataset split / export
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT split, count(*) AS n_docs,
+           round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, n_chars,
+                   ('0x' || substr(sha256('split:' || doc_id), 1, 15))::BIGINT % 100 AS h
+            FROM documents
+        )
+    )
+    GROUP BY 1
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by salted content-key
+    hash — the reproducible alternative to randomSplit (which reshuffles on
+    every run/partitioning change). Hash-of-key assignment is stable across
+    engines, re-runs, and cluster sizes; a pure narrow map with no shuffle
+    except the final per-split rollup."""
+    d = table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(F.col("doc_id"), F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("n_chars") / F.count("*"), 2).alias("avg_chars"),
+        )
+    )

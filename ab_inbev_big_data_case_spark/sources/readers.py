@@ -108,3 +108,23 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-media ingestion: Spark's ``binaryFile`` source reads each file
+    as one row — (path, modificationTime, length, content binary) — the
+    standard way to land images/audio/video into a multimodal table before
+    feature extraction (llm.multimodal) runs over the ``content`` column.
+
+    Scale notes: the source parallelizes per-file (one file = one task unit,
+    split-combined up to ``spark.sql.files.maxPartitionBytes``), so millions
+    of small media files shard evenly across executors; pair it with
+    ``pathGlobFilter`` so listing/pruning happens at the source instead of a
+    post-scan filter.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

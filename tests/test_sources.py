@@ -139,3 +139,19 @@ def test_orc_roundtrip(spark, tmp_path, sf_dir):
     back = spark.read.orc(out)
     assert back.count() == 200
     assert back.schema == src.schema
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile source lands opaque media as (path, length, content) rows
+    and pathGlobFilter prunes non-matching extensions at the source."""
+    from ab_inbev_big_data_case_spark.sources.readers import read_binary_files
+
+    (tmp_path / "a.img").write_bytes(b"\x89fake-image-bytes")
+    (tmp_path / "b.img").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "skip.txt").write_text("not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"]["content"] == b"\x89fake-image-bytes"
+    assert rows["a.img"]["length"] == 17
+    assert dict(df.dtypes)["content"] == "binary"
