@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ab_inbev_big_data_case_spark.functions.text import shingles, tokens
 from ab_inbev_big_data_case_spark.llm.dedup import (
+    dup_clusters,
     exact_dedup_stats,
     lsh_band_buckets_wide,
     lsh_candidate_pairs,
@@ -742,3 +744,116 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_chars") / F.count("*"), 2).alias("avg_chars"),
         )
     )
+
+
+# ------------------------------------------- corpus quality / provenance
+
+
+@register(
+    "repetition_score",
+    oracle="""
+    SELECT doc_id,
+           len(shl) AS n_shingles,
+           len(list_distinct(shl)) AS n_distinct_shingles,
+           round(1.0 - len(list_distinct(shl)) * 1.0 / len(shl), 4) AS rep_ratio
+    FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS shl
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    WHERE len(shl) > 0
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher/MassiveText-style quality rule):
+    duplicate-3-gram ratio per doc. Entirely narrow — shingle lists stay as
+    arrays inside the row, no explode, no shuffle; a pure scan-level quality
+    score at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    shl = shingles(tokens(F.col("text")), 3)
+    scored = d.select(F.col("doc_id"), shl.alias("shl")).filter(F.size("shl") > 0)
+    return scored.select(
+        "doc_id",
+        F.size("shl").alias("n_shingles"),
+        F.size(F.array_distinct("shl")).alias("n_distinct_shingles"),
+        F.round(
+            1.0 - F.size(F.array_distinct("shl")) / F.size("shl"), 4
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh WHERE doc_id % 97 != 0 GROUP BY 1),
+    overlap AS (
+        SELECT s.doc_id, count(*) AS n_overlap
+        FROM sh s JOIN bench b USING (shingle)
+        WHERE s.doc_id % 97 != 0
+        GROUP BY 1
+    )
+    SELECT z.doc_id,
+           coalesce(o.n_overlap, 0) AS n_overlap,
+           round(coalesce(o.n_overlap, 0) * 1.0 / z.n_sh, 4) AS contamination
+    FROM sizes z LEFT JOIN overlap o ON o.doc_id = z.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: per-document fraction of distinct 3-gram
+    shingles that also occur in a held-out benchmark set (docs with
+    doc_id % 97 = 0 stand in for the benchmark). The benchmark shingle set
+    is broadcast — at 100 TB the corpus side streams through one narrow
+    join + per-doc count, never shuffling on the shingle."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingle_set(d, "doc_id", "text", 3)
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    overlap = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return sizes.join(overlap, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_sh"), 4
+        ).alias("contamination"),
+    )
+
+
+@register(
+    "dup_clusters_cc",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION ALL SELECT id2, id1 FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    e2 AS (SELECT src, dst FROM edges UNION ALL SELECT v, v FROM verts),
+    l0 AS (SELECT v, v AS lab FROM verts),
+    l1 AS (SELECT e.dst AS v, min(l.lab) AS lab FROM e2 e JOIN l0 l ON l.v = e.src GROUP BY 1),
+    l2 AS (SELECT e.dst AS v, min(l.lab) AS lab FROM e2 e JOIN l1 l ON l.v = e.src GROUP BY 1),
+    l3 AS (SELECT e.dst AS v, min(l.lab) AS lab FROM e2 e JOIN l2 l ON l.v = e.src GROUP BY 1)
+    SELECT v AS doc_id, lab AS cluster_id FROM l3
+    """,
+)
+def dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via 3-round min-label propagation over the LSH
+    candidate-pair graph (iterative-algorithm surface): every near-dup
+    group member gets its component's canonical (minimum) doc id, fixing
+    the pairwise keep-rule's over-dropping on transitive chains."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    pairs = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    return dup_clusters(pairs, rounds=3)
