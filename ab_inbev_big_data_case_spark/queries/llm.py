@@ -10,7 +10,7 @@ Every hash-based oracle mirrors the engine's portable sha256 hash
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.functions.text import shingles, tokens
@@ -857,3 +857,96 @@ def dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
     pairs = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
     return dup_clusters(pairs, rounds=3)
+
+
+@register(
+    "sequence_packing_bins",
+    oracle="""
+    SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+    FROM (
+        SELECT lang, n_tokens,
+               ((csum - n_tokens) // 512) AS bin
+        FROM (
+            SELECT lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS csum
+            FROM (
+                SELECT doc_id, lang,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       ('0x' || substr(sha256('pack:' || doc_id), 1, 15))::BIGINT AS h
+                FROM documents
+            )
+        )
+    )
+    GROUP BY 1, 2
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for pretraining batches: docs stream in a
+    deterministic hash order within each lang partition and fill 512-token
+    bins (bin = starting-offset // budget). One window shuffle on lang;
+    at 100 TB packing runs per (lang, shard) partition exactly like this —
+    the hash order makes the packing reproducible run-to-run, the per-
+    partition cumsum means no global coordination."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")), 256), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.select(
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).alias("bin"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
+
+
+@register(
+    "source_quota_sample",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source
+            ORDER BY ('0x' || substr(sha256('mix:' || doc_id), 1, 15))::BIGINT, doc_id
+        ) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing quota: cap each source's contribution at 10 docs, chosen
+    by deterministic salted hash (a reproducible uniform draw — re-running
+    or re-partitioning picks the same docs). One window shuffle on source;
+    per-source top-k, so skewed sources cost their own partition only."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), 256), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
