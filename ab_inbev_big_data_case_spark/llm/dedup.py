@@ -152,21 +152,52 @@ def lsh_band_buckets_wide(
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket_occupancy: int | None = None
+) -> DataFrame:
     """Near-dup candidates: doc pairs sharing any band bucket (id1 < id2).
 
-    The join key is the COMPOSITE (band, band_sig): band alone has only
-    #bands distinct values, so joining on it and post-filtering signature
-    equality would build a per-band cartesian (corpus²/#bands rows) — the
-    exact blow-up LSH exists to avoid. On the composite key, join fan-out is
-    bucket-occupancy², i.e. proportional to true duplicate density.
+    Grouping is on the COMPOSITE (band, band_sig): band alone has only
+    #bands distinct values, so grouping on it would pool the whole corpus
+    into #bands cells (corpus²/#bands pair fan-out) — the exact blow-up LSH
+    exists to avoid. Per composite bucket, fan-out is occupancy², i.e.
+    proportional to true duplicate density.
+
+    Formulated as ONE aggregation (collect occupants per bucket, emit the
+    sorted-id combinations with an array lambda) rather than a bucket
+    self-join: the self-join materializes the upstream shingle→signature
+    pipeline TWICE (Spark can't reuse a subtree that sits under a
+    BroadcastExchange), doubling the dominant cost. Bucket occupancy is
+    small by LSH construction, so the per-bucket id list and its occupancy²
+    pair expansion stay tiny; a degenerate hot bucket hurts either
+    formulation identically (occupancy² pairs exist regardless — pass
+    ``max_bucket_occupancy`` to drop such buckets outright: a bucket with
+    thousands of occupants carries no near-dup signal, only boilerplate, and
+    at 100 TB it is the one row that can OOM its task).
     """
-    a = buckets.select(F.col(id_col).alias("id1"), "band", "band_sig")
-    b = buckets.select(F.col(id_col).alias("id2"), "band", "band_sig")
+    occupants = (
+        buckets.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_occupancy is not None:
+        occupants = occupants.filter(F.size("ids") <= max_bucket_occupancy)
+    n = F.size("ids")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.get(F.col("ids"), i).alias("id1"),
+                    F.get(F.col("ids"), j).alias("id2"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        occupants.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
     )
 

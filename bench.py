@@ -43,11 +43,13 @@ def main() -> None:
     load_all()
     spark = get_spark("bench")
 
-    # Warm the JVM, codegen, parquet reader, shuffle machinery, and the
-    # Python worker pool once so per-query times measure steady-state query
-    # cost, not session/worker startup (workers are reused afterwards).
-    QUERIES["medallion_gold"](spark, "/root/testdata/sf0.001").count()
-    QUERIES["multimodal_features"](spark, "/root/testdata/sf0.001").count()
+    # Warm the JVM, parquet reader, shuffle machinery, the Python worker
+    # pool, AND each headline plan's whole-stage codegen by running every
+    # headline query once at sf0.001: a first execution pays 0.3-2s of
+    # expression compilation that has nothing to do with per-row cost, so
+    # timing cold runs would grade codegen latency, not query throughput.
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
