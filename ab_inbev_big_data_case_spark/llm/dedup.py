@@ -152,36 +152,32 @@ def lsh_band_buckets_wide(
     )
 
 
-def lsh_candidate_pairs(
-    buckets: DataFrame, id_col: str, max_bucket_occupancy: int | None = None
+def pairs_within_groups(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    max_group_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates: doc pairs sharing any band bucket (id1 < id2).
+    """Distinct (id1, id2) pairs (id1 < id2) co-occurring in any group.
 
-    Grouping is on the COMPOSITE (band, band_sig): band alone has only
-    #bands distinct values, so grouping on it would pool the whole corpus
-    into #bands cells (corpus²/#bands pair fan-out) — the exact blow-up LSH
-    exists to avoid. Per composite bucket, fan-out is occupancy², i.e.
-    proportional to true duplicate density.
-
-    Formulated as ONE aggregation (collect occupants per bucket, emit the
-    sorted-id combinations with an array lambda) rather than a bucket
-    self-join: the self-join materializes the upstream shingle→signature
-    pipeline TWICE (Spark can't reuse a subtree that sits under a
-    BroadcastExchange), doubling the dominant cost. Bucket occupancy is
-    small by LSH construction, so the per-bucket id list and its occupancy²
-    pair expansion stay tiny; a degenerate hot bucket hurts either
-    formulation identically (occupancy² pairs exist regardless — pass
-    ``max_bucket_occupancy`` to drop such buckets outright: a bucket with
-    thousands of occupants carries no near-dup signal, only boilerplate, and
-    at 100 TB it is the one row that can OOM its task).
+    Formulated as ONE aggregation (collect occupants per group, emit the
+    sorted-id combinations with an array lambda) rather than a group-key
+    self-join: the self-join materializes the upstream pipeline that
+    produced ``df`` TWICE (Spark can't reuse a subtree that sits under a
+    BroadcastExchange), doubling the dominant cost. Group occupancy must be
+    small (LSH buckets are, by construction); pair fan-out is occupancy²
+    either way, but here a degenerate hot group also concentrates in one
+    row — pass ``max_group_size`` to drop such groups outright (a bucket
+    with thousands of occupants carries boilerplate, not near-dup signal,
+    and at 100 TB it is the one row that can OOM its task).
     """
     occupants = (
-        buckets.groupBy("band", "band_sig")
+        df.groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket_occupancy is not None:
-        occupants = occupants.filter(F.size("ids") <= max_bucket_occupancy)
+    if max_group_size is not None:
+        occupants = occupants.filter(F.size("ids") <= max_group_size)
     n = F.size("ids")
     combos = F.flatten(
         F.transform(
@@ -199,6 +195,23 @@ def lsh_candidate_pairs(
         occupants.select(F.explode(combos).alias("p"))
         .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket_occupancy: int | None = None
+) -> DataFrame:
+    """Near-dup candidates: doc pairs sharing any band bucket (id1 < id2).
+
+    Grouping is on the COMPOSITE (band, band_sig): band alone has only
+    #bands distinct values, so grouping on it would pool the whole corpus
+    into #bands cells (corpus²/#bands pair fan-out) — the exact blow-up LSH
+    exists to avoid. Per composite bucket, fan-out is occupancy², i.e.
+    proportional to true duplicate density. Pair generation via
+    :func:`pairs_within_groups` (single-pass, no self-join).
+    """
+    return pairs_within_groups(
+        buckets, id_col, ["band", "band_sig"], max_group_size=max_bucket_occupancy
     )
 
 
