@@ -116,3 +116,69 @@ def stream_to_parquet_checkpointed(
         .foreachBatch(write_batch)
         .start()
     )
+
+
+def transform_with_state_available() -> bool:
+    """True when Spark 4.x ``transformWithStateInPandas`` can actually run:
+    its driver<->worker state protocol is protobuf-based, so the
+    ``google.protobuf`` Python package must be importable (verified
+    empirically — without it the TWS driver worker crashes with
+    ImportError in StateMessage_pb2 during state-schema validation)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        return True
+    except ImportError:
+        return False
+
+
+def running_count_per_key_tws(df: DataFrame, key_col: str) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`running_count_per_key`
+    — the Spark 4.x arbitrary-state API (typed ValueState, timers, multiple
+    state variables) replacing ``applyInPandasWithState``.
+
+    Deployment seam like ``sources.writers.write_layer``: the container
+    lacks the ``google-protobuf`` package the TWS runtime needs, so this
+    raises a clear ImportError here; on a cluster with protobuf installed
+    (plus ``spark.sql.streaming.stateStore.providerClass`` set to the
+    RocksDB provider, which TWS requires) the same code runs as-is.
+    """
+    if not transform_with_state_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the google-protobuf Python "
+            "package (absent in this environment); use "
+            "running_count_per_key (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._count = handle.getValueState(
+                "count", T.StructType([T.StructField("c", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()
+            total = (prev[0] if prev else 0) + n
+            self._count.update((total,))
+            yield pd.DataFrame({key_col: [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

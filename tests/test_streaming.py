@@ -210,3 +210,31 @@ def test_checkpointed_parquet_sink(spark, events_batch, events_stream_path, tmp_
     q2.stop()
     again = spark.read.parquet(out)
     assert again.count() == first.count()
+
+
+def test_transform_with_state_seam(spark, events_batch, events_stream_path):
+    """transformWithStateInPandas runs when its protobuf runtime exists and
+    degrades to a clear ImportError here (container lacks google-protobuf);
+    either way the seam is exercised, mirroring the delta writer probe."""
+    from ab_inbev_big_data_case_spark.streaming.jobs import (
+        running_count_per_key_tws,
+        transform_with_state_available,
+    )
+
+    stream = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+    if transform_with_state_available():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        counted = running_count_per_key_tws(stream, "user_id")
+        name = run_to_memory(counted, "tws_out", "update")
+        got = {r["user_id"]: r["n_events"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {
+            r["user_id"]: r["n"]
+            for r in events_batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == want
+    else:
+        with pytest.raises(ImportError, match="protobuf"):
+            running_count_per_key_tws(stream, "user_id")
