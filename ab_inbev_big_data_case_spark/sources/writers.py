@@ -122,3 +122,32 @@ def write_layer(df: DataFrame, path: str, spark=None, mode: str = "overwrite") -
     fmt = "delta" if delta_available(spark) else "parquet"
     df.write.format(fmt).mode(mode).save(path)
     return fmt
+
+
+def avro_available(spark) -> bool:
+    """True when the spark-avro connector is on the classpath. Spark ships
+    avro-core jars but the ``avro`` DataSource lives in the external
+    ``spark-avro`` module (absent here); row-format interchange falls back
+    to JSON, columnar storage stays parquet/orc."""
+    try:
+        # DataSource registry lookup, not Class.forName: Spark bundles avro
+        # reader classes for from_avro()/to_avro() yet still treats the
+        # `avro` format as an external module, so only the registry answers
+        # "can .format('avro') actually resolve".
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_interchange(df: DataFrame, path: str, spark=None, mode: str = "overwrite") -> str:
+    """Row-format interchange write (the Kafka/event-bus-facing layer):
+    Avro when the connector is present, JSON fallback otherwise (schema
+    travels in the engine's pinned-schema discipline either way — see
+    sources.readers). Returns the format used."""
+    spark = spark or df.sparkSession
+    fmt = "avro" if avro_available(spark) else "json"
+    df.write.format(fmt).mode(mode).save(path)
+    return fmt

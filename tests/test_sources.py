@@ -155,3 +155,19 @@ def test_binary_file_source(spark, tmp_path):
     assert rows["a.img"]["content"] == b"\x89fake-image-bytes"
     assert rows["a.img"]["length"] == 17
     assert dict(df.dtypes)["content"] == "binary"
+
+
+def test_write_interchange_avro_seam(spark, tmp_path):
+    """Avro when the spark-avro connector exists; JSON fallback otherwise —
+    same probe-and-fallback contract as the delta writer seam."""
+    from ab_inbev_big_data_case_spark.sources.writers import (
+        avro_available,
+        write_interchange,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = str(tmp_path / "interchange")
+    fmt = write_interchange(df, out, spark)
+    assert fmt == ("avro" if avro_available(spark) else "json")
+    back = spark.read.format(fmt).load(out)
+    assert back.count() == 2
