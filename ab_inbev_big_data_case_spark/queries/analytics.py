@@ -351,3 +351,66 @@ def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     round+double cast so both engines agree at any row count; averages divide
     the exact decimal sum by count in double."""
     return _sql(spark, sf_dir, ("lineitem",), _TPCH_Q1)
+
+
+_TPCH_Q14 = """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                    AS DOUBLE), 4) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+@register("tpch_q14_shape", oracle=_TPCH_Q14)
+def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional revenue share over a
+    fact⋈dim join — two decimal-exact sums in one pass, ratio in double."""
+    return _sql(spark, sf_dir, ("lineitem", "part"), _TPCH_Q14)
+
+
+_TPCH_Q17 = """
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size <= 5
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("tpch_q17_shape", oracle=_TPCH_Q17)
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar AVG
+    per part — Catalyst decorrelates into an aggregate + join; the classic
+    'below 20% of the part's average' filter."""
+    return _sql(spark, sf_dir, ("lineitem", "part"), _TPCH_Q17)
+
+
+_TPCH_Q22 = """
+    SELECT c.c_nationkey AS cntry,
+           count(*) AS numcust,
+           round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2)::DOUBLE AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+    GROUP BY 1
+"""
+
+
+@register("tpch_q22_shape", oracle=_TPCH_Q22)
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar subquery threshold
+    + anti-join (NOT EXISTS) + grouped rollup. Adapted to the fixture:
+    nation key stands in for the missing phone prefix, and 'never ordered'
+    becomes 'no high-value order' (every fixture customer has some order,
+    which would make the literal Q22 predicate vacuously empty)."""
+    return _sql(spark, sf_dir, ("customer", "orders"), _TPCH_Q22)
