@@ -159,3 +159,39 @@ def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
     # correctness: pruned read sees exactly that day's rows
     want = events.filter(F.col("event_date") == "2024-01-02").count()
     assert pruned.count() == want == joined.count()
+
+
+def test_lsh_pairs_single_corpus_pass(spark, sf_dir):
+    """Candidate-pair generation must NOT materialize the shingle→signature
+    pipeline twice: exactly one parquet scan of documents in the plan (the
+    old bucket self-join planned two — one under a BroadcastExchange, which
+    defeats ReusedExchange)."""
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["minhash_lsh_pairs"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_ivf_assign_is_aggregate_not_window(spark, sf_dir):
+    """The argmax cell assignment must plan as partial+final aggregate
+    (map-side combine collapses N·K scored rows to N before the shuffle),
+    never as a row_number window over the full N·K."""
+    from ab_inbev_big_data_case_spark.llm.similarity import ivf_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    plan = _plan(ivf_assign(e, "vec_id", "embedding", lambda vid: vid % 29 == 0))
+    assert "Window" not in plan
+    assert "partial_max" in plan
+    # centroids broadcast: the corpus side never shuffles for the join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set joins broadcast — the corpus side must not
+    shuffle on the shingle value."""
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["benchmark_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
