@@ -182,3 +182,34 @@ def running_count_per_key_tws(df: DataFrame, key_col: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    delay: str,
+    max_gap: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: rows pair on ``key_col`` when
+    their event times are within ``max_gap`` of each other.
+
+    Both sides carry a watermark AND the join has a time-range predicate —
+    that pair of bounds is what lets Spark evict buffered rows once the
+    other stream's watermark passes them; an unconstrained stream-stream
+    join would buffer both streams forever. Left columns keep their names,
+    right columns get an ``r_`` prefix.
+    """
+    l = left.withWatermark(ts_col, delay)
+    r = right.withWatermark(ts_col, delay)
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"r_{c}")
+    return l.join(
+        r,
+        F.expr(
+            f"{key_col} = r_{key_col} AND "
+            f"r_{ts_col} >= {ts_col} - INTERVAL {max_gap} AND "
+            f"r_{ts_col} <= {ts_col} + INTERVAL {max_gap}"
+        ),
+    )

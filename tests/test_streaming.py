@@ -238,3 +238,29 @@ def test_transform_with_state_seam(spark, events_batch, events_stream_path):
     else:
         with pytest.raises(ImportError, match="protobuf"):
             running_count_per_key_tws(stream, "user_id")
+
+
+def test_stream_stream_join_equals_batch(spark, events_batch, events_stream_path):
+    """Watermarked time-bounded stream-stream self-join == the same join in
+    batch (pairs of same-user events within 1 hour of each other)."""
+    from ab_inbev_big_data_case_spark.streaming.jobs import stream_stream_join
+
+    s1 = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+    s2 = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+    joined = stream_stream_join(s1, s2, "user_id", "ts", "2 hours").select(
+        "event_id", "r_event_id"
+    )
+    name = run_to_memory(joined, "ssj_out", "append")
+    got = _rows(spark.sql(f"SELECT * FROM {name}"), ["event_id", "r_event_id"])
+
+    b = events_batch
+    r = events_batch.select([F.col(c).alias(f"r_{c}") for c in events_batch.columns])
+    want_df = b.join(
+        r,
+        F.expr(
+            "user_id = r_user_id AND r_ts >= ts - INTERVAL 1 hour "
+            "AND r_ts <= ts + INTERVAL 1 hour"
+        ),
+    ).select("event_id", "r_event_id")
+    want = _rows(want_df, ["event_id", "r_event_id"])
+    assert got == want
