@@ -414,3 +414,32 @@ def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes 'no high-value order' (every fixture customer has some order,
     which would make the literal Q22 predicate vacuously empty)."""
     return _sql(spark, sf_dir, ("customer", "orders"), _TPCH_Q22)
+
+
+_RECURSIVE_SPINE = """
+    WITH RECURSIVE months(ym) AS (
+        SELECT 199501
+        UNION ALL
+        SELECT CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END
+        FROM months WHERE ym < 199812
+    )
+    SELECT m.ym,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 0), 2)::DOUBLE
+               AS month_revenue
+    FROM months m
+    LEFT JOIN orders o
+      ON year(o.o_orderdate) * 100 + month(o.o_orderdate) = m.ym
+    GROUP BY 1
+"""
+
+
+@register("recursive_month_spine", oracle=_RECURSIVE_SPINE)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4.x WITH RECURSIVE, UNION ALL mode):
+    generate a 1995-01..1998-12 month spine recursively, then left join
+    monthly order rollups so empty months appear as zero rows — the
+    gaps-included report a plain GROUP BY can't produce. (Spark's recursive
+    CTEs don't yet support UNION-distinct, so cyclic-graph recursion stays
+    on the fixed-round label propagation in `dup_clusters_cc`.)"""
+    return _sql(spark, sf_dir, ("orders",), _RECURSIVE_SPINE)
