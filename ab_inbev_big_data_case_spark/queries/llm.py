@@ -950,3 +950,39 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "stratified_lang_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(sha256('strat:' || doc_id), 1, 15))::BIGINT % 100 AS h
+        FROM documents
+    )
+    WHERE h < (CASE WHEN lang = 'en' THEN 30 WHEN lang = 'es' THEN 60 ELSE 90 END)
+    """,
+)
+def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language rates (downsample the dominant
+    language, keep the long tail — the data-mixing rebalance step):
+    deterministic salted-hash thresholds instead of ``sampleBy`` so the draw
+    is reproducible across engines, re-runs, and partitionings. Pure
+    scan-level filter — no shuffle at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")), 256), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(30))
+        .when(F.col("lang") == "es", F.lit(60))
+        .otherwise(F.lit(90))
+    )
+    return d.filter(h < rate).select("doc_id", "lang")
