@@ -443,3 +443,31 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs don't yet support UNION-distinct, so cyclic-graph recursion stays
     on the fixed-round label propagation in `dup_clusters_cc`.)"""
     return _sql(spark, sf_dir, ("orders",), _RECURSIVE_SPINE)
+
+
+_TPCH_Q21 = """
+    SELECT s.s_suppkey, s.s_name,
+           count(DISTINCT l1.l_orderkey) AS n_waiting_orders
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey != l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1, 2
+"""
+
+
+@register("tpch_q21_shape", oracle=_TPCH_Q21)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    subquery composition in the suite — a fact join plus BOTH a correlated
+    EXISTS and a correlated NOT EXISTS against the same fact under
+    different aliases (Catalyst plans one semi and one anti join).
+    l_returnflag = 'R' stands in for the fixture's missing receipt-delay
+    column; the operator composition is Q21's."""
+    return _sql(spark, sf_dir, ("supplier", "lineitem"), _TPCH_Q21)
