@@ -184,3 +184,21 @@ def test_dup_clusters_transitive_chain(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, rounds=3).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing conserves tokens, bins are contiguous from 0 per lang, and
+    every bin except possibly the last starts inside its 512-token slot."""
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    bins = QUERIES["sequence_packing_bins"](spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents")
+    total = d.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert sum(r["bin_tokens"] for r in bins) == total
+    by_lang = {}
+    for r in bins:
+        by_lang.setdefault(r["lang"], []).append(r["bin"])
+    for lang, bs in by_lang.items():
+        bs = sorted(bs)
+        assert bs == list(range(len(bs))), f"{lang} bins not contiguous: {bs}"
