@@ -65,6 +65,14 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     ap.add_argument("--sf", default="sf0.01")
     ap.add_argument("--data", default="/root/testdata")
+    ap.add_argument(
+        "--first",
+        type=int,
+        default=None,
+        metavar="N",
+        help="check only the first N registered queries (the driver verifies "
+        "exactly the first 50 — `--first 50` replicates its window)",
+    )
     args = ap.parse_args()
     sf_dir = os.path.join(args.data, args.sf)
 
@@ -74,6 +82,8 @@ def main() -> int:
     spark = get_spark("check_oracle")
     qs, oracles = e.queries(), e.oracle_sql()
     names = args.names or list(qs)
+    if args.first is not None:
+        names = names[: args.first]
 
     con = duckdb.connect()
     for t in TABLES:
