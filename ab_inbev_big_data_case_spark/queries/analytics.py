@@ -471,3 +471,51 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_returnflag = 'R' stands in for the fixture's missing receipt-delay
     column; the operator composition is Q21's."""
     return _sql(spark, sf_dir, ("supplier", "lineitem"), _TPCH_Q21)
+
+
+_TPCH_Q13 = """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+"""
+
+
+@register("tpch_q13_shape", oracle=_TPCH_Q13)
+def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): outer join with a filter ON
+    the join condition (not WHERE — zero-order customers must survive),
+    then a distribution over the grouped counts (two-level aggregation)."""
+    return _sql(spark, sf_dir, ("customer", "orders"), _TPCH_Q13)
+
+
+_TPCH_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue::DOUBLE AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("tpch_q15_shape", oracle=_TPCH_Q15)
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): CTE revenue view referenced twice —
+    once as the join input and once inside a scalar MAX subquery (the
+    classic view + self-referential aggregate; ties all surface, no
+    arbitrary pick). Decimal-exact revenue so the equality predicate is
+    engine-stable."""
+    return _sql(spark, sf_dir, ("supplier", "lineitem"), _TPCH_Q15)
