@@ -519,3 +519,53 @@ def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary pick). Decimal-exact revenue so the equality predicate is
     engine-stable."""
     return _sql(spark, sf_dir, ("supplier", "lineitem"), _TPCH_Q15)
+
+
+_FUNNEL = """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
+           sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS stage_click,
+           sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS stage_purchase
+    FROM firsts
+"""
+
+
+@register("funnel_analysis", oracle=_FUNNEL)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per-user first
+    occurrence of each stage via conditional MIN (one pass, one shuffle on
+    user), then ordering predicates count who progressed IN SEQUENCE —
+    NULL-safe because a missing stage makes the > comparison NULL→false in
+    both engines. The event-analytics bread-and-butter at any event volume:
+    no self-joins, no window, cost = one grouped scan."""
+    return _sql(spark, sf_dir, ("events",), _FUNNEL)
+
+
+_RETENTION = """
+    WITH ua AS (
+        SELECT DISTINCT user_id,
+               CAST(floor((day(ts) - 1) / 7.0) AS BIGINT) AS wk
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ua GROUP BY user_id)
+    SELECT c.cohort_wk, a.wk, count(*) AS n_active
+    FROM cohort c JOIN ua a ON a.user_id = c.user_id
+    GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort grid: cohort = first active week, one row per
+    (cohort, activity week) with active-user counts. Distinct user-week
+    activity first (collapses event volume to users×weeks before any join),
+    then cohort assignment joins back on the user key only."""
+    return _sql(spark, sf_dir, ("events",), _RETENTION)
