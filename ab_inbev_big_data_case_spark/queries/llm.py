@@ -46,6 +46,7 @@ from ab_inbev_big_data_case_spark.llm.textstats import (
     token_stats,
     word_frequencies,
 )
+from ab_inbev_big_data_case_spark.operators.partitioning import spread
 from ab_inbev_big_data_case_spark.registry import register
 from ab_inbev_big_data_case_spark.sources.readers import table
 
@@ -986,3 +987,78 @@ def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(90))
     )
     return d.filter(h < rate).select("doc_id", "lang")
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+    WITH tf AS (
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS n_total FROM tf),
+    doc_toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT d.doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(f.n * 1.0 / t.n_total)), 4) AS avg_neg_logprob
+    FROM doc_toks d
+    JOIN tf f ON f.tok = d.tok
+    CROSS JOIN tot t
+    GROUP BY d.doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality score, CCNet-style with a unigram LM: per-doc
+    average negative log-probability under corpus unigram frequencies
+    (lower = more typical text; outliers are boilerplate/noise). The
+    frequency table is corpus-derived and joined back broadcast; the total
+    stays in-plan as a 1-row aggregate — no driver-side action, two
+    shuffles total (token tf, per-doc avg) at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = spread(d).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = tf.agg(F.sum("n").cast("double").alias("n_total"))
+    return (
+        toks.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("n") / F.col("n_total"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
+@register(
+    "mixing_weights",
+    oracle="""
+    WITH st AS (
+        SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(pow(n_tokens, 0.7)) AS z FROM st)
+    SELECT st.source, st.n_tokens,
+           round(pow(st.n_tokens, 0.7) / t.z, 6) AS weight
+    FROM st CROSS JOIN tot t
+    """,
+)
+def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weights per source with temperature scaling (τ = 0.7 —
+    the standard multilingual/domain rebalance: small sources upweighted
+    relative to raw token share, large ones damped). One grouped scan for
+    token counts; the normalizer is a broadcast 1-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    tot = st.agg(F.sum(F.pow("n_tokens", F.lit(0.7))).alias("z"))
+    return st.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.pow("n_tokens", F.lit(0.7)) / F.col("z"), 6).alias("weight"),
+    )
