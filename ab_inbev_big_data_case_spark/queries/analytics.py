@@ -569,3 +569,164 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity first (collapses event volume to users×weeks before any join),
     then cohort assignment joins back on the user key only."""
     return _sql(spark, sf_dir, ("events",), _RETENTION)
+
+
+_TPCH_Q4 = """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("tpch_q4_shape", oracle=_TPCH_Q4)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): date-window scan + correlated
+    EXISTS with a non-equi correlated predicate, rolled up by priority.
+    'l_shipdate > o_orderdate + 45 days' stands in for the fixture's missing
+    commit/receipt columns; Catalyst plans the EXISTS as a left-semi join so
+    the lineitem side never inflates the order rows it proves."""
+    return _sql(spark, sf_dir, ("orders", "lineitem"), _TPCH_Q4)
+
+
+_TPCH_Q8 = """
+    WITH volumes AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
+               s.s_nationkey AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN region r   ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 1 THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+    FROM volumes
+    GROUP BY o_year
+"""
+
+
+@register("tpch_q8_shape", oracle=_TPCH_Q8)
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join tree in the
+    suite — fact ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier ⋈ part
+    (7 relations), then a conditional-share rollup per year. Every dim side
+    is broadcast-sized so Catalyst chains BroadcastHashJoins over one fact
+    scan; the share divides two decimal-exact sums in double."""
+    return _sql(
+        spark, sf_dir,
+        ("lineitem", "orders", "customer", "nation", "region", "supplier", "part"),
+        _TPCH_Q8,
+    )
+
+
+_TPCH_Q9 = """
+    SELECT n.n_name AS supp_nation, year(o.o_orderdate) AS o_year,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          - 0.6 * p.p_retailprice * l.l_quantity
+                          AS DECIMAL(18,6))), 2)::DOUBLE AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%o%'
+    GROUP BY 1, 2
+"""
+
+
+@register("tpch_q9_shape", oracle=_TPCH_Q9)
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): multi-dim star join with a LIKE
+    dim filter and a per-row profit expression (0.6·p_retailprice·quantity
+    proxies the fixture's missing ps_supplycost), grouped by supplier nation
+    × year. Per-row arithmetic is IEEE-identical across engines; the sum
+    accumulates in exact decimal before the final round."""
+    return _sql(
+        spark, sf_dir, ("lineitem", "supplier", "part", "orders", "nation"), _TPCH_Q9
+    )
+
+
+_TPCH_Q11 = """
+    SELECT l_partkey, round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE
+               AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) >
+           (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 0.0006
+            FROM lineitem)
+"""
+
+
+@register("tpch_q11_shape", oracle=_TPCH_Q11)
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): grouped rollup filtered by a HAVING
+    whose threshold is a scalar subquery over the SAME fact (share-of-total).
+    Both sums are decimal-exact; the comparison happens in double after both
+    engines convert the identical exact decimals, so the cut is stable."""
+    return _sql(spark, sf_dir, ("lineitem",), _TPCH_Q11)
+
+
+_TPCH_Q16 = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q16_shape", oracle=_TPCH_Q16)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): dim-filtered join with a
+    NOT IN blacklist subquery (negative-balance suppliers proxy the 'customer
+    complaints' comment scan) and COUNT(DISTINCT) per (brand, type, size).
+    The NOT IN side is tiny → broadcast null-aware anti join."""
+    return _sql(spark, sf_dir, ("lineitem", "part", "supplier"), _TPCH_Q16)
+
+
+_TPCH_Q20 = """
+    WITH part_ship AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND p.p_type = 'PROMO'
+        GROUP BY 1, 2
+    ),
+    part_tot AS (
+        SELECT l_partkey AS pk, sum(qty) AS total_qty FROM part_ship GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT ps.l_suppkey
+        FROM part_ship ps JOIN part_tot t ON ps.l_partkey = t.pk
+        WHERE CAST(ps.qty AS DOUBLE) > 0.3 * CAST(t.total_qty AS DOUBLE)
+    )
+"""
+
+
+@register("tpch_q20_shape", oracle=_TPCH_Q20)
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested IN over a derived
+    aggregate joined to its own second-level rollup — suppliers who shipped
+    >30% of a PROMO part's 1995 volume (availqty-vs-shipped recast for the
+    fixture's missing partsupp). The CTE is referenced twice; quantities
+    accumulate in exact decimal, the share test runs in double."""
+    return _sql(spark, sf_dir, ("supplier", "lineitem", "part"), _TPCH_Q20)
