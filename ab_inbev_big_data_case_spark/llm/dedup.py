@@ -320,3 +320,52 @@ def dup_clusters(pairs: DataFrame, rounds: int = 3) -> DataFrame:
             .agg(F.min("lab").alias("lab"))
         )
     return lab.select(F.col("v").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
+def chunk_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, chunk_len: int = 8
+) -> DataFrame:
+    """Cross-document duplicate-chunk ratio (the CCNet/C4 line-dedup shape,
+    recast over fixed-length token chunks since the fixture corpus has no
+    newlines): split each doc into non-overlapping ``chunk_len``-token
+    chunks, find chunks whose document frequency is ≥ 2, and score each doc
+    by the fraction of its chunks that are cross-doc duplicates.
+
+    Scale shape: chunk df is a grouped count over distinct (doc, chunk) —
+    one shuffle on the chunk key — and the join-back only carries the df ≥ 2
+    subset (duplicated chunks are the rare tail of the distribution), which
+    AQE will broadcast when it is small. No all-pairs comparison anywhere.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.floor(F.size(toks) / chunk_len).cast("int")
+    chunk_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * chunk_len + 1, chunk_len)
+    )
+    exploded = (
+        spread(df)
+        .filter(F.size(toks) >= chunk_len)
+        .select(
+            F.col(id_col),
+            F.explode(F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at)).alias(
+                "chunk"
+            ),
+        )
+    )
+    totals = exploded.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    dfreq = (
+        exploded.distinct()
+        .groupBy("chunk")
+        .agg(F.count("*").alias("chunk_df"))
+        .filter(F.col("chunk_df") >= 2)
+    )
+    dup = exploded.join(dfreq, "chunk").groupBy(id_col).agg(
+        F.count("*").alias("n_dup")
+    )
+    return totals.join(dup, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup_chunks"),
+        F.round(F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_chunks"), 4).alias(
+            "dup_chunk_ratio"
+        ),
+    )

@@ -131,3 +131,22 @@ def tfidf_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.log(F.col("_n_docs") / F.col("doc_freq")), 6).alias("log_idf"),
         )
     )
+
+
+def blocklist_stats(
+    df: DataFrame, id_col: str, text_col: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """Term-blocklist filter (the C4/LDNOOBW-style denylist scrub): per-doc
+    count of blocklisted token occurrences and a keep/drop verdict. Entirely
+    narrow — an array filter against a literal set inside the scan projection,
+    no shuffle, no UDF; the blocklist rides along in the compiled expression
+    (a production list of ~10³ terms would broadcast a lookup set instead)."""
+    toks = tokens(F.col(text_col))
+    hits = F.filter(toks, lambda t: t.isin(*terms))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(hits).alias("n_blocked"),
+        F.round(F.size(hits) / F.size(toks), 4).alias("blocked_ratio"),
+        (F.size(hits) == 0).alias("kept"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.functions.text import shingles, tokens
 from ab_inbev_big_data_case_spark.llm.dedup import (
+    chunk_dup_stats,
     dup_clusters,
     exact_dedup_stats,
     lsh_band_buckets_wide,
@@ -31,6 +32,7 @@ from ab_inbev_big_data_case_spark.llm.multimodal import (
 )
 from ab_inbev_big_data_case_spark.llm.similarity import (
     ann_lsh_search,
+    quantize_int8,
     cosine_topk,
     embedding_near_dup,
     hyperplane_buckets,
@@ -39,6 +41,7 @@ from ab_inbev_big_data_case_spark.llm.similarity import (
     with_l2_norm,
 )
 from ab_inbev_big_data_case_spark.llm.textstats import (
+    blocklist_stats,
     doc_fingerprint,
     lang_id_heuristic,
     quality_features,
@@ -1062,3 +1065,79 @@ def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.pow("n_tokens", F.lit(0.7)) / F.col("z"), 6).alias("weight"),
     )
+
+
+@register(
+    "chunk_dedup_ratio",
+    oracle="""
+    WITH ck AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(toks) // 8),
+                      i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')))
+                   AS chunk
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 8
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_chunks FROM ck GROUP BY 1),
+    dfreq AS (
+        SELECT chunk, count(DISTINCT doc_id) AS chunk_df FROM ck GROUP BY 1
+    ),
+    dup AS (
+        SELECT c.doc_id, count(*) AS n_dup
+        FROM ck c JOIN dfreq d ON c.chunk = d.chunk AND d.chunk_df >= 2
+        GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_chunks,
+           coalesce(u.n_dup, 0) AS n_dup_chunks,
+           round(coalesce(u.n_dup, 0) * 1.0 / t.n_chunks, 4) AS dup_chunk_ratio
+    FROM totals t LEFT JOIN dup u ON u.doc_id = t.doc_id
+    """,
+)
+def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate-chunk scoring (CCNet/C4 line-dedup shape over
+    8-token chunks — see ``llm.dedup.chunk_dup_stats``)."""
+    return chunk_dup_stats(table(spark, sf_dir, "documents"), "doc_id", "text", 8)
+
+
+@register(
+    "term_blocklist_filter",
+    oracle="""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, t -> t IN ('slow', 'drop', 'legacy')))
+               AS n_blocked,
+           round(len(list_filter(toks, t -> t IN ('slow', 'drop', 'legacy')))
+                 * 1.0 / len(toks), 4) AS blocked_ratio,
+           len(list_filter(toks, t -> t IN ('slow', 'drop', 'legacy'))) = 0 AS kept
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def term_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing verdict per document (C4/LDNOOBW shape — see
+    ``llm.textstats.blocklist_stats``)."""
+    return blocklist_stats(
+        table(spark, sf_dir, "documents"), "doc_id", "text", ("slow", "drop", "legacy")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           list_transform(xs, v -> CAST(floor(v * 127.0 / scale + 0.5) AS INT)) AS q,
+           round(list_max(list_transform(xs,
+                 v -> abs(v - floor(v * 127.0 / scale + 0.5) * scale / 127.0))), 6)
+               AS max_err_r
+    FROM (
+        SELECT vec_id, xs, list_max(list_transform(xs, v -> abs(v))) AS scale
+        FROM (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS xs
+              FROM embeddings)
+    )
+    WHERE scale > 0
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (see
+    ``llm.similarity.quantize_int8``)."""
+    return quantize_int8(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")

@@ -202,3 +202,38 @@ def test_sequence_packing_invariants(spark, sf_dir):
     for lang, bs in by_lang.items():
         bs = sorted(bs)
         assert bs == list(range(len(bs))), f"{lang} bins not contiguous: {bs}"
+
+
+def test_quantize_int8_bounds(spark, sf_dir):
+    """Quantized values stay in [-127, 127] and the reconstruction error is
+    bounded by half a quantization step (scale/254), which also implies the
+    scale column really is the max |x|."""
+    from ab_inbev_big_data_case_spark.llm.similarity import quantize_int8
+
+    rows = quantize_int8(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r["q"])
+        assert r["max_err_r"] <= r["scale_r"] / 254 + 1e-6
+
+
+def test_chunk_dup_stats_flags_planted_duplicates(spark):
+    """Two docs sharing an 8-token chunk are both flagged; a unique doc
+    scores zero."""
+    from ab_inbev_big_data_case_spark.llm.dedup import chunk_dup_stats
+
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " x1 x2 x3 x4 x5 x6 x7 x8"),
+            (2, shared + " y1 y2 y3 y4 y5 y6 y7 y8"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dup_stats(df, "doc_id", "text", 8).collect()}
+    assert got[1]["n_chunks"] == 2 and got[1]["n_dup_chunks"] == 1
+    assert got[2]["n_dup_chunks"] == 1
+    assert got[3]["n_dup_chunks"] == 0 and got[3]["dup_chunk_ratio"] == 0.0
