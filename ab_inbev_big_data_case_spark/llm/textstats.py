@@ -150,3 +150,20 @@ def blocklist_stats(
         F.round(F.size(hits) / F.size(toks), 4).alias("blocked_ratio"),
         (F.size(hits) == 0).alias("kept"),
     )
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style text normalization: lowercase, strip non-[a-z0-9 ] chars,
+    collapse whitespace runs, trim. Emits the normalized text plus a
+    `changed` flag so a pipeline can cheaply count how much the scrub
+    touched. Narrow projection-only work — regexps run inside codegen."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        (norm != t).alias("changed"),
+        F.length(norm).alias("n_chars_norm"),
+    )

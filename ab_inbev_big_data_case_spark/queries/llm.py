@@ -43,6 +43,7 @@ from ab_inbev_big_data_case_spark.llm.similarity import (
 from ab_inbev_big_data_case_spark.llm.textstats import (
     blocklist_stats,
     doc_fingerprint,
+    normalize_text,
     lang_id_heuristic,
     quality_features,
     tfidf_stats,
@@ -1141,3 +1142,21 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (see
     ``llm.similarity.quantize_int8``)."""
     return quantize_int8(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@register(
+    "normalize_text_scrub",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) != text AS changed,
+           len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+    """,
+)
+def normalize_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization scrub pass (see ``llm.textstats.normalize_text``)."""
+    return normalize_text(table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -195,3 +195,26 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
     load_all()
     plan = _plan(QUERIES["benchmark_contamination"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q8_broadcasts_every_dim(spark, sf_dir):
+    """The 7-relation Q8 star join must plan as a chain of
+    BroadcastHashJoins over one lineitem scan — all six non-fact sides are
+    broadcast-sized, so no shuffle exchange belongs to the join tree."""
+    plan = _plan(QUERIES["tpch_q8_shape"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_blocklist_filter_is_narrow(spark, sf_dir):
+    """Denylist scrub is projection-only: no exchange anywhere."""
+    plan = _plan(QUERIES["term_blocklist_filter"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_quantize_int8_is_narrow(spark, sf_dir):
+    """Quantization is per-row array math; the only allowed exchange is the
+    round-robin spread() repartition of the single-row-group scan."""
+    plan = _plan(QUERIES["embedding_quantize_int8"](spark, sf_dir))
+    assert plan.count("Exchange") <= 1
+    assert "RoundRobinPartitioning" in plan or "Exchange" not in plan
