@@ -72,3 +72,41 @@ def salted_sum_count(
         F.sum("__psum").alias(f"sum_{value_col}"),
         F.sum("__pcnt").alias("count_rows"),
     )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side per ROW (not per key —
+    a key-derived salt would send the hot key to one reducer again) and
+    replicate the dim side across all ``salt_buckets`` salt values, then
+    equi-join on (key, salt). The hot key's rows spread over
+    ``salt_buckets`` reducers at the cost of a ``salt_buckets``× blow-up of
+    the (small-but-not-broadcastable) dim side.
+
+    This is the manual fallback for the case AQE's skew-join split does not
+    cover: a mid-size dim too big to broadcast, joined from a fact with a
+    pathological hot key. Semantics-neutral by construction — the oracle
+    for any salted-join query is the plain unsalted join.
+
+    Only fact-preserving joins (``inner``/``left``) are legal: an outer
+    side of the replicated dim would emit its unmatched rows once per salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted join requires a fact-preserving join, got {how!r}")
+    from pyspark.sql import functions as F
+
+    salted_fact = fact.withColumn(
+        "__salt",
+        (
+            (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+        ).cast("int"),
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_fact.join(replicated_dim, [key, "__salt"], how).drop("__salt")

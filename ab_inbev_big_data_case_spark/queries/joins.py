@@ -282,3 +282,43 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_signup_ts"
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT s.s_name,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈dim join via per-row salting + dim replication
+    (``operators.partitioning.salted_skew_join``) — the manual fallback when
+    a hot fact key defeats both broadcast (dim too big) and AQE's skew split.
+    The oracle is the PLAIN unsalted join: salting must be invisible in the
+    result, and the hash check proves it."""
+    from ab_inbev_big_data_case_spark.operators.partitioning import salted_skew_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+    )
+    joined = salted_skew_join(li, sup, "l_suppkey", salt_buckets=8)
+    return joined.groupBy("s_name").agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )

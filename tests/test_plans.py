@@ -218,3 +218,10 @@ def test_quantize_int8_is_narrow(spark, sf_dir):
     plan = _plan(QUERIES["embedding_quantize_int8"](spark, sf_dir))
     assert plan.count("Exchange") <= 1
     assert "RoundRobinPartitioning" in plan or "Exchange" not in plan
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    """The salted join must actually join on (key, __salt) — otherwise the
+    'mitigation' silently degenerates to a plain join."""
+    plan = _plan(QUERIES["join_salted_skew"](spark, sf_dir))
+    assert "__salt" in plan
