@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ab_inbev_big_data_case_spark.functions.text import shingles, tokens
+from ab_inbev_big_data_case_spark.functions.text import shingles, token_hash64, tokens
 from ab_inbev_big_data_case_spark.llm.dedup import (
     chunk_dup_stats,
     dup_clusters,
@@ -1160,3 +1160,85 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def normalize_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization scrub pass (see ``llm.textstats.normalize_text``)."""
     return normalize_text(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "quality_bucket_mix",
+    oracle="""
+    WITH tf AS (
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS n_total FROM tf),
+    doc_toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    scored AS (
+        SELECT d.doc_id, round(avg(-ln(f.n * 1.0 / t.n_total)), 4) AS s
+        FROM doc_toks d JOIN tf f ON f.tok = d.tok CROSS JOIN tot t
+        GROUP BY d.doc_id
+    ),
+    b AS (SELECT quantile_cont(s, 0.33) AS q33, quantile_cont(s, 0.66) AS q66
+          FROM scored),
+    lab AS (
+        SELECT doc_id, s,
+               CASE WHEN s <= b.q33 THEN 'head'
+                    WHEN s <= b.q66 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored CROSS JOIN b
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           sum(CASE WHEN ('0x' || substr(sha256('qb' || doc_id), 1, 15))::BIGINT % 100
+                         < CASE bucket WHEN 'head' THEN 100
+                                       WHEN 'middle' THEN 50 ELSE 10 END
+                    THEN 1 ELSE 0 END) AS n_kept,
+           round(min(s), 4) AS min_score,
+           round(max(s), 4) AS max_score
+    FROM lab
+    GROUP BY bucket
+    """,
+)
+def quality_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality mixing: bucket docs by unigram-LM
+    score terciles, keep 100%/50%/10% per bucket via the deterministic
+    portable hash. Boundaries come from an exact-percentile AGGREGATE
+    broadcast back into the scan (scale-parallel) — NOT a global ntile
+    window, which would sort the whole corpus on one reducer at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    toks = spread(d).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = tf.agg(F.sum("n").cast("double").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log(F.col("n") / F.col("n_total"))), 4).alias("s"))
+    )
+    bounds = scored.agg(
+        F.expr("percentile(s, 0.33)").alias("q33"),
+        F.expr("percentile(s, 0.66)").alias("q66"),
+    )
+    bucket = (
+        F.when(F.col("s") <= F.col("q33"), F.lit("head"))
+        .when(F.col("s") <= F.col("q66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    rate = (
+        F.when(F.col("bucket") == "head", F.lit(100))
+        .when(F.col("bucket") == "middle", F.lit(50))
+        .otherwise(F.lit(10))
+    )
+    keep_hash = token_hash64(F.concat(F.lit("qb"), F.col("doc_id").cast("string"))) % 100
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "s", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(keep_hash < rate, 1).otherwise(0)).alias("n_kept"),
+            F.round(F.min("s"), 4).alias("min_score"),
+            F.round(F.max("s"), 4).alias("max_score"),
+        )
+    )
