@@ -1242,3 +1242,38 @@ def quality_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("s"), 4).alias("max_score"),
         )
     )
+
+
+@register(
+    "semdedup_corpus",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM assign a JOIN assign b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ),
+    dupes AS (
+        SELECT DISTINCT p.id2 AS vec_id
+        FROM pairs p
+        JOIN embeddings x ON x.vec_id = p.id1
+        JOIN embeddings y ON y.vec_id = p.id2
+        WHERE round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                    ({_NORM.format(x='x.embedding', tag='a')} *
+                     {_NORM.format(x='y.embedding', tag='b')}), 3) >= 0.25
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dupes)
+    """,
+)
+def semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: IVF cells as the cluster step,
+    within-cell cosine >= 0.25 verification, canonical lower-id survivors
+    (see ``llm.similarity.semdedup_cells``)."""
+    from ab_inbev_big_data_case_spark.llm.similarity import semdedup_cells
+
+    e = table(spark, sf_dir, "embeddings")
+    return semdedup_cells(
+        e, "vec_id", "embedding", threshold=0.25,
+        centroid_filter=lambda vid: vid % 29 == 0,
+    )
