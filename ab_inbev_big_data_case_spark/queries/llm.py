@@ -1277,3 +1277,34 @@ def semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", threshold=0.25,
         centroid_filter=lambda vid: vid % 29 == 0,
     )
+
+
+@register(
+    "source_entropy",
+    oracle="""
+    WITH st AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(n) AS n_total FROM st)
+    SELECT count(*) AS n_sources,
+           round(-sum((st.n * 1.0 / t.n_total) * ln(st.n * 1.0 / t.n_total)), 6)
+               AS source_entropy,
+           round(ln(count(*)), 6) AS max_entropy
+    FROM st CROSS JOIN tot t
+    """,
+)
+def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-distribution Shannon entropy — the one-number diversity
+    diagnostic for a training mix (uniform mix → entropy = ln K; a
+    collapsed mix scores near 0). One grouped count + a broadcast 1-row
+    total; the entropy itself is a single-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = st.agg(F.sum("n").cast("double").alias("n_total"))
+    p = F.col("n") / F.col("n_total")
+    return (
+        st.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("source_entropy"),
+            F.round(F.log(F.count("*").cast("double")), 6).alias("max_entropy"),
+        )
+    )

@@ -45,7 +45,7 @@ _QUERY_MODULES = [
 # ROTATION (round 3+): queries added after this list was frozen — ivf_cells,
 # ivf_search, embedding_near_dup, train_val_test_split, repetition_score,
 # benchmark_contamination, dup_clusters_cc, sequence_packing_bins,
-# source_quota_sample, tpch_q14_shape, tpch_q17_shape, tpch_q22_shape, recursive_month_spine, stratified_lang_sample, tpch_q21_shape, tpch_q13_shape, tpch_q15_shape, funnel_analysis, retention_cohorts, unigram_logprob_score, mixing_weights, tpch_q4_shape, tpch_q8_shape, tpch_q9_shape, tpch_q11_shape, tpch_q16_shape, tpch_q20_shape, chunk_dedup_ratio, term_blocklist_filter, embedding_quantize_int8, normalize_text_scrub, join_salted_skew, quality_bucket_mix, semdedup_corpus —
+# source_quota_sample, tpch_q14_shape, tpch_q17_shape, tpch_q22_shape, recursive_month_spine, stratified_lang_sample, tpch_q21_shape, tpch_q13_shape, tpch_q15_shape, funnel_analysis, retention_cohorts, unigram_logprob_score, mixing_weights, tpch_q4_shape, tpch_q8_shape, tpch_q9_shape, tpch_q11_shape, tpch_q16_shape, tpch_q20_shape, chunk_dedup_ratio, term_blocklist_filter, embedding_quantize_int8, normalize_text_scrub, join_salted_skew, quality_bucket_mix, semdedup_corpus, source_entropy —
 # have local-gate evidence only; swap them into the front 50 next round
 # (replacing entries that will then hold driver-green rows from round 2).
 _CHECK_FIRST = [

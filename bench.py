@@ -32,6 +32,8 @@ HEADLINE = [
                             # at 4 tables x 4 planes, see llm/similarity.py)
     "tfidf_stats",          # text analysis explode/join
     "multimodal_features",  # Arrow mapInPandas path
+    "semdedup_corpus",      # IVF-cell semantic dedup (cluster -> verify)
+    "quality_bucket_mix",   # unigram-LM scoring + percentile bucket sampling
 ]
 
 
