@@ -168,8 +168,15 @@ def pairs_within_groups(
     small (LSH buckets are, by construction); pair fan-out is occupancy²
     either way, but here a degenerate hot group also concentrates in one
     row — pass ``max_group_size`` to drop such groups outright (a bucket
-    with thousands of occupants carries boilerplate, not near-dup signal,
-    and at 100 TB it is the one row that can OOM its task).
+    with thousands of occupants carries boilerplate, not near-dup signal).
+
+    What the cap bounds: the QUADRATIC pair fan-out — the actual OOM/runtime
+    vector at 100 TB. Collection state stays LINEAR in group size (the
+    occupant list of a mega-group is buffered once before the size filter
+    drops it: ~8 MB per million ids — survivable where occupancy² is not).
+    Callers needing bounded collection state too must pre-filter via a
+    separate count aggregate, at the price of running the upstream pipeline
+    twice (no subtree reuse under BroadcastExchange).
     """
     occupants = (
         df.groupBy(*group_cols)

@@ -44,8 +44,10 @@ def salted_aggregate(
     """
     from pyspark.sql import functions as F
 
+    # Content-hash salt: deterministic under task retry (see salted_skew_join)
     salted = df.withColumn(
-        "__salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
     return salted.groupBy(*keys, "__salt").agg(*agg_exprs)
 
@@ -100,11 +102,16 @@ def salted_skew_join(
         raise ValueError(f"salted join requires a fact-preserving join, got {how!r}")
     from pyspark.sql import functions as F
 
+    # Deterministic per-row salt (content hash over the whole row): stable
+    # under task retry and partition-count changes, unlike partition-id /
+    # monotonic-id schemes. Identical duplicate rows share a salt — that
+    # only re-concentrates skew in the degenerate all-columns-equal case,
+    # which replication can't help anyway.
     salted_fact = fact.withColumn(
         "__salt",
-        (
-            (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
-        ).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)).cast(
+            "int"
+        ),
     )
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

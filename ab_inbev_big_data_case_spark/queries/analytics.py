@@ -197,9 +197,9 @@ def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TPCH_Q12 = """
     SELECT l.l_returnflag,
            sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -530,10 +530,10 @@ _FUNNEL = """
         FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
-           sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS stage_click,
+           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage_view,
+           sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)::BIGINT AS stage_click,
            sum(CASE WHEN t_click > t_view AND t_purchase > t_click
-                    THEN 1 ELSE 0 END) AS stage_purchase
+                    THEN 1 ELSE 0 END)::BIGINT AS stage_purchase
     FROM firsts
 """
 
@@ -730,3 +730,75 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's missing partsupp). The CTE is referenced twice; quantities
     accumulate in exact decimal, the share test runs in double."""
     return _sql(spark, sf_dir, ("supplier", "lineitem", "part"), _TPCH_Q20)
+
+
+_GAPFILL = """
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+               count(*) AS n_events,
+               round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+    spine AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM agg) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                    FROM bounds) g
+    )
+    SELECT s.event_type, s.bucket,
+           coalesce(a.n_events, 0)::BIGINT AS n_events,
+           a.sum_value AS sum_value,
+           last_value(a.sum_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.bucket = s.bucket
+"""
+
+
+@register("time_bucket_gapfill", oracle=_GAPFILL)
+def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup with gap fill: hourly buckets per event_type,
+    densified over a generated spine (``sequence`` + ``explode``) so silent
+    hours surface as rows, zero-filled counts, and last-observation-carried-
+    forward for the value metric (``last(ignorenulls)`` running window).
+
+    Scale shape: one grouped scan of events collapses 100 TB to
+    types x hours rows; the spine, bounds, and type list all derive from that
+    small aggregate (lazy localCheckpoint so its three consumers don't
+    re-scan events); the LOCF window runs over the already-small densified
+    grid. Sums accumulate in exact DECIMAL then round — engine-stable and
+    partial-agg-order-independent."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ab_inbev_big_data_case_spark.sources.readers import table
+
+    e = table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    spine = agg.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    w = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return spine.join(F.broadcast(agg), ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -178,7 +178,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT doc_id,
-           sum(CASE WHEN net_vote > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END) AS simhash
+           sum(CASE WHEN net_vote > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY 1
     """,
 )
@@ -385,7 +385,7 @@ _BUCKET_SQL = f"""
     ),
     buckets AS (
         SELECT vec_id, tbl,
-               sum(CASE WHEN proj > 0 THEN (1::BIGINT << il::INT) ELSE 0 END) AS bucket
+               sum(CASE WHEN proj > 0 THEN (1::BIGINT << il::INT) ELSE 0 END)::BIGINT AS bucket
         FROM proj
         GROUP BY 1, 2
     )
@@ -867,10 +867,10 @@ def dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sequence_packing_bins",
     oracle="""
-    SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+    SELECT lang, bin, count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens
     FROM (
         SELECT lang, n_tokens,
-               ((csum - n_tokens) // 512) AS bin
+               ((csum - n_tokens) // 512)::BIGINT AS bin
         FROM (
             SELECT lang, n_tokens,
                    sum(n_tokens) OVER (
@@ -1042,7 +1042,7 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixing_weights",
     oracle="""
     WITH st AS (
-        SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+        SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
         FROM documents GROUP BY source
     ),
     tot AS (SELECT sum(pow(n_tokens, 0.7)) AS z FROM st)
@@ -1179,7 +1179,8 @@ def normalize_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM doc_toks d JOIN tf f ON f.tok = d.tok CROSS JOIN tot t
         GROUP BY d.doc_id
     ),
-    b AS (SELECT quantile_cont(s, 0.33) AS q33, quantile_cont(s, 0.66) AS q66
+    b AS (SELECT round(quantile_cont(s, 0.33), 4) AS q33,
+                 round(quantile_cont(s, 0.66), 4) AS q66
           FROM scored),
     lab AS (
         SELECT doc_id, s,
@@ -1193,7 +1194,7 @@ def normalize_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN ('0x' || substr(sha256('qb' || doc_id), 1, 15))::BIGINT % 100
                          < CASE bucket WHEN 'head' THEN 100
                                        WHEN 'middle' THEN 50 ELSE 10 END
-                    THEN 1 ELSE 0 END) AS n_kept,
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
            round(min(s), 4) AS min_score,
            round(max(s), 4) AS max_score
     FROM lab
@@ -1215,10 +1216,15 @@ def quality_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(F.round(F.avg(-F.log(F.col("n") / F.col("n_total"))), 4).alias("s"))
+        # scored feeds two consumers (percentile bounds + bucket labeling);
+        # without materialization Spark recomputes the whole tokenize→TF→score
+        # pipeline per consumer (~6 documents scans). Lazy localCheckpoint
+        # computes it once per action; at 100 TB this seam is a layer write.
+        .localCheckpoint(eager=False)
     )
     bounds = scored.agg(
-        F.expr("percentile(s, 0.33)").alias("q33"),
-        F.expr("percentile(s, 0.66)").alias("q66"),
+        F.round(F.expr("percentile(s, 0.33)"), 4).alias("q33"),
+        F.round(F.expr("percentile(s, 0.66)"), 4).alias("q66"),
     )
     bucket = (
         F.when(F.col("s") <= F.col("q33"), F.lit("head"))

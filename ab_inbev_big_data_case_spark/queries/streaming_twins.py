@@ -173,9 +173,9 @@ def late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     )
     SELECT user_id,
-           sum(new_session) OVER (
+           (sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id,
            ts
     FROM flagged
     """,

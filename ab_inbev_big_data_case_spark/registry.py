@@ -31,80 +31,85 @@ _QUERY_MODULES = [
     "ab_inbev_big_data_case_spark.queries.udfs",
     "ab_inbev_big_data_case_spark.queries.analytics",
     "ab_inbev_big_data_case_spark.queries.llm",
+    "ab_inbev_big_data_case_spark.queries.sources",
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registered queries
 # per round (CORRECTNESS_r01.json ended at exactly entry #50 of 101), so
 # registration order decides what gets independent verification. Round 1
-# checked the scalar/aggregate/join/window families (47 green); this list
-# front-loads everything that round left unchecked — the whole LLM-pipeline,
-# composed-analytics, streaming-twin, UDF and set-op families — plus the one
-# red row (math_funcs, since fixed) and queries new this round. Queries not
-# listed keep their round-1 green evidence and follow in registration order.
+# checked the scalar/aggregate/join/window families (47 green); round 2
+# checked the LLM/analytics/streaming-twin/UDF/set-op families (46 green +
+# 4 type-level reds, all fixed). This round-3 window holds: the 4 fixed reds,
+# every query that so far has only local-gate evidence (the round-2 ROTATION
+# list), the queries whose oracle text changed this round (ann_lsh_search —
+# its shared _BUCKET_SQL gained a cast; mixing_weights — latent HUGEINT
+# found by the new dtype-aware local gate), and the queries new this round
+# (json_scan, csv_scan, time_bucket_gapfill). Queries not listed keep their
+# earlier driver-green evidence and follow in registration order.
 #
-# ROTATION (round 3+): queries added after this list was frozen — ivf_cells,
-# ivf_search, embedding_near_dup, train_val_test_split, repetition_score,
-# benchmark_contamination, dup_clusters_cc, sequence_packing_bins,
-# source_quota_sample, tpch_q14_shape, tpch_q17_shape, tpch_q22_shape, recursive_month_spine, stratified_lang_sample, tpch_q21_shape, tpch_q13_shape, tpch_q15_shape, funnel_analysis, retention_cohorts, unigram_logprob_score, mixing_weights, tpch_q4_shape, tpch_q8_shape, tpch_q9_shape, tpch_q11_shape, tpch_q16_shape, tpch_q20_shape, chunk_dedup_ratio, term_blocklist_filter, embedding_quantize_int8, normalize_text_scrub, join_salted_skew, quality_bucket_mix, semdedup_corpus, source_entropy —
-# have local-gate evidence only; swap them into the front 50 next round
-# (replacing entries that will then hold driver-green rows from round 2).
+# ROTATION (round 4+): after round 3 every registered query has at least one
+# driver-checked row across r1-r3. Round 4 should re-check: any r3 reds,
+# plus greens with the oldest evidence (r1-only scalar/join/window families)
+# on a rolling basis.
 _CHECK_FIRST = [
-    # round-1 red (oracle type casts fixed) + new this round
-    "math_funcs",
-    "join_right_outer",
-    "tpch_q1_shape",
-    # LLM data-pipeline family
-    "exact_dedup_hash",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_docs",
-    "near_dup_dedup_corpus",
-    "token_stats",
-    "word_freq",
-    "quality_features",
-    "lang_id_confusion",
-    "doc_fingerprint",
-    "tfidf_stats",
-    "bpe_ish_tokenize",
-    "corpus_curation_filter",
-    "cosine_topk",
-    "embedding_norm_stats",
-    "ann_lsh_buckets",
-    "ann_lsh_search",
-    "multimodal_features",
-    # composed analytics (subqueries, CTEs, TPC-H shapes)
-    "scalar_subquery",
-    "in_subquery",
-    "correlated_exists",
-    "not_in_subquery",
-    "cte_pipeline",
-    "correlated_scalar_min",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "tpch_q6_shape",
-    "tpch_q7_shape",
-    "tpch_q10_shape",
+    # round-2 reds — oracle integer-sum outputs cast ::BIGINT (HUGEINT fix)
     "tpch_q12_shape",
-    "tpch_q18_shape",
-    "tpch_q19_shape",
-    # streaming batch-twins
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
-    "dedup_first_seen",
-    "late_data_filter",
+    "simhash_docs",
+    "ann_lsh_buckets",
     "sessionize_lag_cumsum",
-    # UDF surfaces
-    "pandas_scalar_udf",
-    "pandas_grouped_agg_udaf",
-    "grouped_map_udf",
-    "python_udtf",
-    # set ops + remaining window variant
-    "union_ops",
-    "setops_suite",
-    "global_sort",
-    "window_percent_rank",
+    # oracle text changed this round → re-verify
+    "ann_lsh_search",
+    "mixing_weights",
+    # new this round
+    "json_scan",
+    "csv_scan",
+    "time_bucket_gapfill",
+    # local-only until now: latent-HUGEINT fixes landed this round
+    "funnel_analysis",
+    "sequence_packing_bins",
+    "quality_bucket_mix",
+    # local-only until now: LLM curation / dataset assembly
+    "ivf_cells",
+    "ivf_search",
+    "embedding_near_dup",
+    "semdedup_corpus",
+    "dup_clusters_cc",
+    "chunk_dedup_ratio",
+    "repetition_score",
+    "benchmark_contamination",
+    "unigram_logprob_score",
+    "train_val_test_split",
+    "source_quota_sample",
+    "stratified_lang_sample",
+    "term_blocklist_filter",
+    "embedding_quantize_int8",
+    "normalize_text_scrub",
+    "source_entropy",
+    # local-only until now: skew + composed analytics
+    "join_salted_skew",
+    "retention_cohorts",
+    "recursive_month_spine",
+    # local-only until now: TPC-H extras
+    "tpch_q4_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "tpch_q11_shape",
+    "tpch_q13_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
+    # weakest-evidence greens (r1-only, cross-engine-fragile semantics)
+    "percentiles_stats",
+    "window_range_frame",
+    "join_asof",
+    "join_range",
+    "grouping_sets",
+    "date_arithmetic",
+    "collect_set_agg",
 ]
 
 

@@ -53,13 +53,21 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
 
+    # Median of n runs per query: this host shows ±25% run-to-run variance
+    # on sub-second queries, so single-shot timings made round-over-round
+    # deltas noise (r1→r2 "regressions" on unchanged plans). Medians make
+    # the recorded number signal.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        # count() forces full execution without driver-side row transfer
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            # count() forces full execution without driver-side row transfer
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

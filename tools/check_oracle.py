@@ -60,6 +60,54 @@ def multiset(rows, colnames):
     return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def type_class(t: str) -> str:
+    # Collapse engine type names into hash-compatibility classes. The driver's
+    # value hash is type-sensitive at the STORAGE level: all four round-2 reds
+    # were DuckDB HUGEINT (uncast integer sum) vs Spark BIGINT — identical
+    # Python ints locally, different driver hashes. So HUGEINT is its own
+    # class (never hash-compatible with anything Spark produces), int widths
+    # collapse (driver-green history shows int32-vs-int64 is tolerated), and
+    # int/float/decimal are distinct classes (round-1 math_funcs lesson).
+    t = t.strip().upper()
+    if t.startswith(("DECIMAL", "NUMERIC")):
+        return "decimal"
+    if t in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
+        return "hugeint"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT", "LONG",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("VARCHAR", "STRING", "TEXT", "JSON"):
+        # DuckDB JSON cells arrive as Python str, same as Spark to_json
+        # output — json_struct_roundtrip is driver-green r1 evidence.
+        return "str"
+    if t in ("BOOLEAN", "BOOL"):
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t in ("BLOB", "BINARY", "BYTEA"):
+        return "binary"
+    if t.startswith(("ARRAY", "LIST")) or t.endswith("[]"):
+        return "list"
+    if t.startswith(("STRUCT", "MAP", "ROW")):
+        return "nested"
+    return t.lower()
+
+
+def dtype_problems(sdf, dcols, dtypes):
+    """Compare Spark schema vs DuckDB result types per column name."""
+    spark_t = {f.name: type_class(f.dataType.simpleString()) for f in sdf.schema.fields}
+    duck_t = {c: type_class(t) for c, t in zip(dcols, dtypes)}
+    out = []
+    for c in sorted(set(spark_t) & set(duck_t)):
+        if spark_t[c] != duck_t[c]:
+            out.append(f"dtype[{c}] spark={spark_t[c]} duckdb={duck_t[c]}")
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query names (default: all)")
@@ -107,9 +155,10 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
@@ -119,6 +168,7 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
+        problems.extend(dtype_problems(sdf, dcols, dtypes))
         if not problems:
             ms, md = multiset(srows, scols), multiset(drows, dcols)
             if ms != md:

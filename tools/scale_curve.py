@@ -1,0 +1,65 @@
+"""Candidate-pair growth curves for the bucketed dedup/ANN paths.
+
+The scale claim behind MinHash-LSH and hyperplane-LSH is that candidate
+pairs grow ~linearly with corpus size (pairs concentrate in buckets whose
+occupancy tracks true duplicate density), NOT quadratically like the naive
+all-pairs join. This tool measures that curve empirically across the
+fixture scale factors and prints a markdown table for SCALE.md:
+
+    python tools/scale_curve.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ab_inbev_big_data_case_spark.llm.dedup import (
+        lsh_band_buckets_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+        pairs_within_groups,
+        shingle_set,
+    )
+    from ab_inbev_big_data_case_spark.llm.similarity import hyperplane_buckets
+    from ab_inbev_big_data_case_spark.session import get_spark
+    from ab_inbev_big_data_case_spark.sources.readers import table
+
+    spark = get_spark("scale_curve")
+    rows = []
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        docs = table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        sig = minhash_signatures_wide(
+            shingle_set(docs, "doc_id", "text", 3), "doc_id", 8
+        )
+        pairs = lsh_candidate_pairs(
+            lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id"
+        )
+        n_pairs = pairs.count()
+
+        emb = table(spark, sf_dir, "embeddings")
+        n_vecs = emb.count()
+        b = hyperplane_buckets(emb, "vec_id", "embedding", n_planes=4, n_tables=4, dim=64)
+        n_ann = pairs_within_groups(b, "vec_id", ["tbl", "bucket"]).count()
+        rows.append((sf, n_docs, n_pairs, n_pairs / n_docs, n_vecs, n_ann, n_ann / n_vecs))
+
+    print("| sf | docs N | LSH pairs | pairs/N | vecs N | ANN cand pairs | cand/N |")
+    print("|---|---|---|---|---|---|---|")
+    for sf, nd, np_, r1, nv, na, r2 in rows:
+        print(f"| {sf} | {nd} | {np_} | {r1:.3f} | {nv} | {na} | {r2:.3f} |")
+
+
+if __name__ == "__main__":
+    main()
