@@ -1020,9 +1020,14 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lower = more typical text; outliers are boilerplate/noise). The
     frequency table is corpus-derived and joined back broadcast; the total
     stays in-plan as a 1-row aggregate — no driver-side action, two
-    shuffles total (token tf, per-doc avg) at any corpus size."""
+    shuffles total (token tf, per-doc avg) at any corpus size.
+
+    No ``spread()``: whitespace split is cheap per row (unlike shingling),
+    and the token pipeline executes twice (tf broadcast build + probe side),
+    so a repartition here pays its shuffle twice — measured 3x slower at
+    sf0.1. At scale the scan parallelizes by row groups anyway."""
     d = table(spark, sf_dir, "documents")
-    toks = spread(d).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
     tot = tf.agg(F.sum("n").cast("double").alias("n_total"))
     return (
@@ -1208,7 +1213,9 @@ def quality_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back into the scan (scale-parallel) — NOT a global ntile
     window, which would sort the whole corpus on one reducer at 100 TB."""
     d = table(spark, sf_dir, "documents")
-    toks = spread(d).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # no spread(): split is cheap and the pipeline runs twice (tf + probe) —
+    # see unigram_logprob_score
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
     tot = tf.agg(F.sum("n").cast("double").alias("n_total"))
     scored = (

@@ -53,12 +53,32 @@ def main() -> None:
         n_vecs = emb.count()
         b = hyperplane_buckets(emb, "vec_id", "embedding", n_planes=4, n_tables=4, dim=64)
         n_ann = pairs_within_groups(b, "vec_id", ["tbl", "bucket"]).count()
-        rows.append((sf, n_docs, n_pairs, n_pairs / n_docs, n_vecs, n_ann, n_ann / n_vecs))
 
-    print("| sf | docs N | LSH pairs | pairs/N | vecs N | ANN cand pairs | cand/N |")
-    print("|---|---|---|---|---|---|---|")
-    for sf, nd, np_, r1, nv, na, r2 in rows:
-        print(f"| {sf} | {nd} | {np_} | {r1:.3f} | {nv} | {na} | {r2:.3f} |")
+        # Occupancy-targeted plane count: 2^planes buckets/table sized so a
+        # bucket holds ~16 vectors regardless of N. THIS is the 100 TB
+        # configuration — a fixed plane count is quadratic in N.
+        import math
+
+        planes_n = max(4, math.ceil(math.log2(max(n_vecs / 16, 2))))
+        b2 = hyperplane_buckets(
+            emb, "vec_id", "embedding", n_planes=planes_n, n_tables=4, dim=64
+        )
+        n_ann2 = pairs_within_groups(b2, "vec_id", ["tbl", "bucket"]).count()
+        rows.append(
+            (sf, n_docs, n_pairs, n_pairs / n_docs, n_vecs, n_ann, n_ann / n_vecs,
+             planes_n, n_ann2, n_ann2 / n_vecs)
+        )
+
+    print(
+        "| sf | docs N | LSH pairs | pairs/N | vecs N "
+        "| ANN cand (4 planes) | cand/N | planes@occ16 | ANN cand | cand/N |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    for sf, nd, np_, r1, nv, na, r2, pl, na2, r3 in rows:
+        print(
+            f"| {sf} | {nd} | {np_} | {r1:.3f} | {nv} | {na} | {r2:.1f} "
+            f"| {pl} | {na2} | {r3:.1f} |"
+        )
 
 
 if __name__ == "__main__":
