@@ -280,7 +280,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> Data
     Two shuffles ((id,bit) then id), both pre-combined map-side; bits table
     is broadcast.
     """
-    toks = spread(df).select(
+    # no spread(): tokenize is cheap per row — the repartition shuffle of the
+    # text bodies costs more than the work it parallelizes (measured 5x at
+    # sf0.1; spread stays on shingle_set, where per-row cost dominates)
+    toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).withColumn("h", token_hash64(F.col("tok")))
     # all bit-votes as parallel aggregations over the same token rows: ONE
@@ -349,8 +352,7 @@ def chunk_dup_stats(
         " ", F.slice(toks, i * chunk_len + 1, chunk_len)
     )
     exploded = (
-        spread(df)
-        .filter(F.size(toks) >= chunk_len)
+        df.filter(F.size(toks) >= chunk_len)
         .select(
             F.col(id_col),
             F.explode(F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at)).alias(

@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.functions.text import HASH_MOD, token_hash_mod, tokens
-from ab_inbev_big_data_case_spark.operators.partitioning import spread
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -89,7 +88,9 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     plain explode + weighted-sum aggregation: one shuffle on doc id, exact in
     int64 (pos < 2^17, hash < 2^30 ⇒ each term < 2^47).
     """
-    exploded = spread(df).select(
+    # no spread(): tokenize+hash is cheap per row; the repartition shuffle
+    # would cost more than it parallelizes (measured 4x at sf0.1)
+    exploded = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
     )
     term = (F.col("pos") + 1) * token_hash_mod(F.col("tok"))
@@ -107,7 +108,7 @@ def tfidf_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     invocation."""
     n_docs_df = df.agg(F.count("*").cast("double").alias("_n_docs"))
     tf = (
-        spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
     )

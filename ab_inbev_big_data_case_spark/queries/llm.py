@@ -50,7 +50,6 @@ from ab_inbev_big_data_case_spark.llm.textstats import (
     token_stats,
     word_frequencies,
 )
-from ab_inbev_big_data_case_spark.operators.partitioning import spread
 from ab_inbev_big_data_case_spark.registry import register
 from ab_inbev_big_data_case_spark.sources.readers import table
 
