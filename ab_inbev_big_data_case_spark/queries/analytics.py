@@ -353,6 +353,49 @@ def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ("lineitem",), _TPCH_Q1)
 
 
+_TPCH_Q2 = """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               round(CAST(min(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+                   AS ps_supplycost
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+    SELECT round(s.s_acctbal, 2) AS s_acctbal_r, s.s_name, n.n_name,
+           p.p_partkey, p.p_brand
+    FROM part p
+    JOIN ps ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size <= 5 AND p.p_type = 'SMALL'
+      AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+"""
+
+
+@register("tpch_q2_shape", oracle=_TPCH_Q2)
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the fixture has no partsupp,
+    so the supply-offer table is derived as min effective price per
+    (part, supplier) from lineitem, then the classic correlated MIN subquery
+    picks each part's cheapest in-region supplier. Catalyst decorrelates the
+    subquery into an aggregate + join over the same CTE; region/nation dims
+    broadcast. Supply cost is decimal-exact then rounded before the double
+    equality so both engines compare identical values."""
+    return _sql(
+        spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"), _TPCH_Q2
+    )
+
+
 _TPCH_Q14 = """
     SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
                    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
