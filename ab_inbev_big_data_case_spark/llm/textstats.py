@@ -168,3 +168,48 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (norm != t).alias("changed"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_doc_freq: int = 3
+) -> DataFrame:
+    """Cross-document boilerplate detection (the C4/RefinedWeb cleanup rule:
+    navigation chrome, cookie banners, license footers repeat verbatim
+    across unrelated pages): an n-gram is *boilerplate* when it appears in
+    >= ``min_doc_freq`` distinct documents; each doc is scored by the
+    fraction of its distinct n-grams that are boilerplate.
+
+    Returns (id, n_grams, n_boiler, boiler_ratio) for docs with >= n tokens.
+
+    Scale shape: per-doc DISTINCT n-grams (array_distinct inside the row,
+    before the explode) so document frequency is one count per (gram, doc)
+    — the groupBy(gram) partial-aggregates map-side; the boilerplate set
+    re-joins the exploded grams on the gram key (equi-join, no fan-out: one
+    boilerplate row per gram value). Nothing is quadratic in corpus size.
+    """
+    from ab_inbev_big_data_case_spark.functions.text import shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("gram"),
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .select("gram", F.lit(1).alias("__b"))
+    )
+    return (
+        grams.join(boiler, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__b").alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 4).alias("boiler_ratio"),
+        )
+    )

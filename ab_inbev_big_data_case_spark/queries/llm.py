@@ -1320,3 +1320,191 @@ def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.count("*").cast("double")), 6).alias("max_entropy"),
         )
     )
+
+
+# --------------------------------------------------- sketches / sampling / scrub v2
+
+from ab_inbev_big_data_case_spark.llm.sketches import cms_heavy_hitters  # noqa: E402
+from ab_inbev_big_data_case_spark.llm.similarity import gram_matrix_fixed_point  # noqa: E402
+from ab_inbev_big_data_case_spark.llm.textstats import boilerplate_ngram_stats  # noqa: E402
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    hashed AS (
+        SELECT r.rw,
+               ('0x' || substr(sha256(r.rw::VARCHAR || ':' || tok), 1, 15))::BIGINT % 512
+                   AS bucket
+        FROM occ, range(4) r(rw)
+    ),
+    sketch AS (SELECT rw, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+    exact AS (SELECT tok, count(*) AS exact_n FROM occ GROUP BY 1),
+    probes AS (
+        SELECT e.tok, r.rw,
+               ('0x' || substr(sha256(r.rw::VARCHAR || ':' || e.tok), 1, 15))::BIGINT % 512
+                   AS bucket
+        FROM exact e, range(4) r(rw)
+    ),
+    est AS (
+        SELECT p.tok, min(s.cnt) AS cms_est
+        FROM probes p JOIN sketch s ON s.rw = p.rw AND s.bucket = p.bucket
+        GROUP BY 1
+    )
+    SELECT e.tok, est.cms_est, e.exact_n
+    FROM est JOIN exact e ON e.tok = est.tok
+    ORDER BY est.cms_est DESC, e.tok
+    LIMIT 20
+    """,
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over the token stream: 4×512 bounded
+    counters (map-side combinable regardless of corpus size), point estimate
+    = min over the 4 row counters, exact count alongside to expose the
+    collision overestimate. See ``llm/sketches.py`` for the scale argument —
+    the sketch is the fixed-size summary a 100 TB frequency pass keeps when
+    the distinct-token space itself won't fit a shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(d, "text", depth=4, width=512, k=20)
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(ln((((('0x' || substr(sha256('wrs:' || doc_id), 1, 15))::BIGINT % 1000000)
+                      + 0.5) / 1000000.0)) / n_chars, 9) AS key_r
+    FROM documents
+    ORDER BY key_r DESC, doc_id
+    LIMIT 50
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    key = ln(u)/w with u a deterministic hash-derived uniform and w the doc
+    weight (n_chars) — the top-k keys ARE the weighted sample. Hash-derived
+    u makes the 'random' draw reproducible across engines, re-runs, and
+    partitionings (randomSplit/rand() are not); the top-k itself is a
+    TakeOrderedAndProject, no global sort. Keys are rounded before ranking
+    (quantize-before-rank) so a last-ulp ln() divergence can't flip the
+    selection; ties break on doc_id."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        (
+            token_hash64(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    key_r = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "n_chars", key_r.alias("key_r"))
+        .orderBy(F.col("key_r").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                                  toks[i+4])))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 5
+    ),
+    boiler AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 3)
+    SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_boiler,
+           round(count(b.gram) * 1.0 / count(*), 4) AS boiler_ratio
+    FROM grams g LEFT JOIN boiler b ON b.gram = g.gram
+    GROUP BY 1
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate density (C4/RefinedWeb cleanup rule):
+    5-grams shared verbatim by >= 3 documents are chrome/footer noise; each
+    doc is scored by the fraction of its distinct 5-grams that are
+    boilerplate. Distinct-per-doc before the explode keeps document
+    frequency one row per (gram, doc); the boilerplate re-join is a plain
+    equi-join on the gram key."""
+    d = table(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(d, "doc_id", "text", n=5, min_doc_freq=3)
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                              v -> floor(v::DOUBLE * 1000.0 + 0.5)::BIGINT) AS qv
+        FROM embeddings
+    )
+    SELECT t1.i::INT AS i, t2.j::INT AS j,
+           sum(qv[t1.i + 1] * qv[t2.j + 1])::BIGINT AS gram_q
+    FROM q, range(64) t1(i), range(64) t2(j)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X'X of the corpus embeddings — the whitening/
+    PCA precursor. Fixed-point quantization first (floor(x*1000 + 0.5) in
+    int64) makes the accumulation EXACT, so Spark's per-partition numpy
+    partials, any shuffle order, and the oracle's row-at-a-time sum agree
+    bit-for-bit. The Python surface is one BLAS X'X per Arrow batch; the
+    shuffle carries n_partitions rows of 64² longs, never the vectors."""
+    e = table(spark, sf_dir, "embeddings")
+    return gram_matrix_fixed_point(e, "embedding", dim=64, scale=1000)
+
+
+@register(
+    "pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(synth, '[a-z0-9]+@[a-z]+\.com')) AS n_emails,
+           len(regexp_extract_all(synth, '555-[0-9]{4}')) AS n_phones,
+           substr(regexp_replace(regexp_replace(synth, '[a-z0-9]+@[a-z]+\.com',
+                                                '<EMAIL>', 'g'),
+                                 '555-[0-9]{4}', '<PHONE>', 'g'), 1, 48) AS head,
+           length(regexp_replace(regexp_replace(synth, '[a-z0-9]+@[a-z]+\.com',
+                                                '<EMAIL>', 'g'),
+                                 '555-[0-9]{4}', '<PHONE>', 'g')) AS n_scrubbed
+    FROM (
+        SELECT doc_id,
+               'contact ' || source || '@example.com call 555-'
+                   || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ' || text AS synth
+        FROM documents
+    )
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (email + phone patterns -> typed placeholders),
+    with per-doc match counts. The fixture corpus is synthetic tokens, so
+    the PII is injected deterministically inside the query (source-derived
+    email, doc_id-derived phone) — what's under test is that the regex
+    match/replace semantics agree across engines and that the scrub is a
+    pure narrow projection (no shuffle, codegen'd JVM regex; at 100 TB this
+    runs at scan speed). Real deployments swap in their pattern pack."""
+    d = table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    email_pat = r"[a-z0-9]+@[a-z]+\.com"
+    phone_pat = r"555-[0-9]{4}"
+    scrub = F.regexp_replace(
+        F.regexp_replace(synth, email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(email_pat)).cast("long").alias("n_emails"),
+        F.regexp_count(synth, F.lit(phone_pat)).cast("long").alias("n_phones"),
+        F.substring(scrub, 1, 48).alias("head"),
+        F.length(scrub).cast("long").alias("n_scrubbed"),
+    )

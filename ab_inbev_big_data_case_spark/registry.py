@@ -102,14 +102,17 @@ _CHECK_FIRST = [
     "tpch_q20_shape",
     "tpch_q21_shape",
     "tpch_q22_shape",
-    # weakest-evidence greens (r1-only, cross-engine-fragile semantics)
+    # new this round (zero driver evidence — displace r1-green fillers,
+    # which keep their round-1 rows): TPC-H Q2 completes the 22-query
+    # suite; the rest are new LLM-curation operators
+    "tpch_q2_shape",
+    "cms_heavy_hitters",
+    "weighted_reservoir_sample",
+    "boilerplate_ngrams",
+    "embedding_gram_matrix",
+    "pii_scrub",
+    # weakest-evidence green (r1-only, cross-engine-fragile semantics)
     "percentiles_stats",
-    "window_range_frame",
-    "join_asof",
-    "join_range",
-    "grouping_sets",
-    "date_arithmetic",
-    "collect_set_agg",
 ]
 
 

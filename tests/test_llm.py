@@ -237,3 +237,98 @@ def test_chunk_dup_stats_flags_planted_duplicates(spark):
     assert got[1]["n_chunks"] == 2 and got[1]["n_dup_chunks"] == 1
     assert got[2]["n_dup_chunks"] == 1
     assert got[3]["n_dup_chunks"] == 0 and got[3]["dup_chunk_ratio"] == 0.0
+
+
+def test_cms_overestimates_and_bounds(spark, docs):
+    """CMS point estimates are >= exact counts (sketch only collides
+    upward), the counter table is bounded at depth*width, and the top
+    token's error respects the eps*N bound (eps = e/width)."""
+    import math
+
+    from ab_inbev_big_data_case_spark.llm.sketches import (
+        cms_build,
+        cms_heavy_hitters,
+    )
+
+    occ = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    n_total = occ.count()
+    sketch_rows = cms_build(occ, "tok", depth=4, width=512).count()
+    assert sketch_rows <= 4 * 512
+
+    hh = cms_heavy_hitters(docs, "text", depth=4, width=512, k=20).collect()
+    assert len(hh) == 20
+    eps_bound = math.e / 512 * n_total
+    for r in hh:
+        assert r["cms_est"] >= r["exact_n"]
+        assert r["cms_est"] - r["exact_n"] <= eps_bound
+
+
+def test_weighted_reservoir_favors_heavy_docs(spark, docs, sf_dir):
+    """A-ES with weight = n_chars must over-represent long docs: the
+    sample's mean n_chars exceeds the corpus mean (weighted-inclusion
+    property), and the draw is deterministic across invocations."""
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    q = QUERIES["weighted_reservoir_sample"]
+    s1 = [r["doc_id"] for r in q(spark, sf_dir).collect()]
+    s2 = [r["doc_id"] for r in q(spark, sf_dir).collect()]
+    assert s1 == s2, "hash-derived keys must make the sample reproducible"
+    sample_mean = (
+        q(spark, sf_dir).agg(F.avg("n_chars")).collect()[0][0]
+    )
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean
+
+
+def test_boilerplate_ngrams_flags_planted_chrome(spark):
+    """A 5-gram repeated verbatim across >= 3 docs is flagged; unique text
+    is not."""
+    from ab_inbev_big_data_case_spark.llm.textstats import boilerplate_ngram_stats
+
+    chrome = "accept all cookies to continue"
+    rows = [
+        (i, f"{chrome} unique{i} body{i} words{i} here{i} tail{i}") for i in range(3)
+    ] + [(99, "totally unrelated words with no shared five gram run")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_ngram_stats(df, "doc_id", "text", 5, 3).collect()}
+    for i in range(3):
+        assert out[i]["n_boiler"] >= 1
+        assert 0.0 < out[i]["boiler_ratio"] <= 1.0
+    assert out[99]["n_boiler"] == 0
+
+
+def test_gram_matrix_matches_numpy_and_is_symmetric(spark, sf_dir):
+    """The distributed fixed-point Gram matrix equals a single-node numpy
+    computation exactly (int64 arithmetic — no FP tolerance needed) and is
+    symmetric with a positive diagonal."""
+    import numpy as np
+
+    from ab_inbev_big_data_case_spark.llm.similarity import gram_matrix_fixed_point
+
+    e = table(spark, sf_dir, "embeddings")
+    rows = gram_matrix_fixed_point(e, "embedding", dim=64, scale=1000).collect()
+    g = np.zeros((64, 64), dtype=np.int64)
+    for r in rows:
+        g[r["i"], r["j"]] = r["gram_q"]
+
+    x = np.array([r["embedding"] for r in e.collect()], dtype=np.float64)
+    q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+    expected = q.T @ q
+    assert (g == expected).all()
+    assert (g == g.T).all()
+    assert (np.diag(g) > 0).all()
+
+
+def test_pii_scrub_removes_all_patterns(spark, sf_dir):
+    """After the scrub no email/phone pattern survives anywhere in the
+    scrubbed text, and every doc had at least one of each injected."""
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["pii_scrub"](spark, sf_dir)
+    assert out.filter((F.col("n_emails") < 1) | (F.col("n_phones") < 1)).count() == 0
+    assert out.filter(
+        F.col("head").rlike(r"[a-z0-9]+@[a-z]+\.com") | F.col("head").rlike(r"555-[0-9]{4}")
+    ).count() == 0
