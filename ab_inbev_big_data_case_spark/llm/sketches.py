@@ -1,4 +1,4 @@
-"""Streaming-sketch operators: Count-Min Sketch over token streams.
+"""Streaming-sketch operators: Count-Min Sketch, HyperLogLog, Bloom filter.
 
 A Count-Min Sketch (Cormode & Muthukrishnan 2005) summarizes an arbitrarily
 large multiset in ``depth x width`` int64 counters: every occurrence
@@ -100,3 +100,207 @@ def cms_heavy_hitters(
         .orderBy(F.col("cms_est").desc(), F.col("tok"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------- HyperLogLog
+
+#: Fixed HLL geometry: p index bits -> m = 2^p registers; the remaining
+#: 60 - p hash bits feed the leading-zero count. The integer "inverse-power
+#: sum" is scaled by 2^48 so it stays exact in int64 (worst case
+#: m * 2^48 = 2^56 at p = 8) — register values past 48 floor to 0, an error
+#: below 2^-48 per register, i.e. none after the final rounding.
+HLL_SUM_SCALE_BITS = 48
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 128 (Flajolet et al. 2007)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, item_col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table for the multiset in ``item_col``:
+    (register, rho) with at most m = 2^p rows, rho = 1 + leading zeros of
+    the item hash's tail bits (the classic Flajolet-Fusy-Gandouet-Meunier
+    estimator state).
+
+    Portability: the hash is the engine's sha256-derived 60-bit int; the
+    register index is ``h mod m`` and rho is derived from the BIT LENGTH of
+    ``h >> p`` (``length(bin(w))``) — both integer-exact in Spark and
+    DuckDB, so the full register table is reproducible bit-for-bit.
+
+    100 TB shape: like the CMS, the groupBy(register).max(rho) partial-agg
+    state is bounded at m counters per task no matter the input size, and
+    register tables MERGE by elementwise max — the sketch of a union is the
+    max of the sketches (pytest-pinned), which is what lets a 1000-executor
+    scan summarize per-partition and combine for free where an exact
+    count-distinct would shuffle the whole key space.
+    """
+    m = 1 << p
+    tail_bits = 60 - p
+    h = token_hash64(F.col(item_col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select((h % m).alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Collapse a register table into the one-row HLL estimate:
+    (registers_hit, sum_q, hll_est).
+
+    ``sum_q`` is the integer-scaled inverse-power sum
+    Σ 2^(48 - rho) (unhit registers contribute 2^48), so the only floating
+    point in the whole estimator is ONE constant/int64 division — identical
+    IEEE result in every engine, no summation-order sensitivity. The raw
+    estimate is reported without the small-range linear-counting correction
+    (which needs ln(); callers with E < 2.5m cardinalities apply it on the
+    two integer columns this already returns).
+    """
+    m = 1 << p
+    scale = HLL_SUM_SCALE_BITS
+    # alpha * m^2 * 2^48, folded to one double literal shared with oracles.
+    c = hll_alpha(m) * m * m * float(1 << scale)
+    term = F.expr(
+        f"CASE WHEN rho <= {scale} THEN shiftleft(1L, cast({scale} - rho AS INT)) "
+        "ELSE 0L END"
+    )
+    return registers.agg(
+        F.count("*").alias("registers_hit"),
+        (
+            F.sum(term)
+            + (F.lit(m) - F.count("*")) * F.lit(1 << scale).cast("long")
+        ).alias("sum_q"),
+    ).select(
+        "registers_hit",
+        "sum_q",
+        F.round(F.lit(c) / F.col("sum_q"), 4).alias("hll_est"),
+    )
+
+
+def hll_oracle_sql(item_expr: str, source_sql: str, p: int = 8) -> str:
+    """DuckDB twin of hll_registers |> hll_estimate over ``source_sql``
+    (a query producing one item per row as column ``item``)."""
+    m = 1 << p
+    tail = 60 - p
+    scale = HLL_SUM_SCALE_BITS
+    c = repr(hll_alpha(m) * m * m * float(1 << scale))
+    return f"""
+    WITH items AS ({source_sql}),
+    hashed AS (
+        SELECT ('0x' || substr(sha256({item_expr}), 1, 15))::BIGINT AS h
+        FROM items
+    ),
+    regs AS (
+        SELECT h % {m} AS register,
+               max(CASE WHEN (h >> {p}) = 0 THEN {tail + 1}
+                        ELSE {tail + 1} - length(bin(h >> {p})) END) AS rho
+        FROM hashed GROUP BY 1
+    ),
+    agg AS (
+        SELECT count(*) AS registers_hit,
+               (sum(CASE WHEN rho <= {scale} THEN (1::BIGINT << ({scale} - rho))
+                         ELSE 0 END)
+                + ({m} - count(*)) * (1::BIGINT << {scale}))::BIGINT AS sum_q
+        FROM regs
+    )
+    SELECT registers_hit, sum_q, round({c} / sum_q, 4) AS hll_est FROM agg
+    """
+
+
+# --------------------------------------------------------------- Bloom filter
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str,
+    k: int = 3,
+    words: int = 4096,
+    bits_per_word: int = 60,
+) -> DataFrame:
+    """Bloom filter over the distinct items of ``item_col``: (word_idx, word)
+    with at most ``words`` rows, each packing ``bits_per_word`` bits of the
+    m = words * bits_per_word bitmap (60 bits per int64 word keeps every
+    shift result positive — no sign-bit portability edge).
+
+    Build is explode-to-k-probes -> groupBy(word_idx).bit_or(mask): the
+    partial-agg state is bounded at ``words`` int64s per task, and filters
+    MERGE by elementwise OR — same distributed story as the HLL registers.
+    Spark ships a native BloomFilterAggregate, but its hash is engine-
+    internal; this one is reproducible in any engine with sha256.
+    """
+    m_bits = words * bits_per_word
+    probes = df.select(F.col(item_col).alias("__item")).select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        token_hash64(
+                            F.concat(F.lit(f"bloom{i}:"), F.col("__item"))
+                        )
+                        % m_bits
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("bit")
+    )
+    return (
+        probes.select(
+            (F.col("bit") / bits_per_word).cast("long").alias("word_idx"),
+            # shiftleft with a column shift amount needs the SQL form — the
+            # pyspark wrapper only takes a literal int
+            F.expr(f"shiftleft(1L, cast(bit % {bits_per_word} AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    item_col: str,
+    k: int = 3,
+    words: int = 4096,
+    bits_per_word: int = 60,
+) -> DataFrame:
+    """Probe each row of ``candidates`` against a built filter:
+    adds ``bloom_hit`` (true iff ALL k probe bits are set — the no-false-
+    negative membership test).
+
+    The filter is broadcast (bounded at ``words`` rows by construction), so
+    probing is a narrow map + broadcast-join: at 100 TB this is the
+    join-pruning pattern — ship the small side's fingerprint to every fact
+    partition and drop non-members before the real shuffle.
+    """
+    m_bits = words * bits_per_word
+    probed = candidates
+    for i in range(k):
+        bit = token_hash64(F.concat(F.lit(f"bloom{i}:"), F.col(item_col))) % m_bits
+        probed = probed.withColumn(f"__b{i}", bit)
+        probed = probed.withColumn(
+            f"__w{i}", (F.col(f"__b{i}") / bits_per_word).cast("long")
+        )
+        probed = probed.withColumn(
+            f"__m{i}",
+            F.expr(f"shiftleft(1L, cast(__b{i} % {bits_per_word} AS INT))"),
+        )
+    for i in range(k):
+        b = bloom.select(
+            F.col("word_idx").alias(f"__w{i}"), F.col("word").alias(f"__word{i}")
+        )
+        probed = probed.join(F.broadcast(b), f"__w{i}", "left")
+    hit = F.lit(True)
+    for i in range(k):
+        hit = hit & (
+            F.coalesce(F.col(f"__word{i}"), F.lit(0)).bitwiseAND(F.col(f"__m{i}"))
+            == F.col(f"__m{i}")
+        )
+    drop = [c for i in range(k) for c in (f"__b{i}", f"__w{i}", f"__m{i}", f"__word{i}")]
+    return probed.withColumn("bloom_hit", hit).drop(*drop)

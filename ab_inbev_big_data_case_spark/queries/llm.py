@@ -1508,3 +1508,144 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(scrub, 1, 48).alias("head"),
         F.length(scrub).cast("long").alias("n_scrubbed"),
     )
+
+
+from ab_inbev_big_data_case_spark.llm.sketches import (  # noqa: E402
+    bloom_build,
+    bloom_probe,
+    hll_estimate,
+    hll_oracle_sql,
+    hll_registers,
+)
+
+#: Distinct 4-token shingles — the item space for the cardinality/membership
+#: sketches (the 31-token fixture vocabulary is too small to exercise them;
+#: the ~24k distinct shingles are not).
+_SHINGLE4_SQL = """
+        SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 2),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))) AS item
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents {where})
+        WHERE len(toks) >= 4
+"""
+
+
+def _shingles4(spark: SparkSession, sf_dir: str, where=None):
+    d = table(spark, sf_dir, "documents")
+    if where is not None:
+        d = d.filter(where)
+    return d.select(
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 4))).alias("item")
+    ).distinct()
+
+
+@register(
+    "hll_distinct",
+    oracle=f"""
+    WITH est AS ({hll_oracle_sql("item", _SHINGLE4_SQL.format(where=""), p=8)}),
+    exact AS (SELECT count(*) AS exact_n FROM ({_SHINGLE4_SQL.format(where="")}))
+    SELECT e.registers_hit, e.sum_q, e.hll_est, x.exact_n,
+           round((e.hll_est - x.exact_n) / x.exact_n, 4) AS rel_err
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count of the corpus 4-gram shingle space, exact
+    count alongside to expose the estimator error (sigma = 1.04/sqrt(256)
+    ~ 6.5% at p=8). The register table is integer-exact cross-engine (see
+    ``llm/sketches.py``); the lone float op is one constant/int64 division.
+    The exact count here is verification-only — the 100 TB deployment keeps
+    just the 256-register sketch, merged across partitions by max."""
+    items = _shingles4(spark, sf_dir)
+    est = hll_estimate(hll_registers(items, "item", p=8), p=8)
+    exact = items.agg(F.count("*").alias("exact_n"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "registers_hit",
+            "sum_q",
+            "hll_est",
+            "exact_n",
+            F.round(
+                (F.col("hll_est") - F.col("exact_n")) / F.col("exact_n"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+_BLOOM_K, _BLOOM_WORDS, _BLOOM_BPW = 3, 4096, 60
+
+
+def _bloom_probe_sql() -> str:
+    """DuckDB twin of bloom_build + bloom_probe + the accounting join."""
+    m_bits = _BLOOM_WORDS * _BLOOM_BPW
+    probe = (
+        "('0x' || substr(sha256('bloom' || i || ':' || item), 1, 15))::BIGINT"
+        f" % {m_bits}"
+    )
+    return f"""
+    WITH build AS ({_SHINGLE4_SQL.format(where="WHERE doc_id % 2 = 0")}),
+    cand AS ({_SHINGLE4_SQL.format(where="WHERE doc_id % 2 = 1")}),
+    build_bits AS (
+        SELECT DISTINCT ({probe}) // {_BLOOM_BPW} AS word_idx,
+               1::BIGINT << (({probe}) % {_BLOOM_BPW}) AS mask
+        FROM build, range(0, {_BLOOM_K}) r(i)
+    ),
+    bloom AS (SELECT word_idx, bit_or(mask) AS word FROM build_bits GROUP BY 1),
+    probes AS (
+        SELECT c.item, ({probe}) // {_BLOOM_BPW} AS word_idx,
+               1::BIGINT << (({probe}) % {_BLOOM_BPW}) AS mask
+        FROM cand c, range(0, {_BLOOM_K}) r(i)
+    ),
+    hits AS (
+        SELECT p.item,
+               bool_and(coalesce(b.word, 0) & p.mask = p.mask) AS bloom_hit
+        FROM probes p LEFT JOIN bloom b ON b.word_idx = p.word_idx
+        GROUP BY 1
+    ),
+    acct AS (
+        SELECT h.item, h.bloom_hit, (b.item IS NOT NULL) AS is_member
+        FROM hits h LEFT JOIN build b ON b.item = h.item
+    )
+    SELECT count(*)::BIGINT AS n_probed,
+           sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)::BIGINT AS n_bloom_hits,
+           sum(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS n_members,
+           sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)::BIGINT
+               AS n_false_pos,
+           sum(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END)::BIGINT
+               AS n_false_neg,
+           round(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+                 * 1.0 / sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 4)
+               AS fpr
+    FROM acct
+    """
+
+
+@register("bloom_filter_probe", oracle=_bloom_probe_sql())
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter round-trip: build over even-doc shingles, probe
+    the odd-doc shingles, and account exactly — members, false positives
+    (collisions, ~1% at this n/m/k), and false negatives (MUST be 0, the
+    Bloom guarantee; driver-checked here). At 100 TB this is join pruning:
+    broadcast the 4096-word fingerprint of the small side and drop fact
+    rows that can't match before the shuffle."""
+    build = _shingles4(spark, sf_dir, F.col("doc_id") % 2 == 0)
+    cand = _shingles4(spark, sf_dir, F.col("doc_id") % 2 == 1)
+    bloom = bloom_build(build, "item", _BLOOM_K, _BLOOM_WORDS, _BLOOM_BPW)
+    hits = bloom_probe(cand, bloom, "item", _BLOOM_K, _BLOOM_WORDS, _BLOOM_BPW)
+    acct = hits.join(
+        build.select(F.col("item"), F.lit(True).alias("__m")), "item", "left"
+    ).select("bloom_hit", F.coalesce("__m", F.lit(False)).alias("is_member"))
+    fp = F.when(F.col("bloom_hit") & ~F.col("is_member"), 1).otherwise(0)
+    return acct.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_bloom_hits"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(fp).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("bloom_hit"), 1).otherwise(0)
+        ).alias("n_false_neg"),
+        F.round(
+            F.sum(fp) * 1.0 / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+            4,
+        ).alias("fpr"),
+    )

@@ -332,3 +332,56 @@ def test_pii_scrub_removes_all_patterns(spark, sf_dir):
     assert out.filter(
         F.col("head").rlike(r"[a-z0-9]+@[a-z]+\.com") | F.col("head").rlike(r"555-[0-9]{4}")
     ).count() == 0
+
+
+def test_hll_merge_and_error_bound(spark, docs):
+    """HLL registers of a union equal the elementwise max of the parts'
+    registers (the mergeability that makes the sketch distribute), and the
+    estimate lands within 3 sigma (sigma = 1.04/sqrt(m)) of exact."""
+    from ab_inbev_big_data_case_spark.llm.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    items = docs.select(
+        F.explode(F.split("text", " ")).alias("w"),
+        (F.col("doc_id") % 2).alias("half"),
+        (F.col("doc_id") % 97).cast("string").alias("salt"),
+    ).select(F.concat_ws(":", "w", "salt").alias("item"), "half")
+    full = {r["register"]: r["rho"]
+            for r in hll_registers(items, "item", p=8).collect()}
+    h0 = {r["register"]: r["rho"]
+          for r in hll_registers(items.filter("half = 0"), "item", p=8).collect()}
+    h1 = {r["register"]: r["rho"]
+          for r in hll_registers(items.filter("half = 1"), "item", p=8).collect()}
+    merged = {k: max(h0.get(k, 0), h1.get(k, 0)) for k in set(h0) | set(h1)}
+    assert merged == full
+
+    est = hll_estimate(hll_registers(items, "item", p=8), p=8).collect()[0]
+    exact = items.select("item").distinct().count()
+    assert abs(est["hll_est"] - exact) / exact < 3 * 1.04 / (256 ** 0.5)
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark, docs):
+    """Every built item must probe as a hit (Bloom guarantee); the FPR on
+    disjoint probes stays near the (1 - e^(-kn/m))^k design point."""
+    from ab_inbev_big_data_case_spark.llm.sketches import bloom_build, bloom_probe
+
+    build = docs.filter("doc_id % 2 = 0").select(
+        F.concat_ws(":", F.lit("m"), "doc_id").alias("item")
+    )
+    other = docs.filter("doc_id % 2 = 1").select(
+        F.concat_ws(":", F.lit("m"), "doc_id").alias("item")
+    )
+    bloom = bloom_build(build, "item", k=3, words=64, bits_per_word=60)
+    assert bloom.count() <= 64
+    self_hits = bloom_probe(build, bloom, "item", 3, 64, 60)
+    assert self_hits.filter(~F.col("bloom_hit")).count() == 0
+    n = build.count()
+    import math
+    design_fpr = (1 - math.exp(-3 * n / (64 * 60))) ** 3
+    fpr = other.count() and (
+        bloom_probe(other, bloom, "item", 3, 64, 60)
+        .filter(F.col("bloom_hit")).count() / other.count()
+    )
+    assert fpr <= max(3 * design_fpr, 0.05)
