@@ -845,3 +845,73 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# ------------------------------------------------------------- data layout
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ab_inbev_big_data_case_spark.operators.layout import (  # noqa: E402
+    file_extent_stats,
+    scaled_bucket,
+    zorder_key,
+    zorder_oracle_expr,
+)
+from ab_inbev_big_data_case_spark.sources.readers import table  # noqa: E402
+
+
+@register(
+    "zorder_layout_extents",
+    oracle=f"""
+    WITH raw AS (
+        SELECT o_custkey AS xr,
+               datediff('day', DATE '1992-01-01', o_orderdate) AS yr
+        FROM orders
+    ),
+    bounds AS (SELECT min(xr) x0, max(xr) x1, min(yr) y0, max(yr) y1 FROM raw),
+    b AS (
+        SELECT ((xr - x0) * 256) // (x1 - x0 + 1) AS x,
+               ((yr - y0) * 256) // (y1 - y0 + 1) AS y
+        FROM raw CROSS JOIN bounds
+    ),
+    t AS (
+        SELECT x, y,
+               ntile(32) OVER (ORDER BY {zorder_oracle_expr('x', 'y', 8)},
+                               x, y) AS file_id
+        FROM b
+    )
+    SELECT file_id::INT AS file_id, count(*)::BIGINT AS n_rows,
+           min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+           min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+    FROM t GROUP BY 1
+    """,
+)
+def zorder_layout_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering quality report: orders keyed by the Morton
+    interleave of (custkey-bucket, order-day-bucket), split into 32
+    rank-equal "files", each reporting its min/max per dimension — the
+    footer statistics a parquet reader prunes on. Both dims are scaled to
+    8-bit buckets FIRST (``scaled_bucket``: unbalanced raw domains
+    degenerate the curve into a single-column sort); under the balanced
+    key every file covers a small extent in BOTH dims (pytest pins it
+    beats a single-column sort), which is what makes selective filters on
+    either column skip most of a 100 TB table. See ``operators/layout.py``."""
+    o = table(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_custkey").alias("xr"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("yr"),
+    )
+    bounds = raw.agg(
+        F.min("xr").alias("x0"),
+        F.max("xr").alias("x1"),
+        F.min("yr").alias("y0"),
+        F.max("yr").alias("y1"),
+    )
+    b = raw.crossJoin(F.broadcast(bounds)).select(
+        scaled_bucket(F.col("xr"), F.col("x0"), F.col("x1"), 8).alias("x"),
+        scaled_bucket(F.col("yr"), F.col("y0"), F.col("y1"), 8).alias("y"),
+    )
+    keyed = b.withColumn("zkey", zorder_key(F.col("x"), F.col("y"), 8))
+    return file_extent_stats(keyed, "zkey", ["x", "y"], n_files=32)

@@ -104,3 +104,68 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert got == want
 
     check()
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """The Morton key equals a bit-level Python reference, and bucketizes
+    out-of-range values by masking instead of erroring."""
+    from ab_inbev_big_data_case_spark.operators.layout import zorder_key
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535, 65536 + 7) for y in (0, 3, 1024)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z"))
+        .collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == ref(x & 0xFFFF, y)
+
+
+def test_zorder_layout_beats_single_column_sort(spark, sf_dir):
+    """Range-splitting by the Z-key must give per-file extents that are
+    small in BOTH dims; sorting by x alone leaves the y extents at full
+    domain. Compare the average y-extent across 32 files."""
+    from ab_inbev_big_data_case_spark.operators.layout import (
+        file_extent_stats,
+        scaled_bucket,
+        zorder_key,
+    )
+    from ab_inbev_big_data_case_spark.sources.readers import table
+
+    raw = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("xr"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("yr"),
+    )
+    bounds = raw.agg(
+        F.min("xr").alias("x0"), F.max("xr").alias("x1"),
+        F.min("yr").alias("y0"), F.max("yr").alias("y1"),
+    )
+    o = raw.crossJoin(F.broadcast(bounds)).select(
+        scaled_bucket(F.col("xr"), F.col("x0"), F.col("x1"), 8).alias("x"),
+        scaled_bucket(F.col("yr"), F.col("y0"), F.col("y1"), 8).alias("y"),
+    )
+    keyed = o.withColumn("zkey", zorder_key(F.col("x"), F.col("y"), 8))
+
+    def avg_extent(stats, dim):
+        rows = stats.collect()
+        return sum(r[f"max_{dim}"] - r[f"min_{dim}"] for r in rows) / len(rows)
+
+    z_stats = file_extent_stats(keyed, "zkey", ["x", "y"], 32)
+    x_stats = file_extent_stats(keyed.withColumnRenamed("x", "xs")
+                                .withColumn("x", F.col("xs")), "xs", ["x", "y"], 32)
+    z_y = avg_extent(z_stats, "y")
+    x_y = avg_extent(x_stats, "y")
+    z_x = avg_extent(z_stats, "x")
+    assert z_y < 0.5 * x_y, f"z-order y-extent {z_y} not better than x-sort {x_y}"
+    full_x = keyed.agg(F.max("x") - F.min("x")).collect()[0][0]
+    assert z_x < 0.6 * full_x
