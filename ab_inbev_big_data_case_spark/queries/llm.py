@@ -1649,3 +1649,55 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fpr"),
     )
+
+
+from ab_inbev_big_data_case_spark.llm.similarity import sparse_tfidf_topk  # noqa: E402
+
+
+@register(
+    "sparse_cosine_topk",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id AS doc, gram, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                      toks[i+3]))) AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            WHERE len(toks) >= 4
+        ) GROUP BY 1, 2
+    ),
+    idf AS (SELECT gram, 100000 // count(*) AS idfq FROM grams GROUP BY gram),
+    w AS (SELECT g.doc, g.gram, g.cnt * i.idfq AS w
+          FROM grams g JOIN idf i USING (gram)),
+    norms AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+        SELECT q.doc AS query_id, d.doc AS cand_id, sum(q.w * d.w) AS dot
+        FROM w q JOIN w d ON d.gram = q.gram AND d.doc != q.doc
+        WHERE q.doc % 50 = 0
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, cand_id,
+               round(dot / (nq.nrm * nd.nrm), 4) AS cosine
+        FROM dots
+        JOIN norms nq ON nq.doc = query_id
+        JOIN norms nd ON nd.doc = cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank::INT AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side nearest neighbors WITHOUT embeddings: 4-gram TF-IDF sparse
+    cosine through an inverted-index equi-join (only docs sharing a shingle
+    ever meet — the join-sparsity complement to the dense ANN path). See
+    ``llm.similarity.sparse_tfidf_topk`` for the integer-weight determinism
+    and the max_df posting-length cap that bounds it at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    return sparse_tfidf_topk(
+        d, "doc_id", "text", lambda doc: doc % 50 == 0, n=4, k=5
+    )

@@ -385,3 +385,38 @@ def test_bloom_no_false_negatives_and_low_fpr(spark, docs):
         .filter(F.col("bloom_hit")).count() / other.count()
     )
     assert fpr <= max(3 * design_fpr, 0.05)
+
+
+def test_sparse_tfidf_topk_finds_planted_near_dup(spark):
+    """A doc whose text is a near-copy of a query doc must rank first for
+    that query; an unrelated doc must not appear among its neighbors."""
+    from ab_inbev_big_data_case_spark.llm.similarity import sparse_tfidf_topk
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base + " lambda"),                      # near-dup of 0
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "one two three four five six seven eight nine eleven"),
+        (100, "totally different words that share nothing at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_tfidf_topk(df, "doc_id", "text", lambda d: d == 0, n=4, k=3)
+    got = [(r["cand_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got and got[0] == (1, 1)
+    assert all(c != 100 for c, _ in got)
+
+
+def test_sparse_tfidf_max_df_drops_stop_shingles(spark):
+    """With max_df = 1 every shared shingle is dropped, so no pairs
+    survive — the posting-length cap is a hard quadratic guard."""
+    from ab_inbev_big_data_case_spark.llm.similarity import sparse_tfidf_topk
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(0, base), (1, base + " lambda")], "doc_id long, text string"
+    )
+    out = sparse_tfidf_topk(
+        df, "doc_id", "text", lambda d: d == 0, n=4, k=3, max_df=1
+    )
+    assert out.count() == 0
