@@ -1701,3 +1701,104 @@ def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_tfidf_topk(
         d, "doc_id", "text", lambda doc: doc % 50 == 0, n=4, k=5
     )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, x -> length(x)))::BIGINT AS n_tok_chars,
+               len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and')))
+                   AS n_stop,
+               len(list_distinct(toks)) AS n_distinct
+        FROM t
+    ),
+    flags AS (
+        SELECT doc_id, n_words,
+               n_words BETWEEN 15 AND 5000 AS ok_n_words,
+               n_tok_chars >= 2 * n_words AND n_tok_chars <= 10 * n_words
+                   AS ok_mean_word_len,
+               n_stop >= 2 AS ok_stopwords,
+               n_distinct * 10 >= n_words * 3 AS ok_lexical_diversity
+        FROM m
+    )
+    SELECT doc_id, n_words, ok_n_words, ok_mean_word_len, ok_stopwords,
+           ok_lexical_diversity,
+           (ok_n_words AND ok_mean_word_len AND ok_stopwords
+            AND ok_lexical_diversity) AS keep,
+           CASE WHEN NOT ok_n_words THEN 'n_words'
+                WHEN NOT ok_mean_word_len THEN 'mean_word_len'
+                WHEN NOT ok_stopwords THEN 'stopwords'
+                WHEN NOT ok_lexical_diversity THEN 'lexical_diversity'
+                ELSE '' END AS reject_reason
+    FROM flags
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality AUDIT table (Rae et al. 2021 §A1.1 adapted to
+    the fixture corpus): per-document booleans for each rule plus the first
+    failing rule as a reject reason — the curation debug view, where
+    ``corpus_curation_filter`` is the production keep-filter. All rules are
+    integer comparisons (mean word length via cross-multiplication), so the
+    cut is engine-exact; everything computes in one narrow codegen'd
+    projection — scan speed at 100 TB, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    n_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "to", "and"))
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_tok_chars.alias("n_tok_chars"),
+        n_stop.alias("n_stop"),
+        n_distinct.alias("n_distinct"),
+    )
+    flags = m.select(
+        "doc_id",
+        "n_words",
+        F.col("n_words").between(15, 5000).alias("ok_n_words"),
+        (
+            (F.col("n_tok_chars") >= 2 * F.col("n_words"))
+            & (F.col("n_tok_chars") <= 10 * F.col("n_words"))
+        ).alias("ok_mean_word_len"),
+        (F.col("n_stop") >= 2).alias("ok_stopwords"),
+        (F.col("n_distinct") * 10 >= F.col("n_words") * 3).alias(
+            "ok_lexical_diversity"
+        ),
+    )
+    keep = (
+        F.col("ok_n_words")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_lexical_diversity")
+    )
+    reason = (
+        F.when(~F.col("ok_n_words"), "n_words")
+        .when(~F.col("ok_mean_word_len"), "mean_word_len")
+        .when(~F.col("ok_stopwords"), "stopwords")
+        .when(~F.col("ok_lexical_diversity"), "lexical_diversity")
+        .otherwise("")
+    )
+    return flags.select(
+        "doc_id",
+        "n_words",
+        "ok_n_words",
+        "ok_mean_word_len",
+        "ok_stopwords",
+        "ok_lexical_diversity",
+        keep.alias("keep"),
+        reason.alias("reject_reason"),
+    )
