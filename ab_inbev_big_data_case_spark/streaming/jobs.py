@@ -213,3 +213,40 @@ def stream_stream_join(
             f"r_{ts_col} <= {ts_col} + INTERVAL {max_gap}"
         ),
     )
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+):
+    """Streaming keyed upsert: foreachBatch -> :func:`sources.writers.
+    upsert_by_key` with keep-latest-by-``order_col`` semantics.
+
+    Why foreachBatch: Structured Streaming's file sink is append-only; a
+    keyed MERGE needs batch-side logic. foreachBatch hands each micro-batch
+    to ordinary batch code, and on recovery REPLAYS the last uncommitted
+    batch — so the sink body must be idempotent. ``upsert_by_key``'s
+    order_col rule (an update wins only if its version >= current) makes
+    replays no-ops, which is the exactly-once-effective contract
+    (checkpoint tracks progress, idempotent merge absorbs duplicates).
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ab_inbev_big_data_case_spark.sources.writers import upsert_by_key
+
+        if batch_df.isEmpty():
+            return
+        upsert_by_key(
+            batch_df.sparkSession, batch_df, path, keys, order_col=order_col
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

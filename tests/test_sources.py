@@ -171,3 +171,30 @@ def test_write_interchange_avro_seam(spark, tmp_path):
     assert fmt == ("avro" if avro_available(spark) else "json")
     back = spark.read.format(fmt).load(out)
     assert back.count() == 2
+
+
+def test_upsert_by_key_merge_semantics(spark, tmp_path):
+    """Update rows replace matching keys, new keys append, untouched rows
+    survive; with order_col, stale updates lose and replays are no-ops."""
+    from ab_inbev_big_data_case_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "id long, v string, ver long"
+    )
+    upsert_by_key(spark, base, path, ["id"])
+    upd = spark.createDataFrame(
+        [(2, "b2", 20), (4, "d", 20)], "id long, v string, ver long"
+    )
+    upsert_by_key(spark, upd, path, ["id"], order_col="ver")
+    got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 10), 4: ("d", 20)}
+
+    # stale redelivery (ver 10 for id 2) must NOT regress the row
+    stale = spark.createDataFrame([(2, "bOLD", 10)], "id long, v string, ver long")
+    upsert_by_key(spark, stale, path, ["id"], order_col="ver")
+    # replaying the same batch must be a no-op (idempotent under retry)
+    upsert_by_key(spark, upd, path, ["id"], order_col="ver")
+    got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 10), 4: ("d", 20)}
+    assert spark.read.parquet(path).count() == 4

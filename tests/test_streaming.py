@@ -264,3 +264,48 @@ def test_stream_stream_join_equals_batch(spark, events_batch, events_stream_path
     ).select("event_id", "r_event_id")
     want = _rows(want_df, ["event_id", "r_event_id"])
     assert got == want
+
+
+def test_stream_upsert_sink_keeps_latest(spark, tmp_path):
+    """foreachBatch upsert sink: across micro-batches the table holds one
+    row per key with the highest version; restarting the stream over the
+    same source (fresh checkpoint = full replay) changes nothing."""
+    import pyspark.sql.types as T
+
+    from ab_inbev_big_data_case_spark.streaming.jobs import (
+        stream_from_parquet,
+        stream_upsert_sink,
+    )
+
+    src = str(tmp_path / "src")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    spark.createDataFrame([(2, "b2", 2), (3, "c", 2)], schema).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    out = str(tmp_path / "table")
+    q = stream_upsert_sink(
+        stream_from_parquet(spark, src + "/*", schema),
+        out, ["id"], "ver", str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    want = {1: ("a", 1), 2: ("b2", 2), 3: ("c", 2)}
+    got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == want
+
+    # full replay with a fresh checkpoint: idempotent merge absorbs it
+    q2 = stream_upsert_sink(
+        stream_from_parquet(spark, src + "/*", schema),
+        out, ["id"], "ver", str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == want
