@@ -392,3 +392,58 @@ def argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("l_orderkey", ordval).alias("top_orderkey"),
         F.round(F.max("l_extendedprice"), 2).alias("top_price"),
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT ts::DATE)::BIGINT AS n_days,
+           sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS sum_cents,
+           round(sum(floor(value * 100.0 + 0.5)::BIGINT) / 100.0
+                 / count(*), 4) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via PARTIAL-STATE MERGE: per-day partials
+    (the state an incremental daily ETL persists — reference R8's
+    one-day-window intent taken to its conclusion) re-aggregated into the
+    all-time answer with count→sum, sum→sum, min→min, max→max. The oracle
+    computes the same result DIRECTLY over all events, so a value match
+    proves merge(partials) == full recompute — the invariant that lets a
+    100 TB pipeline maintain rollups by touching only the new day's data.
+    Sums use integer cents (floor-tie quantization) so the partial/direct
+    summation orders can't diverge in the last double bit."""
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            cents.alias("v_cents"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("p_n"),
+            F.sum("v_cents").alias("p_sum"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+    )
+    return daily.groupBy("event_type").agg(
+        F.sum("p_n").alias("n_events"),
+        F.count("*").alias("n_days"),
+        F.sum("p_sum").alias("sum_cents"),
+        F.round(F.sum("p_sum") / 100.0 / F.sum("p_n"), 4).alias("avg_value"),
+        F.min("p_min").alias("min_value"),
+        F.max("p_max").alias("max_value"),
+    ).select(
+        "event_type", "n_events", "n_days", "sum_cents", "avg_value",
+        "min_value", "max_value",
+    )

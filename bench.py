@@ -34,6 +34,9 @@ HEADLINE = [
     "multimodal_features",  # Arrow mapInPandas path
     "semdedup_corpus",      # IVF-cell semantic dedup (cluster -> verify)
     "quality_bucket_mix",   # unigram-LM scoring + percentile bucket sampling
+    "sparse_cosine_topk",   # inverted-index sparse TF-IDF similarity (r3)
+    "hll_distinct",         # bounded-state sketch path (r3)
+    "zorder_layout_extents",  # data-layout key + extent diagnostics (r3)
 ]
 
 
