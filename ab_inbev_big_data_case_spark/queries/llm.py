@@ -1555,7 +1555,9 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``llm/sketches.py``); the lone float op is one constant/int64 division.
     The exact count here is verification-only — the 100 TB deployment keeps
     just the 256-register sketch, merged across partitions by max."""
-    items = _shingles4(spark, sf_dir)
+    # items feeds both the sketch and the verification count — checkpoint so
+    # the distinct-shingle pipeline runs once, not twice
+    items = _shingles4(spark, sf_dir).localCheckpoint(eager=False)
     est = hll_estimate(hll_registers(items, "item", p=8), p=8)
     exact = items.agg(F.count("*").alias("exact_n"))
     return (
@@ -1628,7 +1630,11 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom guarantee; driver-checked here). At 100 TB this is join pruning:
     broadcast the 4096-word fingerprint of the small side and drop fact
     rows that can't match before the shuffle."""
-    build = _shingles4(spark, sf_dir, F.col("doc_id") % 2 == 0)
+    # build feeds the filter construction AND the exact-membership join —
+    # checkpoint so the shingle pipeline runs once per side
+    build = _shingles4(spark, sf_dir, F.col("doc_id") % 2 == 0).localCheckpoint(
+        eager=False
+    )
     cand = _shingles4(spark, sf_dir, F.col("doc_id") % 2 == 1)
     bloom = bloom_build(build, "item", _BLOOM_K, _BLOOM_WORDS, _BLOOM_BPW)
     hits = bloom_probe(cand, bloom, "item", _BLOOM_K, _BLOOM_WORDS, _BLOOM_BPW)
