@@ -94,3 +94,45 @@ def incremental_window(
     daily window (``airflow/dags/etl_api.py:74-76``). On a date-partitioned
     layout Catalyst turns this into partition pruning."""
     return df.filter((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per key that
+    INSERTED, DELETED, or UPDATED (any non-key column differs), tagged in
+    ``change_type``; unchanged keys are dropped. The downstream of
+    :func:`sources.writers.upsert_by_key` — diff yesterday's layer against
+    today's to emit the delta instead of re-shipping the table.
+
+    Shape: ONE full outer join on the key, then a codegen'd row-compare.
+    The value compare hashes the non-key struct per side (xxhash64) so wide
+    tables compare on one long instead of N column equalities — and a
+    production run can pre-bucket both snapshots on the key
+    (``write_bucketed_table``) to make the join exchange-free. NULL-safe:
+    a null-vs-value change in any column changes the struct hash.
+    """
+    val_cols = [c for c in old.columns if c not in keys]
+    if old.columns != new.columns:
+        raise ValueError("snapshots must share a schema")
+    o = old.select(
+        *keys,
+        F.xxhash64(F.struct(*val_cols)).alias("__oh"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *keys,
+        F.xxhash64(F.struct(*val_cols)).alias("__nh"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), "insert")
+        .when(F.col("__in_new").isNull(), "delete")
+        .when(F.col("__oh") != F.col("__nh"), "update")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

@@ -99,3 +99,57 @@ def incremental_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliced.select(
         "event_id", "event_type", F.round("value", 2).alias("value_r")
     )
+
+
+@register(
+    "snapshot_cdc_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 7 != 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 != 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice != n.o_totalprice
+                     OR o.o_orderstatus != n.o_orderstatus THEN 'update'
+           END AS change_type
+    FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+    WHERE coalesce(o.o_orderkey, n.o_orderkey) IS NOT NULL
+      AND (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice != n.o_totalprice
+           OR o.o_orderstatus != n.o_orderstatus)
+    """,
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two (deterministically synthesized)
+    snapshots of orders: keys only in the new snapshot are inserts, only in
+    the old are deletes, value drift is an update. The engine classifies by
+    comparing one xxhash64 of the non-key struct per side (internal only —
+    never an output, so no cross-engine hash portability needed); the
+    oracle classifies by direct column comparison — a value match proves
+    the hash compare is semantically the column compare. One full outer
+    join on the key; bucketed snapshots make it exchange-free at 100 TB.
+    See ``operators.relational.snapshot_diff``."""
+    from ab_inbev_big_data_case_spark.operators.relational import snapshot_diff
+
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

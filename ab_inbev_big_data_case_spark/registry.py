@@ -111,8 +111,12 @@ _CHECK_FIRST = [
     "boilerplate_ngrams",
     "embedding_gram_matrix",
     "pii_scrub",
-    # weakest-evidence green (r1-only, cross-engine-fragile semantics)
-    "percentiles_stats",
+    # deepest of the round-3 additions (inverted-index + checkpoint seams);
+    # the other r3-new queries (hll_distinct, bloom_filter_probe,
+    # gopher_quality_flags, zorder_layout_extents, incremental_agg_merge,
+    # and any later) lead the round-4 rotation together with re-checks of
+    # any r3 reds, then oldest-evidence r1 greens
+    "sparse_cosine_topk",
 ]
 
 

@@ -93,3 +93,21 @@ def test_asof_join_empty_right(spark):
     out = asof_join(trades, quotes, "sym", "tts", "qts", "px", "last_px")
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["last_px"] is None
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    """insert/delete/update classification, unchanged rows dropped, and
+    null-vs-value drift in any column counts as an update."""
+    from ab_inbev_big_data_case_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 3.0), (5, "e", 50.0)],
+        "id long, s string, v double",
+    )
+    got = {r["id"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
