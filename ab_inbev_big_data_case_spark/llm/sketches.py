@@ -135,6 +135,16 @@ def hll_registers(df: DataFrame, item_col: str, p: int = 8) -> DataFrame:
     scan summarize per-partition and combine for free where an exact
     count-distinct would shuffle the whole key space.
     """
+    return hll_registers_grouped(df, item_col, [], p)
+
+
+def hll_registers_grouped(
+    df: DataFrame, item_col: str, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Per-group HLL register tables: (group_cols..., register, rho) — one
+    bounded sketch per group key (per day, per source, per tenant...),
+    merged downstream by elementwise max for rollups over group unions
+    (e.g. trailing-window distinct counts) without rescanning the data."""
     m = 1 << p
     tail_bits = 60 - p
     h = token_hash64(F.col(item_col))
@@ -143,8 +153,8 @@ def hll_registers(df: DataFrame, item_col: str, p: int = 8) -> DataFrame:
         F.lit(tail_bits + 1) - F.length(F.bin(w))
     )
     return (
-        df.select((h % m).alias("register"), rho.alias("rho"))
-        .groupBy("register")
+        df.select(*group_cols, (h % m).alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -161,6 +171,13 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     (which needs ln(); callers with E < 2.5m cardinalities apply it on the
     two integer columns this already returns).
     """
+    return hll_estimate_grouped(registers, [], p)
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Per-group estimates from (possibly merged) per-group registers."""
     m = 1 << p
     scale = HLL_SUM_SCALE_BITS
     # alpha * m^2 * 2^48, folded to one double literal shared with oracles.
@@ -169,13 +186,16 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         f"CASE WHEN rho <= {scale} THEN shiftleft(1L, cast({scale} - rho AS INT)) "
         "ELSE 0L END"
     )
-    return registers.agg(
+    aggs = [
         F.count("*").alias("registers_hit"),
         (
             F.sum(term)
             + (F.lit(m) - F.count("*")) * F.lit(1 << scale).cast("long")
         ).alias("sum_q"),
-    ).select(
+    ]
+    grouped = registers.groupBy(*group_cols).agg(*aggs) if group_cols else registers.agg(*aggs)
+    return grouped.select(
+        *group_cols,
         "registers_hit",
         "sum_q",
         F.round(F.lit(c) / F.col("sum_q"), 4).alias("hll_est"),

@@ -447,3 +447,96 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events", "n_days", "sum_cents", "avg_value",
         "min_value", "max_value",
     )
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle="""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    bins AS (SELECT floor(value / 5)::BIGINT AS b, count(*) AS n
+             FROM v GROUP BY 1),
+    c AS (SELECT b, n,
+                 sum(n) OVER (ORDER BY b) AS cum,
+                 sum(n) OVER (ORDER BY b) - n AS cum_prev,
+                 (SELECT count(*) FROM v) AS nt
+          FROM bins),
+    qs AS (
+        SELECT 0.25::DOUBLE AS q UNION ALL SELECT 0.5::DOUBLE
+        UNION ALL SELECT 0.9::DOUBLE UNION ALL SELECT 0.99::DOUBLE
+    ),
+    est AS (
+        SELECT q,
+               round(b * 5 + 5.0 * (q * nt - cum_prev) / n, 4) AS est_value
+        FROM qs JOIN c ON c.cum_prev < q * c.nt AND c.cum >= q * c.nt
+    ),
+    ex AS (
+        SELECT 0.25::DOUBLE AS q, quantile_cont(value, 0.25) AS exact_value
+        FROM v
+        UNION ALL SELECT 0.5::DOUBLE, quantile_cont(value, 0.5) FROM v
+        UNION ALL SELECT 0.9::DOUBLE, quantile_cont(value, 0.9) FROM v
+        UNION ALL SELECT 0.99::DOUBLE, quantile_cont(value, 0.99) FROM v
+    )
+    SELECT e.q, e.est_value, round(x.exact_value, 4) AS exact_r,
+           round(abs(e.est_value - round(x.exact_value, 4)), 4) AS abs_err
+    FROM est e JOIN ex x ON x.q = e.q
+    """,
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE fixed-width histogram (bin counts +
+    linear interpolation inside the straddling bin), exact percentile
+    alongside to expose the ≤ bin-width error. The sketch is the quantile
+    path that survives 100 TB: bin counts are a bounded groupBy any
+    partitioning can partial-aggregate and merge (unlike exact percentile,
+    which buffers the column), and the estimate derives from exact integer
+    (bin, cumulative, total) state with one float interpolation — no
+    summation-order sensitivity. Complements ``approx_percentile``
+    (Spark-internal sketch, rows-only oracle) with a value-checked
+    portable formulation."""
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("value").isNotNull()).select("value")
+    bins = v.groupBy(
+        F.floor(F.col("value") / 5).cast("long").alias("b")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = bins.select(
+        "b",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        (F.sum("n").over(w) - F.col("n")).alias("cum_prev"),
+    ).crossJoin(F.broadcast(v.agg(F.count("*").alias("nt"))))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in (0.25, 0.5, 0.9, 0.99)])).alias("q")
+    )
+    est = (
+        F.broadcast(qs)
+        .join(
+            c,
+            (F.col("cum_prev") < F.col("q") * F.col("nt"))
+            & (F.col("cum") >= F.col("q") * F.col("nt")),
+        )
+        .select(
+            "q",
+            F.round(
+                F.col("b") * 5
+                + 5.0 * (F.col("q") * F.col("nt") - F.col("cum_prev")) / F.col("n"),
+                4,
+            ).alias("est_value"),
+        )
+    )
+    exact = v.agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.9, 0.99))").alias("exs")
+    ).select(
+        F.posexplode("exs").alias("pos", "exact_value")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in (0.25, 0.5, 0.9, 0.99)]),
+            F.col("pos") + 1,
+        ).alias("q"),
+        F.round("exact_value", 4).alias("exact_r"),
+    )
+    return est.join(F.broadcast(exact), "q").select(
+        "q",
+        "est_value",
+        "exact_r",
+        F.round(F.abs(F.col("est_value") - F.col("exact_r")), 4).alias("abs_err"),
+    )

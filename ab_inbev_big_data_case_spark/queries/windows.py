@@ -216,3 +216,49 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*)::BIGINT AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type),
+                 4) AS p_next
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix (Markov bigram mining): per user,
+    order events by time and pair each with its successor (one lead()
+    window — a single shuffle on user_id), then count transitions and the
+    per-source next-step distribution. The windowed sequence pass is the
+    clickstream/session-mining workhorse: at 100 TB it shuffles once on
+    the user key and every downstream aggregate is a bounded
+    #event_types² table."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    wt = W.partitionBy("event_type")
+    return (
+        seq.groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(wt), 4).alias("p_next"),
+        )
+    )
