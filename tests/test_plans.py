@@ -225,3 +225,40 @@ def test_salted_join_keys_include_salt(spark, sf_dir):
     'mitigation' silently degenerates to a plain join."""
     plan = _plan(QUERIES["join_salted_skew"](spark, sf_dir))
     assert "__salt" in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The bloom word table (bounded at `words` rows by construction) must
+    reach the probes as a broadcast, never a shuffled join."""
+    plan = _plan(QUERIES["bloom_filter_probe"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_key_is_codegen(spark, sf_dir):
+    """The Morton interleave is pure JVM bit arithmetic — no Python eval
+    node may appear in the plan."""
+    plan = _plan(QUERIES["zorder_layout_extents"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sparse_topk_no_cartesian(spark, sf_dir):
+    """Candidates come from the inverted-index equi-join — the plan must
+    contain no cartesian/nested-loop product."""
+    plan = _plan(QUERIES["sparse_cosine_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    """CDC classification is ONE full-outer key join (struct-hash value
+    compare), not per-column join chains."""
+    plan = _plan(QUERIES["snapshot_cdc_diff"](spark, sf_dir))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_incremental_merge_two_level_agg(spark, sf_dir):
+    """Partial-state merge is two aggregate levels over one scan — no
+    joins at all."""
+    plan = _plan(QUERIES["incremental_agg_merge"](spark, sf_dir))
+    for node in ("Join", "CartesianProduct"):
+        assert node not in plan
