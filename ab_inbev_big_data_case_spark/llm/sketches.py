@@ -91,7 +91,11 @@ def cms_heavy_hitters(
     production heavy-hitter pass at 100 TB would keep only the sketch +
     a candidate set, never the full distinct-token aggregation.
     """
-    occurrences = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    from ab_inbev_big_data_case_spark.operators.partitioning import spread
+
+    # spread: the sketch hashes every occurrence `depth` times — serialized
+    # on one core if the scan is a single row group
+    occurrences = spread(df).select(F.explode(tokens(F.col(text_col))).alias("tok"))
     sketch = cms_build(occurrences, "tok", depth, width)
     exact = occurrences.groupBy("tok").agg(F.count("*").alias("exact_n"))
     est = cms_estimate(occurrences, sketch, "tok", depth, width)

@@ -188,8 +188,11 @@ def boilerplate_ngram_stats(
     boilerplate row per gram value). Nothing is quadratic in corpus size.
     """
     from ab_inbev_big_data_case_spark.functions.text import shingles
+    from ab_inbev_big_data_case_spark.operators.partitioning import spread
 
-    grams = df.select(
+    # spread: shingling is rows×tokens work; a single-row-group scan
+    # partition would serialize it on one core
+    grams = spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("gram"),
     )

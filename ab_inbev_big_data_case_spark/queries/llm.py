@@ -1530,10 +1530,15 @@ _SHINGLE4_SQL = """
 
 
 def _shingles4(spark: SparkSession, sf_dir: str, where=None):
+    from ab_inbev_big_data_case_spark.operators.partitioning import spread
+
     d = table(spark, sf_dir, "documents")
     if where is not None:
         d = d.filter(where)
-    return d.select(
+    # spread() first: the fixture parquet is a single row group, so without
+    # it the shingle+sha256 work serializes on one core (measured 5.5s vs
+    # ~0.5s at sf0.1)
+    return spread(d).select(
         F.explode(F.array_distinct(shingles(tokens(F.col("text")), 4))).alias("item")
     ).distinct()
 
