@@ -1905,3 +1905,146 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "wday").select(
         "wday", "registers_hit", "sum_q", "hll_est", "exact_n"
     )
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle=f"""
+    WITH gate AS (
+        SELECT doc_id, text, lang, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE lang IN ('en', 'es')
+          AND len(string_split(text, ' ')) >= 20
+          AND len(list_distinct(string_split(text, ' '))) * 10
+              >= len(string_split(text, ' ')) * 3
+    ),
+    exact AS (
+        SELECT doc_id, lang, toks FROM (
+            SELECT g.*, row_number() OVER (
+                PARTITION BY sha256(text) ORDER BY doc_id
+            ) AS rn FROM gate g
+        ) WHERE rn = 1
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        ))) AS shingle
+        FROM exact
+    ),
+    hashed AS (SELECT doc_id, {_H9.format(x='shingle')} AS h9 FROM sh),
+    sig AS (
+        SELECT doc_id, seed,
+               min(((2*seed + 1) * h9 + 104729 * seed) % 1000000007) AS minhash
+        FROM hashed CROSS JOIN range(8) t(seed) GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               sum(minhash * (CASE WHEN seed % 2 = 0 THEN 1000000007 ELSE 1 END))
+                   AS band_sig
+        FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    verified AS (
+        SELECT c.id2
+        FROM cand c
+        JOIN (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i ON i.id1 = c.id1 AND i.id2 = c.id2
+        JOIN sizes sa ON sa.doc_id = c.id1
+        JOIN sizes sb ON sb.doc_id = c.id2
+        WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    contam AS (
+        SELECT s.doc_id, count(b.shingle) AS n_overlap
+        FROM sh s LEFT JOIN bench b ON b.shingle = s.shingle
+        GROUP BY 1
+    ),
+    clean AS (
+        SELECT e.doc_id, e.lang, len(e.toks) AS n_toks
+        FROM exact e
+        JOIN sizes z ON z.doc_id = e.doc_id
+        JOIN contam c ON c.doc_id = e.doc_id
+        WHERE e.doc_id NOT IN (SELECT id2 FROM verified)
+          AND e.doc_id % 97 != 0
+          AND c.n_overlap * 2 <= z.n_sh
+    )
+    SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens
+    FROM (SELECT lang, n_toks,
+                 {_H64.format(x="'split:' || doc_id")} % 100 AS h
+          FROM clean)
+    GROUP BY 1, 2
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation run as one lazy plan — what a user of this engine
+    actually executes nightly: quality gate -> exact dedup (min-id
+    canonical) -> MinHash-LSH near-dup dedup (candidates -> Jaccard >= 0.5
+    verify) -> benchmark decontamination (drop the pseudo-benchmark docs
+    and anything with > 50% shingle overlap) -> deterministic 80/10/10
+    split -> per-(split, lang) doc/token report. Every stage is an engine
+    operator reused from this package; nothing collects; the shingle table
+    is checkpointed once and shared by the near-dup, sizing, and
+    decontamination stages (at 100 TB: the shingle layer write)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    gate = d.filter(
+        F.col("lang").isin("en", "es")
+        & (F.size(toks) >= 20)
+        & (F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 3)
+    )
+    w_exact = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    exact = (
+        gate.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", F.size(toks).alias("n_toks"), "text")
+    )
+    sh = shingle_set(exact, "doc_id", "text", 3).localCheckpoint(eager=False)
+    sig = minhash_signatures_wide(sh, "doc_id", 8)
+    cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    verified = ngram_jaccard_pairs(sh, "doc_id", 0.5).join(
+        cand, ["id1", "id2"], "left_semi"
+    )
+    dupes = verified.select(F.col("id2").alias("doc_id")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    contam = (
+        sh.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    clean = (
+        exact.join(dupes, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % 97 != 0)
+        .join(sizes, "doc_id")
+        .join(contam.withColumnRenamed("n_overlap", "__ov"), "doc_id", "left")
+        .filter(F.coalesce(F.col("__ov"), F.lit(0)) * 2 <= F.col("n_sh"))
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        clean.select(split.alias("split"), "lang", "n_toks")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
