@@ -262,3 +262,42 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 1.0 / F.sum("n").over(wt), 4).alias("p_next"),
         )
     )
+
+
+@register(
+    "mom_revenue_growth",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE
+                   AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY month)) * 100.0
+                 / lag(revenue) OVER (ORDER BY month), 4) AS pct_growth
+    FROM m
+    """,
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup (decimal-exact money
+    sums) + one lag() window over the tiny month spine — the standard
+    reporting shape where the window runs on the AGGREGATE (dozens of
+    rows), never the fact table."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) * 100.0 / prev, 4).alias("pct_growth"),
+    )

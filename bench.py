@@ -37,6 +37,7 @@ HEADLINE = [
     "sparse_cosine_topk",   # inverted-index sparse TF-IDF similarity (r3)
     "hll_distinct",         # bounded-state sketch path (r3)
     "zorder_layout_extents",  # data-layout key + extent diagnostics (r3)
+    "curation_pipeline_e2e",  # flagship: full curation run in one plan (r3)
 ]
 
 
