@@ -420,3 +420,37 @@ def test_sparse_tfidf_max_df_drops_stop_shingles(spark):
         df, "doc_id", "text", lambda d: d == 0, n=4, k=3, max_df=1
     )
     assert out.count() == 0
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    """Distributed Gram-matrix PCA equals single-node numpy PCA on the same
+    vectors (up to the fixed-point quantization of the covariance), and the
+    top component captures the most variance."""
+    import numpy as np
+
+    from ab_inbev_big_data_case_spark.llm.similarity import pca_project
+
+    e = table(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: (r["pc_0"], r["pc_1"])
+        for r in pca_project(e, "vec_id", "embedding", dim=64, k=2).collect()
+    }
+    rows = e.collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    g = (np.floor(x * 1000.0 + 0.5).astype(np.int64).T
+         @ np.floor(x * 1000.0 + 0.5).astype(np.int64)) / 1e6
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:2]
+    axes = vecs[:, order]
+    for j in range(2):
+        imax = int(np.argmax(np.abs(axes[:, j])))
+        if axes[imax, j] < 0:
+            axes[:, j] = -axes[:, j]
+    want = x @ axes
+    for i, vid in enumerate(ids):
+        assert abs(got[vid][0] - want[i, 0]) < 1e-5
+        assert abs(got[vid][1] - want[i, 1]) < 1e-5
+    # top axis must capture at least as much corpus variance as any raw dim
+    proj_var = np.var(want[:, 0])
+    assert proj_var >= np.var(x, axis=0).max() * 0.99

@@ -169,3 +169,45 @@ def test_zorder_layout_beats_single_column_sort(spark, sf_dir):
     assert z_y < 0.5 * x_y, f"z-order y-extent {z_y} not better than x-sort {x_y}"
     full_x = keyed.agg(F.max("x") - F.min("x")).collect()[0][0]
     assert z_x < 0.6 * full_x
+
+
+def test_zorder_key_properties_hypothesis(spark):
+    """Property: the Morton key is a bijection on [0,2^16)² (deinterleave
+    recovers both inputs) and preserves quadrant ordering (all keys in the
+    low half of both dims sort below any key with both dims in the high
+    half)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ab_inbev_big_data_case_spark.operators.layout import zorder_key
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=65535),
+                st.integers(min_value=0, max_value=65535),
+            ),
+            min_size=1,
+            max_size=20,
+            unique=True,
+        )
+    )
+    def check(points):
+        df = spark.createDataFrame(points, "x long, y long")
+        rows = df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), 16).alias("z")
+        ).collect()
+        for r in rows:
+            z, x, y = r["z"], 0, 0
+            for i in range(16):
+                x |= ((z >> (2 * i)) & 1) << i
+                y |= ((z >> (2 * i + 1)) & 1) << i
+            assert (x, y) == (r["x"], r["y"])
+            lo = r["x"] < 32768 and r["y"] < 32768
+            hi = r["x"] >= 32768 and r["y"] >= 32768
+            for s in rows:
+                s_lo = s["x"] < 32768 and s["y"] < 32768
+                if hi and s_lo:
+                    assert r["z"] > s["z"]
+
+    check()
