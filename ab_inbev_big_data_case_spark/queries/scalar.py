@@ -437,3 +437,31 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         token_hash64(F.col("o_orderkey").cast("string")) % 100 < 10
     ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_r"))
+
+
+@register(
+    "bitwise_ops",
+    oracle="""
+    SELECT l_orderkey,
+           bit_and(l_linenumber)::BIGINT AS and_lines,
+           bit_or(l_linenumber)::BIGINT AS or_lines,
+           bit_xor(l_linenumber)::BIGINT AS xor_lines,
+           (bit_or(1::BIGINT << (l_linenumber % 60)))::BIGINT AS line_mask
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface (bit_and/or/xor, shifts, masks) —
+    the primitive under the engine's Bloom filter and Z-order operators,
+    exercised directly: per-order presence bitmaps of line numbers. Pure
+    integer ops, codegen'd, partial-agg combinable like any sum."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.expr("bit_and(l_linenumber)").alias("and_lines"),
+        F.expr("bit_or(l_linenumber)").alias("or_lines"),
+        F.expr("bit_xor(l_linenumber)").alias("xor_lines"),
+        F.expr("bit_or(shiftleft(1L, cast(l_linenumber % 60 AS INT)))").alias(
+            "line_mask"
+        ),
+    )

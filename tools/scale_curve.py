@@ -80,6 +80,32 @@ def main() -> None:
             f"| {pl} | {na2} | {r3:.1f} |"
         )
 
+    # Sparse TF-IDF inverted-index: dot-pair rows (the join fan-out) with
+    # and without the max_df posting cap — the cap is what bounds the
+    # stop-term quadratic at scale.
+    sparse_rows = []
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        docs = table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        counts = []
+        for cap in (None, 50):
+            from ab_inbev_big_data_case_spark.llm.similarity import sparse_tfidf_topk
+
+            pairs = sparse_tfidf_topk(
+                docs, "doc_id", "text", lambda d: d % 50 == 0, n=4, k=10**9,
+                max_df=cap,
+            ).count()
+            counts.append(pairs)
+        sparse_rows.append((sf, n_docs, counts[0], counts[1]))
+    print()
+    print("| sf | docs N | sparse dot-pairs (uncapped) | dot-pairs (max_df=50) |")
+    print("|---|---|---|---|")
+    for sf, nd, unc, cap in sparse_rows:
+        print(f"| {sf} | {nd} | {unc} | {cap} |")
+
 
 if __name__ == "__main__":
     main()
