@@ -198,3 +198,46 @@ def test_upsert_by_key_merge_semantics(spark, tmp_path):
     got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 10), 4: ("d", 20)}
     assert spark.read.parquet(path).count() == 4
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A dataset whose later files add a column reads whole with
+    mergeSchema: old rows surface NULL for the new column — the
+    append-only layer evolution every long-lived pipeline hits."""
+    p = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p + "/d=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/d=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(df.columns) >= {"id", "v", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_json_scan_tolerates_corrupt_records(spark, tmp_path):
+    """PERMISSIVE mode (the default) lands malformed lines as nulls under
+    _corrupt_record instead of failing the scan — at 100 TB a single bad
+    line must never kill the job."""
+    import pyspark.sql.types as T
+
+    from ab_inbev_big_data_case_spark.sources.readers import read_json
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 1
