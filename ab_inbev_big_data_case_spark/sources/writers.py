@@ -228,3 +228,72 @@ def upsert_by_key(
     merged.write.format(fmt).mode("overwrite").save(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def upsert_by_key_partitioned(
+    spark,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    order_col: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Partition-scoped keyed upsert — the 100 TB form of
+    :func:`upsert_by_key`: only partitions PRESENT in ``updates`` are read,
+    merged, and rewritten; everything else on disk is untouched.
+
+    Mechanics: collect the (bounded — one row per touched partition, the
+    same order of driver-side state as AQE statistics) partition values,
+    read current rows pruned to those partitions, keep-latest merge, and
+    write with ``partitionOverwriteMode=dynamic`` so the overwrite replaces
+    exactly the partitions in the output. Untouched partitions keep their
+    files byte-identical (pytest pins this), which is what bounds the
+    nightly-merge cost by the delta's partition span, not the table size.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if order_col is not None:
+        wb = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if not os.path.exists(path):
+        write_partitioned(updates, path, [partition_col], fmt=fmt)
+        return
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    current = (
+        spark.read.format(fmt).load(path).filter(F.col(partition_col).isin(touched))
+    )
+    if order_col is None:
+        kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(updates.select(*current.columns))
+    else:
+        tagged = current.withColumn("__src", F.lit(0)).unionByName(
+            updates.select(*current.columns).withColumn("__src", F.lit(1))
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), F.col("__src").desc()
+        )
+        merged = (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(F.col(partition_col))
+            .write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(partition_col)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

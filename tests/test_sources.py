@@ -241,3 +241,42 @@ def test_json_scan_tolerates_corrupt_records(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert {r["id"] for r in good.collect()} == {1, 2}
     assert bad.count() == 1
+
+
+def test_partitioned_upsert_touches_only_updated_partitions(spark, tmp_path):
+    """Dynamic-partition upsert: partitions absent from the update batch
+    keep their files byte-identical; touched partitions merge keep-latest;
+    new partition values append."""
+    import os
+
+    from ab_inbev_big_data_case_spark.sources.writers import (
+        upsert_by_key_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1, "p1"), (2, "b", 1, "p1"), (3, "c", 1, "p2")],
+        "id long, v string, ver long, part string",
+    )
+    upsert_by_key_partitioned(spark, base, path, ["id"], "part", order_col="ver")
+
+    def files_state(part):
+        d = os.path.join(path, f"part={part}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    p2_before = files_state("p2")
+    upd = spark.createDataFrame(
+        [(2, "b2", 2, "p1"), (9, "z", 2, "p3")],
+        "id long, v string, ver long, part string",
+    )
+    upsert_by_key_partitioned(spark, upd, path, ["id"], "part", order_col="ver")
+
+    assert files_state("p2") == p2_before, "untouched partition was rewritten"
+    got = {r["id"]: (r["v"], r["ver"], r["part"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", 1, "p1"), 2: ("b2", 2, "p1"), 3: ("c", 1, "p2"), 9: ("z", 2, "p3")
+    }
