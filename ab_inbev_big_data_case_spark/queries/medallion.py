@@ -153,3 +153,90 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    WITH fk AS (
+        SELECT count(*)::BIGINT AS v FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    ),
+    pk AS (
+        SELECT (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v FROM orders
+    ),
+    nulls AS (
+        SELECT sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n,
+               count(*)::BIGINT AS t
+        FROM events
+    ),
+    rng AS (
+        SELECT sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS v
+        FROM orders
+    ),
+    enum_chk AS (
+        SELECT count(*)::BIGINT AS v FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+    )
+    SELECT 'fk_orders_customer' AS check_name, v AS metric,
+           (v = 0) AS passed FROM fk
+    UNION ALL
+    SELECT 'pk_orders_unique', v, v = 0 FROM pk
+    UNION ALL
+    SELECT 'events_value_null_pct_max5', (n * 100) // t,
+           (n * 100) <= t * 5 FROM nulls
+    UNION ALL
+    SELECT 'orders_price_positive', v, v = 0 FROM rng
+    UNION ALL
+    SELECT 'orders_status_domain', v, v = 0 FROM enum_chk
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Deequ/Great-Expectations shape a
+    production layer gate runs before publishing): referential integrity
+    (orphan orders), primary-key uniqueness, null-ratio ceiling, value
+    range, and enum domain — each one aggregate returning (check_name,
+    metric, passed). All checks are independent single-pass aggregates over
+    pushed-down scans; the FK probe is a left-anti join with the dim side
+    broadcast. At 100 TB this is exactly the nightly gate before a layer
+    swap (`runner.py` can chain it ahead of `write_layer`)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    fk = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("metric"))
+        .select(F.lit("fk_orders_customer").alias("check_name"), "metric",
+                (F.col("metric") == 0).alias("passed"))
+    )
+    pk = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("metric")
+    ).select(
+        F.lit("pk_orders_unique").alias("check_name"), "metric",
+        (F.col("metric") == 0).alias("passed"),
+    )
+    nulls = e.agg(
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n"),
+        F.count("*").alias("t"),
+    ).select(
+        F.lit("events_value_null_pct_max5").alias("check_name"),
+        ((F.col("n") * 100) / F.col("t")).cast("long").alias("metric"),
+        (F.col("n") * 100 <= F.col("t") * 5).alias("passed"),
+    )
+    rng = o.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("metric")
+    ).select(
+        F.lit("orders_price_positive").alias("check_name"), "metric",
+        (F.col("metric") == 0).alias("passed"),
+    )
+    enum_chk = o.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+        F.count("*").alias("metric")
+    ).select(
+        F.lit("orders_status_domain").alias("check_name"), "metric",
+        (F.col("metric") == 0).alias("passed"),
+    )
+    return fk.unionByName(pk).unionByName(nulls).unionByName(rng).unionByName(enum_chk)
