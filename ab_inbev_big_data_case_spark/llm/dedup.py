@@ -249,10 +249,16 @@ def ngram_jaccard_pairs(
             )
         )
     sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = shingle_df.select(F.col(id_col).alias("id1"), "shingle")
-    b = shingle_df.select(F.col(id_col).alias("id2"), "shingle")
+    # self-join on an int64 shingle id, not the shingle string: the text is
+    # never an output, so the internal deterministic xxhash64 stands in —
+    # halves the shuffle bytes of the widest join in the dedup stack; a
+    # (astronomically unlikely) collision inflates n_inter and FAILS the
+    # oracle rather than passing silently
+    hashed = shingle_df.select(F.col(id_col), F.xxhash64("shingle").alias("__sid"))
+    a = hashed.select(F.col(id_col).alias("id1"), "__sid")
+    b = hashed.select(F.col(id_col).alias("id2"), "__sid")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "__sid")
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("n_inter"))
