@@ -2048,3 +2048,50 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
     )
+
+
+@register(
+    "conversation_threading",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_turns,
+           string_agg(event_type || '#' || event_id, ' | '
+                      ORDER BY ts NULLS FIRST, event_id) AS transcript,
+           min(ts) AS started_at,
+           max(ts) AS ended_at
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def conversation_threading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript assembly (the SFT-data shape: scattered turns -> one
+    ordered conversation document per thread key): per user, events
+    time-ordered and concatenated into a role-tagged transcript. ORDERED
+    aggregation is the trick — Spark has no ORDER BY inside string_agg, so
+    the engine collects (ts, event_id, turn) structs, array_sorts them
+    in-row (struct order = field order, giving the same total order as the
+    oracle's ORDER BY), then joins — one shuffle on the thread key, no
+    window pass. At 100 TB this is the assembly step after curation, keyed
+    by conversation id."""
+    e = table(spark, sf_dir, "events")
+    turn = F.concat(
+        F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+    )
+    return (
+        e.select("user_id", "ts", "event_id", turn.alias("turn"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "turn"))
+                    ),
+                    lambda s: s["turn"],
+                ),
+                " | ",
+            ).alias("transcript"),
+            F.min("ts").alias("started_at"),
+            F.max("ts").alias("ended_at"),
+        )
+    )
