@@ -96,6 +96,89 @@ def incremental_window(
     return df.filter((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))
 
 
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column table profile: row count, null count, distinct count, and
+    min/max (numeric columns as doubles, others as strings) — one row per
+    profiled column.
+
+    Shape: ONE wide aggregate over a single scan (Catalyst plans the
+    multiple ``count(DISTINCT ...)`` via Expand — still one pass over the
+    data), then an in-row explode melts the 1-row wide result into the
+    long per-column form. The melt runs on one row, so its cost is zero;
+    the scan is the only job. At 100 TB the exact distinct counts are the
+    expensive part (Expand multiplies the shuffle by #profiled columns);
+    swap ``F.count_distinct`` for ``F.approx_count_distinct`` when a ~2%
+    estimate is acceptable — the plan shape is otherwise identical. Exact
+    counts are kept here so the result is oracle-comparable.
+    """
+    cols = list(cols) if cols is not None else df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if dtypes[c] in _NUMERIC_DTYPES:
+            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+
+    null_str = F.lit(None).cast("string")
+    null_num = F.lit(None).cast("double")
+    rows = []
+    for c in cols:
+        numeric = dtypes[c] in _NUMERIC_DTYPES
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (null_str if numeric else F.col(f"__min_{c}")).alias("min_str"),
+                (null_str if numeric else F.col(f"__max_{c}")).alias("max_str"),
+                (F.col(f"__min_{c}") if numeric else null_num).alias("min_num"),
+                (F.col(f"__max_{c}") if numeric else null_num).alias("max_num"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def build_scd2(
+    df: DataFrame, key: str, ts_col: str, attr_col: str
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from an attribute-observation feed:
+    collapse consecutive identical observations into validity intervals
+    ``[eff_from, eff_to)`` per key, with ``eff_to`` null + ``is_current``
+    true on each key's open-ended latest interval.
+
+    Input must hold ONE observation per (key, ts) — pre-aggregate a raw
+    feed first (e.g. ``max_by`` on a tie-breaker). Two stacked windows over
+    the same (key × ts) ordering: ``lag`` finds change rows, ``lead`` closes
+    each interval with the next change's timestamp. Both windows share one
+    shuffle on the key (same partitioning), and the state per key is one
+    row — the standard warehouse dimension build, linear at any scale.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    changes = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .drop("__prev")
+    )
+    eff_to = F.lead(ts_col).over(w)
+    return changes.select(
+        F.col(key),
+        F.col(attr_col),
+        F.col(ts_col).alias("eff_from"),
+        eff_to.alias("eff_to"),
+        eff_to.isNull().alias("is_current"),
+    )
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -1104,6 +1104,53 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dup_stats(table(spark, sf_dir, "documents"), "doc_id", "text", 8)
 
 
+# RAG/context-window chunking: 16-token chunks, stride 12 (4-token overlap).
+# Chunk starts = range(0, n_tokens, stride); the final partial chunk is kept.
+_CHUNK_W, _CHUNK_S = 16, 12
+
+_CHUNK_OVERLAP_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    st AS (
+        SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_S})) AS start FROM toks
+    )
+    SELECT doc_id,
+           (start // {_CHUNK_S})::BIGINT AS chunk_id,
+           least({_CHUNK_W}, len(t) - start)::BIGINT AS n_chunk_tokens,
+           array_to_string(t[start + 1 : start + {_CHUNK_W}], ' ') AS chunk_text
+    FROM st
+"""
+
+
+@register("doc_chunk_overlap", oracle=_CHUNK_OVERLAP_SQL)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG/pretraining
+    packing preprocessor: fixed 16-token chunks every 12 tokens, so
+    consecutive chunks share 4 tokens of context; the tail chunk is kept
+    partial. All in-row (sequence → explode → slice → array_join): no
+    shuffle at all — the plan is scan → generate → project, embarrassingly
+    parallel at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_S))).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.floor(F.col("start") / _CHUNK_S).alias("chunk_id"),
+        F.least(F.lit(_CHUNK_W), F.size("t") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice("t", F.col("start") + 1, F.lit(_CHUNK_W)), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
 @register(
     "term_blocklist_filter",
     oracle="""

@@ -98,3 +98,34 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+_ORC_SCAN_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_lines,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("orc_scan", oracle=_ORC_SCAN_SQL)
+def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan: lineitem → ORC → read back → aggregate. Spark's native
+    vectorized ORC reader (predicate pushdown + column pruning, same as
+    parquet); DuckDB can't read ORC, so the oracle computes the identical
+    aggregate from the parquet truth — a value match proves the ORC
+    round-trip lossless."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"
+    )
+    path = _materialize(li, "orc", "lineitem", sf_dir)
+    o = spark.read.format("orc").load(path)
+    return o.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )

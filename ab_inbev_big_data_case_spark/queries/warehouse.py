@@ -1,0 +1,216 @@
+"""Warehouse-maintenance and entity-level queries: per-column profiling,
+SCD Type 2 dimension builds, blocked fuzzy matching, and iterative graph
+ranking.
+
+These extend the reference's ETL surface (load → clean → publish,
+``glue/etl_api.py:20-40``) with the operations a production warehouse runs
+around that pipeline: profiling a landed table before trusting it, building
+history-preserving dimensions from an append-only feed, resolving near-
+duplicate entity names, and ranking entities over a derived relationship
+graph. Each is an engine operator (``operators/relational.py``,
+``operators/graph.py``) or a blocked-join pattern with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from ..operators.relational import build_scd2, profile
+from ..registry import register
+from ..sources.readers import load_tables, table
+
+
+def _union_profile(col: str, numeric: bool) -> str:
+    if numeric:
+        min_str, max_str = "NULL::VARCHAR", "NULL::VARCHAR"
+        min_num, max_num = f"min({col})::DOUBLE", f"max({col})::DOUBLE"
+    else:
+        min_str, max_str = f"min({col})", f"max({col})"
+        min_num, max_num = "NULL::DOUBLE", "NULL::DOUBLE"
+    return f"""
+    SELECT '{col}' AS col_name, count(*) AS n_rows,
+           count(*) - count({col}) AS n_nulls,
+           count(DISTINCT {col}) AS n_distinct,
+           {min_str} AS min_str, {max_str} AS max_str,
+           {min_num} AS min_num, {max_num} AS max_num
+    FROM customer"""
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    _union_profile(c, num)
+    for c, num in [
+        ("c_custkey", True),
+        ("c_name", False),
+        ("c_nationkey", True),
+        ("c_acctbal", True),
+        ("c_mktsegment", False),
+    ]
+)
+
+
+@register("profile_table", oracle=_PROFILE_SQL)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of ``customer`` (row/null/distinct
+    counts, typed min/max). The engine computes all columns in ONE wide
+    aggregate over one scan (``operators/relational.py:profile``); the
+    oracle re-derives it as per-column UNION ALL aggregates."""
+    return profile(table(spark, sf_dir, "customer"))
+
+
+# One observation per (custkey, orderdate): the priority of the highest-
+# numbered order that day (o_orderkey is unique → deterministic max_by).
+# Shared dialect: runs verbatim in both Spark SQL and DuckDB.
+_SCD2_SQL = """
+    WITH feed AS (
+        SELECT o_custkey AS custkey, o_orderdate AS obs_date,
+               max_by(o_orderpriority, o_orderkey) AS priority
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    runs AS (
+        SELECT custkey, obs_date, priority
+        FROM (
+            SELECT custkey, obs_date, priority,
+                   lag(priority) OVER (PARTITION BY custkey ORDER BY obs_date) AS prev
+            FROM feed
+        ) c
+        WHERE prev IS NULL OR prev <> priority
+    )
+    SELECT custkey, priority, obs_date AS eff_from,
+           lead(obs_date) OVER (PARTITION BY custkey ORDER BY obs_date) AS eff_to,
+           (lead(obs_date) OVER (PARTITION BY custkey ORDER BY obs_date) IS NULL)
+               AS is_current
+    FROM runs
+"""
+
+
+@register("scd2_dim_build", oracle=_SCD2_SQL)
+def scd2_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 customer-priority dimension from the orders feed:
+    consecutive identical observations collapse into [eff_from, eff_to)
+    validity intervals; the open interval per key is flagged current.
+    Engine path: ``operators/relational.py:build_scd2`` (two windows, one
+    shuffle)."""
+    orders = table(spark, sf_dir, "orders")
+    feed = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("obs_date"),
+    ).agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
+    return build_scd2(feed, key="custkey", ts_col="obs_date", attr_col="priority")
+
+
+_FUZZY_SQL = """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names)
+    SELECT a.p_name AS name1, c.p_name AS name2,
+           levenshtein(a.p_name, c.p_name) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 4
+"""
+
+
+@register("fuzzy_match_blocked", oracle=_FUZZY_SQL)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit distance: distinct part names,
+    blocked on their head noun (last token), pairwise Levenshtein within
+    each block, keep near-matches (≤4 edits).
+
+    The blocking key is what scales this: the O(n²) comparison runs only
+    within blocks (the classic record-linkage trade — recall bounded by
+    block quality, cost bounded by the largest block). Levenshtein itself
+    is a JVM built-in — no Python in the loop. A production run would cap
+    block size (see ``pairs_within_groups``'s ``max_group_size``) before
+    the self-join."""
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    blocked = names.withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    a, c = blocked.alias("a"), blocked.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk")) & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name1"),
+            F.col("c.p_name").alias("name2"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+# Nation-level trade graph: customer's nation → supplier's nation, one edge
+# weight per ordered lineitem. 3 PageRank rounds, ranks rounded to 8
+# decimals per round (summation-order independence), output to 6.
+_PAGERANK_SQL = """
+    WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*)::DOUBLE AS w
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    ew AS (
+        SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS frac FROM edges
+    ),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    r1 AS (
+        SELECT n.node,
+               round(0.15 / (SELECT n FROM nn)
+                     + 0.85 * coalesce(sum(r.rank * e.frac), 0), 8) AS rank
+        FROM nodes n
+        LEFT JOIN ew e ON e.dst = n.node
+        LEFT JOIN r0 r ON r.node = e.src
+        GROUP BY n.node
+    ),
+    r2 AS (
+        SELECT n.node,
+               round(0.15 / (SELECT n FROM nn)
+                     + 0.85 * coalesce(sum(r.rank * e.frac), 0), 8) AS rank
+        FROM nodes n
+        LEFT JOIN ew e ON e.dst = n.node
+        LEFT JOIN r1 r ON r.node = e.src
+        GROUP BY n.node
+    ),
+    r3 AS (
+        SELECT n.node,
+               round(0.15 / (SELECT n FROM nn)
+                     + 0.85 * coalesce(sum(r.rank * e.frac), 0), 8) AS rank
+        FROM nodes n
+        LEFT JOIN ew e ON e.dst = n.node
+        LEFT JOIN r2 r ON r.node = e.src
+        GROUP BY n.node
+    )
+    SELECT node AS nationkey, round(rank, 6) AS pagerank FROM r3
+"""
+
+
+@register("pagerank_nations", oracle=_PAGERANK_SQL)
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round weighted PageRank over the nation trade graph (customer
+    nation → supplier nation, weighted by lineitem count). Engine path:
+    ``operators/graph.py:pagerank`` — 3 unrolled join-aggregate rounds in
+    one lazy plan, node count via broadcast 1-row aggregate (no driver
+    count). Oracle: the same 3 rounds as chained CTEs."""
+    load_tables(spark, sf_dir, ("orders", "customer", "lineitem", "supplier"))
+    edges = spark.sql(
+        """
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY c.c_nationkey, s.s_nationkey
+        """
+    )
+    ranks = pagerank(edges, weight="w", n_iter=3, damping=0.85, round_to=8)
+    return ranks.select(
+        F.col("node").alias("nationkey"), F.round("rank", 6).alias("pagerank")
+    )

@@ -1,0 +1,89 @@
+"""Unit tests: warehouse-maintenance operators (profile, SCD2, PageRank)
+on tiny literal DataFrames — exact expected outputs plus the structural
+invariants each operator promises (SURVEY.md §5.2)."""
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.operators.graph import pagerank
+from ab_inbev_big_data_case_spark.operators.relational import build_scd2, profile
+
+
+def test_profile_counts_and_typed_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", None), (2, None, 8.0)],
+        "k long, s string, v double",
+    )
+    rows = {r["col_name"]: r for r in profile(df).collect()}
+    assert set(rows) == {"k", "s", "v"}
+    assert all(r["n_rows"] == 3 for r in rows.values())
+    assert rows["k"]["n_nulls"] == 0 and rows["k"]["n_distinct"] == 2
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["v"]["n_nulls"] == 1
+    # numeric min/max land in the num slots, strings in the str slots
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 2.0
+    assert rows["k"]["min_str"] is None
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+    assert rows["s"]["min_num"] is None
+
+
+def test_profile_is_single_aggregate_plan(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    plan = profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    # one Aggregate chain over one scan — the melt is in-row, not a union
+    assert plan.count("LogicalRDD") == 1
+
+
+def _feed(spark):
+    # key 1: A,A,B,A → intervals A[1,3) B[3,4) A[4,∞); key 2: C → C[1,∞)
+    return spark.createDataFrame(
+        [(1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "A"), (2, 1, "C")],
+        "k long, t long, attr string",
+    )
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    out = build_scd2(_feed(spark), "k", "t", "attr").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    k1 = sorted(by_key[1], key=lambda r: r["eff_from"])
+    assert [(r["attr"], r["eff_from"], r["eff_to"]) for r in k1] == [
+        ("A", 1, 3),
+        ("B", 3, 4),
+        ("A", 4, None),
+    ]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    assert by_key[2][0]["attr"] == "C" and by_key[2][0]["is_current"]
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    # each interval's eff_to equals the next interval's eff_from (no gaps,
+    # no overlaps) — the defining SCD2 invariant
+    out = build_scd2(_feed(spark), "k", "t", "attr")
+    w = F.lead("eff_from").over(Window.partitionBy("k").orderBy("eff_from"))
+    bad = out.withColumn("next_from", w).filter(
+        F.col("eff_to").isNotNull() & (F.col("eff_to") != F.col("next_from"))
+    )
+    assert bad.count() == 0
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    # 3 spokes all pointing at a hub: hub rank must dominate, spokes equal
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[2] == ranks[3]  # symmetric spokes
+    # total mass stays ≤ 1 (sinks leak, never gain)
+    assert sum(ranks.values()) <= 1.0 + 1e-6
+
+
+def test_pagerank_uniform_cycle_is_uniform(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    ranks = [r["rank"] for r in pagerank(edges, n_iter=4).collect()]
+    # per-round rounding to 8 decimals truncates 1/3 — allow that quantum
+    assert all(math.isclose(r, 1 / 3, abs_tol=1e-7) for r in ranks)
