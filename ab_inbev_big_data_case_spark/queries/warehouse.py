@@ -100,6 +100,57 @@ def scd2_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_scd2(feed, key="custkey", ts_col="obs_date", attr_col="priority")
 
 
+# Point-in-time lookup against the SCD2 dim: each lineitem resolves the
+# priority regime its customer was in AT SHIP TIME. Every shipdate falls
+# inside exactly one interval (shipdate >= orderdate >= first obs_date).
+_SCD2_PIT_SQL = f"""
+    WITH scd AS ({_SCD2_SQL}),
+    fact AS (
+        SELECT o.o_custkey AS custkey, l.l_shipdate AS ship
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.priority, count(*) AS n_lineitems,
+           min(f.ship) AS first_ship, max(f.ship) AS last_ship
+    FROM fact f
+    JOIN scd s ON s.custkey = f.custkey
+              AND f.ship >= s.eff_from
+              AND (s.eff_to IS NULL OR f.ship < s.eff_to)
+    GROUP BY s.priority
+"""
+
+
+@register("scd2_point_in_time", oracle=_SCD2_PIT_SQL)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: join a fact row to the SCD2 interval
+    that was valid at event time (equi-key + half-open range predicate).
+    Catalyst plans the custkey equality as the join key and evaluates the
+    interval predicate as a join filter — one shuffle on custkey, no
+    interval explosion. The composition warehouse users actually run:
+    ``build_scd2`` output consumed by an as-of-style lookup."""
+    orders = table(spark, sf_dir, "orders")
+    feed = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("obs_date"),
+    ).agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
+    scd = build_scd2(feed, key="custkey", ts_col="obs_date", attr_col="priority")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(F.col("o_custkey").alias("f_custkey"), F.col("l_shipdate").alias("ship"))
+    joined = fact.join(
+        scd,
+        (F.col("f_custkey") == scd["custkey"])
+        & (F.col("ship") >= scd["eff_from"])
+        & (scd["eff_to"].isNull() | (F.col("ship") < scd["eff_to"])),
+    )
+    return joined.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.min("ship").alias("first_ship"),
+        F.max("ship").alias("last_ship"),
+    )
+
+
 _FUZZY_SQL = """
     WITH names AS (SELECT DISTINCT p_name FROM part),
     b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names)

@@ -264,6 +264,78 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trailing EWMA over the last K observations (finite-window form used in
+# monitoring: weights beta^i over present lags, renormalized at the series
+# head). Shared weight literals keep both engines on the identical IEEE
+# expression tree (left-assoc sums, same literal doubles).
+_EWMA_K, _EWMA_BETA = 10, 0.8
+_EWMA_W = [round(_EWMA_BETA**i, 12) for i in range(_EWMA_K)]
+
+_EWMA_NUM = " + ".join(
+    f"coalesce(v{i}, 0) * {w!r}" for i, w in enumerate(_EWMA_W)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN v{i} IS NULL THEN 0 ELSE {w!r} END)" for i, w in enumerate(_EWMA_W)
+)
+_EWMA_LAGS = ",\n           ".join(
+    f"lag(value, {i}) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, "
+    f"event_id NULLS FIRST) AS v{i}"
+    for i in range(_EWMA_K)
+)
+
+_EWMA_SQL = f"""
+    WITH s AS (
+        SELECT user_id, event_id, value,
+           {_EWMA_LAGS}
+        FROM events
+    ),
+    e AS (
+        SELECT user_id, event_id, value,
+               round(({_EWMA_NUM}) / ({_EWMA_DEN}), 4) AS ewma
+        FROM s
+    )
+    SELECT user_id, event_id, value, ewma,
+           round(value - ewma, 4) AS deviation
+    FROM e
+"""
+
+
+@register("ewma_anomaly", oracle=_EWMA_SQL)
+def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window EWMA per user (beta=0.8 over the last 10
+    observations, head-renormalized) plus the residual against it — the
+    streaming-metrics anomaly primitive. All 10 lags share ONE window
+    (single shuffle on user_id, one sort); the weighted sum is a codegen'd
+    scalar expression, so the whole query is shuffle+project at any scale.
+    v0 is the current row, so the denominator is always ≥ 1 — no
+    divide-by-zero path."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    lagged = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        *[F.lag("value", i).over(w).alias(f"v{i}") for i in range(_EWMA_K)],
+    )
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i, wt in enumerate(_EWMA_W):
+        num = num + F.coalesce(F.col(f"v{i}"), F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(F.col(f"v{i}").isNull(), 0.0).otherwise(wt)
+    scored = lagged.select(
+        "user_id", "event_id", "value", F.round(num / den, 4).alias("ewma")
+    )
+    return scored.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ewma",
+        F.round(F.col("value") - F.col("ewma"), 4).alias("deviation"),
+    )
+
+
 @register(
     "mom_revenue_growth",
     oracle="""

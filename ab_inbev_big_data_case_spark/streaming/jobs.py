@@ -215,6 +215,29 @@ def stream_stream_join(
     )
 
 
+def stream_static_join(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension — the canonical streaming lookup (fact stream ×
+    slowly-refreshed dim table).
+
+    The static side needs no watermark and holds no join state: Spark
+    re-plans it per micro-batch, so a broadcast hint keeps every batch
+    join exchange-free (dim ships once per executor). Unlike
+    stream-stream, NO buffering is involved — semantics are exactly
+    per-batch ``batch ⋈ dim``, which also means the dim is re-read per
+    batch and may observe dim updates between batches (the point, for a
+    refreshing dimension; pin a snapshot upstream if that is unwanted).
+    Stream side must be the left/preserved side: outer joins that would
+    need to wait for future stream rows are not meaningful here.
+    """
+    return stream.join(F.broadcast(static_dim), on, how)
+
+
 def stream_upsert_sink(
     stream_df: DataFrame,
     path: str,

@@ -309,3 +309,32 @@ def test_stream_upsert_sink_keeps_latest(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, events_batch, events_stream_path):
+    """Stream-static dim enrichment: per-batch batch⋈dim must equal the
+    whole-batch join+agg twin; the static side is broadcast (no join state)."""
+    from ab_inbev_big_data_case_spark.streaming.jobs import stream_static_join
+
+    dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), F.col("user_id") % 3))
+    )
+    dim.cache().count()
+
+    stream = stream_from_parquet(spark, events_stream_path, events_batch.schema)
+    enriched = stream_static_join(stream, dim, ["user_id"])
+    agg = enriched.groupBy("segment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    name = run_to_memory(agg, "ss_join_out", "complete")
+    got = spark.sql(f"SELECT * FROM {name}")
+
+    want = (
+        events_batch.join(dim, ["user_id"])
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    cols = ["segment", "n", "total"]
+    assert _rows(got, cols) == _rows(want, cols)
