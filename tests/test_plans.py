@@ -262,3 +262,55 @@ def test_incremental_merge_two_level_agg(spark, sf_dir):
     plan = _plan(QUERIES["incremental_agg_merge"](spark, sf_dir))
     for node in ("Join", "CartesianProduct"):
         assert node not in plan
+
+
+def test_chunk_overlap_no_shuffle(spark, sf_dir):
+    """Sliding-window chunking is in-row: scan → generate → project, with
+    NO Exchange anywhere in the plan."""
+    plan = _plan(QUERIES["doc_chunk_overlap"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_profile_is_one_scan(spark, sf_dir):
+    """The profiler reads the table ONCE (wide aggregate + in-row melt),
+    never once-per-column."""
+    plan = _plan(QUERIES["profile_table"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_scd2_point_in_time_equi_joins_on_key(spark, sf_dir):
+    """The interval lookup must plan as an equi-join on custkey with the
+    range predicate as a join filter — NOT a nested-loop over intervals."""
+    plan = _plan(QUERIES["scd2_point_in_time"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_joins_on_block_key(spark, sf_dir):
+    """Blocked fuzzy match: the levenshtein comparison rides an equi-join
+    on the blocking key, never a cartesian over all name pairs."""
+    plan = _plan(QUERIES["fuzzy_match_blocked"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_node_count_is_broadcast_not_collect(spark, sf_dir):
+    """N enters the plan as a broadcast 1-row aggregate (no driver count):
+    the plan contains broadcast exchanges and builds lazily end-to-end."""
+    df = QUERIES["pagerank_nations"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+
+
+def test_shuffle_hash_join_hint_honored(spark, sf_dir):
+    """Optimizer surface: a shuffle_hash hint must flip the fact join from
+    sort-merge to ShuffledHashJoin (useful when one side is pre-partitioned
+    but sorting is the cost)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    joined = li.join(
+        o.hint("shuffle_hash"), li["l_orderkey"] == o["o_orderkey"]
+    ).select("l_orderkey", "o_totalprice")
+    assert "ShuffledHashJoin" in _plan(joined)
