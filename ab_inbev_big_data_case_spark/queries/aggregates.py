@@ -236,6 +236,62 @@ def percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAD_SQL = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           round(min(d.med), 4) AS median_value,
+           round(min(m.mad), 4) AS mad_value,
+           sum(CASE WHEN d.ad > 3.5 / 0.6745 * m.mad THEN 1 ELSE 0 END)::BIGINT
+               AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+"""
+
+
+@register("mad_outliers", oracle=_MAD_SQL)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per event
+    type, flag values whose modified z-score (0.6745·|x−med|/MAD) exceeds
+    3.5 — the dispersion-robust alternative to mean±kσ.
+
+    Two grouped exact-percentile passes over the fact with a broadcast
+    join-back between them (the per-group medians/MADs are a #event_types-
+    row table, so both joins broadcast). At 100 TB, swap the exact
+    percentiles for ``approx_percentile`` — the plan shape is unchanged;
+    exact is kept here for oracle comparability (both engines interpolate
+    quantile_cont identically — driver-verified on ``percentiles_stats``).
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
+    d = dev.join(F.broadcast(mad), "event_type")
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("med"), 4).alias("median_value"),
+        F.round(F.min("mad"), 4).alias("mad_value"),
+        F.sum(
+            F.when(F.col("ad") > F.lit(3.5) / F.lit(0.6745) * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
 @register("approx_percentile")  # t-digest/KLL internals differ from DuckDB → rows-only
 def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles — the scale path for percentile at 100 TB."""
