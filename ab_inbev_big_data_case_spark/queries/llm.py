@@ -1177,7 +1177,9 @@ def term_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            round(scale, 6) AS scale_r,
-           list_transform(xs, v -> CAST(floor(v * 127.0 / scale + 0.5) AS INT)) AS q,
+           array_to_string(list_transform(xs,
+                 v -> CAST(CAST(floor(v * 127.0 / scale + 0.5) AS INT) AS VARCHAR)),
+               ',') AS q_csv,
            round(list_max(list_transform(xs,
                  v -> abs(v - floor(v * 127.0 / scale + 0.5) * scale / 127.0))), 6)
                AS max_err_r
@@ -1191,8 +1193,19 @@ def term_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (see
-    ``llm.similarity.quantize_int8``)."""
-    return quantize_int8(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    ``llm.similarity.quantize_int8``).
+
+    The harness-facing projection serializes the quantized vector as a CSV
+    string: the driver's canonicalizer hashes scalar cells (array cells are
+    unhashable in its pandas sort path — r3 red), and a comma-joined int
+    string is a lossless, order-preserving encoding of the int8 array."""
+    q = quantize_int8(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale_r",
+        F.array_join(F.transform("q", lambda v: v.cast("string")), ",").alias("q_csv"),
+        "max_err_r",
+    )
 
 
 @register(

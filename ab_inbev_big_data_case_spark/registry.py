@@ -36,88 +36,76 @@ _QUERY_MODULES = [
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registered queries
-# per round (CORRECTNESS_r01.json ended at exactly entry #50 of 101), so
-# registration order decides what gets independent verification. Round 1
-# checked the scalar/aggregate/join/window families (47 green); round 2
-# checked the LLM/analytics/streaming-twin/UDF/set-op families (46 green +
-# 4 type-level reds, all fixed). This round-3 window holds: the 4 fixed reds,
-# every query that so far has only local-gate evidence (the round-2 ROTATION
-# list), the queries whose oracle text changed this round (ann_lsh_search —
-# its shared _BUCKET_SQL gained a cast; mixing_weights — latent HUGEINT
-# found by the new dtype-aware local gate), and the queries new this round
-# (json_scan, csv_scan, time_bucket_gapfill). Queries not listed keep their
-# earlier driver-green evidence and follow in registration order.
+# per round, so registration order decides what gets independent
+# verification. Evidence so far: r1 checked scalar/agg/join/window families
+# (47 green), r2 the LLM/analytics/streaming-twin/UDF/set-op families (46
+# green + 4 type-level reds, all since fixed), r3 the rotation of 50
+# never-checked queries (49 green + 1 driver-canonicalizer crash on an
+# array output column, fixed this round). Union r1-r3: 144 distinct names.
 #
-# ROTATION (round 4+): after round 3 every registered query has at least one
-# driver-checked row across r1-r3. Round 4 should re-check: any r3 reds,
-# plus greens with the oldest evidence (r1-only scalar/join/window families)
-# on a rolling basis.
+# This round-4 window holds: the one r3 red (embedding_quantize_int8 — now
+# emits a CSV-string projection of the int8 vector so the driver's pandas
+# hash path sees only scalars), the 23 round-3 additions the driver has
+# never seen, and 26 oldest-evidence fillers (r1-only greens, re-checked on
+# a rolling basis so no green's evidence goes stale).
+#
+# ROTATION (round 5+): re-check any r4 reds first, then continue the
+# rolling r1-only re-check (window_* family and remaining joins/aggregates
+# listed at the tail here), then any queries newer than this list.
 _CHECK_FIRST = [
-    # round-2 reds — oracle integer-sum outputs cast ::BIGINT (HUGEINT fix)
-    "tpch_q12_shape",
-    "simhash_docs",
-    "ann_lsh_buckets",
-    "sessionize_lag_cumsum",
-    # oracle text changed this round → re-verify
-    "ann_lsh_search",
-    "mixing_weights",
-    # new this round
-    "json_scan",
-    "csv_scan",
-    "time_bucket_gapfill",
-    # local-only until now: latent-HUGEINT fixes landed this round
-    "funnel_analysis",
-    "sequence_packing_bins",
-    "quality_bucket_mix",
-    # local-only until now: LLM curation / dataset assembly
-    "ivf_cells",
-    "ivf_search",
-    "embedding_near_dup",
-    "semdedup_corpus",
-    "dup_clusters_cc",
-    "chunk_dedup_ratio",
-    "repetition_score",
-    "benchmark_contamination",
-    "unigram_logprob_score",
-    "train_val_test_split",
-    "source_quota_sample",
-    "stratified_lang_sample",
-    "term_blocklist_filter",
+    # r3 red, fixed this round: array output column → CSV-string projection
     "embedding_quantize_int8",
-    "normalize_text_scrub",
-    "source_entropy",
-    # local-only until now: skew + composed analytics
-    "join_salted_skew",
-    "retention_cohorts",
-    "recursive_month_spine",
-    # local-only until now: TPC-H extras
-    "tpch_q4_shape",
-    "tpch_q8_shape",
-    "tpch_q9_shape",
-    "tpch_q11_shape",
-    "tpch_q13_shape",
-    "tpch_q14_shape",
-    "tpch_q15_shape",
-    "tpch_q16_shape",
-    "tpch_q17_shape",
-    "tpch_q20_shape",
-    "tpch_q21_shape",
-    "tpch_q22_shape",
-    # new this round (zero driver evidence — displace r1-green fillers,
-    # which keep their round-1 rows): TPC-H Q2 completes the 22-query
-    # suite; the rest are new LLM-curation operators
-    "tpch_q2_shape",
-    "cms_heavy_hitters",
-    "weighted_reservoir_sample",
-    "boilerplate_ngrams",
-    "embedding_gram_matrix",
-    "pii_scrub",
-    # deepest of the round-3 additions (inverted-index + checkpoint seams);
-    # the other r3-new queries (hll_distinct, bloom_filter_probe,
-    # gopher_quality_flags, zorder_layout_extents, incremental_agg_merge,
-    # and any later) lead the round-4 rotation together with re-checks of
-    # any r3 reds, then oldest-evidence r1 greens
-    "sparse_cosine_topk",
+    # never driver-checked (round-3 additions)
+    "snapshot_cdc_diff",
+    "dq_checks",
+    "bitwise_ops",
+    "mad_outliers",
+    "incremental_agg_merge",
+    "histogram_quantile_sketch",
+    "event_transitions",
+    "ewma_anomaly",
+    "mom_revenue_growth",
+    "zorder_layout_extents",
+    "doc_chunk_overlap",
+    "hll_distinct",
+    "bloom_filter_probe",
+    "gopher_quality_flags",
+    "hll_rolling_distinct",
+    "curation_pipeline_e2e",
+    "conversation_threading",
+    "orc_scan",
+    "profile_table",
+    "scd2_dim_build",
+    "scd2_point_in_time",
+    "fuzzy_match_blocked",
+    "pagerank_nations",
+    # oldest-evidence re-checks (r1-only greens, in r1 registration order)
+    "medallion_gold",
+    "medallion_silver",
+    "incremental_window",
+    "string_funcs",
+    "date_funcs",
+    "null_handling",
+    "json_funcs",
+    "array_funcs",
+    "casts",
+    "predicates",
+    "map_funcs",
+    "json_struct_roundtrip",
+    "regex_funcs",
+    "date_arithmetic",
+    "try_ops",
+    "unpivot_melt",
+    "deterministic_sample",
+    "groupby_agg",
+    "count_distinct",
+    "approx_count_distinct",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets",
+    "filtered_agg",
+    "collect_set_agg",
+    "percentiles_stats",
 ]
 
 

@@ -108,6 +108,23 @@ def dtype_problems(sdf, dcols, dtypes):
     return out
 
 
+def nonscalar_problems(sdf):
+    """Flag array/map/struct output columns. The driver's canonicalizer
+    sorts result cells through pandas, where a list-valued cell raises
+    ``unhashable type: 'list'`` (the round-3 ``embedding_quantize_int8``
+    red) — our multiset compare handles lists fine, so without this lint
+    the local gate green-lights queries the driver crashes on. Serialize
+    vectors as CSV strings / JSON in the harness-facing projection."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"nonscalar output col [{f.name}] {f.dataType.simpleString()} "
+        "(driver canonicalizer cannot hash it — serialize to string)"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query names (default: all)")
@@ -151,8 +168,13 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
-            n_rows_only += 1
+            ns = nonscalar_problems(sdf)
+            if ns:
+                print(f"FAIL {name}: " + "; ".join(ns))
+                n_fail += 1
+            else:
+                print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+                n_rows_only += 1
             continue
         try:
             rel = con.sql(oracles[name])
@@ -163,7 +185,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
             continue
-        problems = []
+        problems = nonscalar_problems(sdf)
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
