@@ -1,0 +1,452 @@
+"""Statistical / ML-adjacent analytics operators (SURVEY.md §2.2 round-4
+widening): closed-form regression, hypothesis testing, correlation
+matrices, RFM segmentation, Pareto frontiers, winsorization, sweep-line
+interval concurrency, and marketing attribution.
+
+These are the aggregate-shaped ML primitives a warehouse team runs beside
+the reference's load→clean→publish pipeline (generalizing
+``glue/etl_api.py:42-45``'s groupBy aggregate into the statistical aggs a
+real deployment needs). Everything is a one-or-two-shuffle plan built from
+JVM-side aggregates — no MLlib, no driver-side math: the closed forms
+(normal equations, Welch statistic, percentile boundaries) are themselves
+expressed as Catalyst aggregates so they scale like any other groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import load_tables, table
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) -> DataFrame:
+    load_tables(spark, sf_dir, tables)
+    return spark.sql(sql)
+
+
+# ------------------------------------------------------------- regression
+
+# Closed-form simple OLS per group via the SQL-standard regr_* aggregates
+# (Spark ≥3.4 and DuckDB implement the same definitions). At 100 TB this is
+# one partial+final aggregate pass — the normal-equation moments
+# (Σx, Σy, Σxy, Σx²) combine associatively, so there is exactly one shuffle
+# keyed on the (low-cardinality) group column.
+_OLS_SQL = """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_r,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept_r,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2_r
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("ols_regression", oracle=_OLS_SQL)
+def ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (extendedprice ~ quantity) via
+    the associative regr_* moment aggregates — one shuffle, no MLlib."""
+    return _sql(spark, sf_dir, ("lineitem",), _OLS_SQL)
+
+
+# ------------------------------------------------------- Welch A/B t-test
+
+# Two-sample Welch t-test between event cohorts, entirely as one filtered
+# aggregate: means/variances/counts for both arms come out of a single
+# events scan (FILTER-ed aggs share the pass), the t statistic and
+# Welch–Satterthwaite df are scalar arithmetic on the one-row result.
+_WELCH_SQL = """
+    WITH s AS (
+        SELECT avg(value)      FILTER (WHERE event_type = 'click')    AS ma,
+               var_samp(value) FILTER (WHERE event_type = 'click')    AS va,
+               count(*)        FILTER (WHERE event_type = 'click')    AS na,
+               avg(value)      FILTER (WHERE event_type = 'purchase') AS mb,
+               var_samp(value) FILTER (WHERE event_type = 'purchase') AS vb,
+               count(*)        FILTER (WHERE event_type = 'purchase') AS nb
+        FROM events
+    )
+    SELECT na, nb,
+           round(ma, 4) AS mean_a_r,
+           round(mb, 4) AS mean_b_r,
+           round((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_stat_r,
+           round(pow(va / na + vb / nb, 2) /
+                 (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)),
+                 2) AS df_welch_r
+    FROM s
+"""
+
+
+@register("welch_ab_test", oracle=_WELCH_SQL)
+def welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (click vs purchase event values): both arms'
+    moments from ONE scan via FILTER-ed aggregates, statistic as scalar
+    arithmetic on the single-row aggregate."""
+    return _sql(spark, sf_dir, ("events",), _WELCH_SQL)
+
+
+# ------------------------------------------------------ correlation matrix
+
+_CORR_PAIRS = [
+    ("qty_price", "l_quantity", "l_extendedprice"),
+    ("qty_disc", "l_quantity", "l_discount"),
+    ("qty_tax", "l_quantity", "l_tax"),
+    ("price_disc", "l_extendedprice", "l_discount"),
+    ("price_tax", "l_extendedprice", "l_tax"),
+    ("disc_tax", "l_discount", "l_tax"),
+]
+
+_CORR_SQL = (
+    "WITH c AS (SELECT "
+    + ", ".join(f"corr({x}, {y}) AS c_{p}" for p, x, y in _CORR_PAIRS)
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{p}' AS pair, round(c_{p}, 6) AS corr_r FROM c"
+        for p, _, _ in _CORR_PAIRS
+    )
+)
+
+
+@register("corr_matrix", oracle=_CORR_SQL)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) of four
+    lineitem measures: all six corr() co-moments accumulate in ONE
+    aggregate over one scan, then melt to (pair, corr) rows in-row —
+    no per-pair scans, no shuffle beyond the single global aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        *[F.corr(x, y).alias(f"c_{p}") for p, x, y in _CORR_PAIRS]
+    )
+    melted = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("pair"),
+                        F.round(F.col(f"c_{p}"), 6).alias("corr_r"),
+                    )
+                    for p, _, _ in _CORR_PAIRS
+                ]
+            )
+        ).alias("kv")
+    )
+    return melted.select("kv.pair", "kv.corr_r")
+
+
+# ------------------------------------------------------- RFM segmentation
+
+# Recency/Frequency/Monetary customer segmentation. The scale-critical
+# choice: quartile BOUNDARIES via percentile aggregates (one tiny one-row
+# result, broadcast back), NOT ntile() over a global window — ntile needs a
+# single-partition total sort, boundaries keep every pass parallel. The
+# bucketed metrics are integers (days / counts / cents) so the int-vs-
+# boundary comparisons are engine-exact.
+_RFM_DUCK = """
+    WITH rfm AS (
+        SELECT o_custkey,
+               datediff('day', max(o_orderdate),
+                        (SELECT max(o_orderdate) FROM orders)) AS rec_days,
+               count(*) AS freq,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS mon_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT quantile_cont(rec_days, 0.25) AS r1, quantile_cont(rec_days, 0.5) AS r2,
+               quantile_cont(rec_days, 0.75) AS r3,
+               quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+               quantile_cont(freq, 0.75) AS f3,
+               quantile_cont(mon_cents, 0.25) AS m1, quantile_cont(mon_cents, 0.5) AS m2,
+               quantile_cont(mon_cents, 0.75) AS m3
+        FROM rfm
+    )
+    SELECT concat('R', 1 + (rec_days > r1)::INT + (rec_days > r2)::INT + (rec_days > r3)::INT,
+                  'F', 1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT,
+                  'M', 1 + (mon_cents > m1)::INT + (mon_cents > m2)::INT + (mon_cents > m3)::INT)
+               AS segment,
+           count(*) AS n_customers,
+           CAST(round(avg(mon_cents)) AS BIGINT) AS avg_monetary_cents
+    FROM rfm CROSS JOIN b
+    GROUP BY 1
+"""
+
+
+@register("rfm_segmentation", oracle=_RFM_DUCK)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer integer metrics (one
+    shuffle), quartile boundaries as a broadcast one-row aggregate, bucket
+    codes as codegen'd CASE arithmetic — deliberately avoids ntile()'s
+    single-partition global sort, so the plan survives 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("mon_cents"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = rfm.crossJoin(F.broadcast(anchor)).select(
+        F.datediff("anchor", "last_order").alias("rec_days"), "freq", "mon_cents"
+    )
+    b = rfm.agg(
+        *[
+            F.percentile(c, q).alias(f"{c[0]}{i}")
+            for c in ("rec_days", "freq", "mon_cents")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def bucket(col: str, pfx: str):
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + (v > F.col(f"{pfx}1")).cast("int")
+            + (v > F.col(f"{pfx}2")).cast("int")
+            + (v > F.col(f"{pfx}3")).cast("int")
+        )
+
+    seg = rfm.crossJoin(F.broadcast(b)).select(
+        F.concat(
+            F.lit("R"), bucket("rec_days", "r"),
+            F.lit("F"), bucket("freq", "f"),
+            F.lit("M"), bucket("mon_cents", "m"),
+        ).alias("segment"),
+        "mon_cents",
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("mon_cents")).cast("bigint").alias("avg_monetary_cents"),
+    )
+
+
+# --------------------------------------------------------- 2-D skyline
+
+# Pareto frontier (maximize price AND size). Scale shape: the classic
+# distributed skyline — a LOCAL skyline per (arbitrary hash) partition
+# first, which can only discard globally-dominated points, then the exact
+# global pass over the few survivors. The heavy input never feeds a global
+# sort; only the pruned candidate set crosses a single partition.
+_SKYLINE_DUCK = """
+    WITH pts AS (
+        SELECT DISTINCT round(p_retailprice, 2) AS price_r, p_size FROM part
+    )
+    SELECT price_r, p_size
+    FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.price_r >= a.price_r AND b.p_size >= a.p_size
+          AND (b.price_r > a.price_r OR b.p_size > a.p_size)
+    )
+"""
+
+
+def _skyline_pass(df: DataFrame, part_cols: list) -> DataFrame:
+    """One dominance-prune pass: within each partition group, sorted by
+    (price desc, size desc), a point survives iff no earlier point has
+    size ≥ its own (earlier ⇒ price ≥; cummax(size) ≥ ⇒ dominated,
+    with equal-pair duplicates already removed upstream)."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("price_r").desc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("cm", F.max("p_size").over(w))
+        .filter(F.col("cm").isNull() | (F.col("p_size") > F.col("cm")))
+        .drop("cm")
+    )
+
+
+@register("skyline_2d", oracle=_SKYLINE_DUCK)
+def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of parts (maximize retail price and size):
+    hash-partitioned local skylines prune in parallel, then one exact
+    global pass over the survivors. Oracle states the same frontier as a
+    NOT EXISTS dominance test."""
+    p = table(spark, sf_dir, "part")
+    pts = p.select(
+        F.round("p_retailprice", 2).alias("price_r"), "p_size"
+    ).distinct()
+    local = _skyline_pass(
+        pts.withColumn("bkt", F.pmod(F.xxhash64("price_r", "p_size"), F.lit(32))),
+        ["bkt"],
+    ).drop("bkt")
+    return _skyline_pass(local, [])
+
+
+# -------------------------------------------------------- winsorization
+
+_WINSOR_DUCK = """
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+               quantile_cont(o_totalprice, 0.99) AS p99
+        FROM orders
+    )
+    SELECT count(*) AS n,
+           round(min(b.p01), 4) AS p01_r,
+           round(min(b.p99), 4) AS p99_r,
+           round(avg(o_totalprice), 4) AS mean_raw_r,
+           round(avg(least(greatest(o_totalprice, b.p01), b.p99)), 4) AS mean_wins_r
+    FROM orders CROSS JOIN b
+"""
+
+
+@register("winsorize_stats", oracle=_WINSOR_DUCK)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clamp at p01/p99): boundary percentiles as a
+    broadcast one-row aggregate joined back, clamp is codegen'd
+    least/greatest — two scans, no sort, no window."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile("o_totalprice", 0.01).alias("p01"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("p01"), 4).alias("p01_r"),
+            F.round(F.min("p99"), 4).alias("p99_r"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_raw_r"),
+            F.round(
+                F.avg(F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))),
+                4,
+            ).alias("mean_wins_r"),
+        )
+    )
+
+
+# ------------------------------------------- sweep-line interval concurrency
+
+# Max concurrent 30-minute sessions per hour via the sweep-line trick:
+# each interval contributes a +1/−1 edge, concurrency is the running sum.
+# The scale-critical decomposition: a SINGLE global running sum would need
+# a one-partition window, so instead the cumsum splits into (a) a
+# per-hour-bucket cumsum — windows partitioned by bucket, fully parallel —
+# plus (b) a carry-in of whole-bucket totals, a window over only the tiny
+# bucket spine. Identical result, no single-partition pass over the data.
+_SWEEP_DUCK = """
+    WITH edges AS (
+        SELECT ts AS t, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS delta, event_id FROM events
+    ),
+    cum AS (
+        SELECT date_trunc('hour', t) AS bucket_hour,
+               sum(delta) OVER (PARTITION BY date_trunc('hour', t)
+                                ORDER BY t, delta, event_id
+                                ROWS UNBOUNDED PRECEDING) AS in_bucket
+        FROM edges
+    ),
+    bucket_max AS (
+        SELECT bucket_hour, max(in_bucket) AS mx
+        FROM cum GROUP BY bucket_hour
+    ),
+    totals AS (
+        SELECT date_trunc('hour', t) AS bucket_hour, sum(delta) AS tot
+        FROM edges GROUP BY 1
+    ),
+    carried AS (
+        SELECT bucket_hour,
+               coalesce(sum(tot) OVER (ORDER BY bucket_hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+        FROM totals
+    )
+    SELECT m.bucket_hour, CAST(c.carry + m.mx AS BIGINT) AS max_concurrent
+    FROM bucket_max m JOIN carried c USING (bucket_hour)
+"""
+
+
+@register("concurrent_sessions", oracle=_SWEEP_DUCK)
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-min sessions per hour, sweep-line style: ±1
+    edges, per-bucket parallel cumsum + whole-bucket carry-in (the tiny
+    bucket spine is the only partitionless window) — the two-level prefix
+    sum that keeps a running total scalable."""
+    e = table(spark, sf_dir, "events")
+    edges = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("ed"),
+        "event_id",
+    ).select(F.col("ed.t").alias("t"), F.col("ed.delta").alias("delta"), "event_id")
+    edges = edges.withColumn("bucket_hour", F.date_trunc("hour", "t"))
+
+    wb = (
+        Window.partitionBy("bucket_hour")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_max = (
+        edges.withColumn("in_bucket", F.sum("delta").over(wb))
+        .groupBy("bucket_hour")
+        .agg(F.max("in_bucket").alias("mx"))
+    )
+    totals = edges.groupBy("bucket_hour").agg(F.sum("delta").alias("tot"))
+    wc = Window.orderBy("bucket_hour").rowsBetween(Window.unboundedPreceding, -1)
+    carried = totals.select(
+        "bucket_hour", F.coalesce(F.sum("tot").over(wc), F.lit(0)).alias("carry")
+    )
+    return bucket_max.join(carried, "bucket_hour").select(
+        "bucket_hour", (F.col("carry") + F.col("mx")).cast("bigint").alias("max_concurrent")
+    )
+
+
+# ---------------------------------------------------- last-touch attribution
+
+_ATTR_DUCK = """
+    WITH ev AS (
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+        SELECT event_type, value, ts,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        FROM ev
+    )
+    SELECT (click_ts IS NOT NULL) AS attributed,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS total_value_r,
+           round(avg(epoch(ts) - epoch(click_ts)), 1) AS avg_latency_s_r
+    FROM w
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@register("attribution_last_touch", oracle=_ATTR_DUCK)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent prior click via one per-user window (last ignorenulls over
+    the filtered click/purchase stream) — the as-of-join shape without a
+    join, one shuffle keyed on user_id."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = e.withColumn(
+        "click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w),
+    ).filter(F.col("event_type") == "purchase")
+    return scored.groupBy(
+        F.col("click_ts").isNotNull().alias("attributed")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("total_value_r"),
+        F.round(
+            F.avg(F.unix_timestamp("ts") - F.unix_timestamp("click_ts")), 1
+        ).alias("avg_latency_s_r"),
+    )

@@ -33,6 +33,7 @@ _QUERY_MODULES = [
     "ab_inbev_big_data_case_spark.queries.llm",
     "ab_inbev_big_data_case_spark.queries.sources",
     "ab_inbev_big_data_case_spark.queries.warehouse",
+    "ab_inbev_big_data_case_spark.queries.mlstats",
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registered queries

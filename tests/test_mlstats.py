@@ -1,0 +1,114 @@
+"""Semantic invariants for the mlstats family (queries/mlstats.py) beyond
+the DuckDB oracle equivalence: dominance correctness for the distributed
+skyline, the two-level prefix-sum decomposition, and partition/consistency
+identities."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+load_all()
+
+
+def test_skyline_is_exact_pareto_frontier(spark, sf_dir):
+    """The hash-partitioned local-prune + global-pass skyline must equal
+    the brute-force dominance definition."""
+    got = {
+        (r.price_r, r.p_size)
+        for r in QUERIES["skyline_2d"](spark, sf_dir).collect()
+    }
+    pts = {
+        (r.price_r, r.p_size)
+        for r in table(spark, sf_dir, "part")
+        .select(F.round("p_retailprice", 2).alias("price_r"), "p_size")
+        .distinct()
+        .collect()
+    }
+
+    def dominated(a):
+        return any(
+            b[0] >= a[0] and b[1] >= a[1] and (b[0] > a[0] or b[1] > a[1])
+            for b in pts
+        )
+
+    expect = {a for a in pts if not dominated(a)}
+    assert got == expect
+
+
+def test_concurrent_sessions_matches_single_window(spark, sf_dir):
+    """Two-level (per-bucket cumsum + carry) running sum ≡ the naive
+    single-partition global cumsum it decomposes."""
+    e = table(spark, sf_dir, "events")
+    edges = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                    F.struct(
+                        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("ed"),
+            "event_id",
+        )
+        .select("ed.t", "ed.delta", "event_id")
+    )
+    w = Window.orderBy("t", "delta", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        edges.withColumn("cum", F.sum("delta").over(w))
+        .groupBy(F.date_trunc("hour", "t").alias("bucket_hour"))
+        .agg(F.max("cum").cast("bigint").alias("max_concurrent"))
+    )
+    got = {
+        (r.bucket_hour, r.max_concurrent)
+        for r in QUERIES["concurrent_sessions"](spark, sf_dir).collect()
+    }
+    expect = {(r.bucket_hour, r.max_concurrent) for r in naive.collect()}
+    assert got == expect
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    n_customers = (
+        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_customers
+    for r in rows:
+        assert len(r.segment) == 6 and r.segment[0] == "R"
+        assert all(c in "1234" for c in (r.segment[1], r.segment[3], r.segment[5]))
+
+
+def test_attribution_partitions_purchases(spark, sf_dir):
+    rows = QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    n_purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    attributed = {r.attributed: r for r in rows}
+    if True in attributed:
+        assert attributed[True].avg_latency_s_r is not None
+        assert attributed[True].avg_latency_s_r >= 0
+    if False in attributed:
+        assert attributed[False].avg_latency_s_r is None
+
+
+def test_skyline_local_pass_is_partitioned(spark, sf_dir):
+    """The first skyline window must run partitioned by hash bucket (the
+    parallel prune); only the tiny survivor pass may be partitionless."""
+    plan = (
+        QUERIES["skyline_2d"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two dominance passes → two Window operators, the first keyed on the
+    # hash bucket so the heavy input never hits a single partition
+    assert plan.count("Window") >= 2
+    assert "bkt" in plan
