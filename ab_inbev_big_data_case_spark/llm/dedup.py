@@ -279,6 +279,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingle_df: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Directional shingle containment C(A|B) = |A∩B|/|A| for pairs sharing
+    ≥1 shingle: (id1, id2, cont1, cont2), kept when either direction ≥
+    threshold.
+
+    The asymmetric companion to ``ngram_jaccard_pairs`` — quote-inclusion
+    and partial-copy detection where Jaccard under-scores a small doc
+    embedded in a large one (near-containment dedup keeps the superset
+    doc). Identical join topology: hashed-shingle-id equi-join, so the same
+    scale guards apply (LSH prefilter or a doc-frequency cap upstream at
+    corpus scale)."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    hashed = shingle_df.select(F.col(id_col), F.xxhash64("shingle").alias("__sid"))
+    a = hashed.select(F.col(id_col).alias("id1"), "__sid")
+    b = hashed.select(F.col(id_col).alias("id2"), "__sid")
+    inter = (
+        a.join(b, "__sid")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(F.broadcast(sa), "id1")
+        .join(F.broadcast(sb), "id2")
+        .withColumn("cont1", F.round(F.col("n_inter") / F.col("n1"), 4))
+        .withColumn("cont2", F.round(F.col("n_inter") / F.col("n2"), 4))
+        .filter((F.col("cont1") >= threshold) | (F.col("cont2") >= threshold))
+        .select("id1", "id2", "cont1", "cont2")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
     """SimHash signature per doc: per-bit majority vote over distinct-token
     hashes, packed into an int (id, simhash).

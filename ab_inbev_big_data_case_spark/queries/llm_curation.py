@@ -1,0 +1,309 @@
+"""Round-4 LLM-corpus curation operators: DSIR importance weighting
+(arXiv:2302.03169), bigram language-model scoring, BPE merge-step pair
+counting, and directional shingle containment.
+
+These extend the §2.2 LLM-pipeline family (queries/llm.py) with the
+data-selection and tokenizer-construction steps a pretraining pipeline
+runs between dedup and assembly. Same conventions: portable sha256 hash
+mirrored in the DuckDB oracle, broadcast frequency tables, no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.functions.text import (
+    shingles,
+    token_hash64,
+    tokens,
+)
+from ab_inbev_big_data_case_spark.llm.dedup import containment_pairs, shingle_set
+from ab_inbev_big_data_case_spark.llm.similarity import kmeans_rounds
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+_H64 = "('0x' || substr(sha256({x}), 1, 15))::BIGINT"
+
+# DSIR hashed-feature space size (the paper uses 10k buckets for hashed
+# unigrams; collisions are part of the estimator, not an error)
+_DSIR_BUCKETS = 10_000
+_DSIR_TARGET = ("src1", "src2", "src3")
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id, source, ({_H64.format(x='tok')} % {_DSIR_BUCKETS}) AS bkt
+        FROM toks
+    ),
+    cnt AS (
+        SELECT bkt, count(*) AS n_raw,
+               count(*) FILTER (WHERE source IN {_DSIR_TARGET}) AS n_tgt
+        FROM bt GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM cnt)
+    SELECT bt.doc_id, count(*) AS n_tokens,
+           round(avg(ln(((c.n_tgt + 1.0) / (t.nt + {_DSIR_BUCKETS})) /
+                        ((c.n_raw + 1.0) / (t.nr + {_DSIR_BUCKETS})))), 4)
+               AS dsir_weight_r
+    FROM bt JOIN cnt c USING (bkt) CROSS JOIN tot t
+    GROUP BY bt.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169): per-doc importance weight =
+    mean log-ratio of target vs raw token probability over hashed unigram
+    features (10k buckets, add-1 smoothing). Target distribution = the
+    curated sources; raw = whole corpus. One token pass builds BOTH
+    distributions (filtered aggs share the groupBy), the bucket table
+    broadcasts back — two shuffles at any corpus size, and the feature
+    space is fixed-width so state never grows with the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("bkt", token_hash64(F.col("tok")) % _DSIR_BUCKETS)
+    cnt = toks.groupBy("bkt").agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(F.col("source").isin(*_DSIR_TARGET), 1)).alias("n_tgt"),
+    )
+    tot = cnt.agg(
+        F.sum("n_raw").cast("double").alias("nr"),
+        F.sum("n_tgt").cast("double").alias("nt"),
+    )
+    return (
+        toks.join(F.broadcast(cnt), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        ((F.col("n_tgt") + 1.0) / (F.col("nt") + _DSIR_BUCKETS))
+                        / ((F.col("n_raw") + 1.0) / (F.col("nr") + _DSIR_BUCKETS))
+                    )
+                ),
+                4,
+            ).alias("dsir_weight_r"),
+        )
+    )
+
+
+@register(
+    "bigram_lm_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1])
+        )) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    btab AS (SELECT bigram, count(*) AS n_big FROM bg GROUP BY 1),
+    ptab AS (
+        SELECT split_part(bigram, ' ', 1) AS pre, count(*) AS n_pre
+        FROM bg GROUP BY 1
+    )
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(b.n_big * 1.0 / p.n_pre)), 4) AS avg_neg_logprob_bi
+    FROM bg
+    JOIN btab b USING (bigram)
+    JOIN ptab p ON p.pre = split_part(bg.bigram, ' ', 1)
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: per-doc average −log p(wᵢ | wᵢ₋₁) under
+    corpus MLE bigram probabilities (the natural upgrade of
+    ``unigram_logprob_score``; KenLM-style scoring without the KenLM
+    binary). Bigram and prefix frequency tables come from the same
+    exploded-bigram rows and broadcast back — three shuffles total
+    (bigram tf, prefix tf, per-doc avg), none keyed on the raw text."""
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram"),
+    ).withColumn("pre", F.substring_index("bigram", " ", 1))
+    btab = bg.groupBy("bigram").agg(F.count("*").alias("n_big"))
+    ptab = bg.groupBy("pre").agg(F.count("*").alias("n_pre"))
+    return (
+        bg.join(F.broadcast(btab), "bigram")
+        .join(F.broadcast(ptab), "pre")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("n_big") / F.col("n_pre"))), 4).alias(
+                "avg_neg_logprob_bi"
+            ),
+        )
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+    WITH wf AS (
+        SELECT word, count(*) AS n_w
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT substr(word, i, 2) AS pair, n_w
+        FROM (
+            SELECT word, n_w, unnest(range(1, length(word))) AS i
+            FROM wf WHERE length(word) >= 2
+        )
+    )
+    SELECT pair, sum(n_w)::BIGINT AS n_occ
+    FROM pairs GROUP BY 1
+    ORDER BY n_occ DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration's pair statistics: corpus-weighted adjacent
+    character-pair counts, top 20. The tokenizer-training trick that makes
+    this scale: pairs are counted over the DISTINCT-WORD frequency table
+    (Heaps'-law small), not the token stream — the corpus is touched once
+    for word counts and never again, so 100 TB of text reduces to a
+    vocabulary-sized pair aggregation."""
+    d = table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_w"))
+    )
+    pairs = wf.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n_w",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(20)
+    )
+
+
+_SHINGLES_CTE = """
+    toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        ))) AS shingle
+        FROM toksrc
+    )
+"""
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(n_inter * 1.0 / sa.n_sh, 4) AS cont1,
+           round(n_inter * 1.0 / sb.n_sh, 4) AS cont2
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id1
+    JOIN sizes sb ON sb.doc_id = id2
+    WHERE round(n_inter * 1.0 / sa.n_sh, 4) >= 0.5
+       OR round(n_inter * 1.0 / sb.n_sh, 4) >= 0.5
+    """,
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment (|A∩B|/|A| and /|B|) for doc pairs
+    sharing content — catches a small doc quoted inside a large one, which
+    symmetric Jaccard under-scores. Same hashed-shingle equi-join topology
+    as the Jaccard verifier (llm/dedup.py:containment_pairs)."""
+    d = table(spark, sf_dir, "documents")
+    return containment_pairs(shingle_set(d, "doc_id", "text", 3), "doc_id", 0.5)
+
+
+# --------------------------------------------------------------- k-means
+
+_KM_DOT = "(SELECT sum(a * b) FROM (SELECT unnest({x})::DOUBLE AS a, unnest({y})::DOUBLE AS b) z)"
+_KM_NORM = "sqrt((SELECT sum(a * a) FROM (SELECT unnest({x})::DOUBLE AS a) z{tag}))"
+
+_KM_ASSIGN = """
+    {out} AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id, row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY
+                round({dot} / ({vn} * {cn}), 3) DESC NULLS LAST, c.cell_id) AS rn
+            FROM embeddings e CROSS JOIN {cents} c
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "kmeans_cells",
+    oracle=f"""
+    WITH c0 AS (
+        SELECT vec_id AS cell_id, list_transform(embedding, v -> v::DOUBLE) AS cv
+        FROM embeddings WHERE vec_id % 61 = 0
+    ),
+    {_KM_ASSIGN.format(out='a1', cents='c0',
+                       dot=_KM_DOT.format(x='e.embedding', y='c.cv'),
+                       vn=_KM_NORM.format(x='e.embedding', tag='v'),
+                       cn=_KM_NORM.format(x='c.cv', tag='c'))},
+    coords AS (
+        SELECT cell_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {{'i': i, 'v': embedding[i]::DOUBLE}})) AS u
+        FROM a1 JOIN embeddings USING (vec_id)
+    ),
+    cm AS (
+        SELECT cell_id, u.i AS i, round(avg(u.v), 6) AS av
+        FROM coords GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cell_id, list(av ORDER BY i) AS cv FROM cm GROUP BY 1),
+    {_KM_ASSIGN.format(out='a2', cents='c1',
+                       dot=_KM_DOT.format(x='e.embedding', y='c.cv'),
+                       vn=_KM_NORM.format(x='e.embedding', tag='v'),
+                       cn=_KM_NORM.format(x='c.cv', tag='c'))}
+    SELECT g.cell_id, g.n_members,
+           round(sqrt(list_sum(list_transform(c1.cv, x -> x * x))), 4)
+               AS centroid_norm_r
+    FROM (SELECT cell_id, count(*) AS n_members FROM a2 GROUP BY 1) g
+    JOIN c1 USING (cell_id)
+    """,
+)
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fixed rounds of spherical k-means over the embedding corpus
+    (deterministic seeds vec_id % 61 = 0): assign → elementwise-mean
+    recompute → reassign, one unrolled lineage with no driver iteration
+    (llm/similarity.py:kmeans_rounds). Output: final cell sizes + the
+    recomputed centroid norms. The iterative-ML companion to the one-shot
+    IVF quantizer — per round, broadcast-K argmax collapses N·K map-side
+    and centroid state stays K·dim regardless of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_rounds(
+        e, "vec_id", "embedding", lambda vid: vid % 61 == 0, n_rounds=2
+    )
+    sizes = assign.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+    norms = cents.select(
+        "cell_id", F.round(F.col("__cn"), 4).alias("centroid_norm_r")
+    )
+    return sizes.join(norms, "cell_id").select(
+        "cell_id", "n_members", "centroid_norm_r"
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = [
     "ab_inbev_big_data_case_spark.queries.sources",
     "ab_inbev_big_data_case_spark.queries.warehouse",
     "ab_inbev_big_data_case_spark.queries.mlstats",
+    "ab_inbev_big_data_case_spark.queries.llm_curation",
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registered queries

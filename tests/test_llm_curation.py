@@ -1,0 +1,68 @@
+"""Semantic invariants for the round-4 curation operators
+(queries/llm_curation.py) beyond DuckDB oracle equivalence."""
+
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+load_all()
+
+
+def test_dsir_upweights_target_sources(spark, sf_dir):
+    """The whole point of DSIR: docs drawn from the target distribution
+    must score higher on average than the rest of the corpus."""
+    w = QUERIES["dsir_importance_weights"](spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    by_side = (
+        w.join(d, "doc_id")
+        .groupBy(F.col("source").isin("src1", "src2", "src3").alias("is_target"))
+        .agg(F.avg("dsir_weight_r").alias("mean_w"))
+        .collect()
+    )
+    means = {r.is_target: r.mean_w for r in by_side}
+    assert means[True] > means[False]
+
+
+def test_bigram_counts_are_tokens_minus_one(spark, sf_dir):
+    bi = QUERIES["bigram_lm_score"](spark, sf_dir).select("doc_id", "n_bigrams")
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 2)
+    )
+    bad = bi.join(toks, "doc_id").filter(
+        F.col("n_bigrams") != F.col("n_tokens") - 1
+    )
+    assert bad.count() == 0
+
+
+def test_bpe_pairs_shape(spark, sf_dir):
+    rows = QUERIES["bpe_pair_counts"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(len(r.pair) == 2 for r in rows)
+    counts = [r.n_occ for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For any pair, max(cont1, cont2) ≥ jaccard (containment divides by
+    one set size, jaccard by the union), and both sit in (0, 1]."""
+    rows = QUERIES["containment_pairs"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.id1 < r.id2
+        assert 0 < r.cont1 <= 1.0 and 0 < r.cont2 <= 1.0
+        assert max(r.cont1, r.cont2) >= 0.5
+
+
+def test_kmeans_partitions_corpus(spark, sf_dir):
+    rows = QUERIES["kmeans_cells"](spark, sf_dir).collect()
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    n_seeds = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 61 == 0)
+        .count()
+    )
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert len(rows) <= n_seeds
+    assert all(r.centroid_norm_r > 0 for r in rows)
