@@ -17,12 +17,39 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _event_time_legal(dt: T.DataType) -> T.DataType:
+    """Spark 4.x refuses ``withWatermark`` on TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE): watermarks compare event times
+    across executors, which needs an instant, not a wall-clock. Parquet
+    written from tz-naive fixtures carries NTZ, so the streaming source
+    boundary rewrites NTZ → TIMESTAMP_LTZ in the read schema. Both types
+    are raw micros on disk and the session timezone is pinned UTC
+    (``session.py``), so values are bit-identical — only the watermark
+    legality changes."""
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType()
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_event_time_legal(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _event_time_legal(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def stream_from_parquet(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
     """File-based streaming source (one file = one micro-batch for tests;
-    production would point at an arriving-files directory or Kafka)."""
-    return spark.readStream.schema(schema).parquet(path)
+    production would point at an arriving-files directory or Kafka).
+
+    NTZ timestamp fields in ``schema`` are read as TIMESTAMP_LTZ so every
+    downstream watermark consumer gets a legal event-time type (see
+    :func:`_event_time_legal`)."""
+    return spark.readStream.schema(_event_time_legal(schema)).parquet(path)
 
 
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
