@@ -265,9 +265,11 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
     sb = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    # sizes is one row PER DOCUMENT — never broadcast-hint it (executor OOM
+    # at corpus scale); plain equi-joins, AQE broadcasts when truly small
     return (
-        inter.join(F.broadcast(sa), "id1")
-        .join(F.broadcast(sb), "id2")
+        inter.join(sa, "id1")
+        .join(sb, "id2")
         .withColumn(
             "jaccard",
             F.round(
@@ -280,7 +282,10 @@ def ngram_jaccard_pairs(
 
 
 def containment_pairs(
-    shingle_df: DataFrame, id_col: str, threshold: float
+    shingle_df: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Directional shingle containment C(A|B) = |A∩B|/|A| for pairs sharing
     ≥1 shingle: (id1, id2, cont1, cont2), kept when either direction ≥
@@ -290,8 +295,25 @@ def containment_pairs(
     and partial-copy detection where Jaccard under-scores a small doc
     embedded in a large one (near-containment dedup keeps the superset
     doc). Identical join topology: hashed-shingle-id equi-join, so the same
-    scale guards apply (LSH prefilter or a doc-frequency cap upstream at
-    corpus scale)."""
+    scale guard applies and is threaded through here: ``max_shingle_df``
+    drops shingles shared by more than that many docs BEFORE the self-join
+    (a stop-shingle in k docs otherwise contributes k² candidate rows).
+    Containment is then measured over the kept shingles — sizes are
+    computed after the cap so cont stays a true ratio of the compared sets.
+
+    The per-doc sizes joins are deliberately NOT broadcast-hinted: sizes
+    has one row per document, which at corpus scale is an executor-OOM
+    broadcast; they are plain equi-joins on the pair ids and AQE may still
+    choose broadcast when the input is actually small."""
+    if max_shingle_df is not None:
+        df_counts = shingle_df.groupBy("shingle").agg(
+            F.count("*").alias("__shingle_df")
+        )
+        shingle_df = shingle_df.join(
+            F.broadcast(df_counts.filter(F.col("__shingle_df") > max_shingle_df)),
+            "shingle",
+            "left_anti",
+        )
     sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     hashed = shingle_df.select(F.col(id_col), F.xxhash64("shingle").alias("__sid"))
     a = hashed.select(F.col(id_col).alias("id1"), "__sid")
@@ -305,8 +327,8 @@ def containment_pairs(
     sa = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
     sb = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
     return (
-        inter.join(F.broadcast(sa), "id1")
-        .join(F.broadcast(sb), "id2")
+        inter.join(sa, "id1")
+        .join(sb, "id2")
         .withColumn("cont1", F.round(F.col("n_inter") / F.col("n1"), 4))
         .withColumn("cont2", F.round(F.col("n_inter") / F.col("n2"), 4))
         .filter((F.col("cont1") >= threshold) | (F.col("cont2") >= threshold))

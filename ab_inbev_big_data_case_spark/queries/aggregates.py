@@ -90,15 +90,40 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_count_distinct")  # HLL sketch ≠ DuckDB's estimator → rows-only check
+@register(
+    "approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS n_rows,
+           true AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct — the 100 TB path where exact distinct is too
-    expensive. Estimator internals differ from DuckDB's, so no value oracle;
-    pytest asserts the estimate is within rsd bounds of the exact count."""
+    expensive. The raw HLL estimate differs from DuckDB's estimator, so the
+    checkable projection is (exact, within_tol): within_tol is true when
+    |approx − exact| / exact ≤ 5% (5× the rsd=0.01 the sketch is configured
+    for — deterministic, since the sketch itself is deterministic for a
+    fixed input). The oracle computes the exact side and literal true, so a
+    drifting estimator FAILS the hash instead of hiding behind rows-only."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("__approx"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (
+            F.abs(F.col("__approx") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("within_tol"),
     )
 
 
@@ -292,13 +317,43 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile")  # t-digest/KLL internals differ from DuckDB → rows-only
+@register(
+    "approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price,
+           count(*) AS n_rows,
+           true AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles — the scale path for percentile at 100 TB."""
+    """Approximate quantiles — the scale path for percentile at 100 TB.
+
+    The sketch value itself (GK/KLL) differs from DuckDB's quantile, so the
+    checkable projection is (exact, within_tol): within_tol is true when
+    the approx median lands inside the exact p45–p55 band — a ±5% RANK
+    tolerance, 50× the 1/1000-accuracy rank error the sketch guarantees.
+    Deterministic on both sides; oracle emits the exact median and true."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__approx"),
+        F.percentile("l_extendedprice", 0.45).alias("__lo"),
+        F.percentile("l_extendedprice", 0.55).alias("__hi"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias(
+            "exact_median_price"
+        ),
         F.count("*").alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_median_price",
+        "n_rows",
+        (
+            (F.col("__approx") >= F.col("__lo"))
+            & (F.col("__approx") <= F.col("__hi"))
+        ).alias("within_tol"),
     )
 
 

@@ -5,8 +5,10 @@ counting, and directional shingle containment.
 These extend the §2.2 LLM-pipeline family (queries/llm.py) with the
 data-selection and tokenizer-construction steps a pretraining pipeline
 runs between dedup and assembly. Same conventions: portable sha256 hash
-mirrored in the DuckDB oracle, broadcast frequency tables, no Python in
-the hot path.
+mirrored in the DuckDB oracle, no Python in the hot path, and broadcast
+hints only on provably bounded tables (fixed-width hashed buckets, 1-row
+totals) — corpus-growing tables (bigram vocab, per-doc sizes) join plain
+and let AQE decide.
 """
 
 from __future__ import annotations
@@ -124,8 +126,9 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus MLE bigram probabilities (the natural upgrade of
     ``unigram_logprob_score``; KenLM-style scoring without the KenLM
     binary). Bigram and prefix frequency tables come from the same
-    exploded-bigram rows and broadcast back — three shuffles total
-    (bigram tf, prefix tf, per-doc avg), none keyed on the raw text."""
+    exploded-bigram rows and join back on their grouping keys — the hot
+    path is one explode plus three shuffles (bigram tf, prefix tf,
+    per-doc avg), none keyed on the raw text."""
     d = table(spark, sf_dir, "documents")
     bg = d.select(
         "doc_id",
@@ -133,9 +136,13 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pre", F.substring_index("bigram", " ", 1))
     btab = bg.groupBy("bigram").agg(F.count("*").alias("n_big"))
     ptab = bg.groupBy("pre").agg(F.count("*").alias("n_pre"))
+    # no broadcast hints: the bigram vocabulary grows ~linearly with corpus
+    # size, so forcing btab/ptab executor-resident is an OOM at scale — the
+    # joins shuffle on bigram/pre (already the grouping keys) and AQE picks
+    # broadcast only when the tables actually fit
     return (
-        bg.join(F.broadcast(btab), "bigram")
-        .join(F.broadcast(ptab), "pre")
+        bg.join(btab, "bigram")
+        .join(ptab, "pre")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -209,14 +216,25 @@ _SHINGLES_CTE = """
 """
 
 
+# doc-frequency cap for the containment self-join: shingles shared by more
+# docs than this are dropped before pairing (each contributes df² candidate
+# rows). Applied identically in Spark and the oracle, so results match.
+_CONT_MAX_DF = 100
+
+
 @register(
     "containment_pairs",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    kept AS (
+        SELECT sh.doc_id, sh.shingle FROM sh
+        JOIN (SELECT shingle FROM sh GROUP BY 1
+              HAVING count(*) <= {_CONT_MAX_DF}) k USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id1, id2,
@@ -233,9 +251,16 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional shingle containment (|A∩B|/|A| and /|B|) for doc pairs
     sharing content — catches a small doc quoted inside a large one, which
     symmetric Jaccard under-scores. Same hashed-shingle equi-join topology
-    as the Jaccard verifier (llm/dedup.py:containment_pairs)."""
+    as the Jaccard verifier (llm/dedup.py:containment_pairs), with the
+    doc-frequency cap threaded through (stop-shingles shared by more than
+    ``_CONT_MAX_DF`` docs are dropped before the self-join; the oracle
+    applies the identical cap, so this is exact, not approximate,
+    parity)."""
     d = table(spark, sf_dir, "documents")
-    return containment_pairs(shingle_set(d, "doc_id", "text", 3), "doc_id", 0.5)
+    return containment_pairs(
+        shingle_set(d, "doc_id", "text", 3), "doc_id", 0.5,
+        max_shingle_df=_CONT_MAX_DF,
+    )
 
 
 # --------------------------------------------------------------- k-means

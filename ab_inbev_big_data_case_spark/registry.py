@@ -45,69 +45,72 @@ _QUERY_MODULES = [
 # never-checked queries (49 green + 1 driver-canonicalizer crash on an
 # array output column, fixed this round). Union r1-r3: 144 distinct names.
 #
-# This round-4 window holds: the one r3 red (embedding_quantize_int8 — now
-# emits a CSV-string projection of the int8 vector so the driver's pandas
-# hash path sees only scalars), the 23 round-3 additions the driver has
-# never seen, and 26 oldest-evidence fillers (r1-only greens, re-checked on
-# a rolling basis so no green's evidence goes stale).
+# This round-5 window holds: the 13 round-4 additions the driver has NEVER
+# seen (8 mlstats + 5 llm_curation — the verdict's top evidence gap), the
+# 23 queries whose only green is from round 1 (rolling re-check so no
+# evidence goes stale; includes approx_percentile, which this round gained
+# a real oracle via the exact+within_tol projection), approx_count_distinct
+# (same oracle upgrade — was a permanent no_oracle row), and 13 r2-era
+# fillers (oldest remaining evidence, in r2 registration order).
 #
-# ROTATION (round 5+): re-check any r4 reds first, then continue the
-# rolling r1-only re-check (window_* family and remaining joins/aggregates
-# listed at the tail here), then any queries newer than this list.
+# ROTATION (round 6+): re-check any r5 reds first, then the remaining
+# r2-era names (subquery + tpch_q*_shape families, exact_dedup_hash …),
+# then r3-era, then any queries newer than this list.
 _CHECK_FIRST = [
-    # r3 red, fixed this round: array output column → CSV-string projection
-    "embedding_quantize_int8",
-    # never driver-checked (round-3 additions)
-    "snapshot_cdc_diff",
-    "dq_checks",
-    "bitwise_ops",
-    "mad_outliers",
-    "incremental_agg_merge",
-    "histogram_quantile_sketch",
-    "event_transitions",
-    "ewma_anomaly",
-    "mom_revenue_growth",
-    "zorder_layout_extents",
-    "doc_chunk_overlap",
-    "hll_distinct",
-    "bloom_filter_probe",
-    "gopher_quality_flags",
-    "hll_rolling_distinct",
-    "curation_pipeline_e2e",
-    "conversation_threading",
-    "orc_scan",
-    "profile_table",
-    "scd2_dim_build",
-    "scd2_point_in_time",
-    "fuzzy_match_blocked",
-    "pagerank_nations",
+    # never driver-checked (round-4 additions)
+    "ols_regression",
+    "welch_ab_test",
+    "corr_matrix",
+    "rfm_segmentation",
+    "skyline_2d",
+    "winsorize_stats",
+    "concurrent_sessions",
+    "attribution_last_touch",
+    "dsir_importance_weights",
+    "bigram_lm_score",
+    "bpe_pair_counts",
+    "containment_pairs",
+    "kmeans_cells",
     # oldest-evidence re-checks (r1-only greens, in r1 registration order)
-    "medallion_gold",
-    "medallion_silver",
-    "incremental_window",
-    "string_funcs",
-    "date_funcs",
-    "null_handling",
-    "json_funcs",
-    "array_funcs",
-    "casts",
-    "predicates",
-    "map_funcs",
-    "json_struct_roundtrip",
-    "regex_funcs",
-    "date_arithmetic",
-    "try_ops",
-    "unpivot_melt",
-    "deterministic_sample",
-    "groupby_agg",
-    "count_distinct",
+    "approx_percentile",
+    "pivot_agg",
+    "topk_global",
+    "histogram_bucket",
+    "dedup_latest",
+    "salted_agg",
+    "argmax_agg",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_multikey",
+    "join_cross",
+    "join_range",
+    "join_asof",
+    "window_topk_group",
+    "window_lag_lead",
+    "window_running",
+    "window_rank",
+    "window_ntile",
+    "window_range_frame",
+    "window_first_last",
+    # approx → exact+within_tol oracle upgrade this round (was no_oracle r4)
     "approx_count_distinct",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets",
-    "filtered_agg",
-    "collect_set_agg",
-    "percentiles_stats",
+    # r2-era fillers (oldest remaining evidence, r2 registration order)
+    "math_funcs",
+    "join_right_outer",
+    "window_percent_rank",
+    "union_ops",
+    "setops_suite",
+    "global_sort",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "dedup_first_seen",
+    "late_data_filter",
+    "pandas_scalar_udf",
+    "pandas_grouped_agg_udaf",
 ]
 
 

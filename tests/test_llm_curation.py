@@ -55,6 +55,36 @@ def test_containment_dominates_jaccard(spark, sf_dir):
         assert max(r.cont1, r.cont2) >= 0.5
 
 
+def test_containment_df_cap_bounds_fanout(spark):
+    """The doc-frequency cap must drop hot shingles BEFORE the self-join:
+    on a fixture where one stop-shingle is shared by every doc (k² pair
+    fan-out) and each legit pair shares rare shingles, a cap below k kills
+    the stop-shingle pairs but keeps the rare-shingle pairs, and the
+    containment denominators count only kept shingles."""
+    from ab_inbev_big_data_case_spark.llm.dedup import containment_pairs
+
+    k = 40
+    # every doc holds the stop shingle; docs 2i/2i+1 share a rare shingle
+    rows = []
+    for i in range(k):
+        rows.append((i, "the quick fox"))  # stop shingle, df = k
+        rows.append((i, f"rare pair {i // 2}"))  # df = 2
+        rows.append((i, f"unique only {i}"))  # df = 1
+    sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+
+    capped = containment_pairs(sh, "doc_id", 0.4, max_shingle_df=10).collect()
+    # only consecutive-doc pairs survive: (0,1), (2,3), ... — k/2 pairs,
+    # each with 1 shared of 2 kept shingles → cont = 0.5 both ways
+    assert len(capped) == k // 2
+    assert all(r.id2 == r.id1 + 1 and r.id1 % 2 == 0 for r in capped)
+    assert all(r.cont1 == 0.5 and r.cont2 == 0.5 for r in capped)
+
+    # uncapped: the stop shingle alone pairs every doc with every other —
+    # quadratic fan-out the cap exists to prevent
+    uncapped = containment_pairs(sh, "doc_id", 0.3).count()
+    assert uncapped == k * (k - 1) // 2
+
+
 def test_kmeans_partitions_corpus(spark, sf_dir):
     rows = QUERIES["kmeans_cells"](spark, sf_dir).collect()
     n_vecs = table(spark, sf_dir, "embeddings").count()
