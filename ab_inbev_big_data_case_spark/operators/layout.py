@@ -82,24 +82,68 @@ def file_extent_stats(
     sort_key: str,
     dims: list[str],
     n_files: int = 32,
+    n_parts: int | None = None,
 ):
-    """Layout-quality diagnostic: range-split ``df`` into ``n_files`` equal
-    chunks by ``sort_key`` rank and report each chunk's min/max extent per
+    """Layout-quality report: range-split ``df`` into ``n_files`` rank-equal
+    chunks by ``sort_key`` and report each chunk's min/max extent per
     dimension — the exact statistics a parquet writer would put in the
     footer, i.e. what a reader's row-group pruning sees.
 
     A good multi-dim layout shows every file covering a SMALL extent in
     every dim; a single-column sort shows tiny extents in the sort column
-    and full-domain extents everywhere else. ntile over the sort key is a
-    global sort — this is a diagnostic over samples/fixtures, not a
-    production path (production writes use repartitionByRange on the same
-    key, which samples instead of sorting).
+    and full-domain extents everywhere else.
+
+    Scale shape: NO partitionless Window. The global rank a tile split
+    needs decomposes into ``repartitionByRange`` on the full ordering tuple
+    (equal tuples land in one partition, so ties never straddle a
+    boundary), a PARTITIONED local row_number, and a per-partition-count
+    prefix-sum over an ``n_parts``-row spine (the documented tiny-spine
+    pattern). ``file_id`` then comes from the closed form of ``ntile(n)``
+    — the first ``N mod n`` tiles take ``ceil(N/n)`` rows — so the result
+    is bit-identical to the single-node ntile the DuckDB oracle runs,
+    while every full-data stage stays distributed. Offsets (n_parts rows)
+    and the 1-row total are the only broadcasts.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(sort_key), *[F.col(d) for d in dims])
-    tiled = df.select(
-        F.ntile(n_files).over(w).alias("file_id"), sort_key, *dims
+    order_cols = [F.col(sort_key)] + [F.col(d) for d in dims]
+    parts = df.repartitionByRange(n_parts or n_files, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "__lrn",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
+    )
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__n"))
+    # prefix sum over the n_parts-row spine WITHOUT any window (not even a
+    # tiny-spine partitionless one, so the bench stays WARN-free): a
+    # triangular self-join on the bounded spine — n_parts² rows at most
+    prior = counts.select(
+        F.col("__pid").alias("__pid_b"), F.col("__n").alias("__n_b")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prior), F.col("__pid_b") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__n_b"), F.lit(0)).alias("__off"))
+    )
+    total = counts.agg(F.sum("__n").alias("__N"))
+
+    i = F.col("__off") + F.col("__lrn")  # exact global rank, 1-based
+    q = F.floor(F.col("__N") / n_files)  # base tile size
+    r = F.col("__N") - q * n_files  # first r tiles take q+1 rows
+    big = r * (q + 1)  # rows covered by the big tiles
+    file_id = (
+        F.when(i <= big, 1 + F.floor((i - 1) / (q + 1)))
+        .otherwise(r + 1 + F.floor((i - big - 1) / q))
+        .cast("int")
+        .alias("file_id")
+    )
+    tiled = (
+        local.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .select(file_id, sort_key, *dims)
     )
     aggs = []
     for d in dims:

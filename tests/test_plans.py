@@ -241,6 +241,57 @@ def test_zorder_key_is_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def _n_partitionless_windows(plan: str) -> int:
+    """Count window specs with NO partitionBy: in the physical plan text a
+    windowspecdefinition lists partition columns first (bare attrs), then
+    ordering columns (attr ASC/DESC ...) — so a spec whose FIRST argument
+    carries a sort direction runs on a single partition."""
+    import re
+
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan):
+        if " ASC" in m.group(1) or " DESC" in m.group(1):
+            n += 1
+    return n
+
+
+def test_zorder_extents_rank_is_distributed(spark, sf_dir):
+    """The tile split must NOT be a global-sort ntile: the rank window
+    partitions by the range-partition id, and no partitionless Window
+    (single-partition WindowExec) appears anywhere in the plan."""
+    plan = _plan(QUERIES["zorder_layout_extents"](spark, sf_dir))
+    assert "ntile" not in plan
+    assert _n_partitionless_windows(plan) == 0
+    assert "__pid" in plan  # the partitioned local row_number
+
+
+def test_skyline_two_pass_shape(spark, sf_dir):
+    """Skyline's first (full-data) dominance prune runs its cummax window
+    inside hash-bucket partitions; only the exact merge pass over the
+    already-pruned local survivors may run partitionless — exactly one
+    such spec, and the bucketed pass must exist."""
+    plan = _plan(QUERIES["skyline_2d"](spark, sf_dir))
+    assert _n_partitionless_windows(plan) == 1
+    assert "bkt" in plan  # the partitioned local pass
+
+
+def test_sweepline_two_level_cumsum(spark, sf_dir):
+    """concurrent_sessions decomposes the global running sum into a
+    partitioned per-bucket cumsum over the full data plus ONE carry window
+    over the tiny bucket-hour spine — exactly one partitionless spec, and
+    at least one partitioned full-data window."""
+    plan = _plan(QUERIES["concurrent_sessions"](spark, sf_dir))
+    assert _n_partitionless_windows(plan) == 1
+    assert "bucket_hour" in plan
+
+
+def test_attribution_window_partitioned_by_user(spark, sf_dir):
+    """Last-touch attribution is one per-user window — never a global
+    sort."""
+    plan = _plan(QUERIES["attribution_last_touch"](spark, sf_dir))
+    assert _n_partitionless_windows(plan) == 0
+
+
 def test_sparse_topk_no_cartesian(spark, sf_dir):
     """Candidates come from the inverted-index equi-join — the plan must
     contain no cartesian/nested-loop product."""
