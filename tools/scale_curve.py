@@ -106,6 +106,60 @@ def main() -> None:
     for sf, nd, unc, cap in sparse_rows:
         print(f"| {sf} | {nd} | {unc} | {cap} |")
 
+    # Containment self-join: candidate pair groups (threshold=0 keeps every
+    # pair that shares >=1 shingle) with and without the doc-frequency cap
+    # — the cap is what bounds the stop-shingle quadratic (round 5).
+    from ab_inbev_big_data_case_spark.llm.dedup import containment_pairs
+
+    cont_rows = []
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        docs = table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        sh = shingle_set(docs, "doc_id", "text", 3)
+        unc = containment_pairs(sh, "doc_id", 0.0).count()
+        cap = containment_pairs(sh, "doc_id", 0.0, max_shingle_df=100).count()
+        cont_rows.append((sf, n_docs, unc, cap))
+    print()
+    print("| sf | docs N | containment cand pairs (uncapped) | cand pairs (max_df=100) |")
+    print("|---|---|---|---|")
+    for sf, nd, unc, cap in cont_rows:
+        print(f"| {sf} | {nd} | {unc} | {cap} |")
+
+    # Spherical k-means (2 unrolled rounds, seeds vec_id % 61): per-round
+    # reduce state is K centroid rows; occupancy ~N/K stays flat when the
+    # seed rule scales K with N.
+    from ab_inbev_big_data_case_spark.llm.similarity import kmeans_rounds
+
+    km_rows = []
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        emb = table(spark, sf_dir, "embeddings")
+        n_vecs = emb.count()
+        assign, cents = kmeans_rounds(
+            emb, "vec_id", "embedding", lambda vid: vid % 61 == 0, n_rounds=2
+        )
+        occ = (
+            assign.groupBy("cell_id")
+            .count()
+            .agg(
+                F.count("*").alias("k"),
+                F.max("count").alias("mx"),
+                F.avg("count").alias("av"),
+            )
+            .collect()[0]
+        )
+        km_rows.append((sf, n_vecs, occ["k"], occ["av"], occ["mx"]))
+    print()
+    print("| sf | vecs N | cells K | avg occupancy | max occupancy |")
+    print("|---|---|---|---|---|")
+    for sf, nv, k, av, mx in km_rows:
+        print(f"| {sf} | {nv} | {k} | {av:.1f} | {mx} |")
+
 
 if __name__ == "__main__":
     main()
