@@ -322,3 +322,59 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "bloom_join_prefilter",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           count(*) AS n_lines,
+           round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE AS gross
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY 1
+    """,
+)
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: a Bloom filter built over the SELECTIVE side's
+    join keys (orders with totalprice > 400k) prunes the fact side BEFORE
+    the join shuffle — the manual form of the engine-internal runtime
+    bloom filter (``spark.sql.optimizer.runtime.bloomFilter``), kept
+    portable-hash so it is engine-reproducible.
+
+    The 100 TB story: the filter is a bounded broadcast (``words``
+    int64s regardless of key count, no-false-negative by construction),
+    so the fact table drops non-joining rows in the scan stage and the
+    sort-merge/shuffle that follows moves only the ~matching fraction.
+    Bloom FALSE POSITIVES pass the prefilter and are then dropped by the
+    real join — which is why the oracle is the PLAIN join: the filter
+    must be invisible in the result, and the hash check proves it."""
+    from ab_inbev_big_data_case_spark.llm.sketches import bloom_build, bloom_probe
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderdate")
+    )
+    bloom = bloom_build(
+        o.select(F.col("o_orderkey").cast("string").alias("k")), "k"
+    )
+    pre = (
+        bloom_probe(
+            li.withColumn("__k", F.col("l_orderkey").cast("string")), bloom, "__k"
+        )
+        .filter(F.col("bloom_hit"))
+        .drop("bloom_hit", "__k")
+    )
+    return (
+        pre.join(o, pre.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("gross"),
+        )
+    )

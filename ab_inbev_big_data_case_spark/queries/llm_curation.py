@@ -1,6 +1,8 @@
-"""Round-4 LLM-corpus curation operators: DSIR importance weighting
-(arXiv:2302.03169), bigram language-model scoring, BPE merge-step pair
-counting, and directional shingle containment.
+"""LLM-corpus curation operators (rounds 4–5): DSIR importance weighting
+(arXiv:2302.03169), bigram and Stupid-Backoff language-model scoring, BPE
+merge-step pair counting, directional shingle containment, spherical
+k-means, Johnson–Lindenstrauss random projection, and product
+quantization.
 
 These extend the §2.2 LLM-pipeline family (queries/llm.py) with the
 data-selection and tokenizer-construction steps a pretraining pipeline
@@ -331,4 +333,292 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sizes.join(norms, "cell_id").select(
         "cell_id", "n_members", "centroid_norm_r"
+    )
+
+
+@register(
+    "backoff_lm_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1])
+        )) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    bx AS (
+        SELECT doc_id, bigram,
+               split_part(bigram, ' ', 1) AS pre,
+               split_part(bigram, ' ', 2) AS w2
+        FROM bg
+    ),
+    toks1 AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    uc AS (SELECT tok, count(*) AS n_u FROM toks1 GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM toks1),
+    btab AS (
+        SELECT bigram, count(*) AS n_big FROM bg
+        GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT bx.doc_id, count(*) AS n_bigrams,
+           sum(CASE WHEN b.n_big IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+           round(avg(-ln(CASE WHEN b.n_big IS NOT NULL
+                              THEN b.n_big * 1.0 / up.n_u
+                              ELSE 0.4 * uw.n_u / t.t END)), 4)
+               AS avg_neg_logprob_sb
+    FROM bx
+    LEFT JOIN btab b USING (bigram)
+    JOIN uc up ON up.tok = bx.pre
+    JOIN uc uw ON uw.tok = bx.w2
+    CROSS JOIN tot t
+    GROUP BY 1
+    """,
+)
+def backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff LM scoring (Brants et al. 2007, "Large Language
+    Models in Machine Translation"): S(w|prev) = c(prev w)/c(prev) when the
+    bigram survives min-count pruning (count ≥ 2), else α·c(w)/N with
+    α = 0.4 — the web-scale scoring rule that needs no discounting pass.
+    Per doc: bigram count, how many bigrams backed off, and the average
+    negative log score.
+
+    Scale shape mirrors ``bigram_lm_score`` post-fix: the bigram and
+    unigram vocabulary tables grow with the corpus, so they join PLAIN on
+    their grouping keys (no broadcast hints — AQE decides); the only
+    forced broadcast is the 1-row token total. Min-count pruning is itself
+    the production memory guard: singleton bigrams (the Heaps-law long
+    tail, typically >50% of the table) never enter the model."""
+    d = table(spark, sf_dir, "documents")
+    bg = (
+        d.select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram"),
+        )
+        .withColumn("pre", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+    )
+    toks1 = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    uc = toks1.groupBy("tok").agg(F.count("*").alias("n_u"))
+    tot = toks1.agg(F.count("*").cast("double").alias("t"))
+    btab = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n_big"))
+        .filter(F.col("n_big") >= 2)
+    )
+    up = uc.select(F.col("tok").alias("pre"), F.col("n_u").alias("n_pre"))
+    uw = uc.select(F.col("tok").alias("w2"), F.col("n_u").alias("n_w2"))
+    score = F.when(
+        F.col("n_big").isNotNull(), F.col("n_big") / F.col("n_pre")
+    ).otherwise(0.4 * F.col("n_w2") / F.col("t"))
+    return (
+        bg.join(btab, "bigram", "left")
+        .join(up, "pre")
+        .join(uw, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("n_big").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_backoff"),
+            F.round(F.avg(-F.log(score)), 4).alias("avg_neg_logprob_sb"),
+        )
+    )
+
+
+# ------------------------------------------------- JL random projection
+
+# Deterministic ±1 projection matrix (Achlioptas 2003: a Rademacher matrix
+# satisfies the Johnson–Lindenstrauss lemma): signs come from the portable
+# sha256 hash of "rp:i:j", computed ONCE here and embedded as literals in
+# BOTH the Spark plan and the oracle SQL — identical by construction, and
+# the per-row work is a pure dot product, no hashing.
+_RP_IN, _RP_OUT = 64, 16
+
+
+def _rp_sign(i: int, j: int) -> float:
+    import hashlib
+
+    h = int(hashlib.sha256(f"rp:{i}:{j}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+_RP_SIGNS = [[_rp_sign(i, j) for i in range(_RP_IN)] for j in range(_RP_OUT)]
+
+
+def _rp_oracle() -> str:
+    comps = []
+    for j in range(_RP_OUT):
+        lit = "[" + ",".join(repr(s) for s in _RP_SIGNS[j]) + "]::DOUBLE[]"
+        comps.append(
+            f"(list_sum(list_transform(range(1, {_RP_IN + 1}), "
+            f"i -> embedding[i]::DOUBLE * ({lit})[i])) / 4.0) AS y{j}"
+        )
+    ynorm = "sqrt(" + " + ".join(f"y{j} * y{j}" for j in range(_RP_OUT)) + ")"
+    return f"""
+    WITH p AS (
+        SELECT vec_id, embedding, {', '.join(comps)}
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, y0, {ynorm} AS yn,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> x::DOUBLE * x::DOUBLE))) AS xn
+        FROM p
+    )
+    SELECT vec_id, round(y0, 4) AS y0_r, round(yn / xn, 4) AS norm_ratio_r
+    FROM n
+    """
+
+
+@register("random_projection_stats", oracle=_rp_oracle())
+def random_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project 64-dim
+    embeddings to 16 dims through a deterministic Rademacher (±1/√k) sign
+    matrix; emit the first projected coordinate and the norm-preservation
+    ratio ‖y‖/‖x‖ per vector (the JL guarantee says the ratio concentrates
+    around 1 — pytest pins the distribution).
+
+    Scale shape: the matrix is a PLAN CONSTANT (64×16 sign literals —
+    folded by Catalyst, zero bytes shuffled), and each output coordinate
+    is a zip_with/aggregate dot product inside whole-stage codegen — the
+    whole operator is a narrow projection that rides the scan, the
+    standard pre-step that makes downstream ANN/clustering 4× cheaper
+    per vector at 100 TB."""
+    import math
+
+    e = table(spark, sf_dir, "embeddings")
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(s) for s in _RP_SIGNS[j]]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / math.sqrt(_RP_OUT)
+        ).alias(f"y{j}")
+        for j in range(_RP_OUT)
+    ]
+    proj = e.select("vec_id", "embedding", *comps)
+    ynorm = F.sqrt(sum(F.col(f"y{j}") * F.col(f"y{j}") for j in range(_RP_OUT)))
+    xnorm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return proj.select(
+        "vec_id",
+        F.round(F.col("y0"), 4).alias("y0_r"),
+        F.round(ynorm / xnorm, 4).alias("norm_ratio_r"),
+    )
+
+
+# ------------------------------------------------ product quantization
+
+_PQ_M, _PQ_SUB = 4, 16  # 4 subspaces x 16 dims over the 64-dim embeddings
+
+_PQ_DUCK = f"""
+    WITH sub AS (SELECT unnest([0, 1, 2, 3]) AS s),
+    seeds AS (
+        SELECT vec_id AS cell_id, embedding AS cemb
+        FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, sub.s, c.cell_id,
+               round(list_sum(list_transform(range(1, {_PQ_SUB + 1}), i ->
+                   (e.embedding[sub.s * {_PQ_SUB} + i]::DOUBLE
+                    - c.cemb[sub.s * {_PQ_SUB} + i]::DOUBLE)
+                   * (e.embedding[sub.s * {_PQ_SUB} + i]::DOUBLE
+                      - c.cemb[sub.s * {_PQ_SUB} + i]::DOUBLE))), 3) AS d
+        FROM embeddings e CROSS JOIN sub CROSS JOIN seeds c
+    ),
+    best AS (
+        SELECT vec_id, s, cell_id, d,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, cell_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN cell_id END) AS c0,
+           max(CASE WHEN s = 1 THEN cell_id END) AS c1,
+           max(CASE WHEN s = 2 THEN cell_id END) AS c2,
+           max(CASE WHEN s = 3 THEN cell_id END) AS c3,
+           round(sum(d), 3) AS err_r
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+"""
+
+
+@register("pq_codes", oracle=_PQ_DUCK)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each 64-dim vector
+    into 4 subvectors of 16 dims, assign each to its nearest codebook
+    centroid (deterministic seeds vec_id % 97, L2, ties to the lower cell
+    id), emit the 4-code word plus the total quantization error. PQ codes
+    compress N·64 floats to N·4 small ints — the memory layout that lets a
+    100 TB ANN index hold its whole database in RAM and score candidates
+    via 4 table lookups (ADC) instead of 64 multiplies.
+
+    Scale shape: ONE corpus pass — subspace index exploded in-row (×4),
+    codebook broadcast (K·m rows by construction), distances are codegen'd
+    zip_with/aggregate arithmetic, and the argmin is a map-side-combined
+    min-of-struct aggregate (same N·K-collapse as ``ivf_assign``), never a
+    window over the scored rows."""
+    e = table(spark, sf_dir, "embeddings")
+    subs = F.array(*[F.lit(i) for i in range(_PQ_M)])
+    esub = e.select(
+        "vec_id", F.explode(subs).alias("s"), "embedding"
+    ).select(
+        "vec_id",
+        "s",
+        F.slice("embedding", F.col("s") * _PQ_SUB + 1, _PQ_SUB).alias("ev"),
+    )
+    csub = (
+        e.filter(F.col("vec_id") % 97 == 0)
+        .select(F.col("vec_id").alias("cell_id"), "embedding")
+        .select("cell_id", F.explode(subs).alias("s"), "embedding")
+        .select(
+            "cell_id",
+            "s",
+            F.slice("embedding", F.col("s") * _PQ_SUB + 1, _PQ_SUB).alias("cv"),
+        )
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                "ev",
+                "cv",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        3,
+    )
+    best = (
+        esub.join(F.broadcast(csub), "s")
+        .select(
+            "vec_id",
+            "s",
+            F.struct(dist.alias("d"), F.col("cell_id").alias("c")).alias("dc"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("dc").alias("m"))
+    )
+    return (
+        best.select("vec_id", "s", F.col("m.d").alias("d"), F.col("m.c").alias("c"))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == i, F.col("c"))).alias(f"c{i}")
+                for i in range(_PQ_M)
+            ],
+            F.round(F.sum("d"), 3).alias("err_r"),
+        )
     )

@@ -97,6 +97,11 @@ _CHECK_FIRST = [
     "window_first_last",
     # approx → exact+within_tol oracle upgrade this round (was no_oracle r4)
     "approx_count_distinct",
+    # round-5 additions (never checked — outrank re-checks)
+    "bloom_join_prefilter",
+    "backoff_lm_score",
+    "random_projection_stats",
+    "pq_codes",
     # r2-era fillers (oldest remaining evidence, r2 registration order)
     "math_funcs",
     "join_right_outer",
@@ -107,10 +112,6 @@ _CHECK_FIRST = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
-    "dedup_first_seen",
-    "late_data_filter",
-    "pandas_scalar_udf",
-    "pandas_grouped_agg_udaf",
 ]
 
 

@@ -96,3 +96,72 @@ def test_kmeans_partitions_corpus(spark, sf_dir):
     assert sum(r.n_members for r in rows) == n_vecs
     assert len(rows) <= n_seeds
     assert all(r.centroid_norm_r > 0 for r in rows)
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark, sf_dir):
+    """The bloom prefilter must (a) never drop a true-joining fact row and
+    (b) actually prune: probing lineitem against the selective orders key
+    set keeps every matching row and discards most of the rest."""
+    from pyspark.sql import functions as F
+
+    from ab_inbev_big_data_case_spark.llm.sketches import bloom_build, bloom_probe
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    bloom = bloom_build(o.select(F.col("o_orderkey").cast("string").alias("k")), "k")
+    probed = bloom_probe(
+        li.withColumn("__k", F.col("l_orderkey").cast("string")), bloom, "__k"
+    )
+    n_fact = li.count()
+    n_kept = probed.filter("bloom_hit").count()
+    n_true = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    # no false negatives: every truly joining row survives the prefilter
+    n_true_kept = (
+        probed.filter("bloom_hit")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .count()
+    )
+    assert n_true_kept == n_true
+    # pruning bites: kept fraction is close to the true-match fraction
+    assert n_true <= n_kept < max(2 * n_true, int(0.2 * n_fact))
+
+
+def test_backoff_actually_fires(spark, sf_dir):
+    """Min-count pruning must leave some singleton bigrams, so backoff is a
+    live path, and every score is a positive -log probability."""
+    rows = QUERIES["backoff_lm_score"](spark, sf_dir).collect()
+    assert sum(r.n_backoff for r in rows) > 0
+    assert all(0 <= r.n_backoff <= r.n_bigrams for r in rows)
+    assert all(r.avg_neg_logprob_sb > 0 for r in rows)
+
+
+def test_random_projection_preserves_norms(spark, sf_dir):
+    """The JL guarantee: ||proj(x)|| / ||x|| concentrates around 1 for a
+    ±1/sqrt(k) Rademacher matrix."""
+    import statistics
+
+    ratios = [
+        r.norm_ratio_r
+        for r in QUERIES["random_projection_stats"](spark, sf_dir).collect()
+    ]
+    assert 0.85 < statistics.mean(ratios) < 1.15
+    assert statistics.pstdev(ratios) < 0.35
+
+
+def test_pq_seed_vectors_quantize_to_themselves(spark, sf_dir):
+    """A codebook seed's nearest centroid in every subspace is itself, so
+    its 4 codes are its own id and its quantization error is 0; all other
+    vectors carry 4 codes drawn from the seed set."""
+    rows = QUERIES["pq_codes"](spark, sf_dir).collect()
+    seeds = {r.vec_id for r in rows if r.vec_id % 97 == 0}
+    assert seeds
+    for r in rows:
+        if r.vec_id in seeds:
+            assert (r.c0, r.c1, r.c2, r.c3) == (r.vec_id,) * 4
+            assert r.err_r == 0.0
+        assert {r.c0, r.c1, r.c2, r.c3} <= seeds
+        assert r.err_r >= 0.0

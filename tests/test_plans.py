@@ -365,3 +365,28 @@ def test_shuffle_hash_join_hint_honored(spark, sf_dir):
         o.hint("shuffle_hash"), li["l_orderkey"] == o["o_orderkey"]
     ).select("l_orderkey", "o_totalprice")
     assert "ShuffledHashJoin" in _plan(joined)
+
+
+def test_pq_argmin_is_aggregate_not_window(spark, sf_dir):
+    """PQ's per-subspace argmin must plan as a map-side-combined min-of-
+    struct aggregate over the N·K scored rows (the ivf_assign shape), and
+    the codebook side must broadcast."""
+    plan = _plan(QUERIES["pq_codes"](spark, sf_dir))
+    assert "partial_min" in plan
+    assert "BroadcastHashJoin" in plan
+    assert _n_partitionless_windows(plan) == 0
+
+
+def test_random_projection_is_narrow(spark, sf_dir):
+    """The JL projection is per-row array math with a constant-folded sign
+    matrix: no Exchange, no Python eval."""
+    plan = _plan(QUERIES["random_projection_stats"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_prefilter_broadcasts_filter_words(spark, sf_dir):
+    """The bloom word table reaches the fact probes as bounded broadcasts;
+    the fact side must not shuffle before the prefilter."""
+    plan = _plan(QUERIES["bloom_join_prefilter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
