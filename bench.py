@@ -38,6 +38,8 @@ HEADLINE = [
     "hll_distinct",         # bounded-state sketch path (r3)
     "zorder_layout_extents",  # data-layout key + extent diagnostics (r3)
     "curation_pipeline_e2e",  # flagship: full curation run in one plan (r3)
+    "bloom_join_prefilter",   # runtime-filter join pruning (r5)
+    "pq_codes",               # product-quantization codebook assignment (r5)
 ]
 
 
