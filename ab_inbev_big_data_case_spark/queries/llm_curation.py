@@ -554,6 +554,67 @@ _PQ_DUCK = f"""
 """
 
 
+def _pq_slices(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+    """(id, s, subvector) long form: subspace index exploded in-row."""
+    subs = F.array(*[F.lit(i) for i in range(_PQ_M)])
+    return df.select(
+        F.col(df.columns[0]).alias(id_out), F.explode(subs).alias("s"), "embedding"
+    ).select(
+        id_out,
+        "s",
+        F.slice("embedding", F.col("s") * _PQ_SUB + 1, _PQ_SUB).alias(vec_out),
+    )
+
+
+def _pq_l2(a: str, b: str):
+    """Rounded squared-L2 between two subvector columns (codegen'd)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        3,
+    )
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """(cell_id, s, cv): the m·K subspace codebook from the seed rule."""
+    return _pq_slices(
+        e.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("cell_id"), "embedding"
+        ),
+        "cell_id",
+        "cv",
+    )
+
+
+def _pq_assign(e: DataFrame) -> DataFrame:
+    """(vec_id, s, d, c): per-subspace nearest codebook cell via broadcast
+    codebook + map-side min-of-struct argmin (the ivf_assign shape)."""
+    esub = _pq_slices(e.select("vec_id", "embedding"), "vec_id", "ev")
+    best = (
+        esub.join(F.broadcast(_pq_codebook(e)), "s")
+        .select(
+            "vec_id",
+            "s",
+            F.struct(
+                _pq_l2("ev", "cv").alias("d"), F.col("cell_id").alias("c")
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("dc").alias("m"))
+    )
+    return best.select(
+        "vec_id", "s", F.col("m.d").alias("d"), F.col("m.c").alias("c")
+    )
+
+
 @register("pq_codes", oracle=_PQ_DUCK)
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split each 64-dim vector
@@ -570,49 +631,8 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-of-struct aggregate (same N·K-collapse as ``ivf_assign``), never a
     window over the scored rows."""
     e = table(spark, sf_dir, "embeddings")
-    subs = F.array(*[F.lit(i) for i in range(_PQ_M)])
-    esub = e.select(
-        "vec_id", F.explode(subs).alias("s"), "embedding"
-    ).select(
-        "vec_id",
-        "s",
-        F.slice("embedding", F.col("s") * _PQ_SUB + 1, _PQ_SUB).alias("ev"),
-    )
-    csub = (
-        e.filter(F.col("vec_id") % 97 == 0)
-        .select(F.col("vec_id").alias("cell_id"), "embedding")
-        .select("cell_id", F.explode(subs).alias("s"), "embedding")
-        .select(
-            "cell_id",
-            "s",
-            F.slice("embedding", F.col("s") * _PQ_SUB + 1, _PQ_SUB).alias("cv"),
-        )
-    )
-    dist = F.round(
-        F.aggregate(
-            F.zip_with(
-                "ev",
-                "cv",
-                lambda a, b: (a.cast("double") - b.cast("double"))
-                * (a.cast("double") - b.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        3,
-    )
-    best = (
-        esub.join(F.broadcast(csub), "s")
-        .select(
-            "vec_id",
-            "s",
-            F.struct(dist.alias("d"), F.col("cell_id").alias("c")).alias("dc"),
-        )
-        .groupBy("vec_id", "s")
-        .agg(F.min("dc").alias("m"))
-    )
     return (
-        best.select("vec_id", "s", F.col("m.d").alias("d"), F.col("m.c").alias("c"))
+        _pq_assign(e)
         .groupBy("vec_id")
         .agg(
             *[
@@ -621,4 +641,87 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             F.round(F.sum("d"), 3).alias("err_r"),
         )
+    )
+
+
+_ADC_DUCK = f"""
+    WITH sub AS (SELECT unnest([0, 1, 2, 3]) AS s),
+    seeds AS (
+        SELECT vec_id AS cell_id, embedding AS cemb
+        FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, sub.s, c.cell_id,
+               round(list_sum(list_transform(range(1, {_PQ_SUB + 1}), i ->
+                   (e.embedding[sub.s * {_PQ_SUB} + i]::DOUBLE
+                    - c.cemb[sub.s * {_PQ_SUB} + i]::DOUBLE)
+                   * (e.embedding[sub.s * {_PQ_SUB} + i]::DOUBLE
+                      - c.cemb[sub.s * {_PQ_SUB} + i]::DOUBLE))), 3) AS d
+        FROM embeddings e CROSS JOIN sub CROSS JOIN seeds c
+    ),
+    codes AS (
+        SELECT vec_id, s, cell_id AS code FROM (
+            SELECT vec_id, s, cell_id,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d, cell_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    dt AS (
+        SELECT q.vec_id AS qid, sc.s, sc.cell_id, sc.d
+        FROM scored sc JOIN (SELECT vec_id FROM embeddings
+                             WHERE vec_id % 83 = 0) q
+          ON sc.vec_id = q.vec_id
+    ),
+    adc AS (
+        SELECT dt.qid, codes.vec_id, round(sum(dt.d), 3) AS adc_r
+        FROM codes JOIN dt ON dt.s = codes.s AND dt.cell_id = codes.code
+        GROUP BY 1, 2
+    )
+    SELECT qid, rank, vec_id, adc_r FROM (
+        SELECT qid, vec_id, adc_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_r, vec_id) AS rank
+        FROM adc
+    ) WHERE rank <= 5
+"""
+
+
+@register("pq_adc_search", oracle=_ADC_DUCK)
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over the PQ index: each
+    query precomputes a per-subspace distance TABLE to the codebook (m·K
+    entries), and every corpus vector's approximate distance is then the
+    sum of 4 table lookups keyed by its PQ code — no query ever touches a
+    raw corpus vector. This is the scoring half of the IVF-PQ index
+    (Jégou et al. 2011) that powers billion-vector search.
+
+    Scale shape: distance tables are Q·m·K rows — broadcast by
+    construction (queries arrive in bounded batches, the codebook is
+    fixed) — so the corpus side is ONE equi-join on (subspace, code)
+    against its 4-row-per-vector code table followed by a map-side-
+    combined sum; top-k runs per-query (partitioned window). The exact
+    distance never enters: that is the point — rerank survivors with
+    ``cosine_topk`` when recall demands it."""
+    e = table(spark, sf_dir, "embeddings")
+    codes = _pq_assign(e).select("vec_id", "s", F.col("c").alias("code"))
+    q = e.filter(F.col("vec_id") % 83 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    qsub = _pq_slices(q, "qid", "qv")
+    dt = qsub.join(F.broadcast(_pq_codebook(e)), "s").select(
+        "qid", "s", F.col("cell_id").alias("code"), _pq_l2("qv", "cv").alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("d"), 3).alias("adc_r"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy("adc_r", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "adc_r")
     )

@@ -265,3 +265,66 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("nationkey"), F.round("rank", 6).alias("pagerank")
     )
+
+
+@register(
+    "ivm_join_merge",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           count(*) AS n_lines,
+           round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE
+               AS gross
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def ivm_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the join companion to
+    ``incremental_agg_merge``): with base relations split into old + delta
+    (ΔL = lineitem keys ≡ 0 mod 7, ΔO = orders keys ≡ 0 mod 5), the view
+    over the full join is maintained as
+
+        V_new = merge( agg(L_old ⋈ O_old)           -- the STORED view state
+                     , agg(ΔL ⋈ O_old  ∪  L_old ⋈ ΔO  ∪  ΔL ⋈ ΔO) )  -- delta
+
+    i.e. the classic delta-propagation algebra. The oracle computes the
+    view directly from the full join, so the hash check proves the
+    incremental algebra exact — including rows that moved groups.
+
+    At scale only the three delta joins run per refresh (the first term is
+    read back from the stored view, exactly like ``incremental_agg_merge``
+    reads stored partials); deltas are small, so each delta join broadcasts
+    its delta side and never reshuffles the big relation. Partial states
+    (count, decimal sum) merge associatively — the same property that makes
+    the aggregate partial+final split work."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dl = F.col("l_orderkey") % 7 == 0
+    do_ = F.col("o_orderkey") % 5 == 0
+    l_old, l_d = li.filter(~dl), li.filter(dl)
+    o_old, o_d = o.filter(~do_), o.filter(do_)
+
+    def partial(ldf: DataFrame, odf: DataFrame) -> DataFrame:
+        return (
+            ldf.join(odf, ldf.l_orderkey == odf.o_orderkey)
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.count("*").alias("pn"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("ps"),
+            )
+        )
+
+    state = partial(l_old, o_old)
+    delta = (
+        partial(l_d, o_old)
+        .unionByName(partial(l_old, o_d))
+        .unionByName(partial(l_d, o_d))
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy("o_year")
+        .agg(
+            F.sum("pn").alias("n_lines"),
+            F.round(F.sum("ps"), 2).cast("double").alias("gross"),
+        )
+    )

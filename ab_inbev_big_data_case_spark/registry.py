@@ -102,6 +102,8 @@ _CHECK_FIRST = [
     "backoff_lm_score",
     "random_projection_stats",
     "pq_codes",
+    "pq_adc_search",
+    "ivm_join_merge",
     # r2-era fillers (oldest remaining evidence, r2 registration order)
     "math_funcs",
     "join_right_outer",
@@ -110,8 +112,6 @@ _CHECK_FIRST = [
     "setops_suite",
     "global_sort",
     "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
 ]
 
 

@@ -165,3 +165,21 @@ def test_pq_seed_vectors_quantize_to_themselves(spark, sf_dir):
             assert r.err_r == 0.0
         assert {r.c0, r.c1, r.c2, r.c3} <= seeds
         assert r.err_r >= 0.0
+
+
+def test_adc_topk_shape_and_monotonic(spark, sf_dir):
+    """ADC search returns a full, monotonic top-5 per query, and scores are
+    sums of per-subspace table entries (non-negative)."""
+    import collections
+
+    rows = QUERIES["pq_adc_search"](spark, sf_dir).collect()
+    per_q = collections.defaultdict(list)
+    for r in rows:
+        per_q[r.qid].append(r)
+    n_q = table(spark, sf_dir, "embeddings").filter("vec_id % 83 = 0").count()
+    assert len(per_q) == n_q
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        assert all(r.adc_r >= 0 for r in rs)
+        assert all(rs[i].adc_r <= rs[i + 1].adc_r for i in range(4))

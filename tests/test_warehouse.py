@@ -87,3 +87,18 @@ def test_pagerank_uniform_cycle_is_uniform(spark):
     ranks = [r["rank"] for r in pagerank(edges, n_iter=4).collect()]
     # per-round rounding to 8 decimals truncates 1/3 — allow that quantum
     assert all(math.isclose(r, 1 / 3, abs_tol=1e-7) for r in ranks)
+
+
+def test_ivm_join_delta_terms_nonempty(spark, sf_dir):
+    """The delta split must exercise every term of the join-IVM algebra:
+    both delta relations are non-empty and contribute joined rows, so the
+    oracle's full-recompute match is evidence for the merge, not for a
+    degenerate empty-delta case."""
+    from ab_inbev_big_data_case_spark.sources.readers import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    l_d = li.filter(F.col("l_orderkey") % 7 == 0)
+    o_d = o.filter(F.col("o_orderkey") % 5 == 0)
+    assert l_d.count() > 0 and o_d.count() > 0
+    assert l_d.join(o_d, l_d.l_orderkey == o_d.o_orderkey).count() > 0
