@@ -441,3 +441,74 @@ def chunk_dup_stats(
             "dup_chunk_ratio"
         ),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard join via PREFIX FILTERING (PPJoin family,
+    Xiao et al. 2008): order every doc's distinct tokens by global
+    document frequency (rarest first, ties by token), keep only the first
+    ``|d| - ceil(t·|d|) + 1`` tokens as the signature prefix, and generate
+    candidates from a self-equi-join on PREFIX tokens only. The filter is
+    LOSSLESS for jaccard ≥ t: two sets with that similarity must overlap
+    within their prefixes under any shared total token order — so the
+    result equals the exact all-pairs join, which is what the oracle
+    computes.
+
+    Why this scales where the naive token self-join does not: stop tokens
+    sit at the END of the frequency ordering and fall outside every
+    prefix, so the quadratic fan-out a shared stop token causes in the
+    raw join simply never materializes — candidate volume tracks RARE
+    token co-occurrence. Verification joins the candidate pairs back to
+    the full token sets (fan-out bounded by candidates × doc size), and
+    the df table joins plain (vocabulary grows with the corpus — no
+    broadcast hint, AQE decides).
+    """
+    from ab_inbev_big_data_case_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "tok")
+    sizes = toks.groupBy("__id").agg(F.count("*").alias("__sz"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, "__id")
+    )
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("__sz") - F.ceil(threshold * F.col("__sz")) + 1
+    ).select("__id", "tok")
+    cands = (
+        prefix.select(F.col("__id").alias("id1"), "tok")
+        .join(prefix.select(F.col("__id").alias("id2"), "tok"), "tok")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    t1 = toks.select(F.col("__id").alias("id1"), F.col("tok").alias("__t1"))
+    t2 = toks.select(F.col("__id").alias("id2"), F.col("tok").alias("__t2"))
+    inter = (
+        cands.join(t1, "id1")
+        .join(t2, "id2")
+        .filter(F.col("__t1") == F.col("__t2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("__ni"))
+    )
+    s1 = sizes.select(F.col("__id").alias("id1"), F.col("__sz").alias("__n1"))
+    s2 = sizes.select(F.col("__id").alias("id2"), F.col("__sz").alias("__n2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__ni") / (F.col("__n1") + F.col("__n2") - F.col("__ni")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

@@ -725,3 +725,39 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "rank", "vec_id", "adc_r")
     )
+
+
+@register(
+    "prefix_filter_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(ni * 1.0 / (s1.n + s2.n - ni), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE round(ni * 1.0 / (s1.n + s2.n - ni), 4) >= 0.5
+    """,
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity join via prefix filtering (PPJoin
+    family): candidates come only from RARE-token prefix collisions, yet
+    the result provably equals the exact all-pairs Jaccard join — which is
+    precisely what the oracle computes, so the hash match certifies the
+    filter lossless, not just plausible. The subquadratic complement to
+    MinHash-LSH: no signatures, no probabilistic recall — the stop-token
+    quadratic is avoided by CONSTRUCTION (frequent tokens fall outside
+    every prefix). See ``llm/dedup.py:prefix_filter_jaccard_pairs``."""
+    from ab_inbev_big_data_case_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, "doc_id", "text", 0.5)

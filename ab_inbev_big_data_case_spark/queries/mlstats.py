@@ -450,3 +450,55 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.unix_timestamp("ts") - F.unix_timestamp("click_ts")), 1
         ).alias("avg_latency_s_r"),
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_ord FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_co
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p1, p2, n_co, round(n_co * 1.0 / t.n_ord, 6) AS support_r
+    FROM pairs CROSS JOIN tot t
+    ORDER BY n_co DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemset mining: top co-occurring part pairs across
+    orders with their support — the candidate-generation step of
+    Apriori/FP-growth expressed as one within-basket self-join + count.
+
+    Scale shape: the self-join fans out per BASKET (order), not per
+    corpus: k items in a basket emit k(k-1)/2 pairs, and TPC-H baskets
+    are ≤7 lines, so fan-out is bounded per key by the data model (a
+    general-baskets deployment caps or samples mega-baskets first — the
+    same guard as ``pairs_within_groups.max_group_size``). The pair count
+    is a partial+final aggregate on (p1, p2), the order total is a
+    broadcast 1-row aggregate, and the top-20 is TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    tot = li.agg(F.countDistinct("l_orderkey").cast("double").alias("n_ord"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_co"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            "n_co",
+            F.round(F.col("n_co") / F.col("n_ord"), 6).alias("support_r"),
+        )
+        .orderBy(F.col("n_co").desc(), "p1", "p2")
+        .limit(20)
+    )

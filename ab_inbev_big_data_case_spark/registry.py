@@ -104,14 +104,14 @@ _CHECK_FIRST = [
     "pq_codes",
     "pq_adc_search",
     "ivm_join_merge",
+    "prefix_filter_jaccard",
+    "market_basket_pairs",
     # r2-era fillers (oldest remaining evidence, r2 registration order)
     "math_funcs",
     "join_right_outer",
     "window_percent_rank",
     "union_ops",
     "setops_suite",
-    "global_sort",
-    "tumbling_window_agg",
 ]
 
 

@@ -183,3 +183,18 @@ def test_adc_topk_shape_and_monotonic(spark, sf_dir):
         assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
         assert all(r.adc_r >= 0 for r in rs)
         assert all(rs[i].adc_r <= rs[i + 1].adc_r for i in range(4))
+
+
+def test_prefix_filter_skips_stop_token_candidates(spark):
+    """The prefix must exclude the globally-frequent token: docs that share
+    ONLY a stop token never become candidates (the raw token self-join
+    would emit all k² of them), while genuinely similar docs survive."""
+    from ab_inbev_big_data_case_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    k = 30
+    rows = [(i, f"the unique{i} word{i}") for i in range(k)]
+    # one true near-dup pair: identical 3-token docs (jaccard 1.0)
+    rows += [(100, "alpha beta gamma"), (101, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = prefix_filter_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
+    assert [(r.id1, r.id2, r.jaccard) for r in got] == [(100, 101, 1.0)]
