@@ -761,3 +761,98 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(d, "doc_id", "text", 0.5)
+
+
+@register(
+    "lexical_diversity",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_tokens,
+           count(*) AS n_distinct,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           round(count(*) * 1.0 / sum(c), 4) AS ttr_r,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS hapax_r
+    FROM tf GROUP BY 1
+    """,
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical diversity: type-token ratio and hapax-legomenon rate
+    — the cheap statistical signals curation pipelines use to separate
+    natural prose from keyword stuffing / boilerplate (low TTR) and OCR
+    noise (abnormally high hapax rate).
+
+    Two aggregates over one explode: per-(doc, token) counts, then per-doc
+    rollup — both map-side combined, both keyed on the doc, no joins."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(F.count("*") / F.sum("c"), 4).alias("ttr_r"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.count("*"), 4
+        ).alias("hapax_r"),
+    )
+
+
+@register(
+    "zipf_fit",
+    oracle="""
+    WITH wf AS (
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1
+        ORDER BY n DESC, tok
+        LIMIT 1000
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM wf
+    )
+    SELECT count(*) AS n_vocab,
+           round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope_r,
+           round(regr_r2(ln(n), ln(rnk)), 4) AS zipf_r2_r
+    FROM ranked
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of log-frequency on
+    log-rank for the top-1000 words (natural text gives slope ≈ −1 with
+    high R²; synthetic or templated corpora — like this fixture — deviate,
+    which is exactly what the diagnostic detects).
+
+    Scale shape: the corpus collapses to word counts in one partial+final
+    aggregate; the rank window runs AFTER a TakeOrderedAndProject top-K, so
+    the only partitionless window is over a bounded K-row spine (the
+    documented tiny-spine class — never the vocabulary, which grows with
+    the corpus). The fit itself is the associative regr_* moments."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(1000)
+    )
+    ranked = wf.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), "tok"))
+    )
+    ranked = ranked.select(F.log("n").alias("ln_n"), F.log("rnk").alias("ln_r"))
+    return ranked.agg(
+        F.count("*").alias("n_vocab"),
+        F.round(F.expr("regr_slope(ln_n, ln_r)"), 4).alias("zipf_slope_r"),
+        F.round(F.expr("regr_r2(ln_n, ln_r)"), 4).alias("zipf_r2_r"),
+    )

@@ -106,12 +106,12 @@ _CHECK_FIRST = [
     "ivm_join_merge",
     "prefix_filter_jaccard",
     "market_basket_pairs",
+    "lexical_diversity",
+    "zipf_fit",
     # r2-era fillers (oldest remaining evidence, r2 registration order)
     "math_funcs",
     "join_right_outer",
     "window_percent_rank",
-    "union_ops",
-    "setops_suite",
 ]
 
 
