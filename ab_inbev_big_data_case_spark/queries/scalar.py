@@ -465,3 +465,38 @@ def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line_mask"
         ),
     )
+
+
+@register(
+    "variant_funcs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum((props->>'$.k')::BIGINT)::BIGINT AS sum_k,
+           sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_no_field
+    FROM events GROUP BY 1
+    """,
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: semi-structured props parse to the binary
+    VARIANT type once (``parse_json``), then typed path extraction
+    (``try_variant_get``) feeds ordinary aggregates — the open-format
+    answer to repeated ``get_json_object`` string re-parsing (VARIANT
+    parses once and stores a binary tree; each extraction is a tree walk,
+    not a text scan). Missing paths yield NULL, counted per group. The
+    oracle states the same extraction over DuckDB's JSON operators — the
+    engines' storage differs, the SEMANTICS must not."""
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v")).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k_int"),
+        F.try_variant_get("v", "$.missing", "long").alias("missing_int"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k_int").alias("sum_k"),
+        F.sum(F.when(F.col("missing_int").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_field"),
+    )

@@ -129,3 +129,42 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )
+
+
+@register(
+    "python_datasource_scan",
+    oracle="""
+    SELECT (i % 10)::INT AS bucket,
+           count(*) AS n,
+           sum((i * 2654435761) % 1000)::BIGINT AS sum_raw,
+           min(i)::BIGINT AS min_id,
+           max(i)::BIGINT AS max_id
+    FROM (SELECT unnest(range(0, 10000)) AS i)
+    GROUP BY 1
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-connector surface (Spark 4 Python DataSource API): scan the
+    registered ``synthetic_events`` source — 8 executor-side partitions
+    each generating its own id range deterministically — and aggregate.
+    The DuckDB oracle regenerates identical rows from ``range(n)``, so the
+    value hash proves the connector's partition planning loses and
+    duplicates nothing (a partition-boundary bug would drop or double
+    rows and flip every aggregate). See ``sources/pydatasource.py``."""
+    from ab_inbev_big_data_case_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("raw").alias("sum_raw"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

@@ -108,10 +108,10 @@ _CHECK_FIRST = [
     "market_basket_pairs",
     "lexical_diversity",
     "zipf_fit",
-    # r2-era fillers (oldest remaining evidence, r2 registration order)
+    "variant_funcs",
+    "python_datasource_scan",
+    # r2-era filler (oldest remaining evidence)
     "math_funcs",
-    "join_right_outer",
-    "window_percent_rank",
 ]
 
 

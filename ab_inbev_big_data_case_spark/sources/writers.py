@@ -297,3 +297,22 @@ def upsert_by_key_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_with_observation(df, path: str, metrics: dict):
+    """Parquet write with in-flight observed metrics (``df.observe`` +
+    ``Observation``): the metrics ride the SAME job that writes — zero
+    extra scans — which at 100 TB is the difference between free
+    write-audit counters (row counts, null rates, domain violations
+    observed during the sink pass) and a second full read to compute them.
+    Returns the observed metric dict after the write action completes.
+
+    The modern engine form of the reference's post-hoc Glue job polling
+    (``airflow/dags/etl_api.py:189-196``): instead of asking "did the job
+    succeed", the write itself reports what it saw."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[v.alias(k) for k, v in metrics.items()])
+    observed.write.mode("overwrite").parquet(path)
+    return obs.get

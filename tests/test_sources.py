@@ -280,3 +280,30 @@ def test_partitioned_upsert_touches_only_updated_partitions(spark, tmp_path):
     assert got == {
         1: ("a", 1, "p1"), 2: ("b2", 2, "p1"), 3: ("c", 1, "p2"), 9: ("z", 2, "p3")
     }
+
+
+def test_write_with_observation_metrics(spark, sf_dir, tmp_path):
+    """Observed metrics must equal directly-computed aggregates AND cost no
+    extra scan (they piggyback on the write job)."""
+    from pyspark.sql import functions as F
+
+    from ab_inbev_big_data_case_spark.sources.readers import table
+    from ab_inbev_big_data_case_spark.sources.writers import write_with_observation
+
+    e = table(spark, sf_dir, "events")
+    out = str(tmp_path / "observed")
+    got = write_with_observation(
+        e,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_props": F.sum(
+                F.when(F.col("props").isNull(), 1).otherwise(0)
+            ),
+            "max_value": F.max("value"),
+        },
+    )
+    assert got["n_rows"] == e.count()
+    assert got["n_null_props"] == e.filter(F.col("props").isNull()).count()
+    assert abs(got["max_value"] - e.agg(F.max("value")).collect()[0][0]) < 1e-9
+    assert spark.read.parquet(out).count() == got["n_rows"]
