@@ -502,3 +502,70 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_co").desc(), "p1", "p2")
         .limit(20)
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT t.n_triangles,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(DISTINCT u) + count(DISTINCT v)
+              FROM edges) AS deg_endpoints
+    FROM tri t
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts bought together
+    in ≥2 orders): wedges e1=(u,v), e2=(v,w) closed by e3=(u,w). Edges are
+    kept in canonical u<v orientation, so every triangle is counted exactly
+    once — the standard compact-forward formulation.
+
+    Scale shape: the support-≥2 threshold is the edge-sparsifier (the
+    co-purchase graph below it is boilerplate-dense), and the wedge join
+    fans out per shared VERTEX, not per graph — the production guard for
+    power-law graphs is degree-ordered direction (point edges from the
+    lower-degree endpoint) which bounds per-vertex wedges by √|E|; with
+    the canonical orientation on this graph the wedge count is already
+    edge-sparse. All three legs are plain equi-joins AQE can reorder."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, ["u", "w"], "left_semi")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    stats = edges.agg(
+        F.count("*").alias("n_edges"),
+        (F.countDistinct("u") + F.countDistinct("v")).alias("deg_endpoints"),
+    )
+    return tri.crossJoin(F.broadcast(stats)).select(
+        "n_triangles", "n_edges", "deg_endpoints"
+    )

@@ -110,8 +110,7 @@ _CHECK_FIRST = [
     "zipf_fit",
     "variant_funcs",
     "python_datasource_scan",
-    # r2-era filler (oldest remaining evidence)
-    "math_funcs",
+    "triangle_count",
 ]
 
 
