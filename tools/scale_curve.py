@@ -160,6 +160,52 @@ def main() -> None:
     for sf, nv, k, av, mx in km_rows:
         print(f"| {sf} | {nv} | {k} | {av:.1f} | {mx} |")
 
+    # Prefix filtering (round 5): candidate JOIN FAN-OUT of the raw token
+    # self-join vs the prefix-token join, computed analytically as
+    # sum(df·(df−1)/2) per token — the exact row count the equi-join
+    # materializes, measurable even where actually running the raw join
+    # would be the quadratic blow-up itself.
+    from pyspark.sql import Window as W
+
+    pf_rows = []
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        docs = table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        toks = docs.select(
+            F.col("doc_id").alias("__id"),
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+
+        def fanout(tdf):
+            return (
+                tdf.groupBy("tok")
+                .agg(F.count("*").alias("d"))
+                .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("f"))
+                .collect()[0]["f"]
+            )
+
+        raw = fanout(toks)
+        dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+        t = 0.5
+        wnd = W.partitionBy("__id").orderBy("__df", "tok")
+        sizes = toks.groupBy("__id").agg(F.count("*").alias("__sz"))
+        prefix = (
+            toks.join(dfreq, "tok")
+            .withColumn("__rn", F.row_number().over(wnd))
+            .join(sizes, "__id")
+            .filter(F.col("__rn") <= F.col("__sz") - F.ceil(t * F.col("__sz")) + 1)
+            .select("__id", "tok")
+        )
+        pf_rows.append((sf, n_docs, int(raw), int(fanout(prefix))))
+    print()
+    print("| sf | docs N | raw token-join fan-out | prefix-join fan-out |")
+    print("|---|---|---|---|")
+    for sf, nd, raw, pf in pf_rows:
+        print(f"| {sf} | {nd} | {raw} | {pf} |")
+
 
 if __name__ == "__main__":
     main()
