@@ -1,0 +1,281 @@
+"""Time-series diagnostics over the daily revenue series (round-5 widening
+of SURVEY.md §2.2's analytics family): autocorrelation, seasonal-naive
+forecast backtesting, CUSUM changepoint location, and day-of-week seasonal
+decomposition.
+
+These are the monitoring/forecast-adjacent aggregates a warehouse team runs
+on top of the reference's published gold layer (``glue/etl_api.py:42-45``
+ends at a static groupBy; a production deployment immediately asks "is this
+week anomalous?" — these operators answer that).
+
+Scale posture shared by the whole family: the fact table is FIRST collapsed
+to a calendar-bounded spine (one shuffle; the spine has at most a few
+thousand rows regardless of data volume — its size is bounded by elapsed
+days, not rows), and every window/lag runs on the spine. The partitionless
+windows here are therefore the documented bounded-spine exception (see
+``queries/mlstats.py`` sweep-line): WindowExec sees O(days) rows at 100 TB
+exactly as it does at sf0.001. Per-key series (``seasonal_naive_mape``) keep
+the window PARTITIONED so the same plan scales with key cardinality.
+
+Float discipline: daily revenue is summed as DECIMAL(18,6) and rounded to 2
+before any double arithmetic (the ``mom_revenue_growth`` pattern), so the
+spine the two engines difference/correlate is bit-identical; downstream
+ratios round at 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+#: ANSI daily-revenue spine shared by every oracle in this module
+#: (matches :func:`_daily_revenue` column-for-column).
+_DAILY_SQL = """
+        SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE
+                   AS rev
+        FROM orders GROUP BY 1
+"""
+
+_ACF_MAX_LAG = 7
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact → spine collapse: one aggregate shuffle keyed on day, money
+    summed decimal-exact then rounded to 2 (stable across engines)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+
+
+_ACF_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    m AS (SELECT avg(rev) AS mu FROM d),
+    s AS (SELECT sum((rev - m.mu) * (rev - m.mu)) AS ss
+          FROM d CROSS JOIN m),
+    l AS (
+        SELECT rev,
+               {", ".join(f"lag(rev, {k}) OVER (ORDER BY day) AS l{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+        FROM d
+    ),
+    a AS (
+        SELECT {", ".join(f"sum((l.rev - m.mu) * (l.l{k} - m.mu)) AS c{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+        FROM l CROSS JOIN m
+    )
+    {" UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS lag_k, round(a.c{k} / s.ss, 6) AS acf_r "
+        "FROM a CROSS JOIN s"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )}
+"""
+
+
+@register("acf_lags", oracle=_ACF_SQL)
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1..7 (the
+    seasonality detector: a weekly cycle shows as a spike at lag 7).
+
+    r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² — the standard biased
+    sample ACF. All 7 lag columns share ONE bounded-spine window (single
+    sort of O(days) rows); the 7 cross-moment sums accumulate in ONE
+    aggregate pass; the melt to (lag_k, acf_r) rows is an in-row explode
+    of the 1-row result, so no subtree is re-executed per lag. Lag is a
+    series offset over observed days (gap days don't shift it — same
+    convention both engines)."""
+    d = _daily_revenue(spark, sf_dir)
+    m = d.agg(F.avg("rev").alias("mu"))
+    dm = d.crossJoin(F.broadcast(m))
+    s = dm.agg(
+        F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias(
+            "ss"
+        )
+    )
+    w = Window.orderBy("day")  # bounded spine: O(days) rows, see module doc
+    lagged = dm.select(
+        "rev",
+        "mu",
+        *[F.lag("rev", k).over(w).alias(f"l{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    a = lagged.agg(
+        *[
+            F.sum(
+                (F.col("rev") - F.col("mu")) * (F.col(f"l{k}") - F.col("mu"))
+            ).alias(f"c{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ]
+    )
+    one = a.crossJoin(F.broadcast(s))
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag_k"),
+                        F.round(F.col(f"c{k}") / F.col("ss"), 6).alias("acf_r"),
+                    )
+                    for k in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.lag_k", "kv.acf_r")
+
+
+_SEASONAL_NAIVE_SQL = """
+    WITH d AS (
+        SELECT o_orderpriority AS prio,
+               date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE
+                   AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT prio, rev,
+               lag(rev, 7) OVER (PARTITION BY prio ORDER BY day) AS fc
+        FROM d
+    )
+    SELECT prio,
+           count(fc) AS n_eval,
+           round(avg(abs(rev - fc) / rev), 6) AS mape_r,
+           round(avg(2.0 * abs(rev - fc) / (abs(rev) + abs(fc))), 6)
+               AS smape_r,
+           round(avg(abs(rev - fc)), 2) AS mae_r,
+           round(sqrt(avg((rev - fc) * (rev - fc))), 2) AS rmse_r
+    FROM f GROUP BY prio
+"""
+
+
+@register("seasonal_naive_mape", oracle=_SEASONAL_NAIVE_SQL)
+def seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy backtest of the seasonal-naive baseline
+    (ŷ_t = y_{t−7 observed days}) per order priority: MAPE, sMAPE, MAE,
+    RMSE — the error suite every forecasting deployment reports before
+    trying anything fancier.
+
+    Scale shape: the window is PARTITIONED by the series key, so state per
+    task is one series, and adding keys adds parallelism, not depth. The
+    error aggregate rides the same partitioning (avg/count skip the 7
+    NULL-forecast head rows identically in both engines)."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.partitionBy("prio").orderBy("day")
+    f = d.select("prio", "rev", F.lag("rev", 7).over(w).alias("fc"))
+    err = F.col("rev") - F.col("fc")
+    return f.groupBy("prio").agg(
+        F.count("fc").alias("n_eval"),
+        F.round(F.avg(F.abs(err) / F.col("rev")), 6).alias("mape_r"),
+        F.round(
+            F.avg(2.0 * F.abs(err) / (F.abs(F.col("rev")) + F.abs(F.col("fc")))),
+            6,
+        ).alias("smape_r"),
+        F.round(F.avg(F.abs(err)), 2).alias("mae_r"),
+        F.round(F.sqrt(F.avg(err * err)), 2).alias("rmse_r"),
+    )
+
+
+_CUSUM_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    m AS (SELECT avg(rev) AS mu, count(*) AS n_days FROM d),
+    c AS (
+        SELECT day,
+               sum(rev - m.mu) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS s,
+               m.n_days
+        FROM d CROSS JOIN m
+    )
+    SELECT day AS cp_day,
+           round(abs(s), 2) AS max_abs_cusum_r,
+           n_days
+    FROM c
+    ORDER BY round(abs(s), 2) DESC, day
+    LIMIT 1
+"""
+
+
+@register("cusum_changepoint", oracle=_CUSUM_SQL)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator on daily revenue: S_t = Σ_{i≤t}(x_i − x̄);
+    the day maximizing |S_t| is the classic single-changepoint estimate
+    (mean shift before/after). Output is that day, the peak |CUSUM|, and
+    the series length.
+
+    The running sum is a bounded-spine cumulative window; the argmax is
+    TakeOrderedAndProject on the ROUNDED statistic with the day as the
+    tiebreak, so float dust below the reported precision can never flip
+    which row wins (same ORDER BY in the oracle)."""
+    d = _daily_revenue(spark, sf_dir)
+    m = d.agg(F.avg("rev").alias("mu"), F.count("*").alias("n_days"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded spine: O(days) rows, see module doc
+    c = (
+        d.crossJoin(F.broadcast(m))
+        .withColumn("s", F.sum(F.col("rev") - F.col("mu")).over(w))
+        .select(
+            F.col("day").alias("cp_day"),
+            F.round(F.abs("s"), 2).alias("max_abs_cusum_r"),
+            "n_days",
+        )
+    )
+    return c.orderBy(F.col("max_abs_cusum_r").desc(), "cp_day").limit(1)
+
+
+_DOW_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    m AS (SELECT avg(rev) AS mu FROM d),
+    g AS (
+        SELECT isodow(day)::BIGINT AS dow,
+               count(*) AS n_days,
+               avg(rev) AS avg_rev,
+               stddev_samp(rev) AS sd
+        FROM d GROUP BY 1
+    )
+    SELECT dow, n_days,
+           round(avg_rev, 2) AS avg_rev_r,
+           round(avg_rev / m.mu, 6) AS seasonal_idx_r,
+           round(sd, 2) AS resid_std_r
+    FROM g CROSS JOIN m
+"""
+
+
+@register("dow_seasonal_profile", oracle=_DOW_SQL)
+def dow_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily revenue: per ISO weekday
+    the mean level, the multiplicative seasonal index (dow mean ÷ overall
+    mean — the classical-decomposition seasonal component), and the
+    within-dow dispersion (the remainder scale once weekly seasonality is
+    removed).
+
+    Two aggregates over the spine (7-row output), normalizer broadcast as
+    a 1-row cross join. Spark's ``weekday()`` (0=Mon) + 1 equals DuckDB's
+    ``isodow`` (1=Mon) — pinned by the oracle hash."""
+    d = _daily_revenue(spark, sf_dir)
+    m = d.agg(F.avg("rev").alias("mu"))
+    g = d.groupBy((F.weekday("day") + 1).cast("long").alias("dow")).agg(
+        F.count("*").alias("n_days"),
+        F.avg("rev").alias("avg_rev"),
+        F.stddev_samp("rev").alias("sd"),
+    )
+    return g.crossJoin(F.broadcast(m)).select(
+        "dow",
+        "n_days",
+        F.round("avg_rev", 2).alias("avg_rev_r"),
+        F.round(F.col("avg_rev") / F.col("mu"), 6).alias("seasonal_idx_r"),
+        F.round("sd", 2).alias("resid_std_r"),
+    )

@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "ab_inbev_big_data_case_spark.queries.warehouse",
     "ab_inbev_big_data_case_spark.queries.mlstats",
     "ab_inbev_big_data_case_spark.queries.llm_curation",
+    "ab_inbev_big_data_case_spark.queries.timeseries",
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registered queries

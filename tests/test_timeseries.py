@@ -1,0 +1,93 @@
+"""Semantic invariants for the time-series family (queries/timeseries.py)
+beyond DuckDB oracle equivalence: numpy parity for the ACF and CUSUM math,
+and conservation/normalization identities for the backtest and seasonal
+profile."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+load_all()
+
+
+def _daily_series(spark, sf_dir):
+    """The shared spine, collected day-ordered (tiny: O(elapsed days))."""
+    rows = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    return [r.day for r in rows], np.array([r.rev for r in rows])
+
+
+def test_acf_matches_numpy(spark, sf_dir):
+    _, x = _daily_series(spark, sf_dir)
+    mu = x.mean()
+    ss = ((x - mu) ** 2).sum()
+    got = {r.lag_k: r.acf_r for r in QUERIES["acf_lags"](spark, sf_dir).collect()}
+    assert sorted(got) == list(range(1, 8))
+    for k in range(1, 8):
+        expect = ((x[k:] - mu) * (x[:-k] - mu)).sum() / ss
+        assert abs(got[k] - round(expect, 6)) < 1e-9, k
+    # ACF is a correlation: bounded by 1 in magnitude.
+    assert all(abs(v) <= 1.0 for v in got.values())
+
+
+def test_cusum_matches_numpy_argmax(spark, sf_dir):
+    days, x = _daily_series(spark, sf_dir)
+    s = np.cumsum(x - x.mean())
+    r = QUERIES["cusum_changepoint"](spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_days == len(x)
+    peak = np.abs(s).round(2)
+    best = peak.max()
+    assert row.max_abs_cusum_r == best
+    # the reported day is the EARLIEST day achieving the rounded peak
+    assert row.cp_day == days[int(np.argmax(peak == best))]
+
+
+def test_seasonal_naive_errors_are_lag7_residuals(spark, sf_dir):
+    out = {r.prio: r for r in QUERIES["seasonal_naive_mape"](spark, sf_dir).collect()}
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+        .collect()
+    )
+    series = {}
+    for r in sorted(d, key=lambda r: (r.prio, r.day)):
+        series.setdefault(r.prio, []).append(r.rev)
+    for prio, xs in series.items():
+        xs = np.array(xs)
+        err = np.abs(xs[7:] - xs[:-7])
+        assert out[prio].n_eval == len(xs) - 7
+        assert abs(out[prio].mae_r - round(float(err.mean()), 2)) < 1e-9
+        assert abs(
+            out[prio].rmse_r - round(float(np.sqrt((err**2).mean())), 2)
+        ) < 1e-9
+
+
+def test_dow_profile_partitions_the_spine(spark, sf_dir):
+    days, x = _daily_series(spark, sf_dir)
+    rows = QUERIES["dow_seasonal_profile"](spark, sf_dir).collect()
+    assert sorted(r.dow for r in rows) == list(range(1, 8))
+    assert sum(r.n_days for r in rows) == len(x)
+    # seasonal indices average to ~1 when weighted by day counts
+    wmean = sum(r.seasonal_idx_r * r.n_days for r in rows) / len(x)
+    assert abs(wmean - 1.0) < 1e-3
