@@ -512,3 +512,74 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str, span_len: int = 8
+) -> DataFrame:
+    """Exact-substring duplication coverage at ``span_len``-token span
+    granularity (Lee et al. 2021, arXiv:2107.06499, the dedup that chunk
+    dedup under-counts): every OVERLAPPING span occurring in ≥ 2 documents
+    marks its token interval, the per-doc intervals are unioned, and the
+    covered-token ratio reported.
+
+    Interval union without a per-token explode: spans sort by start within
+    each doc; a running ``max(end)`` over the PRECEDING rows detects chain
+    breaks (``start >= running_end`` opens a new run), a cumulative sum of
+    break flags labels the runs, and each run's union length is
+    ``max(end) − min(start)`` — valid because inside a run every interval
+    starts before the running coverage end, so the run is gap-free. Both
+    windows are PARTITIONED BY doc: state per task is one document's spans
+    at any corpus size. Span identity shuffles as the portable int64 hash,
+    not the span text (same key-narrowing as the Jaccard verify join).
+    """
+    toks = tokens(F.col(text_col))
+    t = df.select(F.col(id_col), toks.alias("toks"))
+    sph = t.select(
+        id_col, F.posexplode(shingles(F.col("toks"), span_len)).alias("pos", "span")
+    ).select(id_col, "pos", token_hash64(F.col("span")).alias("h"))
+    dfreq = (
+        sph.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    dup = sph.join(dfreq, "h").select(
+        id_col, "pos", (F.col("pos") + span_len).alias("fin")
+    )
+    wprev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = (
+        dup.withColumn("pmax", F.max("fin").over(wprev))
+        .withColumn(
+            "newg",
+            F.when(
+                F.col("pmax").isNull() | (F.col("pos") >= F.col("pmax")), 1
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("newg").over(wcum))
+    )
+    runs = grouped.groupBy(id_col, "grp").agg(
+        F.count("*").alias("n_spans"), (F.max("fin") - F.min("pos")).alias("cov")
+    )
+    perdoc = runs.groupBy(id_col).agg(
+        F.sum("n_spans").alias("n_dup_spans"), F.sum("cov").alias("covered")
+    )
+    tot = t.select(id_col, F.size("toks").cast("long").alias("n_tokens"))
+    return tot.join(perdoc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+        F.round(F.coalesce("covered", F.lit(0)) / F.col("n_tokens"), 4).alias(
+            "dup_token_ratio_r"
+        ),
+    )

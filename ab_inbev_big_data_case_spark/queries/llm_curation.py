@@ -856,3 +856,301 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln_n, ln_r)"), 4).alias("zipf_slope_r"),
         F.round(F.expr("regr_r2(ln_n, ln_r)"), 4).alias("zipf_r2_r"),
     )
+
+
+# ------------------------------------------------- duplicated-span coverage
+
+_SPAN_N = 8
+
+# Overlapping 8-token spans with their start positions, hashed portably so
+# the df≥2 shuffle moves int64 keys instead of 8-token strings (the same
+# key-narrowing as the Jaccard verify join). Oracle mirrors the hash.
+_SPAN_CTE = f"""
+    toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sp AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(toks) - {_SPAN_N} + 1, 0)))
+                   AS pos
+        FROM toksrc
+    ),
+    sph AS (
+        SELECT s.doc_id, s.pos,
+               {_H64.format(x=f"array_to_string(list_slice(t.toks, s.pos + 1, s.pos + {_SPAN_N}), ' ')")}
+                   AS h
+        FROM sp s JOIN toksrc t ON t.doc_id = s.doc_id
+    )
+"""
+
+_DUP_SPAN_SQL = f"""
+    WITH {_SPAN_CTE},
+    dfreq AS (
+        SELECT h FROM sph GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+        SELECT s.doc_id, s.pos, s.pos + {_SPAN_N} AS fin
+        FROM sph s JOIN dfreq USING (h)
+    ),
+    marked AS (
+        SELECT doc_id, pos, fin,
+               max(fin) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pmax
+        FROM dup
+    ),
+    grouped AS (
+        SELECT doc_id, pos, fin,
+               sum(CASE WHEN pmax IS NULL OR pos >= pmax THEN 1 ELSE 0 END)
+                   OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS grp
+        FROM marked
+    ),
+    runs AS (
+        SELECT doc_id, grp,
+               count(*) AS n_spans,
+               max(fin) - min(pos) AS cov
+        FROM grouped GROUP BY 1, 2
+    ),
+    perdoc AS (
+        SELECT doc_id, sum(n_spans) AS n_dup_spans, sum(cov) AS covered
+        FROM runs GROUP BY 1
+    )
+    SELECT t.doc_id,
+           len(t.toks)::BIGINT AS n_tokens,
+           coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           coalesce(p.covered, 0)::BIGINT AS covered_tokens,
+           round(coalesce(p.covered, 0) * 1.0 / len(t.toks), 4)
+               AS dup_token_ratio_r
+    FROM toksrc t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+"""
+
+
+@register("dup_span_coverage", oracle=_DUP_SPAN_SQL)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2021,
+    arXiv:2107.06499, approximated at 8-token span granularity): every
+    OVERLAPPING 8-token span that appears in ≥2 documents marks the
+    interval [pos, pos+8); per document the marked intervals are merged
+    (interval union) and the covered-token ratio reported. Finer than
+    ``chunk_dedup_ratio``'s disjoint chunks: a duplicated passage straddling
+    a chunk boundary is invisible there but fully covered here.
+
+    Scale shape: span keys shuffle as portable int64 hashes, the df≥2
+    doc-frequency pass is one aggregate, and the interval union is the
+    classic sweep — a running ``max(end)`` over a window PARTITIONED BY
+    doc (state per task = one document's spans). A span chain where each
+    interval starts before the running coverage end merges into one run,
+    so union length is ``max(end) − min(start)`` per run — no per-token
+    explode, coverage is computed from O(spans) rows (see
+    ``llm.dedup.dup_span_stats``)."""
+    from ab_inbev_big_data_case_spark.llm.dedup import dup_span_stats
+
+    d = table(spark, sf_dir, "documents")
+    return dup_span_stats(d, "doc_id", "text", _SPAN_N)
+
+
+# ----------------------------------------------------- shard assignment
+
+_N_SHARDS = 16
+
+_SHARD_SQL = f"""
+    WITH a AS (
+        SELECT ({_H64.format(x="doc_id::VARCHAR")} % {_N_SHARDS}) AS shard_id,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    g AS (
+        SELECT shard_id, count(*) AS n_docs,
+               sum(n_toks)::BIGINT AS n_tokens
+        FROM a GROUP BY 1
+    ),
+    t AS (SELECT sum(n_tokens) AS total FROM g)
+    SELECT g.shard_id, g.n_docs, g.n_tokens,
+           round(g.n_tokens * {_N_SHARDS} * 1.0 / t.total, 4) AS load_ratio_r
+    FROM g CROSS JOIN t
+"""
+
+
+@register("shard_assignment", oracle=_SHARD_SQL)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: docs hash into 16 shards by
+    portable id hash (the reproducible global shuffle every pretraining run
+    needs — reshuffling the corpus must not depend on input file order or
+    partition layout), with per-shard doc/token counts and the token-load
+    ratio against the ideal uniform share.
+
+    One grouped aggregate on the 16-value shard key; the normalizer is a
+    broadcast 1-row total. At 100 TB the shard id doubles as the write
+    partition key, so the same expression drives ``partitionBy`` output."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        F.pmod(
+            token_hash64(F.col("doc_id").cast("string")), F.lit(_N_SHARDS)
+        ).alias("shard_id"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    g = a.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    t = g.agg(F.sum("n_tokens").cast("double").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * _N_SHARDS / F.col("total"), 4).alias(
+            "load_ratio_r"
+        ),
+    )
+
+
+# ------------------------------------------ MinHash estimator accuracy
+
+_MINHASH_ACC_SQL = f"""
+    WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        ))) AS shingle
+        FROM toksrc
+    ),
+    hashed AS (SELECT doc_id,
+               ({_H64.format(x='shingle')} % 1000000007) AS h9 FROM sh),
+    sig AS (
+        SELECT doc_id, seed,
+               min(((2*seed + 1) * h9 + 104729 * seed) % 1000000007)
+                   AS minhash
+        FROM hashed CROSS JOIN range(8) t(seed)
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               sum(minhash * (CASE WHEN seed % 2 = 0
+                              THEN 1000000007 ELSE 1 END)) AS band_sig
+        FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id1, c.id2,
+               avg((sa.minhash = sb.minhash)::INT) AS est_j
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id1
+        JOIN sig sb ON sb.doc_id = c.id2 AND sb.seed = sa.seed
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.id1, c.id2, count(s2.doc_id) AS n_inter
+        FROM cand c
+        LEFT JOIN sh s1 ON s1.doc_id = c.id1
+        LEFT JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+        GROUP BY 1, 2
+    )
+    SELECT e.id1, e.id2,
+           round(e.est_j, 4) AS est_jaccard_r,
+           round(i.n_inter * 1.0 /
+                 (za.n_sh + zb.n_sh - i.n_inter), 4) AS exact_jaccard_r,
+           round(abs(e.est_j - i.n_inter * 1.0 /
+                 (za.n_sh + zb.n_sh - i.n_inter)), 4) AS abs_err_r
+    FROM est e
+    JOIN inter i ON i.id1 = e.id1 AND i.id2 = e.id2
+    JOIN sizes za ON za.doc_id = e.id1
+    JOIN sizes zb ON zb.doc_id = e.id2
+"""
+
+
+@register("minhash_estimator_accuracy", oracle=_MINHASH_ACC_SQL)
+def minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (fraction of agreeing signature components)
+    against the EXACT shingle Jaccard, plus the absolute error — the
+    estimator-vs-truth audit that sizes how many signature rows a target
+    precision needs (the same make-the-approximation-checkable discipline
+    as ``approx_count_distinct``'s within-tolerance oracle).
+
+    Scale shape: estimates come from the wide signature join on the
+    CANDIDATE pairs only (LSH already pruned the corpus); the exact side
+    prunes the shingle table to candidate docs with semi-joins before the
+    intersection join, so the expensive exact computation runs on
+    O(candidates), never O(corpus²)."""
+    from ab_inbev_big_data_case_spark.llm.dedup import (
+        lsh_band_buckets_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sh = shingle_set(d, "doc_id", "text", 3)
+    sigw = minhash_signatures_wide(sh, "doc_id", 8)
+    cand = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sigw, "doc_id", 8, 2), "doc_id"
+    )
+    sa = sigw.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"minhash_{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sigw.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"minhash_{i}").alias(f"b{i}") for i in range(8)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    est = (
+        cand.join(sa, "id1")
+        .join(sb, "id2")
+        .select("id1", "id2", (n_agree / F.lit(8.0)).alias("est_j"))
+    )
+    ids = (
+        cand.select(F.col("id1").alias("doc_id"))
+        .union(cand.select("id2"))
+        .distinct()
+    )
+    shc = sh.join(ids, "doc_id", "left_semi")
+    s1 = shc.select(F.col("doc_id").alias("id1"), "shingle")
+    s2 = shc.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        cand.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    exact = (
+        cand.join(inter, ["id1", "id2"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(sizes.select(F.col("doc_id").alias("id1"),
+                           F.col("n_sh").alias("na")), "id1")
+        .join(sizes.select(F.col("doc_id").alias("id2"),
+                           F.col("n_sh").alias("nb")), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("exact_j"),
+        )
+    )
+    return (
+        est.join(exact, ["id1", "id2"])
+        .select(
+            "id1",
+            "id2",
+            F.round("est_j", 4).alias("est_jaccard_r"),
+            F.round("exact_j", 4).alias("exact_jaccard_r"),
+            F.round(F.abs(F.col("est_j") - F.col("exact_j")), 4).alias(
+                "abs_err_r"
+            ),
+        )
+    )

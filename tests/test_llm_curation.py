@@ -198,3 +198,82 @@ def test_prefix_filter_skips_stop_token_candidates(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = prefix_filter_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
     assert [(r.id1, r.id2, r.jaccard) for r in got] == [(100, 101, 1.0)]
+
+
+# ---------------------------------------------- round-5: span coverage etc.
+
+
+def test_dup_span_coverage_interval_union_brute_force(spark):
+    """The windowed interval-union must equal per-token brute-force marking
+    on a fixture with overlapping, adjacent, and within-doc repeated
+    passages."""
+    from ab_inbev_big_data_case_spark.llm.dedup import dup_span_stats
+
+    common = " ".join(f"w{i}" for i in range(10))
+    docs = [
+        (1, common + " x1 x2"),              # shared passage at the head
+        (2, "y1 y2 " + common),              # same passage at the tail
+        (3, " ".join(f"u{i}" for i in range(12))),   # fully unique
+        (4, common + " z " + common),        # passage repeated within doc
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dup_span_stats(df, "doc_id", "text", 8).collect()}
+
+    texts = {i: t.split(" ") for i, t in docs}
+    spans = {
+        (i, p): " ".join(toks[p : p + 8])
+        for i, toks in texts.items()
+        for p in range(len(toks) - 7)
+    }
+    from collections import defaultdict
+
+    by_span = defaultdict(set)
+    for (i, p), s in spans.items():
+        by_span[s].add(i)
+    for i, toks in texts.items():
+        covered = set()
+        n_dup = 0
+        for p in range(len(toks) - 7):
+            if len(by_span[" ".join(toks[p : p + 8])]) >= 2:
+                covered.update(range(p, p + 8))
+                n_dup += 1
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert r.n_dup_spans == n_dup, i
+        assert r.covered_tokens == len(covered), i
+        assert r.dup_token_ratio_r == round(len(covered) / len(toks), 4)
+    # the fixture exercised every regime
+    assert got[3].covered_tokens == 0 and got[1].covered_tokens == 10
+    assert got[4].covered_tokens == 20
+
+
+def test_shard_assignment_conserves_corpus(spark, sf_dir):
+    rows = QUERIES["shard_assignment"](spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_toks = d.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_tokens for r in rows) == n_toks
+    assert all(0 <= r.shard_id < 16 for r in rows)
+    # hash balance: every shard within 3x of ideal on this corpus
+    assert all(0.2 < r.load_ratio_r < 3.0 for r in rows)
+
+
+def test_minhash_estimator_accuracy_exact_side_is_true_jaccard(spark, sf_dir):
+    out = QUERIES["minhash_estimator_accuracy"](spark, sf_dir).collect()
+    assert out, "LSH should produce candidates on the fixture corpus"
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+
+    def sh3(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    for r in out:
+        a, b = sh3(docs[r.id1]), sh3(docs[r.id2])
+        expect = len(a & b) / len(a | b)
+        assert r.exact_jaccard_r == round(expect, 4), (r.id1, r.id2)
+        assert 0.0 <= r.est_jaccard_r <= 1.0
+        assert abs(r.abs_err_r - round(abs(r.est_jaccard_r - expect), 4)) <= 1e-3
