@@ -569,3 +569,85 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(F.broadcast(stats)).select(
         "n_triangles", "n_edges", "deg_endpoints"
     )
+
+
+_KHOP_SQL = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    seed AS (SELECT min(u) AS s FROM e),
+    h1 AS (SELECT DISTINCT sym.v FROM sym JOIN seed ON sym.u = seed.s),
+    h2 AS (
+        SELECT DISTINCT sym.v FROM sym JOIN h1 ON sym.u = h1.v
+        UNION SELECT v FROM h1
+    ),
+    h3 AS (
+        SELECT DISTINCT sym.v FROM sym JOIN h2 ON sym.u = h2.v
+        UNION SELECT v FROM h2
+    )
+    SELECT 1::BIGINT AS hop, count(*) AS n_reachable FROM h1
+    UNION ALL SELECT 2::BIGINT, count(*) FROM h2
+    UNION ALL SELECT 3::BIGINT, count(*) FROM h3
+"""
+
+
+@register("khop_reachability", oracle=_KHOP_SQL)
+def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop reachability (k ≤ 3) from the smallest vertex of the
+    co-purchase graph (same support-≥2 edge set as ``triangle_count``,
+    symmetrized): cumulative distinct vertices within 1, 2, and 3 hops —
+    the BFS frontier-expansion primitive behind ego-network features and
+    blast-radius queries.
+
+    Scale shape: the UNROLLED fixed-k Pregel pattern (``operators/
+    graph.py``) — each hop is one equi-join frontier × edges plus a
+    distinct, so the plan is k joins deep with NO driver-side iteration
+    or collect; the frontier stays a DataFrame throughout. The seed is a
+    broadcast 1-row aggregate. Distincts bound each frontier by |V|, the
+    monotone-cumulative union makes the count non-decreasing in k (pinned
+    by pytest)."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seed = e.agg(F.min("u").alias("s"))
+    h1 = (
+        sym.join(F.broadcast(seed), sym.u == F.col("s"))
+        .select("v")
+        .distinct()
+    )
+    h2 = (
+        sym.join(h1.select(F.col("v").alias("f")), sym.u == F.col("f"))
+        .select("v")
+        .union(h1)
+        .distinct()
+    )
+    h3 = (
+        sym.join(h2.select(F.col("v").alias("f")), sym.u == F.col("f"))
+        .select("v")
+        .union(h2)
+        .distinct()
+    )
+    counts = [
+        h.agg(F.count("*").alias("n_reachable")).select(
+            F.lit(k).cast("long").alias("hop"), "n_reachable"
+        )
+        for k, h in ((1, h1), (2, h2), (3, h3))
+    ]
+    return counts[0].unionAll(counts[1]).unionAll(counts[2])

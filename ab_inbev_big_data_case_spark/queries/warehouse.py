@@ -328,3 +328,178 @@ def ivm_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ps"), 2).cast("double").alias("gross"),
         )
     )
+
+
+# ---------------------------------------------------- compaction planning
+
+# Small-file compaction planner constants: synthetic file inventory (one
+# "file" per (ship-month, orderkey%12) cell, bytes ≈ rows × 120B est row
+# width) packed toward 32 KB targets. On a real lakehouse the inventory
+# comes from the table's file listing; the planner below is unchanged.
+_CP_SUBFILES, _CP_ROW_BYTES, _CP_TARGET = 12, 120, 32_000
+
+_COMPACTION_SQL = f"""
+    WITH f AS (
+        SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS month,
+               l_orderkey % {_CP_SUBFILES} AS sub,
+               count(*) * {_CP_ROW_BYTES} AS bytes
+        FROM lineitem GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT month, bytes,
+               coalesce(sum(bytes) OVER (
+                   PARTITION BY month ORDER BY bytes DESC, sub
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // {_CP_TARGET} AS bin
+        FROM f
+    ),
+    per_bin AS (
+        SELECT month, bin, count(*) AS nf, sum(bytes)::BIGINT AS bin_bytes
+        FROM b GROUP BY 1, 2
+    )
+    SELECT month,
+           sum(nf)::BIGINT AS n_files,
+           sum(bin_bytes)::BIGINT AS total_bytes,
+           count(*) AS n_bins,
+           max(bin_bytes) AS max_bin_bytes,
+           (sum(bin_bytes)::BIGINT * 10000)
+               // (count(*) * {_CP_TARGET}) AS fill_bp
+    FROM per_bin GROUP BY month
+"""
+
+
+@register("compaction_plan", oracle=_COMPACTION_SQL)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/bin-packing maintenance
+    pass every 100 TB parquet table needs): per partition (ship month),
+    files sort largest-first and fill toward the target size by cumulative
+    offset — ``bin = floor(bytes_before / target)`` — the single-pass
+    distributed approximation of first-fit-decreasing. Output is the
+    per-partition plan summary (file count, bin count, fill factor).
+
+    Scale shape: planning is pure metadata work — O(files) rows, windows
+    PARTITIONED BY the table partition (state per task = one partition's
+    file list), never touching data bytes. The fill factor (basis points,
+    exact integer floor division — float rounding at a .5 boundary
+    diverges across engines) tells the operator whether the rewrite is
+    worth running (fill ≪ 10000 means the partition is already small-file
+    fragmented)."""
+    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    f = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("month"),
+        (F.col("l_orderkey") % _CP_SUBFILES).alias("sub"),
+    ).agg((F.count("*") * _CP_ROW_BYTES).alias("bytes"))
+    w = (
+        Window.partitionBy("month")
+        .orderBy(F.col("bytes").desc(), "sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = f.select(
+        "month",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / _CP_TARGET
+        ).alias("bin"),
+    )
+    per_bin = b.groupBy("month", "bin").agg(
+        F.count("*").alias("nf"), F.sum("bytes").alias("bin_bytes")
+    )
+    return (
+        per_bin.groupBy("month")
+        .agg(
+            F.sum("nf").alias("n_files"),
+            F.sum("bin_bytes").alias("total_bytes"),
+            F.count("*").alias("n_bins"),
+            F.max("bin_bytes").alias("max_bin_bytes"),
+        )
+        # fill factor in basis points via exact integer floor division —
+        # float rounding at a .5 boundary diverges across engines
+        .withColumn(
+            "fill_bp",
+            F.expr(f"(total_bytes * 10000) div (n_bins * {_CP_TARGET})"),
+        )
+    )
+
+
+# --------------------------------------------------- CDC changeset apply
+
+# Synthetic changeset over the orders snapshot at 1997-01-01: tombstones
+# for key%7=0, price-bump updates for key%5=1 (minus the tombstone overlap
+# — delete trumps update), inserts = everything after the snapshot date.
+_CDC_APPLY_SQL = """
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 7 = 0),
+    upd AS (
+        SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM base WHERE o_orderkey % 5 = 1 AND o_orderkey % 7 <> 0
+    ),
+    ins AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    touched AS (
+        SELECT o_orderkey FROM del
+        UNION SELECT o_orderkey FROM upd
+    )
+    SELECT b.o_orderkey, round(b.o_totalprice, 2) AS price_r,
+           b.o_orderstatus, 'base' AS src
+    FROM base b LEFT JOIN touched t ON t.o_orderkey = b.o_orderkey
+    WHERE t.o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) AS price_r,
+           o_orderstatus, 'update' AS src FROM upd
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) AS price_r,
+           o_orderstatus, 'insert' AS src FROM ins
+"""
+
+
+@register("cdc_apply_changeset", oracle=_CDC_APPLY_SQL)
+def cdc_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with tombstones — the consumer half of
+    ``snapshot_cdc_diff``: a base snapshot merged with a keyed changeset of
+    deletes, updates, and inserts (delete trumps update on overlap; the
+    synthetic changeset above exercises all three paths plus the overlap
+    rule).
+
+    Scale shape: the canonical MERGE lowering Spark-side — one left-anti
+    join of base against the touched-key set (an equi-join AQE can
+    broadcast when the changeset is small, the common CDC case) plus
+    unions that reuse the base scan; no window, no global sort. The same
+    plan IS ``sources.writers.upsert_by_key``'s read-modify-write body,
+    here as a pure query so the merge algebra itself is oracle-checked."""
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    dele = base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    upd = base.filter(
+        (F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 7 != 0)
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    ins = o.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    touched = dele.union(upd.select("o_orderkey")).distinct()
+    kept = base.join(touched, "o_orderkey", "left_anti")
+
+    def out(df: DataFrame, src: str) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price_r"),
+            "o_orderstatus",
+            F.lit(src).alias("src"),
+        )
+
+    return out(kept, "base").unionAll(out(upd, "update")).unionAll(
+        out(ins, "insert")
+    )

@@ -112,3 +112,25 @@ def test_skyline_local_pass_is_partitioned(spark, sf_dir):
     # hash bucket so the heavy input never hits a single partition
     assert plan.count("Window") >= 2
     assert "bkt" in plan
+
+
+def test_khop_reachability_is_monotone_and_h1_is_seed_degree(spark, sf_dir):
+    rows = {r.hop: r.n_reachable for r in QUERIES["khop_reachability"](spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1] <= rows[2] <= rows[3], "cumulative frontiers must grow"
+    # hop-1 equals the seed's degree in the symmetrized support-≥2 graph
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    pairs = [(r.u, r.v) for r in e.collect()]
+    seed = min(u for u, _ in pairs)
+    deg = len({v for u, v in pairs if u == seed} | {u for u, v in pairs if v == seed})
+    assert rows[1] == deg

@@ -9,6 +9,10 @@ from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.operators.graph import pagerank
 from ab_inbev_big_data_case_spark.operators.relational import build_scd2, profile
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+load_all()
 
 
 def test_profile_counts_and_typed_minmax(spark):
@@ -102,3 +106,89 @@ def test_ivm_join_delta_terms_nonempty(spark, sf_dir):
     o_d = o.filter(F.col("o_orderkey") % 5 == 0)
     assert l_d.count() > 0 and o_d.count() > 0
     assert l_d.join(o_d, l_d.l_orderkey == o_d.o_orderkey).count() > 0
+
+
+# ------------------------------------------- round-5: compaction + CDC apply
+
+
+def test_compaction_plan_matches_sequential_simulation(spark, sf_dir):
+    """The windowed bin assignment must equal the sequential cumulative-fill
+    simulation per partition, and conserve the file inventory."""
+    li = table(spark, sf_dir, "lineitem")
+    files = (
+        li.groupBy(
+            F.date_trunc("month", "l_shipdate").alias("month"),
+            (F.col("l_orderkey") % 12).alias("sub"),
+        )
+        .agg((F.count("*") * 120).alias("bytes"))
+        .collect()
+    )
+    sim = {}
+    by_month = {}
+    for r in files:
+        by_month.setdefault(r.month, []).append((r.bytes, r.sub))
+    for month, fs in by_month.items():
+        fs.sort(key=lambda t: (-t[0], t[1]))
+        bins = {}
+        cum = 0
+        for bytes_, _ in fs:
+            bins.setdefault(cum // 32_000, []).append(bytes_)
+            cum += bytes_
+        sim[month] = {
+            "n_files": len(fs),
+            "total": sum(b for b, _ in fs),
+            "n_bins": len(bins),
+            "max_bin": max(sum(v) for v in bins.values()),
+            "fill_bp": sum(b for b, _ in fs) * 10000 // (len(bins) * 32_000),
+        }
+    got = {r.month: r for r in QUERIES["compaction_plan"](spark, sf_dir).collect()}
+    assert set(got) == set(sim)
+    for month, s in sim.items():
+        g = got[month]
+        assert (g.n_files, g.total_bytes, g.n_bins, g.max_bin_bytes, g.fill_bp) == (
+            s["n_files"], s["total"], s["n_bins"], s["max_bin"], s["fill_bp"]
+        ), month
+
+
+def test_cdc_apply_changeset_merge_semantics(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES
+
+    out = QUERIES["cdc_apply_changeset"](spark, sf_dir)
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate") < "1997-01-01")
+    n_base = base.count()
+    n_del = base.filter(F.col("o_orderkey") % 7 == 0).count()
+    n_upd = base.filter(
+        (F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 7 != 0)
+    ).count()
+    n_ins = o.filter(F.col("o_orderdate") >= "1997-01-01").count()
+
+    rows = out.collect()
+    assert len(rows) == n_base - n_del + n_ins
+    by_src = {}
+    for r in rows:
+        by_src[r.src] = by_src.get(r.src, 0) + 1
+    assert by_src == {
+        "base": n_base - n_del - n_upd,
+        "update": n_upd,
+        "insert": n_ins,
+    }
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys)), "MERGE must keep keys unique"
+    # tombstones fully applied — no %7 key survives from the base snapshot
+    assert all(
+        r.o_orderkey % 7 != 0 for r in rows if r.src in ("base", "update")
+    )
+    # update path applied the price bump against the base row
+    base_price = {
+        r.o_orderkey: r.o_totalprice
+        for r in base.filter(
+            (F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 7 != 0)
+        ).collect()
+    }
+    for r in rows:
+        if r.src == "update":
+            assert r.o_orderstatus == "U"
+            # engines use HALF_UP, python round() is half-even: compare to
+            # the unrounded bump within half a cent instead
+            assert abs(r.price_r - base_price[r.o_orderkey] * 1.1) <= 0.0051
