@@ -48,11 +48,11 @@ _QUERY_MODULES = [
 #
 # This round-5 window holds: the 13 round-4 additions the driver has NEVER
 # seen (8 mlstats + 5 llm_curation — the verdict's top evidence gap), the
-# 23 queries whose only green is from round 1 (rolling re-check so no
-# evidence goes stale; includes approx_percentile, which this round gained
-# a real oracle via the exact+within_tol projection), approx_count_distinct
-# (same oracle upgrade — was a permanent no_oracle row), and 13 r2-era
-# fillers (oldest remaining evidence, in r2 registration order).
+# 23 round-5 additions (13 from session 1, 10 from session 2 — also never
+# checked), 13 of the r1-only-evidence re-checks (rolling staleness
+# insurance; includes approx_percentile, which this round gained a real
+# oracle via the exact+within_tol projection), and approx_count_distinct
+# (same oracle upgrade — was a permanent no_oracle row).
 #
 # ROTATION (round 6+): re-check any r5 reds first, then the remaining
 # r2-era names (subquery + tpch_q*_shape families, exact_dedup_hash …),
@@ -72,7 +72,22 @@ _CHECK_FIRST = [
     "bpe_pair_counts",
     "containment_pairs",
     "kmeans_cells",
-    # oldest-evidence re-checks (r1-only greens, in r1 registration order)
+    # round-5 session-2 additions (never checked — outrank re-checks)
+    "acf_lags",
+    "seasonal_naive_mape",
+    "cusum_changepoint",
+    "dow_seasonal_profile",
+    "dup_span_coverage",
+    "shard_assignment",
+    "minhash_estimator_accuracy",
+    "compaction_plan",
+    "cdc_apply_changeset",
+    "khop_reachability",
+    # oldest-evidence re-checks (r1-only greens, in r1 registration order;
+    # the 10 displaced by the new ops — window_lag_lead, window_running,
+    # window_rank, window_ntile, window_range_frame, window_first_last,
+    # join_left_outer, join_full_outer, join_cross, join_multikey — move
+    # to the front of the round-6 rotation)
     "approx_percentile",
     "pivot_agg",
     "topk_global",
@@ -81,21 +96,11 @@ _CHECK_FIRST = [
     "salted_agg",
     "argmax_agg",
     "join_inner",
-    "join_left_outer",
     "join_semi",
     "join_anti",
-    "join_full_outer",
-    "join_multikey",
-    "join_cross",
     "join_range",
     "join_asof",
     "window_topk_group",
-    "window_lag_lead",
-    "window_running",
-    "window_rank",
-    "window_ntile",
-    "window_range_frame",
-    "window_first_last",
     # approx → exact+within_tol oracle upgrade this round (was no_oracle r4)
     "approx_count_distinct",
     # round-5 additions (never checked — outrank re-checks)
