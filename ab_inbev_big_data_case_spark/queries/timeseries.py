@@ -279,3 +279,89 @@ def dow_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("avg_rev") / F.col("mu"), 6).alias("seasonal_idx_r"),
         F.round("sd", 2).alias("resid_std_r"),
     )
+
+
+_STREAKS_SQL = """
+    WITH d AS (
+        SELECT o_orderpriority AS prio,
+               date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE
+                   AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (SELECT prio, avg(rev) AS mu FROM d GROUP BY 1),
+    r AS (
+        SELECT d.prio, d.day, d.rev, m.mu,
+               row_number() OVER (PARTITION BY d.prio ORDER BY d.day) AS rn
+        FROM d JOIN m ON m.prio = d.prio
+    ),
+    hot AS (
+        SELECT prio, day, rn,
+               row_number() OVER (PARTITION BY prio ORDER BY day) AS rh
+        FROM r WHERE rev > mu
+    ),
+    islands AS (
+        SELECT prio, rn - rh AS grp,
+               count(*) AS len, min(day) AS start_day
+        FROM hot GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT prio, len, start_day,
+               row_number() OVER (
+                   PARTITION BY prio ORDER BY len DESC, start_day
+               ) AS rk,
+               sum(len) OVER (PARTITION BY prio) AS n_hot_days
+        FROM islands
+    )
+    SELECT prio, n_hot_days::BIGINT AS n_hot_days,
+           len AS max_streak, start_day AS streak_start
+    FROM best WHERE rk = 1
+"""
+
+
+@register("revenue_streaks", oracle=_STREAKS_SQL)
+def revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the longest run of consecutive above-average days
+    per order priority (the classic SQL islands pattern via the
+    row_number-difference trick — consecutive means consecutive rows of
+    the observed-day series, so the island key ``rn − rn_hot`` is constant
+    exactly along an unbroken hot run).
+
+    Scale shape: every window is PARTITIONED BY the series key; islands
+    then collapse in one grouped aggregate and the per-key winner is a
+    rank-1 filter with a deterministic (len DESC, start) tiebreak. No
+    self-join — the rn-difference replaces the quadratic
+    island-by-neighbor-join formulation."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    m = d.groupBy("prio").agg(F.avg("rev").alias("mu"))
+    wall = Window.partitionBy("prio").orderBy("day")
+    r = d.join(m, "prio").withColumn("rn", F.row_number().over(wall))
+    hot = r.filter(F.col("rev") > F.col("mu")).withColumn(
+        "rh", F.row_number().over(wall)
+    )
+    islands = hot.groupBy("prio", (F.col("rn") - F.col("rh")).alias("grp")).agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    wbest = Window.partitionBy("prio").orderBy(F.col("len").desc(), "start_day")
+    wtot = Window.partitionBy("prio")
+    best = islands.select(
+        "prio",
+        "len",
+        "start_day",
+        F.row_number().over(wbest).alias("rk"),
+        F.sum("len").over(wtot).alias("n_hot_days"),
+    )
+    return best.filter(F.col("rk") == 1).select(
+        "prio",
+        F.col("n_hot_days").cast("long").alias("n_hot_days"),
+        F.col("len").alias("max_streak"),
+        F.col("start_day").alias("streak_start"),
+    )

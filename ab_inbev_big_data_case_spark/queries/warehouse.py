@@ -503,3 +503,65 @@ def cdc_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out(kept, "base").unionAll(out(upd, "update")).unionAll(
         out(ins, "insert")
     )
+
+
+_SKEW_SQL = """
+    WITH c AS (
+        SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    a AS (
+        SELECT count(*) AS n_keys,
+               sum(n)::BIGINT AS n_rows,
+               sum(n * n)::BIGINT AS ss,
+               max(n) AS max_n
+        FROM c
+    ),
+    t AS (
+        SELECT c.k FROM c CROSS JOIN a
+        WHERE c.n = a.max_n ORDER BY c.k LIMIT 1
+    )
+    SELECT a.n_keys, a.n_rows, t.k AS top_key, a.max_n AS top_n,
+           round(a.max_n * 1.0 / a.n_rows, 6) AS top_share_r,
+           round(a.ss * 1.0 / (a.n_rows * a.n_rows), 6) AS hhi_r
+    FROM a CROSS JOIN t
+"""
+
+
+@register("join_key_skew_report", oracle=_SKEW_SQL)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for a prospective join/groupBy key:
+    distinct-key count, the heaviest key and its share, and the
+    Herfindahl–Hirschman concentration index Σ(nᵢ/N)² — the number that
+    decides between a plain shuffle, AQE skew-join, and explicit salting
+    (``operators/partitioning.salted``) BEFORE running the join at 100 TB.
+
+    Scale shape: one grouped count (map-side combined) then a 1-row
+    aggregate over the key table; every moment (N, Σn², max n) is an exact
+    integer sum, so the rounded ratios are bit-identical across engines —
+    no float-accumulation ordering anywhere. The heaviest key resolves by
+    TakeOrderedAndProject with a key tiebreak."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count("*").alias("n"))
+    a = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+        F.max("n").alias("max_n"),
+    )
+    t = (
+        c.crossJoin(F.broadcast(a.select("max_n")))
+        .filter(F.col("n") == F.col("max_n"))
+        .orderBy("k")
+        .limit(1)
+        .select("k")
+    )
+    return a.crossJoin(F.broadcast(t)).select(
+        "n_keys",
+        "n_rows",
+        F.col("k").alias("top_key"),
+        F.col("max_n").alias("top_n"),
+        F.round(F.col("max_n") / F.col("n_rows"), 6).alias("top_share_r"),
+        F.round(F.col("ss") / (F.col("n_rows") * F.col("n_rows")), 6).alias(
+            "hhi_r"
+        ),
+    )

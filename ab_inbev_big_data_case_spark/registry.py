@@ -83,15 +83,17 @@ _CHECK_FIRST = [
     "compaction_plan",
     "cdc_apply_changeset",
     "khop_reachability",
+    "revenue_streaks",
+    "join_key_skew_report",
     # oldest-evidence re-checks (r1-only greens, in r1 registration order;
-    # the 10 displaced by the new ops — window_lag_lead, window_running,
+    # the 12 displaced by the new ops — window_lag_lead, window_running,
     # window_rank, window_ntile, window_range_frame, window_first_last,
-    # join_left_outer, join_full_outer, join_cross, join_multikey — move
-    # to the front of the round-6 rotation)
+    # join_left_outer, join_full_outer, join_cross, join_multikey,
+    # pivot_agg, histogram_bucket — move to the front of the round-6
+    # rotation; the agg family keeps fresher r4 evidence than joins/windows,
+    # so those two agg names were the safest to displace)
     "approx_percentile",
-    "pivot_agg",
     "topk_global",
-    "histogram_bucket",
     "dedup_latest",
     "salted_agg",
     "argmax_agg",

@@ -390,3 +390,56 @@ def test_bloom_prefilter_broadcasts_filter_words(spark, sf_dir):
     the fact side must not shuffle before the prefilter."""
     plan = _plan(QUERIES["bloom_join_prefilter"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------ round-5 session-2 plans
+
+
+def test_dup_span_windows_partitioned_by_doc(spark, sf_dir):
+    """The interval-union sweep must never hit a partitionless Window —
+    both windows key on doc_id."""
+    plan = _plan(QUERIES["dup_span_coverage"](spark, sf_dir))
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in spec, spec
+
+
+def test_seasonal_naive_window_partitioned_by_series(spark, sf_dir):
+    plan = _plan(QUERIES["seasonal_naive_mape"](spark, sf_dir))
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "prio" in spec, spec
+
+
+def test_compaction_plan_window_partitioned_by_month(spark, sf_dir):
+    plan = _plan(QUERIES["compaction_plan"](spark, sf_dir))
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "month" in spec, spec
+
+
+def test_cdc_apply_is_joins_and_unions_no_window(spark, sf_dir):
+    plan = _plan(QUERIES["cdc_apply_changeset"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "Union" in plan
+
+
+def test_skew_report_heavy_key_is_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["join_key_skew_report"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cusum_argmax_is_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["cusum_changepoint"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_khop_no_driver_iteration_three_hop_joins(spark, sf_dir):
+    """Unrolled BFS: the plan contains the three frontier joins (no
+    collect-based loop shortens it)."""
+    df = QUERIES["khop_reachability"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("Join") >= 6  # 3 hops × (frontier join + edge build)

@@ -91,3 +91,42 @@ def test_dow_profile_partitions_the_spine(spark, sf_dir):
     # seasonal indices average to ~1 when weighted by day counts
     wmean = sum(r.seasonal_idx_r * r.n_days for r in rows) / len(x)
     assert abs(wmean - 1.0) < 1e-3
+
+
+def test_revenue_streaks_brute_force(spark, sf_dir):
+    """rn-difference islands must equal the sequential scan per series."""
+    rows = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+        .collect()
+    )
+    series = {}
+    for r in sorted(rows, key=lambda r: (r.prio, r.day)):
+        series.setdefault(r.prio, []).append((r.day, r.rev))
+    got = {r.prio: r for r in QUERIES["revenue_streaks"](spark, sf_dir).collect()}
+    for prio, s in series.items():
+        mu = sum(v for _, v in s) / len(s)
+        best_len, best_start, n_hot = 0, None, 0
+        cur_len, cur_start = 0, None
+        for day, v in s + [(None, float("-inf"))]:  # sentinel flushes tail
+            if v > mu:
+                n_hot += 1
+                if cur_len == 0:
+                    cur_start = day
+                cur_len += 1
+            else:
+                if cur_len > best_len:
+                    best_len, best_start = cur_len, cur_start
+                cur_len = 0
+        g = got[prio]
+        assert (g.max_streak, g.streak_start, g.n_hot_days) == (
+            best_len, best_start, n_hot
+        ), prio

@@ -192,3 +192,18 @@ def test_cdc_apply_changeset_merge_semantics(spark, sf_dir):
             # engines use HALF_UP, python round() is half-even: compare to
             # the unrounded bump within half a cent instead
             assert abs(r.price_r - base_price[r.o_orderkey] * 1.1) <= 0.0051
+
+
+def test_join_key_skew_report_exact_moments(spark, sf_dir):
+    r = QUERIES["join_key_skew_report"](spark, sf_dir).collect()[0]
+    counts = {}
+    for row in table(spark, sf_dir, "lineitem").select("l_partkey").collect():
+        counts[row.l_partkey] = counts.get(row.l_partkey, 0) + 1
+    n = sum(counts.values())
+    max_n = max(counts.values())
+    top = min(k for k, v in counts.items() if v == max_n)
+    assert (r.n_keys, r.n_rows, r.top_key, r.top_n) == (
+        len(counts), n, top, max_n
+    )
+    assert r.top_share_r == round(max_n / n, 6)
+    assert r.hhi_r == round(sum(v * v for v in counts.values()) / (n * n), 6)
