@@ -651,3 +651,155 @@ def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, h in ((1, h1), (2, h2), (3, h3))
     ]
     return counts[0].unionAll(counts[1]).unionAll(counts[2])
+
+
+_MI_SQL = """
+    WITH j AS (
+        SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n)::BIGINT AS nn FROM j),
+    m AS (
+        SELECT x, y, n,
+               sum(n) OVER (PARTITION BY x)::BIGINT AS nx,
+               sum(n) OVER (PARTITION BY y)::BIGINT AS ny
+        FROM j
+    ),
+    mi AS (
+        SELECT round(sum((m.n * 1.0 / t.nn) *
+                     ln((m.n * 1.0 * t.nn) / (m.nx * 1.0 * m.ny))), 6) AS mi_r
+        FROM m CROSS JOIN t
+    ),
+    hx AS (
+        SELECT round(-sum((nx * 1.0 / t.nn) * ln(nx * 1.0 / t.nn)), 6) AS hx_r
+        FROM (SELECT DISTINCT x, nx FROM m) CROSS JOIN t
+    ),
+    hy AS (
+        SELECT round(-sum((ny * 1.0 / t.nn) * ln(ny * 1.0 / t.nn)), 6) AS hy_r
+        FROM (SELECT DISTINCT y, ny FROM m) CROSS JOIN t
+    )
+    SELECT mi.mi_r, hx.hx_r, hy.hy_r, t.nn AS n_rows
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN t
+"""
+
+
+@register("mutual_information", oracle=_MI_SQL)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between return flag and line status, with
+    both marginal entropies — the dependence screen a feature-selection
+    pass runs between candidate categorical columns (MI=0 ⇔ independent;
+    MI/min(H) near 1 ⇔ redundant feature).
+
+    Scale shape: ONE grouped count collapses the fact table to the
+    |X|·|Y| contingency spine (map-side combined — the only full-data
+    pass); marginals are windows over that bounded spine, the total is a
+    broadcast 1-row aggregate, and every probability term is exact
+    integer counts cast at the last moment."""
+    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    j = li.groupBy(
+        F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+    ).agg(F.count("*").alias("n"))
+    t = j.agg(F.sum("n").cast("long").alias("nn"))
+    m = (
+        j.withColumn("nx", F.sum("n").over(Window.partitionBy("x")).cast("long"))
+        .withColumn("ny", F.sum("n").over(Window.partitionBy("y")).cast("long"))
+        .crossJoin(F.broadcast(t))
+    )
+    mi = m.agg(
+        F.round(
+            F.sum(
+                (F.col("n") / F.col("nn"))
+                * F.log((F.col("n") * F.col("nn")) / (F.col("nx") * F.col("ny")))
+            ),
+            6,
+        ).alias("mi_r")
+    )
+    hx = (
+        m.select("x", "nx", "nn")
+        .distinct()
+        .agg(
+            F.round(
+                -F.sum((F.col("nx") / F.col("nn")) * F.log(F.col("nx") / F.col("nn"))),
+                6,
+            ).alias("hx_r")
+        )
+    )
+    hy = (
+        m.select("y", "ny", "nn")
+        .distinct()
+        .agg(
+            F.round(
+                -F.sum((F.col("ny") / F.col("nn")) * F.log(F.col("ny") / F.col("nn"))),
+                6,
+            ).alias("hy_r")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(t))
+        .select("mi_r", "hx_r", "hy_r", F.col("nn").alias("n_rows"))
+    )
+
+
+_CHI2_SQL = """
+    WITH j AS (
+        SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n)::BIGINT AS nn FROM j),
+    xs AS (SELECT x, sum(n)::BIGINT AS nx FROM j GROUP BY 1),
+    ys AS (SELECT y, sum(n)::BIGINT AS ny FROM j GROUP BY 1),
+    grid AS (
+        SELECT xs.x, ys.y, xs.nx, ys.ny, coalesce(j.n, 0) AS n
+        FROM xs CROSS JOIN ys
+        LEFT JOIN j ON j.x = xs.x AND j.y = ys.y
+    )
+    SELECT round(sum(pow(g.n - (g.nx * 1.0 * g.ny / t.nn), 2)
+                     / (g.nx * 1.0 * g.ny / t.nn)), 4) AS chi2_r,
+           ((SELECT count(*) FROM xs) - 1)
+               * ((SELECT count(*) FROM ys) - 1) AS dof,
+           t.nn AS n_rows
+    FROM grid g CROSS JOIN t
+    GROUP BY t.nn
+"""
+
+
+@register("chi2_independence", oracle=_CHI2_SQL)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between return flag and line
+    status: observed joint counts vs the independence expectation
+    nx·ny/N over the FULL level grid (zero-count cells re-enter via the
+    cross-join — dropping them understates the statistic).
+
+    Same contingency-spine shape as ``mutual_information``: one full-data
+    grouped count, then all arithmetic on the |X|·|Y| grid built from a
+    cross join of the two marginal tables (both bounded by level
+    cardinality, broadcast by AQE)."""
+    li = table(spark, sf_dir, "lineitem")
+    j = li.groupBy(
+        F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+    ).agg(F.count("*").alias("n"))
+    t = j.agg(F.sum("n").cast("long").alias("nn"))
+    xs = j.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+    ys = j.groupBy("y").agg(F.sum("n").cast("long").alias("ny"))
+    grid = (
+        xs.crossJoin(ys)
+        .join(j, ["x", "y"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(t))
+    )
+    e = F.col("nx") * F.col("ny") / F.col("nn")
+    stat = grid.groupBy("nn").agg(
+        F.round(F.sum(F.pow(F.col("n") - e, 2) / e), 4).alias("chi2_r")
+    )
+    dof = (
+        xs.agg(F.count("*").alias("cx"))
+        .crossJoin(ys.agg(F.count("*").alias("cy")))
+        .select(((F.col("cx") - 1) * (F.col("cy") - 1)).alias("dof"))
+    )
+    return stat.crossJoin(F.broadcast(dof)).select(
+        "chi2_r", "dof", F.col("nn").alias("n_rows")
+    )

@@ -206,6 +206,42 @@ def main() -> None:
     for sf, nd, raw, pf in pf_rows:
         print(f"| {sf} | {nd} | {raw} | {pf} |")
 
+    # Duplicated-span coverage (round 5 session 2): the op never joins
+    # pairs — its cost is the df>=2 JOIN-BACK (dup span instances). The
+    # scale claim: dup instances track true duplication density (a ~flat
+    # fraction of total spans), so the join-back stays proportional to
+    # corpus size, never quadratic.
+    from ab_inbev_big_data_case_spark.functions.text import (
+        shingles,
+        token_hash64,
+        tokens,
+    )
+
+    ds_rows = []
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        docs = table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        sph = docs.select(
+            "doc_id",
+            F.posexplode(shingles(tokens(F.col("text")), 8)).alias("pos", "sp"),
+        ).select("doc_id", "pos", token_hash64(F.col("sp")).alias("h"))
+        n_spans = sph.count()
+        dfreq = (
+            sph.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("d"))
+            .filter(F.col("d") >= 2)
+        )
+        n_dup = sph.join(dfreq.select("h"), "h").count()
+        ds_rows.append((sf, n_docs, n_spans, n_dup, n_dup / n_spans))
+    print()
+    print("| sf | docs N | spans | dup-marked spans (join-back rows) | dup frac |")
+    print("|---|---|---|---|---|")
+    for sf, nd, ns, ndp, fr in ds_rows:
+        print(f"| {sf} | {nd} | {ns} | {ndp} | {fr:.4f} |")
+
 
 if __name__ == "__main__":
     main()
