@@ -85,6 +85,8 @@ _CHECK_FIRST = [
     "khop_reachability",
     "revenue_streaks",
     "join_key_skew_report",
+    "mutual_information",
+    "chi2_independence",
     # oldest-evidence re-checks (r1-only greens, in r1 registration order;
     # the 12 displaced by the new ops — window_lag_lead, window_running,
     # window_rank, window_ntile, window_range_frame, window_first_last,
@@ -92,10 +94,10 @@ _CHECK_FIRST = [
     # pivot_agg, histogram_bucket — move to the front of the round-6
     # rotation; the agg family keeps fresher r4 evidence than joins/windows,
     # so those two agg names were the safest to displace)
+    # (topk_global and salted_agg also displaced — both r1-green with
+    # standing plan tests in pytest)
     "approx_percentile",
-    "topk_global",
     "dedup_latest",
-    "salted_agg",
     "argmax_agg",
     "join_inner",
     "join_semi",

@@ -90,10 +90,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer `div`, not `/`: epoch-nanos exceed double's 53-bit
             # mantissa, so floating division would corrupt the low digits
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # fixture regenerated as plain TIMESTAMP (isAdjustedToUTC=false),
+            # which Spark 4 infers as TIMESTAMP_NTZ — a type `unix_micros`,
+            # `withWatermark`, and interval arithmetic all reject. Session
+            # TZ is pinned UTC, so the cast to TimestampType is value-
+            # identical (both are raw micros on disk); only legality changes
+            # (same boundary rule as ``streaming.jobs._event_time_legal``).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

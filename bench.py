@@ -40,6 +40,7 @@ HEADLINE = [
     "curation_pipeline_e2e",  # flagship: full curation run in one plan (r3)
     "bloom_join_prefilter",   # runtime-filter join pruning (r5)
     "pq_codes",               # product-quantization codebook assignment (r5)
+    "dup_span_coverage",      # exact-substring dedup coverage (r5 s2)
 ]
 
 

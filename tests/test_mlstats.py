@@ -134,3 +134,41 @@ def test_khop_reachability_is_monotone_and_h1_is_seed_degree(spark, sf_dir):
     seed = min(u for u, _ in pairs)
     deg = len({v for u, v in pairs if u == seed} | {u for u, v in pairs if v == seed})
     assert rows[1] == deg
+
+
+def test_mutual_information_and_chi2_brute_force(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    pairs = [
+        (r.l_returnflag, r.l_linestatus)
+        for r in table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .collect()
+    ]
+    n = len(pairs)
+    joint = Counter(pairs)
+    nx = Counter(x for x, _ in pairs)
+    ny = Counter(y for _, y in pairs)
+
+    mi = sum(
+        (c / n) * math.log(c * n / (nx[x] * ny[y]))
+        for (x, y), c in joint.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in nx.values())
+    hy = -sum((c / n) * math.log(c / n) for c in ny.values())
+    r = QUERIES["mutual_information"](spark, sf_dir).collect()[0]
+    assert r.n_rows == n
+    assert abs(r.mi_r - mi) < 1e-5 and abs(r.hx_r - hx) < 1e-5
+    assert abs(r.hy_r - hy) < 1e-5
+    # information-theoretic bounds: 0 <= MI <= min(H(X), H(Y))
+    assert -1e-9 <= r.mi_r <= min(r.hx_r, r.hy_r) + 1e-9
+
+    chi2 = sum(
+        (joint.get((x, y), 0) - nx[x] * ny[y] / n) ** 2 / (nx[x] * ny[y] / n)
+        for x in nx
+        for y in ny
+    )
+    c = QUERIES["chi2_independence"](spark, sf_dir).collect()[0]
+    assert c.dof == (len(nx) - 1) * (len(ny) - 1)
+    assert abs(c.chi2_r - chi2) < 1e-2
