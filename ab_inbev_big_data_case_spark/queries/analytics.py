@@ -915,3 +915,170 @@ def zorder_layout_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = b.withColumn("zkey", zorder_key(F.col("x"), F.col("y"), 8))
     return file_extent_stats(keyed, "zkey", ["x", "y"], n_files=32)
+
+
+# ----------------------------------------------- interval overlap join
+
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+# Event "effect windows": [ts, ts + floor(value) seconds] — all arithmetic
+# in integer epoch-micros so the two engines never touch interval types
+# (DuckDB rounds double→int casts where Spark truncates; floor() first is
+# the portable spelling).
+_OVERLAP_SQL = f"""
+    WITH iv AS (
+        SELECT event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + floor(value)::BIGINT * 1000000 AS e
+        FROM events
+    ),
+    b AS (
+        SELECT event_id, s, e,
+               unnest(generate_series(s // {_HOUR_US}, e // {_HOUR_US}))
+                   AS bkt
+        FROM iv
+    ),
+    pairs AS (
+        SELECT DISTINCT a.event_id AS id1, c.event_id AS id2,
+               greatest(a.s, c.s) AS ostart
+        FROM b a JOIN b c
+          ON a.bkt = c.bkt AND a.event_id < c.event_id
+         AND a.s < c.e AND c.s < a.e
+    )
+    SELECT make_timestamp((ostart // {_DAY_US}) * {_DAY_US}) AS day,
+           count(*) AS n_overlaps
+    FROM pairs GROUP BY 1
+"""
+
+
+@register("interval_overlap_pairs", oracle=_OVERLAP_SQL)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join via temporal binning — the 1-D
+    spatial-join pattern Spark has no primitive for: each effect window
+    explodes to the hour buckets it spans (≤ 2 here since durations ≤
+    ~8 min), candidates come from a bucket EQUI-join, the true-overlap
+    predicate filters, and DISTINCT collapses straddler double-counts.
+    Daily overlap counts come off the deduped pair set.
+
+    Scale shape: fan-out is per BUCKET occupancy (events/hour), never
+    corpus² — the bin width is the tuning knob (match it to the typical
+    interval length so each interval lands in O(1) buckets). All
+    arithmetic stays in integer epoch-micros: no interval types, no
+    engine-specific timestamp rounding in the join predicate."""
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor("value").cast("long") * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    b = iv.select(
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                (F.col("s") / _HOUR_US).cast("long"),
+                (F.col("e") / _HOUR_US).cast("long"),
+            )
+        ).alias("bkt"),
+    )
+    a = b.select(
+        F.col("event_id").alias("id1"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+        "bkt",
+    )
+    c = b.select(
+        F.col("event_id").alias("id2"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+        "bkt",
+    )
+    pairs = (
+        a.join(c, "bkt")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (F.col("s1") < F.col("e2"))
+            & (F.col("s2") < F.col("e1"))
+        )
+        .select(
+            "id1", "id2", F.greatest("s1", "s2").alias("ostart")
+        )
+        .distinct()
+    )
+    return pairs.groupBy(
+        F.timestamp_micros(
+            (F.col("ostart") / _DAY_US).cast("long") * F.lit(_DAY_US)
+        ).alias("day")
+    ).agg(F.count("*").alias("n_overlaps"))
+
+
+# ------------------------------------------- followed-by-within pattern
+
+_FOLLOW_SQL = """
+    WITH c AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (
+        SELECT DISTINCT c.user_id, c.event_id
+        FROM c JOIN p ON p.user_id = c.user_id
+                     AND p.t > c.t AND p.t <= c.t + 3600000000
+    )
+    SELECT c.user_id,
+           count(*) AS n_clicks,
+           count(conv.event_id) AS n_converted,
+           round(count(conv.event_id) * 1.0 / count(*), 4) AS conv_rate_r
+    FROM c LEFT JOIN conv ON conv.user_id = c.user_id
+                         AND conv.event_id = c.event_id
+    GROUP BY c.user_id
+"""
+
+
+@register("event_followed_by", oracle=_FOLLOW_SQL)
+def event_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern conversion: per user, the fraction of clicks
+    followed by a purchase within one hour (A-then-B-within-T — the
+    funnel primitive ``event_transitions``'s adjacent-pair mining can't
+    express, since ANY later purchase in the window counts, not just the
+    next event).
+
+    Scale shape: the candidate join is keyed on user_id (equi) with the
+    time range as a join filter — fan-out bounded per user's own event
+    density, never cross-user; DISTINCT collapses multi-purchase windows
+    to one conversion per click before the rate aggregate, and the final
+    grouped count rides the same user_id partitioning."""
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("pt")
+    )
+    conv = (
+        c.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pt") > F.col("t"))
+            & (F.col("pt") <= F.col("t") + F.lit(3_600_000_000)),
+        )
+        .select("user_id", "event_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        c.join(conv, ["user_id", "event_id"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count("hit").alias("n_converted"),
+            F.round(F.count("hit") / F.count("*"), 4).alias("conv_rate_r"),
+        )
+    )

@@ -365,3 +365,53 @@ def revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len").alias("max_streak"),
         F.col("start_day").alias("streak_start"),
     )
+
+
+_ROLLING_MEDIAN_SQL = """
+    WITH d AS (
+        SELECT o_orderpriority AS prio,
+               date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE
+                   AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT prio, day, rev,
+           round(quantile_cont(rev, 0.5) OVER (
+               PARTITION BY prio ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS med7_r
+    FROM d
+"""
+
+
+@register("rolling_median", oracle=_ROLLING_MEDIAN_SQL)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-observation rolling median of daily revenue per priority
+    — the robust smoother (median ignores single-day spikes that drag a
+    rolling mean). Spark's exact ``percentile`` in a framed window ≡
+    DuckDB's ``quantile_cont`` (both linear-interpolate), pinned by the
+    oracle hash.
+
+    The window is PARTITIONED by the series key with a 7-row frame, so
+    per-task state is one series' trailing buffer — constant memory per
+    key at any scale."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "prio",
+        "day",
+        "rev",
+        F.round(F.expr("percentile(rev, 0.5)").over(w), 2).alias("med7_r"),
+    )

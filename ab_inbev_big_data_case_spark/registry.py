@@ -87,6 +87,9 @@ _CHECK_FIRST = [
     "join_key_skew_report",
     "mutual_information",
     "chi2_independence",
+    "interval_overlap_pairs",
+    "event_followed_by",
+    "rolling_median",
     # oldest-evidence re-checks (r1-only greens, in r1 registration order;
     # the 12 displaced by the new ops — window_lag_lead, window_running,
     # window_rank, window_ntile, window_range_frame, window_first_last,
@@ -94,13 +97,10 @@ _CHECK_FIRST = [
     # pivot_agg, histogram_bucket — move to the front of the round-6
     # rotation; the agg family keeps fresher r4 evidence than joins/windows,
     # so those two agg names were the safest to displace)
-    # (topk_global and salted_agg also displaced — both r1-green with
-    # standing plan tests in pytest)
+    # (topk_global, salted_agg, dedup_latest, argmax_agg, join_semi also
+    # displaced — all r1-green, stable shapes with standing pytest coverage)
     "approx_percentile",
-    "dedup_latest",
-    "argmax_agg",
     "join_inner",
-    "join_semi",
     "join_anti",
     "join_range",
     "join_asof",

@@ -172,3 +172,58 @@ def test_mutual_information_and_chi2_brute_force(spark, sf_dir):
     c = QUERIES["chi2_independence"](spark, sf_dir).collect()[0]
     assert c.dof == (len(nx) - 1) * (len(ny) - 1)
     assert abs(c.chi2_r - chi2) < 1e-2
+
+
+def test_interval_overlap_pairs_brute_force(spark, sf_dir):
+    """Bucketed overlap join must equal the all-pairs scan (feasible at
+    sf0.001): same distinct overlapping pairs, counted on the day the
+    overlap starts."""
+    import math
+    from collections import Counter
+
+    ev = [
+        (r.event_id, r.t, r.t + int(math.floor(r.value)) * 1_000_000)
+        for r in table(spark, sf_dir, "events")
+        .select("event_id", F.unix_micros("ts").alias("t"), "value")
+        .collect()
+    ]
+    days = Counter()
+    for i in range(len(ev)):
+        for j in range(i + 1, len(ev)):
+            (a, sa, ea), (b, sb, eb) = ev[i], ev[j]
+            if sa < eb and sb < ea:
+                days[(max(sa, sb) // 86_400_000_000)] += 1
+    got = {
+        r.day: r.n_overlaps
+        for r in QUERIES["interval_overlap_pairs"](spark, sf_dir).collect()
+    }
+    import datetime
+
+    expect = {
+        datetime.datetime.utcfromtimestamp(d * 86_400): n
+        for d, n in days.items()
+    }
+    assert got == expect
+
+
+def test_event_followed_by_brute_force(spark, sf_dir):
+    rows = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("t"))
+        .collect()
+    )
+    clicks = [(r.user_id, r.event_id, r.t) for r in rows if r.event_type == "click"]
+    purch = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            purch.setdefault(r.user_id, []).append(r.t)
+    expect = {}
+    for u, _, t in clicks:
+        n, c = expect.get(u, (0, 0))
+        hit = any(t < pt <= t + 3_600_000_000 for pt in purch.get(u, []))
+        expect[u] = (n + 1, c + (1 if hit else 0))
+    got = {r.user_id: r for r in QUERIES["event_followed_by"](spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for u, (n, c) in expect.items():
+        assert (got[u].n_clicks, got[u].n_converted) == (n, c), u
+        assert got[u].conv_rate_r == round(c / n, 4)

@@ -130,3 +130,23 @@ def test_revenue_streaks_brute_force(spark, sf_dir):
         assert (g.max_streak, g.streak_start, g.n_hot_days) == (
             best_len, best_start, n_hot
         ), prio
+
+
+def test_rolling_median_matches_numpy_trailing_window(spark, sf_dir):
+    out = QUERIES["rolling_median"](spark, sf_dir).collect()
+    series = {}
+    for r in sorted(out, key=lambda r: (r.prio, r.day)):
+        series.setdefault(r.prio, []).append(r)
+    for prio, rows in series.items():
+        revs = [r.rev for r in rows]
+        for i, r in enumerate(rows):
+            win = sorted(revs[max(0, i - 6) : i + 1])
+            n = len(win)
+            # linear-interpolated median (quantile_cont semantics)
+            if n % 2:
+                med = win[n // 2]
+            else:
+                med = (win[n // 2 - 1] + win[n // 2]) / 2
+            # engines round HALF_UP, python round() half-even: compare to
+            # the unrounded median within half a quantum instead
+            assert abs(r.med7_r - med) <= 0.0051, (prio, r.day)
