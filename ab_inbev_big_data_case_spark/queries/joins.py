@@ -351,15 +351,21 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     real join — which is why the oracle is the PLAIN join: the filter
     must be invisible in the result, and the hash check proves it."""
     from ab_inbev_big_data_case_spark.llm.sketches import bloom_build, bloom_probe
+    from ab_inbev_big_data_case_spark.operators.partitioning import spread
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # the k sha256 probes per fact row are the expensive narrow stage;
+    # spread the single-row-group fixture scan so they use every core
+    # (same seam as the shingle pipelines)
+    li = spread(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    )
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 400000)
         .select("o_orderkey", "o_orderdate")
     )
     bloom = bloom_build(
-        o.select(F.col("o_orderkey").cast("string").alias("k")), "k"
+        spread(o.select(F.col("o_orderkey").cast("string").alias("k"))), "k"
     )
     pre = (
         bloom_probe(
