@@ -2155,3 +2155,99 @@ def conversation_threading(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("ended_at"),
         )
     )
+
+
+# ----------------------------------------------------- ANN recall audit
+
+_ANN_RECALL_SQL = f"""
+    WITH {_BUCKET_SQL},
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+    exact AS (
+        SELECT qid AS query_id, cand_id FROM (
+            SELECT q.qid, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({_DOT.format(x='q.qv', y='c.embedding')} /
+                             ({_NORM.format(x='q.qv', tag='q')} *
+                              {_NORM.format(x='c.embedding', tag='c')}), 3)
+                             DESC NULLS LAST, c.vec_id) AS rk
+            FROM q, embeddings c WHERE c.vec_id != q.qid
+        ) WHERE rk <= 5
+    ),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+           WHERE vec_id % 50 = 0),
+    cand AS (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
+        FROM qb JOIN buckets cb USING (tbl, bucket)
+        WHERE cb.vec_id != qb.query_id
+    ),
+    annk AS (
+        SELECT query_id, cand_id FROM (
+            SELECT p.query_id, p.cand_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round({_DOT.format(x='eq.embedding', y='ec.embedding')} /
+                             ({_NORM.format(x='eq.embedding', tag='q')} *
+                              {_NORM.format(x='ec.embedding', tag='c')}), 3)
+                             DESC NULLS LAST, p.cand_id) AS rk
+            FROM cand p
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN embeddings ec ON ec.vec_id = p.cand_id
+        ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           count(a.cand_id) AS n_hits,
+           round(count(a.cand_id) * 1.0 / count(*), 4) AS recall_r
+    FROM exact e
+    LEFT JOIN annk a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id
+"""
+
+
+@register("ann_recall_eval", oracle=_ANN_RECALL_SQL)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hyperplane-LSH ANN path against the exact brute
+    cosine ranking, per query — the estimator-vs-truth audit for the
+    published scale path (same discipline as ``minhash_estimator_accuracy``
+    and the within-tolerance approx aggregates: the approximation ships
+    WITH its measured quality, not a promise).
+
+    Both rankings quantize cosine to 3 decimals with cand_id tiebreaks, so
+    the top-5 SETS are FP-implementation-independent and the recall is
+    exact arithmetic. Scale shape: the exact side is the declared
+    brute-force baseline over the bounded query subset (broadcast query
+    side); the ANN side ranks only bucket-mates — at 100 TB the audit runs
+    on a sampled query set exactly like this one."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
+    cand = ann_lsh_search(
+        e,
+        "vec_id",
+        "embedding",
+        query_filter=lambda vid: vid % 50 == 0,
+        n_planes=4,
+        n_tables=4,
+        min_cosine=-1.0,  # recall audit ranks ALL bucket-mates, no floor
+        dim=64,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("cand_id")
+    )
+    annk = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.select("query_id", "cand_id")
+        .join(annk, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.count("*"), 4).alias("recall_r"),
+        )
+    )

@@ -90,6 +90,7 @@ _CHECK_FIRST = [
     "interval_overlap_pairs",
     "event_followed_by",
     "rolling_median",
+    "ann_recall_eval",
     # oldest-evidence re-checks (r1-only greens, in r1 registration order;
     # the 12 displaced by the new ops — window_lag_lead, window_running,
     # window_rank, window_ntile, window_range_frame, window_first_last,
@@ -97,11 +98,11 @@ _CHECK_FIRST = [
     # pivot_agg, histogram_bucket — move to the front of the round-6
     # rotation; the agg family keeps fresher r4 evidence than joins/windows,
     # so those two agg names were the safest to displace)
-    # (topk_global, salted_agg, dedup_latest, argmax_agg, join_semi also
-    # displaced — all r1-green, stable shapes with standing pytest coverage)
+    # (topk_global, salted_agg, dedup_latest, argmax_agg, join_semi,
+    # join_anti also displaced — all r1-green, stable shapes with standing
+    # pytest coverage)
     "approx_percentile",
     "join_inner",
-    "join_anti",
     "join_range",
     "join_asof",
     "window_topk_group",

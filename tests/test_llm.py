@@ -454,3 +454,17 @@ def test_pca_project_matches_numpy(spark, sf_dir):
     # top axis must capture at least as much corpus variance as any raw dim
     proj_var = np.var(want[:, 0])
     assert proj_var >= np.var(x, axis=0).max() * 0.99
+
+
+def test_ann_recall_eval_bounds_and_hit_subset(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["ann_recall_eval"](spark, sf_dir).collect()
+    assert rows, "query subset must be non-empty"
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_r == round(r.n_hits / 5, 4)
+    # the 4x4 LSH operating point finds SOMETHING on this corpus
+    assert sum(r.n_hits for r in rows) > 0
