@@ -2251,3 +2251,94 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count("*"), 4).alias("recall_r"),
         )
     )
+
+
+_IVF_RECALL_SQL = f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DOT.format(x='q.qv', y='c.embedding')} /
+                             ({_NORM.format(x='q.qv', tag='a')} *
+                              {_NORM.format(x='c.embedding', tag='b')}), 3)
+                             DESC NULLS LAST, c.vec_id) AS rk
+            FROM q, embeddings c WHERE c.vec_id != q.query_id
+        ) WHERE rk <= 5
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cell_id, row_number() OVER (
+                PARTITION BY q.query_id ORDER BY
+                round({_DOT.format(x='q.qv', y='c.cv')} /
+                      ({_NORM.format(x='q.qv', tag='p')} *
+                       {_NORM.format(x='c.cv', tag='q')}), 3) DESC NULLS LAST,
+                c.cell_id) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM probes p JOIN assign a USING (cell_id)
+        WHERE a.vec_id != p.query_id
+    ),
+    ivfk AS (
+        SELECT query_id, cand_id FROM (
+            SELECT cd.query_id, cd.cand_id,
+                   row_number() OVER (
+                       PARTITION BY cd.query_id
+                       ORDER BY round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                             ({_NORM.format(x='x.embedding', tag='x')} *
+                              {_NORM.format(x='y.embedding', tag='y')}), 3)
+                             DESC NULLS LAST, cd.cand_id) AS rk
+            FROM cand cd
+            JOIN embeddings x ON x.vec_id = cd.query_id
+            JOIN embeddings y ON y.vec_id = cd.cand_id
+        ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           count(i.cand_id) AS n_hits,
+           round(count(i.cand_id) * 1.0 / count(*), 4) AS recall_r
+    FROM exact e
+    LEFT JOIN ivfk i ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+    GROUP BY e.query_id
+"""
+
+
+@register("ivf_recall_eval", oracle=_IVF_RECALL_SQL)
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF n_probe=2 search against the exact brute cosine
+    ranking — the inverted-file sibling of ``ann_recall_eval``, closing
+    the audit pair over both published ANN scale paths (tuning n_probe /
+    the centroid rule trades this measured recall against candidate
+    volume; the audit is what makes that trade visible).
+
+    Same FP-independence contract: both rankings quantize cosine to 3
+    decimals with cand_id tiebreaks; recall is exact arithmetic over the
+    resulting sets."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
+    ivfk = ivf_search(
+        e,
+        "vec_id",
+        "embedding",
+        query_filter=lambda vid: vid % 50 == 0,
+        centroid_filter=lambda vid: vid % 29 == 0,
+        n_probe=2,
+        k=5,
+    ).select("query_id", "cand_id", F.lit(1).alias("hit"))
+    return (
+        exact.select("query_id", "cand_id")
+        .join(ivfk, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.count("*"), 4).alias("recall_r"),
+        )
+    )

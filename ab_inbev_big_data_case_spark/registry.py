@@ -91,6 +91,7 @@ _CHECK_FIRST = [
     "event_followed_by",
     "rolling_median",
     "ann_recall_eval",
+    "ivf_recall_eval",
     # oldest-evidence re-checks (r1-only greens, in r1 registration order;
     # the 12 displaced by the new ops — window_lag_lead, window_running,
     # window_rank, window_ntile, window_range_frame, window_first_last,
@@ -99,13 +100,12 @@ _CHECK_FIRST = [
     # rotation; the agg family keeps fresher r4 evidence than joins/windows,
     # so those two agg names were the safest to displace)
     # (topk_global, salted_agg, dedup_latest, argmax_agg, join_semi,
-    # join_anti also displaced — all r1-green, stable shapes with standing
-    # pytest coverage)
+    # join_anti, window_topk_group also displaced — all r1-green, stable
+    # shapes with standing pytest coverage)
     "approx_percentile",
     "join_inner",
     "join_range",
     "join_asof",
-    "window_topk_group",
     # approx → exact+within_tol oracle upgrade this round (was no_oracle r4)
     "approx_count_distinct",
     # round-5 additions (never checked — outrank re-checks)

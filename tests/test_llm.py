@@ -468,3 +468,15 @@ def test_ann_recall_eval_bounds_and_hit_subset(spark, sf_dir):
         assert r.recall_r == round(r.n_hits / 5, 4)
     # the 4x4 LSH operating point finds SOMETHING on this corpus
     assert sum(r.n_hits for r in rows) > 0
+
+
+def test_ivf_recall_eval_bounds(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["ivf_recall_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact == 5 and 0 <= r.n_hits <= 5
+        assert r.recall_r == round(r.n_hits / 5, 4)
+    assert sum(r.n_hits for r in rows) > 0
