@@ -1082,3 +1082,128 @@ def event_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count("*"), 4).alias("conv_rate_r"),
         )
     )
+
+
+# ------------------------------------------------ growth / robust stats
+
+_CUM_USERS_SQL = """
+    WITH fs AS (
+        SELECT o_custkey,
+               min(date_trunc('month', o_orderdate)::TIMESTAMP) AS month
+        FROM orders GROUP BY 1
+    ),
+    d AS (SELECT month, count(*) AS n_new FROM fs GROUP BY 1)
+    SELECT month, n_new,
+           sum(n_new) OVER (
+               ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS cum_customers
+    FROM d
+"""
+
+
+@register("cumulative_unique_users", oracle=_CUM_USERS_SQL)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers by first-order month — the
+    growth-analytics curve. The running DISTINCT (stateful and unmergeable
+    if computed naively) reduces to a stateless pipeline via first-seen:
+    min(month) per customer (one grouped agg), new-customer counts per
+    month, cumsum on the calendar-bounded month spine. This first-seen
+    reduction is THE scale trick: the exact distinct-so-far at 100 TB with
+    no growing state (compare ``hll_rolling_distinct``, the approximate
+    windowed sibling)."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    fs = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("month")
+    )
+    d = fs.groupBy("month").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded month spine
+    return d.select(
+        "month",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_customers"),
+    )
+
+
+_WMEDIAN_SQL = """
+    WITH g AS (
+        SELECT l_returnflag AS flag, l_quantity AS q,
+               sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (SELECT flag, sum(w) AS tw FROM g GROUP BY 1),
+    c AS (
+        SELECT flag, q,
+               sum(w) OVER (PARTITION BY flag ORDER BY q) AS cw
+        FROM g
+    )
+    SELECT c.flag, min(c.q) AS wmedian_q,
+           round(max(t.tw), 2)::DOUBLE AS total_weight_r
+    FROM c JOIN t ON t.flag = c.flag
+    WHERE c.cw * 2 >= t.tw
+    GROUP BY c.flag
+"""
+
+
+@register("weighted_median", oracle=_WMEDIAN_SQL)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median quantity per return flag: the smallest q
+    whose cumulative weight reaches half the total — the weighted-quantile
+    primitive Spark has no built-in for.
+
+    All weight arithmetic stays DECIMAL-exact (sums, the cumsum, and the
+    2·cw ≥ tw half-total test — no float boundary anywhere), so the picked
+    q is bit-deterministic in both engines. The cumsum window partitions
+    by flag over the DISTINCT-quantity spine (bounded by the value domain,
+    not row count), after a map-side-combined weight rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("q")
+    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("w"))
+    t = g.groupBy("flag").agg(F.sum("w").alias("tw"))
+    w = Window.partitionBy("flag").orderBy("q")
+    c = g.withColumn("cw", F.sum("w").over(w))
+    return (
+        c.join(t, "flag")
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("q").alias("wmedian_q"),
+            F.round(F.max("tw"), 2).cast("double").alias("total_weight_r"),
+        )
+    )
+
+
+_OSA_SQL = """
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+"""
+
+
+@register("ordered_string_agg", oracle=_OSA_SQL)
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: per region the comma-joined SORTED nation
+    names. ``collect_list`` order is partition-arrival nondeterministic, so
+    the portable spelling is collect → ``array_sort`` → ``array_join`` —
+    order is imposed in-row AFTER collection, matching SQL's
+    ``string_agg(... ORDER BY)``. Bounded per group by construction (a
+    listagg over an unbounded group is an anti-pattern at any scale)."""
+    load_tables(spark, sf_dir, ("region", "nation"))
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+    )

@@ -227,3 +227,51 @@ def test_event_followed_by_brute_force(spark, sf_dir):
     for u, (n, c) in expect.items():
         assert (got[u].n_clicks, got[u].n_converted) == (n, c), u
         assert got[u].conv_rate_r == round(c / n, 4)
+
+
+def test_cumulative_unique_users_first_seen_reduction(spark, sf_dir):
+    rows = sorted(
+        QUERIES["cumulative_unique_users"](spark, sf_dir).collect(),
+        key=lambda r: r.month,
+    )
+    total = (
+        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert rows[-1].cum_customers == total
+    cums = [r.cum_customers for r in rows]
+    assert cums == sorted(cums), "cumulative curve must be monotone"
+    assert sum(r.n_new for r in rows) == total
+
+
+def test_weighted_median_brute_force(spark, sf_dir):
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: defaultdict(float))
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        acc[r.l_returnflag][r.l_quantity] += r.l_extendedprice
+    got = {r.flag: r.wmedian_q for r in QUERIES["weighted_median"](spark, sf_dir).collect()}
+    for flag, wq in acc.items():
+        total = sum(wq.values())
+        cum = 0.0
+        for q in sorted(wq):
+            cum += wq[q]
+            if 2 * cum >= total - 1e-6:
+                assert got[flag] == q, flag
+                break
+
+
+def test_ordered_string_agg_is_sorted_and_complete(spark, sf_dir):
+    rows = QUERIES["ordered_string_agg"](spark, sf_dir).collect()
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    expect = {}
+    rk = {x.r_regionkey: x.r_name for x in r.collect()}
+    for x in n.collect():
+        expect.setdefault(rk[x.n_regionkey], []).append(x.n_name)
+    assert len(rows) == len(expect)
+    for row in rows:
+        assert row.nations == ",".join(sorted(expect[row.region]))
