@@ -471,9 +471,12 @@ def cdc_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the canonical MERGE lowering Spark-side — one left-anti
     join of base against the touched-key set (an equi-join AQE can
     broadcast when the changeset is small, the common CDC case) plus
-    unions that reuse the base scan; no window, no global sort. The same
-    plan IS ``sources.writers.upsert_by_key``'s read-modify-write body,
-    here as a pure query so the merge algebra itself is oracle-checked."""
+    unions; no window, no global sort. Each union branch re-scans the
+    snapshot (parquet scans with pushed filters — cheaper than a cache
+    materialization at this shape; a production MERGE reads the base once
+    through ``sources.writers.upsert_by_key``, whose read-modify-write
+    body is this same algebra, here as a pure query so the merge itself
+    is oracle-checked)."""
     o = table(spark, sf_dir, "orders")
     base = o.filter(F.col("o_orderdate") < "1997-01-01").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
