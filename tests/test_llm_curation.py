@@ -277,3 +277,38 @@ def test_minhash_estimator_accuracy_exact_side_is_true_jaccard(spark, sf_dir):
         assert r.exact_jaccard_r == round(expect, 4), (r.id1, r.id2)
         assert 0.0 <= r.est_jaccard_r <= 1.0
         assert abs(r.abs_err_r - round(abs(r.est_jaccard_r - expect), 4)) <= 1e-3
+
+
+def test_dup_span_interval_union_hypothesis(spark):
+    """Property: for ANY corpus where every span is duplicated (two copies
+    of each doc), per-doc coverage equals the brute-force per-token
+    marking — random lengths exercise run merging exhaustively."""
+    from hypothesis import given, settings, strategies as st
+
+    from ab_inbev_big_data_case_spark.llm.dedup import dup_span_stats
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=8, max_value=40), min_size=1, max_size=4)
+    )
+    def check(lengths):
+        # doc i and its clone share every span -> df>=2 everywhere;
+        # distinct vocab per doc keeps cross-doc collisions out
+        docs = []
+        for i, n in enumerate(lengths):
+            text = " ".join(f"d{i}w{j}" for j in range(n))
+            docs.append((2 * i, text))
+            docs.append((2 * i + 1, text))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r.doc_id: r for r in dup_span_stats(df, "doc_id", "text", 8).collect()
+        }
+        for doc_id, text in docs:
+            n = len(text.split(" "))
+            r = got[doc_id]
+            # every position is inside some duplicated span -> full coverage
+            assert r.n_dup_spans == n - 7
+            assert r.covered_tokens == n
+            assert r.dup_token_ratio_r == 1.0
+
+    check()

@@ -443,3 +443,32 @@ def test_khop_no_driver_iteration_three_hop_joins(spark, sf_dir):
     df = QUERIES["khop_reachability"](spark, sf_dir)
     logical = df._jdf.queryExecution().analyzed().toString()
     assert logical.count("Join") >= 6  # 3 hops × (frontier join + edge build)
+
+
+def test_interval_overlap_no_partitionless_window(spark, sf_dir):
+    plan = _plan(QUERIES["interval_overlap_pairs"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan  # pure join+agg shape
+
+
+def test_weighted_median_window_partitioned_by_flag(spark, sf_dir):
+    import re
+
+    plan = _plan(QUERIES["weighted_median"](spark, sf_dir))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "flag" in spec, spec
+
+
+def test_rolling_median_window_partitioned_by_series(spark, sf_dir):
+    import re
+
+    plan = _plan(QUERIES["rolling_median"](spark, sf_dir))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "prio" in spec, spec
+
+
+def test_recall_audits_broadcast_query_side(spark, sf_dir):
+    """Both recall audits keep the corpus-side scan un-replicated: the
+    bounded query subset rides broadcasts."""
+    for q in ("ann_recall_eval", "ivf_recall_eval"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
