@@ -379,7 +379,7 @@ _ROLLING_MEDIAN_SQL = """
            round(quantile_cont(rev, 0.5) OVER (
                PARTITION BY prio ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-           ), 2) AS med7_r
+           ), 3) AS med7_r
     FROM d
 """
 
@@ -409,9 +409,13 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )
+    # round at 3, not 2: even-frame medians interpolate two 2-decimal
+    # revenues, so true values sit ON the 0.005 grid — a 2-decimal round
+    # is a .5-boundary coin-flip across engines, a 3-decimal round is not
+    # (double error ≪ 0.0005 can't cross a .0005 boundary)
     return d.select(
         "prio",
         "day",
         "rev",
-        F.round(F.expr("percentile(rev, 0.5)").over(w), 2).alias("med7_r"),
+        F.round(F.expr("percentile(rev, 0.5)").over(w), 3).alias("med7_r"),
     )

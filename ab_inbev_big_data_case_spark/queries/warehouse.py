@@ -435,7 +435,12 @@ _CDC_APPLY_SQL = """
     ),
     del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 7 = 0),
     upd AS (
-        SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS o_totalprice,
+        -- decimal-exact bump: double*1.1 lands on .5 rounding boundaries
+        -- (engine round rules diverge there); DECIMAL(18,2)*DECIMAL(2,1)
+        -- is exact, so HALF_UP is deterministic in both engines
+        SELECT o_orderkey,
+               round(CAST(o_totalprice AS DECIMAL(18,2))
+                     * CAST(1.1 AS DECIMAL(2,1)), 2)::DOUBLE AS o_totalprice,
                'U' AS o_orderstatus
         FROM base WHERE o_orderkey % 5 = 1 AND o_orderkey % 7 <> 0
     ),
@@ -486,7 +491,13 @@ def cdc_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 7 != 0)
     ).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.expr("CAST(1.1 AS DECIMAL(2,1))"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice"),
         F.lit("U").alias("o_orderstatus"),
     )
     ins = o.filter(F.col("o_orderdate") >= "1997-01-01").select(
