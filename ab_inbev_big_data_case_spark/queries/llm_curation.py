@@ -1154,3 +1154,148 @@ def minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- BPE merge application
+
+_BPE_ROUNDS = 3
+_BPE_VOCAB = 300
+
+# Char-spacing a word: insert a space after every char, then trim. The
+# same regex works in both engines (DuckDB needs the 'g' flag arg, Spark
+# replaces globally by default).
+_BPE_W0 = f"""
+    tw AS (
+        SELECT word, cnt FROM (
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ) GROUP BY 1
+            ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB}
+        )
+    ),
+    w0 AS (
+        SELECT word, cnt,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+        FROM tw
+    )
+"""
+
+
+def _bpe_round_sql(i: int) -> str:
+    prev, cur = f"w{i}", f"w{i + 1}"
+    return f"""
+    p{i} AS (
+        SELECT pair, sum(cnt)::BIGINT AS n FROM (
+            SELECT cnt,
+                   unnest(list_transform(
+                       range(1, len(string_split(seq, ' '))),
+                       j -> string_split(seq, ' ')[j] || ' ' ||
+                            string_split(seq, ' ')[j + 1])) AS pair
+            FROM {prev}
+        ) GROUP BY 1
+    ),
+    b{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+    {cur} AS (
+        SELECT w.word, w.cnt,
+               trim(replace(' ' || w.seq || ' ',
+                            ' ' || b.pair || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' ')) AS seq
+        FROM {prev} w CROSS JOIN b{i} b
+    ),
+    s{i} AS (
+        SELECT round(sum(len(string_split(seq, ' ')) * cnt) * 1.0
+                     / sum(cnt), 4) AS avg_tokens
+        FROM {cur}
+    )"""
+
+
+_BPE_APPLY_SQL = (
+    "WITH "
+    + _BPE_W0
+    + ","
+    + ",".join(_bpe_round_sql(i) for i in range(_BPE_ROUNDS))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i + 1}::BIGINT AS merge_round, b{i}.pair AS merged_pair, "
+        f"b{i}.n AS pair_weight, s{i}.avg_tokens AS avg_tokens_after_r "
+        f"FROM b{i} CROSS JOIN s{i}"
+        for i in range(_BPE_ROUNDS)
+    )
+)
+
+
+@register("bpe_apply_merges", oracle=_BPE_APPLY_SQL)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer construction, merge-application half (completes
+    ``bpe_pair_counts``): three unrolled merge rounds over the top-300
+    word table — count weighted symbol bigrams, pick the heaviest pair
+    (count DESC, pair ASC tiebreak), splice it into every word's symbol
+    sequence, repeat. Emits each round's chosen merge and the
+    tokens-per-word compression it bought.
+
+    Scale shape: the whole loop runs on the DISTINCT-word table (Heaps'
+    law: grows sublinearly with the corpus), never the token stream; the
+    winning pair is a broadcast 1-row aggregate per round and rounds are
+    UNROLLED lineage (no driver iteration — same shape as ``kmeans_cells``
+    and ``khop_reachability``). Merge splicing is string replace over the
+    padded sequence — both engines scan left-to-right non-overlapping, so
+    a run like "a a a" merges its first pair only, deterministically."""
+    d = table(spark, sf_dir, "documents")
+    tw = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(_BPE_VOCAB)
+    )
+    w = tw.withColumn(
+        "seq", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    )
+    out_rows = []
+    for i in range(_BPE_ROUNDS):
+        toks = F.split("seq", " ")
+        pairs = (
+            w.select(
+                "cnt", F.explode(shingles(toks, 2)).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "pair").limit(1)
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "cnt",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                            F.lit(" "),
+                        ),
+                    )
+                ).alias("seq"),
+            )
+        )
+        stat = w.agg(
+            F.round(
+                F.sum(F.size(F.split("seq", " ")) * F.col("cnt"))
+                / F.sum("cnt"),
+                4,
+            ).alias("avg_tokens")
+        )
+        out_rows.append(
+            best.crossJoin(F.broadcast(stat)).select(
+                F.lit(i + 1).cast("long").alias("merge_round"),
+                F.col("pair").alias("merged_pair"),
+                F.col("n").alias("pair_weight"),
+                F.col("avg_tokens").alias("avg_tokens_after_r"),
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -312,3 +312,37 @@ def test_dup_span_interval_union_hypothesis(spark):
             assert r.dup_token_ratio_r == 1.0
 
     check()
+
+
+def test_bpe_apply_merges_python_reference(spark, sf_dir):
+    """The unrolled merge lineage must equal a sequential python BPE on the
+    same top-300 word table (greedy left-to-right splice semantics)."""
+    from collections import Counter
+
+    words = Counter()
+    for r in table(spark, sf_dir, "documents").select("text").collect():
+        words.update(r.text.split(" "))
+    top = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:300]
+    seqs = {w: " ".join(w) for w, _ in top}
+
+    got = sorted(
+        QUERIES["bpe_apply_merges"](spark, sf_dir).collect(),
+        key=lambda r: r.merge_round,
+    )
+    for rnd in range(3):
+        pc = Counter()
+        for w, c in top:
+            t = seqs[w].split(" ")
+            for a, b in zip(t, t[1:]):
+                pc[f"{a} {b}"] += c
+        best_pair, best_n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[rnd]
+        assert (r.merged_pair, r.pair_weight) == (best_pair, best_n), rnd
+        merged = best_pair.replace(" ", "")
+        for w, _ in top:
+            s = f" {seqs[w]} "
+            s = s.replace(f" {best_pair} ", f" {merged} ")
+            seqs[w] = s.strip()
+        tok_sum = sum(len(seqs[w].split(" ")) * c for w, c in top)
+        cnt_sum = sum(c for _, c in top)
+        assert abs(r.avg_tokens_after_r - tok_sum / cnt_sum) <= 0.00051, rnd
