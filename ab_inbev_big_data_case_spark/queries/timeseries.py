@@ -419,3 +419,50 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.round(F.expr("percentile(rev, 0.5)").over(w), 3).alias("med7_r"),
     )
+
+
+_TWAP_SQL = """
+    WITH d AS (
+        SELECT user_id, value,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+                   AS dt
+        FROM (SELECT user_id, value, event_id, epoch_us(ts) AS t
+              FROM events)
+    )
+    SELECT user_id,
+           count(dt) AS n_intervals,
+           sum(dt)::BIGINT AS total_us,
+           round(sum(value * dt) / sum(dt), 4) AS twap_r
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@register("time_weighted_avg", oracle=_TWAP_SQL)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user (TWAP): each
+    observation holds until the next one, so its weight is the gap to the
+    next event — the correct mean for irregularly-sampled series, where
+    the plain avg over-weights bursts.
+
+    One `lead` window PARTITIONED by the series key in integer
+    epoch-micros (exact weights, no interval types), then a grouped
+    weighted mean on the same key — two map-side-combinable aggregates
+    deep, scales with user cardinality. The open last interval per user
+    is excluded (dt IS NULL), matching both engines' lead() semantics."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = e.select(
+        "user_id", "value", "event_id", F.unix_micros("ts").alias("t")
+    ).withColumn("dt", F.lead("t").over(w) - F.col("t"))
+    return (
+        d.filter(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("dt").alias("n_intervals"),
+            F.sum("dt").cast("long").alias("total_us"),
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias(
+                "twap_r"
+            ),
+        )
+    )

@@ -151,3 +151,27 @@ def test_rolling_median_matches_numpy_trailing_window(spark, sf_dir):
             # is exactly representable there); compare unrounded within
             # half that quantum
             assert abs(r.med7_r - med) <= 0.00051, (prio, r.day)
+
+
+def test_time_weighted_avg_brute_force(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.sources.readers import table as _t
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", F.unix_micros("ts").alias("t"))
+        .collect()
+    )
+    series = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.t, r.event_id)):
+        series.setdefault(r.user_id, []).append((r.t, r.value))
+    got = {r.user_id: r for r in QUERIES["time_weighted_avg"](spark, sf_dir).collect()}
+    for u, pts in series.items():
+        if len(pts) < 2:
+            assert u not in got
+            continue
+        dts = [pts[i + 1][0] - pts[i][0] for i in range(len(pts) - 1)]
+        num = sum(v * dt for (_, v), dt in zip(pts[:-1], dts))
+        den = sum(dts)
+        g = got[u]
+        assert g.n_intervals == len(dts) and g.total_us == den
+        assert abs(g.twap_r - num / den) <= 0.00051, u
