@@ -384,3 +384,41 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gross"),
         )
     )
+
+
+_NULL_SAFE_SQL = """
+    WITH l AS (
+        SELECT nullif(o_orderpriority, '1-URGENT') AS key, o_orderkey
+        FROM orders
+    ),
+    r AS (SELECT key, count(*) AS dim_n FROM l GROUP BY key)
+    SELECT l.key, count(*) AS n_left, max(r.dim_n) AS dim_n
+    FROM l JOIN r ON l.key IS NOT DISTINCT FROM r.key
+    GROUP BY l.key
+"""
+
+
+@register("join_null_safe", oracle=_NULL_SAFE_SQL)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the semantics a plain equi
+    join gets wrong whenever the join key is nullable (here the
+    '1-URGENT' rows carry a NULL key and still join their dim row).
+
+    The scale point: Spark plans `<=>` as a REGULAR hash-join key (null
+    collates as one key group), so null-safe semantics cost nothing — no
+    BroadcastNestedLoopJoin, no coalesce-to-sentinel hack that would
+    collide a real value with NULL. Pinned by a plan test."""
+    o = table(spark, sf_dir, "orders")
+    left = o.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("key"),
+        "o_orderkey",
+    )
+    right = left.groupBy(F.col("key").alias("rkey")).agg(
+        F.count("*").alias("dim_n")
+    )
+    return (
+        left.join(right, left["key"].eqNullSafe(right["rkey"]))
+        .groupBy("key")
+        .agg(F.count("*").alias("n_left"), F.max("dim_n").alias("dim_n"))
+    )

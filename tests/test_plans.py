@@ -472,3 +472,11 @@ def test_recall_audits_broadcast_query_side(spark, sf_dir):
     for q in ("ann_recall_eval", "ivf_recall_eval"):
         plan = _plan(QUERIES[q](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, q
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """`<=>` must plan as a regular equi (hash/sort-merge) join — never a
+    nested loop."""
+    plan = _plan(QUERIES["join_null_safe"](spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
