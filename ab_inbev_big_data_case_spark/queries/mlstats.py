@@ -803,3 +803,105 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stat.crossJoin(F.broadcast(dof)).select(
         "chi2_r", "dof", F.col("nn").alias("n_rows")
     )
+
+
+_PSI_BIN_W, _PSI_BINS = 50_000, 10
+
+_PSI_SQL = f"""
+    WITH ref AS (
+        SELECT least({_PSI_BINS - 1},
+                     floor(o_totalprice / {_PSI_BIN_W}))::BIGINT AS bin
+        FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    cur AS (
+        SELECT least({_PSI_BINS - 1},
+                     floor(o_totalprice / {_PSI_BIN_W}))::BIGINT AS bin
+        FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    bins AS (SELECT unnest(range(0, {_PSI_BINS})) AS bin),
+    rc AS (SELECT bin, count(*) AS n FROM ref GROUP BY 1),
+    cc AS (SELECT bin, count(*) AS n FROM cur GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM ref) AS nr,
+                   (SELECT count(*) FROM cur) AS nc),
+    g AS (
+        SELECT b.bin,
+               coalesce(rc.n, 0) AS n_ref,
+               coalesce(cc.n, 0) AS n_cur,
+               (coalesce(rc.n, 0) + 1.0) / (t.nr + {_PSI_BINS}) AS p,
+               (coalesce(cc.n, 0) + 1.0) / (t.nc + {_PSI_BINS}) AS q
+        FROM bins b
+        LEFT JOIN rc ON rc.bin = b.bin
+        LEFT JOIN cc ON cc.bin = b.bin
+        CROSS JOIN tot t
+    )
+    SELECT bin, n_ref, n_cur,
+           round(p, 6) AS p_r, round(q, 6) AS q_r,
+           round((q - p) * ln(q / p), 6) AS psi_contrib_r
+    FROM g
+"""
+
+
+@register("psi_drift", oracle=_PSI_SQL)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1995 (reference) and 1996
+    (current) order-price distributions over fixed 50k-wide bins — the
+    drift monitor every deployed model/score runs per release (PSI < 0.1
+    stable, > 0.25 drifted; per-bin contributions localize WHERE the
+    distribution moved).
+
+    Scale shape: two filtered grouped counts (one scan each, map-side
+    combined) onto a FIXED 10-bin spine — bin edges are integer
+    arithmetic, not learned quantiles, so there is no global sort and no
+    cross-engine interpolation hazard; add-1 smoothing keeps empty bins
+    finite and the full bin spine re-enters via the literal range."""
+    o = table(spark, sf_dir, "orders")
+
+    def binned(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select(
+                F.least(
+                    F.lit(_PSI_BINS - 1),
+                    F.floor(F.col("o_totalprice") / _PSI_BIN_W),
+                )
+                .cast("long")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    rc, cc = binned(1995), binned(1996)
+    bins = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    tot = (
+        rc.agg(F.sum("n").alias("nr"))
+        .crossJoin(cc.agg(F.sum("n").alias("nc")))
+    )
+    g = (
+        bins.join(rc.withColumnRenamed("n", "n_ref"), "bin", "left")
+        .join(cc.withColumnRenamed("n", "n_cur"), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            (
+                (F.coalesce("n_ref", F.lit(0)) + 1.0)
+                / (F.col("nr") + _PSI_BINS)
+            ).alias("p"),
+            (
+                (F.coalesce("n_cur", F.lit(0)) + 1.0)
+                / (F.col("nc") + _PSI_BINS)
+            ).alias("q"),
+        )
+    )
+    return g.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("p", 6).alias("p_r"),
+        F.round("q", 6).alias("q_r"),
+        F.round((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")), 6).alias(
+            "psi_contrib_r"
+        ),
+    )

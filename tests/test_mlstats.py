@@ -275,3 +275,27 @@ def test_ordered_string_agg_is_sorted_and_complete(spark, sf_dir):
     assert len(rows) == len(expect)
     for row in rows:
         assert row.nations == ",".join(sorted(expect[row.region]))
+
+
+def test_psi_drift_brute_force(spark, sf_dir):
+    import math
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("y"), "o_totalprice")
+        .collect()
+    )
+    ref = [min(9, int(r.o_totalprice // 50_000)) for r in rows if r.y == 1995]
+    cur = [min(9, int(r.o_totalprice // 50_000)) for r in rows if r.y == 1996]
+    got = {r.bin: r for r in QUERIES["psi_drift"](spark, sf_dir).collect()}
+    assert sorted(got) == list(range(10))
+    assert sum(r.n_ref for r in got.values()) == len(ref)
+    assert sum(r.n_cur for r in got.values()) == len(cur)
+    psi = 0.0
+    for b in range(10):
+        p = (ref.count(b) + 1) / (len(ref) + 10)
+        q = (cur.count(b) + 1) / (len(cur) + 10)
+        contrib = (q - p) * math.log(q / p)
+        assert abs(got[b].psi_contrib_r - contrib) <= 1.1e-6, b
+        psi += contrib
+    assert psi >= 0  # PSI is a symmetrized KL — nonnegative
