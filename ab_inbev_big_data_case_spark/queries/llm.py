@@ -2342,3 +2342,86 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count("*"), 4).alias("recall_r"),
         )
     )
+
+
+# ------------------------------------------- split leakage audit
+
+_SPLIT_CASE = """CASE WHEN {h} < 80 THEN 'train' WHEN {h} < 90 THEN 'val'
+                      ELSE 'test' END"""
+
+_LEAKAGE_SQL = f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    sp AS (
+        SELECT doc_id,
+               {_SPLIT_CASE.format(h=f"({_H64.format(x=chr(39) + 'split:' + chr(39) + ' || doc_id')} % 100)")}
+                   AS split
+        FROM documents
+    ),
+    marked AS (
+        SELECT least(s1.split, s2.split) || '-' || greatest(s1.split, s2.split)
+                   AS split_pair,
+               (s1.split <> s2.split)::INT AS leaky
+        FROM cand c
+        JOIN sp s1 ON s1.doc_id = c.id1
+        JOIN sp s2 ON s2.doc_id = c.id2
+    )
+    SELECT split_pair, count(*) AS n_pairs, sum(leaky)::BIGINT AS n_leaky
+    FROM marked GROUP BY 1
+"""
+
+
+@register("split_leakage_audit", oracle=_LEAKAGE_SQL)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: every LSH near-duplicate candidate
+    pair is tagged with its endpoints' split assignments — cross-split
+    pairs ARE evaluation leakage (the val/test doc has a near-copy in
+    train). The audit composes the published split rule with the
+    published dedup candidates, so it measures the leakage of THIS
+    pipeline, not a hypothetical one. Canonical-ordered split pair labels
+    keep the grouping deterministic.
+
+    Scale shape: candidates come from the banded LSH equi-join (never
+    corpus²); split tags are a narrow hash map joined on doc id."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    h = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    sp = d.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    s1 = sp.select(F.col("doc_id").alias("id1"), F.col("split").alias("sp1"))
+    s2 = sp.select(F.col("doc_id").alias("id2"), F.col("split").alias("sp2"))
+    marked = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            F.concat(
+                F.least("sp1", "sp2"), F.lit("-"), F.greatest("sp1", "sp2")
+            ).alias("split_pair"),
+            F.when(F.col("sp1") != F.col("sp2"), 1).otherwise(0).alias("leaky"),
+        )
+    )
+    return marked.groupBy("split_pair").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("leaky").cast("long").alias("n_leaky"),
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import token_hash64
 from ..operators.graph import pagerank
 from ..operators.relational import build_scd2, profile
 from ..registry import register
@@ -578,4 +579,52 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ss") / (F.col("n_rows") * F.col("n_rows")), 6).alias(
             "hhi_r"
         ),
+    )
+
+
+_CHECKSUM_SQL = """
+    WITH h AS (
+        SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+               ('0x' || substr(sha256(
+                   o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR
+               ), 1, 15))::BIGINT AS rh
+        FROM orders
+    )
+    SELECT month, count(*) AS n_rows,
+           (sum(rh) % 1000000007)::BIGINT AS checksum
+    FROM h GROUP BY 1
+"""
+
+
+@register("partition_checksum", oracle=_CHECKSUM_SQL)
+def partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition content checksum: order-insensitive sum of portable
+    per-row hashes mod p, keyed by month — the cross-cluster/table
+    reconciliation primitive (compare two copies of 100 TB WITHOUT moving
+    either: ship only the per-partition (n_rows, checksum) pairs and diff
+    those). Row rendering goes through DECIMAL(18,2) before hashing so
+    float-to-string formatting can never differ between engines; the sum
+    is commutative, so partitioning/order never changes the result.
+
+    One narrow hash projection + one grouped agg — the checksum state per
+    partition is two numbers regardless of row count."""
+    o = table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    h = o.select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        token_hash64(row_str).alias("rh"),
+    )
+    return h.groupBy("month").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            "CAST(sum(CAST(rh AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"
+        ).alias("checksum"),
     )

@@ -480,3 +480,34 @@ def test_ivf_recall_eval_bounds(spark, sf_dir):
         assert r.n_exact == 5 and 0 <= r.n_hits <= 5
         assert r.recall_r == round(r.n_hits / 5, 4)
     assert sum(r.n_hits for r in rows) > 0
+
+
+def test_split_leakage_audit_consistency(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["split_leakage_audit"](spark, sf_dir).collect()
+    assert rows
+    import hashlib
+
+    def split_of(doc_id):
+        h = int(hashlib.sha256(f"split:{doc_id}".encode()).hexdigest()[:15], 16) % 100
+        return "train" if h < 80 else ("val" if h < 90 else "test")
+
+    for r in rows:
+        a, b = r.split_pair.split("-")
+        assert 0 <= r.n_leaky <= r.n_pairs
+        # same-split pairs are by definition non-leaky, cross-split all leaky
+        assert r.n_leaky == (0 if a == b else r.n_pairs), r.split_pair
+    # pair totals reconcile with the LSH candidate set
+    from ab_inbev_big_data_case_spark.llm.dedup import (
+        lsh_band_buckets_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+        shingle_set,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    assert sum(r.n_pairs for r in rows) == cand.count()

@@ -207,3 +207,31 @@ def test_join_key_skew_report_exact_moments(spark, sf_dir):
     )
     assert r.top_share_r == round(max_n / n, 6)
     assert r.hhi_r == round(sum(v * v for v in counts.values()) / (n * n), 6)
+
+
+def test_partition_checksum_brute_force_and_order_insensitive(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("p"),
+        )
+        .collect()
+    )
+    acc, cnt = defaultdict(int), defaultdict(int)
+    for r in rows:
+        s = f"{r.o_orderkey}|{r.o_custkey}|{r.o_orderstatus}|{r.p}"
+        h = int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+        acc[r.month] += h  # any accumulation order: sum is commutative
+        cnt[r.month] += 1
+    got = {r.month: r for r in QUERIES["partition_checksum"](spark, sf_dir).collect()}
+    assert set(got) == set(acc)
+    for m in acc:
+        assert got[m].n_rows == cnt[m]
+        assert got[m].checksum == acc[m] % 1_000_000_007, m
