@@ -2425,3 +2425,165 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum("leaky").cast("long").alias("n_leaky"),
     )
+
+
+# ----------------------------------------------------- BM25 retrieval
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    q AS (
+        SELECT term, df FROM dfreq
+        ORDER BY df DESC, term LIMIT 3 OFFSET 9
+    ),
+    tf AS (
+        SELECT t.doc_id, t.term, count(*) AS f
+        FROM toks t JOIN q ON q.term = t.term
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * tf.f * ({_BM25_K1} + 1)
+                   / (tf.f + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * l.dl / s.avgdl))) AS score
+        FROM tf
+        JOIN q ON q.term = tf.term
+        JOIN lens l ON l.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1
+    )
+    SELECT doc_id, round(score, 4) AS bm25_r
+    FROM scored
+    ORDER BY round(score, 4) DESC, doc_id
+    LIMIT 20
+"""
+
+
+@register("bm25_topk", oracle=_BM25_SQL)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval (Robertson k1=1.2, b=0.75) for a
+    deterministic 3-term query (document-frequency ranks 10–12 — common
+    enough to hit many docs, rare enough for non-trivial idf): the
+    lexical-search baseline every retrieval/RAG stack starts from,
+    complementing the dense (`cosine_topk`) and sparse-vector
+    (`sparse_cosine_topk`) paths.
+
+    Scale shape: term frequencies only materialize for the QUERY terms
+    (semi-join prunes the exploded token table before any aggregation);
+    query table, corpus stats, and doc lengths are broadcast-sized or
+    keyed joins; the final top-20 ranks the ROUNDED score with doc_id
+    tiebreak (TakeOrderedAndProject, FP-flip-proof)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    q = dfreq.orderBy(F.col("df").desc(), "term").offset(9).limit(3)
+    tf = (
+        toks.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("f") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(q.select("term", "df")), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("f") * (_BM25_K1 + 1) / denom).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25_r"))
+        .orderBy(F.col("bm25_r").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------- distinctive terms (log-odds)
+
+_LOGODDS_A = 0.5  # Dirichlet pseudo-count
+
+_LOGODDS_SQL = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term,
+               (source = 'src1')::INT AS in_tgt
+        FROM documents
+    ),
+    c AS (
+        SELECT term,
+               sum(in_tgt)::BIGINT AS y1,
+               (count(*) - sum(in_tgt))::BIGINT AS y2
+        FROM toks GROUP BY 1
+    ),
+    keep AS (
+        SELECT term, y1, y2 FROM c
+        ORDER BY y1 + y2 DESC, term LIMIT 200
+    ),
+    tot AS (SELECT sum(y1) AS n1, sum(y2) AS n2 FROM c),
+    z AS (
+        SELECT k.term, k.y1, k.y2,
+               (ln((k.y1 + {_LOGODDS_A}) /
+                   (t.n1 + 200 * {_LOGODDS_A} - k.y1 - {_LOGODDS_A}))
+                - ln((k.y2 + {_LOGODDS_A}) /
+                     (t.n2 + 200 * {_LOGODDS_A} - k.y2 - {_LOGODDS_A})))
+               / sqrt(1.0 / (k.y1 + {_LOGODDS_A}) + 1.0 / (k.y2 + {_LOGODDS_A}))
+                   AS zscore
+        FROM keep k CROSS JOIN tot t
+    )
+    SELECT term, y1, y2, round(zscore, 4) AS zscore_r
+    FROM z
+    ORDER BY round(zscore, 4) DESC, term
+    LIMIT 20
+"""
+
+
+@register("log_odds_terms", oracle=_LOGODDS_SQL)
+def log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary of the src1 sub-corpus vs the rest via
+    weighted log-odds with a Dirichlet prior and its z-score (Monroe,
+    Colaresi & Quinn 2008 "Fightin' Words") — the corpus-comparison
+    primitive behind domain-vocabulary drift reports, evaluated over the
+    top-200 global terms (the bound that keeps the output spine fixed).
+
+    One token pass builds both corpora's counts (the target flag rides
+    the explode — no second scan); totals are a broadcast 1-row
+    aggregate; ranking uses the ROUNDED z with a term tiebreak."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("term"),
+        (F.col("source") == "src1").cast("int").alias("in_tgt"),
+    )
+    c = toks.groupBy("term").agg(
+        F.sum("in_tgt").cast("long").alias("y1"),
+        (F.count("*") - F.sum("in_tgt")).cast("long").alias("y2"),
+    )
+    keep = c.orderBy((F.col("y1") + F.col("y2")).desc(), "term").limit(200)
+    tot = c.agg(F.sum("y1").alias("n1"), F.sum("y2").alias("n2"))
+    a = _LOGODDS_A
+    delta = F.log(
+        (F.col("y1") + a) / (F.col("n1") + 200 * a - F.col("y1") - a)
+    ) - F.log((F.col("y2") + a) / (F.col("n2") + 200 * a - F.col("y2") - a))
+    z = delta / F.sqrt(1.0 / (F.col("y1") + a) + 1.0 / (F.col("y2") + a))
+    return (
+        keep.crossJoin(F.broadcast(tot))
+        .select("term", "y1", "y2", F.round(z, 4).alias("zscore_r"))
+        .orderBy(F.col("zscore_r").desc(), "term")
+        .limit(20)
+    )

@@ -511,3 +511,60 @@ def test_split_leakage_audit_consistency(spark, sf_dir):
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
     cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
     assert sum(r.n_pairs for r in rows) == cand.count()
+
+
+def test_bm25_topk_brute_force(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    df = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    q = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[9:12]
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    scores = {}
+    for did, toks in docs.items():
+        tf = Counter(toks)
+        s = 0.0
+        for term, dfreq in q:
+            f = tf.get(term, 0)
+            if not f:
+                continue
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            s += idf * f * 2.2 / (f + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        if s > 0:
+            scores[did] = round(s, 4)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.doc_id, r.bm25_r) for r in QUERIES["bm25_topk"](spark, sf_dir).collect()]
+    for (gd, gs), (ed, es) in zip(got, expect):
+        assert gd == ed and abs(gs - es) <= 1.1e-4
+
+
+def test_log_odds_terms_sign_and_bounds(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["log_odds_terms"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    zs = [r.zscore_r for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    # top-ranked distinctive terms must actually be src1-overrepresented:
+    # their target share beats the global target token share
+    d = table(spark, sf_dir, "documents")
+    tot = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("n"),
+        F.sum(
+            F.when(F.col("source") == "src1", F.size(F.split("text", " "))).otherwise(0)
+        ).alias("n1"),
+    ).collect()[0]
+    global_share = tot.n1 / tot.n
+    top = rows[0]
+    assert top.y1 / (top.y1 + top.y2) > global_share
