@@ -2587,3 +2587,133 @@ def log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("zscore_r").desc(), "term")
         .limit(20)
     )
+
+
+# ------------------------------------------------ hybrid index fusion
+
+_RRF_K = 60
+
+_RRF_SQL = f"""
+    WITH {_BUCKET_SQL}, {_IVF_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+           WHERE vec_id % 50 = 0),
+    lsh_cand AS (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
+        FROM qb JOIN buckets cb USING (tbl, bucket)
+        WHERE cb.vec_id != qb.query_id
+    ),
+    lsh_rank AS (
+        SELECT query_id, cand_id, rk FROM (
+            SELECT p.query_id, p.cand_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                             ({_NORM.format(x='x.embedding', tag='a')} *
+                              {_NORM.format(x='y.embedding', tag='b')}), 3)
+                             DESC NULLS LAST, p.cand_id) AS rk
+            FROM lsh_cand p
+            JOIN embeddings x ON x.vec_id = p.query_id
+            JOIN embeddings y ON y.vec_id = p.cand_id
+        ) WHERE rk <= 10
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cell_id, row_number() OVER (
+                PARTITION BY q.query_id ORDER BY
+                round({_DOT.format(x='q.qv', y='c.cv')} /
+                      ({_NORM.format(x='q.qv', tag='p')} *
+                       {_NORM.format(x='c.cv', tag='q')}), 3) DESC NULLS LAST,
+                c.cell_id) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    ivf_cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM probes p JOIN assign a USING (cell_id)
+        WHERE a.vec_id != p.query_id
+    ),
+    ivf_rank AS (
+        SELECT query_id, cand_id, rk FROM (
+            SELECT cd.query_id, cd.cand_id,
+                   row_number() OVER (
+                       PARTITION BY cd.query_id
+                       ORDER BY round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                             ({_NORM.format(x='x.embedding', tag='c')} *
+                              {_NORM.format(x='y.embedding', tag='d')}), 3)
+                             DESC NULLS LAST, cd.cand_id) AS rk
+            FROM ivf_cand cd
+            JOIN embeddings x ON x.vec_id = cd.query_id
+            JOIN embeddings y ON y.vec_id = cd.cand_id
+        ) WHERE rk <= 10
+    ),
+    fused AS (
+        SELECT query_id, cand_id,
+               sum(1.0 / ({_RRF_K} + rk)) AS rrf
+        FROM (SELECT * FROM lsh_rank UNION ALL SELECT * FROM ivf_rank)
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, rrf_r, fused_rank FROM (
+        SELECT query_id, cand_id, round(rrf, 6) AS rrf_r,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(rrf, 6) DESC, cand_id) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 5
+"""
+
+
+@register("rrf_hybrid_search", oracle=_RRF_SQL)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of the two published ANN indexes —
+    hyperplane-LSH and IVF top-10 lists merge into one ranking per query
+    (RRF = Σ 1/(k+rank), the standard score-free hybrid that needs no
+    cross-index score calibration). A candidate surfaced by BOTH indexes
+    outranks one surfaced by either alone — fusion recovers recall each
+    index loses individually.
+
+    Scale shape: both legs are the bucketed candidate generators (never
+    corpus²); fusion itself is a UNION + grouped sum keyed on (query,
+    cand) and a per-query rank window — all bounded by the top-10 lists.
+    RRF scores quantize at 6 with cand_id tiebreaks before ranking."""
+    e = table(spark, sf_dir, "embeddings")
+    lsh = ann_lsh_search(
+        e, "vec_id", "embedding",
+        query_filter=lambda vid: vid % 50 == 0,
+        n_planes=4, n_tables=4, min_cosine=-1.0, dim=64,
+    )
+    ivf = ivf_search(
+        e, "vec_id", "embedding",
+        query_filter=lambda vid: vid % 50 == 0,
+        centroid_filter=lambda vid: vid % 29 == 0,
+        n_probe=2, k=10,
+    ).select("query_id", "cand_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("cand_id")
+    )
+    lsh10 = (
+        lsh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "cand_id", "rk")
+    )
+    ivf10 = (
+        ivf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "cand_id", "rk")
+    )
+    fused = (
+        lsh10.unionAll(ivf10)
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(1.0 / (_RRF_K + F.col("rk"))).alias("rrf"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_r").desc(), F.col("cand_id")
+    )
+    return (
+        fused.select(
+            "query_id", "cand_id", F.round("rrf", 6).alias("rrf_r")
+        )
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 5)
+    )

@@ -568,3 +568,31 @@ def test_log_odds_terms_sign_and_bounds(spark, sf_dir):
     global_share = tot.n1 / tot.n
     top = rows[0]
     assert top.y1 / (top.y1 + top.y2) > global_share
+
+
+def test_rrf_hybrid_beats_or_matches_single_index_recall(spark, sf_dir):
+    """Fusion sanity: the fused top-5's recall vs exact is at least the
+    WORSE single index's recall (RRF can't be dominated by both legs),
+    and the fused list is 5-per-query with valid scores."""
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    fused = QUERIES["rrf_hybrid_search"](spark, sf_dir).collect()
+    per_q = {}
+    for r in fused:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) == 5
+        assert sorted(r.fused_rank for r in rows) == [1, 2, 3, 4, 5]
+        # max score = rank 1 in both lists = 2/61, rounded at 6
+        assert all(0 < r.rrf_r <= round(2.0 / 61, 6) + 1e-9 for r in rows)
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in QUERIES["cosine_topk"](spark, sf_dir).collect()
+    }
+    fused_pairs = {(r.query_id, r.cand_id) for r in fused}
+    fused_recall = len(exact & fused_pairs) / len(exact)
+    ann = {r.query_id: r.n_hits for r in QUERIES["ann_recall_eval"](spark, sf_dir).collect()}
+    ivf = {r.query_id: r.n_hits for r in QUERIES["ivf_recall_eval"](spark, sf_dir).collect()}
+    worse = min(sum(ann.values()), sum(ivf.values())) / len(exact)
+    assert fused_recall >= worse - 1e-9
