@@ -2717,3 +2717,118 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fused_rank", F.row_number().over(wf))
         .filter(F.col("fused_rank") <= 5)
     )
+
+
+# ------------------------------------------------------- nDCG ranking
+
+_NDCG_SQL = f"""
+    WITH {_BUCKET_SQL}, {_IVF_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+    exact AS (
+        SELECT query_id, cand_id, rk AS exact_rank FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DOT.format(x='q.qv', y='c.embedding')} /
+                             ({_NORM.format(x='q.qv', tag='a')} *
+                              {_NORM.format(x='c.embedding', tag='b')}), 3)
+                             DESC NULLS LAST, c.vec_id) AS rk
+            FROM q, embeddings c WHERE c.vec_id != q.query_id
+        ) WHERE rk <= 5
+    ),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+           WHERE vec_id % 50 = 0),
+    lsh_cand AS (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
+        FROM qb JOIN buckets cb USING (tbl, bucket)
+        WHERE cb.vec_id != qb.query_id
+    ),
+    annk AS (
+        SELECT query_id, cand_id, rk FROM (
+            SELECT p.query_id, p.cand_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                             ({_NORM.format(x='x.embedding', tag='c')} *
+                              {_NORM.format(x='y.embedding', tag='d')}), 3)
+                             DESC NULLS LAST, p.cand_id) AS rk
+            FROM lsh_cand p
+            JOIN embeddings x ON x.vec_id = p.query_id
+            JOIN embeddings y ON y.vec_id = p.cand_id
+        ) WHERE rk <= 5
+    ),
+    dcg AS (
+        SELECT a.query_id,
+               sum(coalesce(pow(2, 6 - e.exact_rank) - 1, 0)
+                   / ln(a.rk + 1)) AS dcg
+        FROM annk a
+        LEFT JOIN exact e ON e.query_id = a.query_id
+                         AND e.cand_id = a.cand_id
+        GROUP BY 1
+    ),
+    idcg AS (
+        SELECT query_id,
+               sum((pow(2, 6 - exact_rank) - 1) / ln(exact_rank + 1)) AS idcg
+        FROM exact GROUP BY 1
+    )
+    SELECT i.query_id,
+           round(coalesce(d.dcg, 0), 4) AS dcg_r,
+           round(i.idcg, 4) AS idcg_r,
+           round(coalesce(d.dcg, 0) / i.idcg, 4) AS ndcg_r
+    FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+"""
+
+
+@register("ndcg_eval", oracle=_NDCG_SQL)
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the LSH ANN ranking against the exact cosine ranking —
+    the ORDER-aware retrieval metric completing the audit triple
+    (``*_recall_eval`` measure set overlap, ``minhash_estimator_accuracy``
+    measures score error; nDCG penalizes the right items in the wrong
+    order). Graded relevance 2^(6−exact_rank)−1 for the exact top-5,
+    natural-log discount — every term exact arithmetic on integer ranks,
+    so the rounded metric is engine-deterministic.
+
+    Scale shape: both rankings are the published bounded pipelines; the
+    metric itself is two grouped sums on O(queries·5) rows."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", 5
+    ).select("query_id", "cand_id", F.col("rank").alias("exact_rank"))
+    lsh = ann_lsh_search(
+        e, "vec_id", "embedding",
+        query_filter=lambda vid: vid % 50 == 0,
+        n_planes=4, n_tables=4, min_cosine=-1.0, dim=64,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("cand_id")
+    )
+    annk = (
+        lsh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "rk")
+    )
+    gain = F.coalesce(
+        F.pow(F.lit(2.0), 6 - F.col("exact_rank")) - 1, F.lit(0.0)
+    )
+    dcg = (
+        annk.join(exact, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(gain / F.log(F.col("rk") + 1)).alias("dcg"))
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(
+            (F.pow(F.lit(2.0), 6 - F.col("exact_rank")) - 1)
+            / F.log(F.col("exact_rank") + 1)
+        ).alias("idcg")
+    )
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce("dcg", F.lit(0.0)), 4).alias("dcg_r"),
+        F.round("idcg", 4).alias("idcg_r"),
+        F.round(F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"), 4).alias(
+            "ndcg_r"
+        ),
+    )

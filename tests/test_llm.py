@@ -596,3 +596,21 @@ def test_rrf_hybrid_beats_or_matches_single_index_recall(spark, sf_dir):
     ivf = {r.query_id: r.n_hits for r in QUERIES["ivf_recall_eval"](spark, sf_dir).collect()}
     worse = min(sum(ann.values()), sum(ivf.values())) / len(exact)
     assert fused_recall >= worse - 1e-9
+
+
+def test_ndcg_eval_bounds_and_consistency_with_recall(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {r.query_id: r for r in QUERIES["ndcg_eval"](spark, sf_dir).collect()}
+    hits = {r.query_id: r.n_hits for r in QUERIES["ann_recall_eval"](spark, sf_dir).collect()}
+    assert set(rows) == set(hits)
+    for q, r in rows.items():
+        assert 0.0 <= r.ndcg_r <= 1.0 + 1e-9
+        assert r.idcg_r > 0
+        # zero set-overlap forces zero nDCG; full overlap in perfect order
+        # would force 1 — consistency with the recall audit
+        if hits[q] == 0:
+            assert r.ndcg_r == 0.0, q
+        if r.ndcg_r == 1.0:
+            assert hits[q] == 5, q
