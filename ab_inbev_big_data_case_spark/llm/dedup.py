@@ -336,9 +336,23 @@ def containment_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 16,
+    shingle_n: int | None = None,
+) -> DataFrame:
     """SimHash signature per doc: per-bit majority vote over distinct-token
     hashes, packed into an int (id, simhash).
+
+    ``shingle_n`` switches the voting features from distinct unigrams to
+    distinct n-token shingles — the right granularity for document
+    NEAR-DUP detection (unigram sets collide for any two docs sharing a
+    vocabulary; word ORDER is what separates a near-copy from a same-topic
+    doc — measured on the fixture corpus: unigram radius-3 pairs ≈ 18.7k
+    vs 25 true Jaccard-0.5 near-dups, shingle radius-3 pairs track the
+    true set).
 
     Two shuffles ((id,bit) then id), both pre-combined map-side; bits table
     is broadcast.
@@ -346,8 +360,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> Data
     # no spread(): tokenize is cheap per row — the repartition shuffle of the
     # text bodies costs more than the work it parallelizes (measured 5x at
     # sf0.1; spread stays on shingle_set, where per-row cost dominates)
+    feats = tokens(F.col(text_col))
+    if shingle_n is not None:
+        feats = shingles(feats, shingle_n)
     toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+        F.col(id_col), F.explode(F.array_distinct(feats)).alias("tok")
     ).withColumn("h", token_hash64(F.col("tok")))
     # all bit-votes as parallel aggregations over the same token rows: ONE
     # shuffle on id, no n_bits× row inflation (the crossJoin-a-bits-table

@@ -2832,3 +2832,227 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_r"
         ),
     )
+
+
+# --------------------------------- SimHash banded near-dup pair search
+
+_SIMHASH_SIG_CTE = f"""
+    stoksrc AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sfeat AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        ))) AS tok
+        FROM stoksrc
+    ),
+    sh_h AS (SELECT doc_id, {_H64.format(x='tok')} AS h FROM sfeat),
+    votes AS (
+        SELECT doc_id, bit, sum(((h >> bit::INT) % 2) * 2 - 1) AS net_vote
+        FROM sh_h CROSS JOIN range(32) t(bit)
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN net_vote > 0
+                        THEN (1::BIGINT << bit::INT) ELSE 0 END)::BIGINT AS s
+        FROM votes GROUP BY 1
+    )
+"""
+
+_SIMHASH_PAIRS_SQL = f"""
+    WITH {_SIMHASH_SIG_CTE},
+    bands AS (
+        SELECT doc_id, b, (s >> (8 * b)::INT) & 255 AS bv
+        FROM sig CROSS JOIN range(4) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.id1, c.id2,
+           bit_count(xor(s1.s, s2.s))::BIGINT AS hamming_d
+    FROM cand c
+    JOIN sig s1 ON s1.doc_id = c.id1
+    JOIN sig s2 ON s2.doc_id = c.id2
+    WHERE bit_count(xor(s1.s, s2.s)) <= 3
+"""
+
+
+@register("simhash_hamming_pairs", oracle=_SIMHASH_PAIRS_SQL)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS: banded bucketing over 32-bit
+    SHINGLE-voted signatures (4 bands x 8 bits) proposes candidates, then the exact
+    Hamming distance (popcount of XOR) keeps pairs within 3 bits —
+    closing the loop ``simhash_docs`` opens (signatures alone find
+    nothing; this is the search structure over them). Two calibration
+    choices matter, both measured on the fixture corpus: (1) votes come
+    from distinct 3-gram SHINGLES, not unigrams — unigram sets collide
+    for any same-vocabulary pair (18.7k radius-3 pairs vs 25 true
+    Jaccard-0.5 near-dups); (2) 32 signature bits (vs the 16-bit
+    ``simhash_docs`` demo) keep the 256-value bands sparse — 4-bit
+    bands have 16 buckets and the candidate join degenerates toward
+    all-pairs (67k candidates over 500 docs). Band width is the knob
+    that scales bucket occupancy with corpus size.
+
+    The banding is LOSSLESS for the radius: two signatures within
+    Hamming distance 3 differ in at most 3 of the 4 bands, so by
+    pigeonhole they collide exactly in at least one band — every
+    qualifying pair is proposed (pigeonhole over the 4 bands). Scale
+    shape: candidates come from a band-value EQUI-join (never corpus^2 — the same discipline as
+    MinHash LSH banding); signature lookups are keyed joins; the
+    verify is a codegen'd integer popcount. Everything is exact integer
+    arithmetic end-to-end.
+
+    Reference basis: SURVEY.md §2.2 near-dup mandate; Charikar (2002)
+    SimHash + the Manku et al. (2007) banded Hamming search, re-expressed
+    as two DataFrame joins."""
+    d = table(spark, sf_dir, "documents")
+    sig = simhash(d, "doc_id", "text", 32, shingle_n=3).withColumnRenamed(
+        "simhash", "s"
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("s"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.b").alias("b"), F.col("band.bv").alias("bv"))
+    left = bands.select(
+        F.col("doc_id").alias("id1"), "b", "bv"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("id2"), "b", "bv"
+    )
+    cand = (
+        left.join(right, ["b", "bv"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("id1"), F.col("s").alias("s1"))
+    s2 = sig.select(F.col("doc_id").alias("id2"), F.col("s").alias("s2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "hamming_d",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long"),
+        )
+        .filter(F.col("hamming_d") <= 3)
+        .select("id1", "id2", "hamming_d")
+    )
+
+
+# ------------------------------- query-likelihood (Dirichlet) retrieval
+
+_QL_MU = 2000.0
+
+_QL_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    coll AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),
+    tot AS (SELECT sum(cf) AS n FROM coll),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    q AS (
+        SELECT d.term, c.cf FROM dfreq d JOIN coll c USING (term)
+        ORDER BY d.df DESC, d.term LIMIT 3 OFFSET 9
+    ),
+    cand AS (SELECT DISTINCT t.doc_id FROM toks t JOIN q ON q.term = t.term),
+    tf AS (
+        SELECT t.doc_id, t.term, count(*) AS f
+        FROM toks t JOIN q ON q.term = t.term
+        GROUP BY 1, 2
+    ),
+    grid AS (SELECT c.doc_id, q.term, q.cf FROM cand c CROSS JOIN q),
+    scored AS (
+        SELECT g.doc_id,
+               sum(ln((coalesce(tf.f, 0) + {_QL_MU} * g.cf / t.n)
+                      / (l.dl + {_QL_MU}))) AS score
+        FROM grid g
+        LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+        JOIN lens l ON l.doc_id = g.doc_id
+        CROSS JOIN tot t
+        GROUP BY 1
+    )
+    SELECT doc_id, round(score, 4) AS ql_r
+    FROM scored
+    ORDER BY round(score, 4) DESC, doc_id
+    LIMIT 20
+"""
+
+
+@register("query_likelihood_topk", oracle=_QL_SQL)
+def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001, mu=2000): score(q,d) = sum_t ln((tf + mu*P(t|C)) / (dl + mu))
+    — the language-modeling counterpart to ``bm25_topk``, sharing its
+    deterministic 3-term query (document-frequency ranks 10-12) so the
+    two rankings are directly comparable.
+
+    Unlike BM25, absent query terms still contribute (the smoothed
+    collection probability), so the candidate x query-term grid is
+    materialized explicitly — but only over CANDIDATE docs (>= 1 query
+    term, semi-join pruned), never the full corpus, and the grid is a
+    crossJoin with the broadcast 3-row query table (3x fan-out of
+    candidates, bounded). Collection stats are a broadcast 1-row
+    aggregate; the top-20 ranks the ROUNDED score with doc_id tiebreak
+    (TakeOrderedAndProject, FP-flip-proof)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    coll = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    tot = coll.agg(F.sum("cf").alias("n"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    q = (
+        dfreq.join(coll, "term")
+        .orderBy(F.col("df").desc(), "term")
+        .offset(9)
+        .limit(3)
+        .select("term", "cf")
+    )
+    cand = toks.join(F.broadcast(q), "term", "left_semi").select(
+        "doc_id"
+    ).distinct()
+    tf = (
+        toks.join(F.broadcast(q.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    grid = cand.crossJoin(F.broadcast(q))
+    scored = (
+        grid.join(tf, ["doc_id", "term"], "left")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (
+                        F.coalesce(F.col("f"), F.lit(0))
+                        + _QL_MU * F.col("cf") / F.col("n")
+                    )
+                    / (F.col("dl") + _QL_MU)
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("ql_r"))
+        .orderBy(F.col("ql_r").desc(), "doc_id")
+        .limit(20)
+    )

@@ -1,0 +1,354 @@
+"""Retail-analytics operators over the star schema (round-5 session-3
+widening of SURVEY.md §2.2's analytics family): ABC/Pareto inventory
+classification, item-item collaborative-filtering similarity, and
+label-propagation community detection on the co-purchase graph.
+
+These extend the reference's static gold rollup (``glue/etl_api.py:42-45``)
+with the category-management questions a retail warehouse answers next:
+which parts carry the revenue (ABC), what sells together (item-item), and
+which product clusters move as one (communities).
+
+Scale posture:
+
+- ``abc_pareto_class`` needs a cumulative revenue share down the
+  revenue-ranked part spine. Parts are NOT dimension-bounded at 100 TB
+  (TPC-H part grows 200k rows per SF), so the global prefix sum is
+  decomposed two-level exactly like the sweep-line cumsum
+  (``queries/mlstats.py``): percentile boundaries split the spine into
+  value-range buckets (broadcast 1-row array, same trick as RFM's
+  boundary join), the running sum is windowed WITHIN each bucket, and only
+  the 16-row bucket-total spine takes a partitionless window. Bucket
+  boundaries affect execution layout only — the composed result is
+  bit-identical to the plain prefix sum the DuckDB oracle runs, because
+  revenue is summed in exact integer cents.
+- ``item_item_cosine`` fans out per BASKET (k ≤ 7 lineitems per TPC-H
+  order ⇒ ≤ 21 pairs), never corpus²; per-item neighbor ranking is a
+  window PARTITIONED by the item key.
+- ``label_propagation_communities`` is the unrolled fixed-round pattern
+  (``operators/graph.py``): each round is one equi-join (labels onto the
+  symmetrized edge list) + one grouped count + one per-node argmax window
+  — no driver iteration, no growing state; ties break deterministically
+  (count desc, label asc) in both engines.
+
+Float discipline: revenue accumulates as DECIMAL(18,6) and is fixed to
+integer CENTS before any ranking or share arithmetic; the A/B/C class test
+multiplies in DECIMAL(38,0) (cum·100 ≤ total·80) so no float boundary
+exists anywhere. Cosines are computed from exact integer counts and
+rounded to 6 before ranking (quantize-before-rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+#: per-part revenue in exact integer cents (shared by the ABC oracle)
+_PART_REV_SQL = """
+    prev AS (
+        SELECT l_partkey,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) * 100 AS BIGINT)
+                   AS rev_c
+        FROM lineitem GROUP BY 1
+    )
+"""
+
+_ABC_SQL = f"""
+    WITH {_PART_REV_SQL},
+    ranked AS (
+        SELECT rev_c,
+               sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_c,
+               sum(rev_c) OVER () AS total_c
+        FROM prev
+    ),
+    classed AS (
+        SELECT CASE
+                 WHEN CAST(cum_c AS DECIMAL(38,0)) * 100
+                      <= CAST(total_c AS DECIMAL(38,0)) * 80 THEN 'A'
+                 WHEN CAST(cum_c AS DECIMAL(38,0)) * 100
+                      <= CAST(total_c AS DECIMAL(38,0)) * 95 THEN 'B'
+                 ELSE 'C'
+               END AS abc_class,
+               rev_c, total_c
+        FROM ranked
+    )
+    SELECT abc_class,
+           count(*) AS n_parts,
+           round(sum(rev_c) * 1.0 / any_value(total_c), 6) AS rev_share_r
+    FROM classed GROUP BY 1
+"""
+
+_ABC_BUCKETS = 16
+
+
+@register("abc_pareto_class", oracle=_ABC_SQL)
+def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/95) inventory classification: parts are ranked by
+    revenue and classed A while the running share is ≤ 80%, B to 95%,
+    else C; output is the 3-row class summary (part count + revenue
+    share).
+
+    Scale shape: the prefix sum over the revenue-ranked part spine is
+    TWO-LEVEL — 16 value-range buckets from percentile boundaries
+    (broadcast 1-row array; bucket = #boundaries strictly above the
+    part's cents, so equal revenues always share a bucket and bucket
+    order is consistent with the global (rev desc, partkey) order), a
+    window partitioned BY BUCKET for the local cumsum, and a 16-row
+    bucket-total spine for the carry (the only partitionless window —
+    bounded by the bucket count, not the data). Result is provably equal
+    to the oracle's flat window because cents are exact integers and
+    addition is associative; the class test runs in DECIMAL(38,0) so
+    100 TB totals cannot overflow."""
+    li = table(spark, sf_dir, "lineitem")
+    prev = li.groupBy("l_partkey").agg(
+        (
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    qs = [i / _ABC_BUCKETS for i in range(1, _ABC_BUCKETS)]
+    bounds = prev.agg(
+        F.percentile_approx("rev_c", qs, 10000).alias("bs"),
+        F.sum("rev_c").alias("total_c"),
+    )
+    # bucket 0 holds the highest revenues; equal rev_c ⇒ equal bucket
+    bucketed = prev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc + F.when(b > F.col("rev_c"), 1).otherwise(0),
+        ),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("rev_c").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("cum_local", F.sum("rev_c").over(w_local))
+    # 16-row bucket spine: carry = total cents of all higher-revenue buckets
+    w_spine = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spine = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("rev_c").alias("bucket_c"))
+        .withColumn("carry", F.coalesce(F.sum("bucket_c").over(w_spine), F.lit(0)))
+        .select("bucket", "carry")
+    )
+    cum = local.join(F.broadcast(spine), "bucket").withColumn(
+        "cum_c", F.col("cum_local") + F.col("carry")
+    )
+    cum_d = F.col("cum_c").cast("decimal(38,0)") * 100
+    tot_d = F.col("total_c").cast("decimal(38,0)")
+    classed = cum.withColumn(
+        "abc_class",
+        F.when(cum_d <= tot_d * 80, "A")
+        .when(cum_d <= tot_d * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("rev_c") / F.first("total_c"), 6).alias("rev_share_r"),
+    )
+
+
+#: canonical support-≥2 co-purchase edges with co-count (shared with the
+#: triangle/k-hop family in ``queries/mlstats.py``)
+_EDGES_SQL = """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_co
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+"""
+
+_ITEM_COSINE_SQL = f"""
+    WITH {_EDGES_SQL},
+    cnt AS (
+        SELECT l_partkey, count(DISTINCT l_orderkey) AS n_ord
+        FROM lineitem GROUP BY 1
+    ),
+    sym AS (
+        SELECT u AS item, v AS neighbor, n_co FROM e
+        UNION ALL
+        SELECT v AS item, u AS neighbor, n_co FROM e
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor, s.n_co,
+               round(s.n_co / sqrt(ci.n_ord * cn.n_ord), 6) AS cosine_r
+        FROM sym s
+        JOIN cnt ci ON ci.l_partkey = s.item
+        JOIN cnt cn ON cn.l_partkey = s.neighbor
+    )
+    SELECT item, neighbor, n_co, cosine_r
+    FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY item
+                 ORDER BY cosine_r DESC, n_co DESC, neighbor) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+"""
+
+
+@register("item_item_cosine", oracle=_ITEM_COSINE_SQL)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 co-purchase neighbors per
+    part under cosine similarity cos(i,j) = c_ij / √(c_i·c_j) over order
+    baskets — the classic neighborhood recommender built from
+    ``market_basket_pairs``' counts plus per-item order counts.
+
+    Scale shape: pair counts fan out per basket (bounded by the ≤7-line
+    TPC-H order), the support-≥2 threshold sparsifies before the
+    per-item joins (both plain equi-joins — item counts grow with the
+    part dimension, so no broadcast), and the top-3 ranking window is
+    PARTITIONED by item. Cosine is computed from exact integer counts
+    and rounded to 6 before ranking (ties then break on raw co-count and
+    neighbor id), so FP dust cannot reorder neighbors."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    cnt = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_ord")
+    )
+    sym = e.select(
+        F.col("u").alias("item"), F.col("v").alias("neighbor"), "n_co"
+    ).unionAll(
+        e.select(F.col("v").alias("item"), F.col("u").alias("neighbor"), "n_co")
+    )
+    scored = (
+        sym.join(cnt.withColumnRenamed("l_partkey", "item"), "item")
+        .withColumnRenamed("n_ord", "ci")
+        .join(cnt.withColumnRenamed("l_partkey", "neighbor"), "neighbor")
+        .withColumnRenamed("n_ord", "cn")
+        .select(
+            "item",
+            "neighbor",
+            "n_co",
+            F.round(
+                F.col("n_co") / F.sqrt(F.col("ci") * F.col("cn")), 6
+            ).alias("cosine_r"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine_r").desc(), F.col("n_co").desc(), "neighbor"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("item", "neighbor", "n_co", "cosine_r")
+    )
+
+
+_LPA_ROUND_SQL = """
+    {nxt} AS (
+        SELECT node, lab FROM (
+            SELECT s.u AS node, l.lab, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY s.u
+                       ORDER BY count(*) DESC, l.lab) AS rn
+            FROM sym s JOIN {cur} l ON l.node = s.v
+            GROUP BY s.u, l.lab
+        ) WHERE rn = 1
+    )
+"""
+
+_LPA_SQL = (
+    f"""
+    WITH {_EDGES_SQL},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+    """
+    + _LPA_ROUND_SQL.format(cur="l0", nxt="l1")
+    + ","
+    + _LPA_ROUND_SQL.format(cur="l1", nxt="l2")
+    + """
+    SELECT lab AS community, count(*) AS size
+    FROM l2 GROUP BY 1
+    ORDER BY size DESC, community
+    LIMIT 20
+"""
+)
+
+
+@register("label_propagation_communities", oracle=_LPA_SQL)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (2 unrolled
+    rounds) on the support-≥2 co-purchase graph: every node starts
+    labeled with itself, then repeatedly adopts its neighbors' most
+    frequent label (ties → smallest label). Complements the min-label
+    connected components (``dup_clusters_cc``): LPA splits a connected
+    blob into densely-knit communities instead of merging everything
+    reachable. Output: the 20 largest communities.
+
+    Scale shape: each round is one equi-join of the label table onto the
+    symmetrized edge list (both shuffle on the node key — label tables
+    are node-cardinality, never broadcast), one grouped count, and one
+    per-node argmax window (PARTITIONED by node). Rounds are unrolled
+    into the lineage — no driver iteration, state is one label per node.
+    The (count desc, label asc) tiebreak makes every round — hence the
+    final partition — deterministic in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+
+    def lpa_round(cur: DataFrame) -> DataFrame:
+        votes = (
+            sym.join(cur.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lab")
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+
+    final = lpa_round(lpa_round(labels))
+    return (
+        final.groupBy(F.col("lab").alias("community"))
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

@@ -36,6 +36,7 @@ _QUERY_MODULES = [
     "ab_inbev_big_data_case_spark.queries.mlstats",
     "ab_inbev_big_data_case_spark.queries.llm_curation",
     "ab_inbev_big_data_case_spark.queries.timeseries",
+    "ab_inbev_big_data_case_spark.queries.retail",
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registered queries
@@ -54,12 +55,14 @@ _QUERY_MODULES = [
 # oracle via the exact+within_tol projection), and approx_count_distinct
 # (same oracle upgrade — was a permanent no_oracle row).
 #
-# ROTATION (round 6+): re-check any r5 reds first, then the thirteen
-# session-2 tail additions never in a window (cumulative_unique_users,
+# ROTATION (round 6+): re-check any r5 reds first, then the eighteen
+# session-2/3 tail additions never in a window (cumulative_unique_users,
 # weighted_median, ordered_string_agg, bpe_apply_merges,
 # time_weighted_avg, join_null_safe, psi_drift, split_leakage_audit,
 # partition_checksum, bm25_topk, log_odds_terms, rrf_hybrid_search,
-# ndcg_eval),
+# ndcg_eval, abc_pareto_class, item_item_cosine,
+# label_propagation_communities, simhash_hamming_pairs,
+# query_likelihood_topk),
 # then the 13 displaced r1 re-checks named in the comments below, then
 # the remaining r2-era names (subquery + tpch_q*_shape families,
 # exact_dedup_hash …), then r3-era.

@@ -480,3 +480,39 @@ def test_null_safe_join_stays_hash_join(spark, sf_dir):
     plan = _plan(QUERIES["join_null_safe"](spark, sf_dir))
     assert "NestedLoop" not in plan
     assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_abc_two_level_cumsum(spark, sf_dir):
+    """abc_pareto_class decomposes the revenue-ranked prefix sum like
+    sweep-line: the full-data cumsum window is PARTITIONED by the
+    percentile bucket; only the 16-row bucket-total carry spine runs
+    partitionless — exactly one such spec."""
+    plan = _plan(QUERIES["abc_pareto_class"](spark, sf_dir))
+    assert _n_partitionless_windows(plan) == 1
+    assert "bucket" in plan
+
+
+def test_item_cosine_window_partitioned_by_item(spark, sf_dir):
+    """Per-item neighbor ranking must never be a global sort, and the
+    count joins stay equi-joins (item-cardinality sides — no broadcast
+    of an unbounded table)."""
+    plan = _plan(QUERIES["item_item_cosine"](spark, sf_dir))
+    assert _n_partitionless_windows(plan) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_lpa_rounds_have_no_global_window(spark, sf_dir):
+    """Both unrolled LPA rounds rank votes per NODE — no partitionless
+    window anywhere; label tables join as shuffles, not broadcasts of
+    node-cardinality state."""
+    plan = _plan(QUERIES["label_propagation_communities"](spark, sf_dir))
+    assert _n_partitionless_windows(plan) == 0
+
+
+def test_simhash_pairs_candidates_are_equi_join(spark, sf_dir):
+    """The banded candidate join must be a real equi-join on
+    (band, band-value) — no cartesian/nested-loop pairing of the corpus
+    with itself."""
+    plan = _plan(QUERIES["simhash_hamming_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

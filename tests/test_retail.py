@@ -1,0 +1,164 @@
+"""Semantic invariants for the retail/graph family (queries/retail.py) and
+the round-5 session-3 retrieval additions (queries/llm.py tail) beyond
+DuckDB oracle equivalence: two-level-vs-flat prefix-sum equality for ABC,
+cosine bounds, LPA label sanity, banding losslessness for the SimHash pair
+search, and a hand recomputation of the Dirichlet QL score."""
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.llm.dedup import simhash
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+load_all()
+
+
+def test_abc_two_level_equals_flat_prefix(spark, sf_dir):
+    """The bucketed two-level cumsum must reproduce the flat partitionless
+    prefix sum bit-for-bit (exact integer cents ⇒ associativity is real,
+    not approximate)."""
+    got = {
+        r.abc_class: (r.n_parts, r.rev_share_r)
+        for r in QUERIES["abc_pareto_class"](spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    prev = li.groupBy("l_partkey").agg(
+        (
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flat = (
+        prev.withColumn("cum_c", F.sum("rev_c").over(w))
+        .withColumn("total_c", F.sum("rev_c").over(Window.orderBy(F.lit(1))))
+        .withColumn(
+            "abc_class",
+            F.when(
+                F.col("cum_c").cast("decimal(38,0)") * 100
+                <= F.col("total_c").cast("decimal(38,0)") * 80,
+                "A",
+            )
+            .when(
+                F.col("cum_c").cast("decimal(38,0)") * 100
+                <= F.col("total_c").cast("decimal(38,0)") * 95,
+                "B",
+            )
+            .otherwise("C"),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("rev_c") / F.first("total_c"), 6).alias(
+                "rev_share_r"
+            ),
+        )
+        .collect()
+    )
+    assert {r.abc_class: (r.n_parts, r.rev_share_r) for r in flat} == got
+    # Pareto boundaries: A alone holds ≤ 80% of revenue, A+B ≤ 95%.
+    assert got["A"][1] <= 0.80 and got["A"][1] + got["B"][1] <= 0.95
+    assert abs(sum(s for _, s in got.values()) - 1.0) < 1e-5
+
+
+def test_item_item_cosine_bounds(spark, sf_dir):
+    rows = QUERIES["item_item_cosine"](spark, sf_dir).collect()
+    assert rows, "support-≥2 graph should be non-empty at every fixture SF"
+    per_item = {}
+    for r in rows:
+        assert 0.0 < r.cosine_r <= 1.0  # c_ij ≤ min(c_i, c_j) ⇒ cos ≤ 1
+        assert r.n_co >= 2
+        per_item.setdefault(r.item, []).append(r.cosine_r)
+    for item, cs in per_item.items():
+        assert len(cs) <= 3, item
+        assert cs == sorted(cs, reverse=True), item  # rank order surfaced
+
+
+def test_lpa_communities_label_sanity(spark, sf_dir):
+    out = QUERIES["label_propagation_communities"](spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    sizes = [r.size for r in out]
+    assert sizes == sorted(sizes, reverse=True)
+    # labels are node ids (parts), and top-20 membership can't exceed the
+    # graph's vertex count
+    li = table(spark, sf_dir, "lineitem")
+    parts = {r.l_partkey for r in li.select("l_partkey").distinct().collect()}
+    assert all(r.community in parts for r in out)
+    assert sum(sizes) <= len(parts)
+
+
+def test_simhash_banding_is_lossless(spark, sf_dir):
+    """Every Hamming-≤3 pair must be proposed by the 4-band bucketing
+    (pigeonhole) — compare the query against brute-force popcount over
+    all signature pairs."""
+    got = {
+        (r.id1, r.id2): r.hamming_d
+        for r in QUERIES["simhash_hamming_pairs"](spark, sf_dir).collect()
+    }
+    d = table(spark, sf_dir, "documents")
+    sigs = {
+        r.doc_id: r.simhash
+        for r in simhash(d, "doc_id", "text", 32, shingle_n=3).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b): (sigs[a] ^ sigs[b]).bit_count()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (sigs[a] ^ sigs[b]).bit_count() <= 3
+    }
+    assert got == brute
+
+
+def test_query_likelihood_matches_hand_score(spark, sf_dir):
+    out = QUERIES["query_likelihood_topk"](spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    scores = [r.ql_r for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # hand-recompute the top doc's score from raw token counts
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    coll = {r.term: r.cf for r in toks.groupBy("term").agg(F.count("*").alias("cf")).collect()}
+    n = sum(coll.values())
+    q = [
+        r.term
+        for r in toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .offset(9)
+        .limit(3)
+        .collect()
+    ]
+    top = out[0].doc_id
+    doc_tf = {
+        r.term: r.f
+        for r in toks.filter(F.col("doc_id") == top)
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+        .collect()
+    }
+    dl = sum(doc_tf.values())
+    mu = 2000.0
+    expect = sum(
+        math.log(
+            (doc_tf.get(t, 0) + mu * coll[t] / n) / (dl + mu)
+        )
+        for t in q
+    )
+    assert abs(out[0].ql_r - round(expect, 4)) < 1e-9
