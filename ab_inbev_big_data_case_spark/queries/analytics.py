@@ -1207,3 +1207,138 @@ def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_PATHS_SQL = """
+    WITH ev AS (
+        SELECT user_id, ts::DATE AS day, event_type,
+               row_number() OVER (PARTITION BY user_id, ts::DATE
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id, day,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ev WHERE rn <= 3 GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+"""
+
+
+@register("session_path_mining", oracle=_PATHS_SQL)
+def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 10 most common opening 3-event
+    sequences per user-day session — the Sankey/flow-diagram feed that
+    turns ``event_transitions``' Markov bigrams into whole entry paths.
+
+    Scale shape: one window PARTITIONED by (user, day) ranks events
+    within each session (ts + event_id tiebreak → total order), the
+    rn<=3 filter caps per-session state at 3 rows BEFORE the collect,
+    the path string assembles in-row (collect_list of (rn, type) structs
+    -> array_sort -> array_join — collect order is arrival-
+    nondeterministic, so order is imposed after, the
+    ``ordered_string_agg`` discipline), and the top-10 is
+    TakeOrderedAndProject on exact integer counts."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    ranked = e.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
+_CONV_LATENCY_SQL = """
+    WITH c AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, epoch_us(ts) AS pt
+        FROM events WHERE event_type = 'purchase'
+    ),
+    lat AS (
+        SELECT c.user_id, c.event_id, min(p.pt - c.t) AS lat_us
+        FROM c JOIN p ON p.user_id = c.user_id
+                     AND p.pt > c.t AND p.pt <= c.t + 3600000000
+        GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_conversions,
+           round(quantile_cont(lat_us, 0.25), 2) AS p25_us_r,
+           round(quantile_cont(lat_us, 0.50), 2) AS p50_us_r,
+           round(quantile_cont(lat_us, 0.75), 2) AS p75_us_r,
+           round(quantile_cont(lat_us, 0.90), 2) AS p90_us_r
+    FROM lat
+"""
+
+
+@register("conversion_latency_quantiles", oracle=_CONV_LATENCY_SQL)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-latency distribution: for every
+    converting click (first purchase within the hour), exact latency
+    quantiles — the "how fast does the funnel move" companion to
+    ``event_followed_by``'s "how often".
+
+    Scale shape: the candidate join is the same user-keyed equi-join
+    with a time-range filter (fan-out bounded per user's event
+    density); min-latency per click is a grouped agg riding the same
+    user partitioning; the final exact ``percentile`` is ONE 1-row
+    aggregate (mergeable partial state). Latencies stay in integer
+    epoch-micros, so the interpolated quantiles land on exact binary
+    quarter/tenth grids — round 2 is far from any midpoint in both
+    engines (``rolling_median`` discipline)."""
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("pt")
+    )
+    lat = (
+        c.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pt") > F.col("t"))
+            & (F.col("pt") <= F.col("t") + F.lit(3_600_000_000)),
+        )
+        .groupBy("user_id", "event_id")
+        .agg(F.min(F.col("pt") - F.col("t")).alias("lat_us"))
+    )
+    q = lat.agg(
+        F.count("*").alias("n_conversions"),
+        *[
+            F.round(F.percentile("lat_us", F.lit(frac)), 2).alias(name)
+            for frac, name in (
+                (0.25, "p25_us_r"),
+                (0.50, "p50_us_r"),
+                (0.75, "p75_us_r"),
+                (0.90, "p90_us_r"),
+            )
+        ],
+    )
+    return q

@@ -628,3 +628,61 @@ def partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(rh AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"
         ).alias("checksum"),
     )
+
+
+# ------------------------------------------------ Benford first-digit DQ
+
+_BENFORD_SQL = """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    c AS (SELECT digit, count(*) AS n_obs FROM digits GROUP BY 1),
+    t AS (SELECT sum(n_obs) AS n FROM c)
+    SELECT c.digit, c.n_obs,
+           round(c.n_obs * 1.0 / t.n, 6) AS obs_p_r,
+           round(ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS exp_p_r,
+           round(t.n * pow(c.n_obs * 1.0 / t.n
+                           - ln(1.0 + 1.0 / c.digit) / ln(10.0), 2)
+                 / (ln(1.0 + 1.0 / c.digit) / ln(10.0)), 4) AS chi2_part_r
+    FROM c CROSS JOIN t
+"""
+
+
+@register("benford_law_check", oracle=_BENFORD_SQL)
+def benford_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic
+    data-quality screen for fabricated or truncated monetary data
+    (synthetic uniform-ish prices measurably DEVIATE from Benford, which
+    is itself the point: the per-digit chi-square contributions localize
+    WHERE a distribution fails, feeding the same expectation-suite
+    surface as ``dq_checks``).
+
+    Scale shape: one grouped count onto the 9-row digit spine (map-side
+    combined), one broadcast 1-row total, expected frequencies
+    ln(1+1/d)/ln(10) folded as codegen'd constants — a full-table DQ
+    probe that moves 9 rows. First digit is taken from the integer part
+    (orders are >= 1 dollar by construction), identically in both
+    engines via floor -> BIGINT -> leading character."""
+    o = table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    t = c.agg(F.sum("n_obs").alias("n"))
+    exp_p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    obs_p = F.col("n_obs") / F.col("n")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        F.round(obs_p, 6).alias("obs_p_r"),
+        F.round(exp_p, 6).alias("exp_p_r"),
+        F.round(F.col("n") * F.pow(obs_p - exp_p, 2) / exp_p, 4).alias(
+            "chi2_part_r"
+        ),
+    )

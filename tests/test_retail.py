@@ -162,3 +162,39 @@ def test_query_likelihood_matches_hand_score(spark, sf_dir):
         for t in q
     )
     assert abs(out[0].ql_r - round(expect, 4)) < 1e-9
+
+
+def test_benford_is_a_proper_distribution(spark, sf_dir):
+    rows = QUERIES["benford_law_check"](spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_p_r for r in rows) - 1.0) < 1e-4
+    # expected Benford frequencies, independently recomputed
+    for r in rows:
+        assert abs(r.exp_p_r - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+        assert r.chi2_part_r >= 0.0
+
+
+def test_session_paths_are_valid_prefixes(spark, sf_dir):
+    rows = QUERIES["session_path_mining"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    types = {"view", "click", "purchase", "signup", "error"}
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= 3
+        assert set(steps) <= types
+    # conservation: total mined sessions can't exceed distinct user-days
+    e = table(spark, sf_dir, "events")
+    n_sessions = (
+        e.select("user_id", F.to_date("ts").alias("day")).distinct().count()
+    )
+    assert sum(counts) <= n_sessions
+
+
+def test_conversion_latency_quantiles_ordered(spark, sf_dir):
+    r = QUERIES["conversion_latency_quantiles"](spark, sf_dir).collect()[0]
+    assert r.n_conversions > 0
+    qs = [r.p25_us_r, r.p50_us_r, r.p75_us_r, r.p90_us_r]
+    assert qs == sorted(qs)  # quantiles are monotone
+    assert 0 < qs[0] and qs[-1] <= 3_600_000_000  # within the 1h window
