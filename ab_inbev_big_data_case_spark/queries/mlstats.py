@@ -905,3 +905,130 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contrib_r"
         ),
     )
+
+
+# ---------------------------------------------- Kaplan-Meier survival
+
+_KM_SQL = """
+    WITH su AS (
+        SELECT user_id, min(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN su ON su.user_id = e.user_id
+                            AND epoch_us(e.ts) > su.s_us
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1
+    ),
+    obs AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+    durs AS (
+        SELECT CASE WHEN pu.p_us IS NOT NULL
+                    THEN (pu.p_us - su.s_us) // 86400000000
+                    ELSE (o.end_us - su.s_us) // 86400000000
+               END AS t_day,
+               CASE WHEN pu.p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+        CROSS JOIN obs o
+    ),
+    g AS (SELECT t_day, sum(ev) AS d, count(*) AS c FROM durs GROUP BY 1),
+    sp AS (
+        SELECT t_day, d,
+               sum(c) OVER (ORDER BY t_day DESC
+                            ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM g
+    ),
+    km AS (
+        SELECT t_day, d, n_risk,
+               min(CASE WHEN d = n_risk THEN 0 ELSE 1 END)
+                   OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS nz,
+               sum(ln(CASE WHEN d = n_risk THEN 1.0
+                           ELSE 1.0 - d * 1.0 / n_risk END))
+                   OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS ln_s
+        FROM sp WHERE d > 0
+    )
+    SELECT t_day, d::BIGINT AS n_events, n_risk::BIGINT AS n_risk,
+           CASE WHEN nz = 0 THEN 0.0 ELSE round(exp(ln_s), 6) END AS surv_r
+    FROM km
+"""
+
+
+@register("kaplan_meier_survival", oracle=_KM_SQL)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup -> first-purchase conversion
+    with right-censoring: users who never purchase are censored at the
+    observation end instead of being dropped (dropping them is THE classic
+    conversion-rate bias), S(t) = prod_{t_i <= t} (1 - d_i / n_i).
+
+    Scale shape: per-user first-signup / first-purchase reductions are
+    grouped aggs keyed on user; durations then collapse onto the DAY
+    spine, which is calendar-bounded (O(observation days), ~30 here,
+    independent of user count) — the at-risk counts (descending cumsum),
+    the zero-factor guard (running min), and the log-survival running sum
+    are all windows over that bounded spine (the documented bounded-spine
+    exception). The product is computed as exp(sum ln(factor)) with the
+    summation order fixed by the day ordering, so both engines accumulate
+    identical FP; a d_i = n_i terminal factor is handled exactly (surv 0)
+    rather than through ln(0), whose result differs across engines."""
+    e = table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_raw"))
+        .join(su, "user_id")
+        .filter(F.col("p_raw") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_us"))
+    )
+    obs = e.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    day_us = F.lit(86_400_000_000)
+    durs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.when(
+                F.col("p_us").isNotNull(),
+                F.expr("(p_us - s_us) div 86400000000"),
+            )
+            .otherwise(F.expr("(end_us - s_us) div 86400000000"))
+            .alias("t_day"),
+            F.when(F.col("p_us").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    g = durs.groupBy("t_day").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("c")
+    )
+    # bounded day spine (O(observation days)) — see docstring
+    w_desc = Window.orderBy(F.col("t_day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sp = g.select(
+        "t_day", "d", F.sum("c").over(w_desc).alias("n_risk")
+    ).filter(F.col("d") > 0)
+    w_asc = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    factor = F.when(F.col("d") == F.col("n_risk"), F.lit(1.0)).otherwise(
+        1.0 - F.col("d") / F.col("n_risk")
+    )
+    km = sp.select(
+        "t_day",
+        "d",
+        "n_risk",
+        F.min(F.when(F.col("d") == F.col("n_risk"), 0).otherwise(1))
+        .over(w_asc)
+        .alias("nz"),
+        F.sum(F.log(factor)).over(w_asc).alias("ln_s"),
+    )
+    return km.select(
+        "t_day",
+        F.col("d").alias("n_events"),
+        "n_risk",
+        F.when(F.col("nz") == 0, F.lit(0.0))
+        .otherwise(F.round(F.exp("ln_s"), 6))
+        .alias("surv_r"),
+    )

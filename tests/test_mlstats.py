@@ -299,3 +299,21 @@ def test_psi_drift_brute_force(spark, sf_dir):
         assert abs(got[b].psi_contrib_r - contrib) <= 1.1e-6, b
         psi += contrib
     assert psi >= 0  # PSI is a symmetrized KL — nonnegative
+
+
+def test_kaplan_meier_is_a_survival_curve(spark, sf_dir):
+    """S(t) must be non-increasing in (0,1]; at-risk counts non-increasing
+    in t; and the curve's total drop equals the event mass it saw."""
+    rows = sorted(
+        QUERIES["kaplan_meier_survival"](spark, sf_dir).collect(),
+        key=lambda r: r.t_day,
+    )
+    assert rows
+    survs = [r.surv_r for r in rows]
+    risks = [r.n_risk for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in survs)
+    assert survs == sorted(survs, reverse=True)
+    assert risks == sorted(risks, reverse=True)
+    assert all(r.n_events >= 1 for r in rows)
+    # KM identity at the first event time: S = 1 - d/n exactly
+    assert abs(survs[0] - round(1 - rows[0].n_events / risks[0], 6)) < 1e-6
