@@ -1299,3 +1299,102 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out_rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------- PMI collocations
+
+_PMI_MIN_COUNT = 5
+
+_PMI_SQL = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY 1),
+    bg AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2,
+               count(*) AS n_xy
+        FROM (
+            SELECT unnest(list_transform(
+                range(1, len(string_split(text, ' '))),
+                i -> concat_ws(' ', string_split(text, ' ')[i],
+                               string_split(text, ' ')[i+1])
+            )) AS bigram
+            FROM documents
+        )
+        GROUP BY 1, 2
+        HAVING count(*) >= {_PMI_MIN_COUNT}
+    ),
+    tot AS (SELECT sum(n_xy) AS n FROM (
+        SELECT count(*) AS n_xy FROM (
+            SELECT unnest(list_transform(
+                range(1, len(string_split(text, ' '))),
+                i -> concat_ws(' ', string_split(text, ' ')[i],
+                               string_split(text, ' ')[i+1])
+            )) AS bigram
+            FROM documents
+        ) GROUP BY bigram
+    ))
+    SELECT bg.w1, bg.w2, bg.n_xy,
+           round(ln(bg.n_xy * 1.0 * t.n / (u1.n_w * 1.0 * u2.n_w)), 4)
+               AS pmi_r
+    FROM bg
+    JOIN uni u1 ON u1.w = bg.w1
+    JOIN uni u2 ON u2.w = bg.w2
+    CROSS JOIN tot t
+    ORDER BY pmi_r DESC, bg.w1, bg.w2
+    LIMIT 20
+"""
+
+
+@register("collocations_pmi", oracle=_PMI_SQL)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction via pointwise mutual information:
+    PMI(x,y) = ln(c(x,y)·N / (c(x)·c(y))) over adjacent-token bigrams,
+    min-count-5 pruned (rare pairs have unreliable, inflated PMI — the
+    standard Church & Hanks 1990 guard). The "which words glue together"
+    counterpart to ``log_odds_terms``' "which words distinguish
+    corpora".
+
+    Scale shape: the same exploded-bigram rows as ``bigram_lm_score``
+    feed the pair counts; unigram joins are plain equi-joins on the word
+    key (vocab grows with corpus — no broadcast hints, AQE decides); the
+    bigram total is a broadcast 1-row aggregate and the top-20 ranks the
+    ROUNDED score with word tiebreaks (TakeOrderedAndProject)."""
+    d = table(spark, sf_dir, "documents")
+    bg_rows = d.select(
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram")
+    ).select(
+        F.substring_index("bigram", " ", 1).alias("w1"),
+        F.substring_index("bigram", " ", -1).alias("w2"),
+    )
+    uni = d.select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    ).groupBy("w").agg(F.count("*").alias("n_w"))
+    bg = (
+        bg_rows.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+    )
+    tot = bg_rows.agg(F.count("*").alias("n"))
+    pmi = (
+        bg.join(uni.withColumnRenamed("w", "w1"), "w1")
+        .withColumnRenamed("n_w", "n_w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .withColumnRenamed("n_w", "n_w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(
+                F.log(
+                    F.col("n_xy")
+                    * F.col("n")
+                    / (F.col("n_w1") * F.col("n_w2")).cast("double")
+                ),
+                4,
+            ).alias("pmi_r"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi_r").desc(), "w1", "w2").limit(20)

@@ -352,3 +352,183 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+_MODULARITY_SQL = (
+    f"""
+    WITH {_EDGES_SQL},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+    """
+    + _LPA_ROUND_SQL.format(cur="l0", nxt="l1")
+    + ","
+    + _LPA_ROUND_SQL.format(cur="l1", nxt="l2")
+    + """,
+    m AS (SELECT count(*) AS n_edges FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY 1),
+    cdeg AS (
+        SELECT l.lab AS community, sum(deg.d)::BIGINT AS deg_sum,
+               count(*) AS n_nodes
+        FROM l2 l JOIN deg ON deg.node = l.node
+        GROUP BY 1
+    ),
+    within AS (
+        SELECT la.lab AS community, count(*) AS n_within
+        FROM e
+        JOIN l2 la ON la.node = e.u
+        JOIN l2 lb ON lb.node = e.v AND lb.lab = la.lab
+        GROUP BY 1
+    )
+    SELECT c.community, c.n_nodes, c.deg_sum,
+           coalesce(w.n_within, 0)::BIGINT AS n_within,
+           round(coalesce(w.n_within, 0) * 1.0 / m.n_edges
+                 - pow(c.deg_sum * 1.0 / (2 * m.n_edges), 2), 6) + 0.0
+               AS q_contrib_r
+    FROM cdeg c
+    LEFT JOIN within w ON w.community = c.community
+    CROSS JOIN m
+    ORDER BY c.n_nodes DESC, c.community
+    LIMIT 20
+"""
+)
+
+
+@register("community_modularity", oracle=_MODULARITY_SQL)
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity audit of the LPA partition: per-community
+    contribution Q_i = e_ii/m − (d_i/2m)² over the same support-≥2
+    co-purchase graph and the same two unrolled LPA rounds — the quality
+    metric that tells you whether ``label_propagation_communities``
+    found real structure (Q_i > 0: denser inside than a degree-preserving
+    random graph) or noise. The engine's audit discipline applied to
+    community detection, beside ``ann_recall_eval``/``ndcg_eval``.
+
+    Scale shape: the label lineage is the LPA plan verbatim (joins +
+    per-node windows); within-community edge counts are two keyed label
+    joins on the CANONICAL (u<v) edge list so each edge is counted once;
+    degree sums ride the community key; m is a broadcast 1-row
+    aggregate. All counts are exact integers, Q contributions round at
+    6."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+
+    def lpa_round(cur: DataFrame) -> DataFrame:
+        votes = (
+            sym.join(cur.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lab")
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+
+    l2 = lpa_round(lpa_round(labels))
+    m = e.agg(F.count("*").alias("n_edges"))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    cdeg = (
+        l2.join(deg, "node")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.sum("d").cast("long").alias("deg_sum"),
+            F.count("*").alias("n_nodes"),
+        )
+    )
+    la = l2.select(F.col("node").alias("u"), F.col("lab").alias("la"))
+    lb = l2.select(F.col("node").alias("v"), F.col("lab").alias("lb"))
+    within = (
+        e.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").alias("n_within"))
+    )
+    out = (
+        cdeg.join(within, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "deg_sum",
+            F.coalesce("n_within", F.lit(0)).cast("long").alias("n_within"),
+            (
+                F.round(
+                    F.coalesce("n_within", F.lit(0)) / F.col("n_edges")
+                    - F.pow(
+                        F.col("deg_sum") / (2.0 * F.col("n_edges")), 2
+                    ),
+                    6,
+                )
+                # + 0.0 canonicalizes IEEE -0.0 (a tiny negative Q_i rounds
+                # to zero with a sign bit in one engine but not the other)
+                + 0.0
+            ).alias("q_contrib_r"),
+        )
+    )
+    return out.orderBy(F.col("n_nodes").desc(), "community").limit(20)
+
+
+_ASSORT_SQL = f"""
+    WITH {_EDGES_SQL},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY 1)
+    SELECT count(*) AS n_edge_ends,
+           round(corr(du.d, dv.d), 6) AS assortativity_r
+    FROM sym
+    JOIN deg du ON du.node = sym.u
+    JOIN deg dv ON dv.node = sym.v
+"""
+
+
+@register("graph_assortativity", oracle=_ASSORT_SQL)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list
+    (Newman 2002) — negative means hubs attach to leaves
+    (hub-and-spoke assortment), positive means a rich-club core.
+
+    Scale shape: degrees are one grouped count; the two degree lookups
+    are keyed equi-joins on the vertex; ``corr`` is a single mergeable
+    moment aggregate (sums of d, d², d·d' — the same machinery as
+    ``corr_matrix``). Symmetrization makes the correlation well-defined
+    (each edge contributes both orientations)."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("d_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("d_v"))
+    return (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count("*").alias("n_edge_ends"),
+            F.round(F.corr("d_u", "d_v"), 6).alias("assortativity_r"),
+        )
+    )

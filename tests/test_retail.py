@@ -198,3 +198,40 @@ def test_conversion_latency_quantiles_ordered(spark, sf_dir):
     qs = [r.p25_us_r, r.p50_us_r, r.p75_us_r, r.p90_us_r]
     assert qs == sorted(qs)  # quantiles are monotone
     assert 0 < qs[0] and qs[-1] <= 3_600_000_000  # within the 1h window
+
+
+def test_modularity_contributions_are_consistent(spark, sf_dir):
+    """Q_i ∈ [-1, 1]; within-edges can't exceed m; the LPA partition's
+    node counts here must match label_propagation_communities' sizes."""
+    rows = QUERIES["community_modularity"](spark, sf_dir).collect()
+    assert rows
+    lpa = {
+        r.community: r.size
+        for r in QUERIES["label_propagation_communities"](
+            spark, sf_dir
+        ).collect()
+    }
+    for r in rows:
+        assert -1.0 <= r.q_contrib_r <= 1.0
+        assert 0 <= r.n_within
+        assert r.deg_sum >= 2 * r.n_within  # within-edges use community degree
+        if r.community in lpa:
+            assert lpa[r.community] == r.n_nodes
+
+
+def test_assortativity_is_a_correlation(spark, sf_dir):
+    r = QUERIES["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert r.n_edge_ends > 0 and r.n_edge_ends % 2 == 0  # both orientations
+    assert -1.0 <= r.assortativity_r <= 1.0
+
+
+def test_pmi_respects_min_count_and_bound(spark, sf_dir):
+    """PMI ≤ ln(N / max(c_x, c_y)) ≤ ln(N/c_xy's support floor); with
+    min-count 5 every pair must satisfy n_xy >= 5, and PMI(x,y) can
+    never exceed -ln p(x) (perfect association bound)."""
+    rows = QUERIES["collocations_pmi"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.pmi_r for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.n_xy >= 5
