@@ -3056,3 +3056,84 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ql_r").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ------------------------------------------- inverted-index construction
+
+_POSTINGS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS f
+        FROM toks GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT term, count(*) AS df, sum(f)::BIGINT AS total_tf
+        FROM tf GROUP BY 1
+    ),
+    top AS (
+        SELECT term, df, total_tf FROM stats
+        ORDER BY df DESC, term LIMIT 10
+    ),
+    ranked AS (
+        SELECT tf.term, tf.doc_id, tf.f,
+               row_number() OVER (PARTITION BY tf.term
+                                  ORDER BY tf.doc_id) AS rn
+        FROM tf JOIN top ON top.term = tf.term
+    )
+    SELECT t.term, t.df, t.total_tf,
+           string_agg('d' || r.doc_id || ':' || r.f, ',' ORDER BY r.doc_id)
+               AS postings_head
+    FROM top t JOIN ranked r ON r.term = t.term AND r.rn <= 50
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("postings_lists", oracle=_POSTINGS_SQL)
+def postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per-term postings lists (doc, tf)
+    for the 10 highest-df terms — the index-BUILD step the retrieval
+    scorers (``bm25_topk``, ``query_likelihood_topk``) consume
+    conceptually; emitted as a doc-ordered 'd<doc>:<tf>' string because
+    the driver's canonicalizer hashes scalar columns.
+
+    Scale shape: term frequencies and doc frequencies are two grouped
+    aggs over one token explode; only the broadcast-sized top-10 term
+    table fans into the postings join. A hot term's FULL postings list
+    is corpus-sized, so materializing it in one row is the scale-killer
+    an index shard avoids — the head is capped at 50 entries via a
+    per-term (PARTITIONED) rank window BEFORE collection; a production
+    index keeps whole postings as chunked arrays partitioned by term
+    hash, which changes only the cap, not the plan shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("f"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("f").cast("long").alias("total_tf")
+    )
+    top = stats.orderBy(F.col("df").desc(), "term").limit(10)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = (
+        tf.join(F.broadcast(top.select("term")), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+    )
+    heads = ranked.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "f"))),
+                lambda s: F.concat(
+                    F.lit("d"),
+                    s.doc_id.cast("string"),
+                    F.lit(":"),
+                    s.f.cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("postings_head")
+    )
+    return top.join(heads, "term").select(
+        "term", "df", "total_tf", "postings_head"
+    )

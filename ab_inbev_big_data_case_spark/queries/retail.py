@@ -532,3 +532,67 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("d_u", "d_v"), 6).alias("assortativity_r"),
         )
     )
+
+
+_RECSYS_EVAL_SQL = f"""
+    WITH topk AS ({_ITEM_COSINE_SQL}),
+    items_all AS (SELECT count(DISTINCT l_partkey) AS n_items FROM lineitem),
+    covered AS (SELECT count(DISTINCT item) AS n_covered,
+                       count(*) AS n_recs
+                FROM topk),
+    recip AS (
+        SELECT count(*) AS n_recip
+        FROM topk a JOIN topk b
+          ON b.item = a.neighbor AND b.neighbor = a.item
+    )
+    SELECT i.n_items, c.n_covered,
+           round(c.n_covered * 1.0 / i.n_items, 6) AS coverage_r,
+           round(c.n_recs * 1.0 / c.n_covered, 6) AS avg_neighbors_r,
+           round(r.n_recip * 1.0 / c.n_recs, 6) AS reciprocity_r
+    FROM items_all i CROSS JOIN covered c CROSS JOIN recip r
+"""
+
+
+@register("recsys_coverage_eval", oracle=_RECSYS_EVAL_SQL)
+def recsys_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender audit for ``item_item_cosine``: catalog coverage (what
+    fraction of parts get ANY neighbor), average list length, and
+    reciprocity (how often j's list returns the favor when i lists j) —
+    the audit-pair discipline (``ann_recall_eval``, ``ndcg_eval``)
+    applied to the collaborative filter; low coverage means the
+    support-≥2 threshold starves the long tail.
+
+    Scale shape: the top-3 lists are item-bounded (≤ 3·|items| rows);
+    reciprocity is a self-equi-join on the (item, neighbor) pair key;
+    totals are 1-row broadcast aggregates."""
+    tk = item_item_cosine(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    items_all = li.agg(F.countDistinct("l_partkey").alias("n_items"))
+    covered = tk.agg(
+        F.countDistinct("item").alias("n_covered"),
+        F.count("*").alias("n_recs"),
+    )
+    flipped = tk.select(
+        F.col("item").alias("neighbor"), F.col("neighbor").alias("item")
+    )
+    recip = (
+        tk.join(flipped, ["item", "neighbor"], "left_semi")
+        .agg(F.count("*").alias("n_recip"))
+    )
+    return (
+        items_all.crossJoin(F.broadcast(covered))
+        .crossJoin(F.broadcast(recip))
+        .select(
+            "n_items",
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_items"), 6).alias(
+                "coverage_r"
+            ),
+            F.round(F.col("n_recs") / F.col("n_covered"), 6).alias(
+                "avg_neighbors_r"
+            ),
+            F.round(F.col("n_recip") / F.col("n_recs"), 6).alias(
+                "reciprocity_r"
+            ),
+        )
+    )

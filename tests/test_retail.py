@@ -235,3 +235,26 @@ def test_pmi_respects_min_count_and_bound(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     for r in rows:
         assert r.n_xy >= 5
+
+
+def test_recsys_eval_consistent_with_topk(spark, sf_dir):
+    r = QUERIES["recsys_coverage_eval"](spark, sf_dir).collect()[0]
+    tk = QUERIES["item_item_cosine"](spark, sf_dir).collect()
+    assert r.n_covered == len({x.item for x in tk})
+    assert 0.0 < r.coverage_r <= 1.0
+    assert 1.0 <= r.avg_neighbors_r <= 3.0
+    assert 0.0 <= r.reciprocity_r <= 1.0
+
+
+def test_postings_heads_are_doc_ordered(spark, sf_dir):
+    rows = QUERIES["postings_lists"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        entries = r.postings_head.split(",")
+        assert len(entries) == min(r.df, 50)
+        docs = [int(e.split(":")[0][1:]) for e in entries]
+        assert docs == sorted(docs)  # postings are doc-ordered
+        tfs = [int(e.split(":")[1]) for e in entries]
+        assert all(t >= 1 for t in tfs)
+        if r.df <= 50:  # full postings present → tf conservation
+            assert sum(tfs) == r.total_tf
