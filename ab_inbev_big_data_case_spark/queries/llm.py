@@ -2850,7 +2850,7 @@ _SIMHASH_SIG_CTE = f"""
     sh_h AS (SELECT doc_id, {_H64.format(x='tok')} AS h FROM sfeat),
     votes AS (
         SELECT doc_id, bit, sum(((h >> bit::INT) % 2) * 2 - 1) AS net_vote
-        FROM sh_h CROSS JOIN range(32) t(bit)
+        FROM sh_h CROSS JOIN range(60) t(bit)
         GROUP BY 1, 2
     ),
     sig AS (
@@ -2864,7 +2864,7 @@ _SIMHASH_SIG_CTE = f"""
 _SIMHASH_PAIRS_SQL = f"""
     WITH {_SIMHASH_SIG_CTE},
     bands AS (
-        SELECT doc_id, b, (s >> (8 * b)::INT) & 255 AS bv
+        SELECT doc_id, b, (s >> (15 * b)::INT) & 32767 AS bv
         FROM sig CROSS JOIN range(4) t(b)
     ),
     cand AS (
@@ -2883,19 +2883,23 @@ _SIMHASH_PAIRS_SQL = f"""
 
 @register("simhash_hamming_pairs", oracle=_SIMHASH_PAIRS_SQL)
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate PAIRS: banded bucketing over 32-bit
-    SHINGLE-voted signatures (4 bands x 8 bits) proposes candidates, then the exact
+    """SimHash near-duplicate PAIRS: banded bucketing over 60-bit
+    SHINGLE-voted signatures (4 bands x 15 bits — the Manku et al.
+    64-bit/k=3 configuration fitted to the engine's 60-bit portable
+    hash budget) proposes candidates, then the exact
     Hamming distance (popcount of XOR) keeps pairs within 3 bits —
     closing the loop ``simhash_docs`` opens (signatures alone find
     nothing; this is the search structure over them). Two calibration
-    choices matter, both measured on the fixture corpus: (1) votes come
-    from distinct 3-gram SHINGLES, not unigrams — unigram sets collide
-    for any same-vocabulary pair (18.7k radius-3 pairs vs 25 true
-    Jaccard-0.5 near-dups); (2) 32 signature bits (vs the 16-bit
-    ``simhash_docs`` demo) keep the 256-value bands sparse — 4-bit
-    bands have 16 buckets and the candidate join degenerates toward
-    all-pairs (67k candidates over 500 docs). Band width is the knob
-    that scales bucket occupancy with corpus size.
+    choices matter, both measured on the fixture corpus (full curves in
+    SCALE.md "SimHash band-width law"): (1) votes come from distinct
+    3-gram SHINGLES, not unigrams — unigram sets collide for any
+    same-vocabulary pair (18.7k radius-3 pairs vs 25 true Jaccard-0.5
+    near-dups); (2) band width w is THE scale knob: random band
+    collisions grow ~4·N²/2^w, so 2^w must outgrow N — 8-bit bands
+    produce 203k candidates over 5k docs (quadratic regime), 15-bit
+    bands 1.9k for 138 true pairs. At larger corpora, re-derive w ≳
+    log2(N) + slack from the same law; radius stays ≤ bands−1 for the
+    pigeonhole guarantee.
 
     The banding is LOSSLESS for the radius: two signatures within
     Hamming distance 3 differ in at most 3 of the 4 bands, so by
@@ -2910,7 +2914,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash + the Manku et al. (2007) banded Hamming search, re-expressed
     as two DataFrame joins."""
     d = table(spark, sf_dir, "documents")
-    sig = simhash(d, "doc_id", "text", 32, shingle_n=3).withColumnRenamed(
+    sig = simhash(d, "doc_id", "text", 60, shingle_n=3).withColumnRenamed(
         "simhash", "s"
     )
     bands = sig.select(
@@ -2920,8 +2924,8 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("b"),
-                        F.shiftright(F.col("s"), 8 * b)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("s"), 15 * b)
+                        .bitwiseAND(F.lit(32767))
                         .alias("bv"),
                     )
                     for b in range(4)

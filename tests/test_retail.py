@@ -112,7 +112,7 @@ def test_simhash_banding_is_lossless(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     sigs = {
         r.doc_id: r.simhash
-        for r in simhash(d, "doc_id", "text", 32, shingle_n=3).collect()
+        for r in simhash(d, "doc_id", "text", 60, shingle_n=3).collect()
     }
     ids = sorted(sigs)
     brute = {
