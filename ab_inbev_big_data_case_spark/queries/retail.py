@@ -596,3 +596,92 @@ def recsys_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LEADERBOARD_SQL = """
+    WITH mrev AS (
+        SELECT date_trunc('month', o.o_orderdate)::TIMESTAMP AS month,
+               l.l_partkey,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,6))), 2) * 100 AS BIGINT)
+                   AS rev_c
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT month, l_partkey, rev_c,
+               row_number() OVER (PARTITION BY month
+                                  ORDER BY rev_c DESC, l_partkey) AS rnk
+        FROM mrev
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= 10)
+    SELECT t.month, t.l_partkey, t.rnk,
+           p.rnk AS prev_rnk,
+           CASE WHEN p.rnk IS NULL THEN NULL
+                ELSE p.rnk - t.rnk END AS shift
+    FROM top t
+    LEFT JOIN top p ON p.l_partkey = t.l_partkey
+                   AND p.month = t.month - INTERVAL 1 MONTH
+"""
+
+
+@register("leaderboard_rank_shift", oracle=_LEADERBOARD_SQL)
+def leaderboard_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly top-10 revenue leaderboard with month-over-month rank
+    shifts: each month's top parts carry their previous-month rank
+    (NULL = entered the board) — the "movers and shakers" report, the
+    ranked cousin of ``mom_revenue_growth``.
+
+    Scale shape: monthly revenue is one decimal-exact grouped agg; the
+    per-month ranking window carries a rnk<=10 filter that Spark plans
+    as WindowGroupLimit (bounded per-partition state — it never sorts a
+    month's full part spine to completion, the same property
+    ``window_topk_group`` pins), and the shift lookup is a keyed
+    self-join of two 10-row-per-month boards on (part, prev month).
+    Ranking on exact integer cents with partkey tiebreak — no float
+    anywhere near the order."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    mrev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "l_partkey",
+        )
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                        ).cast("decimal(18,6)")
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("month").orderBy(
+        F.col("rev_c").desc(), "l_partkey"
+    )
+    top = (
+        mrev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("month", "l_partkey", "rnk")
+    )
+    prev = top.select(
+        F.add_months(F.col("month"), 1).cast("timestamp").alias("month"),
+        F.col("l_partkey"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    return top.join(prev, ["month", "l_partkey"], "left").select(
+        "month",
+        "l_partkey",
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).alias("shift"),
+    )

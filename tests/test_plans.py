@@ -516,3 +516,11 @@ def test_simhash_pairs_candidates_are_equi_join(spark, sf_dir):
     plan = _plan(QUERIES["simhash_hamming_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leaderboard_rank_is_group_limited(spark, sf_dir):
+    """The rnk<=10 filter must plan as WindowGroupLimit so a month's full
+    part spine is never fully sorted-and-materialized per window."""
+    plan = _plan(QUERIES["leaderboard_rank_shift"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert _n_partitionless_windows(plan) == 0

@@ -258,3 +258,19 @@ def test_postings_heads_are_doc_ordered(spark, sf_dir):
         assert all(t >= 1 for t in tfs)
         if r.df <= 50:  # full postings present → tf conservation
             assert sum(tfs) == r.total_tf
+
+
+def test_leaderboard_shift_identity(spark, sf_dir):
+    rows = QUERIES["leaderboard_rank_shift"](spark, sf_dir).collect()
+    by_month = {}
+    for r in rows:
+        by_month.setdefault(r.month, []).append(r)
+        if r.prev_rnk is not None:
+            assert r.shift == r.prev_rnk - r.rnk
+            assert 1 <= r.prev_rnk <= 10
+        else:
+            assert r.shift is None  # board entrant
+    for month, rs in by_month.items():
+        ranks = sorted(x.rnk for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))  # dense 1..k board
+        assert len(rs) <= 10
