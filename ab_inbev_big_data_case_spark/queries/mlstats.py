@@ -1032,3 +1032,80 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("ln_s"), 6))
         .alias("surv_r"),
     )
+
+
+# ------------------------------------------- Wilson interval proportions
+
+_WILSON_Z = 1.959963984540054  # two-sided 95%
+
+_WILSON_SQL = f"""
+    WITH j AS (
+        SELECT p.p_brand,
+               count(*) AS n_lines,
+               sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_returned
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    )
+    SELECT p_brand, n_lines, n_returned,
+           round(n_returned * 1.0 / n_lines, 6) AS rate_r,
+           round((n_returned * 1.0 / n_lines
+                  + {_WILSON_Z} * {_WILSON_Z} / (2 * n_lines)
+                  - {_WILSON_Z} * sqrt(
+                        (n_returned * 1.0 / n_lines)
+                        * (1 - n_returned * 1.0 / n_lines) / n_lines
+                        + {_WILSON_Z} * {_WILSON_Z}
+                          / (4.0 * n_lines * n_lines)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_lines), 6) AS lo_r,
+           round((n_returned * 1.0 / n_lines
+                  + {_WILSON_Z} * {_WILSON_Z} / (2 * n_lines)
+                  + {_WILSON_Z} * sqrt(
+                        (n_returned * 1.0 / n_lines)
+                        * (1 - n_returned * 1.0 / n_lines) / n_lines
+                        + {_WILSON_Z} * {_WILSON_Z}
+                          / (4.0 * n_lines * n_lines)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_lines), 6) AS hi_r
+    FROM j
+"""
+
+
+@register("return_rate_wilson_ci", oracle=_WILSON_SQL)
+def return_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return rate with a Wilson-score 95% interval: the
+    interval estimate that stays inside [0,1] and behaves at small n —
+    what the naive ±z√(p̂q̂/n) Wald interval gets wrong for rare events.
+    Interval estimation beside ``welch_ab_test``'s hypothesis testing.
+
+    Scale shape: ONE fact-dim join (part dim joins on the part key) and
+    one grouped conditional count; the interval is pure scalar
+    arithmetic on the aggregate row, codegen'd. The z constant is
+    spelled to full double precision so both engines evaluate the
+    identical expression tree on exact integer counts."""
+    li = table(spark, sf_dir, "lineitem")
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_returned"),
+        )
+    )
+    z = _WILSON_Z
+    phat = F.col("n_returned") / F.col("n_lines")
+    n = F.col("n_lines")
+    center = phat + z * z / (2 * n)
+    margin = z * F.sqrt(phat * (1 - phat) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return j.select(
+        "p_brand",
+        "n_lines",
+        "n_returned",
+        F.round(phat, 6).alias("rate_r"),
+        F.round((center - margin) / denom, 6).alias("lo_r"),
+        F.round((center + margin) / denom, 6).alias("hi_r"),
+    )

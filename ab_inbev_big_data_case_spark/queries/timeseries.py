@@ -466,3 +466,77 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DECOMP_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    t AS (
+        SELECT day, rev,
+               CASE WHEN count(rev) OVER w = 7
+                    THEN round(avg(rev) OVER w, 2) END AS trend_r
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    s AS (
+        SELECT day, rev, trend_r,
+               round(avg(rev - trend_r) FILTER (WHERE trend_r IS NOT NULL)
+                     OVER (PARTITION BY dayofweek(day)), 2) AS seasonal_r
+        FROM t
+    )
+    SELECT day, rev, trend_r, seasonal_r,
+           CASE WHEN trend_r IS NOT NULL
+                THEN round(rev - trend_r - seasonal_r, 2) END AS resid_r
+    FROM s
+"""
+
+
+@register("ts_decomposition", oracle=_DECOMP_SQL)
+def ts_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue: trend = centered
+    7-day moving average (full windows only — edges stay NULL rather
+    than biased), seasonal = day-of-week mean of the detrended series,
+    residual = remainder. The explainable sibling of ``acf_lags``/
+    ``dow_seasonal_profile``: it SPLITS the series instead of testing it.
+
+    Scale shape: all three passes are windows/aggregates over the
+    calendar-bounded day spine (the documented bounded-spine exception)
+    — the fact table is collapsed once, decimal-exact, before any window.
+    Rounding to 2 after each pass keeps both engines on the same cents
+    grid (the spine values are exact, so subtraction stays exact).
+    Day-of-week keys: Spark ``dayofweek`` ≡ DuckDB ``dayofweek()+1``
+    — the oracle uses DuckDB's 0-based Sunday start, and grouping is
+    unaffected because both partition the same 7 ways."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-3, 3)  # bounded day spine
+    t = d.select(
+        "day",
+        "rev",
+        F.when(
+            F.count("rev").over(w) == 7, F.round(F.avg("rev").over(w), 2)
+        ).alias("trend_r"),
+    )
+    ws = Window.partitionBy(F.dayofweek("day"))
+    s = t.select(
+        "day",
+        "rev",
+        "trend_r",
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("trend_r").isNotNull(),
+                    F.col("rev") - F.col("trend_r"),
+                )
+            ).over(ws),
+            2,
+        ).alias("seasonal_r"),
+    )
+    return s.select(
+        "day",
+        "rev",
+        "trend_r",
+        "seasonal_r",
+        F.when(
+            F.col("trend_r").isNotNull(),
+            F.round(F.col("rev") - F.col("trend_r") - F.col("seasonal_r"), 2),
+        ).alias("resid_r"),
+    )

@@ -41,6 +41,8 @@ HEADLINE = [
     "bloom_join_prefilter",   # runtime-filter join pruning (r5)
     "pq_codes",               # product-quantization codebook assignment (r5)
     "dup_span_coverage",      # exact-substring dedup coverage (r5 s2)
+    "abc_pareto_class",       # two-level distributed prefix sum (r5 s3)
+    "simhash_hamming_pairs",  # banded SimHash near-dup search (r5 s3)
 ]
 
 

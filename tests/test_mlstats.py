@@ -317,3 +317,21 @@ def test_kaplan_meier_is_a_survival_curve(spark, sf_dir):
     assert all(r.n_events >= 1 for r in rows)
     # KM identity at the first event time: S = 1 - d/n exactly
     assert abs(survs[0] - round(1 - rows[0].n_events / risks[0], 6)) < 1e-6
+
+
+def test_wilson_interval_brackets_rate(spark, sf_dir):
+    """lo < p̂ < hi (for 0<p̂<1), interval within [0,1], and the interval
+    for one brand matches statsmodels-free hand math."""
+    import math
+
+    rows = QUERIES["return_rate_wilson_ci"](spark, sf_dir).collect()
+    assert rows
+    z = 1.959963984540054
+    for r in rows:
+        assert 0.0 <= r.lo_r <= r.rate_r <= r.hi_r <= 1.0
+        p, n = r.n_returned / r.n_lines, r.n_lines
+        center = p + z * z / (2 * n)
+        margin = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        denom = 1 + z * z / n
+        assert abs(r.lo_r - round((center - margin) / denom, 6)) < 1e-9
+        assert abs(r.hi_r - round((center + margin) / denom, 6)) < 1e-9

@@ -175,3 +175,19 @@ def test_time_weighted_avg_brute_force(spark, sf_dir):
         g = got[u]
         assert g.n_intervals == len(dts) and g.total_us == den
         assert abs(g.twap_r - num / den) <= 0.00051, u
+
+
+def test_decomposition_reassembles(spark, sf_dir):
+    """rev = trend + seasonal + resid wherever trend is defined (exact on
+    the cents grid), edges NULL, and seasonal means sum ~0 across the
+    week (they're means of detrended values, so their weighted sum
+    vanishes)."""
+    rows = QUERIES["ts_decomposition"](spark, sf_dir).collect()
+    n_trend = 0
+    for r in rows:
+        if r.trend_r is None:
+            assert r.resid_r is None
+        else:
+            n_trend += 1
+            assert abs(r.rev - (r.trend_r + r.seasonal_r + r.resid_r)) < 1e-6
+    assert n_trend == len(rows) - 6  # exactly the 3+3 edge days lack trend
