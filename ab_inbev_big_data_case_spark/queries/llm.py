@@ -3141,3 +3141,215 @@ def postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(heads, "term").select(
         "term", "df", "total_tf", "postings_head"
     )
+
+
+# --------------------------------------------- MMR diversity re-ranking
+
+_MMR_LAMBDA = 0.7
+
+_MMR_SQL = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    pairs AS (
+        SELECT qid AS query_id, cid AS cand_id,
+               round({_DOT.format(x='qv', y='cv')} /
+                     ({_NORM.format(x='qv', tag='q')} * {_NORM.format(x='cv', tag='c')}),
+                     3) AS rel
+        FROM q, c WHERE cid != qid
+    ),
+    top10 AS (
+        SELECT query_id, cand_id, rel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY rel DESC NULLS LAST, cand_id) AS rank
+            FROM pairs
+        ) WHERE rank <= 10
+    ),
+    tv AS (
+        SELECT t.query_id, t.cand_id, t.rel, c.cv
+        FROM top10 t JOIN c ON c.cid = t.cand_id
+    ),
+    sims AS (
+        SELECT a.query_id, a.cand_id AS ida, b.cand_id AS idb,
+               round({_DOT.format(x='a.cv', y='b.cv')} /
+                     ({_NORM.format(x='a.cv', tag='a')} * {_NORM.format(x='b.cv', tag='b')}),
+                     3) AS sim
+        FROM tv a JOIN tv b ON b.query_id = a.query_id
+                           AND b.cand_id != a.cand_id
+    ),
+    s1 AS (
+        SELECT query_id, cand_id, round({_MMR_LAMBDA} * rel, 4) AS mmr_r
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, cand_id) AS rn FROM top10)
+        WHERE rn = 1
+    ),
+    r2 AS (
+        SELECT t.query_id, t.cand_id,
+               round({_MMR_LAMBDA} * t.rel
+                     - (1 - {_MMR_LAMBDA}) * s.sim, 4) AS mmr
+        FROM top10 t
+        JOIN s1 ON s1.query_id = t.query_id AND t.cand_id != s1.cand_id
+        JOIN sims s ON s.query_id = t.query_id
+                   AND s.ida = t.cand_id AND s.idb = s1.cand_id
+    ),
+    s2 AS (
+        SELECT query_id, cand_id, mmr AS mmr_r FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY mmr DESC, cand_id) AS rn FROM r2)
+        WHERE rn = 1
+    ),
+    r3 AS (
+        SELECT t.query_id, t.cand_id,
+               round({_MMR_LAMBDA} * t.rel - (1 - {_MMR_LAMBDA})
+                     * greatest(sa.sim, sb.sim), 4) AS mmr
+        FROM top10 t
+        JOIN s1 ON s1.query_id = t.query_id AND t.cand_id != s1.cand_id
+        JOIN s2 ON s2.query_id = t.query_id AND t.cand_id != s2.cand_id
+        JOIN sims sa ON sa.query_id = t.query_id
+                    AND sa.ida = t.cand_id AND sa.idb = s1.cand_id
+        JOIN sims sb ON sb.query_id = t.query_id
+                    AND sb.ida = t.cand_id AND sb.idb = s2.cand_id
+    ),
+    s3 AS (
+        SELECT query_id, cand_id, mmr AS mmr_r FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY mmr DESC, cand_id) AS rn FROM r3)
+        WHERE rn = 1
+    )
+    SELECT query_id, 1::BIGINT AS sel_rank, cand_id, mmr_r FROM s1
+    UNION ALL
+    SELECT query_id, 2::BIGINT, cand_id, mmr_r FROM s2
+    UNION ALL
+    SELECT query_id, 3::BIGINT, cand_id, mmr_r FROM s3
+"""
+
+
+@register("mmr_rerank", oracle=_MMR_SQL)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, lambda=0.7): greedily select 3 of each query's top-10
+    candidates maximizing lambda*rel − (1−lambda)*max-sim-to-selected —
+    the diversity pass a RAG retriever runs after ``cosine_topk`` so the
+    context window isn't three copies of the same document.
+
+    Greedy selection is inherently sequential, but the sequence is over
+    SELECTIONS (k=3), not data: each unrolled round is a join against
+    the previous picks plus one per-query argmax window over a ≤10-row
+    candidate set. Pairwise candidate similarities are computed once on
+    the top-10 (≤100 rows per query, candidate-bounded — never
+    corpus²). All scores quantize before every argmax (rel and sim at
+    3, MMR at 4) with cand_id tiebreaks, so the greedy trajectory —
+    which feeds later rounds — is engine-deterministic at every step."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    top10 = cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", 10
+    ).withColumnRenamed("cosine", "rel")
+    cv = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    tv = top10.join(cv, "cand_id").select("query_id", "cand_id", "rel", "cv")
+    a = tv.select(
+        "query_id", F.col("cand_id").alias("ida"), F.col("cv").alias("va")
+    )
+    b = tv.select(
+        "query_id", F.col("cand_id").alias("idb"), F.col("cv").alias("vb")
+    )
+    from ab_inbev_big_data_case_spark.llm.similarity import _dot, _norm
+
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            "query_id",
+            "ida",
+            "idb",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                3,
+            ).alias("sim"),
+        )
+    )
+    lam = _MMR_LAMBDA
+    w1 = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
+    s1 = (
+        top10.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", F.round(lam * F.col("rel"), 4).alias("mmr_r"))
+    )
+    s1a = s1.select("query_id", F.col("cand_id").alias("s1_id"))
+    r2 = (
+        top10.join(s1a, "query_id")
+        .filter(F.col("cand_id") != F.col("s1_id"))
+        .join(
+            sims.withColumnRenamed("ida", "cand_id").withColumnRenamed(
+                "idb", "s1_id"
+            ),
+            ["query_id", "cand_id", "s1_id"],
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(lam * F.col("rel") - (1 - lam) * F.col("sim"), 4).alias(
+                "mmr"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("mmr").desc(), "cand_id")
+    s2 = (
+        r2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", F.col("mmr").alias("mmr_r"))
+    )
+    s2a = s2.select("query_id", F.col("cand_id").alias("s2_id"))
+    sa = sims.select(
+        "query_id",
+        F.col("ida").alias("cand_id"),
+        F.col("idb").alias("s1_id"),
+        F.col("sim").alias("sim1"),
+    )
+    sb = sims.select(
+        "query_id",
+        F.col("ida").alias("cand_id"),
+        F.col("idb").alias("s2_id"),
+        F.col("sim").alias("sim2"),
+    )
+    r3 = (
+        top10.join(s1a, "query_id")
+        .join(s2a, "query_id")
+        .filter(
+            (F.col("cand_id") != F.col("s1_id"))
+            & (F.col("cand_id") != F.col("s2_id"))
+        )
+        .join(sa, ["query_id", "cand_id", "s1_id"])
+        .join(sb, ["query_id", "cand_id", "s2_id"])
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                lam * F.col("rel")
+                - (1 - lam) * F.greatest("sim1", "sim2"),
+                4,
+            ).alias("mmr"),
+        )
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.col("mmr").desc(), "cand_id")
+    s3 = (
+        r3.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", F.col("mmr").alias("mmr_r"))
+    )
+    one = F.lit(1).cast("long")
+    return (
+        s1.select("query_id", one.alias("sel_rank"), "cand_id", "mmr_r")
+        .unionAll(
+            s2.select(
+                "query_id", F.lit(2).cast("long").alias("sel_rank"), "cand_id", "mmr_r"
+            )
+        )
+        .unionAll(
+            s3.select(
+                "query_id", F.lit(3).cast("long").alias("sel_rank"), "cand_id", "mmr_r"
+            )
+        )
+    )

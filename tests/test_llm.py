@@ -614,3 +614,34 @@ def test_ndcg_eval_bounds_and_consistency_with_recall(spark, sf_dir):
             assert r.ndcg_r == 0.0, q
         if r.ndcg_r == 1.0:
             assert hits[q] == 5, q
+
+
+def test_mmr_selects_from_topk_and_diversifies(spark, sf_dir):
+    """All 3 picks come from the query's cosine top-10, pick 1 IS the
+    cosine argmax, picks are distinct, and MMR scores are achievable
+    (mmr <= lambda * max rel)."""
+    from ab_inbev_big_data_case_spark.llm.similarity import cosine_topk
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["mmr_rerank"](spark, sf_dir).collect()
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    top10 = {}
+    for r in cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", 10
+    ).collect():
+        top10.setdefault(r.query_id, {})[r.cand_id] = (r.cosine, r.rank)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, {})[r.sel_rank] = r
+    for qid, sel in by_q.items():
+        assert set(sel) == {1, 2, 3}
+        ids = [sel[k].cand_id for k in (1, 2, 3)]
+        assert len(set(ids)) == 3
+        assert all(i in top10[qid] for i in ids)
+        # pick 1 is the plain relevance argmax (rank 1)
+        assert top10[qid][ids[0]][1] == 1
+        max_rel = max(c for c, _ in top10[qid].values())
+        for k in (1, 2, 3):
+            assert sel[k].mmr_r <= round(0.7 * max_rel, 4) + 1e-9
