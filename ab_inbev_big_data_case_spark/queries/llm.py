@@ -3353,3 +3353,89 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ------------------------------------- near-dup path agreement audit
+
+#: the SimHash sig CTE with its table renamed (the MinHash oracle
+#: stack already defines a CTE named "sig")
+_SIMHASH_SIG_CTE_RENAMED = _SIMHASH_SIG_CTE.replace("sig AS (", "ssig AS (")
+
+_AGREE_SQL = f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    mh AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    {_SIMHASH_SIG_CTE_RENAMED},
+    sbands AS (
+        SELECT doc_id, b, (s >> (15 * b)::INT) & 32767 AS bv
+        FROM ssig CROSS JOIN range(4) t(b)
+    ),
+    scand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM sbands a JOIN sbands b
+          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    sh_pairs AS (
+        SELECT c.id1, c.id2
+        FROM scand c
+        JOIN ssig s1 ON s1.doc_id = c.id1
+        JOIN ssig s2 ON s2.doc_id = c.id2
+        WHERE bit_count(xor(s1.s, s2.s)) <= 3
+    ),
+    u AS (
+        SELECT coalesce(m.id1, s.id1) AS id1,
+               (m.id1 IS NOT NULL)::INT AS in_mh,
+               (s.id1 IS NOT NULL)::INT AS in_sh
+        FROM mh m
+        FULL JOIN sh_pairs s ON s.id1 = m.id1 AND s.id2 = m.id2
+    )
+    SELECT sum(in_mh)::BIGINT AS n_minhash,
+           sum(in_sh)::BIGINT AS n_simhash,
+           sum(in_mh * in_sh)::BIGINT AS n_both,
+           round(sum(in_mh * in_sh) * 1.0
+                 / (sum(in_mh) + sum(in_sh) - sum(in_mh * in_sh)), 4)
+               AS jaccard_r
+    FROM u
+"""
+
+
+@register("dedup_paths_agreement", oracle=_AGREE_SQL)
+def dedup_paths_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two published near-dup paths: MinHash
+    LSH candidates vs SimHash radius-3 pairs on the same corpus —
+    pair-set sizes, overlap, and Jaccard. The two detectors see
+    different similarity (set overlap vs angular distance on shingle
+    votes), so their agreement is itself a data-quality signal: a crash
+    to zero overlap after an ingestion change means one path's
+    assumptions broke.
+
+    Scale shape: both pair sets come from their banded equi-joins
+    (never corpus²); the audit itself is one full-outer join on the
+    canonical (id1, id2) pair key plus a 1-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    mh = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id"
+    ).withColumn("in_mh", F.lit(1))
+    sh = (
+        simhash_hamming_pairs(spark, sf_dir)
+        .select("id1", "id2")
+        .withColumn("in_sh", F.lit(1))
+    )
+    u = mh.join(sh, ["id1", "id2"], "full").select(
+        F.coalesce("in_mh", F.lit(0)).alias("in_mh"),
+        F.coalesce("in_sh", F.lit(0)).alias("in_sh"),
+    )
+    both = F.sum(F.col("in_mh") * F.col("in_sh"))
+    return u.agg(
+        F.sum("in_mh").cast("long").alias("n_minhash"),
+        F.sum("in_sh").cast("long").alias("n_simhash"),
+        both.cast("long").alias("n_both"),
+        F.round(
+            both / (F.sum("in_mh") + F.sum("in_sh") - both), 4
+        ).alias("jaccard_r"),
+    )

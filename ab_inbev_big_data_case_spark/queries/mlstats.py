@@ -1109,3 +1109,146 @@ def return_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("lo_r"),
         F.round((center + margin) / denom, 6).alias("hi_r"),
     )
+
+
+# ------------------------------------------------ Poisson bootstrap CI
+
+_BOOT_B = 20
+#: cumulative Poisson(1) PMF boundaries, spelled to full double precision
+#: so both engines run the identical inverse-CDF CASE chain
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+_BOOT_CASE = " ".join(
+    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+)
+
+_BOOT_SQL = f"""
+    WITH reps AS (
+        SELECT o_orderkey, o_totalprice, t.b,
+               (('0x' || substr(sha256('boot:' || o_orderkey || ':' || t.b),
+                               1, 15))::BIGINT % 1000000007) / 1000000007.0
+                   AS u
+        FROM orders CROSS JOIN range({_BOOT_B}) t(b)
+    ),
+    weighted AS (
+        SELECT b, o_totalprice,
+               CASE {_BOOT_CASE} ELSE 6 END AS w
+        FROM reps
+    ),
+    rmeans AS (
+        SELECT b,
+               round(round(sum(CAST(w * o_totalprice AS DECIMAL(18,6))), 2)
+                     / sum(w), 4) AS rmean
+        FROM weighted GROUP BY b
+    ),
+    full_mean AS (
+        SELECT round(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                     / count(*), 4) AS est
+        FROM orders
+    )
+    SELECT count(*) AS n_replicates,
+           f.est AS point_est_r,
+           round(quantile_cont(rmean, 0.025), 4) AS boot_lo_r,
+           round(quantile_cont(rmean, 0.975), 4) AS boot_hi_r,
+           round(stddev_samp(rmean), 4) AS boot_se_r
+    FROM rmeans CROSS JOIN full_mean f
+    GROUP BY f.est
+"""
+
+
+@register("poisson_bootstrap_ci", oracle=_BOOT_SQL)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012) confidence interval for
+    the mean order value: each of 20 replicates reweights every row by a
+    DETERMINISTIC Poisson(1) draw (inverse CDF over a portable-hash
+    uniform), so the 'resample' is a single pass with no sampling state
+    — THE way to bootstrap at 100 TB, where classic resample-n-rows
+    needs global coordination. Deterministic draws double as
+    reproducibility: the same CI on every run and every engine.
+
+    Scale shape: the replicate fan-out is a bounded 20× in-row explode
+    (a cheap constant, not data-dependent); each replicate mean is one
+    grouped decimal-exact weighted sum; the quantile/stddev pass runs
+    over the 20-row replicate spine. Weighted sums accumulate in
+    DECIMAL(18,6) (integer weights × money), so replicate means are
+    bit-identical across engines before the final double arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.lit("boot:"),
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000007
+        )
+        / 1000000007.0,
+    )
+    w_expr = F.lit(6)
+    for k in reversed(range(len(_POIS_CDF))):
+        w_expr = F.when(F.col("u") < _POIS_CDF[k], k).otherwise(w_expr)
+    weighted = reps.select("b", "o_totalprice", w_expr.alias("w"))
+    rmeans = weighted.groupBy("b").agg(
+        F.round(
+            F.round(
+                F.sum(
+                    (F.col("w") * F.col("o_totalprice")).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            / F.sum("w"),
+            4,
+        )
+        .cast("double")
+        .alias("rmean")
+    )
+    full_mean = o.agg(
+        F.round(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            / F.count("*"),
+            4,
+        )
+        .cast("double")
+        .alias("est")
+    )
+    return (
+        rmeans.crossJoin(F.broadcast(full_mean))
+        .groupBy("est")
+        .agg(
+            F.count("*").alias("n_replicates"),
+            F.round(F.percentile("rmean", F.lit(0.025)), 4).alias("boot_lo_r"),
+            F.round(F.percentile("rmean", F.lit(0.975)), 4).alias("boot_hi_r"),
+            F.round(F.stddev_samp("rmean"), 4).alias("boot_se_r"),
+        )
+        .select(
+            "n_replicates",
+            F.col("est").alias("point_est_r"),
+            "boot_lo_r",
+            "boot_hi_r",
+            "boot_se_r",
+        )
+    )

@@ -645,3 +645,15 @@ def test_mmr_selects_from_topk_and_diversifies(spark, sf_dir):
         max_rel = max(c for c, _ in top10[qid].values())
         for k in (1, 2, 3):
             assert sel[k].mmr_r <= round(0.7 * max_rel, 4) + 1e-9
+
+
+def test_dedup_agreement_counts_consistent(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["dedup_paths_agreement"](spark, sf_dir).collect()[0]
+    sh = QUERIES["simhash_hamming_pairs"](spark, sf_dir).count()
+    assert r.n_simhash == sh
+    assert r.n_both <= min(r.n_minhash, r.n_simhash)
+    union = r.n_minhash + r.n_simhash - r.n_both
+    assert r.jaccard_r == round(r.n_both / union, 4)

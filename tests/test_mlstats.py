@@ -335,3 +335,16 @@ def test_wilson_interval_brackets_rate(spark, sf_dir):
         denom = 1 + z * z / n
         assert abs(r.lo_r - round((center - margin) / denom, 6)) < 1e-9
         assert abs(r.hi_r - round((center + margin) / denom, 6)) < 1e-9
+
+
+def test_poisson_bootstrap_brackets_point_estimate(spark, sf_dir):
+    """The bootstrap interval must bracket the full-data mean (B=20,
+    the statistic is smooth), the SE must be positive, and the whole
+    row must be bit-identical across two runs (deterministic draws)."""
+    r1 = QUERIES["poisson_bootstrap_ci"](spark, sf_dir).collect()[0]
+    r2 = QUERIES["poisson_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r1 == r2  # reproducible: hash-derived weights, no RNG state
+    assert r1.n_replicates == 20
+    assert r1.boot_lo_r <= r1.point_est_r <= r1.boot_hi_r
+    assert r1.boot_lo_r < r1.boot_hi_r
+    assert r1.boot_se_r > 0
