@@ -1342,3 +1342,133 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return q
+
+
+_GAPFILL_INTERP = """
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+               round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+    spine AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM agg) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                        AS bucket
+                    FROM bounds) g
+    ),
+    marked AS (
+        SELECT s.event_type, s.bucket, a.sum_value,
+               last_value(a.sum_value IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN a.sum_value IS NOT NULL
+                               THEN s.bucket END IGNORE NULLS)
+                   OVER w_prev AS pt,
+               first_value(a.sum_value IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN a.sum_value IS NOT NULL
+                                THEN s.bucket END IGNORE NULLS)
+                   OVER w_next AS nt
+        FROM spine s
+        LEFT JOIN agg a ON a.event_type = s.event_type
+                       AND a.bucket = s.bucket
+        WINDOW w_prev AS (PARTITION BY s.event_type ORDER BY s.bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY s.event_type ORDER BY s.bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket, sum_value,
+           floor((CASE
+             WHEN sum_value IS NOT NULL THEN sum_value
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                 pv + (nv - pv)
+                      * (epoch_us(bucket) - epoch_us(pt))
+                      / (epoch_us(nt) - epoch_us(pt))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END) * 10000 + 0.5) / 10000 AS interp_r
+    FROM marked
+"""
+
+
+@register("gapfill_linear_interp", oracle=_GAPFILL_INTERP)
+def gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by LINEAR INTERPOLATION: silent hours get the straight
+    line between the surrounding observations (edges hold the nearest
+    value) — the smoother sibling of ``time_bucket_gapfill``'s LOCF,
+    right when the metric is a level, wrong when it's an event sum
+    (both belong in the toolbox; TimescaleDB ships both).
+
+    Scale shape: identical to the LOCF path — one grouped collapse of
+    the fact table, spine/bounds from the small aggregate, then TWO
+    windows over the densified grid (backward last + forward first,
+    both PARTITIONED by event_type and both over the types×hours grid,
+    not the fact table). The interpolation fraction uses integer
+    epoch-micros; both engines evaluate the identical expression tree
+    on cents-exact endpoint doubles, and no 4-decimal rounding midpoint
+    is exactly representable for hour-gap denominators (dollars =
+    cents/100 keeps the rational non-dyadic), so round 4 is safe."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "bucket"
+        )
+    )
+    spine = agg.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("sum_value").isNotNull(), F.col("bucket"))
+    marked = spine.join(
+        F.broadcast(agg), ["event_type", "bucket"], "left"
+    ).select(
+        "event_type",
+        "bucket",
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("sum_value", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    # association must mirror the oracle exactly: ((nv-pv) * dt) / T, not
+    # (nv-pv) * (dt/T) — the two round differently in the last ulp and the
+    # sf0.001 gate catches it
+    dt = F.unix_micros("bucket") - F.unix_micros("pt")
+    tt = F.unix_micros("nt") - F.unix_micros("pt")
+    interp = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * dt / tt,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    # portable floor-ties quantizer instead of round(): interpolated values
+    # can sit a last-ulp below a decimal midpoint, where Spark's BigDecimal
+    # HALF_UP (on the shortest repr) and DuckDB's scaled-nearbyint disagree;
+    # floor(x*10^4 + 0.5)/10^4 evaluates the identical double tree in both
+    return marked.select(
+        "event_type",
+        "bucket",
+        "sum_value",
+        (F.floor(interp * 10000 + 0.5) / 10000).alias("interp_r"),
+    )

@@ -191,3 +191,29 @@ def test_decomposition_reassembles(spark, sf_dir):
             n_trend += 1
             assert abs(r.rev - (r.trend_r + r.seasonal_r + r.resid_r)) < 1e-6
     assert n_trend == len(rows) - 6  # exactly the 3+3 edge days lack trend
+
+
+def test_linear_interp_between_observations(spark, sf_dir):
+    """Interpolated values lie between their surrounding observations;
+    observed rows pass through unchanged (modulo the 1e-4 quantizer)."""
+    rows = QUERIES["gapfill_linear_interp"](spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.bucket)
+        obs = [(i, r.sum_value) for i, r in enumerate(rs) if r.sum_value is not None]
+        assert obs, "every event_type has at least one observed hour"
+        for i, r in enumerate(rs):
+            if r.sum_value is not None:
+                assert abs(r.interp_r - r.sum_value) <= 1e-4
+            else:
+                prev = [v for j, v in obs if j < i]
+                nxt = [v for j, v in obs if j > i]
+                if prev and nxt:
+                    lo, hi = sorted((prev[-1], nxt[0]))
+                    assert lo - 1e-4 <= r.interp_r <= hi + 1e-4
+                elif prev:
+                    assert abs(r.interp_r - prev[-1]) <= 1e-4
+                else:
+                    assert abs(r.interp_r - nxt[0]) <= 1e-4
