@@ -3439,3 +3439,154 @@ def dedup_paths_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             both / (F.sum("in_mh") + F.sum("in_sh") - both), 4
         ).alias("jaccard_r"),
     )
+
+
+# --------------------------------- pseudo-relevance feedback (Rocchio)
+
+_PRF_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    q AS (
+        SELECT term, df FROM dfreq
+        ORDER BY df DESC, term LIMIT 3 OFFSET 9
+    ),
+    tf1 AS (
+        SELECT t.doc_id, t.term, count(*) AS f
+        FROM toks t JOIN q ON q.term = t.term
+        GROUP BY 1, 2
+    ),
+    scored1 AS (
+        SELECT tf1.doc_id,
+               sum(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * tf1.f * ({_BM25_K1} + 1)
+                   / (tf1.f + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * l.dl / s.avgdl))) AS score
+        FROM tf1
+        JOIN q ON q.term = tf1.term
+        JOIN lens l ON l.doc_id = tf1.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1
+    ),
+    top5 AS (
+        SELECT doc_id FROM scored1
+        ORDER BY round(score, 4) DESC, doc_id LIMIT 5
+    ),
+    exp_terms AS (
+        SELECT t.term, d.df,
+               round(sum(ln(s.n_docs * 1.0 / d.df)), 4) AS wgt
+        FROM toks t
+        JOIN top5 ON top5.doc_id = t.doc_id
+        JOIN dfreq d ON d.term = t.term
+        CROSS JOIN stats s
+        WHERE d.df >= 5 AND t.term NOT IN (SELECT term FROM q)
+        GROUP BY 1, 2
+        ORDER BY round(sum(ln(s.n_docs * 1.0 / d.df)), 4) DESC, t.term
+        LIMIT 2
+    ),
+    qx AS (
+        SELECT term, df FROM q
+        UNION ALL SELECT term, df FROM exp_terms
+    ),
+    tf2 AS (
+        SELECT t.doc_id, t.term, count(*) AS f
+        FROM toks t JOIN qx ON qx.term = t.term
+        GROUP BY 1, 2
+    ),
+    scored2 AS (
+        SELECT tf2.doc_id,
+               sum(ln((s.n_docs - qx.df + 0.5) / (qx.df + 0.5) + 1.0)
+                   * tf2.f * ({_BM25_K1} + 1)
+                   / (tf2.f + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * l.dl / s.avgdl))) AS score
+        FROM tf2
+        JOIN qx ON qx.term = tf2.term
+        JOIN lens l ON l.doc_id = tf2.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1
+    )
+    SELECT doc_id, round(score, 4) AS bm25x_r
+    FROM scored2
+    ORDER BY round(score, 4) DESC, doc_id
+    LIMIT 10
+"""
+
+
+def _bm25_score(tf: DataFrame, q: DataFrame, lens: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared BM25 scorer: tf(doc,term,f) × query(term,df) × lens × stats
+    → (doc_id, score). Same formula as ``bm25_topk``."""
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("f") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(q), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("f") * (_BM25_K1 + 1) / denom).alias("score"))
+    )
+
+
+@register("prf_rocchio_expansion", oracle=_PRF_SQL)
+def prf_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style query expansion): run
+    BM25, take the top-5 docs as assumed-relevant, add their 2 highest
+    summed-idf terms (df≥5, original terms excluded) to the query, and
+    re-score — the classic two-phase retrieval loop that lifts recall
+    when the original query undershoots.
+
+    Scale shape: BOTH phases are the ``bm25_topk`` plan (semi-join-
+    pruned term frequencies, broadcast query/stats, rounded-score
+    TakeOrderedAndProject); the feedback step only touches the token
+    rows of 5 documents (keyed join against the broadcast top-5 list).
+    Every selection in the chain — top-5 docs, top-2 expansion terms,
+    final top-10 — ranks ROUNDED scores with id/term tiebreaks, so the
+    two-phase trajectory is engine-deterministic end to end."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    q = dfreq.orderBy(F.col("df").desc(), "term").offset(9).limit(3)
+    tf1 = (
+        toks.join(F.broadcast(q.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    top5 = (
+        _bm25_score(tf1, q, lens, stats)
+        .orderBy(F.round("score", 4).desc(), "doc_id")
+        .limit(5)
+        .select("doc_id")
+    )
+    exp_terms = (
+        toks.join(F.broadcast(top5), "doc_id")
+        .join(dfreq, "term")
+        .filter(F.col("df") >= 5)
+        .join(F.broadcast(q.select("term")), "term", "left_anti")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .groupBy("term", "df")
+        .agg(F.round(F.sum(F.log(F.col("n_docs") / F.col("df"))), 4).alias("wgt"))
+        .orderBy(F.col("wgt").desc(), "term")
+        .limit(2)
+        .select("term", "df")
+    )
+    qx = q.select("term", "df").unionAll(exp_terms)
+    tf2 = (
+        toks.join(F.broadcast(qx.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    return (
+        _bm25_score(tf2, qx, lens, stats)
+        .select("doc_id", F.round("score", 4).alias("bm25x_r"))
+        .orderBy(F.col("bm25x_r").desc(), "doc_id")
+        .limit(10)
+    )

@@ -686,3 +686,82 @@ def benford_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_part_r"
         ),
     )
+
+
+# ------------------------------------- sorted-neighborhood linkage
+
+_SNM_SQL = """
+    WITH ranked AS (
+        SELECT c_custkey, c_nationkey, c_name,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_name, c_custkey) AS rn
+        FROM customer
+    )
+    SELECT a.c_nationkey AS block_key,
+           a.c_custkey AS id1, b.c_custkey AS id2,
+           b.rn - a.rn AS rank_gap,
+           levenshtein(a.c_name, b.c_name)::BIGINT AS lev
+    FROM ranked a
+    JOIN ranked b ON b.c_nationkey = a.c_nationkey
+                 AND b.rn - a.rn BETWEEN 1 AND 2
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@register("sorted_neighborhood_pairs", oracle=_SNM_SQL)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    within each block, records sort by the fuzzy key and only a sliding
+    window of w=2 rank-neighbors is compared — the OTHER classic
+    blocking scheme beside ``fuzzy_match_blocked``'s equality blocking;
+    sorted-neighborhood catches near-misses equality blocking splits
+    apart (typo in the blocking token), equality blocking catches
+    far-apart-in-sort-order matches.
+
+    Scale shape: ranking windows are PARTITIONED by the block key
+    (never a global sort — the textbook single-sort formulation is the
+    scale-killer; blocked SNM is how production linkage runs it), the
+    window join is a self-EQUI-join on (block, neighbor rank) with the
+    w=2 gap exploded into the join key — fan-out exactly w per record
+    by construction, never |block|² — and the JVM ``levenshtein``
+    verify is codegen'd. Everything is exact integers
+    and strings."""
+    c = table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
+    ranked = c.select(
+        "c_custkey", "c_nationkey", "c_name", F.row_number().over(w).alias("rn")
+    )
+    a = ranked.select(
+        F.col("c_nationkey").alias("block_key"),
+        F.col("c_custkey").alias("id1"),
+        F.col("c_name").alias("n1"),
+        F.col("rn").alias("rn1"),
+    )
+    b = ranked.select(
+        F.col("c_nationkey").alias("block_key"),
+        F.col("c_custkey").alias("id2"),
+        F.col("c_name").alias("n2"),
+        F.col("rn").alias("rn2"),
+    )
+    # the rank band is an EQUI key, not a join filter: exploding the gap
+    # d in {1,2} and joining on (block, rn1+d = rn2) keeps the physical
+    # join strictly 2-fan-out per record — a bare block-key join with a
+    # band filter still enumerates |block|^2 pairs inside the matcher,
+    # which is the containment_pairs-class blow-up on a hot block
+    probes = a.withColumn(
+        "d", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).withColumn("rn2", F.col("rn1") + F.col("d"))
+    return (
+        probes.join(b, ["block_key", "rn2"])
+        .withColumn("lev", F.levenshtein("n1", "n2").cast("long"))
+        .filter(F.col("lev") <= 2)
+        .select(
+            "block_key",
+            "id1",
+            "id2",
+            F.col("d").alias("rank_gap"),
+            "lev",
+        )
+    )

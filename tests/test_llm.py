@@ -657,3 +657,21 @@ def test_dedup_agreement_counts_consistent(spark, sf_dir):
     assert r.n_both <= min(r.n_minhash, r.n_simhash)
     union = r.n_minhash + r.n_simhash - r.n_both
     assert r.jaccard_r == round(r.n_both / union, 4)
+
+
+def test_prf_expands_beyond_original_query(spark, sf_dir):
+    """The expanded ranking must differ from (or at least contain) the
+    plain BM25 ranking's candidate pool, every score is positive, and
+    ordering is by rounded score with id tiebreak."""
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    prf = QUERIES["prf_rocchio_expansion"](spark, sf_dir).collect()
+    assert 0 < len(prf) <= 10
+    scores = [(r.bm25x_r, r.doc_id) for r in prf]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    assert all(r.bm25x_r > 0 for r in prf)
+    bm = {r.doc_id for r in QUERIES["bm25_topk"](spark, sf_dir).collect()}
+    # PRF reaches docs the original 3-term query scores — plus possibly
+    # expansion-only docs; the two result sets must at least overlap
+    assert {r.doc_id for r in prf} & bm

@@ -235,3 +235,20 @@ def test_partition_checksum_brute_force_and_order_insensitive(spark, sf_dir):
     for m in acc:
         assert got[m].n_rows == cnt[m]
         assert got[m].checksum == acc[m] % 1_000_000_007, m
+
+
+def test_snm_pairs_are_rank_adjacent(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["sorted_neighborhood_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rank_gap in (1, 2)
+        assert 0 <= r.lev <= 2
+        assert r.id1 != r.id2
+    # fan-out bound: at most 2 emitted pairs per left record
+    from collections import Counter
+
+    per_left = Counter((r.block_key, r.id1) for r in rows)
+    assert max(per_left.values()) <= 2
