@@ -1472,3 +1472,108 @@ def gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         (F.floor(interp * 10000 + 0.5) / 10000).alias("interp_r"),
     )
+
+
+_STRICT_FUNNEL = """
+    WITH v AS (
+        SELECT user_id, event_id AS vid, epoch_us(ts) AS vt
+        FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT user_id, epoch_us(ts) AS ct
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, epoch_us(ts) AS pt
+        FROM events WHERE event_type = 'purchase'
+    ),
+    vc AS (
+        SELECT v.user_id, v.vid, v.vt, min(c.ct) AS ct
+        FROM v JOIN c ON c.user_id = v.user_id
+                     AND c.ct > v.vt AND c.ct <= v.vt + 3600000000
+        GROUP BY 1, 2, 3
+    ),
+    vcp AS (
+        SELECT vc.user_id, vc.vid, min(p.pt) AS pt
+        FROM vc JOIN p ON p.user_id = vc.user_id
+                      AND p.pt > vc.ct AND p.pt <= vc.ct + 3600000000
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n_views FROM v),
+    s2 AS (SELECT count(*) AS n_clicked FROM vc),
+    s3 AS (SELECT count(*) AS n_purchased FROM vcp)
+    SELECT t.n_views, s2.n_clicked, s3.n_purchased,
+           round(s2.n_clicked * 1.0 / t.n_views, 6) AS step2_rate_r,
+           round(s3.n_purchased * 1.0 / s2.n_clicked, 6) AS step3_rate_r,
+           round(s3.n_purchased * 1.0 / t.n_views, 6) AS overall_rate_r
+    FROM tot t CROSS JOIN s2 CROSS JOIN s3
+"""
+
+
+@register("strict_funnel_conversion", oracle=_STRICT_FUNNEL)
+def strict_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel with per-step deadlines: view → FIRST click
+    within 1h → FIRST purchase within 1h OF THAT CLICK. Stricter than
+    ``funnel_analysis`` (step sets, no ordering) and deeper than
+    ``event_followed_by`` (one hop): each step's clock starts at the
+    previous step's completion, which is how product funnels are
+    actually specified.
+
+    Scale shape: two user-keyed equi-joins with time-range join filters
+    (fan-out bounded by per-user event density — the same containment
+    as ``event_followed_by``), each followed by a min-aggregate keyed
+    on the funnel entry (the view event), so one entry contributes one
+    path regardless of how many clicks/purchases land in its windows.
+    Counts collapse to a 3-way broadcast cross of 1-row aggregates."""
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), F.unix_micros("ts").alias("vt")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.unix_micros("ts").alias("ct")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.unix_micros("ts").alias("pt")
+    )
+    hour = F.lit(3_600_000_000)
+    vc = (
+        v.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("ct") > F.col("vt"))
+            & (F.col("ct") <= F.col("vt") + hour),
+        )
+        .groupBy("user_id", "vid", "vt")
+        .agg(F.min("ct").alias("ct"))
+    )
+    vcp = (
+        vc.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pt") > F.col("ct"))
+            & (F.col("pt") <= F.col("ct") + hour),
+        )
+        .groupBy("user_id", "vid")
+        .agg(F.min("pt").alias("pt"))
+    )
+    tot = v.agg(F.count("*").alias("n_views"))
+    s2 = vc.agg(F.count("*").alias("n_clicked"))
+    s3 = vcp.agg(F.count("*").alias("n_purchased"))
+    return (
+        tot.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(s3))
+        .select(
+            "n_views",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked") / F.col("n_views"), 6).alias(
+                "step2_rate_r"
+            ),
+            F.round(F.col("n_purchased") / F.col("n_clicked"), 6).alias(
+                "step3_rate_r"
+            ),
+            F.round(F.col("n_purchased") / F.col("n_views"), 6).alias(
+                "overall_rate_r"
+            ),
+        )
+    )

@@ -1398,3 +1398,123 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.col("pmi_r").desc(), "w1", "w2").limit(20)
+
+
+# ---------------------------------------------------- Heaps' law fit
+
+from pyspark.sql import Window  # noqa: E402
+
+_HEAPS_CKPTS = 20
+
+_HEAPS_SQL = f"""
+    WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+    toksrc0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(tk) - 1),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+        )) AS w
+        FROM toksrc0
+    ),
+    tokck AS (
+        SELECT least(doc_id * {_HEAPS_CKPTS} // n.n_docs + 1,
+                     {_HEAPS_CKPTS}) AS ck,
+               count(*) AS n_toks
+        FROM toks CROSS JOIN nd n GROUP BY 1
+    ),
+    fw AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY 1),
+    newck AS (
+        SELECT least(fw.fd * {_HEAPS_CKPTS} // n.n_docs + 1,
+                     {_HEAPS_CKPTS}) AS ck, count(*) AS n_new
+        FROM fw CROSS JOIN nd n GROUP BY 1
+    ),
+    joined AS (
+        SELECT coalesce(t.ck, x.ck) AS ck,
+               coalesce(t.n_toks, 0) AS n_toks,
+               coalesce(x.n_new, 0) AS n_new
+        FROM tokck t FULL JOIN newck x ON x.ck = t.ck
+    ),
+    spine AS (
+        SELECT ck,
+               sum(n_toks) OVER (ORDER BY ck
+                                 ROWS UNBOUNDED PRECEDING) AS cum_toks,
+               sum(n_new) OVER (ORDER BY ck
+                                ROWS UNBOUNDED PRECEDING) AS cum_vocab
+        FROM joined
+    )
+    SELECT count(*) AS n_checkpoints,
+           max(cum_toks)::BIGINT AS total_tokens,
+           max(cum_vocab)::BIGINT AS total_vocab,
+           round(regr_slope(ln(cum_vocab), ln(cum_toks)), 4) AS beta_r,
+           round(exp(regr_intercept(ln(cum_vocab), ln(cum_toks))), 4) AS k_r
+    FROM spine
+"""
+
+
+@register("heaps_law_fit", oracle=_HEAPS_SQL)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β of DISTINCT-3-GRAM growth against
+    corpus size, measured at 20 fixed checkpoints along the doc_id
+    order — the empirical law behind every "counts over the distinct
+    n-gram table, not the token stream" design note in this repo
+    (``bpe_pair_counts``, ``chunk_dedup_ratio``): β < 1 is WHY those
+    tables stay sublinear. The unit is shingles, not words, because
+    the synthetic corpus has a closed 31-word vocabulary — word-level
+    V(n) saturates at the first checkpoint (β = 0), while the 3-gram
+    space exhibits the real sublinear growth the design notes rely on.
+
+    Scale shape: the checkpoint id is a FIXED-width bucket of doc_id
+    (20 buckets regardless of corpus size — broadcast 1-row doc count),
+    cumulative vocabulary reduces to first-seen (min doc_id per word →
+    bucket → cumsum on the 20-row spine, the ``cumulative_unique_users``
+    trick), cumulative tokens is a grouped sum + the same tiny-spine
+    cumsum, and the log-log fit is one regr_* moment aggregate over 20
+    rows."""
+    d = table(spark, sf_dir, "documents")
+    nd = d.agg(F.count("*").alias("n_docs"))
+    toks = d.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 3)).alias("w")
+    )
+
+    def ck(col):
+        return F.least(
+            F.floor(col * _HEAPS_CKPTS / F.col("n_docs")) + 1,
+            F.lit(_HEAPS_CKPTS),
+        ).cast("long")
+
+    tokck = (
+        toks.crossJoin(F.broadcast(nd))
+        .groupBy(ck(F.col("doc_id")).alias("ck"))
+        .agg(F.count("*").alias("n_toks"))
+    )
+    fw = toks.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    newck = (
+        fw.crossJoin(F.broadcast(nd))
+        .groupBy(ck(F.col("fd")).alias("ck"))
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine = (
+        tokck.join(newck, "ck", "full")
+        .select(
+            "ck",
+            F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(  # 20-row checkpoint spine: bounded by construction
+            "ck",
+            F.sum("n_toks").over(w).alias("cum_toks"),
+            F.sum("n_new").over(w).alias("cum_vocab"),
+        )
+    )
+    return spine.agg(
+        F.count("*").alias("n_checkpoints"),
+        F.max("cum_toks").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("total_vocab"),
+        F.round(
+            F.expr("regr_slope(ln(cum_vocab), ln(cum_toks))"), 4
+        ).alias("beta_r"),
+        F.round(
+            F.exp(F.expr("regr_intercept(ln(cum_vocab), ln(cum_toks))")), 4
+        ).alias("k_r"),
+    )

@@ -346,3 +346,34 @@ def test_bpe_apply_merges_python_reference(spark, sf_dir):
         tok_sum = sum(len(seqs[w].split(" ")) * c for w, c in top)
         cnt_sum = sum(c for _, c in top)
         assert abs(r.avg_tokens_after_r - tok_sum / cnt_sum) <= 0.00051, rnd
+
+
+def test_heaps_law_is_sublinear(spark, sf_dir):
+    """Vocabulary growth must be sublinear (0 < beta < 1 — the premise of
+    every word-table design note), the fit must be on all 20
+    checkpoints, and totals must match direct counts."""
+    from pyspark.sql import functions as F
+
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+    from ab_inbev_big_data_case_spark.sources.readers import table
+
+    load_all()
+    r = QUERIES["heaps_law_fit"](spark, sf_dir).collect()[0]
+    assert r.n_checkpoints == 20
+    assert 0.0 < r.beta_r < 1.0
+    assert r.k_r > 0
+    from ab_inbev_big_data_case_spark.functions.text import shingles, tokens
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(F.explode(shingles(tokens(F.col("text")), 3)).alias("w"))
+    assert r.total_tokens == sh.count()
+    assert r.total_vocab == sh.select("w").distinct().count()
+
+
+def test_strict_funnel_rates_are_nested(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["strict_funnel_conversion"](spark, sf_dir).collect()[0]
+    assert r.n_views >= r.n_clicked >= r.n_purchased >= 0
+    assert 0 <= r.overall_rate_r <= r.step2_rate_r <= 1
