@@ -3590,3 +3590,62 @@ def prf_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25x_r").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ------------------------------------------- IVF index balance audit
+
+_IVF_BALANCE_SQL = f"""
+    WITH {_IVF_ASSIGN_SQL},
+    cells AS (SELECT cell_id, count(*) AS n FROM assign GROUP BY 1),
+    m AS (
+        SELECT count(*) AS n_cells,
+               sum(n)::BIGINT AS n_vecs,
+               max(n) AS max_cell,
+               sum(n * n)::BIGINT AS sum_sq
+        FROM cells
+    )
+    SELECT n_cells, n_vecs, max_cell::BIGINT AS max_cell,
+           round(max_cell * 1.0 * n_cells / n_vecs, 4) AS imbalance_r,
+           round(sum_sq * 1.0 / (n_vecs * 1.0 * n_vecs), 6) AS hhi_r,
+           round(sum_sq * 1.0 / n_vecs, 2) AS exp_probe_cost_r
+    FROM m
+"""
+
+
+@register("ivf_balance_report", oracle=_IVF_BALANCE_SQL)
+def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance audit: cell-count histogram moments — imbalance
+    factor (max cell ÷ mean cell, FAISS's metric), HHI concentration,
+    and the expected per-probe candidate cost E[|cell|] under
+    cell-proportional query traffic (Σn²/N). ``join_key_skew_report``'s
+    discipline applied to the ANN index: a skewed quantizer silently
+    turns 'probe 2 cells' into 'scan half the corpus', and this is the
+    number that says so.
+
+    Scale shape: rides the same broadcast-centroid assignment as
+    ``ivf_cells`` (one narrow corpus pass), then two tiny aggregates
+    over the K-row cell histogram. Exact integer moments, rounded
+    ratios."""
+    e = table(spark, sf_dir, "embeddings")
+    assign = ivf_assign(e, "vec_id", "embedding", lambda vid: vid % 29 == 0)
+    cells = assign.groupBy("cell_id").agg(F.count("*").alias("n"))
+    m = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.max("n").alias("max_cell"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+    )
+    return m.select(
+        "n_cells",
+        "n_vecs",
+        F.col("max_cell").cast("long").alias("max_cell"),
+        F.round(
+            F.col("max_cell") * F.col("n_cells") / F.col("n_vecs"), 4
+        ).alias("imbalance_r"),
+        F.round(
+            F.col("sum_sq") / (F.col("n_vecs") * 1.0 * F.col("n_vecs")), 6
+        ).alias("hhi_r"),
+        F.round(F.col("sum_sq") / F.col("n_vecs"), 2).alias(
+            "exp_probe_cost_r"
+        ),
+    )

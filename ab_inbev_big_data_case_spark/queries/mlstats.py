@@ -1252,3 +1252,166 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boot_se_r",
         )
     )
+
+
+# ------------------------------------------------ CUPED variance reduction
+
+_CUPED_SQL = """
+    WITH spend AS (
+        SELECT o_custkey AS cid,
+               CAST(round(sum(CASE WHEN year(o_orderdate) = 1996
+                     THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END), 2)
+                     * 100 AS BIGINT) AS y_c,
+               CAST(round(sum(CASE WHEN year(o_orderdate) = 1995
+                     THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END), 2)
+                     * 100 AS BIGINT) AS x_c
+        FROM orders GROUP BY 1
+    ),
+    armed AS (
+        SELECT cid, y_c, x_c,
+               CASE WHEN (('0x' || substr(sha256('exp:' || cid), 1, 15))::BIGINT
+                          % 100) < 50 THEN 'treatment' ELSE 'control' END AS arm
+        FROM spend
+    ),
+    pooled AS (
+        SELECT count(*) AS n,
+               sum(CAST(x_c AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y_c AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x_c AS DECIMAL(38,0)) * CAST(y_c AS DECIMAL(38,0)))
+                   AS sxy,
+               sum(CAST(x_c AS DECIMAL(38,0)) * CAST(x_c AS DECIMAL(38,0)))
+                   AS sxx
+        FROM armed
+    ),
+    theta AS (
+        SELECT (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n)
+               / (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) AS th,
+               sx::DOUBLE / n AS xbar
+        FROM pooled
+    ),
+    arms AS (
+        SELECT arm, count(*) AS n,
+               sum(CAST(x_c AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y_c AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x_c AS DECIMAL(38,0)) * CAST(y_c AS DECIMAL(38,0)))
+                   AS sxy,
+               sum(CAST(x_c AS DECIMAL(38,0)) * CAST(x_c AS DECIMAL(38,0)))
+                   AS sxx,
+               sum(CAST(y_c AS DECIMAL(38,0)) * CAST(y_c AS DECIMAL(38,0)))
+                   AS syy
+        FROM armed GROUP BY 1
+    )
+    SELECT a.arm, a.n,
+           round(a.sy::DOUBLE / a.n / 100, 2) AS mean_y_r,
+           round((a.syy::DOUBLE - a.sy::DOUBLE * a.sy::DOUBLE / a.n)
+                 / (a.n - 1) / 10000, 2) AS var_y_r,
+           round(((a.syy::DOUBLE - a.sy::DOUBLE * a.sy::DOUBLE / a.n)
+                  - 2 * t.th * (a.sxy::DOUBLE
+                                - a.sx::DOUBLE * a.sy::DOUBLE / a.n)
+                  + t.th * t.th * (a.sxx::DOUBLE
+                                   - a.sx::DOUBLE * a.sx::DOUBLE / a.n))
+                 / (a.n - 1) / 10000, 2) AS var_adj_r,
+           round(1.0
+                 - ((a.syy::DOUBLE - a.sy::DOUBLE * a.sy::DOUBLE / a.n)
+                    - 2 * t.th * (a.sxy::DOUBLE
+                                  - a.sx::DOUBLE * a.sy::DOUBLE / a.n)
+                    + t.th * t.th * (a.sxx::DOUBLE
+                                     - a.sx::DOUBLE * a.sx::DOUBLE / a.n))
+                   / (a.syy::DOUBLE - a.sy::DOUBLE * a.sy::DOUBLE / a.n),
+                 4) + 0.0 AS reduction_r
+    FROM arms a CROSS JOIN theta t
+"""
+
+
+@register("cuped_adjustment", oracle=_CUPED_SQL)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): per-arm variance of
+    the 1996 spend metric before and after subtracting θ·(pre-period
+    1995 spend − mean), θ = cov(x,y)/var(x) pooled — the standard
+    experimentation-platform trick that shrinks A/B confidence
+    intervals for free. Completes the experimentation family:
+    ``welch_ab_test`` tests, ``poisson_bootstrap_ci`` intervals, CUPED
+    tightens.
+
+    Scale shape: per-unit metric/covariate are one grouped conditional
+    aggregate in exact cents; ALL second moments (Σxy, Σx², Σy²)
+    accumulate in DECIMAL(38,0) — cents products overflow int64/double
+    exactness at warehouse row counts, decimal partials stay exact and
+    mergeable — and only the final closed-form ratios run in double on
+    identical expression trees. Arms are the deterministic hash split;
+    variances use the algebraic CUPED identity var(y*) = var(y) −
+    2θcov + θ²var(x), so no per-row double sum exists anywhere."""
+    o = table(spark, sf_dir, "orders")
+    cents = lambda yr: (
+        F.round(
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") == yr,
+                    F.col("o_totalprice").cast("decimal(18,6)"),
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ),
+            2,
+        )
+        * 100
+    ).cast("long")
+    spend = o.groupBy(F.col("o_custkey").alias("cid")).agg(
+        cents(1996).alias("y_c"), cents(1995).alias("x_c")
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("exp:"), F.col("cid").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    armed = spend.withColumn(
+        "arm", F.when(h < 50, "treatment").otherwise("control")
+    )
+    dx = F.col("x_c").cast("decimal(38,0)")
+    dy = F.col("y_c").cast("decimal(38,0)")
+    moments = [
+        F.count("*").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    ]
+    pooled = armed.agg(*moments[:5])
+    th = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    ) / (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+    )
+    theta = pooled.select(th.alias("th"))
+    arms = armed.groupBy("arm").agg(*moments)
+    j = arms.crossJoin(F.broadcast(theta))
+    ssy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / F.col("n")
+    scov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / F.col("n")
+    ssx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / F.col("n")
+    adj = ssy - 2 * F.col("th") * scov + F.col("th") * F.col("th") * ssx
+    return j.select(
+        "arm",
+        "n",
+        F.round(F.col("sy").cast("double") / F.col("n") / 100, 2).alias(
+            "mean_y_r"
+        ),
+        F.round(ssy / (F.col("n") - 1) / 10000, 2).alias("var_y_r"),
+        F.round(adj / (F.col("n") - 1) / 10000, 2).alias("var_adj_r"),
+        # + 0.0 canonicalizes IEEE -0.0 (a tiny negative reduction rounds
+        # to signed zero in one engine only — the community_modularity fix)
+        (F.round(1.0 - adj / ssy, 4) + 0.0).alias("reduction_r"),
+    )

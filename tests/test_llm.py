@@ -675,3 +675,16 @@ def test_prf_expands_beyond_original_query(spark, sf_dir):
     # PRF reaches docs the original 3-term query scores — plus possibly
     # expansion-only docs; the two result sets must at least overlap
     assert {r.doc_id for r in prf} & bm
+
+
+def test_ivf_balance_consistent_with_cells(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["ivf_balance_report"](spark, sf_dir).collect()[0]
+    cells = QUERIES["ivf_cells"](spark, sf_dir).collect()
+    assert r.n_cells == len(cells)
+    assert r.n_vecs == sum(c.n_vecs for c in cells)
+    assert r.max_cell == max(c.n_vecs for c in cells)
+    assert r.imbalance_r >= 1.0  # max >= mean
+    assert 1.0 / r.n_cells - 1e-6 <= r.hhi_r <= 1.0

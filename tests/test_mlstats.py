@@ -348,3 +348,17 @@ def test_poisson_bootstrap_brackets_point_estimate(spark, sf_dir):
     assert r1.boot_lo_r <= r1.point_est_r <= r1.boot_hi_r
     assert r1.boot_lo_r < r1.boot_hi_r
     assert r1.boot_se_r > 0
+
+
+def test_cuped_reduces_variance(spark, sf_dir):
+    """CUPED must not increase variance (theta is the pooled OLS optimum,
+    so reduction >= 0 up to arm-vs-pooled slippage), both arms present,
+    and var_adj = var_y * (1 - reduction)."""
+    rows = {r.arm: r for r in QUERIES["cuped_adjustment"](spark, sf_dir).collect()}
+    assert set(rows) == {"treatment", "control"}
+    for r in rows.values():
+        assert r.n > 1 and r.var_y_r > 0
+        assert r.var_adj_r <= r.var_y_r * 1.01  # pooled theta, arm moments
+        assert abs(r.var_adj_r - r.var_y_r * (1 - r.reduction_r)) < max(
+            0.01 * r.var_y_r, 1.0
+        )
