@@ -3649,3 +3649,74 @@ def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exp_probe_cost_r"
         ),
     )
+
+
+# ----------------------------------- embedding geometry histogram
+
+_SIMHIST_SQL = f"""
+    WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
+    a AS (SELECT vec_id, embedding AS va FROM embeddings),
+    b AS (SELECT vec_id, embedding AS vb FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id,
+               round({_DOT.format(x='a.va', y='b.vb')} /
+                     ({_NORM.format(x='a.va', tag='a')} *
+                      {_NORM.format(x='b.vb', tag='b')}), 3) + 0.0 AS cos
+        FROM a
+        JOIN n ON true
+        JOIN b ON b.vec_id = (a.vec_id + 101) % n.n_vecs
+        WHERE b.vec_id != a.vec_id
+    )
+    SELECT CAST(floor(cos * 10) AS BIGINT) AS bin,
+           count(*) AS n_pairs,
+           round(min(cos), 3) AS lo_r,
+           round(max(cos), 3) AS hi_r
+    FROM pairs GROUP BY 1
+"""
+
+
+@register("embedding_similarity_histogram", oracle=_SIMHIST_SQL)
+def embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-geometry diagnostic: the distribution of cosine similarity
+    between DETERMINISTIC sample pairs (each vector paired with the one
+    101 positions ahead, mod N — a fixed derangement, so exactly N
+    pairs), binned at 0.1. A concentrated histogram (hubness / narrow
+    cone) predicts weak LSH/IVF selectivity BEFORE building the index —
+    read this beside ``ivf_balance_report``.
+
+    Scale shape: the pairing is a keyed equi-join on a computed id (one
+    shuffle, N rows — never N²); the histogram is a 21-bin grouped
+    count. Cosines quantize at 3 before binning, and the bin edge uses
+    floor so the bin function is exact on the quantized grid."""
+    e = table(spark, sf_dir, "embeddings")
+    n = e.agg(F.count("*").alias("n_vecs"))
+    a = e.select("vec_id", F.col("embedding").alias("va")).crossJoin(
+        F.broadcast(n)
+    )
+    b = e.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("vb"))
+    from ab_inbev_big_data_case_spark.llm.similarity import _dot, _norm
+
+    pairs = (
+        a.withColumn("bid", (F.col("vec_id") + 101) % F.col("n_vecs"))
+        .filter(F.col("bid") != F.col("vec_id"))
+        .join(b, "bid")
+        .select(
+            # + 0.0 canonicalizes IEEE -0.0 before binning (third sighting
+            # of the signed-zero hazard; see community_modularity)
+            (
+                F.round(
+                    _dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                    3,
+                )
+                + 0.0
+            ).alias("cos")
+        )
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cos") * 10).cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.min("cos"), 3).alias("lo_r"),
+        F.round(F.max("cos"), 3).alias("hi_r"),
+    )

@@ -685,3 +685,94 @@ def leaderboard_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_rnk",
         (F.col("prev_rnk") - F.col("rnk")).alias("shift"),
     )
+
+
+_KCORE_ROUND_SQL = """
+    {nxt} AS (
+        SELECT u, v FROM {cur}
+        WHERE u IN (SELECT u FROM (SELECT u, count(*) AS d FROM {cur}
+                                   GROUP BY 1) dd WHERE d >= 3)
+          AND v IN (SELECT u FROM (SELECT u, count(*) AS d FROM {cur}
+                                   GROUP BY 1) dd WHERE d >= 3)
+    )
+"""
+
+_KCORE_SQL = (
+    f"""
+    WITH {_EDGES_SQL},
+    sym0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    """
+    + _KCORE_ROUND_SQL.format(cur="sym0", nxt="sym1")
+    + ","
+    + _KCORE_ROUND_SQL.format(cur="sym1", nxt="sym2")
+    + ","
+    + _KCORE_ROUND_SQL.format(cur="sym2", nxt="sym3")
+    + """
+    SELECT 0::BIGINT AS round, count(DISTINCT u) AS n_vertices,
+           (count(*) / 2)::BIGINT AS n_edges FROM sym0
+    UNION ALL SELECT 1::BIGINT, count(DISTINCT u), (count(*) / 2)::BIGINT
+    FROM sym1
+    UNION ALL SELECT 2::BIGINT, count(DISTINCT u), (count(*) / 2)::BIGINT
+    FROM sym2
+    UNION ALL SELECT 3::BIGINT, count(DISTINCT u), (count(*) / 2)::BIGINT
+    FROM sym3
+"""
+)
+
+
+@register("kcore_peeling", oracle=_KCORE_SQL)
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling of the co-purchase graph, 3 unrolled rounds:
+    repeatedly drop vertices of degree < 3 and report the shrinking
+    (vertices, edges) after each peel — the dense-core extractor behind
+    community seeding and spam-cluster mining (a vertex surviving round
+    r has ≥3 neighbors who themselves survived r−1). Complements the
+    expansion-style graph ops (k-hop, LPA): peeling CONTRACTS toward
+    the core; three rounds reach the fixpoint on this graph (pinned by
+    pytest).
+
+    Scale shape: each round is one grouped degree count + one semi-join
+    filter of the edge list against surviving vertices (both ends) —
+    the unrolled-rounds pattern with monotone shrinking state; no
+    driver iteration. Counts are exact integers; the symmetrized list
+    is halved for the undirected edge count."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def peel(cur: DataFrame) -> DataFrame:
+        surv = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= 3)
+            .select("u")
+        )
+        return cur.join(surv, "u", "left_semi").join(
+            surv.withColumnRenamed("u", "v"), "v", "left_semi"
+        )
+
+    rounds = [sym]
+    for _ in range(3):
+        rounds.append(peel(rounds[-1]))
+    stats = [
+        g.agg(
+            F.lit(i).cast("long").alias("round"),
+            F.countDistinct("u").alias("n_vertices"),
+            (F.count("*") / 2).cast("long").alias("n_edges"),
+        ).select("round", "n_vertices", "n_edges")
+        for i, g in enumerate(rounds)
+    ]
+    out = stats[0]
+    for sdf in stats[1:]:
+        out = out.unionAll(sdf)
+    return out

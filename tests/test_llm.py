@@ -688,3 +688,16 @@ def test_ivf_balance_consistent_with_cells(spark, sf_dir):
     assert r.max_cell == max(c.n_vecs for c in cells)
     assert r.imbalance_r >= 1.0  # max >= mean
     assert 1.0 / r.n_cells - 1e-6 <= r.hhi_r <= 1.0
+
+
+def test_similarity_histogram_covers_all_vectors(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["embedding_similarity_histogram"](spark, sf_dir).collect()
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_pairs for r in rows) == n_vecs  # fixed derangement
+    for r in rows:
+        assert -10 <= r.bin <= 10
+        assert r.lo_r <= r.hi_r
+        assert r.bin / 10 - 1e-9 <= r.lo_r and r.hi_r < (r.bin + 1) / 10 + 1e-9

@@ -274,3 +274,13 @@ def test_leaderboard_shift_identity(spark, sf_dir):
         ranks = sorted(x.rnk for x in rs)
         assert ranks == list(range(1, len(rs) + 1))  # dense 1..k board
         assert len(rs) <= 10
+
+
+def test_kcore_peeling_contracts_to_fixpoint(spark, sf_dir):
+    rows = {r.round: r for r in QUERIES["kcore_peeling"](spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    vs = [rows[i].n_vertices for i in range(4)]
+    es = [rows[i].n_edges for i in range(4)]
+    assert vs == sorted(vs, reverse=True)  # peeling only shrinks
+    assert es == sorted(es, reverse=True)
+    assert vs[2] == vs[3] and es[2] == es[3]  # fixpoint reached by round 3
