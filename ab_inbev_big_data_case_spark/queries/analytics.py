@@ -860,10 +860,9 @@ from ab_inbev_big_data_case_spark.operators.layout import (  # noqa: E402
 from ab_inbev_big_data_case_spark.sources.readers import table  # noqa: E402
 
 
-@register(
-    "zorder_layout_extents",
-    oracle=f"""
-    WITH raw AS (
+#: shared by zorder_layout_extents and zorder_pruning_audit oracles
+_ZORDER_EXT_SQL = f"""
+    raw AS (
         SELECT o_custkey AS xr,
                datediff('day', DATE '1992-01-01', o_orderdate) AS yr
         FROM orders
@@ -879,11 +878,21 @@ from ab_inbev_big_data_case_spark.sources.readers import table  # noqa: E402
                ntile(32) OVER (ORDER BY {zorder_oracle_expr('x', 'y', 8)},
                                x, y) AS file_id
         FROM b
+    ),
+    ext AS (
+        SELECT file_id::INT AS file_id, count(*)::BIGINT AS n_rows,
+               min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+               min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+        FROM t GROUP BY 1
     )
-    SELECT file_id::INT AS file_id, count(*)::BIGINT AS n_rows,
-           min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
-           min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
-    FROM t GROUP BY 1
+"""
+
+
+@register(
+    "zorder_layout_extents",
+    oracle=f"""
+    WITH {_ZORDER_EXT_SQL}
+    SELECT file_id, n_rows, min_x, max_x, min_y, max_y FROM ext
     """,
 )
 def zorder_layout_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,5 +1584,59 @@ def strict_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_purchased") / F.col("n_views"), 6).alias(
                 "overall_rate_r"
             ),
+        )
+    )
+
+
+@register(
+    "zorder_pruning_audit",
+    oracle=f"""
+    WITH {_ZORDER_EXT_SQL},
+    probe AS (
+        SELECT 'x' AS dim, min_x AS lo_d, max_x AS hi_d FROM ext
+        UNION ALL
+        SELECT 'y', min_y, max_y FROM ext
+    )
+    SELECT dim, count(*) AS n_tiles,
+           sum(CASE WHEN hi_d < 96 OR lo_d > 127 THEN 1 ELSE 0 END)::BIGINT
+               AS n_pruned,
+           round(sum(CASE WHEN hi_d < 96 OR lo_d > 127 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS pruned_frac_r
+    FROM probe GROUP BY 1
+    """,
+)
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-pruning effectiveness of the Z-order layout: for a selective
+    range predicate covering one 32-bucket stripe ([96, 127] of the
+    256-bucket domain, 1/8 of the range) on EACH dimension, the fraction
+    of the 32 'files' whose footer extents exclude the predicate — i.e.
+    what a parquet reader would actually skip. This turns
+    ``zorder_layout_extents``' raw footer stats into the number a
+    storage team tunes on: a single-column sort prunes ~7/8 of files on
+    the sort column and ~0 on the other; a balanced Z-order prunes a
+    comparable fraction on BOTH (pinned by pytest).
+
+    Scale shape: rides the extents lineage (range-partitioned
+    distributed rank — no partitionless window) and then aggregates the
+    32-row tile table; the audit itself moves 2 rows."""
+    ext = zorder_layout_extents(spark, sf_dir)
+    x = ext.select(
+        F.lit("x").alias("dim"),
+        F.col("min_x").alias("lo_d"),
+        F.col("max_x").alias("hi_d"),
+    )
+    y = ext.select(
+        F.lit("y").alias("dim"),
+        F.col("min_y").alias("lo_d"),
+        F.col("max_y").alias("hi_d"),
+    )
+    pruned = F.when((F.col("hi_d") < 96) | (F.col("lo_d") > 127), 1).otherwise(0)
+    return (
+        x.unionAll(y)
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum(pruned).cast("long").alias("n_pruned"),
+            F.round(F.sum(pruned) / F.count("*"), 4).alias("pruned_frac_r"),
         )
     )

@@ -55,7 +55,7 @@ _QUERY_MODULES = [
 # oracle via the exact+within_tol projection), and approx_count_distinct
 # (same oracle upgrade — was a permanent no_oracle row).
 #
-# ROTATION (round 6+): re-check any r5 reds first, then the forty-two
+# ROTATION (round 6+): re-check any r5 reds first, then the forty-three
 # session-2/3 tail additions never in a window (cumulative_unique_users,
 # weighted_median, ordered_string_agg, bpe_apply_merges,
 # time_weighted_avg, join_null_safe, psi_drift, split_leakage_audit,
@@ -70,7 +70,8 @@ _QUERY_MODULES = [
 # dedup_paths_agreement, poisson_bootstrap_ci, gapfill_linear_interp,
 # sorted_neighborhood_pairs, prf_rocchio_expansion,
 # strict_funnel_conversion, heaps_law_fit, ivf_balance_report,
-# cuped_adjustment, kcore_peeling, embedding_similarity_histogram),
+# cuped_adjustment, kcore_peeling, embedding_similarity_histogram,
+# zorder_pruning_audit),
 # then the 13 displaced r1 re-checks named in the comments below, then
 # the remaining r2-era names (subquery + tpch_q*_shape families,
 # exact_dedup_hash …), then r3-era.

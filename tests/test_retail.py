@@ -284,3 +284,16 @@ def test_kcore_peeling_contracts_to_fixpoint(spark, sf_dir):
     assert vs == sorted(vs, reverse=True)  # peeling only shrinks
     assert es == sorted(es, reverse=True)
     assert vs[2] == vs[3] and es[2] == es[3]  # fixpoint reached by round 3
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    """The balanced Morton layout must let a 1/8-domain stripe predicate
+    prune a meaningful fraction of files on BOTH dims — the whole point
+    vs a single-column sort (which prunes ~0 on the non-sort dim)."""
+    rows = {r.dim: r for r in QUERIES["zorder_pruning_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"x", "y"}
+    for r in rows.values():
+        assert r.n_tiles == 32
+        assert 0 <= r.n_pruned < 32  # some tiles must intersect the stripe
+    assert rows["x"].pruned_frac_r >= 0.25
+    assert rows["y"].pruned_frac_r >= 0.25
