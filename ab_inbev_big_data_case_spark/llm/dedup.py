@@ -357,13 +357,18 @@ def simhash(
     Two shuffles ((id,bit) then id), both pre-combined map-side; bits table
     is broadcast.
     """
-    # no spread(): tokenize is cheap per row — the repartition shuffle of the
-    # text bodies costs more than the work it parallelizes (measured 5x at
-    # sf0.1; spread stays on shingle_set, where per-row cost dominates)
+    # unigram voting: no spread() — tokenize is cheap per row and the
+    # repartition shuffle of the text bodies costs more than it saves
+    # (measured 5x at sf0.1). SHINGLE voting flips that economics: ~240
+    # sha256 hashes per row dominate, and the fixture's single-row-group
+    # scan serializes them onto one task — spread() first (same call
+    # shingle_set makes; measured 3.6 s -> 0.6 s signature at sf0.1)
     feats = tokens(F.col(text_col))
+    src = df
     if shingle_n is not None:
         feats = shingles(feats, shingle_n)
-    toks = df.select(
+        src = spread(df)
+    toks = src.select(
         F.col(id_col), F.explode(F.array_distinct(feats)).alias("tok")
     ).withColumn("h", token_hash64(F.col("tok")))
     # all bit-votes as parallel aggregations over the same token rows: ONE

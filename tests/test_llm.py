@@ -701,3 +701,30 @@ def test_similarity_histogram_covers_all_vectors(spark, sf_dir):
         assert -10 <= r.bin <= 10
         assert r.lo_r <= r.hi_r
         assert r.bin / 10 - 1e-9 <= r.lo_r and r.hi_r < (r.bin + 1) / 10 + 1e-9
+
+
+def test_cluster_purity_bounds(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["cluster_purity_eval"](spark, sf_dir).collect()[0]
+    n_labels = (
+        table(spark, sf_dir, "embeddings").select("label").distinct().count()
+    )
+    # purity is at least the majority-class share (the 1-cluster floor)
+    assert 1.0 / n_labels <= r.purity_r <= 1.0
+    assert 0.0 <= r.nmi_r <= 1.0
+    assert r.n_cells >= 2
+
+
+def test_knn_accuracy_beats_chance(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["knn_label_accuracy"](spark, sf_dir).collect()[0]
+    assert r.n_correct <= r.n_queries
+    assert r.accuracy_r == round(r.n_correct / r.n_queries, 4)
+    # the fixture's labels are geometrically random (measured ~chance
+    # across SFs) — the audit's job is to REPORT that, so the test pins
+    # bounds and the consistency identity, not a quality floor
+    assert 0.0 <= r.accuracy_r <= 1.0

@@ -242,6 +242,83 @@ def main() -> None:
     for sf, nd, ns, ndp, fr in ds_rows:
         print(f"| {sf} | {nd} | {ns} | {ndp} | {fr:.4f} |")
 
+    # SimHash band-width law (round 5 session 3): random band collisions
+    # grow ~bands*N^2/2^w, so band width w is the scale knob. Reproduces
+    # the SCALE.md sweep for the shipped 60/4x15 config plus the 32/4x8
+    # config it replaced.
+    from ab_inbev_big_data_case_spark.llm.dedup import simhash
+
+    sh_rows = []
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        docs = table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        per_cfg = []
+        for bits, bands, w in ((32, 4, 8), (60, 4, 15)):
+            sig = simhash(docs, "doc_id", "text", bits, shingle_n=3)
+            sig = sig.withColumnRenamed("simhash", "s")
+            bands_df = sig.select(
+                "doc_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(bb).alias("b"),
+                                F.shiftright(F.col("s"), w * bb)
+                                .bitwiseAND(F.lit((1 << w) - 1))
+                                .alias("bv"),
+                            )
+                            for bb in range(bands)
+                        ]
+                    )
+                ).alias("x"),
+            ).select("doc_id", "x.b", "x.bv")
+            l = bands_df.select(F.col("doc_id").alias("id1"), "b", "bv")
+            r = bands_df.select(F.col("doc_id").alias("id2"), "b", "bv")
+            cand = (
+                l.join(r, ["b", "bv"])
+                .filter(F.col("id1") < F.col("id2"))
+                .select("id1", "id2")
+                .distinct()
+            )
+            per_cfg.append(cand.count())
+        sh_rows.append((sf, n_docs, per_cfg[0], per_cfg[1]))
+    print()
+    print("| sf | docs N | simhash cand (32/4x8) | cand (60/4x15, shipped) |")
+    print("|---|---|---|---|")
+    for sf, nd, c8, c15 in sh_rows:
+        print(f"| {sf} | {nd} | {c8} | {c15} |")
+
+    # Co-purchase graph sparsifier (round 5 session 3): basket pairs are
+    # exactly linear in baskets (<=21 per TPC-H order); the support>=2
+    # threshold then collapses a 10x pair jump into a ~flat edge set.
+    gp_rows = []
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        li = table(spark, sf_dir, "lineitem")
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        n_baskets = items.select("l_orderkey").distinct().count()
+        a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+        b3 = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+        bp = a.join(b3, "l_orderkey").filter(F.col("u") < F.col("v"))
+        n_bp = bp.count()
+        n_edges = (
+            bp.groupBy("u", "v")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .count()
+        )
+        gp_rows.append((sf, n_baskets, n_bp, n_edges))
+    print()
+    print("| sf | baskets | basket pairs | support>=2 edges |")
+    print("|---|---|---|---|")
+    for sf, nb, nbp, ne in gp_rows:
+        print(f"| {sf} | {nb} | {nbp} | {ne} |")
+
 
 if __name__ == "__main__":
     main()
