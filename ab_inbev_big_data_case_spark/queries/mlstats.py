@@ -1415,3 +1415,59 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # to signed zero in one engine only — the community_modularity fix)
         (F.round(1.0 - adj / ssy, 4) + 0.0).alias("reduction_r"),
     )
+
+
+# ------------------------------------------------ smoothed target encoding
+
+_TENC_M = 50.0  # Bayesian prior weight (pseudo-observations at the global mean)
+
+_TENC_SQL = f"""
+    WITH base AS (
+        SELECT p.p_brand,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (SELECT sum(y) * 1.0 / count(*) AS mu FROM base),
+    enc AS (
+        SELECT p_brand, count(*) AS n, sum(y)::BIGINT AS n_pos
+        FROM base GROUP BY 1
+    )
+    SELECT e.p_brand, e.n, e.n_pos,
+           round(e.n_pos * 1.0 / e.n, 6) AS raw_rate_r,
+           round((e.n_pos + {_TENC_M} * g.mu) / (e.n + {_TENC_M}), 6)
+               AS encoded_r
+    FROM enc e CROSS JOIN g
+"""
+
+
+@register("target_encoding_smoothed", oracle=_TENC_SQL)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (Micci-Barreca 2001): per-brand return
+    rate shrunk toward the global mean with m=50 pseudo-observations —
+    the leakage-resistant categorical featurizer (raw per-category means
+    memorize rare categories; the prior pulls them back). The
+    feature-engineering sibling of ``return_rate_wilson_ci``'s interval.
+
+    Scale shape: one fact-dim join + one grouped conditional count per
+    category + a broadcast 1-row global mean; the encode is codegen'd
+    scalar arithmetic on exact integer counts."""
+    li = table(spark, sf_dir, "lineitem")
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    base = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = base.agg((F.sum("y") / F.count("*")).alias("mu"))
+    enc = base.groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("n_pos")
+    )
+    return enc.crossJoin(F.broadcast(g)).select(
+        "p_brand",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("raw_rate_r"),
+        F.round(
+            (F.col("n_pos") + _TENC_M * F.col("mu")) / (F.col("n") + _TENC_M),
+            6,
+        ).alias("encoded_r"),
+    )

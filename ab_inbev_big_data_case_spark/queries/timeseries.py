@@ -540,3 +540,92 @@ def ts_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rev") - F.col("trend_r") - F.col("seasonal_r"), 2),
         ).alias("resid_r"),
     )
+
+
+_SEAS_ANOM_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    t AS (
+        SELECT day, rev,
+               CASE WHEN count(rev) OVER w = 7
+                    THEN round(avg(rev) OVER w, 2) END AS trend_r
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    s AS (
+        SELECT day, rev, trend_r,
+               round(avg(rev - trend_r) FILTER (WHERE trend_r IS NOT NULL)
+                     OVER (PARTITION BY dayofweek(day)), 2) AS seasonal_r
+        FROM t
+    ),
+    r AS (
+        SELECT day, round(rev - trend_r - seasonal_r, 2) AS resid
+        FROM s WHERE trend_r IS NOT NULL
+    ),
+    med AS (SELECT quantile_cont(resid, 0.5) AS m FROM r),
+    mad AS (
+        SELECT quantile_cont(abs(r.resid - med.m), 0.5) AS mad
+        FROM r CROSS JOIN med
+    )
+    SELECT r.day, r.resid,
+           round((r.resid - med.m) / (1.4826 * mad.mad), 4) AS robust_z_r
+    FROM r CROSS JOIN med CROSS JOIN mad
+    WHERE abs((r.resid - med.m) / (1.4826 * mad.mad)) > 3
+"""
+
+
+@register("seasonal_residual_anomaly", oracle=_SEAS_ANOM_SQL)
+def seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: robust z-score (median/MAD,
+    consistency constant 1.4826) of the DECOMPOSITION residual, flagging
+    |z| > 3 days — the monitor ``ewma_anomaly`` can't be: it removes the
+    weekly cycle first, so a normal Saturday dip no longer pages anyone.
+
+    Scale shape: the trend/seasonal passes are ``ts_decomposition``'s
+    bounded-day-spine windows; median and MAD are two exact 1-row
+    percentile aggregates over the residual spine; the z-score is a
+    codegen'd scalar on exact cents-grid residuals (quantile
+    interpolation on the cents grid — ``rolling_median`` discipline)."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-3, 3)  # bounded day spine
+    t = d.select(
+        "day",
+        "rev",
+        F.when(
+            F.count("rev").over(w) == 7, F.round(F.avg("rev").over(w), 2)
+        ).alias("trend_r"),
+    )
+    ws = Window.partitionBy(F.dayofweek("day"))
+    s = t.select(
+        "day",
+        "rev",
+        "trend_r",
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("trend_r").isNotNull(),
+                    F.col("rev") - F.col("trend_r"),
+                )
+            ).over(ws),
+            2,
+        ).alias("seasonal_r"),
+    )
+    r = s.filter(F.col("trend_r").isNotNull()).select(
+        "day",
+        F.round(
+            F.col("rev") - F.col("trend_r") - F.col("seasonal_r"), 2
+        ).alias("resid"),
+    )
+    med = r.agg(F.percentile("resid", F.lit(0.5)).alias("m"))
+    rm = r.crossJoin(F.broadcast(med))
+    mad = rm.agg(
+        F.percentile(F.abs(F.col("resid") - F.col("m")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    z = (F.col("resid") - F.col("m")) / (1.4826 * F.col("mad"))
+    return (
+        rm.crossJoin(F.broadcast(mad))
+        .withColumn("robust_z_r", F.round(z, 4))
+        .filter(F.abs(z) > 3)
+        .select("day", "resid", "robust_z_r")
+    )

@@ -362,3 +362,17 @@ def test_cuped_reduces_variance(spark, sf_dir):
         assert abs(r.var_adj_r - r.var_y_r * (1 - r.reduction_r)) < max(
             0.01 * r.var_y_r, 1.0
         )
+
+
+def test_target_encoding_shrinks_toward_global(spark, sf_dir):
+    rows = QUERIES["target_encoding_smoothed"](spark, sf_dir).collect()
+    total_pos = sum(r.n_pos for r in rows)
+    total_n = sum(r.n for r in rows)
+    mu = total_pos / total_n
+    for r in rows:
+        lo, hi = sorted((r.raw_rate_r, round(mu, 6)))
+        # encoded value lies between the raw rate and the global mean
+        assert lo - 1e-6 <= r.encoded_r <= hi + 1e-6
+        # small-n categories shrink more: |enc - raw| grows as n falls
+        expected = (r.n_pos + 50.0 * mu) / (r.n + 50.0)
+        assert abs(r.encoded_r - round(expected, 6)) < 1e-9

@@ -217,3 +217,28 @@ def test_linear_interp_between_observations(spark, sf_dir):
                     assert abs(r.interp_r - prev[-1]) <= 1e-4
                 else:
                     assert abs(r.interp_r - nxt[0]) <= 1e-4
+
+
+def test_seasonal_anomalies_are_extreme_residuals(spark, sf_dir):
+    """Every flagged day's |z| > 3, and z recomputes from the decomposition
+    residuals' median/MAD."""
+    import numpy as np
+
+    flagged = {
+        r.day: r for r in QUERIES["seasonal_residual_anomaly"](spark, sf_dir).collect()
+    }
+    dec = [
+        r
+        for r in QUERIES["ts_decomposition"](spark, sf_dir).collect()
+        if r.trend_r is not None
+    ]
+    resid = np.array([r.resid_r for r in dec])
+    med = np.quantile(resid, 0.5)
+    mad = np.quantile(np.abs(resid - med), 0.5)
+    for r in dec:
+        z = (r.resid_r - med) / (1.4826 * mad)
+        if abs(z) > 3:
+            assert r.day in flagged, r.day
+            assert abs(flagged[r.day].robust_z_r - round(z, 4)) < 1e-6
+        else:
+            assert r.day not in flagged
