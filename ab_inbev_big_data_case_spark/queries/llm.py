@@ -3906,3 +3906,68 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.count("*"), 4).alias("accuracy_r"),
         )
     )
+
+
+# ------------------------------------- intrinsic dimension (TwoNN)
+
+_TWONN_SQL = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    pairs AS (
+        SELECT qid, cid,
+               round({_DOT.format(x='qv', y='cv')} /
+                     ({_NORM.format(x='qv', tag='q')} *
+                      {_NORM.format(x='cv', tag='c')}), 3) AS cos
+        FROM q, c WHERE cid != qid
+    ),
+    nn2 AS (
+        SELECT qid,
+               max(CASE WHEN rn = 1 THEN 1.0 - cos END) AS d1,
+               max(CASE WHEN rn = 2 THEN 1.0 - cos END) AS d2
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC NULLS LAST, cid) AS rn
+            FROM pairs
+        ) WHERE rn <= 2
+        GROUP BY 1
+    ),
+    mu AS (
+        SELECT qid, d2 / d1 AS mu FROM nn2 WHERE d1 >= 0.001
+    )
+    SELECT count(*) AS n_used,
+           round(avg(mu), 4) AS mean_mu_r,
+           round(count(*) / sum(ln(mu)), 4) AS id_hat_r
+    FROM mu
+"""
+
+
+@register("intrinsic_dimension_twonn", oracle=_TWONN_SQL)
+def intrinsic_dimension_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): the MLE
+    d̂ = n / Σ ln(d₂/d₁) over each query's two nearest-neighbor distance
+    ratio — how many degrees of freedom the embeddings ACTUALLY use,
+    regardless of ambient dimension. Low d̂ says aggressive
+    PQ/projection compression is safe; d̂ near ambient says it isn't —
+    read before ``pq_codes``/``random_projection_stats``.
+
+    Scale shape: reuses the exact quantized 2-NN ranking on the query
+    subset (the audit-baseline pattern); distances are 1 − cos on the
+    3-decimal grid, queries with a duplicate-grade nearest neighbor
+    (d₁ < 0.001 — ratio undefined) are excluded; the estimator is one
+    1-row aggregate over |Q| ratio rows."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    nn2 = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 2)
+    wide = nn2.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, 1.0 - F.col("cosine"))).alias("d1"),
+        F.max(F.when(F.col("rank") == 2, 1.0 - F.col("cosine"))).alias("d2"),
+    )
+    mu = wide.filter(F.col("d1") >= 0.001).select(
+        (F.col("d2") / F.col("d1")).alias("mu")
+    )
+    return mu.agg(
+        F.count("*").alias("n_used"),
+        F.round(F.avg("mu"), 4).alias("mean_mu_r"),
+        F.round(F.count("*") / F.sum(F.log("mu")), 4).alias("id_hat_r"),
+    )

@@ -1471,3 +1471,113 @@ def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("encoded_r"),
     )
+
+
+# ------------------------------------------------ quantile treatment effect
+
+_QTE_SQL = """
+    WITH spend AS (
+        SELECT o_custkey AS cid,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS y_c
+        FROM orders GROUP BY 1
+    ),
+    armed AS (
+        SELECT y_c,
+               CASE WHEN (('0x' || substr(sha256('exp:' || cid), 1, 15))::BIGINT
+                          % 100) < 50 THEN 'treatment' ELSE 'control' END AS arm
+        FROM spend
+    ),
+    qs AS (
+        SELECT arm,
+               quantile_cont(y_c, 0.25) AS q25,
+               quantile_cont(y_c, 0.50) AS q50,
+               quantile_cont(y_c, 0.75) AS q75
+        FROM armed GROUP BY 1
+    )
+    SELECT t.q::DOUBLE AS quantile_r,
+           round(t.tv / 100, 2) AS treatment_r,
+           round(t.cv / 100, 2) AS control_r,
+           round((t.tv - t.cv) / 100, 2) AS qte_r
+    FROM (
+        SELECT 0.25 AS q, a.q25 AS tv, b.q25 AS cv
+        FROM qs a, qs b WHERE a.arm = 'treatment' AND b.arm = 'control'
+        UNION ALL
+        SELECT 0.50, a.q50, b.q50
+        FROM qs a, qs b WHERE a.arm = 'treatment' AND b.arm = 'control'
+        UNION ALL
+        SELECT 0.75, a.q75, b.q75
+        FROM qs a, qs b WHERE a.arm = 'treatment' AND b.arm = 'control'
+    ) t
+"""
+
+
+@register("quantile_treatment_effect", oracle=_QTE_SQL)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at p25/p50/p75: the per-quantile arm
+    difference that shows WHERE in the distribution an effect lives
+    (a mean shift from whales vs a broad lift look identical to
+    ``welch_ab_test``; QTE separates them). Same deterministic hash
+    split as ``cuped_adjustment``.
+
+    Scale shape: per-unit metric in exact integer cents (one grouped
+    agg), then ONE exact percentile aggregate per arm (mergeable
+    partial state) over the unit table; the 3-row quantile spine
+    assembles from the 2-row arm table. Cents-grid quantile
+    interpolation per the ``rolling_median`` discipline."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("cid")).agg(
+        (
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            * 100
+        )
+        .cast("long")
+        .alias("y_c")
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit("exp:"), F.col("cid").cast("string")), 256
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    armed = spend.select(
+        "y_c", F.when(h < 50, "treatment").otherwise("control").alias("arm")
+    )
+    qs = armed.groupBy("arm").agg(
+        *[
+            F.percentile("y_c", F.lit(q)).alias(name)
+            for q, name in ((0.25, "q25"), (0.50, "q50"), (0.75, "q75"))
+        ]
+    )
+    t = qs.filter(F.col("arm") == "treatment")
+    c = qs.filter(F.col("arm") == "control").select(
+        F.col("q25").alias("c25"),
+        F.col("q50").alias("c50"),
+        F.col("q75").alias("c75"),
+    )
+    j = t.crossJoin(F.broadcast(c))
+    rows = [
+        j.select(
+            F.lit(q).alias("quantile_r"),
+            F.round(F.col(tv) / 100, 2).alias("treatment_r"),
+            F.round(F.col(cv) / 100, 2).alias("control_r"),
+            F.round((F.col(tv) - F.col(cv)) / 100, 2).alias("qte_r"),
+        )
+        for q, tv, cv in (
+            (0.25, "q25", "c25"),
+            (0.50, "q50", "c50"),
+            (0.75, "q75", "c75"),
+        )
+    ]
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionAll(rdf)
+    return out

@@ -765,3 +765,126 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lev",
         )
     )
+
+
+# ------------------------------------------- price-volume-mix bridge
+
+_PVM_SQL = """
+    WITH yr AS (
+        SELECT l_partkey,
+               year(l_shipdate) AS y,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    * 100 AS BIGINT) AS rev_c,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS qty_c
+        FROM lineitem
+        WHERE year(l_shipdate) IN (1995, 1996)
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT a.rev_c AS r0, a.qty_c AS q0,
+               b.rev_c AS r1, b.qty_c AS q1
+        FROM yr a JOIN yr b ON b.l_partkey = a.l_partkey
+        WHERE a.y = 1995 AND b.y = 1996
+    ),
+    terms AS (
+        SELECT r0, r1,
+               CAST(floor((CAST(r0 AS DECIMAL(38,0))
+                           * (q1 - q0))::DOUBLE / q0 + 0.5) AS BIGINT)
+                   AS vol_c,
+               CAST(floor((CAST(r1 AS DECIMAL(38,0))
+                           * q0)::DOUBLE / q1 + 0.5) AS BIGINT) - r0
+                   AS price_c
+        FROM w
+    )
+    SELECT count(*) AS n_parts,
+           round(sum(r1 - r0) / 100.0, 2) AS delta_rev_r,
+           round(sum(vol_c) / 100.0, 2) AS volume_eff_r,
+           round(sum(price_c) / 100.0, 2) AS price_eff_r,
+           round(sum(r1 - r0 - vol_c - price_c) / 100.0, 2) AS cross_eff_r
+    FROM terms
+"""
+
+
+@register("price_volume_mix", oracle=_PVM_SQL)
+def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge for 1995→1996 per-part revenue: the FP&A
+    decomposition Δrev = price_effect + volume_effect + cross_effect
+    (Laspeyres convention: volume at base price, price at base volume,
+    cross = the exact remainder, so the bridge identity holds to the
+    cent by construction — pinned by pytest). Restricted to parts
+    trading in BOTH years (entry/exit is a separate mix line).
+
+    Scale shape: one filtered grouped agg builds the per-(part, year)
+    panel in exact integer cents/centi-units; the bridge is a self
+    equi-join on the part key (keyed, never cross) and one 1-row
+    aggregate of codegen'd ratio arithmetic. Average unit price =
+    rev/qty from exact integers — identical division trees in both
+    engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1995, 1996)
+    )
+    yr = li.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("y")
+    ).agg(
+        (
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            * 100
+        )
+        .cast("long")
+        .alias("rev_c"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("qty_c"),
+    )
+    a = yr.filter(F.col("y") == 1995).select(
+        "l_partkey",
+        F.col("rev_c").alias("r0"),
+        F.col("qty_c").alias("q0"),
+    )
+    b = yr.filter(F.col("y") == 1996).select(
+        "l_partkey",
+        F.col("rev_c").alias("r1"),
+        F.col("qty_c").alias("q1"),
+    )
+    w = a.join(b, "l_partkey")
+    # per-row terms become INTEGER cents via the portable floor-ties
+    # quantizer (numerators exact in DECIMAL(38,0), ONE deterministic
+    # double division each) — double sums over the part panel are
+    # summation-order-dependent across engines and flipped the 2-decimal
+    # output at sf0.01; integer sums are order-free. The cross effect is
+    # the exact REMAINDER (delta - volume - price), so the bridge
+    # identity holds to the cent by construction and absorbs the
+    # sub-cent per-row rounding dust.
+    vol_c = F.floor(
+        (F.col("r0").cast("decimal(38,0)") * (F.col("q1") - F.col("q0")))
+        .cast("double")
+        / F.col("q0")
+        + 0.5
+    ).cast("long")
+    price_c = (
+        F.floor(
+            (F.col("r1").cast("decimal(38,0)") * F.col("q0")).cast("double")
+            / F.col("q1")
+            + 0.5
+        ).cast("long")
+        - F.col("r0")
+    )
+    terms = w.select(
+        "r0", "r1", vol_c.alias("vol_c"), price_c.alias("price_c")
+    )
+    return terms.agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum(F.col("r1") - F.col("r0")) / 100.0, 2).alias(
+            "delta_rev_r"
+        ),
+        F.round(F.sum("vol_c") / 100.0, 2).alias("volume_eff_r"),
+        F.round(F.sum("price_c") / 100.0, 2).alias("price_eff_r"),
+        F.round(
+            F.sum(
+                F.col("r1") - F.col("r0") - F.col("vol_c") - F.col("price_c")
+            )
+            / 100.0,
+            2,
+        ).alias("cross_eff_r"),
+    )

@@ -728,3 +728,16 @@ def test_knn_accuracy_beats_chance(spark, sf_dir):
     # across SFs) — the audit's job is to REPORT that, so the test pins
     # bounds and the consistency identity, not a quality floor
     assert 0.0 <= r.accuracy_r <= 1.0
+
+
+def test_twonn_estimate_is_positive_and_bounded(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["intrinsic_dimension_twonn"](spark, sf_dir).collect()[0]
+    assert r.n_used > 0
+    assert r.mean_mu_r >= 1.0  # d2 >= d1 by construction
+    dim = len(
+        table(spark, sf_dir, "embeddings").select("embedding").first()[0]
+    )
+    assert 0 < r.id_hat_r < 10 * dim  # MLE noise can exceed ambient, not absurdly

@@ -376,3 +376,30 @@ def test_target_encoding_shrinks_toward_global(spark, sf_dir):
         # small-n categories shrink more: |enc - raw| grows as n falls
         expected = (r.n_pos + 50.0 * mu) / (r.n + 50.0)
         assert abs(r.encoded_r - round(expected, 6)) < 1e-9
+
+
+def test_qte_matches_per_arm_quantiles(spark, sf_dir):
+    import numpy as np
+
+    rows = {r.quantile_r: r for r in QUERIES["quantile_treatment_effect"](spark, sf_dir).collect()}
+    assert set(rows) == {0.25, 0.5, 0.75}
+    for q, r in rows.items():
+        assert abs(r.qte_r - round(r.treatment_r - r.control_r, 2)) < 0.011
+        assert r.treatment_r > 0 and r.control_r > 0
+    # quantiles are monotone within each arm
+    ts = [rows[q].treatment_r for q in (0.25, 0.5, 0.75)]
+    cs = [rows[q].control_r for q in (0.25, 0.5, 0.75)]
+    assert ts == sorted(ts) and cs == sorted(cs)
+
+
+def test_pvm_bridge_identity_exact(spark, sf_dir):
+    r = QUERIES["price_volume_mix"](spark, sf_dir).collect()[0]
+    assert r.n_parts > 0
+    # cross is the exact remainder: the bridge closes to the cent
+    assert (
+        abs(
+            r.delta_rev_r
+            - (r.volume_eff_r + r.price_eff_r + r.cross_eff_r)
+        )
+        < 0.011
+    )
