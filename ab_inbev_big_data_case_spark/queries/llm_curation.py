@@ -1518,3 +1518,82 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.expr("regr_intercept(ln(cum_vocab), ln(cum_toks))")), 4
         ).alias("k_r"),
     )
+
+
+# ------------------------------------------- importance-weight ESS audit
+
+_ESS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id, source, ({_H64.format(x='tok')} % {_DSIR_BUCKETS}) AS bkt
+        FROM toks
+    ),
+    cnt AS (
+        SELECT bkt, count(*) AS n_raw,
+               count(*) FILTER (WHERE source IN {_DSIR_TARGET}) AS n_tgt
+        FROM bt GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM cnt),
+    dw AS (
+        SELECT bt.doc_id,
+               round(avg(ln(((c.n_tgt + 1.0) / (t.nt + {_DSIR_BUCKETS})) /
+                            ((c.n_raw + 1.0) / (t.nr + {_DSIR_BUCKETS})))), 4)
+                   AS lw
+        FROM bt JOIN cnt c USING (bkt) CROSS JOIN tot t
+        GROUP BY bt.doc_id
+    ),
+    wq AS (
+        SELECT CAST(floor(exp(lw) * 1000000 + 0.5) AS BIGINT) AS w
+        FROM dw
+    )
+    SELECT count(*) AS n_docs,
+           round(pow(sum(CAST(w AS DECIMAL(38,0)))::DOUBLE, 2)
+                 / sum(CAST(w AS DECIMAL(38,0))
+                       * CAST(w AS DECIMAL(38,0)))::DOUBLE, 2) AS ess_r,
+           round(pow(sum(CAST(w AS DECIMAL(38,0)))::DOUBLE, 2)
+                 / sum(CAST(w AS DECIMAL(38,0))
+                       * CAST(w AS DECIMAL(38,0)))::DOUBLE / count(*), 4)
+               AS ess_frac_r
+    FROM wq
+"""
+
+
+@register("importance_weight_ess", oracle=_ESS_SQL)
+def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights:
+    ESS = (Σw)²/Σw² with w = exp(per-doc log-weight) — the one number
+    that says whether importance reweighting kept a corpus or silently
+    collapsed it onto a handful of documents (ESS/n near 1: benign;
+    near 1/n: the 'weighted corpus' is really a few docs). The audit to
+    run before trusting any ``dsir_importance_weights``-based
+    selection.
+
+    Scale shape: rides the DSIR lineage (fixed 10k-bucket state), then
+    weights quantize to fixed-point integers (portable floor-ties) so
+    Σw and Σw² accumulate EXACTLY in DECIMAL(38,0) — double sums of
+    exp() values are summation-order-dependent across engines (the
+    ``price_volume_mix`` lesson); the two ratios cast to double at the
+    end on identical trees."""
+    dw = dsir_importance_weights(spark, sf_dir).select(
+        F.floor(F.exp(F.col("dsir_weight_r")) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("w")
+    )
+    wd = F.col("w").cast("decimal(38,0)")
+    return dw.agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.pow(F.sum(wd).cast("double"), 2)
+            / F.sum(wd * wd).cast("double"),
+            2,
+        ).alias("ess_r"),
+        F.round(
+            F.pow(F.sum(wd).cast("double"), 2)
+            / F.sum(wd * wd).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("ess_frac_r"),
+    )

@@ -1581,3 +1581,167 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rdf in rows[1:]:
         out = out.unionAll(rdf)
     return out
+
+
+# ------------------------------------- group-sequential A/B monitor
+
+_GSM_SQL = """
+    WITH base AS (
+        SELECT date_trunc('week', o_orderdate)::TIMESTAMP AS wk,
+               CASE WHEN (('0x' || substr(sha256('exp:' || o_custkey), 1, 15))
+                          ::BIGINT % 100) < 50
+                    THEN 't' ELSE 'c' END AS arm,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS y_c
+        FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    wkagg AS (
+        SELECT wk, arm, count(*) AS n,
+               sum(CAST(y_c AS DECIMAL(38,0))) AS sy,
+               sum(CAST(y_c AS DECIMAL(38,0)) * CAST(y_c AS DECIMAL(38,0)))
+                   AS syy
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT wk, arm,
+               sum(n) OVER w AS n,
+               sum(sy) OVER w AS sy,
+               sum(syy) OVER w AS syy
+        FROM wkagg
+        WINDOW w AS (PARTITION BY arm ORDER BY wk ROWS UNBOUNDED PRECEDING)
+    ),
+    looks AS (
+        SELECT t.wk,
+               t.n AS nt, c.n AS nc,
+               t.sy::DOUBLE / t.n AS mt, c.sy::DOUBLE / c.n AS mc,
+               (t.syy::DOUBLE - t.sy::DOUBLE * t.sy::DOUBLE / t.n)
+                   / (t.n - 1) AS vt,
+               (c.syy::DOUBLE - c.sy::DOUBLE * c.sy::DOUBLE / c.n)
+                   / (c.n - 1) AS vc
+        FROM cum t JOIN cum c ON c.wk = t.wk
+        WHERE t.arm = 't' AND c.arm = 'c' AND t.n > 1 AND c.n > 1
+    ),
+    fin AS (SELECT max(nt + nc) AS n_final FROM looks)
+    SELECT l.wk,
+           round((l.nt + l.nc) * 1.0 / f.n_final, 4) AS info_frac_r,
+           round((l.mt - l.mc) / sqrt(l.vt / l.nt + l.vc / l.nc), 4)
+               AS z_r,
+           round(1.96 / sqrt((l.nt + l.nc) * 1.0 / f.n_final), 4)
+               AS bound_r,
+           CASE WHEN abs((l.mt - l.mc) / sqrt(l.vt / l.nt + l.vc / l.nc))
+                     > 1.96 / sqrt((l.nt + l.nc) * 1.0 / f.n_final)
+                THEN 1 ELSE 0 END AS crossed
+    FROM looks l CROSS JOIN fin f
+"""
+
+
+@register("group_sequential_ab_monitor", oracle=_GSM_SQL)
+def group_sequential_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitor: weekly interim looks at the 1996
+    spend experiment, each comparing the cumulative Welch z against an
+    O'Brien-Fleming-SHAPED boundary b(f) = z_final/√f (f = information
+    fraction) — early looks demand overwhelming evidence, the final
+    look costs ~nothing, which is what makes weekly peeking legitimate.
+    The z_final = 1.96 constant is the illustrative fixed-final-level
+    variant; a production deployment substitutes its Lan-DeMets
+    alpha-spending calibration — the PLAN is identical.
+
+    Scale shape: one grouped pass collapses orders to (week, arm)
+    moment partials (cents and DECIMAL(38,0) squares — exact and
+    mergeable); cumulative looks are windows over the bounded week
+    spine PARTITIONED by arm; every z computes from exact cumulative
+    moments on identical double trees."""
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    h = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("exp:"), F.col("o_custkey").cast("string")
+                    ),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    base = o.select(
+        F.date_trunc("week", "o_orderdate").alias("wk"),
+        F.when(h < 50, "t").otherwise("c").alias("arm"),
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("y_c"),
+    )
+    yd = F.col("y_c").cast("decimal(38,0)")
+    wkagg = base.groupBy("wk", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum(yd).alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = wkagg.select(
+        "wk",
+        "arm",
+        F.sum("n").over(w).alias("n"),
+        F.sum("sy").over(w).alias("sy"),
+        F.sum("syy").over(w).alias("syy"),
+    )
+    t = cum.filter((F.col("arm") == "t") & (F.col("n") > 1)).select(
+        "wk",
+        F.col("n").alias("nt"),
+        F.col("sy").alias("tsy"),
+        F.col("syy").alias("tsyy"),
+    )
+    c = cum.filter((F.col("arm") == "c") & (F.col("n") > 1)).select(
+        "wk",
+        F.col("n").alias("nc"),
+        F.col("sy").alias("csy"),
+        F.col("syy").alias("csyy"),
+    )
+    looks = t.join(c, "wk").select(
+        "wk",
+        "nt",
+        "nc",
+        (F.col("tsy").cast("double") / F.col("nt")).alias("mt"),
+        (F.col("csy").cast("double") / F.col("nc")).alias("mc"),
+        (
+            (
+                F.col("tsyy").cast("double")
+                - F.col("tsy").cast("double")
+                * F.col("tsy").cast("double")
+                / F.col("nt")
+            )
+            / (F.col("nt") - 1)
+        ).alias("vt"),
+        (
+            (
+                F.col("csyy").cast("double")
+                - F.col("csy").cast("double")
+                * F.col("csy").cast("double")
+                / F.col("nc")
+            )
+            / (F.col("nc") - 1)
+        ).alias("vc"),
+    )
+    fin = looks.agg(F.max(F.col("nt") + F.col("nc")).alias("n_final"))
+    j = looks.crossJoin(F.broadcast(fin))
+    z = (F.col("mt") - F.col("mc")) / F.sqrt(
+        F.col("vt") / F.col("nt") + F.col("vc") / F.col("nc")
+    )
+    f_frac = (F.col("nt") + F.col("nc")) / F.col("n_final")
+    bound = 1.96 / F.sqrt(f_frac)
+    return j.select(
+        "wk",
+        F.round(f_frac, 4).alias("info_frac_r"),
+        F.round(z, 4).alias("z_r"),
+        F.round(bound, 4).alias("bound_r"),
+        F.when(F.abs(z) > bound, 1).otherwise(0).alias("crossed"),
+    )

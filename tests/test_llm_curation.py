@@ -377,3 +377,12 @@ def test_strict_funnel_rates_are_nested(spark, sf_dir):
     r = QUERIES["strict_funnel_conversion"](spark, sf_dir).collect()[0]
     assert r.n_views >= r.n_clicked >= r.n_purchased >= 0
     assert 0 <= r.overall_rate_r <= r.step2_rate_r <= 1
+
+
+def test_ess_bounds(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["importance_weight_ess"](spark, sf_dir).collect()[0]
+    assert 1.0 <= r.ess_r <= r.n_docs  # ESS in [1, n] by Cauchy-Schwarz
+    assert abs(r.ess_frac_r - round(r.ess_r / r.n_docs, 4)) < 1e-3

@@ -403,3 +403,18 @@ def test_pvm_bridge_identity_exact(spark, sf_dir):
         )
         < 0.011
     )
+
+
+def test_gsm_boundary_decreases_with_information(spark, sf_dir):
+    rows = sorted(
+        QUERIES["group_sequential_ab_monitor"](spark, sf_dir).collect(),
+        key=lambda r: r.wk,
+    )
+    assert rows
+    fracs = [r.info_frac_r for r in rows]
+    bounds = [r.bound_r for r in rows]
+    assert fracs == sorted(fracs) and 0 < fracs[0] and fracs[-1] == 1.0
+    assert bounds == sorted(bounds, reverse=True)  # OBF shape: early looks strict
+    assert abs(bounds[-1] - 1.96) < 1e-6  # final look at the nominal level
+    for r in rows:
+        assert r.crossed == (1 if abs(r.z_r) > r.bound_r else 0)
