@@ -1640,3 +1640,76 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(pruned) / F.count("*"), 4).alias("pruned_frac_r"),
         )
     )
+
+
+_TIER_MIGRATION = """
+    WITH spend AS (
+        SELECT o_custkey, year(o_orderdate) AS y,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS s
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY 1, 2
+    ),
+    tiers AS (
+        SELECT o_custkey, y,
+               CASE WHEN s > 600000 THEN 'gold'
+                    WHEN s > 300000 THEN 'silver'
+                    ELSE 'bronze' END AS tier
+        FROM spend
+    )
+    SELECT coalesce(a.tier, 'none') AS tier_1995,
+           coalesce(b.tier, 'none') AS tier_1996,
+           count(*) AS n_customers
+    FROM tiers a
+    FULL JOIN tiers b ON b.o_custkey = a.o_custkey
+                     AND a.y = 1995 AND b.y = 1996
+    WHERE coalesce(a.y, 1995) = 1995 AND coalesce(b.y, 1996) = 1996
+    GROUP BY 1, 2
+"""
+
+
+@register("tier_migration_matrix", oracle=_TIER_MIGRATION)
+def tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer tier-migration matrix 1995→1996: spend tiers derived per
+    year (the ``cte_pipeline`` tiering made longitudinal), full-outer
+    joined on customer so entrants and churners surface as the 'none'
+    row/column — the upgrade/downgrade/churn report a CRM team reads
+    quarterly. The categorical-state counterpart of
+    ``event_transitions``' event bigrams.
+
+    Scale shape: one filtered grouped agg per year (decimal-exact
+    spend), a CASE projection, one keyed full-outer self-join on the
+    customer key, and a ≤16-cell grouped count. The WHERE keeps only
+    the 1995-side × 1996-side match pattern of the full join (each
+    year's rows pair once)."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    spend = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).alias(
+            "s"
+        )
+    )
+    tiers = spend.select(
+        "o_custkey",
+        "y",
+        F.when(F.col("s") > 600000, "gold")
+        .when(F.col("s") > 300000, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    a = tiers.filter(F.col("y") == 1995).select(
+        F.col("o_custkey").alias("ck"), F.col("tier").alias("tier_1995")
+    )
+    b = tiers.filter(F.col("y") == 1996).select(
+        F.col("o_custkey").alias("ck"), F.col("tier").alias("tier_1996")
+    )
+    return (
+        a.join(b, "ck", "full")
+        .groupBy(
+            F.coalesce("tier_1995", F.lit("none")).alias("tier_1995"),
+            F.coalesce("tier_1996", F.lit("none")).alias("tier_1996"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -888,3 +888,47 @@ def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("cross_eff_r"),
     )
+
+
+_CYCLE_SQL = """
+    WITH cyc AS (
+        SELECT o.o_orderpriority AS prio,
+               datediff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT prio, count(*) AS n_lines,
+           round(quantile_cont(days, 0.50), 2) AS p50_days_r,
+           round(quantile_cont(days, 0.90), 2) AS p90_days_r,
+           round(quantile_cont(days, 0.99), 2) AS p99_days_r
+    FROM cyc GROUP BY 1
+"""
+
+
+@register("order_cycle_quantiles", oracle=_CYCLE_SQL)
+def order_cycle_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle-time SLA report: p50/p90/p99 days from order
+    to line shipment, per order priority — the tail-latency read
+    operations teams actually track (means hide the p99 a contract is
+    written against).
+
+    Scale shape: one fact-fact equi-join + ONE grouped exact-percentile
+    aggregate per priority (mergeable partial state); day counts are
+    exact integers so quantile interpolation lands on the quarter/tenth
+    binary grids (``rolling_median`` discipline)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cyc = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    return cyc.groupBy("prio").agg(
+        F.count("*").alias("n_lines"),
+        *[
+            F.round(F.percentile("days", F.lit(q)), 2).alias(name)
+            for q, name in (
+                (0.50, "p50_days_r"),
+                (0.90, "p90_days_r"),
+                (0.99, "p99_days_r"),
+            )
+        ],
+    )

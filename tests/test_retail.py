@@ -297,3 +297,28 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir):
         assert 0 <= r.n_pruned < 32  # some tiles must intersect the stripe
     assert rows["x"].pruned_frac_r >= 0.25
     assert rows["y"].pruned_frac_r >= 0.25
+
+
+def test_tier_migration_conserves_customers(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    rows = QUERIES["tier_migration_matrix"](spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders")
+    n95 = (
+        o.filter(SF.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    n96 = (
+        o.filter(SF.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    # row marginals: every 1995 customer appears exactly once on the left
+    left = sum(r.n_customers for r in rows if r.tier_1995 != "none")
+    right = sum(r.n_customers for r in rows if r.tier_1996 != "none")
+    assert left == n95 and right == n96
+    tiers = {"gold", "silver", "bronze", "none"}
+    assert all(r.tier_1995 in tiers and r.tier_1996 in tiers for r in rows)

@@ -252,3 +252,14 @@ def test_snm_pairs_are_rank_adjacent(spark, sf_dir):
 
     per_left = Counter((r.block_key, r.id1) for r in rows)
     assert max(per_left.values()) <= 2
+
+
+def test_cycle_quantiles_ordered(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["order_cycle_quantiles"](spark, sf_dir).collect()
+    assert len(rows) == 5  # one per priority
+    for r in rows:
+        assert 0 < r.p50_days_r <= r.p90_days_r <= r.p99_days_r
+        assert r.n_lines > 0
