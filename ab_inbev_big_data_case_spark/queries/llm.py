@@ -3971,3 +3971,101 @@ def intrinsic_dimension_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mu"), 4).alias("mean_mu_r"),
         F.round(F.count("*") / F.sum(F.log("mu")), 4).alias("id_hat_r"),
     )
+
+
+# -------------------------------------- source vocabulary overlap
+
+_VOCAB_OVERLAP_SQL = """
+    WITH st AS (
+        SELECT source, tok, count(*) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS src1, b.source AS src2,
+               sum(least(a.n, b.n))::BIGINT AS w_inter,
+               count(*) AS n_shared
+        FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, sum(n)::BIGINT AS tot, count(*) AS v
+               FROM st GROUP BY 1)
+    SELECT p.src1, p.src2, p.n_shared,
+           round(p.n_shared * 1.0 / (ta.v + tb.v - p.n_shared), 4)
+               AS vocab_jaccard_r,
+           round(p.w_inter * 1.0 / (ta.tot + tb.tot - p.w_inter), 4)
+               AS weighted_jaccard_r
+    FROM pairs p
+    JOIN totals ta ON ta.source = p.src1
+    JOIN totals tb ON tb.source = p.src2
+"""
+
+
+@register("source_vocab_overlap", oracle=_VOCAB_OVERLAP_SQL)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: set Jaccard over
+    distinct terms and weighted (min/max-count) Jaccard over term
+    frequencies — the corpus-composition comparison that decides
+    whether two sources are redundant before mixing
+    (``mixing_weights``) or distinct enough to keep both.
+
+    Scale shape: one token pass builds the (source, term) count table;
+    the pair join is TERM-keyed (per-term fan-out bounded by the
+    source count squared — sources are a small dimension, terms carry
+    the scale); totals are a source-cardinality aggregate. Weighted
+    Jaccard uses Σmin/Σmax = Σmin/(tot_a+tot_b−Σmin) on exact integer
+    counts."""
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    a = st.select(
+        F.col("source").alias("src1"), "tok", F.col("n").alias("na")
+    )
+    b = st.select(
+        F.col("source").alias("src2"), "tok", F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(
+            F.sum(F.least("na", "nb")).cast("long").alias("w_inter"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    totals = st.groupBy("source").agg(
+        F.sum("n").cast("long").alias("tot"), F.count("*").alias("v")
+    )
+    ta = totals.select(
+        F.col("source").alias("src1"),
+        F.col("tot").alias("tot_a"),
+        F.col("v").alias("v_a"),
+    )
+    tb = totals.select(
+        F.col("source").alias("src2"),
+        F.col("tot").alias("tot_b"),
+        F.col("v").alias("v_b"),
+    )
+    return (
+        pairs.join(ta, "src1")
+        .join(tb, "src2")
+        .select(
+            "src1",
+            "src2",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_shared")),
+                4,
+            ).alias("vocab_jaccard_r"),
+            F.round(
+                F.col("w_inter")
+                / (F.col("tot_a") + F.col("tot_b") - F.col("w_inter")),
+                4,
+            ).alias("weighted_jaccard_r"),
+        )
+    )

@@ -1745,3 +1745,79 @@ def group_sequential_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bound, 4).alias("bound_r"),
         F.when(F.abs(z) > bound, 1).otherwise(0).alias("crossed"),
     )
+
+
+# ------------------------------------- global clustering coefficient
+
+_CLUSTCOEF_SQL = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    tri AS (
+        SELECT count(*) AS n_tri
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        WHERE EXISTS (SELECT 1 FROM e e3
+                      WHERE e3.u = e1.u AND e3.v = e2.v)
+    ),
+    deg AS (
+        SELECT u AS node, count(*) AS d FROM (
+            SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+        ) GROUP BY 1
+    ),
+    w AS (SELECT sum(d * (d - 1) / 2)::BIGINT AS n_wedges FROM deg)
+    SELECT t.n_tri::BIGINT AS n_triangles, w.n_wedges,
+           round(3.0 * t.n_tri / w.n_wedges, 6) AS clustering_coef_r
+    FROM tri t CROSS JOIN w
+"""
+
+
+@register("clustering_coefficient", oracle=_CLUSTCOEF_SQL)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient C = 3·triangles / wedges of the
+    co-purchase graph — how much more triangle-closed the graph is than
+    its degree sequence requires; read beside ``graph_assortativity``
+    and ``triangle_count`` (whose closed-wedge count this normalizes).
+
+    Scale shape: triangles via the compact-forward wedge join + semi-
+    join closure (the ``triangle_count`` plan); wedge count needs NO
+    join at all — Σd(d−1)/2 over the degree table, one grouped count
+    plus a 1-row aggregate of exact integers."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    )
+    e1 = e
+    e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = e.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, ["u", "w"], "left_semi")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    w = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(w)).select(
+        F.col("n_tri").cast("long").alias("n_triangles"),
+        "n_wedges",
+        F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
+            "clustering_coef_r"
+        ),
+    )

@@ -741,3 +741,19 @@ def test_twonn_estimate_is_positive_and_bounded(spark, sf_dir):
         table(spark, sf_dir, "embeddings").select("embedding").first()[0]
     )
     assert 0 < r.id_hat_r < 10 * dim  # MLE noise can exceed ambient, not absurdly
+
+
+def test_vocab_overlap_bounds_and_pairs(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["source_vocab_overlap"](spark, sf_dir).collect()
+    n_src = (
+        table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2  # every unordered pair
+    for r in rows:
+        assert r.src1 < r.src2
+        assert 0 < r.vocab_jaccard_r <= 1.0
+        # weighted <= ... no fixed order vs set jaccard in general; bounds only
+        assert 0 < r.weighted_jaccard_r <= 1.0

@@ -418,3 +418,11 @@ def test_gsm_boundary_decreases_with_information(spark, sf_dir):
     assert abs(bounds[-1] - 1.96) < 1e-6  # final look at the nominal level
     for r in rows:
         assert r.crossed == (1 if abs(r.z_r) > r.bound_r else 0)
+
+
+def test_clustering_coef_consistent_with_triangles(spark, sf_dir):
+    r = QUERIES["clustering_coefficient"](spark, sf_dir).collect()[0]
+    t = QUERIES["triangle_count"](spark, sf_dir).collect()[0]
+    assert r.n_triangles == t.n_triangles
+    assert 0 <= r.clustering_coef_r <= 1.0
+    assert r.n_wedges >= 3 * r.n_triangles  # every triangle closes 3 wedges
