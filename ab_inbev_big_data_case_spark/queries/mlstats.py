@@ -1821,3 +1821,88 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clustering_coef_r"
         ),
     )
+
+
+# ------------------------------------------------ Hill tail index
+
+_HILL_K = 200
+
+_HILL_SQL = f"""
+    WITH spend AS (
+        SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS y_c
+        FROM orders GROUP BY o_custkey
+    ),
+    topk AS (
+        SELECT y_c, row_number() OVER (ORDER BY y_c DESC) AS rn
+        FROM spend
+        ORDER BY y_c DESC LIMIT {_HILL_K + 1}
+    ),
+    params AS (SELECT least({_HILL_K}, max(rn) - 1) AS k FROM topk),
+    thresh AS (
+        SELECT tk.y_c AS yk, p.k
+        FROM topk tk CROSS JOIN params p
+        WHERE tk.rn = p.k + 1
+    )
+    SELECT t.k::BIGINT AS k,
+           round(t.yk / 100.0, 2) AS threshold_r,
+           round(1.0 / avg(ln(tk.y_c * 1.0 / t.yk)), 4) AS hill_alpha_r
+    FROM topk tk CROSS JOIN thresh t
+    WHERE tk.rn <= t.k
+    GROUP BY t.k, t.yk
+"""
+
+
+@register("hill_tail_index", oracle=_HILL_SQL)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the spend distribution's tail index:
+    α̂ = 1 / mean(ln(x_(i) / x_(k+1))) over the top-k order statistics —
+    the heavy-tail diagnostic behind every skew decision in this repo
+    (α ≤ 2: infinite variance, salting and AQE skew-handling are
+    mandatory; α large: means behave). Pairs with ``zipf_fit`` (rank
+    side) and ``join_key_skew_report`` (consequence side).
+
+    Scale shape: the ONLY global ordering touches the top-(k+1) rows —
+    TakeOrderedAndProject, never a full sort; the rank window then runs
+    on that k+1-row spine and the estimator is one aggregate over it.
+    Customer spend is exact integer cents; ln ratios compute on
+    identical trees from those integers."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        (
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            * 100
+        )
+        .cast("long")
+        .alias("y_c")
+    )
+    topk1 = spend.orderBy(F.col("y_c").desc()).limit(_HILL_K + 1)
+    w = Window.orderBy(F.col("y_c").desc())  # k+1-row spine
+    ranked = topk1.withColumn("rn", F.row_number().over(w))
+    # k adapts when the population is smaller than the nominal 200 tail
+    # (the sf0.001 fixture has ~150 customers — a fixed k yields an empty,
+    # silently-degenerate estimate)
+    params = ranked.agg(
+        F.least(F.lit(_HILL_K), F.max("rn") - 1).alias("k")
+    )
+    thresh = (
+        ranked.crossJoin(F.broadcast(params))
+        .filter(F.col("rn") == F.col("k") + 1)
+        .select(F.col("y_c").alias("yk"), "k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thresh))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k", "yk")
+        .agg(
+            F.round(F.col("yk") / 100.0, 2).alias("threshold_r"),
+            F.round(
+                1.0 / F.avg(F.log(F.col("y_c") / F.col("yk"))), 4
+            ).alias("hill_alpha_r"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "threshold_r",
+            "hill_alpha_r",
+        )
+    )

@@ -426,3 +426,34 @@ def test_clustering_coef_consistent_with_triangles(spark, sf_dir):
     assert r.n_triangles == t.n_triangles
     assert 0 <= r.clustering_coef_r <= 1.0
     assert r.n_wedges >= 3 * r.n_triangles  # every triangle closes 3 wedges
+
+
+def test_hill_alpha_recomputes(spark, sf_dir):
+    import math
+
+    r = QUERIES["hill_tail_index"](spark, sf_dir).collect()[0]
+    assert 0 < r.k <= 200 and r.hill_alpha_r > 0
+    spend = sorted(
+        (
+            row.y_c
+            for row in table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                (
+                    F.round(
+                        F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+                    )
+                    * 100
+                )
+                .cast("long")
+                .alias("y_c")
+            )
+            .collect()
+        ),
+        reverse=True,
+    )
+    k = r.k
+    yk = spend[k]
+    alpha = 1.0 / (sum(math.log(x / yk) for x in spend[:k]) / k)
+    assert abs(r.hill_alpha_r - round(alpha, 4)) < 1e-6
+    assert r.threshold_r == round(yk / 100.0, 2)
