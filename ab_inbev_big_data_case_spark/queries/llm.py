@@ -4069,3 +4069,115 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_jaccard_r"),
         )
     )
+
+
+# ------------------------------------------- Cohen's kappa agreement
+
+_KAPPA_SQL = """
+    WITH conf AS (
+        SELECT lang, pred_class, count(*) AS n
+        FROM (
+            SELECT lang,
+                   CASE WHEN 100 * (length(text)
+                             - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                             > 42 * length(text) THEN 'vowel_heavy'
+                        WHEN 10 * length(replace(text, ' ', ''))
+                             > 52 * len(string_split(text, ' '))
+                             THEN 'long_words'
+                        ELSE 'short_words' END AS pred_class
+            FROM documents
+        )
+        GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n)::BIGINT AS nn FROM conf),
+    agree AS (
+        SELECT coalesce(sum(n), 0)::BIGINT AS n_agree FROM conf
+        WHERE (lang = 'en' AND pred_class = 'short_words')
+           OR (lang = 'es' AND pred_class = 'vowel_heavy')
+           OR (lang = 'de' AND pred_class = 'long_words')
+    ),
+    marg AS (
+        SELECT sum(CAST(r.nr AS DECIMAL(38,0)) * CAST(c.nc AS DECIMAL(38,0)))
+                   AS chance_num
+        FROM (SELECT lang, sum(n) AS nr FROM conf GROUP BY 1) r
+        JOIN (
+            SELECT CASE pred_class WHEN 'short_words' THEN 'en'
+                                   WHEN 'vowel_heavy' THEN 'es'
+                                   WHEN 'long_words' THEN 'de' END AS lang,
+                   sum(n) AS nc
+            FROM conf GROUP BY 1
+        ) c USING (lang)
+    )
+    SELECT t.nn AS n_docs, a.n_agree,
+           round(a.n_agree * 1.0 / t.nn, 4) AS p_obs_r,
+           round(m.chance_num::DOUBLE / (t.nn * 1.0 * t.nn), 4) AS p_exp_r,
+           round((a.n_agree * 1.0 / t.nn
+                  - m.chance_num::DOUBLE / (t.nn * 1.0 * t.nn))
+                 / (1.0 - m.chance_num::DOUBLE / (t.nn * 1.0 * t.nn)), 4)
+               AS kappa_r
+    FROM t CROSS JOIN agree a CROSS JOIN marg m
+"""
+
+#: the heuristic class each true language maps to (the diagonal)
+_LANG_TO_CLASS = {"en": "short_words", "es": "vowel_heavy", "de": "long_words"}
+
+
+@register("lang_id_kappa", oracle=_KAPPA_SQL)
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic against the true lang
+    column: chance-corrected agreement κ = (p_o − p_e)/(1 − p_e) — the
+    summary ``lang_id_confusion``'s matrix needs to be comparable
+    across corpora (raw accuracy inflates under skewed language mixes;
+    κ doesn't).
+
+    Scale shape: everything runs on the |langs|×|classes| confusion
+    spine from one grouped pass; the chance term's marginal products
+    accumulate in DECIMAL(38,0) (counts² overflow double exactness at
+    corpus scale) and cast once at the end."""
+    d = table(spark, sf_dir, "documents")
+    pred = lang_id_heuristic(d, "doc_id", "text")
+    conf = pred.groupBy("lang", "pred_class").agg(F.count("*").alias("n"))
+    t = conf.agg(F.sum("n").cast("long").alias("nn"))
+    agree_cond = None
+    for lang, cls in _LANG_TO_CLASS.items():
+        c = (F.col("lang") == lang) & (F.col("pred_class") == cls)
+        agree_cond = c if agree_cond is None else (agree_cond | c)
+    agree = conf.filter(agree_cond).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_agree")
+    )
+    r = conf.groupBy("lang").agg(F.sum("n").alias("nr"))
+    cls_to_lang = {v: k for k, v in _LANG_TO_CLASS.items()}
+    c = (
+        conf.withColumn(
+            "lang2",
+            F.create_map(
+                *[
+                    x
+                    for cls, lang in cls_to_lang.items()
+                    for x in (F.lit(cls), F.lit(lang))
+                ]
+            )[F.col("pred_class")],
+        )
+        .groupBy(F.col("lang2").alias("lang"))
+        .agg(F.sum("n").alias("nc"))
+    )
+    marg = r.join(c, "lang").agg(
+        F.sum(
+            F.col("nr").cast("decimal(38,0)") * F.col("nc").cast("decimal(38,0)")
+        ).alias("chance_num")
+    )
+    p_exp = F.col("chance_num").cast("double") / (
+        F.col("nn") * 1.0 * F.col("nn")
+    )
+    p_obs = F.col("n_agree") / F.col("nn")
+    return (
+        t.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.col("nn").alias("n_docs"),
+            "n_agree",
+            F.round(p_obs, 4).alias("p_obs_r"),
+            F.round(p_exp, 4).alias("p_exp_r"),
+            F.round((p_obs - p_exp) / (1.0 - p_exp), 4).alias("kappa_r"),
+        )
+    )

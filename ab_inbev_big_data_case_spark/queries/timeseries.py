@@ -629,3 +629,82 @@ def seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3)
         .select("day", "resid", "robust_z_r")
     )
+
+
+_RATE_CP_SQL = """
+    WITH d AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+               count(*) AS n,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                   AS e
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, n, e,
+               sum(n) OVER w AS cn, sum(e) OVER w AS ce,
+               sum(n) OVER () AS tn, sum(e) OVER () AS te
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    z AS (
+        SELECT day,
+               round(abs((ce * 1.0 / cn) - ((te - ce) * 1.0 / (tn - cn)))
+                     / sqrt((te * 1.0 / tn) * (1 - te * 1.0 / tn)
+                            * (1.0 / cn + 1.0 / (tn - cn))), 4) AS z_r,
+               round(ce * 1.0 / cn, 6) AS rate_before_r,
+               round((te - ce) * 1.0 / (tn - cn), 6) AS rate_after_r
+        FROM cum WHERE cn > 0 AND cn < tn
+    )
+    SELECT day, z_r, rate_before_r, rate_after_r
+    FROM z ORDER BY z_r DESC, day LIMIT 1
+"""
+
+
+@register("error_rate_changepoint", oracle=_RATE_CP_SQL)
+def error_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportion changepoint: the day that best splits the error-RATE
+    series into before/after (max two-sample proportion z under the
+    pooled rate) — ``cusum_changepoint``'s sibling for rates, where a
+    level CUSUM misfires when volume shifts but the rate doesn't.
+
+    Scale shape: one grouped pass collapses events to the day spine
+    (integer counts); prefix/total sums are bounded-spine windows; the
+    argmax ranks the ROUNDED statistic with day tiebreak
+    (TakeOrderedAndProject — FP-flip-proof). All rates derive from
+    exact integer cumulative counts on identical trees."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded day spine
+    wt = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = d.select(
+        "day",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("e").over(w).alias("ce"),
+        F.sum("n").over(wt).alias("tn"),
+        F.sum("e").over(wt).alias("te"),
+    ).filter((F.col("cn") > 0) & (F.col("cn") < F.col("tn")))
+    p_pool = F.col("te") / F.col("tn")
+    p_b = F.col("ce") / F.col("cn")
+    p_a = (F.col("te") - F.col("ce")) / (F.col("tn") - F.col("cn"))
+    z = F.abs(p_b - p_a) / F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("cn") + 1.0 / (F.col("tn") - F.col("cn")))
+    )
+    return (
+        cum.select(
+            "day",
+            F.round(z, 4).alias("z_r"),
+            F.round(p_b, 6).alias("rate_before_r"),
+            F.round(p_a, 6).alias("rate_after_r"),
+        )
+        .orderBy(F.col("z_r").desc(), "day")
+        .limit(1)
+    )

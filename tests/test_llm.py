@@ -757,3 +757,14 @@ def test_vocab_overlap_bounds_and_pairs(spark, sf_dir):
         assert 0 < r.vocab_jaccard_r <= 1.0
         # weighted <= ... no fixed order vs set jaccard in general; bounds only
         assert 0 < r.weighted_jaccard_r <= 1.0
+
+
+def test_kappa_identity(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["lang_id_kappa"](spark, sf_dir).collect()[0]
+    assert -1.0 <= r.kappa_r <= 1.0
+    assert 0.0 <= r.p_obs_r <= 1.0 and 0.0 < r.p_exp_r < 1.0
+    expect = (r.p_obs_r - r.p_exp_r) / (1 - r.p_exp_r)
+    assert abs(r.kappa_r - expect) < 5e-4  # rounded inputs

@@ -242,3 +242,40 @@ def test_seasonal_anomalies_are_extreme_residuals(spark, sf_dir):
             assert abs(flagged[r.day].robust_z_r - round(z, 4)) < 1e-6
         else:
             assert r.day not in flagged
+
+
+def test_rate_changepoint_is_argmax(spark, sf_dir):
+    """The reported day maximizes the rounded two-sample z, recomputed
+    from raw daily counts."""
+    import math
+
+    from pyspark.sql import functions as SF
+
+    r = QUERIES["error_rate_changepoint"](spark, sf_dir).collect()[0]
+    d = sorted(
+        table(spark, sf_dir, "events")
+        .groupBy(SF.date_trunc("day", "ts").alias("day"))
+        .agg(
+            SF.count("*").alias("n"),
+            SF.sum(SF.when(SF.col("event_type") == "error", 1).otherwise(0)).alias("e"),
+        )
+        .collect(),
+        key=lambda x: x.day,
+    )
+    tn = sum(x.n for x in d)
+    te = sum(x.e for x in d)
+    pp = te / tn
+    best = None
+    cn = ce = 0
+    for x in d:
+        cn += x.n
+        ce += x.e
+        if cn >= tn:
+            break
+        z = abs(ce / cn - (te - ce) / (tn - cn)) / math.sqrt(
+            pp * (1 - pp) * (1 / cn + 1 / (tn - cn))
+        )
+        cand = (round(z, 4), x.day)
+        if best is None or cand[0] > best[0]:
+            best = cand
+    assert r.z_r == best[0] and r.day == best[1]
