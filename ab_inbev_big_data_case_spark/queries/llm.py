@@ -4181,3 +4181,95 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((p_obs - p_exp) / (1.0 - p_exp), 4).alias("kappa_r"),
         )
     )
+
+
+# ------------------------------- contrastive negative-pair sampling
+
+_NEG_PER_Q = 3
+
+_CONTRASTIVE_SQL = f"""
+    WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    pairs AS (
+        SELECT qid, cid,
+               round({_DOT.format(x='qv', y='cv')} /
+                     ({_NORM.format(x='qv', tag='q')} *
+                      {_NORM.format(x='cv', tag='c')}), 3) AS cos
+        FROM q, c WHERE cid != qid
+    ),
+    top5 AS (
+        SELECT qid, cid, rn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC NULLS LAST, cid) AS rn
+            FROM pairs
+        ) WHERE rn <= 5
+    ),
+    pos AS (
+        SELECT qid, cid AS cand_id, 'positive' AS kind
+        FROM top5 WHERE rn = 1
+    ),
+    rawneg AS (
+        SELECT q.qid,
+               (q.qid * 7919 + t.i * 104729) % n.n_vecs AS cand_id
+        FROM q CROSS JOIN n CROSS JOIN range(1, {_NEG_PER_Q} + 1) t(i)
+    ),
+    neg AS (
+        SELECT DISTINCT r.qid, r.cand_id, 'negative' AS kind
+        FROM rawneg r
+        WHERE r.cand_id != r.qid
+          AND NOT EXISTS (SELECT 1 FROM top5 t
+                          WHERE t.qid = r.qid AND t.cid = r.cand_id)
+    )
+    SELECT qid AS query_id, cand_id, kind FROM pos
+    UNION ALL
+    SELECT qid, cand_id, kind FROM neg
+"""
+
+
+@register("contrastive_negative_sampling", oracle=_CONTRASTIVE_SQL)
+def contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair assembly: per query, its top-1 neighbor
+    as the positive and 3 DETERMINISTIC hash-derived negatives, with
+    accidental near-positives (anything in the cosine top-5) excluded
+    by anti-join — the false-negative filter that actually matters for
+    contrastive losses (an unfiltered 'random' negative that's really a
+    near-dup teaches the model to collapse).
+
+    Scale shape: positives reuse the exact quantized ranking on the
+    query subset; negative ids come from an affine hash mod N (no RNG
+    state, reproducible across runs/engines); the exclusion is a keyed
+    anti-join against the bounded top-5 set. Everything integer or
+    quantized before any selection."""
+    e = table(spark, sf_dir, "embeddings")
+    n = e.agg(F.count("*").alias("n_vecs"))
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    top5 = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
+    pos = top5.filter(F.col("rank") == 1).select(
+        "query_id", "cand_id", F.lit("positive").alias("kind")
+    )
+    rawneg = (
+        q.select(F.col("vec_id").alias("query_id"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "query_id",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, _NEG_PER_Q + 1)])
+            ).alias("i"),
+            "n_vecs",
+        )
+        .select(
+            "query_id",
+            (
+                (F.col("query_id") * 7919 + F.col("i") * 104729)
+                % F.col("n_vecs")
+            ).alias("cand_id"),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .distinct()
+    )
+    neg = rawneg.join(
+        top5.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+    ).select("query_id", "cand_id", F.lit("negative").alias("kind"))
+    return pos.unionAll(neg)

@@ -768,3 +768,29 @@ def test_kappa_identity(spark, sf_dir):
     assert 0.0 <= r.p_obs_r <= 1.0 and 0.0 < r.p_exp_r < 1.0
     expect = (r.p_obs_r - r.p_exp_r) / (1 - r.p_exp_r)
     assert abs(r.kappa_r - expect) < 5e-4  # rounded inputs
+
+
+def test_contrastive_pairs_exclude_near_positives(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.llm.similarity import cosine_topk
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["contrastive_negative_sampling"](spark, sf_dir).collect()
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    top5 = {}
+    for r in cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", 5
+    ).collect():
+        top5.setdefault(r.query_id, set()).add(r.cand_id)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {"positive": [], "negative": []})[
+            r.kind
+        ].append(r.cand_id)
+    for qid, d in by_q.items():
+        assert len(d["positive"]) == 1
+        assert 1 <= len(d["negative"]) <= 3  # hash collisions may drop some
+        for neg in d["negative"]:
+            assert neg not in top5[qid]  # no accidental near-positive
+            assert neg != qid
