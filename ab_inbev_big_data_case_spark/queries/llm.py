@@ -4273,3 +4273,133 @@ def contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
         top5.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
     ).select("query_id", "cand_id", F.lit("negative").alias("kind"))
     return pos.unionAll(neg)
+
+
+# ----------------------------------------- rank-biased overlap (RBO)
+
+_RBO_P = 0.9
+
+_RBO_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    coll AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),
+    tot AS (SELECT sum(cf) AS n FROM coll),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    q AS (
+        SELECT d.term, d.df, c.cf FROM dfreq d JOIN coll c USING (term)
+        ORDER BY d.df DESC, d.term LIMIT 3 OFFSET 9
+    ),
+    tf AS (
+        SELECT t.doc_id, t.term, count(*) AS f
+        FROM toks t JOIN q ON q.term = t.term
+        GROUP BY 1, 2
+    ),
+    bm AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY round(score, 4) DESC, doc_id) AS ra
+        FROM (
+            SELECT tf.doc_id,
+                   sum(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                       * tf.f * ({_BM25_K1} + 1)
+                       / (tf.f + {_BM25_K1} * (1 - {_BM25_B}
+                          + {_BM25_B} * l.dl / s.avgdl))) AS score
+            FROM tf JOIN q ON q.term = tf.term
+            JOIN lens l ON l.doc_id = tf.doc_id
+            CROSS JOIN stats s GROUP BY 1
+        ) ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+    ),
+    cand AS (SELECT DISTINCT t.doc_id FROM toks t JOIN q ON q.term = t.term),
+    grid AS (SELECT c.doc_id, q.term, q.cf FROM cand c CROSS JOIN q),
+    ql AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY round(score, 4) DESC, doc_id) AS rb
+        FROM (
+            SELECT g.doc_id,
+                   sum(ln((coalesce(tf.f, 0) + {_QL_MU} * g.cf / t.n)
+                          / (l.dl + {_QL_MU}))) AS score
+            FROM grid g
+            LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+            JOIN lens l ON l.doc_id = g.doc_id
+            CROSS JOIN tot t GROUP BY 1
+        ) ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+    ),
+    shared AS (
+        SELECT bm.ra, ql.rb FROM bm JOIN ql ON ql.doc_id = bm.doc_id
+    ),
+    depths AS (
+        SELECT d, count(s.ra) AS a_d
+        FROM range(1, 11) t(d)
+        LEFT JOIN shared s ON greatest(s.ra, s.rb) <= t.d
+        GROUP BY 1
+    )
+    SELECT 10 AS depth,
+           round(sum(a_d * 1.0 / d * pow({_RBO_P}, d - 1))
+                 * (1 - {_RBO_P}) / (1 - pow({_RBO_P}, 10)), 4)
+               AS rbo_r,
+           (SELECT count(*) FROM shared)::BIGINT AS n_shared
+    FROM depths
+"""
+
+
+@register("rbo_rank_agreement", oracle=_RBO_SQL)
+def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, p=0.9, truncated depth
+    10, renormalized) between the BM25 and query-likelihood top-10
+    rankings for the shared deterministic query — the top-weighted
+    agreement measure for comparing two retrieval SYSTEMS (Kendall/
+    Spearman treat rank 1 and rank 10 alike; RBO doesn't), completing
+    the eval family: nDCG audits one system against truth, RBO compares
+    two against each other.
+
+    Scale shape: both rankings are the published scorer plans
+    (semi-join-pruned tf, broadcast query/stats, rounded-score
+    ranking); the agreement joins two ≤10-row lists and the depth sum
+    runs over a fixed 10-row spine with constant weights."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    q = dfreq.orderBy(F.col("df").desc(), "term").offset(9).limit(3)
+    bm_w = Window.orderBy(F.col("bm25_r").desc(), "doc_id")  # ≤10-row spine
+    bm = (
+        bm25_topk(spark, sf_dir)
+        .withColumn("ra", F.row_number().over(bm_w))
+        .filter(F.col("ra") <= 10)
+        .select("doc_id", "ra")
+    )
+    ql_w = Window.orderBy(F.col("ql_r").desc(), "doc_id")  # ≤10-row spine
+    ql = (
+        query_likelihood_topk(spark, sf_dir)
+        .withColumn("rb", F.row_number().over(ql_w))
+        .filter(F.col("rb") <= 10)
+        .select("doc_id", "rb")
+    )
+    shared = bm.join(ql, "doc_id").select("ra", "rb")
+    depths = (
+        spark.range(1, 11)
+        .withColumnRenamed("id", "d")
+        .join(
+            F.broadcast(shared),
+            F.greatest(F.col("ra"), F.col("rb")) <= F.col("d"),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("ra").alias("a_d"))
+    )
+    p = _RBO_P
+    rbo = (
+        F.sum(F.col("a_d") / F.col("d") * F.pow(F.lit(p), F.col("d") - 1))
+        * (1 - p)
+        / (1 - p**10)
+    )
+    n_shared = shared.agg(F.count("*").alias("n_shared"))
+    return (
+        depths.agg(F.lit(10).alias("depth"), F.round(rbo, 4).alias("rbo_r"))
+        .crossJoin(F.broadcast(n_shared))
+        .select("depth", "rbo_r", F.col("n_shared").cast("long").alias("n_shared"))
+    )

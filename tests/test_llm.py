@@ -794,3 +794,20 @@ def test_contrastive_pairs_exclude_near_positives(spark, sf_dir):
         for neg in d["negative"]:
             assert neg not in top5[qid]  # no accidental near-positive
             assert neg != qid
+
+
+def test_rbo_bounds_and_consistency(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["rbo_rank_agreement"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.rbo_r <= 1.0
+    assert 0 <= r.n_shared <= 10
+    if r.n_shared == 0:
+        assert r.rbo_r == 0.0
+    bm = {x.doc_id for x in QUERIES["bm25_topk"](spark, sf_dir).collect()[:10]}
+    ql = {
+        x.doc_id
+        for x in QUERIES["query_likelihood_topk"](spark, sf_dir).collect()[:10]
+    }
+    assert r.n_shared == len(bm & ql)
