@@ -1597,3 +1597,64 @@ def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ess_frac_r"),
     )
+
+
+# ------------------------------------- feature-hash collision audit
+
+_HASHCOLL_SQL = f"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT ({_H64.format(x='tok')} % {_DSIR_BUCKETS}) AS bkt, count(*) AS n
+        FROM toks GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM toks) AS n_terms,
+           count(*) AS n_occupied,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_colliding,
+           round(sum(CASE WHEN n > 1 THEN n ELSE 0 END)
+                 * 1.0 / (SELECT count(*) FROM toks), 4) AS collision_frac_r,
+           max(n)::BIGINT AS max_bucket
+    FROM b
+"""
+
+
+@register("feature_hash_collision_audit", oracle=_HASHCOLL_SQL)
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit of the 10k-bucket hashed-feature space DSIR
+    scores against: how many distinct terms share a bucket, the
+    colliding-term fraction, and the hottest bucket — the number that
+    says whether 'collisions are part of the estimator' (the DSIR
+    paper's stance) is a rounding error or a distortion on THIS
+    vocabulary. Read beside ``dsir_importance_weights``.
+
+    Scale shape: distinct terms (Heaps-sublinear) → one grouped count
+    on the FIXED 10k-bucket key → 1-row aggregate; state bounded by
+    the bucket space at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .withColumn("bkt", token_hash64(F.col("tok")) % _DSIR_BUCKETS)
+    )
+    n_terms = toks.agg(F.count("*").alias("n_terms"))
+    b = toks.groupBy("bkt").agg(F.count("*").alias("n"))
+    coll = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+    return (
+        b.agg(
+            F.count("*").alias("n_occupied"),
+            coll.cast("long").alias("n_colliding"),
+            F.max("n").cast("long").alias("max_bucket"),
+        )
+        .crossJoin(F.broadcast(n_terms))
+        .select(
+            "n_terms",
+            "n_occupied",
+            "n_colliding",
+            F.round(F.col("n_colliding") / F.col("n_terms"), 4).alias(
+                "collision_frac_r"
+            ),
+            "max_bucket",
+        )
+    )

@@ -1906,3 +1906,96 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hill_alpha_r",
         )
     )
+
+
+# ------------------------------------------------ Neyman allocation
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_SQL = f"""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS stratum,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS y_c
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    strata AS (
+        SELECT stratum, count(*) AS nh,
+               sum(CAST(y_c AS DECIMAL(38,0))) AS sy,
+               sum(CAST(y_c AS DECIMAL(38,0)) * CAST(y_c AS DECIMAL(38,0)))
+                   AS syy
+        FROM spend GROUP BY 1
+    ),
+    sd AS (
+        SELECT stratum, nh,
+               sqrt((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / nh) / (nh - 1))
+                   AS sh
+        FROM strata
+    ),
+    tot AS (SELECT sum(nh * sh) AS denom FROM sd)
+    SELECT s.stratum, s.nh,
+           round(s.sh / 100, 2) AS stddev_r,
+           CAST(floor({_NEYMAN_BUDGET} * s.nh * s.sh / t.denom + 0.5)
+                AS BIGINT) AS n_alloc,
+           round(s.nh * s.sh / t.denom, 4) AS alloc_frac_r
+    FROM sd s CROSS JOIN tot t
+"""
+
+
+@register("neyman_allocation", oracle=_NEYMAN_SQL)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal sample allocation: a 1000-unit audit budget split
+    across market segments ∝ N_h·S_h (stratum size × spend stddev) —
+    the survey-sampling rule that minimizes estimator variance for a
+    fixed budget, and the principled upgrade of proportional
+    allocation wherever this repo samples (``stratified_lang_sample``).
+
+    Scale shape: per-customer spend in exact cents, per-stratum
+    moments in DECIMAL(38,0) (the CUPED discipline), the N_h·S_h
+    normalizer a broadcast 1-row aggregate, allocations via the
+    portable floor-ties quantizer."""
+    o = table(spark, sf_dir, "orders")
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("stratum"), "o_custkey")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("y_c")
+        )
+    )
+    yd = F.col("y_c").cast("decimal(38,0)")
+    strata = spend.groupBy("stratum").agg(
+        F.count("*").alias("nh"),
+        F.sum(yd).alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    sh = F.sqrt(
+        (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double") / F.col("nh")
+        )
+        / (F.col("nh") - 1)
+    )
+    sd = strata.select("stratum", "nh", sh.alias("sh"))
+    tot = sd.agg(F.sum(F.col("nh") * F.col("sh")).alias("denom"))
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        F.round(F.col("sh") / 100, 2).alias("stddev_r"),
+        F.floor(
+            _NEYMAN_BUDGET * F.col("nh") * F.col("sh") / F.col("denom") + 0.5
+        )
+        .cast("long")
+        .alias("n_alloc"),
+        F.round(F.col("nh") * F.col("sh") / F.col("denom"), 4).alias(
+            "alloc_frac_r"
+        ),
+    )

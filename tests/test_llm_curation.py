@@ -386,3 +386,16 @@ def test_ess_bounds(spark, sf_dir):
     r = QUERIES["importance_weight_ess"](spark, sf_dir).collect()[0]
     assert 1.0 <= r.ess_r <= r.n_docs  # ESS in [1, n] by Cauchy-Schwarz
     assert abs(r.ess_frac_r - round(r.ess_r / r.n_docs, 4)) < 1e-3
+
+
+def test_hash_collision_audit_consistent(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["feature_hash_collision_audit"](spark, sf_dir).collect()[0]
+    assert r.n_occupied <= min(r.n_terms, 10_000)
+    assert 0 <= r.n_colliding <= r.n_terms
+    assert r.max_bucket >= 1
+    # birthday bound sanity: with n terms in 10k buckets the colliding
+    # fraction can't exceed 1 and must be 0 iff injective
+    assert (r.n_colliding == 0) == (r.n_occupied == r.n_terms)

@@ -457,3 +457,14 @@ def test_hill_alpha_recomputes(spark, sf_dir):
     alpha = 1.0 / (sum(math.log(x / yk) for x in spend[:k]) / k)
     assert abs(r.hill_alpha_r - round(alpha, 4)) < 1e-6
     assert r.threshold_r == round(yk / 100.0, 2)
+
+
+def test_neyman_allocations_sum_to_budget(spark, sf_dir):
+    rows = QUERIES["neyman_allocation"](spark, sf_dir).collect()
+    assert len(rows) == 5  # one per market segment
+    fracs = sum(r.alloc_frac_r for r in rows)
+    assert abs(fracs - 1.0) < 1e-3
+    total = sum(r.n_alloc for r in rows)
+    assert abs(total - 1000) <= len(rows)  # per-stratum rounding only
+    for r in rows:
+        assert r.n_alloc >= 0 and r.stddev_r > 0
