@@ -708,3 +708,106 @@ def error_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("z_r").desc(), "day")
         .limit(1)
     )
+
+
+_MK_TS_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY day) AS i, day, rev FROM d
+    ),
+    pairs AS (
+        SELECT a.i AS i1, b.i AS i2, a.rev AS r1, b.rev AS r2,
+               epoch_us(a.day) AS t1, epoch_us(b.day) AS t2
+        FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    s AS (
+        SELECT sum(CASE WHEN r2 > r1 THEN 1
+                        WHEN r2 < r1 THEN -1 ELSE 0 END)::BIGINT AS mk_s,
+               count(*) AS n_pairs
+        FROM pairs
+    ),
+    n AS (SELECT count(*) AS nd FROM d),
+    slopes AS (
+        SELECT round((r2 - r1) / ((t2 - t1) / 86400000000.0), 6) AS slope
+        FROM pairs
+    ),
+    ts AS (SELECT round(quantile_cont(slope, 0.5), 4) AS theil_sen_r
+           FROM slopes)
+    SELECT s.mk_s, s.n_pairs,
+           round(CASE WHEN s.mk_s > 0 THEN (s.mk_s - 1)
+                      WHEN s.mk_s < 0 THEN (s.mk_s + 1)
+                      ELSE 0 END
+                 / sqrt(n.nd * (n.nd - 1.0) * (2 * n.nd + 5) / 18), 4)
+               AS mk_z_r,
+           ts.theil_sen_r
+    FROM s CROSS JOIN n CROSS JOIN ts
+"""
+
+
+@register("mann_kendall_theil_sen", oracle=_MK_TS_SQL)
+def mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Theil-Sen slope for daily
+    revenue: the nonparametric trend pair — MK's S statistic is a pure
+    SIGN count (no distributional assumption, exact integers), Theil-
+    Sen is the median of all pairwise slopes (29% breakdown point,
+    immune to the outlier days that wreck OLS). The robust companion
+    to ``ols_regression``/``cusum_changepoint``.
+
+    Scale shape: the pairwise join is day-spine × day-spine — bounded
+    by CALENDAR span squared (~2.9M pairs for 8 years), independent of
+    fact-table size, and a plain self-equi-free range join Spark
+    executes as one shuffle + per-partition merge; MK's S and variance
+    are exact integer arithmetic; slopes quantize at 6 before the
+    exact median (quantize-before-rank). The normal approximation uses
+    the standard continuity correction."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day")  # bounded day spine
+    idx = d.select(
+        F.row_number().over(w).alias("i"),
+        F.unix_micros("day").alias("t"),
+        "rev",
+    )
+    a = idx.select(
+        F.col("i").alias("i1"), F.col("t").alias("t1"), F.col("rev").alias("r1")
+    )
+    b = idx.select(
+        F.col("i").alias("i2"), F.col("t").alias("t2"), F.col("rev").alias("r2")
+    )
+    pairs = a.join(b, F.col("i2") > F.col("i1"))
+    s = pairs.agg(
+        F.sum(
+            F.when(F.col("r2") > F.col("r1"), 1)
+            .when(F.col("r2") < F.col("r1"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("mk_s"),
+        F.count("*").alias("n_pairs"),
+    )
+    n = d.agg(F.count("*").alias("nd"))
+    slopes = pairs.select(
+        F.round(
+            (F.col("r2") - F.col("r1"))
+            / ((F.col("t2") - F.col("t1")) / 86_400_000_000.0),
+            6,
+        ).alias("slope")
+    )
+    ts = slopes.agg(
+        F.round(F.percentile("slope", F.lit(0.5)), 4).alias("theil_sen_r")
+    )
+    cc = (
+        F.when(F.col("mk_s") > 0, F.col("mk_s") - 1)
+        .when(F.col("mk_s") < 0, F.col("mk_s") + 1)
+        .otherwise(F.lit(0))
+    )
+    var = F.col("nd") * (F.col("nd") - 1.0) * (2 * F.col("nd") + 5) / 18
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "mk_s",
+            "n_pairs",
+            F.round(cc / F.sqrt(var), 4).alias("mk_z_r"),
+            "theil_sen_r",
+        )
+    )

@@ -279,3 +279,18 @@ def test_rate_changepoint_is_argmax(spark, sf_dir):
         if best is None or cand[0] > best[0]:
             best = cand
     assert r.z_r == best[0] and r.day == best[1]
+
+
+def test_mann_kendall_sign_count(spark, sf_dir):
+    """S recomputes from the raw daily series; z and Theil-Sen bounds."""
+    days, x = _daily_series(spark, sf_dir)
+    r = QUERIES["mann_kendall_theil_sen"](spark, sf_dir).collect()[0]
+    n = len(x)
+    assert r.n_pairs == n * (n - 1) // 2
+    s = sum(
+        (1 if x[j] > x[i] else -1 if x[j] < x[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert r.mk_s == s
+    assert abs(r.mk_z_r) < 50  # sanity: a z-statistic, not garbage
