@@ -1713,3 +1713,98 @@ def tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+_LTV_SQL = """
+    WITH fs AS (
+        SELECT o_custkey,
+               min(date_trunc('month', o_orderdate))::TIMESTAMP AS cohort
+        FROM orders GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort,
+               datediff('month', f.cohort,
+                        date_trunc('month', o.o_orderdate)) AS age,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS rev_c
+        FROM orders o JOIN fs f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort, count(*) AS n_cust FROM fs GROUP BY 1),
+    cum AS (
+        SELECT r.cohort, r.age, s.n_cust,
+               sum(r.rev_c) OVER (PARTITION BY r.cohort ORDER BY r.age
+                                  ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM rev r JOIN sizes s ON s.cohort = r.cohort
+    )
+    SELECT cohort, age, n_cust,
+           round(cum_c / 100.0 / n_cust, 2) AS ltv_per_cust_r
+    FROM cum WHERE age <= 11 AND year(cohort) <= 1996
+"""
+
+
+@register("cohort_ltv_curve", oracle=_LTV_SQL)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per customer by cohort age
+    (months since first order), first-year cohorts × first 12 months —
+    the growth-analytics read that ``retention_cohorts`` (activity) and
+    ``cumulative_unique_users`` (acquisition) don't give: how much a
+    cohort is WORTH as it ages, and whether newer cohorts monetize
+    faster.
+
+    Scale shape: first-seen reduction (min month per customer), one
+    (cohort, age) grouped rollup in exact cents, cohort sizes as a
+    month-spine aggregate, and the cumulative sum a window PARTITIONED
+    by cohort over the ≤12-row age spine. Division by cohort size
+    happens once per (cohort, age) on exact integers."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    fs = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    rev = (
+        o.join(fs, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                F.months_between(
+                    F.date_trunc("month", "o_orderdate"), F.col("cohort")
+                )
+            )
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    sizes = fs.groupBy("cohort").agg(F.count("*").alias("n_cust"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.join(sizes, "cohort").select(
+        "cohort",
+        "age",
+        "n_cust",
+        F.sum("rev_c").over(w).alias("cum_c"),
+    )
+    return cum.filter(
+        (F.col("age") <= 11) & (F.year("cohort") <= 1996)
+    ).select(
+        "cohort",
+        "age",
+        "n_cust",
+        F.round(F.col("cum_c") / 100.0 / F.col("n_cust"), 2).alias(
+            "ltv_per_cust_r"
+        ),
+    )

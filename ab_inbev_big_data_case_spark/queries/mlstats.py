@@ -1999,3 +1999,160 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_frac_r"
         ),
     )
+
+
+# ------------------------------------------------ two-way ANOVA
+
+_ANOVA_SQL = """
+    WITH cells AS (
+        SELECT c.c_mktsegment AS a, o.o_orderpriority AS b,
+               count(*) AS n,
+               sum(CAST(round(CAST(o.o_totalprice AS DECIMAL(18,6)), 2) * 100
+                        AS DECIMAL(38,0))) AS sy,
+               sum(CAST(round(CAST(o.o_totalprice AS DECIMAL(18,6)), 2) * 100
+                        AS DECIMAL(38,0))
+                   * CAST(round(CAST(o.o_totalprice AS DECIMAL(18,6)), 2) * 100
+                          AS DECIMAL(38,0))) AS syy
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    g AS (SELECT sum(n) AS nn, sum(sy) AS gy, sum(syy) AS gyy FROM cells),
+    am AS (SELECT a, sum(n) AS na, sum(sy) AS ya FROM cells GROUP BY 1),
+    bm AS (SELECT b, sum(n) AS nb, sum(sy) AS yb FROM cells GROUP BY 1),
+    ss AS (
+        SELECT
+            (SELECT (gyy::DOUBLE - gy::DOUBLE * gy::DOUBLE / nn) / 10000
+             FROM g) AS ss_tot,
+            (SELECT sum(CAST(floor(ya::DOUBLE * ya::DOUBLE / na / 10000
+                                   + 0.5) AS BIGINT))
+                    - (SELECT gy::DOUBLE * gy::DOUBLE / nn / 10000 FROM g)
+             FROM am) AS ss_a,
+            (SELECT sum(CAST(floor(yb::DOUBLE * yb::DOUBLE / nb / 10000
+                                   + 0.5) AS BIGINT))
+                    - (SELECT gy::DOUBLE * gy::DOUBLE / nn / 10000 FROM g)
+             FROM bm) AS ss_b,
+            (SELECT sum(CAST(floor(sy::DOUBLE * sy::DOUBLE / n / 10000
+                                   + 0.5) AS BIGINT))
+                    - (SELECT gy::DOUBLE * gy::DOUBLE / nn / 10000 FROM g)
+             FROM cells) AS ss_cells,
+            (SELECT count(*) FROM am) AS ka,
+            (SELECT count(*) FROM bm) AS kb,
+            (SELECT count(*) FROM cells) AS kc,
+            (SELECT nn FROM g) AS nn
+    )
+    SELECT nn::BIGINT AS n_rows,
+           round(ss_a, 2) AS ss_segment_r,
+           round(ss_b, 2) AS ss_priority_r,
+           round(ss_cells - ss_a - ss_b, 2) AS ss_interaction_r,
+           round(ss_tot - ss_cells, 2) AS ss_error_r,
+           round((ss_a / (ka - 1))
+                 / ((ss_tot - ss_cells) / (nn - kc)), 4) AS f_segment_r,
+           round((ss_b / (kb - 1))
+                 / ((ss_tot - ss_cells) / (nn - kc)), 4) AS f_priority_r
+    FROM ss
+"""
+
+
+@register("anova_two_way", oracle=_ANOVA_SQL)
+def anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of order value on market segment × order priority:
+    the sum-of-squares decomposition (main effects, interaction,
+    error) with F ratios for both factors — does WHO buys or HOW
+    urgently explain spend variance. The k-group generalization of
+    ``welch_ab_test``.
+
+    Scale shape: ONE grouped pass collapses the joined fact to the
+    |A|×|B| cell table with DECIMAL(38,0) moment partials (cents² —
+    the CUPED discipline); every SS term is then arithmetic over that
+    ≤25-row spine and its two marginal rollups. F ratios compute from
+    exact moments on identical double trees."""
+    o = table(spark, sf_dir, "orders")
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    y = (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100).cast(
+        "decimal(38,0)"
+    )
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("a"),
+            F.col("o_orderpriority").alias("b"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    g = cells.agg(
+        F.sum("n").alias("nn"), F.sum("sy").alias("gy"), F.sum("syy").alias("gyy")
+    )
+    am = cells.groupBy("a").agg(F.sum("n").alias("na"), F.sum("sy").alias("ya"))
+    bm = cells.groupBy("b").agg(F.sum("n").alias("nb"), F.sum("sy").alias("yb"))
+    gd = g.select(
+        "nn",
+        (
+            (
+                F.col("gyy").cast("double")
+                - F.col("gy").cast("double")
+                * F.col("gy").cast("double")
+                / F.col("nn")
+            )
+            / 10000
+        ).alias("ss_tot"),
+        (
+            F.col("gy").cast("double")
+            * F.col("gy").cast("double")
+            / F.col("nn")
+            / 10000
+        ).alias("cf"),
+    )
+    # each y²/n term quantizes to integer cents² (portable floor-ties)
+    # BEFORE the sum: the raw double terms are deterministic, but a
+    # multi-row double SUM is partial-aggregation-order-dependent — at
+    # the ~1e14 magnitude of these SS terms the run-to-run last-ulp
+    # wobble crosses the 2-decimal output grid. Integer sums are exact
+    # and order-free; the ≤0.5-per-term quantization error is cents²
+    # dust against a 1e4-cents² grid.
+    def qterm(y, n):
+        # units: whole DOLLARS² (cents²/10⁴) — integer cents² overflows
+        # int64 once a segment's total spend passes ~3e11 cents
+        return F.floor(
+            y.cast("double") * y.cast("double") / n / 10000 + 0.5
+        ).cast("long")
+
+    ssa = am.agg(
+        F.sum(qterm(F.col("ya"), F.col("na"))).alias("sa"),
+        F.count("*").alias("ka"),
+    )
+    ssb = bm.agg(
+        F.sum(qterm(F.col("yb"), F.col("nb"))).alias("sb"),
+        F.count("*").alias("kb"),
+    )
+    ssc = cells.agg(
+        F.sum(qterm(F.col("sy"), F.col("n"))).alias("sc"),
+        F.count("*").alias("kc"),
+    )
+    j = (
+        gd.crossJoin(F.broadcast(ssa))
+        .crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(ssc))
+    )
+    ss_a = F.col("sa") - F.col("cf")
+    ss_b = F.col("sb") - F.col("cf")
+    ss_cells = F.col("sc") - F.col("cf")
+    ss_err = F.col("ss_tot") - ss_cells
+    return j.select(
+        F.col("nn").cast("long").alias("n_rows"),
+        F.round(ss_a, 2).alias("ss_segment_r"),
+        F.round(ss_b, 2).alias("ss_priority_r"),
+        F.round(ss_cells - ss_a - ss_b, 2).alias("ss_interaction_r"),
+        F.round(ss_err, 2).alias("ss_error_r"),
+        F.round(
+            (ss_a / (F.col("ka") - 1)) / (ss_err / (F.col("nn") - F.col("kc"))),
+            4,
+        ).alias("f_segment_r"),
+        F.round(
+            (ss_b / (F.col("kb") - 1)) / (ss_err / (F.col("nn") - F.col("kc"))),
+            4,
+        ).alias("f_priority_r"),
+    )

@@ -55,7 +55,7 @@ _QUERY_MODULES = [
 # oracle via the exact+within_tol projection), and approx_count_distinct
 # (same oracle upgrade — was a permanent no_oracle row).
 #
-# ROTATION (round 6+): re-check any r5 reds first, then the sixty-four
+# ROTATION (round 6+): re-check any r5 reds first, then the sixty-six
 # session-2/3 tail additions never in a window (cumulative_unique_users,
 # weighted_median, ordered_string_agg, bpe_apply_merges,
 # time_weighted_avg, join_null_safe, psi_drift, split_leakage_audit,
@@ -80,7 +80,7 @@ _QUERY_MODULES = [
 # hill_tail_index, lang_id_kappa, error_rate_changepoint,
 # contrastive_negative_sampling, rbo_rank_agreement,
 # neyman_allocation, feature_hash_collision_audit,
-# mann_kendall_theil_sen),
+# mann_kendall_theil_sen, anova_two_way, cohort_ltv_curve),
 # then the 13 displaced r1 re-checks named in the comments below, then
 # the remaining r2-era names (subquery + tpch_q*_shape families,
 # exact_dedup_hash …), then r3-era.

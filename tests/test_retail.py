@@ -322,3 +322,17 @@ def test_tier_migration_conserves_customers(spark, sf_dir):
     assert left == n95 and right == n96
     tiers = {"gold", "silver", "bronze", "none"}
     assert all(r.tier_1995 in tiers and r.tier_1996 in tiers for r in rows)
+
+
+def test_ltv_curves_are_monotone(spark, sf_dir):
+    rows = QUERIES["cohort_ltv_curve"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age)
+        ltvs = [r.ltv_per_cust_r for r in rs]
+        assert ltvs == sorted(ltvs), cohort  # cumulative ⇒ non-decreasing
+        assert all(x > 0 for x in ltvs)
+        assert rs[0].age >= 0 and rs[-1].age <= 11
