@@ -157,7 +157,22 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = n_rows_only = 0
-    for name in names:
+    for i, name in enumerate(names):
+        # Long gate runs accumulate JVM state (lazy localCheckpoint RDDs,
+        # plan caches) across hundreds of queries; at ~270 the driver heap
+        # dies (measured: ConnectionRefusedError fallout for the tail of a
+        # full run). Unpersist checkpointed RDDs and clear the catalog
+        # cache every 25 queries — per-query results are independent, so
+        # this changes nothing but the session's memory ceiling.
+        if i and i % 25 == 0:
+            try:
+                for rdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist()
+                spark.catalog.clearCache()
+            except Exception:
+                pass
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
