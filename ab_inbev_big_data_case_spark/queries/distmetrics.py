@@ -1,0 +1,548 @@
+"""Distribution-comparison and ranking-evaluation statistics (round-5
+session-4 widening of SURVEY.md §2.2's analytics family): Gini revenue
+concentration, two-sample Kolmogorov–Smirnov, Mann–Whitney AUC,
+Jensen–Shannon source divergence, and Fano-factor burstiness.
+
+These close the "how different are two populations" gap left between the
+existing drift/association tests (``psi_drift`` compares against FIXED
+bins, ``chi2_independence``/``mutual_information`` work on categorical
+cells): KS compares full empirical CDFs, JSD compares full unigram
+distributions, AUC turns the rank-sum two-sample test into the standard
+classifier metric, Gini summarizes concentration the ABC classes only
+bucket, and the Fano factor quantifies the overdispersion the EWMA/seasonal
+anomaly detectors implicitly assume away.
+
+Scale posture (shared design rules of this repo):
+
+- Every statistic is assembled from EXACT integer aggregates (counts,
+  cents, rank sums) or per-term quantized decimals, so the two engines'
+  different float-summation orders cannot diverge the result — scalar
+  double arithmetic happens only on the final 1-row (or per-group-row)
+  moments.
+- Global ranks (Gini) use the two-level prefix-sum decomposition
+  (percentile-boundary buckets + per-bucket window + 16-row carry spine —
+  the ``abc_pareto_class`` pattern): customers are fact-sized, so a flat
+  ``row_number`` over a partitionless window would single-task 100 TB.
+- ECDF walks (KS, AUC) run on VALUE-DOMAIN-BOUNDED spines: distinct doc
+  lengths / cent-quantized scores are capped by the value domain, not the
+  row count (the histogram-spine exception documented in
+  ``queries/mlstats.py``), so their windows see O(domain) rows at any SF.
+- JSD's pair join is TERM-keyed with source-dimension fan-out
+  (``source_vocab_overlap``'s shape): terms carry the scale, the 20-source
+  pair table is a dimension product.
+
+The reference stops at a static gold aggregate (``glue/etl_api.py:42-45``);
+these are the comparison statistics its published tables feed next.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import register
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+# ------------------------------------------------------ Gini concentration
+
+_GINI_BUCKETS = 16
+
+_GINI_SQL = """
+    WITH prev AS (
+        SELECT o_custkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev_c,
+               row_number() OVER (ORDER BY rev_c, o_custkey) AS grank
+        FROM prev
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(rev_c) AS tot_c,
+               sum(CAST(grank AS HUGEINT) * rev_c) AS s1
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(tot_c AS BIGINT) AS total_rev_c,
+           round(2.0 * CAST(s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(tot_c AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE),
+                 6) AS gini_r
+    FROM s
+"""
+
+
+@register("gini_concentration", oracle=_GINI_SQL)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue via the rank formula
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted revenues —
+    the one-number concentration summary behind ``abc_pareto_class``'s
+    three buckets.
+
+    Scale shape: the global ascending rank is TWO-LEVEL (the
+    ``abc_pareto_class`` decomposition run in the opposite direction) —
+    16 value-range buckets from percentile boundaries (broadcast 1-row
+    array; bucket = #boundaries strictly BELOW the cents value, so ties
+    share a bucket), ``row_number`` windowed WITHIN each bucket, and a
+    16-row bucket-count spine supplying the rank carry. Σ i·xᵢ is
+    tie-permutation invariant (equal x ⇒ equal contribution under any
+    rank swap), so bucket boundaries cannot change the result. The rank
+    product accumulates in DECIMAL(38,0) (rank ~1e10 × cents ~1e9
+    overflows BIGINT at 100 TB); the final ratio is scalar double
+    arithmetic on the 1-row moments, identical in both engines."""
+    o = table(spark, sf_dir, "orders")
+    prev = o.groupBy("o_custkey").agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    qs = [i / _GINI_BUCKETS for i in range(1, _GINI_BUCKETS)]
+    bounds = prev.agg(F.percentile_approx("rev_c", qs, 10000).alias("bs"))
+    bucketed = prev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc + F.when(b < F.col("rev_c"), 1).otherwise(0),
+        ),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("rev_c", "o_custkey")
+    local = bucketed.withColumn("lrank", F.row_number().over(w_local))
+    w_spine = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 16-row bucket spine: bounded by the bucket count, not the data
+    spine = (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("bn"))
+        .withColumn("carry", F.coalesce(F.sum("bn").over(w_spine), F.lit(0)))
+        .select("bucket", "carry")
+    )
+    ranked = local.join(F.broadcast(spine), "bucket").withColumn(
+        "grank", F.col("carry") + F.col("lrank")
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rev_c").cast("long").alias("tot_c"),
+        F.sum(F.col("grank").cast("decimal(18,0)") * F.col("rev_c")).alias("s1"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("tot_c").alias("total_rev_c"),
+        F.round(
+            2.0 * F.col("s1").cast("double") / (n_d * F.col("tot_c").cast("double"))
+            - (n_d + 1.0) / n_d,
+            6,
+        ).alias("gini_r"),
+    )
+
+
+# ------------------------------------------- two-sample Kolmogorov–Smirnov
+
+_KS_SQL = """
+    WITH lab AS (
+        SELECT n_chars,
+               CASE WHEN length(source) <= 4 THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ),
+    cell AS (
+        SELECT n_chars,
+               sum(is_a) AS ca,
+               sum(1 - is_a) AS cb
+        FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cell),
+    walk AS (
+        SELECT n_chars,
+               sum(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+                   AS cum_a,
+               sum(cb) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+                   AS cum_b
+        FROM cell
+    ),
+    num AS (
+        SELECT n_chars,
+               abs(CAST(cum_a AS HUGEINT) * t.nb
+                   - CAST(cum_b AS HUGEINT) * t.na) AS d_num
+        FROM walk CROSS JOIN tot t
+    ),
+    mx AS (SELECT max(d_num) AS d_max FROM num)
+    SELECT t.na::BIGINT AS n_a,
+           t.nb::BIGINT AS n_b,
+           (SELECT min(n_chars) FROM num, mx WHERE d_num = d_max)
+               AS at_chars,
+           round(CAST(m.d_max AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)), 6)
+               AS ks_d_r,
+           round(CAST(m.d_max AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+                 * sqrt(CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                        / (CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE))),
+                 6) AS ks_scaled_r
+    FROM tot t CROSS JOIN mx m
+"""
+
+
+@register("ks_two_sample", oracle=_KS_SQL)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the doc-length
+    distributions of the single-digit sources (src0–src9) and the
+    double-digit sources (src10–src19): D = max |ECDF_A − ECDF_B|, plus
+    the Smirnov-scaled statistic D·√(n_a·n_b/(n_a+n_b)) and the length
+    at which the gap peaks (smallest such length on ties).
+
+    Scale shape: one scan collapses docs to per-length cells (shuffle
+    keyed on n_chars — the VALUE-DOMAIN-BOUNDED spine, O(max doc length)
+    rows at any SF); the ECDF walk is a window over that spine; the gap
+    numerator |cum_a·n_b − cum_b·n_a| stays in exact integers
+    (DECIMAL(38,0): cum ~5e10 × n ~5e10 overflows BIGINT at corpus
+    scale), so the max and its argmin location are engine-independent;
+    division happens once on the 1-row result."""
+    d = table(spark, sf_dir, "documents")
+    cell = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.length("source") <= 4, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.length("source") <= 4, 0).otherwise(1)).alias("cb"),
+    )
+    tot = cell.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # value-domain-bounded spine (distinct doc lengths)
+    walk = cell.select(
+        "n_chars",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    num = walk.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a").cast("decimal(19,0)") * F.col("nb")
+            - F.col("cum_b").cast("decimal(19,0)") * F.col("na")
+        ).alias("d_num"),
+    )
+    mx = num.agg(F.max("d_num").alias("d_max"))
+    at = (
+        num.join(F.broadcast(mx), num["d_num"] == mx["d_max"])
+        .agg(F.min("n_chars").alias("at_chars"))
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    d_d = F.col("d_max").cast("double") / (na_d * nb_d)
+    return (
+        num.select("na", "nb")
+        .limit(1)
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "at_chars",
+            F.round(d_d, 6).alias("ks_d_r"),
+            F.round(d_d * F.sqrt(na_d * nb_d / (na_d + nb_d)), 6).alias(
+                "ks_scaled_r"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------- Mann–Whitney AUC
+
+_AUC_SQL = """
+    WITH lab AS (
+        SELECT round(value, 2) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    cell AS (
+        SELECT score, sum(pos) AS np, sum(1 - pos) AS nn
+        FROM lab GROUP BY 1
+    ),
+    walk AS (
+        SELECT np, nn,
+               coalesce(sum(nn) OVER (ORDER BY score
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS neg_below
+        FROM cell
+    ),
+    s AS (
+        SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+               sum(CAST(np AS HUGEINT) * (2 * neg_below + nn)) AS u2
+        FROM walk
+    )
+    SELECT n_pos::BIGINT AS n_pos,
+           n_neg::BIGINT AS n_neg,
+           round(CAST(u2 AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                 6) AS auc_r,
+           round(CAST(u2 AS DOUBLE)
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0,
+                 6) AS gini_rank_r
+    FROM s
+"""
+
+
+@register("auc_mann_whitney", oracle=_AUC_SQL)
+def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of "event value predicts purchase vs click" via the
+    Mann–Whitney U identity AUC = U/(n₊·n₋) with midrank tie handling —
+    the rank-sum sibling of ``welch_ab_test`` (same two cohorts, rank
+    domain instead of mean domain), and the standard eval for any score
+    column a curation pipeline produces.
+
+    Scale shape: scores are cent-quantized BEFORE ranking
+    (quantize-before-rank, the repo-wide rule), collapsing the walk to
+    the value-domain-bounded score spine; U accumulates the exact
+    integer 2U = Σ_s np_s·(2·neg_below + nn_s) in DECIMAL(38,0) (n₊·n₋
+    ~1e18 at corpus scale), so ties cost ½ exactly and both engines see
+    the same integer before the one scalar division."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cell = e.groupBy(F.round("value", 2).alias("score")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "np"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 0).otherwise(1)).alias(
+            "nn"
+        ),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # value-domain-bounded spine (cent-quantized scores)
+    walk = cell.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("neg_below"),
+    )
+    s = walk.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np").cast("decimal(19,0)")
+            * (2 * F.col("neg_below") + F.col("nn"))
+        ).alias("u2"),
+    )
+    u2_d = F.col("u2").cast("double")
+    np_d = F.col("n_pos").cast("double")
+    nn_d = F.col("n_neg").cast("double")
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(u2_d / (2.0 * np_d * nn_d), 6).alias("auc_r"),
+        F.round(u2_d / (np_d * nn_d) - 1.0, 6).alias("gini_rank_r"),
+    )
+
+
+# ------------------------------------------- Jensen–Shannon source divergence
+
+_JSD_TOP = 20
+
+_JSD_SQL = f"""
+    WITH st AS (
+        SELECT source, tok, count(*) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(n) AS tot FROM st GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS src1, b.source AS src2,
+               a.n AS na, b.n AS nb, ta.tot AS tot_a, tb.tot AS tot_b
+        FROM st a
+        JOIN st b ON a.tok = b.tok AND a.source < b.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+    ),
+    contrib AS (
+        SELECT src1, src2,
+               CAST(round(
+                   (na / CAST(tot_a AS DOUBLE))
+                   * ln(2.0 * (na / CAST(tot_a AS DOUBLE))
+                        / (na / CAST(tot_a AS DOUBLE)
+                           + nb / CAST(tot_b AS DOUBLE)))
+                   + (nb / CAST(tot_b AS DOUBLE))
+                   * ln(2.0 * (nb / CAST(tot_b AS DOUBLE))
+                        / (na / CAST(tot_a AS DOUBLE)
+                           + nb / CAST(tot_b AS DOUBLE))),
+                   12) AS DECIMAL(28,12)) AS c,
+               CAST(round(na / CAST(tot_a AS DOUBLE), 12)
+                    AS DECIMAL(28,12)) AS p,
+               CAST(round(nb / CAST(tot_b AS DOUBLE), 12)
+                    AS DECIMAL(28,12)) AS q
+        FROM pairs
+    ),
+    agg AS (
+        SELECT src1, src2, count(*) AS n_shared,
+               sum(c) AS sc, sum(p) AS sp, sum(q) AS sq
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT src1, src2, n_shared,
+           round((0.5 * (CAST(sc AS DOUBLE)
+                         + ln(2.0) * ((1.0 - CAST(sp AS DOUBLE))
+                                      + (1.0 - CAST(sq AS DOUBLE)))))
+                 / ln(2.0), 6) AS jsd_bits_r
+    FROM agg
+    ORDER BY jsd_bits_r DESC, src1, src2
+    LIMIT {_JSD_TOP}
+"""
+
+
+@register("js_divergence_sources", oracle=_JSD_SQL)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (in bits) between sources'
+    unigram distributions — the symmetric, bounded [0,1] counterpart of
+    ``psi_drift``'s binned score and ``source_vocab_overlap``'s set
+    Jaccard: the standard "how redundant are these two corpora" read
+    before choosing ``mixing_weights``.
+
+    Scale shape: the pair join is TERM-keyed (terms carry the scale; the
+    20-source pair fan-out per term is a dimension product, exactly
+    ``source_vocab_overlap``); disjoint-support mass needs no outer join
+    because Σ_shared p is tracked and the p-only tail contributes
+    ½·ln2·(1−Σ_shared p) in closed form. Float discipline: each term's
+    contribution is quantized to 12 decimals and summed as
+    DECIMAL(28,12) — exact, order-independent — so the two engines'
+    different summation orders cannot diverge the hash; scalar doubles
+    touch only the per-pair 1-row moments."""
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = st.groupBy("source").agg(F.sum("n").alias("tot"))
+    a = st.select(F.col("source").alias("src1"), "tok", F.col("n").alias("na"))
+    b = st.select(F.col("source").alias("src2"), "tok", F.col("n").alias("nb"))
+    ta = tot.select(F.col("source").alias("src1"), F.col("tot").alias("tot_a"))
+    tb = tot.select(F.col("source").alias("src2"), F.col("tot").alias("tot_b"))
+    p = F.col("na") / F.col("tot_a").cast("double")
+    q = F.col("nb") / F.col("tot_b").cast("double")
+    contrib = (
+        a.join(b, "tok")
+        .filter(F.col("src1") < F.col("src2"))
+        .join(F.broadcast(ta), "src1")
+        .join(F.broadcast(tb), "src2")
+        .select(
+            "src1",
+            "src2",
+            F.round(
+                p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q)), 12
+            )
+            .cast("decimal(28,12)")
+            .alias("c"),
+            F.round(p, 12).cast("decimal(28,12)").alias("p"),
+            F.round(q, 12).cast("decimal(28,12)").alias("q"),
+        )
+    )
+    agg = contrib.groupBy("src1", "src2").agg(
+        F.count("*").alias("n_shared"),
+        F.sum("c").alias("sc"),
+        F.sum("p").alias("sp"),
+        F.sum("q").alias("sq"),
+    )
+    ln2 = math.log(2.0)
+    jsd = 0.5 * (
+        F.col("sc").cast("double")
+        + ln2
+        * ((1.0 - F.col("sp").cast("double")) + (1.0 - F.col("sq").cast("double")))
+    )
+    return (
+        agg.select(
+            "src1",
+            "src2",
+            "n_shared",
+            F.round(jsd / ln2, 6).alias("jsd_bits_r"),
+        )
+        .orderBy(F.col("jsd_bits_r").desc(), "src1", "src2")
+        .limit(_JSD_TOP)
+    )
+
+
+# ------------------------------------------------- Fano-factor burstiness
+
+_FANO_SQL = """
+    WITH bounds AS (
+        SELECT date_diff('day', min(date_trunc('day', ts)),
+                         max(date_trunc('day', ts))) + 1 AS n_days
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               sum(x) AS total,
+               sum(CAST(x AS HUGEINT) * x) AS ssq
+        FROM daily GROUP BY 1
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(total AS BIGINT) AS n_events,
+               b.n_days,
+               CAST(total AS DOUBLE) / b.n_days AS mean,
+               (CAST(ssq AS DOUBLE)
+                - CAST(total AS DOUBLE) * CAST(total AS DOUBLE) / b.n_days)
+               / (b.n_days - 1) AS var
+        FROM s CROSS JOIN bounds b
+    )
+    SELECT event_type, n_days, n_events,
+           round(mean, 6) AS mean_daily_r,
+           round(var / mean, 6) AS fano_r,
+           round((sqrt(var) - mean) / (sqrt(var) + mean), 6) AS burstiness_r
+    FROM m
+"""
+
+
+@register("burstiness_fano", oracle=_FANO_SQL)
+def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type overdispersion of the daily arrival process: Fano
+    factor F = σ²/μ of daily counts over the full observed calendar
+    (F ≈ 1 ⇒ Poisson; F ≫ 1 ⇒ bursty) plus the Goh–Barabási burstiness
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1) — the traffic-shape diagnostic that says
+    whether ``ewma_anomaly``'s smoothing constant is even appropriate.
+
+    Scale shape: zero-event days are NEVER materialized — the calendar
+    length comes from a broadcast 1-row min/max bound, and σ² over the
+    zero-padded series reduces to (Σx² − (Σx)²/n_days)/(n_days−1) on
+    the observed cells' exact integer moments (Σx² in DECIMAL(38,0):
+    daily counts ~1e9 at 100 TB square past BIGINT). One shuffle keyed
+    (event_type, day), one per-type aggregate, scalar doubles on the
+    5-row result."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        (
+            F.datediff(
+                F.max(F.date_trunc("day", "ts")), F.min(F.date_trunc("day", "ts"))
+            )
+            + 1
+        ).alias("n_days")
+    )
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("ssq"),
+    )
+    m = s.crossJoin(F.broadcast(bounds))
+    total_d = F.col("total").cast("double")
+    nd = F.col("n_days").cast("double")
+    mean = total_d / nd
+    var = (F.col("ssq").cast("double") - total_d * total_d / nd) / (nd - 1)
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("total").alias("n_events"),
+        F.round(mean, 6).alias("mean_daily_r"),
+        F.round(var / mean, 6).alias("fano_r"),
+        F.round((F.sqrt(var) - mean) / (F.sqrt(var) + mean), 6).alias(
+            "burstiness_r"
+        ),
+    )

@@ -37,6 +37,7 @@ _QUERY_MODULES = [
     "ab_inbev_big_data_case_spark.queries.llm_curation",
     "ab_inbev_big_data_case_spark.queries.timeseries",
     "ab_inbev_big_data_case_spark.queries.retail",
+    "ab_inbev_big_data_case_spark.queries.distmetrics",
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registered queries
@@ -80,7 +81,9 @@ _QUERY_MODULES = [
 # hill_tail_index, lang_id_kappa, error_rate_changepoint,
 # contrastive_negative_sampling, rbo_rank_agreement,
 # neyman_allocation, feature_hash_collision_audit,
-# mann_kendall_theil_sen, anova_two_way, cohort_ltv_curve),
+# mann_kendall_theil_sen, anova_two_way, cohort_ltv_curve,
+# gini_concentration, ks_two_sample, auc_mann_whitney,
+# js_divergence_sources, burstiness_fano),
 # then the 13 displaced r1 re-checks named in the comments below, then
 # the remaining r2-era names (subquery + tpch_q*_shape families,
 # exact_dedup_hash …), then r3-era.

@@ -1,0 +1,147 @@
+"""Semantic invariants for the distribution-comparison family
+(queries/distmetrics.py) beyond the DuckDB oracle equivalence: each
+distributed decomposition (two-level Gini rank, spine-walk KS/AUC,
+closed-form disjoint-mass JSD, zero-day-free Fano) is recomputed
+brute-force on the collected fixture and must agree exactly (to the
+published rounding)."""
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+load_all()
+
+
+def test_gini_matches_flat_rank(spark, sf_dir):
+    """The 16-bucket two-level rank decomposition must equal the textbook
+    flat-sorted rank formula."""
+    got = QUERIES["gini_concentration"](spark, sf_dir).collect()[0]
+    rows = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
+        .collect()
+    )
+    xs = sorted((r.rev_c, r.o_custkey) for r in rows)
+    n = len(xs)
+    s = sum(x for x, _ in xs)
+    s1 = sum(i * x for i, (x, _) in enumerate(xs, start=1))
+    expect = 2.0 * s1 / (n * s) - (n + 1.0) / n
+    assert got.n_customers == n
+    assert got.total_rev_c == s
+    assert abs(got.gini_r - expect) < 1e-6
+    assert 0.0 <= got.gini_r < 1.0
+
+
+def test_ks_matches_brute_ecdf(spark, sf_dir):
+    got = QUERIES["ks_two_sample"](spark, sf_dir).collect()[0]
+    docs = table(spark, sf_dir, "documents").select("source", "n_chars").collect()
+    a = sorted(r.n_chars for r in docs if len(r.source) <= 4)
+    b = sorted(r.n_chars for r in docs if len(r.source) > 4)
+    na, nb = len(a), len(b)
+    grid = sorted(set(a) | set(b))
+    ca = cb = 0
+    ia = ib = 0
+    best, best_at = -1, None
+    for v in grid:
+        while ia < na and a[ia] <= v:
+            ia += 1
+        while ib < nb and b[ib] <= v:
+            ib += 1
+        d = abs(ia * nb - ib * na)
+        if d > best:
+            best, best_at = d, v
+    assert got.n_a == na and got.n_b == nb
+    assert abs(got.ks_d_r - best / (na * nb)) < 1e-6
+    assert got.at_chars == best_at
+
+
+def test_auc_matches_midrank_brute(spark, sf_dir):
+    """Grouped-walk U must equal the pairwise definition
+    AUC = P(s_pos > s_neg) + ½·P(tie) on the quantized scores."""
+    got = QUERIES["auc_mann_whitney"](spark, sf_dir).collect()[0]
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(F.round("value", 2).alias("s"), "event_type")
+        .collect()
+    )
+    pos = Counter(r.s for r in ev if r.event_type == "purchase")
+    neg = Counter(r.s for r in ev if r.event_type == "click")
+    np_, nn = sum(pos.values()), sum(neg.values())
+    wins = ties = 0
+    neg_sorted = sorted(neg.items())
+    for sp, cp in pos.items():
+        for sn, cn in neg_sorted:
+            if sp > sn:
+                wins += cp * cn
+            elif sp == sn:
+                ties += cp * cn
+    expect = (wins + 0.5 * ties) / (np_ * nn)
+    assert got.n_pos == np_ and got.n_neg == nn
+    assert abs(got.auc_r - expect) < 1e-6
+    assert abs(got.gini_rank_r - (2 * expect - 1)) < 1e-5
+
+
+def test_jsd_matches_brute_distribution(spark, sf_dir):
+    """The shared-term + closed-form disjoint-mass assembly must equal a
+    full-vocabulary JSD; bounds 0 ≤ JSD ≤ 1 bit hold for every pair."""
+    rows = QUERIES["js_divergence_sources"](spark, sf_dir).collect()
+    assert rows and all(0.0 <= r.jsd_bits_r <= 1.0 for r in rows)
+    top = rows[0]
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(top.src1, top.src2))
+        .select("source", "text")
+        .collect()
+    )
+    dist = defaultdict(Counter)
+    for r in docs:
+        dist[r.source].update(r.text.split(" "))
+    p, q = dist[top.src1], dist[top.src2]
+    tp, tq = sum(p.values()), sum(q.values())
+    jsd = 0.0
+    for w in set(p) | set(q):
+        pi, qi = p[w] / tp, q[w] / tq
+        m = (pi + qi) / 2
+        if pi:
+            jsd += 0.5 * pi * math.log(pi / m)
+        if qi:
+            jsd += 0.5 * qi * math.log(qi / m)
+    assert abs(top.jsd_bits_r - jsd / math.log(2)) < 1e-4
+
+
+def test_fano_counts_zero_days(spark, sf_dir):
+    """The moment identity must equal the variance of the explicit
+    zero-padded daily series — zero-event days lower the mean and are
+    part of the variance even though the plan never materializes them."""
+    rows = {r.event_type: r for r in QUERIES["burstiness_fano"](spark, sf_dir).collect()}
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .collect()
+    )
+    all_days = {r.day for r in ev}
+    lo, hi = min(all_days), max(all_days)
+    n_days = (hi - lo).days + 1
+    per = defaultdict(Counter)
+    for r in ev:
+        per[r.event_type][r.day] += 1
+    for et, daily in per.items():
+        xs = list(daily.values()) + [0] * (n_days - len(daily))
+        mean = sum(xs) / n_days
+        var = sum((x - mean) ** 2 for x in xs) / (n_days - 1)
+        got = rows[et]
+        assert got.n_days == n_days
+        assert abs(got.mean_daily_r - mean) < 1e-5
+        assert abs(got.fano_r - var / mean) < 1e-4
+        sd = math.sqrt(var)
+        assert abs(got.burstiness_r - (sd - mean) / (sd + mean)) < 1e-4
