@@ -776,3 +776,141 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sdf in stats[1:]:
         out = out.unionAll(sdf)
     return out
+
+
+# --------------------------------------------- association rules (lift)
+
+_LIFT_TOP = 20
+
+_LIFT_SQL = f"""
+    WITH {_EDGES_SQL},
+    cnt AS (
+        SELECT l_partkey, count(DISTINCT l_orderkey) AS n_ord
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_all FROM lineitem),
+    sym AS (
+        SELECT u AS antecedent, v AS consequent, n_co FROM e
+        UNION ALL
+        SELECT v AS antecedent, u AS consequent, n_co FROM e
+    ),
+    rules AS (
+        SELECT s.antecedent, s.consequent, s.n_co,
+               round(s.n_co * 1.0 / t.n_all, 6) AS support_r,
+               round(s.n_co * 1.0 / ca.n_ord, 6) AS confidence_r,
+               round(CAST(s.n_co AS HUGEINT) * t.n_all * 1.0
+                     / (CAST(ca.n_ord AS HUGEINT) * cc.n_ord), 6) AS lift_r
+        FROM sym s
+        JOIN cnt ca ON ca.l_partkey = s.antecedent
+        JOIN cnt cc ON cc.l_partkey = s.consequent
+        CROSS JOIN tot t
+    )
+    SELECT antecedent, consequent, n_co, support_r, confidence_r, lift_r
+    FROM rules
+    ORDER BY lift_r DESC, antecedent, consequent
+    LIMIT {_LIFT_TOP}
+"""
+
+
+@register("basket_lift_rules", oracle=_LIFT_SQL)
+def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules A→B over the support-≥2 co-purchase pairs:
+    support n_co/N, confidence n_co/n_A, lift n_co·N/(n_A·n_B) — the
+    Apriori rule-scoring step on top of ``market_basket_pairs``'
+    candidate generation (which stops at support).
+
+    Scale shape: reuses the canonical basket-bounded edge table (≤21
+    pairs per TPC-H order, support-≥2 pruned); per-item order counts
+    join on the item key (plain equi-joins — parts grow with SF, no
+    broadcast); the order total is a broadcast 1-row aggregate. Lift's
+    numerator n_co·N overflows BIGINT at warehouse scale, so both
+    engines compute it in DECIMAL(38,0)/HUGEINT before the one
+    division; top-20 by ROUNDED lift with (antecedent, consequent)
+    tiebreak is TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        items.select("l_orderkey", F.col("l_partkey").alias("u"))
+        .join(
+            items.select("l_orderkey", F.col("l_partkey").alias("v")),
+            "l_orderkey",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    cnt = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_ord")
+    )
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_all"))
+    sym = e.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "n_co"
+    ).unionAll(
+        e.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "n_co"
+        )
+    )
+    ca = cnt.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_ord").alias("n_a")
+    )
+    cc = cnt.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_ord").alias("n_b")
+    )
+    rules = (
+        sym.join(ca, "antecedent")
+        .join(cc, "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_co",
+            F.round(F.col("n_co") / F.col("n_all"), 6).alias("support_r"),
+            F.round(F.col("n_co") / F.col("n_a"), 6).alias("confidence_r"),
+            F.round(
+                (F.col("n_co").cast("decimal(19,0)") * F.col("n_all")).cast(
+                    "double"
+                )
+                / (F.col("n_a").cast("decimal(19,0)") * F.col("n_b")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("lift_r"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift_r").desc(), "antecedent", "consequent"
+    ).limit(_LIFT_TOP)
+
+
+# ------------------------------------------------------ price elasticity
+
+_ELASTICITY_SQL = """
+    SELECT p.p_brand,
+           count(*) AS n,
+           round(regr_slope(ln(l.l_quantity), ln(l.l_extendedprice)), 4)
+               AS elasticity_r,
+           round(regr_r2(ln(l.l_quantity), ln(l.l_extendedprice)), 6)
+               AS r2_r
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+"""
+
+
+@register("price_elasticity", oracle=_ELASTICITY_SQL)
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand own-price elasticity of demand: the log-log OLS slope
+    ∂ln(qty)/∂ln(price) via the associative regr_* moments — category
+    management's pricing read on top of ``ols_regression``'s linear
+    form (an elasticity is only meaningful in log space).
+
+    Scale shape: one fact-dim equi-join on the part key (part grows
+    200k rows/SF — no broadcast hint, AQE picks the strategy) + one
+    partial+final moment aggregate keyed on the 25-value brand
+    dimension. Log magnitudes are O(10), so the double moment sums stay
+    far from the partial-order sensitivity the ANOVA dollars² sums hit
+    (``queries/mlstats.py`` design note)."""
+    from ab_inbev_big_data_case_spark.sources.readers import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_ELASTICITY_SQL)

@@ -811,3 +811,116 @@ def mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_r",
         )
     )
+
+
+# ---------------------------------------- cross-correlation (lead/lag)
+
+_CCF_MAX_LAG = 7
+
+_CCF_SQL = f"""
+    WITH d AS (
+        SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE
+                   AS rev,
+               count(*)::DOUBLE AS n_ord
+        FROM orders GROUP BY 1
+    ),
+    l AS (
+        SELECT rev,
+               {", ".join(
+                   f"lead(n_ord, {k}) OVER (ORDER BY day) AS lk_p{k}"
+                   for k in range(1, _CCF_MAX_LAG + 1)
+               )},
+               n_ord AS lk_0,
+               {", ".join(
+                   f"lag(n_ord, {k}) OVER (ORDER BY day) AS lk_m{k}"
+                   for k in range(1, _CCF_MAX_LAG + 1)
+               )}
+        FROM d
+    ),
+    a AS (
+        SELECT {", ".join(
+            f"corr(rev, lk_{t}) AS c_{t}, count(lk_{t}) AS n_{t}"
+            for t in [f"m{k}" for k in range(_CCF_MAX_LAG, 0, -1)]
+            + ["0"]
+            + [f"p{k}" for k in range(1, _CCF_MAX_LAG + 1)]
+        )}
+        FROM l
+    )
+    {" UNION ALL ".join(
+        f"SELECT {sig}::BIGINT AS lag_k, n_{t}::BIGINT AS n_pairs, "
+        f"round(c_{t}, 6) AS ccf_r FROM a"
+        for sig, t in [(str(-k), f"m{k}") for k in range(_CCF_MAX_LAG, 0, -1)]
+        + [("0", "0")]
+        + [(str(k), f"p{k}") for k in range(1, _CCF_MAX_LAG + 1)]
+    )}
+"""
+
+
+@register("ccf_lead_lag", oracle=_CCF_SQL)
+def ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between daily revenue and daily order count at
+    lags −7..+7 (does volume LEAD revenue or follow it?) — the
+    two-series sibling of ``acf_lags``, and the lead/lag read a demand
+    forecaster does before picking exogenous features.
+
+    Scale shape: one fact→spine collapse carries BOTH series (revenue
+    decimal-exact-then-rounded, counts exact integers); all 15 shifted
+    columns come out of ONE bounded-spine window sort; the 15 Pearson
+    correlations accumulate in one aggregate pass over the paired
+    subsets (corr's co-moment partials merge associatively); the melt
+    to (lag_k, n_pairs, ccf_r) rows is an in-row explode of the 1-row
+    result. Negative lags are ``lead``s in both engines — no negative
+    lag-offset semantics to disagree on."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("rev"),
+        F.count("*").cast("double").alias("n_ord"),
+    )
+    w = Window.orderBy("day")  # bounded spine: O(days) rows, see module doc
+    tags = (
+        [(-k, f"m{k}") for k in range(_CCF_MAX_LAG, 0, -1)]
+        + [(0, "0")]
+        + [(k, f"p{k}") for k in range(1, _CCF_MAX_LAG + 1)]
+    )
+    shifted = d.select(
+        "rev",
+        *[
+            (
+                F.col("n_ord")
+                if k == 0
+                else (
+                    F.lead("n_ord", k).over(w)
+                    if k > 0
+                    else F.lag("n_ord", -k).over(w)
+                )
+            ).alias(f"lk_{t}")
+            for k, t in tags
+        ],
+    )
+    a = shifted.agg(
+        *[
+            c
+            for _, t in tags
+            for c in (
+                F.corr("rev", f"lk_{t}").alias(f"c_{t}"),
+                F.count(f"lk_{t}").alias(f"n_{t}"),
+            )
+        ]
+    )
+    return a.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag_k"),
+                        F.col(f"n_{t}").alias("n_pairs"),
+                        F.round(F.col(f"c_{t}"), 6).alias("ccf_r"),
+                    )
+                    for k, t in tags
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.lag_k", "kv.n_pairs", "kv.ccf_r")

@@ -336,3 +336,67 @@ def test_ltv_curves_are_monotone(spark, sf_dir):
         assert ltvs == sorted(ltvs), cohort  # cumulative ⇒ non-decreasing
         assert all(x > 0 for x in ltvs)
         assert rs[0].age >= 0 and rs[-1].age <= 11
+
+
+def test_basket_lift_rules_identities(spark, sf_dir):
+    """Rule scores must reproduce from raw basket counts: confidence =
+    n_co/n_antecedent, lift symmetric in the pair, support ≤ confidence."""
+    from collections import defaultdict
+
+    rows = QUERIES["basket_lift_rules"](spark, sf_dir).collect()
+    assert rows
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n_all = len(baskets)
+    per_item = defaultdict(int)
+    co = defaultdict(int)
+    for items in baskets.values():
+        for p in items:
+            per_item[p] += 1
+        items_s = sorted(items)
+        for i, p1 in enumerate(items_s):
+            for p2 in items_s[i + 1 :]:
+                co[(p1, p2)] += 1
+    lifts = {}
+    for r in rows:
+        key = tuple(sorted((r.antecedent, r.consequent)))
+        n_co = co[key]
+        assert r.n_co == n_co >= 2
+        assert abs(r.support_r - n_co / n_all) < 1e-6
+        assert abs(r.confidence_r - n_co / per_item[r.antecedent]) < 1e-6
+        expect_lift = n_co * n_all / (
+            per_item[r.antecedent] * per_item[r.consequent]
+        )
+        assert abs(r.lift_r - expect_lift) < 1e-5
+        lifts.setdefault(key, set()).add(r.lift_r)
+    # lift is direction-independent: both orientations agree when present
+    assert all(len(v) == 1 for v in lifts.values())
+
+
+def test_price_elasticity_matches_numpy(spark, sf_dir):
+    """The regr_* moment slope must equal a numpy least-squares fit of
+    ln(qty) on ln(price) for a spot-checked brand."""
+    import numpy as np
+
+    rows = {r.p_brand: r for r in QUERIES["price_elasticity"](spark, sf_dir).collect()}
+    brand = sorted(rows)[0]
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    sample = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    x = np.log([r.l_extendedprice for r in sample])
+    y = np.log([r.l_quantity for r in sample])
+    slope = np.polyfit(x, y, 1)[0]
+    got = rows[brand]
+    assert got.n == len(sample)
+    assert abs(got.elasticity_r - slope) < 1e-3

@@ -294,3 +294,37 @@ def test_mann_kendall_sign_count(spark, sf_dir):
     )
     assert r.mk_s == s
     assert abs(r.mk_z_r) < 50  # sanity: a z-statistic, not garbage
+
+
+def test_ccf_lag0_and_pair_counts(spark, sf_dir):
+    """Lag 0 must equal the plain Pearson correlation of the two daily
+    series; every |k| drops exactly |k| pairs off the spine."""
+    import numpy as np
+
+    rows = {r.lag_k: r for r in QUERIES["ccf_lead_lag"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(-7, 8))
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("rev"),
+            F.count("*").cast("double").alias("n_ord"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    rev = np.array([r.rev for r in d])
+    n_ord = np.array([r.n_ord for r in d])
+    n_days = len(d)
+    assert rows[0].n_pairs == n_days
+    assert abs(rows[0].ccf_r - np.corrcoef(rev, n_ord)[0, 1]) < 1e-5
+    for k in (-7, -3, 3, 7):
+        assert rows[k].n_pairs == n_days - abs(k)
+    # spot-check an off-zero lag against the numpy shifted correlation
+    k = 3
+    expect = np.corrcoef(rev[:-k], n_ord[k:])[0, 1]
+    assert abs(rows[k].ccf_r - expect) < 1e-5
+    expect_m = np.corrcoef(rev[k:], n_ord[:-k])[0, 1]
+    assert abs(rows[-k].ccf_r - expect_m) < 1e-5
