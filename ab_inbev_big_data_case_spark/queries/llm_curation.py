@@ -1658,3 +1658,162 @@ def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bucket",
         )
     )
+
+
+# ------------------------------------------- winnowing fingerprint selection
+
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 4  # k-gram hashes per winnowing window
+_POS_PACK = 1 << 20  # pos packs into the low 20 bits of the selection key
+
+#: 40-bit portable k-gram hash (narrower than token_hash64's 60 bits so the
+#: packed (hash, reversed-pos) selection key h·2^20 + (2^20−1−pos) stays
+#: inside int64)
+_H40 = "('0x' || substr(sha256({x}), 1, 10))::BIGINT"
+
+_WINNOW_SQL = f"""
+    WITH toksrc AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id, toks, len(toks) - {_WIN_K - 1} AS nk
+        FROM toksrc WHERE len(toks) - {_WIN_K - 1} >= {_WIN_W}
+    ),
+    kg AS (
+        SELECT doc_id, nk, toks, unnest(range(0, nk)) AS pos FROM base
+    ),
+    kgh AS (
+        SELECT doc_id, nk, pos,
+               {_H40.format(x=f"array_to_string(list_slice(toks, pos + 1, pos + {_WIN_K}), ' ')")}
+                   AS h
+        FROM kg
+    ),
+    wins AS (
+        SELECT doc_id,
+               h * {_POS_PACK} + ({_POS_PACK - 1} - pos) AS comb,
+               unnest(range(greatest(pos - {_WIN_W - 1}, 0),
+                            least(pos, nk - {_WIN_W}) + 1)) AS wp
+        FROM kgh
+    ),
+    sel AS (SELECT doc_id, wp, min(comb) AS c FROM wins GROUP BY 1, 2),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               c // {_POS_PACK} AS h,
+               {_POS_PACK - 1} - (c % {_POS_PACK}) AS pos
+        FROM sel
+    ),
+    docfp AS (SELECT DISTINCT doc_id, h FROM fp),
+    dfr AS (SELECT h, count(*) AS df FROM docfp GROUP BY 1),
+    tot AS (
+        SELECT count(*) AS n_docs, sum(nk) AS n_kgrams FROM base
+    ),
+    fps AS (SELECT count(*) AS n_sel FROM fp),
+    dfa AS (
+        SELECT count(*) AS n_distinct_fp,
+               sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared_fp,
+               CAST(sum(CAST(df AS HUGEINT) * (df - 1) / 2) AS BIGINT)
+                   AS n_cand_pairs
+        FROM dfr
+    )
+    SELECT t.n_docs::BIGINT AS n_docs,
+           t.n_kgrams::BIGINT AS n_kgrams,
+           f.n_sel::BIGINT AS n_sel_positions,
+           round(f.n_sel * 1.0 / t.n_kgrams, 6) AS density_r,
+           d.n_distinct_fp::BIGINT AS n_distinct_fp,
+           d.n_shared_fp::BIGINT AS n_shared_fp,
+           d.n_cand_pairs
+    FROM tot t CROSS JOIN fps f CROSS JOIN dfa d
+"""
+
+
+@register("winnowing_fingerprints", oracle=_WINNOW_SQL)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): hash every 4-token k-gram, slide a
+    4-hash window, keep the RIGHTMOST MINIMUM of each window. The
+    selected set guarantees any shared run of ≥ w+k−1 tokens between
+    two documents shares a fingerprint — a positional, guarantee-backed
+    alternative to MinHash's probabilistic sketches, reported here as
+    the corpus audit row (selection density vs the theoretical 2/(w+1),
+    shared-fingerprint count, and the candidate-pair mass an index on
+    these fingerprints would generate).
+
+    Scale shape: the rightmost-min-per-window argmax is ONE grouped
+    min() — each k-gram hash packs into h·2^20 + (2^20−1−pos), so
+    lexicographic integer min picks (smallest hash, largest pos)
+    exactly; no window function, no per-window sort. Fan-out is a fixed
+    ≤w rows per k-gram (the window-membership explode — same bounded
+    economics as ``dup_span_coverage``'s 8-gram spans), candidate PAIRS
+    are never materialized (the audit sums df·(df−1)/2 over the
+    doc-frequency table in DECIMAL). The 20-bit position pack caps docs
+    at 1M tokens — a pretraining corpus chunks long docs upstream
+    (``doc_chunk_overlap``) before fingerprinting.
+
+    Cites ``/root/reference/glue/etl_api.py:31-36`` (dedup intent) —
+    the reference dedups on exact column equality; winnowing is the
+    standard positional near-dup fingerprint for text at scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        "toks",
+        (F.size("toks") - (_WIN_K - 1)).alias("nk"),
+    )
+    base = t.filter(F.col("nk") >= _WIN_W)
+    kg = base.select(
+        "doc_id",
+        "nk",
+        F.posexplode(shingles(F.col("toks"), _WIN_K)).alias("pos", "kgram"),
+    )
+    kgh = kg.select(
+        "doc_id",
+        "nk",
+        "pos",
+        F.conv(F.substring(F.sha2("kgram", 256), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    wins = kgh.select(
+        "doc_id",
+        (F.col("h") * _POS_PACK + (F.lit(_POS_PACK - 1) - F.col("pos"))).alias(
+            "comb"
+        ),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (_WIN_W - 1), F.lit(0)),
+                F.least(F.col("pos"), F.col("nk") - _WIN_W),
+            )
+        ).alias("wp"),
+    )
+    sel = wins.groupBy("doc_id", "wp").agg(F.min("comb").alias("c"))
+    fp = sel.select(
+        "doc_id",
+        F.expr(f"c div {_POS_PACK}").alias("h"),
+        (F.lit(_POS_PACK - 1) - F.col("c") % _POS_PACK).alias("pos"),
+    ).distinct()
+    docfp = fp.select("doc_id", "h").distinct()
+    dfr = docfp.groupBy("h").agg(F.count("*").alias("df"))
+    tot = base.agg(
+        F.count("*").alias("n_docs"), F.sum("nk").cast("long").alias("n_kgrams")
+    )
+    fps = fp.agg(F.count("*").alias("n_sel"))
+    dfa = dfr.agg(
+        F.count("*").alias("n_distinct_fp"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared_fp"),
+        F.sum(F.col("df").cast("decimal(19,0)") * (F.col("df") - 1) / 2)
+        .cast("long")
+        .alias("n_cand_pairs"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(fps))
+        .crossJoin(F.broadcast(dfa))
+        .select(
+            "n_docs",
+            "n_kgrams",
+            F.col("n_sel").alias("n_sel_positions"),
+            F.round(F.col("n_sel") / F.col("n_kgrams"), 6).alias("density_r"),
+            "n_distinct_fp",
+            "n_shared_fp",
+            "n_cand_pairs",
+        )
+    )

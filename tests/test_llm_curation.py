@@ -399,3 +399,56 @@ def test_hash_collision_audit_consistent(spark, sf_dir):
     # birthday bound sanity: with n terms in 10k buckets the colliding
     # fraction can't exceed 1 and must be 0 iff injective
     assert (r.n_colliding == 0) == (r.n_occupied == r.n_terms)
+
+
+def test_winnowing_matches_sequential_reference(spark, sf_dir):
+    """The packed-integer grouped-min selection must equal the textbook
+    sequential winnowing walk (rightmost minimum per window) on every
+    fixture document; density lands near the theoretical 2/(w+1)."""
+    import hashlib
+    from collections import Counter
+
+    K, W = 4, 4
+    got = QUERIES["winnowing_fingerprints"](spark, sf_dir).collect()[0]
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def winnow(toks):
+        n = len(toks) - K + 1
+        if n < W:
+            return None, 0
+        hs = [
+            int(
+                hashlib.sha256(" ".join(toks[i : i + K]).encode()).hexdigest()[
+                    :10
+                ],
+                16,
+            )
+            for i in range(n)
+        ]
+        sel = set()
+        for p in range(n - W + 1):
+            win = hs[p : p + W]
+            m = min(win)
+            idx = max(i for i in range(W) if win[i] == m)
+            sel.add((p + idx, hs[p + idx]))
+        return sel, n
+
+    n_docs = n_kgrams = n_sel = 0
+    df = Counter()
+    for r in docs:
+        sel, nk = winnow(r.text.split(" "))
+        if sel is None:
+            continue
+        n_docs += 1
+        n_kgrams += nk
+        n_sel += len(sel)
+        for h in {h for _, h in sel}:
+            df[h] += 1
+    assert got.n_docs == n_docs
+    assert got.n_kgrams == n_kgrams
+    assert got.n_sel_positions == n_sel
+    assert got.n_distinct_fp == len(df)
+    assert got.n_shared_fp == sum(1 for v in df.values() if v >= 2)
+    assert got.n_cand_pairs == sum(v * (v - 1) // 2 for v in df.values())
+    # winnowing selects ~2/(w+1) of positions (Schleimer et al. §5)
+    assert 0.25 <= got.density_r <= 0.55
