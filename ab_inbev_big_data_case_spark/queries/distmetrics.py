@@ -546,3 +546,99 @@ def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burstiness_r"
         ),
     )
+
+
+# ------------------------------------------- calibration / reliability bins
+
+_CAL_BINS = 10
+
+_CAL_SQL = f"""
+    WITH lab AS (
+        SELECT least(CAST(floor(value / 490.02 * {_CAL_BINS}) AS BIGINT),
+                     {_CAL_BINS - 1}) AS bin,
+               CAST(floor(value / 490.02 * 1000000 + 0.5) AS BIGINT) AS conf_u,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    cells AS (
+        SELECT bin, count(*) AS n, sum(pos) AS n_pos,
+               sum(conf_u) AS conf_sum_u
+        FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS n_all FROM cells),
+    scored AS (
+        SELECT bin, n, n_pos,
+               round(conf_sum_u * 1.0 / n / 1000000, 6) AS mean_conf_r,
+               round(n_pos * 1.0 / n, 6) AS frac_pos_r,
+               abs(conf_sum_u * 1.0 / n / 1000000 - n_pos * 1.0 / n)
+                   * n / t.n_all AS w_gap
+        FROM cells CROSS JOIN tot t
+    )
+    SELECT bin, n, n_pos::BIGINT AS n_pos, mean_conf_r, frac_pos_r,
+           round((SELECT sum(w_gap) FROM scored), 6) AS ece_r
+    FROM scored
+    ORDER BY bin
+"""
+
+
+@register("reliability_calibration_bins", oracle=_CAL_SQL)
+def reliability_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the
+    min-max-scaled event value read as a purchase probability: 10 fixed
+    equal-width bins, per-bin mean confidence vs empirical purchase
+    fraction, and ECE = Σ nᵦ/N·|conf̄ᵦ − accᵦ| repeated on every row —
+    the calibration companion to ``auc_mann_whitney`` (AUC measures
+    ranking; ECE measures whether the scores MEAN what they say).
+
+    Scale shape: binning is a FIXED 10-cell spine (``psi_drift``'s
+    fixed-bin rule — learned quantile edges would add an interpolation
+    hazard and a second pass); per-bin confidence sums accumulate as
+    micro-unit integers (each score quantized to 1e-6 BEFORE summing,
+    so engine summation order is moot); the ECE total is a broadcast
+    1-row aggregate over the 10-row cell table."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    scale = 490.02  # fixture value-domain max: scores scale to [0, 1]
+    lab = e.select(
+        F.least(
+            F.floor(F.col("value") / scale * _CAL_BINS).cast("long"),
+            F.lit(_CAL_BINS - 1),
+        ).alias("bin"),
+        # portable floor-ties quantizer: round()*1e6 then cast diverges
+        # across engines (Spark cast truncates, DuckDB rounds); an
+        # identical floor(x*1e6 + 0.5) double expression cannot
+        F.floor(F.col("value") / scale * 1000000 + 0.5)
+        .cast("long")
+        .alias("conf_u"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    cells = lab.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("conf_u").alias("conf_sum_u"),
+    )
+    tot = cells.agg(F.sum("n").alias("n_all"))
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("conf_sum_u") / F.col("n") / 1000000, 6).alias(
+            "mean_conf_r"
+        ),
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("frac_pos_r"),
+        (
+            F.abs(
+                F.col("conf_sum_u") / F.col("n") / 1000000
+                - F.col("n_pos") / F.col("n")
+            )
+            * F.col("n")
+            / F.col("n_all")
+        ).alias("w_gap"),
+    )
+    ece = scored.agg(F.round(F.sum("w_gap"), 6).alias("ece_r"))
+    return (
+        scored.drop("w_gap")
+        .crossJoin(F.broadcast(ece))
+        .orderBy("bin")
+    )

@@ -145,3 +145,35 @@ def test_fano_counts_zero_days(spark, sf_dir):
         assert abs(got.fano_r - var / mean) < 1e-4
         sd = math.sqrt(var)
         assert abs(got.burstiness_r - (sd - mean) / (sd + mean)) < 1e-4
+
+
+def test_calibration_ece_identity(spark, sf_dir):
+    """Per-bin stats must reproduce from the raw rows and the repeated
+    ece_r column must equal the weighted gap sum of the bins shown."""
+    rows = QUERIES["reliability_calibration_bins"](spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r.bin)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("value", "event_type")
+        .collect()
+    )
+    scale = 490.02
+    n_all = len(ev)
+    bins = defaultdict(lambda: [0, 0, 0])  # n, n_pos, conf_u sum
+    for r in ev:
+        b = min(int(r.value / scale * 10), 9)
+        cell = bins[b]
+        cell[0] += 1
+        cell[1] += r.event_type == "purchase"
+        cell[2] += math.floor(r.value / scale * 1_000_000 + 0.5)
+    assert {r.bin for r in rows} == set(bins)
+    ece = 0.0
+    for b, (n, n_pos, conf_u) in bins.items():
+        ece += abs(conf_u / n / 1_000_000 - n_pos / n) * n / n_all
+    for r in rows:
+        n, n_pos, conf_u = bins[r.bin]
+        assert r.n == n and r.n_pos == n_pos
+        assert abs(r.mean_conf_r - conf_u / n / 1_000_000) < 1e-6
+        assert abs(r.frac_pos_r - n_pos / n) < 1e-6
+        assert abs(r.ece_r - ece) < 1e-5
