@@ -642,3 +642,276 @@ def reliability_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ece))
         .orderBy("bin")
     )
+
+
+# ------------------------------------- McNemar test on paired dup flags
+
+# Reuse the published near-dup stacks' CTEs/builders so the paired flags
+# come from EXACTLY the pipelines being compared (no re-derived variant
+# that could drift).
+from ab_inbev_big_data_case_spark.llm.dedup import (  # noqa: E402
+    lsh_band_buckets_wide,
+    lsh_candidate_pairs,
+    minhash_signatures_wide,
+    shingle_set,
+)
+from ab_inbev_big_data_case_spark.queries.llm import (  # noqa: E402
+    _BANDS_CTE,
+    _SHINGLES_CTE,
+    _SIG_CTE,
+    _SIMHASH_SIG_CTE_RENAMED,
+    simhash_hamming_pairs,
+)
+
+_MCNEMAR_SQL = f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    mh AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    {_SIMHASH_SIG_CTE_RENAMED},
+    sbands AS (
+        SELECT doc_id, b, (s >> (15 * b)::INT) & 32767 AS bv
+        FROM ssig CROSS JOIN range(4) t(b)
+    ),
+    scand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM sbands a JOIN sbands b
+          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    sh_pairs AS (
+        SELECT c.id1, c.id2
+        FROM scand c
+        JOIN ssig s1 ON s1.doc_id = c.id1
+        JOIN ssig s2 ON s2.doc_id = c.id2
+        WHERE bit_count(xor(s1.s, s2.s)) <= 3
+    ),
+    mh_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id1 AS doc_id FROM mh UNION ALL SELECT id2 FROM mh
+        )
+    ),
+    sh_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id1 AS doc_id FROM sh_pairs
+            UNION ALL SELECT id2 FROM sh_pairs
+        )
+    ),
+    flags AS (
+        SELECT (m.doc_id IS NOT NULL)::INT AS in_a,
+               (s.doc_id IS NOT NULL)::INT AS in_b
+        FROM documents d
+        LEFT JOIN mh_docs m ON m.doc_id = d.doc_id
+        LEFT JOIN sh_docs s ON s.doc_id = d.doc_id
+    ),
+    cells AS (
+        SELECT sum(in_a * in_b) AS n11,
+               sum(in_a * (1 - in_b)) AS n10,
+               sum((1 - in_a) * in_b) AS n01,
+               sum((1 - in_a) * (1 - in_b)) AS n00
+        FROM flags
+    )
+    SELECT n11::BIGINT AS n_both,
+           n10::BIGINT AS n_minhash_only,
+           n01::BIGINT AS n_simhash_only,
+           n00::BIGINT AS n_neither,
+           round(CASE WHEN n10 + n01 > 0
+                      THEN pow(abs(n10 - n01) - 1, 2) * 1.0 / (n10 + n01)
+                      ELSE 0.0 END, 6) AS mcnemar_chi2_r
+    FROM cells
+"""
+
+
+@register("mcnemar_dedup_paths", oracle=_MCNEMAR_SQL)
+def mcnemar_dedup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar marginal-homogeneity test on the PAIRED per-document dup
+    flags of the two published near-dup paths (MinHash-LSH vs SimHash
+    radius-3): the discordant cells b (MinHash-only) and c
+    (SimHash-only) drive χ² = (|b−c|−1)²/(b+c) — unlike
+    ``dedup_paths_agreement``'s pair-set Jaccard, this asks the
+    DECISION question: does one detector systematically flag more
+    documents than the other on the same corpus? (No ground truth
+    needed — McNemar tests the asymmetry itself.)
+
+    Scale shape: both flag sets derive from their banded equi-join
+    candidate pairs (never corpus²) collapsed to distinct doc ids; the
+    2×2 table is two left joins onto the doc spine + one 1-row
+    aggregate of exact integer cells; the statistic (with continuity
+    correction) is scalar arithmetic on that row."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    mh = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    sh = simhash_hamming_pairs(spark, sf_dir).select("id1", "id2")
+
+    def doc_flags(pairs: DataFrame, flag: str) -> DataFrame:
+        return (
+            pairs.select(F.col("id1").alias("doc_id"))
+            .unionAll(pairs.select(F.col("id2").alias("doc_id")))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    flags = (
+        d.select("doc_id")
+        .join(doc_flags(mh, "in_a"), "doc_id", "left")
+        .join(doc_flags(sh, "in_b"), "doc_id", "left")
+        .select(
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    cells = flags.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n11"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("n10"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b")).alias("n01"),
+        F.sum((1 - F.col("in_a")) * (1 - F.col("in_b"))).alias("n00"),
+    )
+    b, c = F.col("n10"), F.col("n01")
+    return cells.select(
+        F.col("n11").cast("long").alias("n_both"),
+        b.cast("long").alias("n_minhash_only"),
+        c.cast("long").alias("n_simhash_only"),
+        F.col("n00").cast("long").alias("n_neither"),
+        F.round(
+            F.when(
+                b + c > 0,
+                F.pow(F.abs(b - c) - 1, 2) / (b + c),
+            ).otherwise(0.0),
+            6,
+        ).alias("mcnemar_chi2_r"),
+    )
+
+
+# --------------------------------------- deterministic permutation test
+
+from ab_inbev_big_data_case_spark.functions.text import token_hash64  # noqa: E402
+
+_PERM_R = 20
+
+#: DuckDB twin of token_hash64 (functions/text.py module doc)
+_PERM_H64 = "('0x' || substr(sha256({x}), 1, 15))::BIGINT"
+
+_PERM_SQL = f"""
+    WITH base AS (
+        SELECT event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_u,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    fan AS (
+        SELECT b.r,
+               CASE WHEN b.r = 0 THEN arm
+                    ELSE ({_PERM_H64.format(x="event_id::VARCHAR || ':' || b.r::VARCHAR")} % 2)
+               END AS arm_r,
+               v_u
+        FROM (SELECT *, unnest(range(0, {_PERM_R + 1})) AS r FROM base) b
+    ),
+    cells AS (
+        SELECT r,
+               sum(CASE WHEN arm_r = 1 THEN v_u ELSE 0 END) AS s1,
+               sum(CASE WHEN arm_r = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN arm_r = 0 THEN v_u ELSE 0 END) AS s0,
+               sum(CASE WHEN arm_r = 0 THEN 1 ELSE 0 END) AS n0
+        FROM fan GROUP BY 1
+    ),
+    diffs AS (
+        SELECT r, n1, n0,
+               abs(s1 * 1.0 / n1 - s0 * 1.0 / n0) / 1000000 AS d
+        FROM cells
+    ),
+    obs AS (SELECT n1, n0, d FROM diffs WHERE r = 0)
+    SELECT o.n1::BIGINT AS n_a,
+           o.n0::BIGINT AS n_b,
+           round(o.d, 6) AS obs_diff_r,
+           {_PERM_R} AS n_replicates,
+           sum(CASE WHEN p.r > 0 AND p.d >= o.d THEN 1 ELSE 0 END)::BIGINT
+               AS n_extreme,
+           round((1.0 + sum(CASE WHEN p.r > 0 AND p.d >= o.d
+                                 THEN 1 ELSE 0 END)) / (1.0 + {_PERM_R}), 4)
+               AS p_value_r
+    FROM diffs p CROSS JOIN obs o
+    GROUP BY o.n1, o.n0, o.d
+"""
+
+
+@register("permutation_test_ab", oracle=_PERM_SQL)
+def permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the purchase-vs-click mean value difference:
+    20 deterministic label reassignments (each event's arm re-drawn from
+    the portable hash of (event_id, replicate) — zero sampling state,
+    the ``poisson_bootstrap_ci`` discipline applied to the null
+    distribution) and p = (1 + #{|Δ_perm| ≥ |Δ_obs|}) / (1 + R) — the
+    distribution-free companion to ``welch_ab_test``'s t statistic.
+
+    Scale shape: one fixed 21× fan-out (replicate 0 = observed labels)
+    feeds ONE (replicate, arm) grouped aggregate of micro-unit integer
+    sums; each |Δ| is two exact-integer divisions on a 21-row table, so
+    both engines compare bit-identical doubles — no rounding boundary in
+    the ≥ test. The observed row broadcasts back onto the replicate
+    spine."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    base = e.select(
+        "event_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("v_u"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("arm"),
+    )
+    fan = base.select(
+        "v_u",
+        "arm",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_R))).alias("r"),
+    ).select(
+        "r",
+        F.when(F.col("r") == 0, F.col("arm"))
+        .otherwise(
+            F.pmod(
+                token_hash64(
+                    F.concat_ws(":", F.col("event_id"), F.col("r"))
+                ),
+                F.lit(2),
+            )
+        )
+        .alias("arm_r"),
+        "v_u",
+    )
+    cells = fan.groupBy("r").agg(
+        F.sum(F.when(F.col("arm_r") == 1, F.col("v_u")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("arm_r") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm_r") == 0, F.col("v_u")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("arm_r") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    diffs = cells.select(
+        "r",
+        "n1",
+        "n0",
+        (F.abs(F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")) / 1000000).alias(
+            "d"
+        ),
+    )
+    obs = diffs.filter(F.col("r") == 0).select(
+        F.col("n1").alias("on1"), F.col("n0").alias("on0"), F.col("d").alias("od")
+    )
+    extreme = F.sum(
+        F.when((F.col("r") > 0) & (F.col("d") >= F.col("od")), 1).otherwise(0)
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("on1", "on0", "od")
+        .agg(
+            extreme.alias("n_extreme"),
+        )
+        .select(
+            F.col("on1").cast("long").alias("n_a"),
+            F.col("on0").cast("long").alias("n_b"),
+            F.round(F.col("od"), 6).alias("obs_diff_r"),
+            F.lit(_PERM_R).cast("int").alias("n_replicates"),
+            F.col("n_extreme").cast("long").alias("n_extreme"),
+            F.round((1.0 + F.col("n_extreme")) / (1.0 + _PERM_R), 4).alias(
+                "p_value_r"
+            ),
+        )
+    )

@@ -1817,3 +1817,127 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cand_pairs",
         )
     )
+
+
+# ---------------------------------------------- bigram entropy rate
+
+_ENTRATE_SQL = """
+    WITH bg AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2,
+               count(*) AS n12
+        FROM (
+            SELECT unnest(list_transform(
+                range(1, len(string_split(text, ' '))),
+                i -> concat_ws(' ', string_split(text, ' ')[i],
+                               string_split(text, ' ')[i+1])
+            )) AS bigram
+            FROM documents
+        )
+        GROUP BY 1, 2
+    ),
+    m1 AS (SELECT w1, sum(n12) AS n1 FROM bg GROUP BY 1),
+    m2 AS (SELECT w2, sum(n12) AS n2 FROM bg GROUP BY 1),
+    tot AS (SELECT sum(n12) AS n FROM bg),
+    cond AS (
+        SELECT sum(CAST(round(
+                   -(b.n12 * 1.0 / t.n) * ln(b.n12 * 1.0 / m.n1), 12)
+               AS DECIMAL(28,12))) AS h_cond
+        FROM bg b JOIN m1 m ON m.w1 = b.w1 CROSS JOIN tot t
+    ),
+    marg AS (
+        SELECT sum(CAST(round(
+                   -(n2 * 1.0 / t.n) * ln(n2 * 1.0 / t.n), 12)
+               AS DECIMAL(28,12))) AS h_marg
+        FROM m2 CROSS JOIN tot t
+    )
+    SELECT t.n::BIGINT AS n_bigrams,
+           (SELECT count(*) FROM m1)::BIGINT AS n_contexts,
+           round(CAST(c.h_cond AS DOUBLE) / ln(2.0), 6) AS h_rate_bits_r,
+           round(CAST(g.h_marg AS DOUBLE) / ln(2.0), 6) AS h_marginal_bits_r,
+           round(1.0 - CAST(c.h_cond AS DOUBLE) / CAST(g.h_marg AS DOUBLE),
+                 6) AS redundancy_r
+    FROM tot t CROSS JOIN cond c CROSS JOIN marg g
+"""
+
+
+@register("entropy_rate_bigram", oracle=_ENTRATE_SQL)
+def entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram entropy rate H(W₂|W₁) = −Σ p(w₁,w₂)·ln p(w₂|w₁)
+    beside the marginal H(W₂), and the Shannon redundancy
+    1 − H(W₂|W₁)/H(W₂) — the information-theoretic compressibility
+    read: high redundancy means the corpus is predictable
+    token-to-token (boilerplate-heavy), the aggregate signal behind
+    ``repetition_score``'s per-doc flags and ``source_entropy``'s
+    unigram view.
+
+    Scale shape: one exploded-bigram count (the ``collocations_pmi``
+    table without the min-count prune), context marginals by re-summing
+    the BIGRAM table (never a second corpus pass), and per-term
+    contributions quantized to DECIMAL(28,12) before the exact sums —
+    vocabulary-scale float summation stays engine-order-independent.
+    The context join is a plain equi-join on w₁ (vocab grows with the
+    corpus — no broadcast hint)."""
+    d = table(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram"))
+        .select(
+            F.substring_index("bigram", " ", 1).alias("w1"),
+            F.substring_index("bigram", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+    )
+    m1 = bg.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    m2 = bg.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    tot = bg.agg(F.sum("n12").alias("n"))
+    n_ctx = m1.agg(F.count("*").alias("n_contexts"))
+    cond = (
+        bg.join(m1, "w1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("n12") / F.col("n")) * F.log(F.col("n12") / F.col("n1")),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("c")
+        )
+        .agg(F.sum("c").alias("h_cond"))
+    )
+    marg = (
+        m2.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("n2") / F.col("n")) * F.log(F.col("n2") / F.col("n")),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("c")
+        )
+        .agg(F.sum("c").alias("h_marg"))
+    )
+    import math as _math
+
+    ln2 = _math.log(2.0)
+    return (
+        tot.crossJoin(F.broadcast(n_ctx))
+        .crossJoin(F.broadcast(cond))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").cast("long").alias("n_bigrams"),
+            F.col("n_contexts").cast("long").alias("n_contexts"),
+            F.round(F.col("h_cond").cast("double") / ln2, 6).alias(
+                "h_rate_bits_r"
+            ),
+            F.round(F.col("h_marg").cast("double") / ln2, 6).alias(
+                "h_marginal_bits_r"
+            ),
+            F.round(
+                1.0
+                - F.col("h_cond").cast("double")
+                / F.col("h_marg").cast("double"),
+                6,
+            ).alias("redundancy_r"),
+        )
+    )

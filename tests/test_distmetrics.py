@@ -177,3 +177,82 @@ def test_calibration_ece_identity(spark, sf_dir):
         assert abs(r.mean_conf_r - conf_u / n / 1_000_000) < 1e-6
         assert abs(r.frac_pos_r - n_pos / n) < 1e-6
         assert abs(r.ece_r - ece) < 1e-5
+
+
+def test_mcnemar_cells_partition_docs(spark, sf_dir):
+    """The four paired cells must partition the corpus, the discordant
+    cells must reproduce the statistic, and the flag marginals must
+    agree with the pair-set audit's doc unions."""
+    got = QUERIES["mcnemar_dedup_paths"](spark, sf_dir).collect()[0]
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert (
+        got.n_both + got.n_minhash_only + got.n_simhash_only + got.n_neither
+        == n_docs
+    )
+    b, c = got.n_minhash_only, got.n_simhash_only
+    expect = (abs(b - c) - 1) ** 2 / (b + c) if b + c else 0.0
+    assert abs(got.mcnemar_chi2_r - expect) < 1e-4
+
+
+def test_entropy_rate_information_inequalities(spark, sf_dir):
+    """Conditioning never increases entropy: 0 ≤ H(W₂|W₁) ≤ H(W₂);
+    brute-force recomputation from the collected bigram counts agrees."""
+    got = QUERIES["entropy_rate_bigram"](spark, sf_dir).collect()[0]
+    assert 0.0 <= got.h_rate_bits_r <= got.h_marginal_bits_r
+    assert 0.0 <= got.redundancy_r <= 1.0
+    docs = table(spark, sf_dir, "documents").select("text").collect()
+    bg = Counter()
+    for r in docs:
+        t = r.text.split(" ")
+        for i in range(len(t) - 1):
+            bg[(t[i], t[i + 1])] += 1
+    n = sum(bg.values())
+    m1 = Counter()
+    m2 = Counter()
+    for (w1, w2), k in bg.items():
+        m1[w1] += k
+        m2[w2] += k
+    h_cond = -sum(k / n * math.log(k / m1[w1]) for (w1, _), k in bg.items())
+    h_marg = -sum(k / n * math.log(k / n) for k in m2.values())
+    assert got.n_bigrams == n
+    assert got.n_contexts == len(m1)
+    assert abs(got.h_rate_bits_r - h_cond / math.log(2)) < 1e-4
+    assert abs(got.h_marginal_bits_r - h_marg / math.log(2)) < 1e-4
+
+
+def test_permutation_test_reproduces_from_hash(spark, sf_dir):
+    """The replicate diffs must reproduce from the same portable hash in
+    Python, and the p-value identity must hold."""
+    import hashlib
+
+    got = QUERIES["permutation_test_ab"](spark, sf_dir).collect()[0]
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "value", "event_type")
+        .collect()
+    )
+    vals = [
+        (r.event_id, math.floor(r.value * 1_000_000 + 0.5), r.event_type)
+        for r in ev
+    ]
+
+    def diff(arms):
+        s = [0, 0]
+        n = [0, 0]
+        for (_, v, _), a in zip(vals, arms):
+            s[a] += v
+            n[a] += 1
+        return abs(s[1] / n[1] - s[0] / n[0]) / 1_000_000
+
+    obs = diff([1 if t == "purchase" else 0 for _, _, t in vals])
+    assert abs(got.obs_diff_r - obs) < 1e-6
+    n_ext = 0
+    for r in range(1, 21):
+        arms = [
+            int(hashlib.sha256(f"{eid}:{r}".encode()).hexdigest()[:15], 16) % 2
+            for eid, _, _ in vals
+        ]
+        n_ext += diff(arms) >= obs
+    assert got.n_extreme == n_ext
+    assert abs(got.p_value_r - (1 + n_ext) / 21) < 1e-4

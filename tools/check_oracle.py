@@ -158,21 +158,21 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     for i, name in enumerate(names):
-        # Long gate runs accumulate JVM state (lazy localCheckpoint RDDs,
-        # plan caches) across hundreds of queries; at ~270 the driver heap
-        # dies (measured: ConnectionRefusedError fallout for the tail of a
-        # full run). Unpersist checkpointed RDDs and clear the catalog
-        # cache every 25 queries — per-query results are independent, so
-        # this changes nothing but the session's memory ceiling.
-        if i and i % 25 == 0:
+        # Long gate runs accumulate JVM state (generated codegen classes,
+        # broadcast refs, plan caches) across hundreds of queries; at ~270
+        # the driver JVM dies (measured twice: Py4JJavaError then
+        # ConnectionRefusedError fallout for the tail of a full run, and
+        # unpersist+clearCache every 25 queries did NOT prevent it). A
+        # full session restart every 100 queries is the only reliable
+        # ceiling — per-query results are independent, so this changes
+        # nothing but memory. The DRIVER's gate checks 50 queries/round
+        # and never needs this; it exists for local full-registry sweeps.
+        if i and i % 100 == 0:
             try:
-                for rdd in list(
-                    spark.sparkContext._jsc.getPersistentRDDs().values()
-                ):
-                    rdd.unpersist()
-                spark.catalog.clearCache()
+                spark.stop()
             except Exception:
                 pass
+            spark = get_spark("check_oracle")
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
