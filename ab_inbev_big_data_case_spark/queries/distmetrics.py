@@ -892,15 +892,24 @@ def permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d"
         ),
     )
-    obs = diffs.filter(F.col("r") == 0).select(
-        F.col("n1").alias("on1"), F.col("n0").alias("on0"), F.col("d").alias("od")
+    # The observed row joins back via a window over the 21-row replicate
+    # spine (bounded by R, not data) — a filter+crossJoin would re-execute
+    # the whole fan-out lineage for the 1-row side (a second events scan;
+    # pinned single-scan by test_plans).
+    w_all = Window.partitionBy()
+    obs_col = lambda c: F.max(F.when(F.col("r") == 0, F.col(c))).over(w_all)
+    diffs = diffs.select(
+        "r",
+        "d",
+        obs_col("n1").alias("on1"),
+        obs_col("n0").alias("on0"),
+        obs_col("d").alias("od"),
     )
     extreme = F.sum(
         F.when((F.col("r") > 0) & (F.col("d") >= F.col("od")), 1).otherwise(0)
     )
     return (
-        diffs.crossJoin(F.broadcast(obs))
-        .groupBy("on1", "on0", "od")
+        diffs.groupBy("on1", "on0", "od")
         .agg(
             extreme.alias("n_extreme"),
         )

@@ -524,3 +524,47 @@ def test_leaderboard_rank_is_group_limited(spark, sf_dir):
     plan = _plan(QUERIES["leaderboard_rank_shift"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert _n_partitionless_windows(plan) == 0
+
+
+def test_gini_two_level_rank(spark, sf_dir):
+    """gini_concentration's global ascending rank must be bucket-
+    partitioned with exactly one partitionless spec — the 16-row
+    bucket-count carry spine (the abc_pareto_class decomposition run in
+    reverse), never a flat full-data row_number."""
+    plan = _plan(QUERIES["gini_concentration"](spark, sf_dir))
+    assert _n_partitionless_windows(plan) == 1
+    assert "bucket" in plan
+
+
+def test_jsd_pair_join_no_cartesian(spark, sf_dir):
+    """js_divergence_sources' pair join must be TERM-keyed (a real
+    equi-join) — never a cartesian pairing of the term tables; only the
+    dimension-bounded totals broadcast."""
+    plan = _plan(QUERIES["js_divergence_sources"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_selection_is_grouped_min(spark, sf_dir):
+    """The rightmost-min-per-window selection must be the packed-key
+    grouped min — no window function (and so no partitionless window)
+    anywhere in the plan."""
+    plan = _plan(QUERIES["winnowing_fingerprints"](spark, sf_dir))
+    assert _n_partitionless_windows(plan) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_lift_counts_join_as_equi(spark, sf_dir):
+    """Per-item count joins key on the item (parts grow with SF): no
+    cartesian or nested-loop pairing; the top-20 on rounded lift plans
+    as TakeOrderedAndProject."""
+    plan = _plan(QUERIES["basket_lift_rules"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_permutation_fanout_single_aggregate(spark, sf_dir):
+    """The 21-replicate fan-out must feed ONE grouped aggregate (one
+    partial+final pair on the replicate key) — no per-replicate subtree
+    re-execution: the events parquet is scanned exactly once."""
+    plan = _plan(QUERIES["permutation_test_ab"](spark, sf_dir))
+    assert plan.count("events.parquet") <= 1
