@@ -49,6 +49,48 @@ from ab_inbev_big_data_case_spark.sources.readers import table
 
 _GINI_BUCKETS = 16
 
+
+def _custrev_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer revenue cents with the GLOBAL ascending rank
+    (rev_c, o_custkey) attached via the two-level decomposition: 16
+    percentile-boundary value buckets (broadcast 1-row array; bucket =
+    #boundaries strictly BELOW the value, so ties share a bucket),
+    ``row_number`` windowed WITHIN each bucket, and a 16-row
+    bucket-count carry spine — equal to a flat partitionless
+    ``row_number`` without ever single-tasking the customer spine.
+    Shared by ``gini_concentration`` and ``lorenz_curve_points``."""
+    o = table(spark, sf_dir, "orders")
+    prev = o.groupBy("o_custkey").agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    qs = [i / _GINI_BUCKETS for i in range(1, _GINI_BUCKETS)]
+    bounds = prev.agg(F.percentile_approx("rev_c", qs, 10000).alias("bs"))
+    bucketed = prev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc + F.when(b < F.col("rev_c"), 1).otherwise(0),
+        ),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("rev_c", "o_custkey")
+    local = bucketed.withColumn("lrank", F.row_number().over(w_local))
+    w_spine = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 16-row bucket spine: bounded by the bucket count, not the data
+    spine = (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("bn"))
+        .withColumn("carry", F.coalesce(F.sum("bn").over(w_spine), F.lit(0)))
+        .select("bucket", "carry")
+    )
+    return local.join(F.broadcast(spine), "bucket").withColumn(
+        "grank", F.col("carry") + F.col("lrank")
+    )
+
+
 _GINI_SQL = """
     WITH prev AS (
         SELECT o_custkey,
@@ -95,36 +137,7 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     product accumulates in DECIMAL(38,0) (rank ~1e10 × cents ~1e9
     overflows BIGINT at 100 TB); the final ratio is scalar double
     arithmetic on the 1-row moments, identical in both engines."""
-    o = table(spark, sf_dir, "orders")
-    prev = o.groupBy("o_custkey").agg(
-        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
-        .cast("long")
-        .alias("rev_c")
-    )
-    qs = [i / _GINI_BUCKETS for i in range(1, _GINI_BUCKETS)]
-    bounds = prev.agg(F.percentile_approx("rev_c", qs, 10000).alias("bs"))
-    bucketed = prev.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket",
-        F.aggregate(
-            "bs",
-            F.lit(0),
-            lambda acc, b: acc + F.when(b < F.col("rev_c"), 1).otherwise(0),
-        ),
-    )
-    w_local = Window.partitionBy("bucket").orderBy("rev_c", "o_custkey")
-    local = bucketed.withColumn("lrank", F.row_number().over(w_local))
-    w_spine = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # 16-row bucket spine: bounded by the bucket count, not the data
-    spine = (
-        bucketed.groupBy("bucket")
-        .agg(F.count("*").alias("bn"))
-        .withColumn("carry", F.coalesce(F.sum("bn").over(w_spine), F.lit(0)))
-        .select("bucket", "carry")
-    )
-    ranked = local.join(F.broadcast(spine), "bucket").withColumn(
-        "grank", F.col("carry") + F.col("lrank")
-    )
+    ranked = _custrev_ranked(spark, sf_dir)
     s = ranked.agg(
         F.count("*").alias("n"),
         F.sum("rev_c").cast("long").alias("tot_c"),
@@ -923,4 +936,186 @@ def permutation_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p_value_r"
             ),
         )
+    )
+
+
+# ---------------------------------------------------- Lorenz curve deciles
+
+_LORENZ_SQL = """
+    WITH prev AS (
+        SELECT o_custkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev_c,
+               row_number() OVER (ORDER BY rev_c, o_custkey) AS grank
+        FROM prev
+    ),
+    tot AS (SELECT count(*) AS n, sum(rev_c) AS tot_c FROM ranked),
+    dec AS (
+        SELECT (r.grank - 1) * 10 // t.n AS decile,
+               count(*) AS n_customers,
+               sum(r.rev_c) AS dec_c
+        FROM ranked r CROSS JOIN tot t
+        GROUP BY 1
+    ),
+    walk AS (
+        SELECT decile, n_customers, dec_c,
+               sum(dec_c) OVER (ORDER BY decile
+                                ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM dec
+    )
+    SELECT w.decile, w.n_customers,
+           round(w.dec_c * 1.0 / t.tot_c, 6) AS decile_share_r,
+           round(w.cum_c * 1.0 / t.tot_c, 6) AS cum_share_r
+    FROM walk w CROSS JOIN tot t
+    ORDER BY w.decile
+"""
+
+
+@register("lorenz_curve_points", oracle=_LORENZ_SQL)
+def lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue at decile resolution: customers
+    ascending-ranked by revenue, decile = ⌊(rank−1)·10/n⌋, per-decile
+    and cumulative revenue share — the plottable curve whose area
+    deficit ``gini_concentration`` summarizes in one number (the
+    bottom-decile share is the "how broad is the base" read; the top
+    decile is ``abc_pareto_class``'s A-class seen from below).
+
+    Scale shape: reuses the shared two-level global rank
+    (``_custrev_ranked`` — bucket-partitioned row_number + 16-row carry
+    spine, never a flat partitionless window over customers); the
+    decile id is scalar arithmetic on (rank, broadcast n); the
+    cumulative walk runs on the fixed 10-row decile spine. Shares
+    divide exact integer cents once per output row."""
+    ranked = _custrev_ranked(spark, sf_dir)
+    tot = ranked.agg(
+        F.count("*").alias("n"), F.sum("rev_c").alias("tot_c")
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("(grank - 1) * 10 div n").alias("decile"),
+            "rev_c",
+            "tot_c",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev_c").alias("dec_c"),
+            F.first("tot_c").alias("tot_c"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # fixed 10-row decile spine
+    return (
+        dec.withColumn("cum_c", F.sum("dec_c").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("dec_c") / F.col("tot_c"), 6).alias("decile_share_r"),
+            F.round(F.col("cum_c") / F.col("tot_c"), 6).alias("cum_share_r"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ------------------------------------- Markov next-event accuracy
+
+_MARKOV_ACC_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS prev, next_type AS nxt, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT prev, nxt AS pred_next
+        FROM (
+            SELECT prev, nxt,
+                   row_number() OVER (PARTITION BY prev
+                                      ORDER BY n DESC, nxt) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT p.prev, p.nxt, p.n, (p.nxt = d.pred_next)::INT AS hit
+        FROM pairs p JOIN pred d ON d.prev = p.prev
+    ),
+    base AS (
+        SELECT nxt, sum(n) AS n_nxt FROM pairs GROUP BY 1
+    ),
+    mx AS (SELECT max(n_nxt) AS n_mode FROM base)
+    SELECT sum(s.n)::BIGINT AS n_transitions,
+           round(sum(s.hit * s.n) * 1.0 / sum(s.n), 6) AS top1_accuracy_r,
+           round(m.n_mode * 1.0 / sum(s.n), 6) AS majority_baseline_r,
+           round((sum(s.hit * s.n) - m.n_mode * 1.0)
+                 / (sum(s.n) - m.n_mode), 6) AS kappa_vs_majority_r
+    FROM scored s CROSS JOIN mx m
+    GROUP BY m.n_mode
+"""
+
+
+@register("markov_next_event_accuracy", oracle=_MARKOV_ACC_SQL)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample top-1 accuracy of the first-order Markov next-event
+    model (predict argmax P(next|prev) per state) against the
+    majority-class baseline, with the kappa-style skill score
+    (acc − base)/(1 − base) — does sequence context beat just always
+    predicting the most common event? The evaluation companion to
+    ``event_transitions``' transition matrix.
+
+    Scale shape: ONE user-keyed lead() window builds the transition
+    pairs (the ``event_transitions`` shape); the per-state argmax is a
+    window PARTITIONED by the ≤5-value state key with a deterministic
+    (count desc, type asc) tiebreak; accuracy is exact-integer
+    arithmetic on the transition-count cells — the raw sequence is
+    never rescanned."""
+    e = table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("prev"),
+            F.lead("event_type").over(w_seq).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    w_arg = Window.partitionBy("prev").orderBy(F.col("n").desc(), "nxt")
+    pred = (
+        pairs.withColumn("rn", F.row_number().over(w_arg))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("pred_next"))
+    )
+    scored = pairs.join(F.broadcast(pred), "prev").select(
+        "n", (F.col("nxt") == F.col("pred_next")).cast("int").alias("hit")
+    )
+    mx = (
+        pairs.groupBy("nxt")
+        .agg(F.sum("n").alias("n_nxt"))
+        .agg(F.max("n_nxt").alias("n_mode"))
+    )
+    hits = F.sum(F.col("hit") * F.col("n"))
+    tot = F.sum("n")
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .groupBy("n_mode")
+        .agg(
+            tot.cast("long").alias("n_transitions"),
+            F.round(hits / tot, 6).alias("top1_accuracy_r"),
+            F.round(F.first("n_mode") / tot, 6).alias("majority_baseline_r"),
+            F.round(
+                (hits - F.first("n_mode")) / (tot - F.first("n_mode")), 6
+            ).alias("kappa_vs_majority_r"),
+        )
+        .drop("n_mode")
     )

@@ -86,7 +86,8 @@ _QUERY_MODULES = [
 # js_divergence_sources, burstiness_fano, basket_lift_rules,
 # price_elasticity, ccf_lead_lag, winnowing_fingerprints,
 # reliability_calibration_bins, mcnemar_dedup_paths,
-# entropy_rate_bigram, permutation_test_ab),
+# entropy_rate_bigram, permutation_test_ab, lorenz_curve_points,
+# markov_next_event_accuracy),
 # then the 13 displaced r1 re-checks named in the comments below, then
 # the remaining r2-era names (subquery + tpch_q*_shape families,
 # exact_dedup_hash …), then r3-era.

@@ -256,3 +256,65 @@ def test_permutation_test_reproduces_from_hash(spark, sf_dir):
         n_ext += diff(arms) >= obs
     assert got.n_extreme == n_ext
     assert abs(got.p_value_r - (1 + n_ext) / 21) < 1e-4
+
+
+def test_lorenz_curve_identities(spark, sf_dir):
+    """Deciles cover all customers, shares sum to 1, the cumulative walk
+    is convex (shares non-decreasing by decile under the ascending
+    rank), and the last cum share is exactly 1."""
+    rows = QUERIES["lorenz_curve_points"](spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(10))
+    n = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n
+    assert abs(sum(r.decile_share_r for r in rows) - 1.0) < 1e-4
+    shares = [r.decile_share_r for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(rows[-1].cum_share_r - 1.0) < 1e-6
+    # the curve's area deficit must be consistent with the Gini summary
+    gini = QUERIES["gini_concentration"](spark, sf_dir).collect()[0].gini_r
+    # trapezoid on 10 deciles approximates the exact Gini within decile
+    # resolution
+    cum = [0.0] + [r.cum_share_r for r in rows]
+    area = sum((a + b) / 2 for a, b in zip(cum, cum[1:])) / 10
+    assert abs((1 - 2 * area) - gini) < 0.02
+
+
+def test_markov_accuracy_brute(spark, sf_dir):
+    """Accuracy must reproduce from a sequential walk of each user's
+    event stream with the same (count desc, type asc) argmax."""
+    from collections import Counter, defaultdict
+
+    got = QUERIES["markov_next_event_accuracy"](spark, sf_dir).collect()[0]
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pairs = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] += 1
+    pred = {}
+    for (a, b), n in sorted(pairs.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1])):
+        pred.setdefault(a, b)
+    n_tr = sum(pairs.values())
+    hits = sum(n for (a, b), n in pairs.items() if pred[a] == b)
+    nxt_totals = Counter()
+    for (_, b), n in pairs.items():
+        nxt_totals[b] += n
+    mode = max(nxt_totals.values())
+    assert got.n_transitions == n_tr
+    assert abs(got.top1_accuracy_r - hits / n_tr) < 1e-6
+    assert abs(got.majority_baseline_r - mode / n_tr) < 1e-6
+    assert abs(
+        got.kappa_vs_majority_r - (hits - mode) / (n_tr - mode)
+    ) < 1e-5
