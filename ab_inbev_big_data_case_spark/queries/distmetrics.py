@@ -1,7 +1,9 @@
 """Distribution-comparison and ranking-evaluation statistics (round-5
 session-4 widening of SURVEY.md §2.2's analytics family): Gini revenue
-concentration, two-sample Kolmogorov–Smirnov, Mann–Whitney AUC,
-Jensen–Shannon source divergence, and Fano-factor burstiness.
+concentration + Lorenz decile curve, two-sample Kolmogorov–Smirnov,
+Mann–Whitney AUC, reliability/ECE calibration, Jensen–Shannon source
+divergence, Fano-factor burstiness, McNemar on the paired dup flags, a
+deterministic permutation test, and Markov next-event accuracy.
 
 These close the "how different are two populations" gap left between the
 existing drift/association tests (``psi_drift`` compares against FIXED
