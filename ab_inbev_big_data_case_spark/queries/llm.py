@@ -29,6 +29,7 @@ from ab_inbev_big_data_case_spark.llm.dedup import (
 from ab_inbev_big_data_case_spark.llm.multimodal import (
     attach_binary_payload,
     extract_byte_features,
+    extract_media_metadata,
 )
 from ab_inbev_big_data_case_spark.llm.similarity import (
     ann_lsh_search,
@@ -469,6 +470,85 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(d, "doc_id", "text")
     return extract_byte_features(payloads)
+
+
+@register(
+    "media_metadata_extract",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN 'unknown'
+                    WHEN doc_id % 4 = 0 THEN 'png'
+                    WHEN doc_id % 4 = 1 THEN 'gif'
+                    WHEN doc_id % 4 = 2 THEN 'bmp'
+                    ELSE 'wav' END AS fmt,
+               CASE WHEN doc_id % 11 = 0 THEN -1
+                    WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 3) * 4000
+                    ELSE doc_id % 7 + 1 END AS width,
+               CASE WHEN doc_id % 11 = 0 THEN -1
+                    WHEN doc_id % 4 = 3 THEN doc_id % 2 + 1
+                    ELSE doc_id % 5 + 1 END AS height
+        FROM documents
+    )
+    SELECT fmt,
+           COUNT(*) AS n_docs,
+           SUM(width)::BIGINT AS sum_width,
+           SUM(height)::BIGINT AS sum_height
+    FROM m GROUP BY fmt
+    """,
+)
+def media_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: synthesize valid PNG/GIF/BMP/WAV container
+    bytes per document (plus deliberately truncated payloads every 11th
+    doc), header-decode them with the pure-stdlib sniffer
+    (``llm.multimodal.sniff_media``) over Arrow-batched mapInPandas, and
+    aggregate per detected format.
+
+    The oracle derives the expected (fmt, width, height) from doc_id
+    arithmetic ONLY — so the check is end-to-end through real bytes: if
+    the encoder or the header parser mis-handles a single field, the
+    format counts or dimension sums diverge. For WAV rows (width, height)
+    carry (sample_rate, channels). Derives from the reference's raw-blob
+    ingest surface (glue/etl_api.py bronze layer reads opaque S3 objects);
+    at 100 TB this plan reads a few dozen bytes per blob, keeps scan
+    partitioning (no shuffle before the final 5-group agg), and flags
+    corrupt files as 'unknown' instead of failing the job."""
+    import pandas as pd
+
+    from ab_inbev_big_data_case_spark.llm.multimodal import (
+        make_bmp,
+        make_gif,
+        make_png,
+        make_wav,
+    )
+
+    def synthesize(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 11 == 0:
+                    payloads.append(make_png(did % 7 + 1, did % 5 + 1)[:10])
+                elif did % 4 == 0:
+                    payloads.append(make_png(did % 7 + 1, did % 5 + 1))
+                elif did % 4 == 1:
+                    payloads.append(make_gif(did % 7 + 1, did % 5 + 1))
+                elif did % 4 == 2:
+                    payloads.append(make_bmp(did % 7 + 1, did % 5 + 1))
+                else:
+                    payloads.append(make_wav(8000 + (did % 3) * 4000, did % 2 + 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(synthesize, schema="doc_id long, payload binary")
+    )
+    return extract_media_metadata(blobs).groupBy("fmt").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+    )
 
 
 @register(

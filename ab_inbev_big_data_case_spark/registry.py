@@ -48,114 +48,106 @@ _QUERY_MODULES = [
 # never-checked queries (49 green + 1 driver-canonicalizer crash on an
 # array output column, fixed this round). Union r1-r3: 144 distinct names.
 #
-# This round-5 window holds: the 13 round-4 additions the driver has NEVER
-# seen (8 mlstats + 5 llm_curation — the verdict's top evidence gap), the
-# 23 round-5 additions (13 from session 1, 10 from session 2 — also never
-# checked), 13 of the r1-only-evidence re-checks (rolling staleness
-# insurance; includes approx_percentile, which this round gained a real
-# oracle via the exact+within_tol projection), and approx_count_distinct
-# (same oracle upgrade — was a permanent no_oracle row).
-#
-# ROTATION (round 6+): re-check any r5 reds first, then the sixty-six
-# session-2/3 tail additions never in a window (cumulative_unique_users,
-# weighted_median, ordered_string_agg, bpe_apply_merges,
-# time_weighted_avg, join_null_safe, psi_drift, split_leakage_audit,
-# partition_checksum, bm25_topk, log_odds_terms, rrf_hybrid_search,
-# ndcg_eval, abc_pareto_class, item_item_cosine,
-# label_propagation_communities, simhash_hamming_pairs,
-# query_likelihood_topk, benford_law_check, session_path_mining,
-# conversion_latency_quantiles, kaplan_meier_survival,
-# community_modularity, graph_assortativity, collocations_pmi,
-# postings_lists, recsys_coverage_eval, leaderboard_rank_shift,
-# ts_decomposition, return_rate_wilson_ci, mmr_rerank,
-# dedup_paths_agreement, poisson_bootstrap_ci, gapfill_linear_interp,
-# sorted_neighborhood_pairs, prf_rocchio_expansion,
-# strict_funnel_conversion, heaps_law_fit, ivf_balance_report,
-# cuped_adjustment, kcore_peeling, embedding_similarity_histogram,
-# zorder_pruning_audit, cluster_purity_eval, knn_label_accuracy,
-# seasonal_residual_anomaly, target_encoding_smoothed,
-# quantile_treatment_effect, price_volume_mix,
-# intrinsic_dimension_twonn, importance_weight_ess,
-# group_sequential_ab_monitor, order_cycle_quantiles,
-# tier_migration_matrix, source_vocab_overlap, clustering_coefficient,
-# hill_tail_index, lang_id_kappa, error_rate_changepoint,
-# contrastive_negative_sampling, rbo_rank_agreement,
-# neyman_allocation, feature_hash_collision_audit,
-# mann_kendall_theil_sen, anova_two_way, cohort_ltv_curve,
-# gini_concentration, ks_two_sample, auc_mann_whitney,
-# js_divergence_sources, burstiness_fano, basket_lift_rules,
-# price_elasticity, ccf_lead_lag, winnowing_fingerprints,
-# reliability_calibration_bins, mcnemar_dedup_paths,
-# entropy_rate_bigram, permutation_test_ab, lorenz_curve_points,
-# markov_next_event_accuracy),
-# then the 13 displaced r1 re-checks named in the comments below, then
-# the remaining r2-era names (subquery + tpch_q*_shape families,
-# exact_dedup_hash …), then r3-era.
+# The round-6 window holds the first 50 of the 81 queries that had never
+# been in a driver window as of round 5 (all round-5 session-2/3/4
+# additions — the full retail/graph/retrieval and distribution-comparison
+# families plus the time-series/retrieval tail). Round 5 closed 50/50
+# green with zero reds, so no re-checks outrank these. Positions 51-81
+# stage the remaining 31 never-checked names for round 7; after round 7
+# the rotation returns to stale-evidence re-checks (the 19 r1-only greens
+# displaced in r5: window_lag_lead, window_running, window_rank,
+# window_ntile, window_range_frame, window_first_last, join_left_outer,
+# join_full_outer, join_cross, join_multikey, pivot_agg, histogram_bucket,
+# topk_global, salted_agg, dedup_latest, argmax_agg, join_semi, join_anti,
+# window_topk_group), then r2-era names.
 _CHECK_FIRST = [
-    # never driver-checked (round-4 additions)
-    "ols_regression",
-    "welch_ab_test",
-    "corr_matrix",
-    "rfm_segmentation",
-    "skyline_2d",
-    "winsorize_stats",
-    "concurrent_sessions",
-    "attribution_last_touch",
-    "dsir_importance_weights",
-    "bigram_lm_score",
-    "bpe_pair_counts",
-    "containment_pairs",
-    "kmeans_cells",
-    # round-5 session-2 additions (never checked — outrank re-checks)
-    "acf_lags",
-    "seasonal_naive_mape",
-    "cusum_changepoint",
-    "dow_seasonal_profile",
-    "dup_span_coverage",
-    "shard_assignment",
-    "minhash_estimator_accuracy",
-    "compaction_plan",
-    "cdc_apply_changeset",
-    "khop_reachability",
-    "revenue_streaks",
-    "join_key_skew_report",
-    "mutual_information",
-    "chi2_independence",
-    "interval_overlap_pairs",
-    "event_followed_by",
-    "rolling_median",
-    "ann_recall_eval",
-    "ivf_recall_eval",
-    # oldest-evidence re-checks (r1-only greens, in r1 registration order;
-    # the 12 displaced by the new ops — window_lag_lead, window_running,
-    # window_rank, window_ntile, window_range_frame, window_first_last,
-    # join_left_outer, join_full_outer, join_cross, join_multikey,
-    # pivot_agg, histogram_bucket — move to the front of the round-6
-    # rotation; the agg family keeps fresher r4 evidence than joins/windows,
-    # so those two agg names were the safest to displace)
-    # (topk_global, salted_agg, dedup_latest, argmax_agg, join_semi,
-    # join_anti, window_topk_group also displaced — all r1-green, stable
-    # shapes with standing pytest coverage)
-    "approx_percentile",
-    "join_inner",
-    "join_range",
-    "join_asof",
-    # approx → exact+within_tol oracle upgrade this round (was no_oracle r4)
-    "approx_count_distinct",
-    # round-5 additions (never checked — outrank re-checks)
-    "bloom_join_prefilter",
-    "backoff_lm_score",
-    "random_projection_stats",
-    "pq_codes",
-    "pq_adc_search",
-    "ivm_join_merge",
-    "prefix_filter_jaccard",
-    "market_basket_pairs",
-    "lexical_diversity",
-    "zipf_fit",
-    "variant_funcs",
-    "python_datasource_scan",
-    "triangle_count",
+    "join_null_safe",
+    "cumulative_unique_users",
+    "weighted_median",
+    "ordered_string_agg",
+    "session_path_mining",
+    "conversion_latency_quantiles",
+    "gapfill_linear_interp",
+    "strict_funnel_conversion",
+    "zorder_pruning_audit",
+    "tier_migration_matrix",
+    "cohort_ltv_curve",
+    "split_leakage_audit",
+    "bm25_topk",
+    "log_odds_terms",
+    "rrf_hybrid_search",
+    "ndcg_eval",
+    "simhash_hamming_pairs",
+    "query_likelihood_topk",
+    "postings_lists",
+    "mmr_rerank",
+    "dedup_paths_agreement",
+    "prf_rocchio_expansion",
+    "ivf_balance_report",
+    "embedding_similarity_histogram",
+    "cluster_purity_eval",
+    "knn_label_accuracy",
+    "intrinsic_dimension_twonn",
+    "source_vocab_overlap",
+    "lang_id_kappa",
+    "contrastive_negative_sampling",
+    "rbo_rank_agreement",
+    "partition_checksum",
+    "benford_law_check",
+    "sorted_neighborhood_pairs",
+    "price_volume_mix",
+    "order_cycle_quantiles",
+    "psi_drift",
+    "kaplan_meier_survival",
+    "return_rate_wilson_ci",
+    "poisson_bootstrap_ci",
+    "cuped_adjustment",
+    "target_encoding_smoothed",
+    "quantile_treatment_effect",
+    "group_sequential_ab_monitor",
+    "clustering_coefficient",
+    "hill_tail_index",
+    "neyman_allocation",
+    "anova_two_way",
+    "bpe_apply_merges",
+    "collocations_pmi",
+]
+
+# The remaining 31 never-checked names, staged to become round 7's window
+# (they occupy registration slots 51-81 so this round's window is exactly
+# the 50 above; round 7 promotes these into _CHECK_FIRST).
+_STAGED_NEXT = [
+    "heaps_law_fit",
+    "importance_weight_ess",
+    "feature_hash_collision_audit",
+    "winnowing_fingerprints",
+    "entropy_rate_bigram",
+    "time_weighted_avg",
+    "ts_decomposition",
+    "seasonal_residual_anomaly",
+    "error_rate_changepoint",
+    "mann_kendall_theil_sen",
+    "ccf_lead_lag",
+    "abc_pareto_class",
+    "item_item_cosine",
+    "label_propagation_communities",
+    "community_modularity",
+    "graph_assortativity",
+    "recsys_coverage_eval",
+    "leaderboard_rank_shift",
+    "kcore_peeling",
+    "basket_lift_rules",
+    "price_elasticity",
+    "gini_concentration",
+    "ks_two_sample",
+    "auc_mann_whitney",
+    "js_divergence_sources",
+    "burstiness_fano",
+    "reliability_calibration_bins",
+    "mcnemar_dedup_paths",
+    "permutation_test_ab",
+    "lorenz_curve_points",
+    "markov_next_event_accuracy",
 ]
 
 
@@ -195,7 +187,7 @@ def load_all() -> None:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
 
-    missing = [n for n in _CHECK_FIRST if n not in QUERIES]
+    missing = [n for n in _CHECK_FIRST + _STAGED_NEXT if n not in QUERIES]
     if missing:
         raise RuntimeError(f"_CHECK_FIRST names not registered: {missing}")
     if len(_CHECK_FIRST) > 50:
@@ -203,7 +195,8 @@ def load_all() -> None:
             f"_CHECK_FIRST has {len(_CHECK_FIRST)} entries; the driver only "
             "verifies the first 50"
         )
-    ordered = _CHECK_FIRST + [n for n in QUERIES if n not in _CHECK_FIRST]
+    head = _CHECK_FIRST + _STAGED_NEXT
+    ordered = head + [n for n in QUERIES if n not in head]
     for reg in (QUERIES, ORACLE):
         snapshot = dict(reg)
         reg.clear()

@@ -96,9 +96,82 @@ def test_multimodal_roundtrip(spark, docs):
     assert feats.count() == docs.count()
 
 
-def test_decode_media_is_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError):
-        decode_media(attach_binary_payload(docs, "doc_id", "text"))
+def test_decode_media_capability_gate(spark, docs):
+    """Pixel decode is gated on Pillow: without it the gate raises with a
+    pointer to the stdlib header path; with it, real decode runs (tested
+    on a generated PNG so the assertion is meaningful on any cluster)."""
+    from ab_inbev_big_data_case_spark.llm.multimodal import make_png, pil_available
+
+    payloads = attach_binary_payload(docs, "doc_id", "text")
+    if not pil_available():
+        with pytest.raises(NotImplementedError, match="extract_media_metadata"):
+            decode_media(payloads)
+    else:
+        png = spark.createDataFrame(
+            [(1, bytearray(make_png(6, 4)))], "doc_id long, payload binary"
+        )
+        row = decode_media(png).collect()[0]
+        assert (row["fmt"], row["width"], row["height"]) == ("png", 6, 4)
+
+
+def test_media_header_sniffer_roundtrip():
+    """Pure-stdlib header decode: every builder's output sniffs back to the
+    dimensions it was built with; garbage and truncation flag 'unknown'."""
+    from ab_inbev_big_data_case_spark.llm.multimodal import (
+        make_bmp,
+        make_gif,
+        make_png,
+        make_wav,
+        sniff_media,
+    )
+
+    assert sniff_media(make_png(7, 3)) == ("png", 7, 3)
+    assert sniff_media(make_gif(640, 480)) == ("gif", 640, 480)
+    assert sniff_media(make_bmp(5, 9)) == ("bmp", 5, 9)
+    assert sniff_media(make_wav(44100, 2)) == ("wav", 44100, 2)
+    assert sniff_media(b"garbage") == ("unknown", -1, -1)
+    assert sniff_media(make_png(7, 3)[:10]) == ("unknown", -1, -1)
+    assert sniff_media(None) == ("unknown", -1, -1)
+    # JPEG: hand-built SOF0 segment (builders don't emit JPEG — entropy
+    # coding isn't worth synthesizing — but real corpora are mostly JPEG,
+    # so the parser must walk segments to the frame header)
+    import struct
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 33, 44)
+        + bytes(10)
+    )
+    assert sniff_media(jpeg) == ("jpeg", 44, 33)
+
+
+def test_extract_media_metadata_spark_path(spark):
+    """The Arrow mapInPandas header-decode path: binary payloads survive the
+    exchange, decode to the right metadata, and preserve partitioning."""
+    from ab_inbev_big_data_case_spark.llm.multimodal import (
+        extract_media_metadata,
+        make_gif,
+        make_png,
+        make_wav,
+    )
+
+    rows = [
+        (1, bytearray(make_png(3, 2))),
+        (2, bytearray(make_gif(10, 20))),
+        (3, bytearray(make_wav(16000, 1))),
+        (4, bytearray(b"not a media file")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(2)
+    out = extract_media_metadata(df)
+    assert out.rdd.getNumPartitions() == 2  # no shuffle introduced
+    got = {r["doc_id"]: (r["fmt"], r["width"], r["height"]) for r in out.collect()}
+    assert got == {
+        1: ("png", 3, 2),
+        2: ("gif", 10, 20),
+        3: ("wav", 16000, 1),
+        4: ("unknown", -1, -1),
+    }
 
 
 def test_approx_count_distinct_bounds(spark, sf_dir):
