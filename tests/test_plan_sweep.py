@@ -1,0 +1,140 @@
+"""Registry-WIDE physical-plan sweep: every registered query's plan is
+checked for the two scale-killer shapes a 100 TB deployment cannot absorb —
+cartesian products and unpinned partitionless windows.
+
+tests/test_plans.py pins rich per-family properties (pushdown, broadcasts,
+shuffle counts) for the headline queries; this module closes VERDICT r5
+item 4 the other way around: instead of hand-picking pins for the 69
+session-3/4 queries, EVERY query in the registry is swept, so a regression
+that introduces a cartesian join or an unbounded global window anywhere —
+including in queries added after this file — fails loudly with the query
+name. The partitionless allowlist below is the exhaustive audited set; each
+entry is a window over a documented BOUNDED spine (calendar days, fixed
+bins, decile/replicate grids, pruned local survivors — see SCALE.md and the
+queries' own docstrings), so its row count is independent of fact-table
+scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+load_all()
+
+#: name -> max partitionless window specs, every entry a documented
+#: bounded-spine window (audited r6; grow this ONLY with a docstring
+#: justification in the query).
+PARTITIONLESS_ALLOWED = {
+    "abc_pareto_class": 1,          # pruned local-survivor rank
+    "acf_lags": 7,                  # daily spine, one spec per lag
+    "auc_mann_whitney": 1,          # 2-group rank on grouped score spine
+    "ccf_lead_lag": 14,             # daily spine, lead/lag ±7
+    "concurrent_sessions": 1,       # event-boundary sweep spine
+    "cumulative_unique_users": 1,   # daily first-seen spine
+    "cusum_changepoint": 1,         # daily spine cumsum
+    "error_rate_changepoint": 4,    # daily spine prefix stats
+    "gini_concentration": 1,        # bounded decile spine
+    "global_sort": 1,               # explicit total-order contract
+    "heaps_law_fit": 2,             # per-doc-rank spine (bounded by docs)
+    "hill_tail_index": 3,           # top-k tail spine
+    "histogram_quantile_sketch": 2, # fixed-width bin spine
+    "kaplan_meier_survival": 3,     # calendar-day spine (desc+asc cumsum)
+    "ks_two_sample": 6,             # pooled grouped-value spine
+    "lorenz_curve_points": 2,       # decile spine
+    "mann_kendall_theil_sen": 4,    # daily spine pairwise stats
+    "mom_revenue_growth": 3,        # monthly aggregate spine
+    "rbo_rank_agreement": 4,        # top-k ranking spine
+    "seasonal_residual_anomaly": 8, # daily spine decomposition
+    "skyline_2d": 1,                # pruned local-survivor pass
+    "ts_decomposition": 2,          # daily spine
+    "window_ntile": 1,              # global ntile is the operator semantic
+    "zipf_fit": 1,                  # capped vocab rank spine
+}
+
+
+def _n_partitionless(plan: str) -> int:
+    # a windowspecdefinition whose FIRST argument carries a sort direction
+    # has no partitionBy (same heuristic as test_plans.py / bench.py)
+    return sum(
+        1
+        for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan)
+        if " ASC" in m.group(1) or " DESC" in m.group(1)
+    )
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    return {
+        name: fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for name, fn in QUERIES.items()
+    }
+
+
+def test_no_cartesian_product_anywhere(all_plans):
+    """Zero CartesianProduct nodes across the whole registry: every join in
+    every query has equi-keys or a bounded broadcast side."""
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+def test_partitionless_windows_all_pinned(all_plans):
+    """Every partitionless window spec in the registry is on the audited
+    bounded-spine allowlist; any query exceeding its pin (or a new query
+    introducing one) fails by name."""
+    offenders = {
+        n: f"{got} partitionless specs (pinned {PARTITIONLESS_ALLOWED.get(n, 0)})"
+        for n, p in all_plans.items()
+        if (got := _n_partitionless(p)) > PARTITIONLESS_ALLOWED.get(n, 0)
+    }
+    assert offenders == {}
+
+
+# ---- targeted pins for the four queries VERDICT r5 named explicitly ----
+
+
+def test_kaplan_meier_windows_on_day_spine_only(all_plans):
+    """KM's descending at-risk cumsum and the log-survival running sum must
+    order by the calendar-day spine (bounded), never a per-user column."""
+    plan = all_plans["kaplan_meier_survival"]
+    specs = [
+        m.group(1)
+        for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan)
+        if " ASC" in m.group(1) or " DESC" in m.group(1)
+    ]
+    assert len(specs) == 3
+    assert all("t_day" in s for s in specs)
+    # the user-level reductions collapse BEFORE the spine: keyed aggregates
+    assert "user_id" in plan and plan.count("HashAggregate") >= 4
+
+
+def test_ccf_all_shifts_in_one_window_node(all_plans):
+    """All 14 lead/lag shifted columns must come out of ONE Window exec over
+    the daily spine — 14 specs, one physical node, one sort."""
+    plan = all_plans["ccf_lead_lag"]
+    assert _n_partitionless(plan) == 14
+    window_nodes = re.findall(r"^\s*(?:[:+\-|\s]*)Window ", plan, re.M)
+    assert len(window_nodes) == 1
+    assert all(
+        "day" in m.group(1)
+        for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan)
+    )
+
+
+def test_reliability_bins_fixed_spine_no_windows(all_plans):
+    """The reliability diagram aggregates into 10 FIXED confidence bins —
+    pure keyed aggregation, no window functions at all."""
+    plan = all_plans["reliability_calibration_bins"]
+    assert "windowspecdefinition" not in plan
+
+
+def test_cohort_ltv_cumsum_is_cohort_partitioned(all_plans):
+    """Cohort LTV's running revenue must partition by the cohort key: zero
+    partitionless specs, and every spec's first arg is a bare partition
+    attribute (no sort direction)."""
+    plan = all_plans["cohort_ltv_curve"]
+    assert "windowspecdefinition" in plan  # the cumsum exists
+    assert _n_partitionless(plan) == 0
