@@ -205,6 +205,74 @@ def pairs_within_groups(
     )
 
 
+def lsh_delta_candidate_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    new_flag_col: str,
+    max_bucket_occupancy: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest LSH candidates: pairs sharing a band bucket where
+    AT LEAST ONE side is newly arrived — the already-indexed × already-
+    indexed quadrant is never emitted (it was deduped when those docs
+    arrived).
+
+    This is the daily-ingest shape of corpus dedup at 100 TB: the indexed
+    side's band buckets are persisted state (recomputed here only because
+    fixtures are plain files — on a cluster they come off the stored
+    index), and per-bucket pair fan-out is occupancy × new-occupancy, not
+    occupancy², so a day's delta costs O(|delta| × bucket occupancy)
+    regardless of total corpus size. Same single-aggregation formulation
+    as :func:`pairs_within_groups` (no self-join, no double-materialized
+    upstream), same occupancy cap against degenerate buckets; the
+    old×old exclusion happens inside the pair lambda, so excluded pairs
+    are never materialized anywhere.
+    """
+    occupants = (
+        buckets.groupBy("band", "band_sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col(new_flag_col).cast("int").alias("is_new"),
+                    )
+                )
+            ).alias("occ")
+        )
+        .filter(F.size("occ") >= 2)
+        # buckets with no new occupant produce nothing: drop them before
+        # the quadratic lambda (the overwhelming majority on a daily delta)
+        .filter(F.exists("occ", lambda s: s["is_new"] == 1))
+    )
+    if max_bucket_occupancy is not None:
+        occupants = occupants.filter(F.size("occ") <= max_bucket_occupancy)
+    n = F.size("occ")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(i + 1, n - 1),
+                    lambda j: F.struct(
+                        F.get(F.col("occ"), i)["id"].alias("id1"),
+                        F.get(F.col("occ"), j)["id"].alias("id2"),
+                        (
+                            F.get(F.col("occ"), i)["is_new"]
+                            + F.get(F.col("occ"), j)["is_new"]
+                        ).alias("n_new_sides"),
+                    ),
+                ),
+                lambda p: p["n_new_sides"] >= 1,
+            ),
+        )
+    )
+    return (
+        occupants.select(F.explode(combos).alias("p"))
+        .select("p.id1", "p.id2", "p.n_new_sides")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     buckets: DataFrame, id_col: str, max_bucket_occupancy: int | None = None
 ) -> DataFrame:
@@ -267,6 +335,53 @@ def ngram_jaccard_pairs(
     sb = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
     # sizes is one row PER DOCUMENT — never broadcast-hint it (executor OOM
     # at corpus scale); plain equi-joins, AQE broadcasts when truly small
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def jaccard_verify_candidates(
+    cand: DataFrame, shingle_df: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard computed ONLY for the given candidate pairs —
+    the verify half of candidate→verify dedup, with the cost the docstrings
+    promise: Σ_cand |shingles(id1)| join rows, LINEAR in candidate count.
+
+    Why this exists (r6 sf1 curve): ``ngram_jaccard_pairs(...)
+    .join(cand, left_semi)`` — the old formulation in the corpus-dedup
+    queries — computes the corpus-wide Σdf² shingle self-join FIRST and
+    filters after; Catalyst cannot push a pair-level semi-join below the
+    self-join's aggregate, so the quadratic work happens anyway. Here the
+    candidate list drives the join: explode each pair by id1's shingles,
+    equi-join on (id2, shingle) to count intersections, then the same
+    rounded-Jaccard filter as :func:`ngram_jaccard_pairs` (identical
+    arithmetic, so swapping formulations never changes the verified set).
+    """
+    hashed = shingle_df.select(
+        F.col(id_col), F.xxhash64("shingle").alias("__sid")
+    )
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = hashed.select(F.col(id_col).alias("id1"), "__sid")
+    b = hashed.select(F.col(id_col).alias("id2"), "__sid")
+    inter = (
+        cand.select("id1", "id2")
+        .join(a, "id1")
+        .join(b, ["id2", "__sid"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    # per-document tables: plain equi-joins, AQE decides broadcasts
     return (
         inter.join(sa, "id1")
         .join(sb, "id2")

@@ -39,6 +39,7 @@ from ab_inbev_big_data_case_spark.llm.similarity import (
     hyperplane_buckets,
     ivf_assign,
     ivf_search,
+    sqrt_centroid_modulus,
     with_l2_norm,
 )
 from ab_inbev_big_data_case_spark.llm.textstats import (
@@ -137,6 +138,43 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
     return lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+
+
+@register(
+    "lsh_index_delta_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           ((a.doc_id % 10 = 0)::INT + (b.doc_id % 10 = 0)::INT)::INT
+               AS n_new_sides
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    """,
+)
+def lsh_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup: candidate pairs between a newly-ingested
+    delta (docs with doc_id % 10 = 0, standing in for today's arrivals)
+    and the already-indexed corpus — new×indexed and new×new pairs only;
+    the indexed×indexed quadrant is excluded inside the pair lambda and
+    never materialized (engine:
+    ``llm.dedup.lsh_delta_candidate_pairs``).
+
+    The oracle computes the SAME result from the full banded self-join
+    filtered to >= 1 new side, so the exclusion must be exact — a single
+    leaked old×old pair (or dropped new pair) diverges the hash. At 100 TB
+    the indexed bands are persisted index state and the per-day cost is
+    O(|delta| x bucket occupancy), independent of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    buckets = lsh_band_buckets_wide(sig, "doc_id", 8, 2).withColumn(
+        "is_new", F.col("doc_id") % 10 == 0
+    )
+    from ab_inbev_big_data_case_spark.llm.dedup import lsh_delta_candidate_pairs
+
+    return lsh_delta_candidate_pairs(buckets, "doc_id", "is_new").select(
+        "id1", "id2", F.col("n_new_sides").cast("int").alias("n_new_sides")
+    )
 
 
 @register(
@@ -581,17 +619,20 @@ def near_dup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH candidates → exact-Jaccard verification (>= 0.5) → drop the
     higher-id member of each verified pair, keep the canonical corpus.
 
-    The classic candidate→verify split: the O(n²) Jaccard check runs only on
-    LSH candidates, so cost scales with true-duplicate density, not corpus².
+    The classic candidate→verify split: the exact Jaccard check runs only
+    on LSH candidate pairs (``llm.dedup.jaccard_verify_candidates`` — the
+    candidate list drives the intersection join), so cost scales with
+    true-duplicate density, not corpus². (Until r6 this query computed the
+    corpus-wide Σdf² shingle self-join and semi-joined after — same
+    result, quadratic plan; the sf1 curve exposed it.)
     """
+    from ab_inbev_big_data_case_spark.llm.dedup import jaccard_verify_candidates
+
     d = table(spark, sf_dir, "documents")
     sh = shingle_set(d, "doc_id", "text", 3)
     sig = minhash_signatures_wide(sh, "doc_id", 8)
     cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
-    verified = (
-        ngram_jaccard_pairs(sh, "doc_id", 0.5)
-        .join(cand, ["id1", "id2"], "left_semi")
-    )
+    verified = jaccard_verify_candidates(cand, sh, "doc_id", 0.5)
     dupes = verified.select(F.col("id2").alias("doc_id")).distinct()
     return d.join(dupes, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
@@ -652,14 +693,23 @@ def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ IVF ANN + embedding dedup
 
 # IVF coarse quantizer shared CTEs: centroids are a deterministic corpus
-# subset (vec_id % 29 = 0); assignment = argmax rounded cosine, ties to the
-# smaller cell id. The oracle states the argmax as a row_number window; the
-# Spark side computes the same thing as a struct-max aggregate (map-side
-# combinable — see llm.similarity.ivf_assign).
+# subset sized by the √N rule — modulus m = floor(√N) selects K ≈ N/√N = √N
+# centroids (FAISS's nlist ≈ √N guidance). K must NOT be a fixed fraction
+# of N: the r6 sf1 scale curve measured the old `% 29` rule (K ∝ N) at
+# 47× wall-clock for 10× data — the brute nearest-centroid assignment is
+# N×K work, so K ∝ N makes it quadratic; K = √N balances assignment and
+# within-cell verification at N^1.5 (both sides of the IVF trade).
+# Assignment = argmax rounded cosine, ties to the smaller cell id. The
+# oracle states the argmax as a row_number window; the Spark side computes
+# the same thing as a struct-max aggregate (map-side combinable — see
+# llm.similarity.ivf_assign).
+_SQRT_MOD_SQL = (
+    "(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+)
 _IVF_ASSIGN_SQL = f"""
     cents AS (
         SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
-        WHERE vec_id % 29 = 0
+        WHERE vec_id % {_SQRT_MOD_SQL} = 0
     ),
     scored AS (
         SELECT e.vec_id, c.cell_id,
@@ -691,7 +741,8 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest centroid (broadcast K centroids, one narrow corpus pass, struct-
     max argmax). The inverted-file partitioning step of IVF ANN."""
     e = table(spark, sf_dir, "embeddings")
-    assign = ivf_assign(e, "vec_id", "embedding", lambda vid: vid % 29 == 0)
+    _m = sqrt_centroid_modulus(e)
+    assign = ivf_assign(e, "vec_id", "embedding", lambda vid, m=_m: vid % m == 0)
     return assign.groupBy("cell_id").agg(F.count("*").alias("n_vecs"))
 
 
@@ -738,12 +789,13 @@ def ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells and ranks only vectors assigned there — the inverted-file scale
     path beside the hyperplane-LSH one (`ann_lsh_search`)."""
     e = table(spark, sf_dir, "embeddings")
+    _m = sqrt_centroid_modulus(e)
     return ivf_search(
         e,
         "vec_id",
         "embedding",
         query_filter=lambda vid: vid % 50 == 0,
-        centroid_filter=lambda vid: vid % 29 == 0,
+        centroid_filter=lambda vid, m=_m: vid % m == 0,
         n_probe=2,
         k=5,
     )
@@ -1425,9 +1477,10 @@ def semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ab_inbev_big_data_case_spark.llm.similarity import semdedup_cells
 
     e = table(spark, sf_dir, "embeddings")
+    _m = sqrt_centroid_modulus(e)
     return semdedup_cells(
         e, "vec_id", "embedding", threshold=0.25,
-        centroid_filter=lambda vid: vid % 29 == 0,
+        centroid_filter=lambda vid, m=_m: vid % m == 0,
     )
 
 
@@ -1818,7 +1871,8 @@ from ab_inbev_big_data_case_spark.llm.similarity import sparse_tfidf_topk  # noq
             WHERE len(toks) >= 4
         ) GROUP BY 1, 2
     ),
-    idf AS (SELECT gram, 100000 // count(*) AS idfq FROM grams GROUP BY gram),
+    idf AS (SELECT gram, 100000 // count(*) AS idfq FROM grams
+            GROUP BY gram HAVING count(*) <= 1000),
     w AS (SELECT g.doc, g.gram, g.cnt * i.idfq AS w
           FROM grams g JOIN idf i USING (gram)),
     norms AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
@@ -1846,11 +1900,19 @@ def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-side nearest neighbors WITHOUT embeddings: 4-gram TF-IDF sparse
     cosine through an inverted-index equi-join (only docs sharing a shingle
     ever meet — the join-sparsity complement to the dense ANN path). See
-    ``llm.similarity.sparse_tfidf_topk`` for the integer-weight determinism
-    and the max_df posting-length cap that bounds it at 100 TB."""
+    ``llm.similarity.sparse_tfidf_topk`` for the integer-weight determinism.
+
+    The max_df=1000 posting-length cap is ON and mirrored in the oracle
+    (the HAVING on the idf CTE): a gram in df docs fans out df×|queries|
+    join rows, and df grows with the corpus, so the UNCAPPED join is
+    quadratic in N — the r6 sf1 curve measured it at 3.6× wall for 10×
+    data with the fixed costs still masking most of it. Capped, posting
+    cost is |queries|×1000 regardless of corpus size, and the dropped
+    grams are exactly the near-zero-idf stop-grams (at df=1000 the
+    floor-div idf weight is already 100 of 100000)."""
     d = table(spark, sf_dir, "documents")
     return sparse_tfidf_topk(
-        d, "doc_id", "text", lambda doc: doc % 50 == 0, n=4, k=5
+        d, "doc_id", "text", lambda doc: doc % 50 == 0, n=4, k=5, max_df=1000
     )
 
 
@@ -2150,9 +2212,11 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_set(exact, "doc_id", "text", 3).localCheckpoint(eager=False)
     sig = minhash_signatures_wide(sh, "doc_id", 8)
     cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
-    verified = ngram_jaccard_pairs(sh, "doc_id", 0.5).join(
-        cand, ["id1", "id2"], "left_semi"
-    )
+    # candidate-driven exact verify (r6): LINEAR in candidates — the old
+    # corpus-wide ngram_jaccard_pairs + semi-join computed Σdf² regardless
+    from ab_inbev_big_data_case_spark.llm.dedup import jaccard_verify_candidates
+
+    verified = jaccard_verify_candidates(cand, sh, "doc_id", 0.5)
     dupes = verified.select(F.col("id2").alias("doc_id")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
@@ -2401,6 +2465,7 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals with cand_id tiebreaks; recall is exact arithmetic over the
     resulting sets."""
     e = table(spark, sf_dir, "embeddings")
+    _m = sqrt_centroid_modulus(e)
     q = e.filter(F.col("vec_id") % 50 == 0)
     exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
     ivfk = ivf_search(
@@ -2408,7 +2473,7 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         query_filter=lambda vid: vid % 50 == 0,
-        centroid_filter=lambda vid: vid % 29 == 0,
+        centroid_filter=lambda vid, m=_m: vid % m == 0,
         n_probe=2,
         k=5,
     ).select("query_id", "cand_id", F.lit(1).alias("hit"))
@@ -2758,6 +2823,7 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand) and a per-query rank window — all bounded by the top-10 lists.
     RRF scores quantize at 6 with cand_id tiebreaks before ranking."""
     e = table(spark, sf_dir, "embeddings")
+    _m = sqrt_centroid_modulus(e)
     lsh = ann_lsh_search(
         e, "vec_id", "embedding",
         query_filter=lambda vid: vid % 50 == 0,
@@ -2766,7 +2832,7 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_search(
         e, "vec_id", "embedding",
         query_filter=lambda vid: vid % 50 == 0,
-        centroid_filter=lambda vid: vid % 29 == 0,
+        centroid_filter=lambda vid, m=_m: vid % m == 0,
         n_probe=2, k=10,
     ).select("query_id", "cand_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(
@@ -3712,7 +3778,8 @@ def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the K-row cell histogram. Exact integer moments, rounded
     ratios."""
     e = table(spark, sf_dir, "embeddings")
-    assign = ivf_assign(e, "vec_id", "embedding", lambda vid: vid % 29 == 0)
+    _m = sqrt_centroid_modulus(e)
+    assign = ivf_assign(e, "vec_id", "embedding", lambda vid, m=_m: vid % m == 0)
     cells = assign.groupBy("cell_id").agg(F.count("*").alias("n"))
     m = cells.agg(
         F.count("*").alias("n_cells"),
@@ -3865,7 +3932,8 @@ def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the bounded spine, totals broadcast, integer counts cast
     last)."""
     e = table(spark, sf_dir, "embeddings")
-    assign = ivf_assign(e, "vec_id", "embedding", lambda vid: vid % 29 == 0)
+    _m = sqrt_centroid_modulus(e)
+    assign = ivf_assign(e, "vec_id", "embedding", lambda vid, m=_m: vid % m == 0)
     cont = (
         assign.join(e.select("vec_id", "label"), "vec_id")
         .groupBy("cell_id", "label")

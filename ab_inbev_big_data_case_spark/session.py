@@ -47,6 +47,15 @@ def get_spark(
         master or f"local[{cpus}]"
     )
     conf = dict(_DEFAULTS)
+    # Local mode runs every executor thread inside the DRIVER JVM, whose
+    # default heap is 1 GiB — 32 threads' shuffle buffers + broadcast
+    # builds in 1 GiB is the silent spill/GC tax (and an outright
+    # broadcast-OOM at sf1). Size it to the machine unless the caller or
+    # an existing JVM already chose. Cluster deployments override per
+    # executor; this only applies before the first JVM start.
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

@@ -884,3 +884,45 @@ def test_rbo_bounds_and_consistency(spark, sf_dir):
         for x in QUERIES["query_likelihood_topk"](spark, sf_dir).collect()[:10]
     }
     assert r.n_shared == len(bm & ql)
+
+
+def test_lsh_delta_pairs_excludes_indexed_quadrant(spark):
+    """Delta candidates: every emitted pair has >= 1 new side; old x old
+    co-occupants are never emitted; new x new counts both sides."""
+    from ab_inbev_big_data_case_spark.llm.dedup import lsh_delta_candidate_pairs
+
+    rows = [
+        # bucket A: old 1, new 2, old 3  -> (1,2) (2,3) but NOT (1,3)
+        (1, 0, 100, False), (2, 0, 100, True), (3, 0, 100, False),
+        # bucket B: old 4, old 5         -> nothing
+        (4, 0, 200, False), (5, 0, 200, False),
+        # bucket C: new 6, new 7         -> (6,7) with both sides new
+        (6, 1, 300, True), (7, 1, 300, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, band long, band_sig long, is_new boolean"
+    )
+    got = {
+        (r["id1"], r["id2"], r["n_new_sides"])
+        for r in lsh_delta_candidate_pairs(df, "doc_id", "is_new").collect()
+    }
+    assert got == {(1, 2, 1), (2, 3, 1), (6, 7, 2)}
+
+
+def test_lsh_delta_pairs_occupancy_cap(spark):
+    """A degenerate bucket above the cap is dropped outright."""
+    from ab_inbev_big_data_case_spark.llm.dedup import lsh_delta_candidate_pairs
+
+    rows = [(i, 0, 100, i == 0) for i in range(10)] + [
+        (20, 1, 200, True), (21, 1, 200, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, band long, band_sig long, is_new boolean"
+    )
+    got = {
+        (r["id1"], r["id2"])
+        for r in lsh_delta_candidate_pairs(
+            df, "doc_id", "is_new", max_bucket_occupancy=5
+        ).collect()
+    }
+    assert got == {(20, 21)}
