@@ -42,6 +42,13 @@ def main() -> None:
     from ab_inbev_big_data_case_spark.session import get_spark
 
     load_all()
+    global FIVE
+    if len(sys.argv) > 1 and sys.argv[1] == "--all":
+        from bench import HEADLINE
+
+        FIVE = list(HEADLINE)
+    elif len(sys.argv) > 1:
+        FIVE = sys.argv[1:]
     spark = get_spark("bench_scale")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
