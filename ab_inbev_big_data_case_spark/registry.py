@@ -38,6 +38,10 @@ _QUERY_MODULES = [
     "ab_inbev_big_data_case_spark.queries.timeseries",
     "ab_inbev_big_data_case_spark.queries.retail",
     "ab_inbev_big_data_case_spark.queries.distmetrics",
+    "ab_inbev_big_data_case_spark.queries.privacy",
+    "ab_inbev_big_data_case_spark.queries.rankcorr",
+    "ab_inbev_big_data_case_spark.queries.allocation",
+    "ab_inbev_big_data_case_spark.queries.linkpred",
 ]
 
 # The driver's correctness harness verifies the FIRST 50 registered queries

@@ -50,6 +50,7 @@ PARTITIONLESS_ALLOWED = {
     "rbo_rank_agreement": 4,        # top-k ranking spine
     "seasonal_residual_anomaly": 8, # daily spine decomposition
     "skyline_2d": 1,                # pruned local-survivor pass
+    "spearman_corr_lengths": 2,     # two value-domain rank spines
     "ts_decomposition": 2,          # daily spine
     "window_ntile": 1,              # global ntile is the operator semantic
     "zipf_fit": 1,                  # capped vocab rank spine
