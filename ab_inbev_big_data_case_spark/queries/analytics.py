@@ -1808,3 +1808,53 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_cust_r"
         ),
     )
+
+
+# ------------------------------------------------ rolling active users
+
+_RAU_SQL = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+    cov AS (
+        SELECT DISTINCT user_id, d + t.i::INTEGER AS day
+        FROM ud CROSS JOIN range(7) t(i)
+    )
+    SELECT day, count(*) AS wau
+    FROM cov CROSS JOIN mx
+    WHERE day <= dmax
+    GROUP BY 1
+"""
+
+
+@register("rolling_active_users", oracle=_RAU_SQL)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (WAU) per calendar day — the rolling
+    engagement curve. A COUNT(DISTINCT) over a sliding window is not
+    directly expressible as a Spark window function; the scalable
+    identity used here: a user's activity on day d makes them "active"
+    on each of d..d+6, so WAU(day) = |distinct (user, covered-day)|.
+
+    Scale shape: one (user, day) dedup (shuffle keyed on user+day), a
+    constant ×7 ``sequence`` explode — NO per-window recount and no
+    window state — then a second dedup and a count keyed on the bounded
+    calendar-day domain. Linear in events with a fixed ×7 factor; the
+    day spine is clipped to the observed max via a broadcast 1-row max
+    so the curve has no ramp-out tail."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    mx = e.agg(F.max(F.to_date("ts")).alias("dmax"))
+    cov = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("i")).alias("day"))
+        .distinct()
+    )
+    return (
+        cov.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("dmax"))
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )

@@ -351,7 +351,7 @@ _NORM = """sqrt((SELECT sum(a * a) FROM (SELECT unnest({x})::DOUBLE AS a) z{tag}
 @register(
     "cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
     pairs AS (
         SELECT qid AS query_id, cid AS cand_id,
@@ -368,13 +368,13 @@ _NORM = """sqrt((SELECT sum(a * a) FROM (SELECT unnest({x})::DOUBLE AS a) z{tag}
     """,
 )
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the query subset (vec_id % 50 = 0).
+    """Brute-force cosine top-5 for the query subset (vec_id % 50 = 0 AND vec_id < 500).
 
     Cosine is quantized to 3 decimals before ranking (tie-broken by cand_id)
     so the ordering is FP-implementation-independent.
     """
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     return cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
 
 
@@ -451,7 +451,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_search",
     oracle=f"""
     WITH {_BUCKET_SQL},
-    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id % 50 = 0),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id % 50 = 0 AND vec_id < 500),
     pairs AS (
         SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
         FROM qb JOIN buckets cb USING (tbl, bucket)
@@ -478,7 +478,7 @@ def ann_lsh_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         "vec_id",
         "embedding",
-        query_filter=lambda vid: vid % 50 == 0,
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
         n_planes=4,
         n_tables=4,
         min_cosine=0.1,
@@ -751,7 +751,7 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_IVF_ASSIGN_SQL},
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
     probes AS (
         SELECT query_id, cell_id FROM (
             SELECT q.query_id, c.cell_id, row_number() OVER (
@@ -785,7 +785,7 @@ def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN search: each query (vec_id % 50 = 0) probes its 2 nearest
+    """IVF ANN search: each query (vec_id % 50 = 0 AND vec_id < 500) probes its 2 nearest
     cells and ranks only vectors assigned there — the inverted-file scale
     path beside the hyperplane-LSH one (`ann_lsh_search`)."""
     e = table(spark, sf_dir, "embeddings")
@@ -794,7 +794,7 @@ def ivf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         "vec_id",
         "embedding",
-        query_filter=lambda vid: vid % 50 == 0,
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
         centroid_filter=lambda vid, m=_m: vid % m == 0,
         n_probe=2,
         k=5,
@@ -2306,7 +2306,7 @@ def conversation_threading(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_RECALL_SQL = f"""
     WITH {_BUCKET_SQL},
     q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
     exact AS (
         SELECT qid AS query_id, cand_id FROM (
             SELECT q.qid, c.vec_id AS cand_id,
@@ -2320,7 +2320,7 @@ _ANN_RECALL_SQL = f"""
         ) WHERE rk <= 5
     ),
     qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
-           WHERE vec_id % 50 = 0),
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
     cand AS (
         SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
         FROM qb JOIN buckets cb USING (tbl, bucket)
@@ -2365,13 +2365,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     side); the ANN side ranks only bucket-mates — at 100 TB the audit runs
     on a sampled query set exactly like this one."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
     cand = ann_lsh_search(
         e,
         "vec_id",
         "embedding",
-        query_filter=lambda vid: vid % 50 == 0,
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
         n_planes=4,
         n_tables=4,
         min_cosine=-1.0,  # recall audit ranks ALL bucket-mates, no floor
@@ -2400,7 +2400,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_RECALL_SQL = f"""
     WITH {_IVF_ASSIGN_SQL},
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
     exact AS (
         SELECT query_id, cand_id FROM (
             SELECT q.query_id, c.vec_id AS cand_id,
@@ -2466,13 +2466,13 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     resulting sets."""
     e = table(spark, sf_dir, "embeddings")
     _m = sqrt_centroid_modulus(e)
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
     ivfk = ivf_search(
         e,
         "vec_id",
         "embedding",
-        query_filter=lambda vid: vid % 50 == 0,
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
         centroid_filter=lambda vid, m=_m: vid % m == 0,
         n_probe=2,
         k=5,
@@ -2741,9 +2741,9 @@ _RRF_K = 60
 _RRF_SQL = f"""
     WITH {_BUCKET_SQL}, {_IVF_ASSIGN_SQL},
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
     qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
-           WHERE vec_id % 50 = 0),
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
     lsh_cand AS (
         SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
         FROM qb JOIN buckets cb USING (tbl, bucket)
@@ -2826,12 +2826,12 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     _m = sqrt_centroid_modulus(e)
     lsh = ann_lsh_search(
         e, "vec_id", "embedding",
-        query_filter=lambda vid: vid % 50 == 0,
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
         n_planes=4, n_tables=4, min_cosine=-1.0, dim=64,
     )
     ivf = ivf_search(
         e, "vec_id", "embedding",
-        query_filter=lambda vid: vid % 50 == 0,
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
         centroid_filter=lambda vid, m=_m: vid % m == 0,
         n_probe=2, k=10,
     ).select("query_id", "cand_id", "cosine")
@@ -2870,7 +2870,7 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NDCG_SQL = f"""
     WITH {_BUCKET_SQL}, {_IVF_ASSIGN_SQL},
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
     exact AS (
         SELECT query_id, cand_id, rk AS exact_rank FROM (
             SELECT q.query_id, c.vec_id AS cand_id,
@@ -2884,7 +2884,7 @@ _NDCG_SQL = f"""
         ) WHERE rk <= 5
     ),
     qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
-           WHERE vec_id % 50 = 0),
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
     lsh_cand AS (
         SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
         FROM qb JOIN buckets cb USING (tbl, bucket)
@@ -2939,13 +2939,13 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both rankings are the published bounded pipelines; the
     metric itself is two grouped sums on O(queries·5) rows."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     exact = cosine_topk(
         q, e, "vec_id", "vec_id", "embedding", "embedding", 5
     ).select("query_id", "cand_id", F.col("rank").alias("exact_rank"))
     lsh = ann_lsh_search(
         e, "vec_id", "embedding",
-        query_filter=lambda vid: vid % 50 == 0,
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
         n_planes=4, n_tables=4, min_cosine=-1.0, dim=64,
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -3300,7 +3300,7 @@ _MMR_LAMBDA = 0.7
 
 _MMR_SQL = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv
-               FROM embeddings WHERE vec_id % 50 = 0),
+               FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
     pairs AS (
         SELECT qid AS query_id, cid AS cand_id,
@@ -3393,7 +3393,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     3, MMR at 4) with cand_id tiebreaks, so the greedy trajectory —
     which feeds later rounds — is engine-deterministic at every step."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     top10 = cosine_topk(
         q, e, "vec_id", "vec_id", "embedding", "embedding", 10
     ).withColumnRenamed("cosine", "rel")
@@ -3994,7 +3994,7 @@ def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_SQL = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
-               FROM embeddings WHERE vec_id % 50 = 0),
+               FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
     c AS (SELECT vec_id AS cid, embedding AS cv, label AS clab
           FROM embeddings),
     pairs AS (
@@ -4036,7 +4036,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH/IVF paths as the full-corpus scale route); the accuracy is one
     1-row aggregate over |Q| neighbor rows."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     nn1 = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 1)
     qlab = e.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
@@ -4060,7 +4060,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TWONN_SQL = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-               WHERE vec_id % 50 = 0),
+               WHERE vec_id % 50 = 0 AND vec_id < 500),
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
     pairs AS (
         SELECT qid, cid,
@@ -4105,7 +4105,7 @@ def intrinsic_dimension_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d₁ < 0.001 — ratio undefined) are excluded; the estimator is one
     1-row aggregate over |Q| ratio rows."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     nn2 = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 2)
     wide = nn2.groupBy("query_id").agg(
         F.max(F.when(F.col("rank") == 1, 1.0 - F.col("cosine"))).alias("d1"),
@@ -4338,7 +4338,7 @@ _NEG_PER_Q = 3
 _CONTRASTIVE_SQL = f"""
     WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
     q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
     pairs AS (
         SELECT qid, cid,
@@ -4392,7 +4392,7 @@ def contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
     quantized before any selection."""
     e = table(spark, sf_dir, "embeddings")
     n = e.agg(F.count("*").alias("n_vecs"))
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     top5 = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
     pos = top5.filter(F.col("rank") == 1).select(
         "query_id", "cand_id", F.lit("positive").alias("kind")

@@ -1941,3 +1941,152 @@ def entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("redundancy_r"),
         )
     )
+
+
+# ----------------------------------------------- readability (curation signal)
+
+_READ_SQL = """
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               greatest(length(regexp_replace(text, '[.!?]+', 'S', 'g'))
+                        - length(regexp_replace(text, '[.!?]+', '', 'g')),
+                        1) AS n_sentences,
+               length(regexp_replace(text, '[aeiouAEIOU]+', 'V', 'g'))
+                 - length(regexp_replace(text, '[aeiouAEIOU]+', '', 'g'))
+                 AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 4)
+               AS flesch_r
+    FROM m
+"""
+
+
+@register("readability_scores", oracle=_READ_SQL)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch-reading-ease heuristic — the classic
+    readability curation signal (C4/Gopher-style pipelines bucket docs on
+    it before mixing). Syllables are approximated by maximal vowel runs
+    and sentences by maximal ``[.!?]`` runs, both counted EXACTLY with the
+    collapse-minus-remove regexp identity (a run collapses to one char, so
+    #runs = len(collapsed) − len(removed)) — integer arithmetic that both
+    engines reproduce bit-for-bit; the Flesch formula is one double
+    expression per doc over those exact integers.
+
+    Scale shape: a pure narrow map over the documents scan — no shuffle,
+    no join, no window; cost is regex-linear in corpus bytes, the same
+    class as ``quality_features``."""
+    d = table(spark, sf_dir, "documents")
+
+    def runs(pattern: str):
+        return F.length(F.regexp_replace("text", pattern, "V")) - F.length(
+            F.regexp_replace("text", pattern, "")
+        )
+
+    m = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.greatest(runs("[.!?]+"), F.lit(1)).alias("n_sentences"),
+        runs("[aeiouAEIOU]+").alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") * 1.0 / F.col("n_words")),
+            4,
+        ).alias("flesch_r"),
+    )
+
+
+# ------------------------------------- matryoshka truncation quality (vectors)
+
+_MAT_DOT = "(SELECT sum(a * b) FROM (SELECT unnest({x})::DOUBLE AS a, unnest({y})::DOUBLE AS b) z)"
+_MAT_NORM = "sqrt((SELECT sum(a * a) FROM (SELECT unnest({x})::DOUBLE AS a) z{tag}))"
+
+_MAT_SQL = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, embedding[1:32] AS qh
+               FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
+    c AS (SELECT vec_id AS cid, embedding AS cv, embedding[1:32] AS ch
+          FROM embeddings),
+    pf AS (
+        SELECT qid AS query_id, cid AS cand_id,
+               round({_MAT_DOT.format(x='qv', y='cv')} /
+                     ({_MAT_NORM.format(x='qv', tag='q')}
+                      * {_MAT_NORM.format(x='cv', tag='c')}), 3) AS cosine
+        FROM q, c WHERE cid != qid
+    ),
+    tf AS (
+        SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC NULLS LAST, cand_id) AS rank
+            FROM pf
+        ) WHERE rank <= 5
+    ),
+    ph AS (
+        SELECT qid AS query_id, cid AS cand_id,
+               round({_MAT_DOT.format(x='qh', y='ch')} /
+                     ({_MAT_NORM.format(x='qh', tag='q')}
+                      * {_MAT_NORM.format(x='ch', tag='c')}), 3) AS cosine
+        FROM q, c WHERE cid != qid
+    ),
+    th AS (
+        SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC NULLS LAST, cand_id) AS rank
+            FROM ph
+        ) WHERE rank <= 5
+    )
+    SELECT tf.query_id,
+           count(th.cand_id) AS n_overlap,
+           round(count(th.cand_id) / 5.0, 2) AS overlap_at5_r
+    FROM tf LEFT JOIN th USING (query_id, cand_id)
+    GROUP BY 1
+"""
+
+
+@register("matryoshka_truncation_eval", oracle=_MAT_SQL)
+def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation quality: per query, the overlap@5
+    between brute-force cosine top-5 under the FULL 64-dim embedding and
+    under its FIRST-32-dim prefix — the measurement that decides whether a
+    deployment can run ANN retrieval on truncated vectors (half the memory
+    and I/O) without re-embedding (Kusupati et al. 2022, MRL).
+
+    Scale shape: two broadcast-query brute-force top-k passes (the
+    declared exact baseline of the similarity family — the scale path is
+    the LSH/IVF variants), then a LEFT join of two k-row-per-query sets
+    keyed on (query, candidate) and a bounded re-group. Cosines are
+    quantized to 3 decimals before ranking with a cand_id tie-break, so
+    both engines (and both dims) rank identically."""
+    from ab_inbev_big_data_case_spark.llm.similarity import cosine_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    eh = e.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    qh = eh.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    tf = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5).select(
+        "query_id", "cand_id"
+    )
+    th = cosine_topk(qh, eh, "vec_id", "vec_id", "embedding", "embedding", 5).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        tf.join(th, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 5.0, 2).alias("overlap_at5_r"),
+        )
+    )

@@ -2156,3 +2156,78 @@ def anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f_priority_r"),
     )
+
+
+# -------------------------------------------- difference-in-differences
+
+_DID_SQL = """
+    WITH p AS (
+        SELECT value,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                   AS post
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT count(*) FILTER (WHERE treat = 0 AND post = 0) AS n00,
+               count(*) FILTER (WHERE treat = 0 AND post = 1) AS n01,
+               count(*) FILTER (WHERE treat = 1 AND post = 0) AS n10,
+               count(*) FILTER (WHERE treat = 1 AND post = 1) AS n11,
+               avg(value) FILTER (WHERE treat = 0 AND post = 0) AS m00,
+               avg(value) FILTER (WHERE treat = 0 AND post = 1) AS m01,
+               avg(value) FILTER (WHERE treat = 1 AND post = 0) AS m10,
+               avg(value) FILTER (WHERE treat = 1 AND post = 1) AS m11
+        FROM p
+    )
+    SELECT n00, n01, n10, n11,
+           round(m00, 4) AS m00_r, round(m01, 4) AS m01_r,
+           round(m10, 4) AS m10_r, round(m11, 4) AS m11_r,
+           round((m11 - m10) - (m01 - m00), 4) AS did_r
+    FROM s
+"""
+
+
+@register("did_estimator", oracle=_DID_SQL)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase values: deterministic
+    treatment assignment (odd user_id) crossed with a fixed pre/post
+    boundary (2024-01-16); DiD = (treated post − treated pre) − (control
+    post − control pre), the parallel-trends causal estimate the plain
+    pre/post comparison (``welch_ab_test``) cannot give when both arms
+    drift together.
+
+    Scale shape: a single scan with four conditionally-filtered
+    aggregates — one partial+final agg, no join, no shuffle beyond the
+    1-row combine. Rounding conventions follow ``welch_ab_test`` (avg
+    rounded at 4)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    treat = (F.col("user_id") % 2 == 1).cast("int")
+    post = (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).cast("int")
+    p = e.select("value", treat.alias("treat"), post.alias("post"))
+
+    def cell(t: int, q: int, fn, col: str):
+        return fn(F.when((F.col("treat") == t) & (F.col("post") == q), F.col(col)))
+
+    s = p.agg(
+        cell(0, 0, F.count, "value").alias("n00"),
+        cell(0, 1, F.count, "value").alias("n01"),
+        cell(1, 0, F.count, "value").alias("n10"),
+        cell(1, 1, F.count, "value").alias("n11"),
+        cell(0, 0, F.avg, "value").alias("m00"),
+        cell(0, 1, F.avg, "value").alias("m01"),
+        cell(1, 0, F.avg, "value").alias("m10"),
+        cell(1, 1, F.avg, "value").alias("m11"),
+    )
+    return s.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round("m00", 4).alias("m00_r"),
+        F.round("m01", 4).alias("m01_r"),
+        F.round("m10", 4).alias("m10_r"),
+        F.round("m11", 4).alias("m11_r"),
+        F.round(
+            (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00")), 4
+        ).alias("did_r"),
+    )

@@ -914,3 +914,61 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_ELASTICITY_SQL)
+
+
+# ---------------------------------------------- newsvendor stock level
+
+_NEWSVENDOR_SQL = """
+    WITH weekly AS (
+        SELECT l_partkey AS part,
+               CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+               CAST(sum(l_quantity) AS BIGINT) AS demand
+        FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT part, demand,
+               row_number() OVER (PARTITION BY part
+                                  ORDER BY demand, wk) AS rn,
+               count(*) OVER (PARTITION BY part) AS n_weeks
+        FROM weekly
+    )
+    SELECT part, max(n_weeks) AS n_weeks,
+           min(demand) AS q75_stock
+    FROM r
+    WHERE 4 * rn >= 3 * n_weeks
+    GROUP BY 1
+"""
+
+
+@register("newsvendor_quantile_stock", oracle=_NEWSVENDOR_SQL)
+def newsvendor_quantile_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stock level per part at the 0.75 critical fractile:
+    the smallest weekly demand d such that P(demand ≤ d) ≥ 0.75 — the
+    profit-maximizing order quantity when underage costs 3× overage.
+    Computed as an EXACT discrete quantile (rank selection on integer
+    weekly demand, ``4·rn ≥ 3·n`` avoids any float ceil), not an
+    interpolated percentile, so both engines agree bit-for-bit.
+
+    Scale shape: weekly demand is a partial+final agg keyed on
+    (part, week); the rank/count windows are partitioned BY PART (weeks
+    per part are calendar-bounded, ≤ ~400 rows per partition at any SF);
+    the final min-over-tail is another part-keyed agg. No partitionless
+    window, no join."""
+    li = table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("week", "l_shipdate").cast("date").alias("wk"),
+    ).agg(F.sum("l_quantity").cast("long").alias("demand"))
+    w = Window.partitionBy("part").orderBy("demand", "wk")
+    wc = Window.partitionBy("part")
+    r = weekly.select(
+        "part",
+        "demand",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_weeks"),
+    )
+    return (
+        r.filter(4 * F.col("rn") >= 3 * F.col("n_weeks"))
+        .groupBy("part")
+        .agg(F.max("n_weeks").alias("n_weeks"), F.min("demand").alias("q75_stock"))
+    )
