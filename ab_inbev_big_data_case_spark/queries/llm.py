@@ -4551,3 +4551,74 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_shared))
         .select("depth", "rbo_r", F.col("n_shared").cast("long").alias("n_shared"))
     )
+
+
+# ------------------------------------------------ HLL sketch set algebra
+
+_HLL_CLICK = ("SELECT DISTINCT CAST(user_id AS VARCHAR) AS item FROM events "
+              "WHERE event_type = 'click'")
+_HLL_PURCH = ("SELECT DISTINCT CAST(user_id AS VARCHAR) AS item FROM events "
+              "WHERE event_type = 'purchase'")
+_HLL_EITHER = ("SELECT DISTINCT CAST(user_id AS VARCHAR) AS item FROM events "
+               "WHERE event_type IN ('click', 'purchase')")
+
+
+@register(
+    "hll_set_intersection",
+    oracle=f"""
+    WITH ea AS ({hll_oracle_sql("item", _HLL_CLICK, p=8)}),
+    eb AS ({hll_oracle_sql("item", _HLL_PURCH, p=8)}),
+    eu AS ({hll_oracle_sql("item", _HLL_EITHER, p=8)}),
+    x AS (SELECT count(*) AS exact_inter
+          FROM (({_HLL_CLICK}) INTERSECT ({_HLL_PURCH})))
+    SELECT ea.hll_est AS est_a_r, eb.hll_est AS est_b_r,
+           eu.hll_est AS est_union_r,
+           round(ea.hll_est + eb.hll_est - eu.hll_est, 4) AS est_inter_r,
+           x.exact_inter
+    FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN x
+    """,
+)
+def hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch SET ALGEBRA: estimate |clickers ∩ purchasers| by
+    inclusion–exclusion over three 256-register sketches — the union
+    sketch is the elementwise MAX-merge of the two input register tables
+    (the mergeability that makes HLL the 100 TB tool: per-segment
+    sketches combine without rescanning), and the intersection falls out
+    as est_a + est_b − est_union. Exact overlap reported alongside, per
+    the estimator-ships-with-its-error discipline of ``hll_distinct``.
+
+    Scale shape: two bounded (≤256-row) register tables from one events
+    scan each, a 512-row union+max re-group, three 1-row estimates
+    cross-joined, and one exact semi-join count for the audit column."""
+    e = table(spark, sf_dir, "events")
+    ua = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").cast("string").alias("item"))
+        .distinct()
+    )
+    ub = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").cast("string").alias("item"))
+        .distinct()
+    )
+    ra = hll_registers(ua, "item", p=8)
+    rb = hll_registers(ub, "item", p=8)
+    ru = ra.union(rb).groupBy("register").agg(F.max("rho").alias("rho"))
+    ea = hll_estimate(ra, p=8).select(F.col("hll_est").alias("est_a_r"))
+    eb = hll_estimate(rb, p=8).select(F.col("hll_est").alias("est_b_r"))
+    eu = hll_estimate(ru, p=8).select(F.col("hll_est").alias("est_union_r"))
+    exact = ua.join(ub, "item").agg(F.count("*").alias("exact_inter"))
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a_r",
+            "est_b_r",
+            "est_union_r",
+            F.round(
+                F.col("est_a_r") + F.col("est_b_r") - F.col("est_union_r"), 4
+            ).alias("est_inter_r"),
+            "exact_inter",
+        )
+    )

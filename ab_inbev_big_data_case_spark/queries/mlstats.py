@@ -2231,3 +2231,95 @@ def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00")), 4
         ).alias("did_r"),
     )
+
+
+# ------------------------------------------- caliper covariate matching
+
+_CALIPER_SQL = """
+    WITH pre AS (
+        SELECT user_id,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS spend_c
+        FROM events
+        WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+        GROUP BY 1
+    ),
+    t AS (SELECT * FROM pre WHERE user_id % 2 = 1),
+    c AS (SELECT * FROM pre WHERE user_id % 2 = 0),
+    cand AS (
+        SELECT t.user_id AS treated_id, t.spend_c AS t_spend_c,
+               c.user_id AS control_id, c.spend_c AS c_spend_c,
+               abs(t.spend_c - c.spend_c) AS absdiff_c
+        FROM t JOIN c
+          ON (c.spend_c // 2000)
+             BETWEEN (t.spend_c // 2000) - 1 AND (t.spend_c // 2000) + 1
+        WHERE abs(t.spend_c - c.spend_c) <= 2000
+    )
+    SELECT treated_id, t_spend_c, control_id, c_spend_c, absdiff_c
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY treated_id
+            ORDER BY absdiff_c, control_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+"""
+
+
+@register("caliper_matching", oracle=_CALIPER_SQL)
+def caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor covariate matching with a caliper: each treated
+    user (odd id) is matched to the control (even id) whose pre-period
+    purchase spend is closest, but only within a 2000-cent caliper —
+    the matching step a DiD/ATT analysis runs when arms are imbalanced
+    on a pre-period covariate. Spend is exact cents; ties break on
+    (|diff|, control_id), so the match set is deterministic.
+
+    Scale shape: candidate generation is a BANDED equi-join — treated
+    rows explode into their spend bucket ±1 (bucket width = caliper, so
+    the band provably contains every in-caliper control) and join
+    controls on the bucket key; the per-treated argmin is a grouped
+    ``min(struct(...))`` aggregate, not a window. Per-treated fan-out is
+    bounded by bucket occupancy, never |controls|."""
+    e = table(spark, sf_dir, "events")
+    pre = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2) * 100)
+            .cast("long")
+            .alias("spend_c")
+        )
+    )
+    t = pre.filter(F.col("user_id") % 2 == 1).select(
+        F.col("user_id").alias("treated_id"), F.col("spend_c").alias("t_spend_c")
+    )
+    c = pre.filter(F.col("user_id") % 2 == 0).select(
+        F.col("user_id").alias("control_id"),
+        F.col("spend_c").alias("c_spend_c"),
+        F.expr("spend_c div 2000").alias("bkt"),
+    )
+    tb = t.select(
+        "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off")
+    ).select(
+        "treated_id",
+        "t_spend_c",
+        (F.expr("t_spend_c div 2000") + F.col("off")).alias("bkt"),
+    )
+    cand = (
+        tb.join(c, "bkt")
+        .withColumn("absdiff_c", F.abs(F.col("t_spend_c") - F.col("c_spend_c")))
+        .filter(F.col("absdiff_c") <= 2000)
+    )
+    best = cand.groupBy("treated_id", "t_spend_c").agg(
+        F.min(F.struct("absdiff_c", "control_id", "c_spend_c")).alias("m")
+    )
+    return best.select(
+        "treated_id",
+        "t_spend_c",
+        F.col("m.control_id").alias("control_id"),
+        F.col("m.c_spend_c").alias("c_spend_c"),
+        F.col("m.absdiff_c").alias("absdiff_c"),
+    )

@@ -932,3 +932,121 @@ def order_cycle_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+# ------------------------------------------ Fellegi–Sunter record linkage
+
+# Field agreement weights in milli-bans (log2(m/u)·1000, fixed literals so
+# both engines sum exact integers — no transcendental at query time):
+#   brand: m=.90 u=.04 -> agree log2(22.5)=+4.492, disagree log2(.1/.96)=-3.263
+#   type:  m=.80 u=.01 -> agree log2(80)  =+6.322, disagree log2(.2/.99)=-2.307
+#   size±1:m=.70 u=.10 -> agree log2(7)   =+2.807, disagree log2(.3/.9) =-1.585
+_FS_W = dict(brand=(4492, -3263), ptype=(6322, -2307), size=(2807, -1585))
+
+_FS_SQL = f"""
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_type, p_size,
+               string_split(p_name, ' ')[-1] AS tok,
+               p_size // 10 AS szb
+        FROM part
+    ),
+    blk AS (
+        SELECT tok, szb FROM p GROUP BY 1, 2 HAVING count(*) <= 1024
+    ),
+    pb AS (SELECT p.* FROM p JOIN blk USING (tok, szb)),
+    pairs AS (
+        SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+               (CASE WHEN a.p_brand = b.p_brand
+                     THEN {_FS_W['brand'][0]} ELSE {_FS_W['brand'][1]} END
+                + CASE WHEN a.p_type = b.p_type
+                       THEN {_FS_W['ptype'][0]} ELSE {_FS_W['ptype'][1]} END
+                + CASE WHEN abs(a.p_size - b.p_size) <= 1
+                       THEN {_FS_W['size'][0]} ELSE {_FS_W['size'][1]} END)
+                   AS score_milli
+        FROM pb a JOIN pb b
+          ON a.tok = b.tok AND a.szb = b.szb AND a.p_partkey < b.p_partkey
+    )
+    SELECT p1, p2, score_milli,
+           CASE WHEN score_milli >= 6000 THEN 'match'
+                WHEN score_milli >= 0 THEN 'possible'
+                ELSE 'non-match' END AS fs_class
+    FROM pairs
+    ORDER BY score_milli DESC, p1, p2
+    LIMIT 200
+"""
+
+
+@register("fellegi_sunter_scores", oracle=_FS_SQL)
+def fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the part
+    dimension: candidate pairs from hierarchical blocking (name head-noun
+    × size decade), scored by summed field agreement/disagreement weights
+    log2(m/u) — the classical ER decision model behind Splink et al.
+    ``fuzzy_match_blocked`` answers "how FAR apart are two strings";
+    this answers "how LIKELY is this pair the same entity" across
+    multiple typed fields with per-field evidence strength.
+
+    Exactness: weights are fixed milli-ban INTEGER literals (precomputed
+    log2 values — no runtime transcendental), so scores sum exactly and
+    the top-200 cut with its (score, p1, p2) tie-break is deterministic.
+
+    Scale shape: pair generation is a blocked equi-join — the composite
+    (head-noun, size-decade) key keeps blocks selective and the ≤1024
+    occupancy cap (mirrored in the oracle) is the quadratic guard, same
+    policy as the LSH bucket cap in ``llm/dedup.py``; the top-200 is
+    TakeOrderedAndProject."""
+    pt = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.element_at(F.split("p_name", " "), -1).alias("tok"),
+        F.expr("p_size div 10").alias("szb"),
+    )
+    blk = pt.groupBy("tok", "szb").agg(F.count("*").alias("bn")).filter(
+        F.col("bn") <= 1024
+    )
+    pb = pt.join(blk.select("tok", "szb"), ["tok", "szb"])
+    a = pb.select(
+        "tok", "szb",
+        F.col("p_partkey").alias("p1"),
+        F.col("p_brand").alias("b1"),
+        F.col("p_type").alias("t1"),
+        F.col("p_size").alias("s1"),
+    )
+    b = pb.select(
+        "tok", "szb",
+        F.col("p_partkey").alias("p2"),
+        F.col("p_brand").alias("b2"),
+        F.col("p_type").alias("t2"),
+        F.col("p_size").alias("s2"),
+    )
+    wb, wt, ws = _FS_W["brand"], _FS_W["ptype"], _FS_W["size"]
+    pairs = (
+        a.join(b, ["tok", "szb"])
+        .filter(F.col("p1") < F.col("p2"))
+        .select(
+            "p1",
+            "p2",
+            (
+                F.when(F.col("b1") == F.col("b2"), wb[0]).otherwise(wb[1])
+                + F.when(F.col("t1") == F.col("t2"), wt[0]).otherwise(wt[1])
+                + F.when(F.abs(F.col("s1") - F.col("s2")) <= 1, ws[0]).otherwise(
+                    ws[1]
+                )
+            ).alias("score_milli"),
+        )
+    )
+    return (
+        pairs.select(
+            "p1",
+            "p2",
+            "score_milli",
+            F.when(F.col("score_milli") >= 6000, "match")
+            .when(F.col("score_milli") >= 0, "possible")
+            .otherwise("non-match")
+            .alias("fs_class"),
+        )
+        .orderBy(F.col("score_milli").desc(), "p1", "p2")
+        .limit(200)
+    )
