@@ -2323,3 +2323,111 @@ def caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.c_spend_c").alias("c_spend_c"),
         F.col("m.absdiff_c").alias("absdiff_c"),
     )
+
+
+# ------------------------------------------- covariate balance (SMD)
+
+_SMD_SQL = """
+    WITH pre AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS spend_c,
+               count(*) AS n_purch
+        FROM events
+        WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+        GROUP BY 1, 2
+    ),
+    long AS (
+        SELECT treat, 'pre_spend_c' AS covar, spend_c AS v FROM pre
+        UNION ALL
+        SELECT treat, 'pre_n_purchases' AS covar, n_purch AS v FROM pre
+    ),
+    s AS (
+        SELECT covar,
+               count(*) FILTER (WHERE treat = 1) AS nt,
+               count(*) FILTER (WHERE treat = 0) AS nc,
+               sum(v::HUGEINT) FILTER (WHERE treat = 1) AS st,
+               sum(v::HUGEINT) FILTER (WHERE treat = 0) AS sc,
+               sum((v::HUGEINT) * v) FILTER (WHERE treat = 1) AS qt,
+               sum((v::HUGEINT) * v) FILTER (WHERE treat = 0) AS qc
+        FROM long GROUP BY 1
+    )
+    SELECT covar, nt, nc,
+           round(st::DOUBLE / nt, 4) AS mean_t_r,
+           round(sc::DOUBLE / nc, 4) AS mean_c_r,
+           round((st::DOUBLE / nt - sc::DOUBLE / nc)
+                 / sqrt(((nt * qt - st * st)::DOUBLE / (nt::DOUBLE * (nt - 1))
+                         + (nc * qc - sc * sc)::DOUBLE / (nc::DOUBLE * (nc - 1)))
+                        / 2), 4) AS smd_r
+    FROM s
+"""
+
+
+@register("covariate_balance_smd", oracle=_SMD_SQL)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized mean difference of pre-period covariates between the
+    deterministic treatment arms — the balance table read BEFORE trusting
+    ``did_estimator``/``cuped_adjustment`` and the diagnostic
+    ``caliper_matching`` exists to fix (|SMD| < 0.1 is the usual
+    balanced-enough threshold). One row per covariate (pre-period spend
+    in cents, pre-period purchase count).
+
+    Exactness: unlike ``welch_ab_test`` (whose double moments survive its
+    coarser data), the per-user spend sums here land exactly on round-4
+    boundaries, so the moments are assembled from EXACT integer cents —
+    n, Σv, Σv² as decimals — and mean/variance/SMD are computed in double
+    from those exact sums with the identical expression in both engines.
+
+    Scale shape: one user-keyed pre-period aggregate, a constant ×2
+    unpivot into (covariate, value) long form, and one grouped moment
+    aggregate on the 2-key covariate domain."""
+    e = table(spark, sf_dir, "events")
+    pre = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        )
+        .groupBy("user_id", (F.col("user_id") % 2 == 1).cast("int").alias("treat"))
+        .agg(
+            (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2) * 100)
+            .cast("long")
+            .alias("spend_c"),
+            F.count("*").alias("n_purch"),
+        )
+    )
+    long = pre.select(
+        "treat", F.lit("pre_spend_c").alias("covar"), F.col("spend_c").alias("v")
+    ).unionAll(
+        pre.select(
+            "treat",
+            F.lit("pre_n_purchases").alias("covar"),
+            F.col("n_purch").alias("v"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = long.groupBy("covar").agg(
+        F.count(F.when(F.col("treat") == 1, 1)).alias("nt"),
+        F.count(F.when(F.col("treat") == 0, 1)).alias("nc"),
+        F.sum(F.when(F.col("treat") == 1, dec("v"))).alias("st"),
+        F.sum(F.when(F.col("treat") == 0, dec("v"))).alias("sc"),
+        F.sum(F.when(F.col("treat") == 1, dec("v") * F.col("v"))).alias("qt"),
+        F.sum(F.when(F.col("treat") == 0, dec("v") * F.col("v"))).alias("qc"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    mt = dbl("st") / F.col("nt")
+    mc = dbl("sc") / F.col("nc")
+    vt = (F.col("nt") * F.col("qt") - F.col("st") * F.col("st")).cast("double") / (
+        F.col("nt").cast("double") * (F.col("nt") - 1)
+    )
+    vc = (F.col("nc") * F.col("qc") - F.col("sc") * F.col("sc")).cast("double") / (
+        F.col("nc").cast("double") * (F.col("nc") - 1)
+    )
+    return s.select(
+        "covar",
+        "nt",
+        "nc",
+        F.round(mt, 4).alias("mean_t_r"),
+        F.round(mc, 4).alias("mean_c_r"),
+        F.round((mt - mc) / F.sqrt((vt + vc) / 2), 4).alias("smd_r"),
+    )

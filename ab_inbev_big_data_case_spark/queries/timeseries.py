@@ -924,3 +924,104 @@ def ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kv")
     ).select("kv.lag_k", "kv.n_pairs", "kv.ccf_r")
+
+
+# ----------------------------------------------------- SAX motif mining
+
+_SAX_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    mo AS (
+        SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+               sum((x::HUGEINT) * x) AS q
+        FROM daily
+    ),
+    lab AS (
+        SELECT d,
+               CASE
+                   WHEN (x * mo.n - mo.s) < 0
+                        AND 10000 * (x * mo.n - mo.s) * (x * mo.n - mo.s)
+                            > 4489 * (mo.n * mo.q - mo.s * mo.s)
+                       THEN 'a'
+                   WHEN (x * mo.n - mo.s) < 0 THEN 'b'
+                   WHEN (x * mo.n - mo.s) >= 0
+                        AND NOT (10000 * (x * mo.n - mo.s) * (x * mo.n - mo.s)
+                                 >= 4489 * (mo.n * mo.q - mo.s * mo.s))
+                       THEN 'c'
+                   ELSE 'd'
+               END AS letter
+        FROM daily CROSS JOIN mo
+    ),
+    grams AS (
+        SELECT letter
+               || lead(letter, 1) OVER (ORDER BY d)
+               || lead(letter, 2) OVER (ORDER BY d) AS motif
+        FROM lab
+    )
+    SELECT motif, count(*) AS n_occ
+    FROM grams WHERE length(motif) = 3
+    GROUP BY 1
+    ORDER BY n_occ DESC, motif
+    LIMIT 10
+"""
+
+
+@register("sax_motifs", oracle=_SAX_SQL)
+def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic motif mining (Lin et al. 2003) over the daily revenue
+    series: z-normalize, discretize into a 4-letter alphabet at the
+    standard-normal quartile breakpoints (±0.6745 ≈ ±0.67), and count the
+    top-10 3-letter motifs — the symbolic-sequence view that turns a
+    numeric series into n-gram analytics.
+
+    Exactness: the z-comparison z ≷ ±0.67 is evaluated WITHOUT computing
+    z — with d = x·n − S and V = n·Σx² − S², sign(z) = sign(d) and
+    |z| > 0.67 ⟺ 10000·d² > 4489·V, all exact integer arithmetic (the
+    breakpoint squared is the exact rational 4489/10000), so no float
+    mean/std can flip a borderline letter between engines.
+
+    Scale shape: the series is the calendar-day spine (bounded domain —
+    one groupBy collapses the fact scan); moments are one 1-row
+    aggregate broadcast back; the two ``lead``s share a single ordered
+    window over the bounded spine (audited in the partitionless
+    allowlist); motif counting is a ≤64-key aggregate."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("x")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mo = daily.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("s"),
+        F.sum(dec("x") * F.col("x")).alias("q"),
+    )
+    j = daily.crossJoin(F.broadcast(mo))
+    d_ = dec("x") * F.col("n") - F.col("s")
+    v_ = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    lab = j.select(
+        "d",
+        F.when((d_ < 0) & (10000 * d_ * d_ > 4489 * v_), "a")
+        .when(d_ < 0, "b")
+        .when((d_ >= 0) & ~(10000 * d_ * d_ >= 4489 * v_), "c")
+        .otherwise("d")
+        .alias("letter"),
+    )
+    w = Window.orderBy("d")  # bounded calendar-day spine
+    grams = lab.select(
+        F.concat(
+            "letter", F.lead("letter", 1).over(w), F.lead("letter", 2).over(w)
+        ).alias("motif")
+    )
+    return (
+        grams.filter(F.length("motif") == 3)
+        .groupBy("motif")
+        .agg(F.count("*").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "motif")
+        .limit(10)
+    )
