@@ -48,7 +48,7 @@ PARTITIONLESS_ALLOWED = {
     "mann_kendall_theil_sen": 4,    # daily spine pairwise stats
     "mom_revenue_growth": 3,        # monthly aggregate spine
     "rbo_rank_agreement": 4,        # top-k ranking spine
-    "sax_motifs": 1,                # daily spine 3-gram leads
+    "sax_motifs": 2,                # daily spine 3-gram leads (one spec per lead frame)
     "seasonal_residual_anomaly": 8, # daily spine decomposition
     "skyline_2d": 1,                # pruned local-survivor pass
     "spearman_corr_lengths": 2,     # two value-domain rank spines
