@@ -2431,3 +2431,79 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mc, 4).alias("mean_c_r"),
         F.round((mt - mc) / F.sqrt((vt + vc) / 2), 4).alias("smd_r"),
     )
+
+
+# ------------------------------------------------- edge triangle support
+
+_TRUSS_SQL = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    sup AS (
+        SELECT u, v, count(*) AS n_tri FROM (
+            SELECT a AS u, b AS v FROM tri
+            UNION ALL SELECT b AS u, c AS v FROM tri
+            UNION ALL SELECT a AS u, c AS v FROM tri
+        ) GROUP BY 1, 2
+    )
+    SELECT e.u, e.v, coalesce(s.n_tri, 0) AS support
+    FROM edges e LEFT JOIN sup s USING (u, v)
+    ORDER BY support DESC, e.u, e.v
+    LIMIT 20
+"""
+
+
+@register("edge_triangle_support", oracle=_TRUSS_SQL)
+def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support over the co-purchase graph — the edge
+    statistic k-truss decomposition peels on (an edge in the k-truss has
+    support ≥ k−2): where ``triangle_count`` answers "how cohesive is the
+    graph", this ranks WHICH co-purchase relationships are embedded in
+    cliquey neighborhoods versus isolated pairings.
+
+    Scale shape: same canonical u<v edge list and support-≥2 sparsifier
+    as ``triangle_count``; the closing leg is an INNER equi-join (the
+    triangle tuple is needed, not just its existence), each triangle
+    explodes into exactly 3 edge tallies, and the top-20 is
+    TakeOrderedAndProject with a full (support, u, v) tie-break."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    sup = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        edges.join(sup, ["u", "v"], "left")
+        .select("u", "v", F.coalesce("n_tri", F.lit(0)).alias("support"))
+        .orderBy(F.col("support").desc(), "u", "v")
+        .limit(20)
+    )

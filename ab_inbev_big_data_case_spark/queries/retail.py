@@ -972,3 +972,81 @@ def newsvendor_quantile_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.max("n_weeks").alias("n_weeks"), F.min("demand").alias("q75_stock"))
     )
+
+
+# --------------------------------------------- Laspeyres price index
+
+_LASPEYRES_SQL = """
+    WITH pm AS (
+        SELECT l_partkey AS part,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS mth,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS ext_c,
+               CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pr AS (SELECT part, mth, qty, (ext_c * 1000) // qty AS price_milli FROM pm),
+    b0 AS (SELECT min(mth) AS base_mth FROM pr),
+    base AS (
+        SELECT part, qty AS qty0, price_milli AS p0
+        FROM pr CROSS JOIN b0 WHERE mth = base_mth
+    )
+    SELECT pr.mth,
+           count(*) AS n_parts,
+           round(sum(pr.price_milli::HUGEINT * base.qty0)::DOUBLE
+                 / sum(base.p0::HUGEINT * base.qty0)::DOUBLE, 6)
+               AS laspeyres_r
+    FROM pr JOIN base USING (part)
+    GROUP BY 1
+"""
+
+
+@register("laspeyres_price_index", oracle=_LASPEYRES_SQL)
+def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres price index over the part catalog:
+    I_t = Σ p_{i,t}·q_{i,0} / Σ p_{i,0}·q_{i,0}, base = first shipping
+    month, restricted per month to the matched sample of parts present in
+    both (the standard matched-model index). Unit prices are FLOOR-milli
+    integers ((cents·1000) div qty), so every numerator/denominator term
+    is exact and the single division happens on per-month exact sums.
+
+    Scale shape: one (part, month) partial aggregate over the fact scan;
+    the base basket is a month-filtered slice joined back on part (a
+    dimension-sized build side at any SF — one row per part); sums are
+    grouped on the bounded month domain."""
+    li = table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mth"),
+    ).agg(
+        (F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("ext_c"),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )
+    pr = pm.select(
+        "part", "mth", "qty", F.expr("(ext_c * 1000) div qty").alias("price_milli")
+    )
+    b0 = pr.agg(F.min("mth").alias("base_mth"))
+    base = (
+        pr.crossJoin(F.broadcast(b0))
+        .filter(F.col("mth") == F.col("base_mth"))
+        .select("part", F.col("qty").alias("qty0"), F.col("price_milli").alias("p0"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        pr.join(base, "part")
+        .groupBy("mth")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(dec("price_milli") * F.col("qty0")).alias("num"),
+            F.sum(dec("p0") * F.col("qty0")).alias("den"),
+        )
+        .select(
+            "mth",
+            "n_parts",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("laspeyres_r"),
+        )
+    )
