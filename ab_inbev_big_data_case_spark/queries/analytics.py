@@ -1858,3 +1858,30 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count("*").alias("wau"))
     )
+
+
+# ---------------------------------------------- correlated LATERAL join
+
+_LATERAL_TOPK = """
+    SELECT n.n_name, t.c_name, t.bal_r
+    FROM nation n, LATERAL (
+        SELECT c_name, round(c_acctbal, 2) AS bal_r
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+"""
+
+
+@register("lateral_topk_per_group", oracle=_LATERAL_TOPK)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per nation, the top-3 customers by
+    account balance — the SQL-surface sibling of ``window_topk_group``
+    (same result shape, but exercising Spark's lateral-join decorrelation
+    instead of a rank window; the ONE SQL string runs verbatim on both
+    engines). Tie-break on (balance desc, name) keeps the cut
+    deterministic.
+
+    Scale shape: Catalyst decorrelates the lateral subquery into a
+    partitioned rank-and-filter over the customer table — the dimension
+    side (nation) never drives a per-row re-scan."""
+    return _sql(spark, sf_dir, ("nation", "customer"), _LATERAL_TOPK)

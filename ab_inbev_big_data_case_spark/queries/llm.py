@@ -4622,3 +4622,119 @@ def hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
+
+
+# ----------------------------------------------------- MAP@5 eval
+
+_MAP_SQL = f"""
+    WITH {_BUCKET_SQL},
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+    exact AS (
+        SELECT qid AS query_id, cand_id FROM (
+            SELECT q.qid, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({_DOT.format(x='q.qv', y='c.embedding')} /
+                             ({_NORM.format(x='q.qv', tag='q')} *
+                              {_NORM.format(x='c.embedding', tag='c')}), 3)
+                             DESC NULLS LAST, c.vec_id) AS rk
+            FROM q, embeddings c WHERE c.vec_id != q.qid
+        ) WHERE rk <= 5
+    ),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
+    cand AS (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
+        FROM qb JOIN buckets cb USING (tbl, bucket)
+        WHERE cb.vec_id != qb.query_id
+    ),
+    annk AS (
+        SELECT query_id, cand_id, rk FROM (
+            SELECT p.query_id, p.cand_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round({_DOT.format(x='eq.embedding', y='ec.embedding')} /
+                             ({_NORM.format(x='eq.embedding', tag='q')} *
+                              {_NORM.format(x='ec.embedding', tag='c')}), 3)
+                             DESC NULLS LAST, p.cand_id) AS rk
+            FROM cand p
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN embeddings ec ON ec.vec_id = p.cand_id
+        ) WHERE rk <= 5
+    ),
+    scored AS (
+        SELECT a.query_id, a.rk,
+               CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM annk a
+        LEFT JOIN exact e
+          ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+    ),
+    cum AS (
+        SELECT query_id, rk, hit,
+               sum(hit) OVER (PARTITION BY query_id ORDER BY rk
+                              ROWS UNBOUNDED PRECEDING) AS h
+        FROM scored
+    )
+    SELECT c.query_id,
+           sum(c.hit)::BIGINT AS n_hits,
+           round(sum(c.hit * c.h * (60 // c.rk))::BIGINT / 300.0, 4) AS ap_r
+    FROM cum c
+    GROUP BY 1
+"""
+
+
+@register("map_at_k_eval", oracle=_MAP_SQL)
+def map_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @5 of the LSH ANN ranking against the exact
+    cosine top-5, per query — completing the retrieval-metric triple:
+    recall@5 measures set overlap, nDCG@5 weights by position, AP@5
+    averages precision AT the hit positions (the metric that punishes a
+    ranking whose hits cluster at the bottom).
+
+    Exactness: AP@5 = (1/5)·Σ_{{hit at k}} P@k with P@k = h_k/k is scaled
+    by 300 = lcm(1..5)·5·... so each term hit_k·h_k·(60/k) is an exact
+    INTEGER (k ∈ 1..5 divides 60); the single division happens on the
+    final per-query integer. Scale shape: the ANN side ranks bucket-mates
+    only, the exact side is the fixed-10-query brute baseline, and the
+    cumulative-hit window runs over ≤5 rows per query."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
+    cand = ann_lsh_search(
+        e,
+        "vec_id",
+        "embedding",
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
+        n_planes=4,
+        n_tables=4,
+        min_cosine=-1.0,
+        dim=64,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("cand_id")
+    )
+    annk = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "rk")
+    )
+    scored = annk.join(
+        exact.select("query_id", "cand_id", F.lit(1).alias("is_rel")),
+        ["query_id", "cand_id"],
+        "left",
+    ).select(
+        "query_id", "rk", F.coalesce("is_rel", F.lit(0)).alias("hit")
+    )
+    wc = Window.partitionBy("query_id").orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = scored.withColumn("h", F.sum("hit").over(wc))
+    return cum.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.col("hit") * F.col("h") * F.expr("60 div rk")).cast("long")
+            / 300.0,
+            4,
+        ).alias("ap_r"),
+    )
