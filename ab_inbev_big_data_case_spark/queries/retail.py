@@ -1050,3 +1050,152 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("laspeyres_r"),
         )
     )
+
+
+# ------------------------------------------ hierarchical share rollup
+
+_HIER_SHARE_SQL = """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS rev_c
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, sum(rev_c)::BIGINT AS region_c FROM rev GROUP BY 1),
+    tot AS (SELECT sum(rev_c)::BIGINT AS total_c FROM rev)
+    SELECT rev.region, rev.nation, rev.rev_c,
+           round(rev.rev_c * 100.0 / reg.region_c, 4) AS share_of_region_r,
+           round(reg.region_c * 100.0 / t.total_c, 4) AS region_share_r
+    FROM rev JOIN reg USING (region) CROSS JOIN tot t
+"""
+
+
+@register("hierarchical_share_rollup", oracle=_HIER_SHARE_SQL)
+def hierarchical_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at two hierarchy levels: each nation's revenue as a
+    % of its region, and each region as a % of the grand total — the
+    percent-of-parent drilldown every OLAP frontend asks for (distinct
+    from ``rollup_agg``, which emits subtotal ROWS; this emits the ratios
+    side by side on the leaf grain).
+
+    Scale shape: one fact aggregation keyed on the bounded
+    (region, nation) dimension grain, then two re-aggregations of that
+    25-row result; dimension joins broadcast; ratios are exact-cent
+    integer divisions rounded once."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    reg = rev.groupBy("region").agg(F.sum("rev_c").alias("region_c"))
+    tot = rev.agg(F.sum("rev_c").alias("total_c"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "rev_c",
+            F.round(F.col("rev_c") * 100.0 / F.col("region_c"), 4).alias(
+                "share_of_region_r"
+            ),
+            F.round(F.col("region_c") * 100.0 / F.col("total_c"), 4).alias(
+                "region_share_r"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------- holiday lift
+
+_HOLIDAY_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT *,
+               CASE WHEN (month(d) = 12 AND day(d) = 25)
+                      OR (month(d) = 1 AND day(d) = 1)
+                      OR (month(d) = 7 AND day(d) = 4)
+                    THEN 1 ELSE 0 END AS is_holiday
+        FROM daily
+    ),
+    s AS (
+        SELECT dow,
+               count(*) FILTER (WHERE is_holiday = 1) AS n_hol,
+               count(*) FILTER (WHERE is_holiday = 0) AS n_base,
+               sum(rev_c) FILTER (WHERE is_holiday = 1)::BIGINT AS hol_c,
+               sum(rev_c) FILTER (WHERE is_holiday = 0)::BIGINT AS base_c
+        FROM lab GROUP BY 1
+    )
+    SELECT dow, n_hol, n_base,
+           round((hol_c::DOUBLE / n_hol)
+                 / (base_c::DOUBLE / n_base), 4) AS lift_r
+    FROM s WHERE n_hol > 0
+"""
+
+
+@register("holiday_lift", oracle=_HOLIDAY_SQL)
+def holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holiday revenue lift with day-of-week control: average daily
+    revenue on a fixed holiday list (Dec 25, Jan 1, Jul 4) divided by the
+    average for the SAME weekday on non-holidays — the DOW matching that
+    stops a Sunday holiday from being compared against a weekday
+    baseline (the calendar-effects sibling of ``dow_seasonal_profile``).
+
+    Scale shape: the whole computation lives on the bounded calendar-day
+    spine after one fact aggregation; the holiday label is a constant
+    expression, and the lift is exact-cent integer sums with one final
+    double division per weekday row.
+
+    DOW convention: Spark's ``dayofweek`` is 1=Sunday..7=Saturday,
+    DuckDB's is 0=Sunday..6 — the oracle adds 1 to align."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+    ).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    hol = (
+        ((F.month("d") == 12) & (F.dayofmonth("d") == 25))
+        | ((F.month("d") == 1) & (F.dayofmonth("d") == 1))
+        | ((F.month("d") == 7) & (F.dayofmonth("d") == 4))
+    ).cast("int")
+    lab = daily.withColumn("is_holiday", hol)
+    s = lab.groupBy("dow").agg(
+        F.count(F.when(F.col("is_holiday") == 1, 1)).alias("n_hol"),
+        F.count(F.when(F.col("is_holiday") == 0, 1)).alias("n_base"),
+        F.sum(F.when(F.col("is_holiday") == 1, F.col("rev_c"))).alias("hol_c"),
+        F.sum(F.when(F.col("is_holiday") == 0, F.col("rev_c"))).alias("base_c"),
+    )
+    return s.filter(F.col("n_hol") > 0).select(
+        "dow",
+        "n_hol",
+        "n_base",
+        F.round(
+            (F.col("hol_c").cast("double") / F.col("n_hol"))
+            / (F.col("base_c").cast("double") / F.col("n_base")),
+            4,
+        ).alias("lift_r"),
+    )

@@ -46,6 +46,9 @@ HEADLINE = [
     "gini_concentration",     # two-level global rank + cumsum (r5 s4)
     "bm25_topk",              # lexical retrieval over inverted postings (r5 s2)
     "winnowing_fingerprints", # MOSS grouped-min fingerprint selection (r5 s4)
+    "k_anonymity_audit",      # privacy-audit groupBy family (r6 s2)
+    "resource_allocation_links",  # basket-bounded link prediction (r6 s2)
+    "rolling_active_users",   # explode-cover WAU rollup (r6 s2)
 ]
 
 #: Known-bounded partitionless window specs per headline plan. Every entry
