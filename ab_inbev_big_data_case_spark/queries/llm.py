@@ -4738,3 +4738,72 @@ def map_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ap_r"),
     )
+
+
+# ------------------------------------------- held-out OOV coverage
+
+_OOV_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tv AS (SELECT DISTINCT token FROM tok WHERE doc_id % 10 < 8),
+    ho AS (SELECT token FROM tok WHERE doc_id % 10 >= 8),
+    hit AS (
+        SELECT ho.token,
+               CASE WHEN tv.token IS NULL THEN 1 ELSE 0 END AS oov
+        FROM ho LEFT JOIN tv USING (token)
+    ),
+    s AS (
+        SELECT count(*) AS n_tokens, sum(oov)::BIGINT AS n_oov,
+               count(DISTINCT token) AS n_types,
+               count(DISTINCT CASE WHEN oov = 1 THEN token END) AS n_oov_types
+        FROM hit
+    )
+    SELECT n_tokens, n_oov, n_types, n_oov_types,
+           round(n_oov * 1.0 / n_tokens, 6) AS oov_token_rate_r,
+           round(n_oov_types * 1.0 / n_types, 6) AS oov_type_rate_r
+    FROM s
+"""
+
+
+@register("oov_rate_heldout", oracle=_OOV_SQL)
+def oov_rate_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of a deterministic 20% held-out split
+    against the 80% training vocabulary — token-occurrence OOV (what a
+    closed-vocab model would fail on at inference) and type OOV (how much
+    of the held-out vocabulary is unseen), the generalization companion
+    to ``heaps_law_fit``'s growth curve and the coverage check run before
+    freezing any tokenizer/vocab on a corpus snapshot.
+
+    Scale shape: one token explode feeding a hash-keyed distinct (train
+    vocabulary — vocabulary-bounded state) and a token-keyed LEFT join of
+    held-out occurrences against it (AQE picks broadcast when the vocab
+    fits); the final moments are one 1-row exact-integer aggregate."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tv = tok.filter(F.col("doc_id") % 10 < 8).select("token").distinct()
+    ho = tok.filter(F.col("doc_id") % 10 >= 8).select("token")
+    hit = ho.join(
+        tv.withColumn("seen", F.lit(1)), "token", "left"
+    ).select("token", F.when(F.col("seen").isNull(), 1).otherwise(0).alias("oov"))
+    s = hit.agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.count_distinct("token").alias("n_types"),
+        F.count_distinct(F.when(F.col("oov") == 1, F.col("token"))).alias(
+            "n_oov_types"
+        ),
+    )
+    return s.select(
+        "n_tokens",
+        "n_oov",
+        "n_types",
+        "n_oov_types",
+        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_token_rate_r"),
+        F.round(F.col("n_oov_types") / F.col("n_types"), 6).alias(
+            "oov_type_rate_r"
+        ),
+    )

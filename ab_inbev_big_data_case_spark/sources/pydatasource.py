@@ -61,3 +61,48 @@ def register_synthetic_source(spark: SparkSession) -> None:
     """Idempotent registration (re-registering the same name is fine —
     latest registration wins in the per-session registry)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ------------------------------------------------- streaming variant
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same deterministic id space: each
+    ``read`` advances the offset by ``batch_rows`` ids until the ``rows``
+    cap, then reports no new data. Offsets are plain dicts — exactly what
+    Spark checkpoints — so a restarted query resumes mid-stream and
+    ``readBetweenOffsets`` replays any committed range bit-for-bit (the
+    replayability contract a production queue/CDC source must meet)."""
+
+    def __init__(self, options: dict) -> None:
+        self.batch = int(options.get("batch_rows", 100))
+        self.cap = int(options.get("rows", 500))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        return iter(
+            [(rid, rid % 10, (rid * _MIX) % 1000) for rid in range(lo, hi)]
+        )
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        if pos >= self.cap:
+            return (iter([]), start)
+        end = min(pos + self.batch, self.cap)
+        return (self._rows(pos, end), {"pos": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["pos"], end["pos"])
+
+
+def _simple_stream_reader(self, schema) -> _SyntheticStreamReader:
+    return _SyntheticStreamReader(self.options)
+
+
+# attach to the batch DataSource class: one registration serves both
+# spark.read and spark.readStream for the "synthetic_events" format
+SyntheticEventsDataSource.simpleStreamReader = _simple_stream_reader

@@ -307,3 +307,45 @@ def test_write_with_observation_metrics(spark, sf_dir, tmp_path):
     assert got["n_null_props"] == e.filter(F.col("props").isNull()).count()
     assert abs(got["max_value"] - e.agg(F.max("value")).collect()[0][0]) < 1e-9
     assert spark.read.parquet(out).count() == got["n_rows"]
+
+
+def test_python_streaming_datasource_reads_deterministic_batches(spark):
+    """Spark 4 SimpleDataSourceStreamReader surface: the synthetic format
+    streams its id space in micro-batches; content equals the batch scan."""
+    from ab_inbev_big_data_case_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 300)
+        .option("batch_rows", 120)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pyds_stream_out")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("pyds_stream_out").count() >= 300:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.table("pyds_stream_out")
+    assert got.count() == 300
+    from pyspark.sql import functions as F
+
+    s = got.agg(
+        F.sum("id").alias("sid"), F.sum("raw").alias("sraw")
+    ).first()
+    assert s["sid"] == sum(range(300))
+    assert s["sraw"] == sum((rid * 2654435761) % 1000 for rid in range(300))
