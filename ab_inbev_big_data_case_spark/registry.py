@@ -152,6 +152,31 @@ _STAGED_NEXT = [
     "permutation_test_ab",
     "lorenz_curve_points",
     "markov_next_event_accuracy",
+    # --- round-6 session-2 additions (never driver-checked; locally green
+    # at sf0.001/0.01/0.1): queue behind the r5 tail for the r7/r8 windows.
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "spearman_corr_lengths",
+    "kendall_tau_nations",
+    "interval_allocation_daily",
+    "resource_allocation_links",
+    "readability_scores",
+    "matryoshka_truncation_eval",
+    "did_estimator",
+    "rolling_active_users",
+    "newsvendor_quantile_stock",
+    "fellegi_sunter_scores",
+    "hll_set_intersection",
+    "caliper_matching",
+    "sax_motifs",
+    "covariate_balance_smd",
+    "edge_triangle_support",
+    "laspeyres_price_index",
+    "map_at_k_eval",
+    "lateral_topk_per_group",
+    "hierarchical_share_rollup",
+    "holiday_lift",
+    "oov_rate_heldout",
 ]
 
 
