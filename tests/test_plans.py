@@ -568,3 +568,34 @@ def test_permutation_fanout_single_aggregate(spark, sf_dir):
     re-execution: the events parquet is scanned exactly once."""
     plan = _plan(QUERIES["permutation_test_ab"](spark, sf_dir))
     assert plan.count("events.parquet") <= 1
+
+
+# ------------------------------------------- round-6 headliner pins
+
+
+def test_k_anonymity_no_joins_no_windows(spark, sf_dir):
+    """The audit is two partial-aggregated groupBys plus a broadcast
+    1-row total — any Window, sort-merge join, or generate appearing here
+    is a regression."""
+    plan = _plan(QUERIES["k_anonymity_audit"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total attach
+
+
+def test_resource_allocation_topk_and_no_window(spark, sf_dir):
+    """Pair scores aggregate map-side and the top-100 is
+    TakeOrderedAndProject — never a global rank window."""
+    plan = _plan(QUERIES["resource_allocation_links"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_active_users_explode_not_window(spark, sf_dir):
+    """WAU uses the explode-cover identity: a Generate node and keyed
+    aggregates, zero Window operators (a distinct-over-window plan would
+    single-partition the day spine recounts)."""
+    plan = _plan(QUERIES["rolling_active_users"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "Window" not in plan
