@@ -4807,3 +4807,51 @@ def oov_rate_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_type_rate_r"
         ),
     )
+
+
+# ------------------------------------------- positional phrase search
+
+_PHRASE_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    pa AS (SELECT doc_id, pos FROM tok WHERE t = 'order'),
+    pb AS (SELECT doc_id, pos FROM tok WHERE t = 'fast')
+    SELECT pa.doc_id, count(*) AS n_occ
+    FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos = pa.pos + 1
+    GROUP BY 1
+"""
+
+
+@register("phrase_search_positional", oracle=_PHRASE_SQL)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("order fast") via POSITIONAL postings
+    intersection — the inverted-index way to answer phrase queries
+    without rescanning text: both terms' posting lists join on
+    (doc, adjacent position). ``postings_lists``/``bm25_topk`` stop at
+    doc-level term postings; this is the position-aware layer phrase and
+    proximity operators need.
+
+    Scale shape: the posexplode is the standard token explode with the
+    position carried along; each term's postings are a FILTERED slice of
+    it (term selectivity is the pruning — at 100 TB the postings table is
+    the materialized index, term-partitioned), and the adjacency join is
+    keyed on (doc, position) — candidate-bounded by the rarer term's
+    postings, never doc-length². Offsets are engine-local (0- vs 1-based)
+    but the pos_b = pos_a + 1 adjacency is offset-invariant."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    pa = tok.filter(F.col("t") == "order").select("doc_id", "pos")
+    pb = tok.filter(F.col("t") == "fast").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        pa.join(pb, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occ"))
+    )

@@ -1025,3 +1025,82 @@ def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "motif")
         .limit(10)
     )
+
+
+# ------------------------------------- inter-arrival burstiness
+
+_INTERARRIVAL_SQL = """
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               count(gap_us) AS n_gaps,
+               sum(gap_us)::HUGEINT AS sg,
+               sum((gap_us::HUGEINT) * gap_us) AS qg
+        FROM seq WHERE gap_us IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT event_type, n_gaps,
+           round(sg::DOUBLE / n_gaps / 1e6, 4) AS mean_gap_s_r,
+           round(sqrt((n_gaps * qg - sg * sg)::DOUBLE
+                      / (n_gaps::DOUBLE * (n_gaps - 1)))
+                 / (sg::DOUBLE / n_gaps), 4) AS cv_r,
+           round((sqrt((n_gaps * qg - sg * sg)::DOUBLE
+                       / (n_gaps::DOUBLE * (n_gaps - 1)))
+                  - sg::DOUBLE / n_gaps)
+                 / (sqrt((n_gaps * qg - sg * sg)::DOUBLE
+                         / (n_gaps::DOUBLE * (n_gaps - 1)))
+                    + sg::DOUBLE / n_gaps), 4) AS burstiness_r
+    FROM s
+"""
+
+
+@register("interarrival_burstiness", oracle=_INTERARRIVAL_SQL)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time burstiness per event type (Goh & Barabási
+    2008): coefficient of variation of the gaps between a user's
+    consecutive same-type events, and B = (σ−μ)/(σ+μ) — B≈0 is Poisson
+    (CV 1), B→1 is bursty, B→−1 is periodic. The INTERVAL-based sibling
+    of ``burstiness_fano`` (which bins counts); the two disagree exactly
+    when bursts hide inside bins.
+
+    Exactness: gaps are integer MICROseconds from a user-partitioned lag
+    (the event timestamps carry sub-second precision, so whole-second
+    truncation would diverge between engines);
+    moments accumulate as exact integers (Σg, Σg² as decimals) and the
+    σ/μ combination runs once per event-type row in double.
+
+    Scale shape: the lag window partitions on (user, type) — fact-keyed,
+    never global; the moment aggregate is keyed on the 5-value type
+    domain."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = seq.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum(dec("gap_us")).alias("sg"),
+        F.sum(dec("gap_us") * F.col("gap_us")).alias("qg"),
+    )
+    mean = F.col("sg").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(
+        (F.col("n_gaps") * F.col("qg") - F.col("sg") * F.col("sg")).cast("double")
+        / (F.col("n_gaps").cast("double") * (F.col("n_gaps") - 1))
+    )
+    return s.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean / 1e6, 4).alias("mean_gap_s_r"),
+        F.round(sd / mean, 4).alias("cv_r"),
+        F.round((sd - mean) / (sd + mean), 4).alias("burstiness_r"),
+    )
