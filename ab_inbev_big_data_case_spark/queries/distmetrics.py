@@ -1121,3 +1121,75 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n_mode")
     )
+
+
+# --------------------------------- negative binomial overdispersion fit
+
+_NEGBIN_SQL = """
+    WITH weekly AS (
+        SELECT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk,
+               count(*) AS k
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(k)::HUGEINT AS sk,
+               sum((k::HUGEINT) * k) AS qk
+        FROM weekly
+    )
+    SELECT n,
+           round(sk::DOUBLE / n, 4) AS mean_r,
+           round((n * qk - sk * sk)::DOUBLE / (n::DOUBLE * (n - 1)), 4)
+               AS var_r,
+           round(((n * qk - sk * sk)::DOUBLE / (n::DOUBLE * (n - 1)))
+                 / (sk::DOUBLE / n), 4) AS dispersion_r,
+           round(CASE WHEN (n * qk - sk * sk)::DOUBLE / (n::DOUBLE * (n - 1))
+                           > sk::DOUBLE / n
+                      THEN (sk::DOUBLE / n) * (sk::DOUBLE / n)
+                           / ((n * qk - sk * sk)::DOUBLE / (n::DOUBLE * (n - 1))
+                              - sk::DOUBLE / n)
+                      ELSE NULL END, 4) AS nb_r_hat_r
+    FROM s
+"""
+
+
+@register("negbin_overdispersion_fit", oracle=_NEGBIN_SQL)
+def negbin_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit to per-(user, week)
+    purchase counts: dispersion index var/mean (1 = Poisson) and the NB
+    size r̂ = μ²/(σ²−μ) when overdispersed — the standard count-model
+    triage before modeling purchase frequency (NBD/Pareto-NBD models in
+    marketing start exactly here). Complements ``burstiness_fano``
+    (per-entity Fano on fixed windows) with the population-level fit.
+
+    Exactness: counts are integers, moments accumulate exactly (Σk, Σk²
+    as decimals), the mean/variance/r̂ combination runs once on the
+    1-row result in double with an identical expression in both engines.
+
+    Scale shape: one (user, week)-keyed partial aggregate, then a 1-row
+    exact-moment combine."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    weekly = e.groupBy(
+        "user_id", F.date_trunc("week", F.to_date("ts")).alias("wk")
+    ).agg(F.count("*").alias("k"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = weekly.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("k")).alias("sk"),
+        F.sum(dec("k") * F.col("k")).alias("qk"),
+    )
+    mean = F.col("sk").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("qk") - F.col("sk") * F.col("sk")).cast(
+        "double"
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    return s.select(
+        "n",
+        F.round(mean, 4).alias("mean_r"),
+        F.round(var, 4).alias("var_r"),
+        F.round(var / mean, 4).alias("dispersion_r"),
+        F.round(
+            F.when(var > mean, mean * mean / (var - mean)).otherwise(F.lit(None)),
+            4,
+        ).alias("nb_r_hat_r"),
+    )

@@ -1050,3 +1050,65 @@ def fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_milli").desc(), "p1", "p2")
         .limit(200)
     )
+
+
+# ------------------------------------- cross-table consistency audit
+
+_XCONSIST_SQL = """
+    WITH j AS (
+        SELECT l.l_shipdate, o.o_orderdate, l.l_quantity, l.l_extendedprice,
+               l.l_discount, l.l_tax
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT count(*) AS n_lines,
+           sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)::BIGINT
+               AS ship_before_order,
+           sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+                    THEN 1 ELSE 0 END)::BIGINT AS qty_out_of_range,
+           sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+               AS nonpositive_price,
+           sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                    THEN 1 ELSE 0 END)::BIGINT AS discount_out_of_range,
+           sum(CASE WHEN l_tax < 0 OR l_tax > 0.08
+                    THEN 1 ELSE 0 END)::BIGINT AS tax_out_of_range
+    FROM j
+"""
+
+
+@register("cross_table_consistency_audit", oracle=_XCONSIST_SQL)
+def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE consistency rules — the referential layer above
+    ``dq_checks``' single-table gates: lineitems shipped before their
+    order existed, quantities/prices/discounts/taxes outside the data
+    model's legal ranges, all counted in one fact-join pass. The
+    ship-before-order rule NEEDS the join (neither table can see it
+    alone), which is what distinguishes this audit from column
+    profiling.
+
+    Scale shape: one fact-fact equi-join on the order key (AQE handles
+    the build side), conditional-sum aggregate, 1-row output — the scan
+    dominates, as a DQ pass should."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_shipdate", "o_orderdate", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    )
+
+    def viol(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return j.agg(
+        F.count("*").alias("n_lines"),
+        viol(F.col("l_shipdate") < F.col("o_orderdate"), "ship_before_order"),
+        viol(
+            (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50),
+            "qty_out_of_range",
+        ),
+        viol(F.col("l_extendedprice") <= 0, "nonpositive_price"),
+        viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+            "discount_out_of_range",
+        ),
+        viol((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08), "tax_out_of_range"),
+    )
