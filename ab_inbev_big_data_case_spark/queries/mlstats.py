@@ -2507,3 +2507,63 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "u", "v")
         .limit(20)
     )
+
+
+# --------------------------------------------------- 3-itemset mining
+
+# staged-pairs formulation: USING equi-joins with the canonical-order
+# predicates as WHERE filters — DuckDB's optimizer mishandles the same
+# query written as compound ON conditions (195 s vs 0.3 s at sf0.1)
+_TRIPLES_SQL = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_ord FROM lineitem),
+    pairs AS (
+        SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+        FROM items a JOIN items b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT p.p1, p.p2, c.l_partkey AS p3, count(*) AS n_co
+        FROM pairs p JOIN items c USING (l_orderkey)
+        WHERE c.l_partkey > p.p2
+        GROUP BY 1, 2, 3
+    )
+    SELECT p1, p2, p3, n_co,
+           round(n_co * 1.0 / t.n_ord, 6) AS support_r
+    FROM tri CROSS JOIN tot t
+    ORDER BY n_co DESC, p1, p2, p3
+    LIMIT 20
+"""
+
+
+@register("market_basket_triples", oracle=_TRIPLES_SQL)
+def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-itemsets by support — the k=3 layer of the Apriori lattice
+    above ``market_basket_pairs``. Canonical p1<p2<p3 ordering counts
+    each triple once.
+
+    Scale shape: fan-out is per BASKET, C(k,3) ≤ 35 for the ≤7-line
+    TPC-H orders (a general deployment caps mega-baskets first — the
+    ``market_basket_pairs`` guard); counting is a partial+final agg on
+    the triple key and the top-20 is TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    c = items.select("l_orderkey", F.col("l_partkey").alias("p3"))
+    tot = li.agg(F.countDistinct("l_orderkey").cast("double").alias("n_ord"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(c, "l_orderkey")
+        .filter(F.col("p2") < F.col("p3"))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count("*").alias("n_co"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1", "p2", "p3", "n_co",
+            F.round(F.col("n_co") / F.col("n_ord"), 6).alias("support_r"),
+        )
+        .orderBy(F.col("n_co").desc(), "p1", "p2", "p3")
+        .limit(20)
+    )

@@ -1199,3 +1199,81 @@ def holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("lift_r"),
     )
+
+
+# ---------------------------------------------------- price jump events
+
+_PRICE_JUMP_SQL = """
+    WITH pm AS (
+        SELECT l_partkey AS part,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS mth,
+               (CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                     * 100 AS BIGINT) * 1000)
+                 // CAST(sum(l_quantity) AS BIGINT) AS price_milli
+        FROM lineitem GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT cur.part, cur.mth, prev.price_milli AS prev_milli,
+               cur.price_milli AS cur_milli
+        FROM pm cur
+        JOIN pm prev ON prev.part = cur.part
+                    AND cur.mth = prev.mth + INTERVAL 1 MONTH
+    )
+    SELECT part, mth, prev_milli, cur_milli,
+           round((cur_milli - prev_milli) * 100.0 / prev_milli, 4)
+               AS pct_change_r
+    FROM j
+    WHERE cur_milli * 5 > prev_milli * 6 OR cur_milli * 5 < prev_milli * 4
+"""
+
+
+@register("price_jump_events", oracle=_PRICE_JUMP_SQL)
+def price_jump_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month unit-price jump detection per part: consecutive
+    months join on (part, month+1) and a jump fires when the floor-milli
+    price moves more than ±20% — evaluated as the EXACT integer cross
+    comparison 5·cur ≷ 6·prev / 4·prev, so the threshold never touches
+    float division. The event-detection layer over the same monthly
+    price series ``laspeyres_price_index`` aggregates.
+
+    Scale shape: the monthly price table is one partial aggregate; the
+    consecutive-month join is an equi-join on (part, shifted month) —
+    self-join fan-out is exactly 1 row per (part, month) pair that
+    exists. The pct_change column is display-only (the filter already
+    decided membership exactly)."""
+    li = table(spark, sf_dir, "lineitem")
+    pm = (
+        li.groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("mth"),
+        )
+        .agg(
+            (F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long")
+            .alias("ext_c"),
+            F.sum("l_quantity").cast("long").alias("qty"),
+        )
+        .select("part", "mth", F.expr("(ext_c * 1000) div qty").alias("price_milli"))
+    )
+    cur = pm.select("part", "mth", F.col("price_milli").alias("cur_milli"))
+    prev = pm.select(
+        "part",
+        F.add_months("mth", 1).alias("mth"),
+        F.col("price_milli").alias("prev_milli"),
+    )
+    j = cur.join(prev, ["part", "mth"])
+    return j.filter(
+        (F.col("cur_milli") * 5 > F.col("prev_milli") * 6)
+        | (F.col("cur_milli") * 5 < F.col("prev_milli") * 4)
+    ).select(
+        "part",
+        "mth",
+        "prev_milli",
+        "cur_milli",
+        F.round(
+            (F.col("cur_milli") - F.col("prev_milli"))
+            * 100.0
+            / F.col("prev_milli"),
+            4,
+        ).alias("pct_change_r"),
+    )
