@@ -4855,3 +4855,125 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_occ"))
     )
+
+
+# ------------------------------------------------ IVF n_probe sweep
+
+_NPROBE_SQL = f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DOT.format(x='q.qv', y='c.embedding')} /
+                             ({_NORM.format(x='q.qv', tag='a')} *
+                              {_NORM.format(x='c.embedding', tag='b')}), 3)
+                             DESC NULLS LAST, c.vec_id) AS rk
+            FROM q, embeddings c WHERE c.vec_id != q.query_id
+        ) WHERE rk <= 5
+    ),
+    probes AS (
+        SELECT query_id, cell_id, rn FROM (
+            SELECT q.query_id, c.cell_id, row_number() OVER (
+                PARTITION BY q.query_id ORDER BY
+                round({_DOT.format(x='q.qv', y='c.cv')} /
+                      ({_NORM.format(x='q.qv', tag='p')} *
+                       {_NORM.format(x='c.cv', tag='q')}), 3) DESC NULLS LAST,
+                c.cell_id) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 4
+    ),
+    ps AS (SELECT * FROM (VALUES (1), (2), (4)) v(n_probe)),
+    cand AS (
+        SELECT DISTINCT ps.n_probe, p.query_id, a.vec_id AS cand_id
+        FROM probes p
+        JOIN ps ON p.rn <= ps.n_probe
+        JOIN assign a USING (cell_id)
+        WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT n_probe, query_id, cand_id FROM (
+            SELECT cd.n_probe, cd.query_id, cd.cand_id,
+                   row_number() OVER (
+                       PARTITION BY cd.n_probe, cd.query_id
+                       ORDER BY round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                             ({_NORM.format(x='x.embedding', tag='x')} *
+                              {_NORM.format(x='y.embedding', tag='y')}), 3)
+                             DESC NULLS LAST, cd.cand_id) AS rk
+            FROM cand cd
+            JOIN embeddings x ON x.vec_id = cd.query_id
+            JOIN embeddings y ON y.vec_id = cd.cand_id
+        ) WHERE rk <= 5
+    ),
+    nq AS (SELECT count(*) AS n_queries FROM q)
+    SELECT ps.n_probe,
+           nq.n_queries,
+           count(r.cand_id)::BIGINT AS n_hits,
+           round(count(r.cand_id) * 1.0 / (5 * nq.n_queries), 4)
+               AS mean_recall_r
+    FROM ps
+    CROSS JOIN nq
+    CROSS JOIN exact e
+    LEFT JOIN ranked r ON r.n_probe = ps.n_probe
+                      AND r.query_id = e.query_id AND r.cand_id = e.cand_id
+    GROUP BY 1, 2
+"""
+
+
+@register("ivf_nprobe_sweep", oracle=_NPROBE_SQL)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-n_probe parameter sweep: mean recall@5 at n_probe ∈
+    {1, 2, 4} in one result — the tuning curve an index operator reads
+    to pick the candidate-volume/recall trade (``ivf_recall_eval`` is the
+    single point this generalizes).
+
+    Scale shape: each sweep point is the published bucketed IVF path
+    (probe-list equi-join, never corpus²) over the fixed 10-query panel;
+    the three variants share the centroid scoring via the inner search's
+    broadcast and the final metric is exact integer hit counting."""
+    from ab_inbev_big_data_case_spark.llm.similarity import ivf_search
+
+    e = table(spark, sf_dir, "embeddings")
+    _m = sqrt_centroid_modulus(e)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
+    nq = q.agg(F.count("*").alias("n_queries"))
+    runs = None
+    for p in (1, 2, 4):
+        r = ivf_search(
+            e,
+            "vec_id",
+            "embedding",
+            query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
+            centroid_filter=lambda vid, m=_m: vid % m == 0,
+            n_probe=p,
+            k=5,
+        ).select(F.lit(p).alias("n_probe"), "query_id", "cand_id")
+        runs = r if runs is None else runs.unionAll(r)
+    # every (n_probe, exact-row) pair must be counted, including misses —
+    # key the left join on the full probe grid
+    grid = (
+        exact.select("query_id", "cand_id")
+        .crossJoin(F.broadcast(spark.createDataFrame([(1,), (2,), (4,)], ["n_probe"])))
+    )
+    joined = grid.join(
+        runs.withColumn("hit", F.lit(1)),
+        ["n_probe", "query_id", "cand_id"],
+        "left",
+    )
+    return (
+        joined.groupBy("n_probe")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "n_probe",
+            "n_queries",
+            "n_hits",
+            F.round(F.col("n_hits") / (5 * F.col("n_queries")), 4).alias(
+                "mean_recall_r"
+            ),
+        )
+    )

@@ -1277,3 +1277,152 @@ def price_jump_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_change_r"),
     )
+
+
+# ------------------------------------------------ gains chart deciles
+
+_GAINS_SQL = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(round(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                   THEN CAST(value AS DECIMAL(18,6)) END), 2)
+                    * 100 AS BIGINT) AS score_c,
+               max(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                   AS buyer
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+        HAVING sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) > 0
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY score_c DESC, user_id DESC)
+                      AS desc_rank,
+               count(*) OVER () AS n
+        FROM u
+    ),
+    d AS (
+        SELECT ((desc_rank - 1) * 10) // n + 1 AS decile,
+               count(*) AS n_users, sum(buyer)::BIGINT AS n_buyers
+        FROM r GROUP BY 1
+    ),
+    c AS (
+        SELECT decile, n_users, n_buyers,
+               sum(n_buyers) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum_buyers,
+               sum(n_users) OVER (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum_users,
+               sum(n_buyers) OVER ()::BIGINT AS tot_buyers,
+               sum(n_users) OVER ()::BIGINT AS tot_users
+        FROM d
+    )
+    SELECT decile, n_users, n_buyers, cum_buyers,
+           round(cum_buyers * 1.0 / tot_buyers, 6) AS gain_r,
+           round((cum_buyers * 1.0 / tot_buyers)
+                 / (cum_users * 1.0 / tot_users), 4) AS lift_r
+    FROM c
+"""
+
+
+@register("gains_chart_deciles", oracle=_GAINS_SQL)
+def gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains chart: users ranked by pre-period spend (the
+    deterministic targeting score), cut into exact global deciles, and
+    each decile reports the cumulative share of post-period buyers
+    captured plus the lift over random targeting — the standard
+    model-targeting evaluation curve.
+
+    Scale shape: the global DESCENDING rank uses the two-level
+    decomposition (``gini_concentration``'s pattern — approx percentile
+    bounds pick a bucket, an exact rank window runs WITHIN each bucket,
+    and a ≤10-row carry spine stitches global offsets; bound accuracy
+    affects only load balance, never the exact rank). The decile cumsum
+    is a 10-row bounded-spine window. Ties break on (score, user_id)
+    identically in both engines, so decile membership is exact."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    split = F.lit("2024-01-16").cast("timestamp")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("ts") < split,
+                            F.col("value").cast("decimal(18,6)"),
+                        )
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("score_c"),
+            F.max(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("buyer"),
+            F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n_pre"),
+        )
+        .filter(F.col("n_pre") > 0)
+        .drop("n_pre")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = u.agg(F.percentile_approx("score_c", qs, 10000).alias("bs"))
+    bucketed = u.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b_: acc + F.when(b_ < F.col("score_c"), 1).otherwise(0),
+        ),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("score_c", "user_id")
+    ranked_local = bucketed.select(
+        "bucket", "score_c", "user_id", "buyer",
+        F.row_number().over(w_local).alias("rn"),
+    )
+    spine = ranked_local.groupBy("bucket").agg(F.count("*").alias("bn"))
+    w_spine = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤10-row carry spine
+    offsets = spine.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_spine), F.lit(0)).alias("off")
+    )
+    tot = u.agg(F.count("*").alias("n"))
+    ranked = (
+        ranked_local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "buyer",
+            (F.col("n") - (F.col("off") + F.col("rn")) + 1).alias("desc_rank"),
+            "n",
+        )
+    )
+    d = ranked.groupBy(
+        (F.expr("((desc_rank - 1) * 10) div n") + 1).alias("decile")
+    ).agg(F.count("*").alias("n_users"), F.sum("buyer").alias("n_buyers"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # 10-row decile spine
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = d.select(
+        "decile",
+        "n_users",
+        "n_buyers",
+        F.sum("n_buyers").over(w_cum).alias("cum_buyers"),
+        F.sum("n_users").over(w_cum).alias("cum_users"),
+        F.sum("n_buyers").over(w_all).alias("tot_buyers"),
+        F.sum("n_users").over(w_all).alias("tot_users"),
+    )
+    return c.select(
+        "decile",
+        "n_users",
+        "n_buyers",
+        "cum_buyers",
+        F.round(F.col("cum_buyers") / F.col("tot_buyers"), 6).alias("gain_r"),
+        F.round(
+            (F.col("cum_buyers") / F.col("tot_buyers"))
+            / (F.col("cum_users") / F.col("tot_users")),
+            4,
+        ).alias("lift_r"),
+    )
