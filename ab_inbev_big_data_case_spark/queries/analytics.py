@@ -1885,3 +1885,132 @@ def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned rank-and-filter over the customer table — the dimension
     side (nation) never drives a per-row re-scan."""
     return _sql(spark, sf_dir, ("nation", "customer"), _LATERAL_TOPK)
+
+
+# ------------------------------------- position-based attribution (U)
+
+_UATTR_SQL = """
+    WITH fp AS (
+        SELECT user_id, min(ts) AS first_purch_ts
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    pv AS (
+        SELECT user_id, v_c FROM (
+            SELECT e.user_id,
+                   CAST(round(CAST(e.value AS DECIMAL(18,6)), 2) * 100
+                        AS BIGINT) AS v_c,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS rn
+            FROM events e JOIN fp ON fp.user_id = e.user_id
+                                AND e.ts = fp.first_purch_ts
+            WHERE e.event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    clk AS (
+        SELECT e.user_id,
+               (e.props->>'$.k')::BIGINT % 5 AS channel,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS pos,
+               count(*) OVER (PARTITION BY e.user_id) AS n
+        FROM events e JOIN fp ON fp.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts < fp.first_purch_ts
+    ),
+    credit AS (
+        SELECT c.channel,
+               CASE
+                   WHEN c.n = 1 THEN p.v_c
+                   WHEN c.n = 2 AND c.pos = 1
+                       THEN p.v_c // 2 + p.v_c % 2
+                   WHEN c.n = 2 THEN p.v_c // 2
+                   WHEN c.pos = 1 OR c.pos = c.n THEN (p.v_c * 2) // 5
+                   ELSE (p.v_c - 2 * ((p.v_c * 2) // 5)) // (c.n - 2)
+                        + CASE WHEN c.pos - 2
+                                    < (p.v_c - 2 * ((p.v_c * 2) // 5))
+                                      % (c.n - 2)
+                               THEN 1 ELSE 0 END
+               END AS credit_c
+        FROM clk c JOIN pv p USING (user_id)
+    )
+    SELECT channel, count(*) AS n_touches,
+           sum(credit_c)::BIGINT AS credit_c
+    FROM credit GROUP BY 1
+"""
+
+
+@register("position_based_attribution", oracle=_UATTR_SQL)
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each user's
+    first purchase value is split across the clicks that preceded it —
+    40% to the first touch, 40% to the last, 20% shared by the middles —
+    then rolled up by channel (the props key mod 5). Complements
+    ``attribution_last_touch`` with the standard position-weighted
+    model.
+
+    Exactness: the split is pure integer-cent arithmetic with an
+    explicit remainder policy (odd cent to the first of two; middle-pot
+    remainder to the earliest middles), so credits sum back to the
+    purchase EXACTLY and both engines agree bit-for-bit.
+
+    Scale shape: per-user windows (position/count) on the click slice,
+    two keyed joins, and a 5-key channel rollup — no global windows."""
+    e = table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purch_ts"))
+    )
+    from pyspark.sql import Window as _W
+
+    wfirst = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    pv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fp, "user_id")
+        .filter(F.col("ts") == F.col("first_purch_ts"))
+        .withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.round(F.col("value").cast("decimal(18,6)"), 2) * 100)
+            .cast("long")
+            .alias("v_c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wpos = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcnt = Window.partitionBy("user_id")
+    clk = (
+        e.filter(F.col("event_type") == "click")
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("first_purch_ts"))
+        .select(
+            "user_id",
+            (F.get_json_object("props", "$.k").cast("long") % 5).alias("channel"),
+            F.row_number().over(wpos).alias("pos"),
+            F.count("*").over(wcnt).alias("n"),
+        )
+    )
+    first40 = F.expr("(v_c * 2) div 5")
+    # middle share + earliest-middle remainder, all integer cents
+    mid_share = F.expr(
+        "(v_c - 2 * ((v_c * 2) div 5)) div (n - 2)"
+        " + CASE WHEN pos - 2 < (v_c - 2 * ((v_c * 2) div 5)) % (n - 2)"
+        " THEN 1 ELSE 0 END"
+    )
+    credit = clk.join(pv, "user_id").select(
+        "channel",
+        F.when(F.col("n") == 1, F.col("v_c"))
+        .when(
+            (F.col("n") == 2) & (F.col("pos") == 1),
+            F.expr("v_c div 2") + F.col("v_c") % 2,
+        )
+        .when(F.col("n") == 2, F.expr("v_c div 2"))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), first40)
+        .otherwise(mid_share)
+        .alias("credit_c"),
+    )
+    return credit.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("credit_c").cast("long").alias("credit_c"),
+    )

@@ -1193,3 +1193,118 @@ def negbin_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("nb_r_hat_r"),
     )
+
+
+# ----------------------------------------- Wilcoxon signed-rank test
+
+_WILCOXON_SQL = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(round(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                   THEN CAST(value AS DECIMAL(18,6)) END), 2)
+                    * 100 AS BIGINT) AS pre_c,
+               CAST(round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                   THEN CAST(value AS DECIMAL(18,6)) END), 2)
+                    * 100 AS BIGINT) AS post_c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+        HAVING pre_c IS NOT NULL AND post_c IS NOT NULL
+    ),
+    d AS (
+        SELECT post_c - pre_c AS diff, abs(post_c - pre_c) AS a
+        FROM u WHERE post_c <> pre_c
+    ),
+    cells AS (SELECT a, count(*) AS c FROM d GROUP BY 1),
+    rmap AS (
+        SELECT a, c,
+               2 * sum(c) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING)
+                 - c + 1 AS r2
+        FROM cells
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN d.diff > 0 THEN r2 ELSE 0 END)::HUGEINT AS w2p,
+               (SELECT sum((c::HUGEINT) * c * c - c) FROM cells) AS tie3
+        FROM d JOIN rmap USING (a)
+    )
+    SELECT n, (w2p / 2.0) AS w_plus,
+           round(((w2p / 2.0) - n::DOUBLE * (n + 1) / 4)
+                 / sqrt(n::DOUBLE * (n + 1) * (2 * n + 1) / 24
+                        - tie3::DOUBLE / 48), 4) AS z_r
+    FROM s
+"""
+
+
+@register("wilcoxon_signed_rank", oracle=_WILCOXON_SQL)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired pre/post purchase spend per
+    user — the nonparametric paired counterpart to the two-sample tests
+    in this family (``welch_ab_test`` is unpaired means,
+    ``permutation_test_ab`` resamples, McNemar is binary): W⁺ sums the
+    ranks of |post − pre| over users who increased, and the normal
+    approximation carries the exact tie correction Σ(t³−t)/48.
+
+    Exactness: diffs are exact cents; average ranks use the DOUBLED-rank
+    identity (2·below + ties + 1, always an integer) over the distinct
+    |diff| spine; W⁺ and the tie sum stay integer until the one z
+    expression. The rank spine here is user-population-sized, so the
+    PRODUCTION version of this map is the two-level bucket decomposition
+    (``gains_chart_deciles``); with the audit-sized pair panel this
+    single-spine window is the honest plan and is allowlisted as such.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    split = F.lit("2024-01-16").cast("timestamp")
+    cents = lambda cond: (  # noqa: E731
+        F.round(
+            F.sum(F.when(cond, F.col("value").cast("decimal(18,6)"))), 2
+        )
+        * 100
+    ).cast("long")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            cents(F.col("ts") < split).alias("pre_c"),
+            cents(F.col("ts") >= split).alias("post_c"),
+        )
+        .filter(F.col("pre_c").isNotNull() & F.col("post_c").isNotNull())
+    )
+    d = u.filter(F.col("post_c") != F.col("pre_c")).select(
+        (F.col("post_c") - F.col("pre_c")).alias("diff"),
+        F.abs(F.col("post_c") - F.col("pre_c")).alias("a"),
+    )
+    cells = d.groupBy("a").agg(F.count("*").alias("c"))
+    w = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rmap = cells.select(
+        "a", "c", (2 * F.sum("c").over(w) - F.col("c") + 1).alias("r2")
+    )
+    tie3 = cells.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3")
+    )
+    s = (
+        d.join(rmap, "a")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("diff") > 0, F.col("r2")).otherwise(0).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("w2p"),
+        )
+        .crossJoin(F.broadcast(tie3))
+    )
+    n_d = F.col("n").cast("double")
+    wp = F.col("w2p").cast("double") / 2.0
+    return s.select(
+        "n",
+        wp.alias("w_plus"),
+        F.round(
+            (wp - n_d * (F.col("n") + 1) / 4)
+            / F.sqrt(
+                n_d * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+                - F.col("tie3").cast("double") / 48
+            ),
+            4,
+        ).alias("z_r"),
+    )

@@ -177,6 +177,14 @@ _STAGED_NEXT = [
     "hierarchical_share_rollup",
     "holiday_lift",
     "oov_rate_heldout",
+    "phrase_search_positional",
+    "interarrival_burstiness",
+    "cross_table_consistency_audit",
+    "negbin_overdispersion_fit",
+    "market_basket_triples",
+    "price_jump_events",
+    "gains_chart_deciles",
+    "ivf_nprobe_sweep",
 ]
 
 

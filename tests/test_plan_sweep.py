@@ -54,6 +54,7 @@ PARTITIONLESS_ALLOWED = {
     "skyline_2d": 1,                # pruned local-survivor pass
     "spearman_corr_lengths": 2,     # two value-domain rank spines
     "ts_decomposition": 2,          # daily spine
+    "wilcoxon_signed_rank": 1,      # |diff| rank spine (audit-panel sized)
     "window_ntile": 1,              # global ntile is the operator semantic
     "zipf_fit": 1,                  # capped vocab rank spine
 }
