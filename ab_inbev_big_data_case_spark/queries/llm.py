@@ -4977,3 +4977,83 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------- per-dimension robust stats
+
+_DIMSTATS_SQL = """
+    WITH x AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               round(unnest(embedding)::DOUBLE, 3) + 0.0 AS q
+        FROM embeddings
+    ),
+    cells AS (SELECT dim, q, count(*) AS c FROM x GROUP BY 1, 2),
+    walk AS (
+        SELECT dim, q,
+               sum(c) OVER (PARTITION BY dim ORDER BY q
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY dim) AS n
+        FROM cells
+    ),
+    sel AS (
+        SELECT dim, max(n) AS n,
+               min(CASE WHEN 4 * cum >= n THEN q END) AS q1,
+               min(CASE WHEN 2 * cum >= n THEN q END) AS med,
+               min(CASE WHEN 4 * cum >= 3 * n THEN q END) AS q3
+        FROM walk GROUP BY 1
+    )
+    SELECT dim, n::BIGINT AS n, q1, med, q3,
+           round(q3 - q1, 3) + 0.0 AS iqr_r
+    FROM sel
+"""
+
+
+@register("embedding_dim_robust_stats", oracle=_DIMSTATS_SQL)
+def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension robust location/scale table for the embedding
+    matrix: discrete median, quartiles, and IQR of each of the 64
+    components — the robust-scaler statistics a feature-normalization
+    step fits (``embedding_norm_stats`` summarizes whole-vector norms;
+    this is the per-coordinate view that catches a single dimension with
+    a wild scale before PQ/quantization).
+
+    Exactness: components quantize to the 1e-3 grid BEFORE any ranking
+    (the family's quantize-before-order rule), quartiles are attained
+    grid values selected by exact integer rank inequalities (4·cum ≥ k·n
+    — no interpolation, no float ceil).
+
+    Scale shape: one posexplode (×64, narrow), a (dim, q)-keyed count —
+    the per-dim spine is GRID-bounded (≤ a few thousand distinct rounded
+    values regardless of corpus size) — then per-dim cumsum windows over
+    those bounded spines and a 64-row select-min aggregate."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0 (the engines disagree on
+        # which zero round() emits for tiny negatives)
+        "dim", (F.round(F.col("v").cast("double"), 3) + 0.0).alias("q")
+    )
+    cells = x.groupBy("dim", "q").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("dim")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("dim")
+    walk = cells.select(
+        "dim",
+        "q",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    sel = walk.groupBy("dim").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("q"))).alias("q1"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("q"))).alias("med"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("q"))).alias("q3"),
+    )
+    return sel.select(
+        "dim", "n", "q1", "med", "q3",
+        (F.round(F.col("q3") - F.col("q1"), 3) + 0.0).alias("iqr_r"),
+    )
