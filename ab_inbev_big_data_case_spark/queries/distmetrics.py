@@ -1308,3 +1308,129 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_r"),
     )
+
+
+# ------------------------------------------------- Levene's test
+
+_LEVENE_SQL = """
+    WITH v AS (
+        SELECT c_mktsegment AS seg,
+               CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS x_c
+        FROM customer
+    ),
+    cells AS (SELECT seg, x_c, count(*) AS c FROM v GROUP BY 1, 2),
+    walk AS (
+        SELECT seg, x_c,
+               sum(c) OVER (PARTITION BY seg ORDER BY x_c
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY seg) AS n
+        FROM cells
+    ),
+    med AS (
+        SELECT seg, min(CASE WHEN 2 * cum >= n THEN x_c END) AS med_c
+        FROM walk GROUP BY 1
+    ),
+    z AS (
+        SELECT v.seg, abs(v.x_c - m.med_c) AS z_c
+        FROM v JOIN med m ON m.seg = v.seg
+    ),
+    g AS (
+        SELECT seg, count(*) AS ni, sum(z_c)::HUGEINT AS si,
+               sum((z_c::HUGEINT) * z_c) AS qi
+        FROM z GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS k, sum(ni) AS n,
+               sum(si)::HUGEINT AS s, sum(qi)::HUGEINT AS q
+        FROM g
+    )
+    SELECT t.k, t.n::BIGINT AS n,
+           round(((t.n - t.k) * (SELECT sum(ni::DOUBLE
+                       * pow(si::DOUBLE / ni - t.s::DOUBLE / t.n, 2)) FROM g))
+                 / ((t.k - 1) * (SELECT sum(qi::DOUBLE
+                       - si::DOUBLE * si / ni) FROM g)), 4) AS levene_w_r
+    FROM tot t
+"""
+
+
+@register("levene_test", oracle=_LEVENE_SQL)
+def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene/Brown–Forsythe test for equal variances across market
+    segments: one-way ANOVA on |x − group median| (the median-centered
+    variant, robust to non-normality) — the homogeneity check that gates
+    ``anova_two_way``/``welch_ab_test`` assumptions.
+
+    Exactness: balances are exact cents, group medians are ATTAINED
+    values selected by integer rank inequality over per-segment value
+    spines (cent-domain-bounded), deviations are integers, and W
+    combines exact Σz, Σz² moments in one double expression.
+
+    Scale shape: the median spines are per-segment cumsum windows over
+    value-domain-bounded cells; everything else is keyed partial
+    aggregation on the 5-segment domain."""
+    c = table(spark, sf_dir, "customer")
+    v = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.round(F.col("c_acctbal").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("x_c"),
+    )
+    cells = v.groupBy("seg", "x_c").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("seg")
+        .orderBy("x_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("seg")
+    walk = cells.select(
+        "seg",
+        "x_c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = walk.groupBy("seg").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("x_c"))).alias("med_c")
+    )
+    z = v.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("x_c") - F.col("med_c")).alias("z_c")
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    g = z.groupBy("seg").agg(
+        F.count("*").alias("ni"),
+        F.sum(dec("z_c")).alias("si"),
+        F.sum(dec("z_c") * F.col("z_c")).alias("qi"),
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi").alias("q"),
+    )
+    gt = g.crossJoin(F.broadcast(tot))
+    num_terms = gt.select(
+        (
+            F.col("ni").cast("double")
+            * F.pow(
+                F.col("si").cast("double") / F.col("ni")
+                - F.col("s").cast("double") / F.col("n"),
+                2,
+            )
+        ).alias("nt"),
+        (
+            F.col("qi").cast("double")
+            - F.col("si").cast("double") * F.col("si").cast("double") / F.col("ni")
+        ).alias("dt"),
+    ).agg(F.sum("nt").alias("num"), F.sum("dt").alias("den"))
+    return (
+        tot.crossJoin(F.broadcast(num_terms))
+        .select(
+            "k",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                ((F.col("n") - F.col("k")) * F.col("num"))
+                / ((F.col("k") - 1) * F.col("den")),
+                4,
+            ).alias("levene_w_r"),
+        )
+    )

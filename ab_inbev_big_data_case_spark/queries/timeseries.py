@@ -1104,3 +1104,124 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd / mean, 4).alias("cv_r"),
         F.round((sd - mean) / (sd + mean), 4).alias("burstiness_r"),
     )
+
+
+# ----------------------------------------- Wald–Wolfowitz runs test
+
+_RUNS_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    cells AS (SELECT x, count(*) AS c FROM daily GROUP BY 1),
+    walk AS (
+        SELECT x, sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER () AS n
+        FROM cells
+    ),
+    med AS (SELECT min(CASE WHEN 2 * cum >= n THEN x END) AS med_x FROM walk),
+    lab AS (
+        SELECT d, CASE WHEN daily.x > m.med_x THEN 1 ELSE 0 END AS up
+        FROM daily CROSS JOIN med m
+        WHERE daily.x <> m.med_x
+    ),
+    seq AS (
+        SELECT up, lag(up) OVER (ORDER BY d) AS prev_up
+        FROM lab
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(up)::BIGINT AS n_plus,
+               (count(*) - sum(up))::BIGINT AS n_minus,
+               (1 + sum(CASE WHEN prev_up IS NOT NULL AND up <> prev_up
+                             THEN 1 ELSE 0 END))::BIGINT AS runs
+        FROM seq
+    )
+    SELECT n, n_plus, n_minus, runs,
+           round((runs - (2.0 * n_plus * n_minus / n + 1))
+                 / sqrt(2.0 * n_plus * n_minus
+                        * (2.0 * n_plus * n_minus - n)
+                        / (n::DOUBLE * n * (n - 1))), 4) AS z_r
+    FROM s
+"""
+
+
+@register("runs_test_randomness", oracle=_RUNS_SQL)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily revenue series: days are
+    labeled above/below the ATTAINED median (exact-median days dropped,
+    the standard convention), runs of same-label days are counted, and
+    the z statistic compares the observed run count against the
+    randomness expectation — too few runs means regime persistence the
+    ACF family measures parametrically; this is the distribution-free
+    check.
+
+    Exactness: revenue is exact cents, the median is an attained value
+    by integer rank inequality, the run count is an integer from one lag
+    over the bounded day spine, and z is a single final double
+    expression.
+
+    Scale shape: everything after the one fact aggregation lives on the
+    bounded calendar-day / value spines (both allowlisted bounded-spine
+    windows)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("x")
+    )
+    cells = daily.groupBy("x").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = cells.select(
+        "x",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    med = walk.agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("x"))).alias("med_x")
+    )
+    lab = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("med_x"))
+        .select("d", (F.col("x") > F.col("med_x")).cast("int").alias("up"))
+    )
+    wd = Window.orderBy("d")
+    seq = lab.select("up", F.lag("up").over(wd).alias("prev_up"))
+    s = seq.agg(
+        F.count("*").alias("n"),
+        F.sum("up").cast("long").alias("n_plus"),
+        (F.count("*") - F.sum("up")).cast("long").alias("n_minus"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_up").isNotNull()
+                    & (F.col("up") != F.col("prev_up")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n_d = F.col("n").cast("double")
+    npm = 2.0 * F.col("n_plus") * F.col("n_minus")
+    return s.select(
+        "n",
+        "n_plus",
+        "n_minus",
+        "runs",
+        F.round(
+            (F.col("runs") - (npm / F.col("n") + 1))
+            / F.sqrt(
+                npm * (npm - F.col("n")) / (n_d * n_d * (n_d - 1))
+            ),
+            4,
+        ).alias("z_r"),
+    )

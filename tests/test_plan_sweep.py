@@ -49,6 +49,7 @@ PARTITIONLESS_ALLOWED = {
     "mann_kendall_theil_sen": 4,    # daily spine pairwise stats
     "mom_revenue_growth": 3,        # monthly aggregate spine
     "rbo_rank_agreement": 4,        # top-k ranking spine
+    "runs_test_randomness": 3,      # value-spine walk + day-spine lag
     "sax_motifs": 2,                # daily spine 3-gram leads (one spec per lead frame)
     "seasonal_residual_anomaly": 8, # daily spine decomposition
     "skyline_2d": 1,                # pruned local-survivor pass
