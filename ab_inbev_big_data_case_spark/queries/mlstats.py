@@ -2567,3 +2567,97 @@ def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_co").desc(), "p1", "p2", "p3")
         .limit(20)
     )
+
+
+# ------------------------------------- Simpson's-paradox slope audit
+
+_SIMPSON_SQL = """
+    WITH v AS (
+        SELECT n.n_name AS nation,
+               CAST(round(CAST(l.l_discount AS DECIMAL(18,6)) * 100, 0)
+                    AS BIGINT) AS x,
+               CAST(l.l_quantity AS BIGINT) AS y
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    g AS (
+        SELECT nation, count(*) AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum((x::HUGEINT) * y) AS sxy
+        FROM v GROUP BY 1
+    ),
+    p AS (
+        SELECT sum(n) AS n, sum(sx)::HUGEINT AS sx, sum(sy)::HUGEINT AS sy,
+               sum(sxy)::HUGEINT AS sxy
+        FROM g
+    )
+    SELECT g.nation, g.n,
+           CASE WHEN g.n * g.sxy - g.sx * g.sy > 0 THEN 1
+                WHEN g.n * g.sxy - g.sx * g.sy < 0 THEN -1
+                ELSE 0 END AS sign_nation,
+           CASE WHEN p.n * p.sxy - p.sx * p.sy > 0 THEN 1
+                WHEN p.n * p.sxy - p.sx * p.sy < 0 THEN -1
+                ELSE 0 END AS sign_pooled,
+           CASE WHEN (g.n * g.sxy - g.sx * g.sy)
+                     * (p.n * p.sxy - p.sx * p.sy) < 0
+                THEN 1 ELSE 0 END AS reversed
+    FROM g CROSS JOIN p
+"""
+
+
+@register("simpson_slope_reversal", oracle=_SIMPSON_SQL)
+def simpson_slope_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit on the discount→quantity relationship: the
+    SIGN of the OLS slope per supplier nation versus the pooled sign,
+    flagging groups whose within-group trend opposes the aggregate — the
+    aggregation trap every "discounts drive volume" dashboard walks into.
+
+    Exactness: the slope sign is sign(n·Σxy − Σx·Σy), computed ENTIRELY
+    in exact integers (discount scaled ×100, quantity integral), so the
+    reversal flag can never flip on float noise — no division, no
+    rounding anywhere.
+
+    Scale shape: one fact scan with broadcast dimension joins, a
+    25-group exact-moment aggregate, and a broadcast 1-row pooled
+    re-aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("l_discount").cast("decimal(18,6)") * 100, 0)
+            .cast("long")
+            .alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = v.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    p = g.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+    )
+    gnum = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    pnum = F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    sign = lambda e: F.when(e > 0, 1).when(e < 0, -1).otherwise(0)  # noqa: E731
+    return (
+        g.crossJoin(F.broadcast(p))
+        .select(
+            "nation",
+            "n",
+            sign(gnum).alias("sign_nation"),
+            sign(pnum).alias("sign_pooled"),
+            F.when(gnum * pnum < 0, 1).otherwise(0).alias("reversed"),
+        )
+    )

@@ -1225,3 +1225,92 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_r"),
     )
+
+
+# --------------------------------------- PACF via Durbin–Levinson
+
+_PACF_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    m AS (SELECT avg(rev) AS mu FROM d),
+    s AS (SELECT sum((rev - m.mu) * (rev - m.mu)) AS ss
+          FROM d CROSS JOIN m),
+    l AS (
+        SELECT rev,
+               lag(rev, 1) OVER (ORDER BY day) AS l1,
+               lag(rev, 2) OVER (ORDER BY day) AS l2,
+               lag(rev, 3) OVER (ORDER BY day) AS l3
+        FROM d
+    ),
+    a AS (
+        SELECT sum((l.rev - m.mu) * (l.l1 - m.mu)) AS c1,
+               sum((l.rev - m.mu) * (l.l2 - m.mu)) AS c2,
+               sum((l.rev - m.mu) * (l.l3 - m.mu)) AS c3
+        FROM l CROSS JOIN m
+    ),
+    rho AS (
+        SELECT round(a.c1 / s.ss, 6) AS r1,
+               round(a.c2 / s.ss, 6) AS r2,
+               round(a.c3 / s.ss, 6) AS r3
+        FROM a CROSS JOIN s
+    ),
+    dl AS (
+        SELECT r1, r2, r3,
+               r1 AS p11,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+        FROM rho
+    )
+    SELECT round(p11, 6) AS pacf1_r,
+           round(p22, 6) AS pacf2_r,
+           round((r3 - (r1 * (1 - p22)) * r2 - p22 * r1)
+                 / (1 - (r1 * (1 - p22)) * r1 - p22 * r2), 6) AS pacf3_r
+    FROM dl
+"""
+
+
+@register("pacf_lags", oracle=_PACF_SQL)
+def pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1–3 via the
+    Durbin–Levinson recursion UNROLLED into closed scalar form (the
+    recursion over a fixed small order is a deterministic expression, not
+    an iterative job): φ11 = ρ1, φ22 = (ρ2−ρ1²)/(1−ρ1²), and φ33 from
+    the level-2 coefficients. PACF is what separates an AR(1) world
+    (φ22 ≈ 0 even when ρ2 is large) from genuine higher-order structure —
+    the model-order evidence ``acf_lags`` alone cannot give.
+
+    Determinism: the ρ's are QUANTIZED at 6 decimals first (both
+    engines), so the recursion consumes identical inputs and every
+    downstream coefficient is bit-identical; all series work happens on
+    the same bounded day spine/one-aggregate shape as ``acf_lags``."""
+    d = _daily_revenue(spark, sf_dir)
+    m = d.agg(F.avg("rev").alias("mu"))
+    dm = d.crossJoin(F.broadcast(m))
+    s = dm.agg(
+        F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias("ss")
+    )
+    w = Window.orderBy("day")  # bounded calendar-day spine
+    lagged = dm.select(
+        "rev",
+        "mu",
+        *[F.lag("rev", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    a = lagged.agg(
+        *[
+            F.sum(
+                (F.col("rev") - F.col("mu")) * (F.col(f"l{k}") - F.col("mu"))
+            ).alias(f"c{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    rho = a.crossJoin(F.broadcast(s)).select(
+        *[F.round(F.col(f"c{k}") / F.col("ss"), 6).alias(f"r{k}") for k in (1, 2, 3)]
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - p22)
+    return rho.select(
+        F.round(r1, 6).alias("pacf1_r"),
+        F.round(p22, 6).alias("pacf2_r"),
+        F.round(
+            (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2), 6
+        ).alias("pacf3_r"),
+    )

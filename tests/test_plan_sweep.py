@@ -48,6 +48,7 @@ PARTITIONLESS_ALLOWED = {
     "lorenz_curve_points": 2,       # decile spine
     "mann_kendall_theil_sen": 4,    # daily spine pairwise stats
     "mom_revenue_growth": 3,        # monthly aggregate spine
+    "pacf_lags": 3,                 # daily spine lag triplet
     "rbo_rank_agreement": 4,        # top-k ranking spine
     "runs_test_randomness": 3,      # value-spine walk + day-spine lag
     "sax_motifs": 2,                # daily spine 3-gram leads (one spec per lead frame)
