@@ -5057,3 +5057,78 @@ def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim", "n", "q1", "med", "q3",
         (F.round(F.col("q3") - F.col("q1"), 3) + 0.0).alias("iqr_r"),
     )
+
+
+# ------------------------------------- dedup pair transitivity audit
+
+_TRANSITIVITY_SQL = f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    e AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    w AS (
+        SELECT e1.u, e1.v AS mid, e2.v AS w
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+    ),
+    closed AS (
+        SELECT count(*) AS n_closed
+        FROM w JOIN e ON e.u = w.u AND e.v = w.w
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM e) AS n_edges,
+               (SELECT count(*) FROM w) AS n_wedges
+    )
+    SELECT t.n_edges, t.n_wedges, c.n_closed,
+           round(c.n_closed * 1.0 / nullif(t.n_wedges, 0), 4)
+               AS closure_rate_r
+    FROM tot t CROSS JOIN closed c
+"""
+
+
+@register("dedup_transitivity_audit", oracle=_TRANSITIVITY_SQL)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the LSH candidate-pair relation: among
+    canonical ordered wedges u<mid<w (edges u–mid and mid–w both
+    candidates), how often is u–w also a candidate? Near-duplication is
+    conceptually transitive, so a LOW closure rate means band
+    fragmentation — clusters the single-linkage ``dup_clusters_cc`` will
+    chain together through middles that pairwise verification would
+    never have connected. This is the threshold-tuning evidence between
+    candidate generation and clustering.
+
+    Scale shape: the edge list is the banded candidate set (never
+    corpus²); the wedge join fans out per SHARED DOC with
+    candidate-degree-bounded fan-out, and closure is one keyed semi-ish
+    join back to the edge list; three exact counts, one division."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    e = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id"
+    ).select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+    e1 = e.select(F.col("u"), F.col("v").alias("mid"))
+    e2 = e.select(F.col("u").alias("mid"), F.col("v").alias("w"))
+    wdg = e1.join(e2, "mid").select("u", "mid", "w")
+    closed = wdg.join(
+        e.select(F.col("u"), F.col("v").alias("w")), ["u", "w"]
+    ).agg(F.count("*").alias("n_closed"))
+    tot = e.agg(F.count("*").alias("n_edges"))
+    wtot = wdg.agg(F.count("*").alias("n_wedges"))
+    return (
+        tot.crossJoin(F.broadcast(wtot))
+        .crossJoin(F.broadcast(closed))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_closed",
+            F.round(
+                F.col("n_closed")
+                / F.when(F.col("n_wedges") == 0, None).otherwise(
+                    F.col("n_wedges")
+                ),
+                4,
+            ).alias("closure_rate_r"),
+        )
+    )

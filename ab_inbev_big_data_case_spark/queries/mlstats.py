@@ -2661,3 +2661,78 @@ def simpson_slope_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(gnum * pnum < 0, 1).otherwise(0).alias("reversed"),
         )
     )
+
+
+# ----------------------------------------------- matched ATT estimate
+
+_ATT_SQL = f"""
+    WITH matched AS ({_CALIPER_SQL}),
+    post AS (
+        SELECT user_id,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS post_c
+        FROM events
+        WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+        GROUP BY 1
+    ),
+    d AS (
+        SELECT coalesce(pt.post_c, 0) - coalesce(pc.post_c, 0) AS diff_c
+        FROM matched m
+        LEFT JOIN post pt ON pt.user_id = m.treated_id
+        LEFT JOIN post pc ON pc.user_id = m.control_id
+    )
+    SELECT count(*) AS n_pairs,
+           sum(diff_c)::BIGINT AS sum_diff_c,
+           round(sum(diff_c)::DOUBLE / count(*) / 100, 4) AS att_r
+    FROM d
+"""
+
+
+@register("matched_att_estimate", oracle=_ATT_SQL)
+def matched_att_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATT from the caliper-matched pairs: mean post-period spend
+    difference (treated − matched control), completing the causal arc
+    ``covariate_balance_smd`` → ``caliper_matching`` → estimate (the
+    matched counterpart of ``did_estimator``'s parallel-trends answer).
+    Users without post-period purchases contribute zero spend — the
+    estimand is spend per matched user, not per surviving purchaser.
+
+    Exactness: differences are exact cents; the single division happens
+    once on the 1-row result. Scale shape: the matching plan plus two
+    keyed LEFT joins and a 1-row aggregate."""
+    matched = caliper_matching(spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    post = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2) * 100)
+            .cast("long")
+            .alias("post_c")
+        )
+    )
+    pt = post.select(
+        F.col("user_id").alias("treated_id"), F.col("post_c").alias("t_post_c")
+    )
+    pc = post.select(
+        F.col("user_id").alias("control_id"), F.col("post_c").alias("c_post_c")
+    )
+    d = (
+        matched.join(pt, "treated_id", "left")
+        .join(pc, "control_id", "left")
+        .select(
+            (
+                F.coalesce("t_post_c", F.lit(0)) - F.coalesce("c_post_c", F.lit(0))
+            ).alias("diff_c")
+        )
+    )
+    return d.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("diff_c").cast("long").alias("sum_diff_c"),
+        F.round(
+            F.sum("diff_c").cast("double") / F.count("*") / 100, 4
+        ).alias("att_r"),
+    )
