@@ -185,6 +185,15 @@ _STAGED_NEXT = [
     "price_jump_events",
     "gains_chart_deciles",
     "ivf_nprobe_sweep",
+    "wilcoxon_signed_rank",
+    "position_based_attribution",
+    "embedding_dim_robust_stats",
+    "levene_test",
+    "runs_test_randomness",
+    "pacf_lags",
+    "simpson_slope_reversal",
+    "matched_att_estimate",
+    "dedup_transitivity_audit",
 ]
 
 
