@@ -1,0 +1,130 @@
+"""Behavioral invariants for the second half of the round-6 session-2
+operators — conservation laws, metric bounds, and cross-operator
+consistency the per-query oracle equality cannot express."""
+
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+load_all()
+
+
+def test_attribution_conserves_first_purchase_value(spark, sf_dir):
+    """Total credited cents across channels equals the summed
+    first-purchase values of users who had >=1 click before it."""
+    out = QUERIES["position_based_attribution"](spark, sf_dir)
+    credited = out.agg(F.sum("credit_c")).first()[0]
+    e = table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fts"))
+    )
+    had_click = (
+        e.filter(F.col("event_type") == "click")
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("fts"))
+        .select("user_id")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fp, "user_id")
+        .filter(F.col("ts") == F.col("fts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(had_click, "user_id")
+        .agg(
+            F.sum(
+                (F.round(F.col("value").cast("decimal(18,6)"), 2) * 100).cast(
+                    "long"
+                )
+            )
+        )
+        .first()[0]
+    )
+    assert credited == firstv
+
+
+def test_pacf_lag1_equals_acf_lag1(spark, sf_dir):
+    pacf = QUERIES["pacf_lags"](spark, sf_dir).first()
+    acf = {
+        r["lag_k"]: r["acf_r"] for r in QUERIES["acf_lags"](spark, sf_dir).collect()
+    }
+    assert abs(pacf["pacf1_r"] - acf[1]) < 1e-9
+
+
+def test_wilcoxon_w_plus_bounded(spark, sf_dir):
+    r = QUERIES["wilcoxon_signed_rank"](spark, sf_dir).first()
+    assert 0 <= r["w_plus"] <= r["n"] * (r["n"] + 1) / 2
+
+
+def test_runs_test_counts_consistent(spark, sf_dir):
+    r = QUERIES["runs_test_randomness"](spark, sf_dir).first()
+    assert r["n_plus"] + r["n_minus"] == r["n"]
+    assert 1 <= r["runs"] <= r["n"]
+
+
+def test_simpson_pooled_sign_constant(spark, sf_dir):
+    rows = QUERIES["simpson_slope_reversal"](spark, sf_dir).collect()
+    assert rows
+    assert len({r["sign_pooled"] for r in rows}) == 1
+    for r in rows:
+        assert r["sign_nation"] in (-1, 0, 1)
+        assert r["reversed"] == int(r["sign_nation"] * r["sign_pooled"] < 0)
+
+
+def test_gains_chart_monotone_and_complete(spark, sf_dir):
+    rows = sorted(
+        QUERIES["gains_chart_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    gains = [r["gain_r"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(gains, gains[1:]))
+    assert abs(gains[-1] - 1.0) < 1e-9
+
+
+def test_map_at_k_bounds(spark, sf_dir):
+    rows = QUERIES["map_at_k_eval"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert 0.0 <= r["ap_r"] <= 1.0
+
+
+def test_price_jumps_exceed_threshold(spark, sf_dir):
+    rows = QUERIES["price_jump_events"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert abs(r["pct_change_r"]) > 20 - 1e-6
+
+
+def test_levene_nonnegative(spark, sf_dir):
+    r = QUERIES["levene_test"](spark, sf_dir).first()
+    assert r["levene_w_r"] >= 0
+
+
+def test_transitivity_closed_bounded_by_wedges(spark, sf_dir):
+    r = QUERIES["dedup_transitivity_audit"](spark, sf_dir).first()
+    assert 0 <= r["n_closed"] <= r["n_wedges"]
+
+
+def test_laspeyres_base_month_is_unity(spark, sf_dir):
+    rows = QUERIES["laspeyres_price_index"](spark, sf_dir).collect()
+    base = min(r["mth"] for r in rows)
+    ix = {r["mth"]: r["laspeyres_r"] for r in rows}
+    assert abs(ix[base] - 1.0) < 1e-9
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    rows = {
+        r["n_probe"]: r["mean_recall_r"]
+        for r in QUERIES["ivf_nprobe_sweep"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert rows[1] <= rows[2] + 1e-9 <= rows[4] + 2e-9
