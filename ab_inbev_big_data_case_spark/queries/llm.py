@@ -5132,3 +5132,94 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure_rate_r"),
         )
     )
+
+
+# --------------------------------------------- embedding isotropy audit
+
+_ISOTROPY_SQL = """
+    WITH x AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(unnest(embedding)::DOUBLE * 1e6, 0) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ),
+    g AS (
+        SELECT a.dim AS i, b.dim AS j,
+               sum((a.q::HUGEINT) * b.q) AS s,
+               count(*) AS n
+        FROM x a JOIN x b USING (vec_id)
+        WHERE a.dim <= b.dim
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT sum(CASE WHEN i = j THEN abs(s) ELSE 0 END)::HUGEINT AS diag,
+               sum(CASE WHEN i < j THEN 2 * abs(s) ELSE 0 END)::HUGEINT
+                   AS offdiag,
+               max(CASE WHEN i < j THEN abs(s) END)::HUGEINT AS max_off,
+               min(CASE WHEN i = j THEN s END)::HUGEINT AS min_diag
+        FROM g
+    )
+    SELECT round(offdiag::DOUBLE / (diag::DOUBLE + offdiag::DOUBLE), 6)
+               AS offdiag_mass_r,
+           round(max_off::DOUBLE / min_diag::DOUBLE, 6) AS max_off_ratio_r
+    FROM m
+"""
+
+
+@register("embedding_isotropy_audit", oracle=_ISOTROPY_SQL)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the second-moment (Gram) matrix: the share of
+    |Σxᵢxⱼ| mass living off the diagonal and the largest off-diagonal
+    entry relative to the smallest diagonal one. Anisotropic embeddings
+    (mass concentrated in a few correlated directions) degrade cosine
+    retrieval and PQ codebooks — this is the one-row go/no-go read
+    before trusting the similarity family on a new embedding column
+    (``embedding_gram_matrix`` exposes the full matrix; this is its
+    summary statistic, computed fully distributed with no collect).
+
+    Exactness: components quantize to 1e-6 integers, every Gram cell is
+    an exact integer sum, and the two ratios are single final double
+    expressions.
+
+    Scale shape: the dim-pair explode is ×(64·65/2) per row — constant
+    fan-out, linear in rows; the Gram aggregation is keyed on the
+    bounded (i, j) grid (2,080 cells at any SF)."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6, 0).cast("long").alias("q"),
+    )
+    a = x.select("vec_id", F.col("dim").alias("i"), F.col("q").alias("qi"))
+    b = x.select("vec_id", F.col("dim").alias("j"), F.col("q").alias("qj"))
+    g = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qj")).alias("s")
+        )
+    )
+    m = g.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.abs(F.col("s"))).otherwise(0)).alias(
+            "diag"
+        ),
+        F.sum(
+            F.when(F.col("i") < F.col("j"), 2 * F.abs(F.col("s"))).otherwise(0)
+        ).alias("offdiag"),
+        F.max(F.when(F.col("i") < F.col("j"), F.abs(F.col("s")))).alias("max_off"),
+        F.min(F.when(F.col("i") == F.col("j"), F.col("s"))).alias("min_diag"),
+    )
+    return m.select(
+        F.round(
+            F.col("offdiag").cast("double")
+            / (F.col("diag").cast("double") + F.col("offdiag").cast("double")),
+            6,
+        ).alias("offdiag_mass_r"),
+        F.round(
+            F.col("max_off").cast("double") / F.col("min_diag").cast("double"), 6
+        ).alias("max_off_ratio_r"),
+    )

@@ -1314,3 +1314,126 @@ def pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2), 6
         ).alias("pacf3_r"),
     )
+
+
+# ----------------------------------------- forecast method bakeoff
+
+_BAKEOFF_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+        SELECT day, rev,
+               row_number() OVER (ORDER BY day) AS i,
+               count(*) OVER () AS n
+        FROM d
+    ),
+    train AS (SELECT * FROM idx WHERE i <= n - 28),
+    test AS (SELECT * FROM idx WHERE i > n - 28),
+    anchor AS (
+        SELECT max(CASE WHEN i = n - 28 THEN rev END) AS last_rev,
+               max(CASE WHEN i = 1 THEN rev END) AS first_rev,
+               max(n) - 28 AS n_train
+        FROM idx
+    ),
+    f AS (
+        SELECT t.i, t.rev,
+               a.last_rev AS f_naive,
+               (SELECT s.rev FROM idx s
+                WHERE s.i = t.i - 7 * (((t.i - (a.n_train + 1)) // 7) + 1))
+                   AS f_snaive,
+               a.last_rev + (a.last_rev - a.first_rev)
+                   / (a.n_train - 1) * (t.i - a.n_train) AS f_drift
+        FROM test t CROSS JOIN anchor a
+    )
+    SELECT method, n_days,
+           round(mape, 4) AS mape_r
+    FROM (
+        SELECT 'naive' AS method, count(*) AS n_days,
+               avg(abs(rev - f_naive) / rev) * 100 AS mape
+        FROM f
+        UNION ALL
+        SELECT 'seasonal_naive', count(*),
+               avg(abs(rev - f_snaive) / rev) * 100
+        FROM f
+        UNION ALL
+        SELECT 'drift', count(*),
+               avg(abs(rev - f_drift) / rev) * 100
+        FROM f
+    )
+"""
+
+
+@register("forecast_method_bakeoff", oracle=_BAKEOFF_SQL)
+def forecast_method_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast bakeoff on the last 28 observed days of
+    daily revenue: naive (last training value), seasonal naive (value
+    from the most recent same-weekday slot in training, reached by
+    stepping back whole weeks), and drift (linear extrapolation of the
+    training endpoints) — MAPE each, the model-selection harness
+    ``seasonal_naive_mape`` is one arm of.
+
+    Determinism: the series index is a row_number over the bounded day
+    spine (ties impossible — one row per day), forecasts are arithmetic
+    on anchored values, and MAPE averages 28 identical doubles in both
+    engines before one rounding.
+
+    Scale shape: everything after the one fact aggregation is
+    spine-sized; the seasonal lookup is a keyed self-join of the 28-row
+    test slice against the spine."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day")
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = d.select(
+        "day",
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("n"),
+    )
+    anchor = idx.agg(
+        F.max(F.when(F.col("i") == F.col("n") - 28, F.col("rev"))).alias(
+            "last_rev"
+        ),
+        F.max(F.when(F.col("i") == 1, F.col("rev"))).alias("first_rev"),
+        (F.max("n") - 28).alias("n_train"),
+    )
+    test = idx.filter(F.col("i") > F.col("n") - 28).crossJoin(F.broadcast(anchor))
+    # seasonal-naive source index: step back whole weeks into training
+    test = test.withColumn(
+        "src_i",
+        F.col("i")
+        - 7
+        * (
+            F.expr("(i - (n_train + 1)) div 7") + 1
+        ),
+    )
+    src = idx.select(F.col("i").alias("src_i"), F.col("rev").alias("f_snaive"))
+    f = test.join(src, "src_i").select(
+        "rev",
+        F.col("last_rev").alias("f_naive"),
+        "f_snaive",
+        (
+            F.col("last_rev")
+            + (F.col("last_rev") - F.col("first_rev"))
+            / (F.col("n_train") - 1)
+            * (F.col("i") - F.col("n_train"))
+        ).alias("f_drift"),
+    )
+    # one aggregate pass for all three methods, then an in-row unpivot —
+    # a 3-way union would re-execute the whole spine subtree per branch
+    m = f.agg(
+        F.count("*").alias("n_days"),
+        *[
+            F.round(
+                F.avg(F.abs(F.col("rev") - F.col(col)) / F.col("rev")) * 100, 4
+            ).alias(f"m_{col}")
+            for col in ("f_naive", "f_snaive", "f_drift")
+        ],
+    )
+    return m.select(
+        F.expr(
+            "stack(3, 'naive', m_f_naive, 'seasonal_naive', m_f_snaive,"
+            " 'drift', m_f_drift)"
+        ).alias("method", "mape_r"),
+        "n_days",
+    ).select("method", "n_days", "mape_r")

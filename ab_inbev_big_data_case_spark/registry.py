@@ -194,6 +194,8 @@ _STAGED_NEXT = [
     "simpson_slope_reversal",
     "matched_att_estimate",
     "dedup_transitivity_audit",
+    "forecast_method_bakeoff",
+    "embedding_isotropy_audit",
 ]
 
 

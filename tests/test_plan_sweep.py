@@ -37,6 +37,7 @@ PARTITIONLESS_ALLOWED = {
     "cumulative_unique_users": 1,   # daily first-seen spine
     "cusum_changepoint": 1,         # daily spine cumsum
     "error_rate_changepoint": 4,    # daily spine prefix stats
+    "forecast_method_bakeoff": 5,   # day-spine index + 28-row holdout windows
     "gains_chart_deciles": 5,       # ≤10-row carry + decile cumsum/total spines
     "gini_concentration": 1,        # bounded decile spine
     "global_sort": 1,               # explicit total-order contract
