@@ -1112,3 +1112,120 @@ def cross_table_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         viol((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08), "tax_out_of_range"),
     )
+
+
+# -------------------------------------------- duplicate payment audit
+
+_DUP_PAY_SQL = """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS amt_c,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.amt_c AS amt1_c, b.amt_c AS amt2_c,
+           a.o_orderkey AS order1, b.o_orderkey AS order2,
+           b.d - a.d AS gap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE abs(b.d - a.d) <= 30
+      AND 20 * abs(a.amt_c - b.amt_c) <= greatest(a.amt_c, b.amt_c)
+"""
+
+
+@register("duplicate_payment_audit", oracle=_DUP_PAY_SQL)
+def duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit: order pairs from the same customer with
+    amounts within 5% of each other inside a 30-day window — the
+    accounts-payable double-billing screen (near-same-amount,
+    same-party, close-date). The tolerance is the exact integer cross
+    comparison 20·|Δcents| ≤ max(cents), so membership never rides on
+    float division. Distinct from ``exact_dedup_hash`` (whole-row
+    identity) and ``fuzzy_match_blocked`` (string similarity): keyed
+    coincidence detection on (party, amount band, time band).
+
+    Scale shape: the pair join is an EQUI-join on the customer key; the
+    data model bounds per-customer order counts (≤ a few dozen at any
+    SF), so per-key fan-out is small-constant² — a deployment with
+    mega-payers adds an amount-bucket term to the join key, the
+    ``caliper_matching`` banding."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("amt_c"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("amt_c").alias("amt1_c"),
+        F.col("o_orderkey").alias("order1"),
+        F.col("d").alias("date1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("amt_c").alias("amt2_c"),
+        F.col("o_orderkey").alias("order2"),
+        F.col("d").alias("date2"),
+    )
+    return (
+        a.join(b, "custkey")
+        .filter(F.col("order1") < F.col("order2"))
+        .withColumn("gap_days", F.datediff("date2", "date1"))
+        .filter(F.abs(F.col("gap_days")) <= 30)
+        .filter(
+            20 * F.abs(F.col("amt1_c") - F.col("amt2_c"))
+            <= F.greatest("amt1_c", "amt2_c")
+        )
+        .select("custkey", "amt1_c", "amt2_c", "order1", "order2", "gap_days")
+    )
+
+
+# ------------------------------------------- last-digit uniformity
+
+_LASTDIGIT_SQL = """
+    WITH d AS (
+        SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) % 10 AS digit
+        FROM orders
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT c.digit, c.n,
+           round(c.n * 100.0 / t.tot, 4) AS pct_r,
+           round(pow(c.n - t.tot / 10.0, 2) / (t.tot / 10.0), 4)
+               AS chi2_term_r
+    FROM c CROSS JOIN t
+"""
+
+
+@register("last_digit_uniformity", oracle=_LASTDIGIT_SQL)
+def last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-cent-digit uniformity screen: unlike leading digits (which
+    follow Benford — see ``benford_law_check``), trailing digits of
+    authentic amounts should be ~uniform; humps at 0/5 flag rounded or
+    fabricated figures. Per-digit counts with their chi-square terms
+    against the uniform expectation.
+
+    Scale shape: one scan, a 10-key aggregate, a broadcast total."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        (
+            (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+            .cast("long")
+            % 10
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 100.0 / F.col("tot"), 4).alias("pct_r"),
+        F.round(
+            F.pow(F.col("n") - F.col("tot") / 10.0, 2) / (F.col("tot") / 10.0), 4
+        ).alias("chi2_term_r"),
+    )

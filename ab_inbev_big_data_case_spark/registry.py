@@ -196,6 +196,8 @@ _STAGED_NEXT = [
     "dedup_transitivity_audit",
     "forecast_method_bakeoff",
     "embedding_isotropy_audit",
+    "duplicate_payment_audit",
+    "last_digit_uniformity",
 ]
 
 
