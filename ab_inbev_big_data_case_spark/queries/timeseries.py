@@ -1437,3 +1437,75 @@ def forecast_method_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("method", "mape_r"),
         "n_days",
     ).select("method", "n_days", "mape_r")
+
+
+# ------------------------------------------------------ max drawdown
+
+_DRAWDOWN_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (
+        SELECT day, rev,
+               max(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS run_max
+        FROM d
+    ),
+    dd AS (SELECT day, rev, run_max, run_max - rev AS drawdown FROM c),
+    mx AS (SELECT max(drawdown) AS max_dd FROM dd),
+    trough AS (
+        SELECT min(day) AS trough_day FROM dd CROSS JOIN mx
+        WHERE drawdown = max_dd
+    )
+    SELECT round(m.max_dd, 2) AS max_drawdown_r,
+           t.trough_day,
+           round((SELECT max(run_max) FROM dd WHERE day <= t.trough_day), 2)
+               AS peak_level_r,
+           round(m.max_dd / (SELECT max(run_max) FROM dd
+                             WHERE day <= t.trough_day), 6)
+               AS dd_pct_r
+    FROM mx m CROSS JOIN trough t
+"""
+
+
+@register("max_drawdown_daily", oracle=_DRAWDOWN_SQL)
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series: the largest drop
+    from a running peak to a later day, with the trough date (earliest
+    on ties) and the drawdown as a share of the peak — the
+    worst-case-decline statistic (finance's risk lens applied to the
+    revenue stream; ``cusum_changepoint`` finds WHERE the level shifted,
+    this measures HOW BAD the deepest excursion was).
+
+    Determinism: revenues are the decimal-exact daily sums shared by the
+    ACF family; running max and differences are exact; ties on the
+    trough break to the earliest day.
+
+    Scale shape: one fact aggregation, then a running-max window plus
+    two bounded aggregates over the calendar-day spine."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = d.select(
+        "day", "rev", F.max("rev").over(w).alias("run_max")
+    ).withColumn("drawdown", F.col("run_max") - F.col("rev"))
+    mx = dd.agg(F.max("drawdown").alias("max_dd"))
+    trough = (
+        dd.crossJoin(F.broadcast(mx))
+        .filter(F.col("drawdown") == F.col("max_dd"))
+        .agg(F.min("day").alias("trough_day"))
+    )
+    peak = (
+        dd.crossJoin(F.broadcast(trough))
+        .filter(F.col("day") <= F.col("trough_day"))
+        .agg(F.max("run_max").alias("peak_level"))
+    )
+    return (
+        mx.crossJoin(F.broadcast(trough))
+        .crossJoin(F.broadcast(peak))
+        .select(
+            F.round("max_dd", 2).alias("max_drawdown_r"),
+            "trough_day",
+            F.round("peak_level", 2).alias("peak_level_r"),
+            F.round(F.col("max_dd") / F.col("peak_level"), 6).alias("dd_pct_r"),
+        )
+    )

@@ -198,6 +198,7 @@ _STAGED_NEXT = [
     "embedding_isotropy_audit",
     "duplicate_payment_audit",
     "last_digit_uniformity",
+    "max_drawdown_daily",
 ]
 
 

@@ -48,6 +48,7 @@ PARTITIONLESS_ALLOWED = {
     "ks_two_sample": 6,             # pooled grouped-value spine
     "lorenz_curve_points": 2,       # decile spine
     "mann_kendall_theil_sen": 4,    # daily spine pairwise stats
+    "max_drawdown_daily": 6,        # day-spine running max, reused per branch
     "mom_revenue_growth": 3,        # monthly aggregate spine
     "pacf_lags": 3,                 # daily spine lag triplet
     "rbo_rank_agreement": 4,        # top-k ranking spine
