@@ -5223,3 +5223,63 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_off").cast("double") / F.col("min_diag").cast("double"), 6
         ).alias("max_off_ratio_r"),
     )
+
+
+# ------------------------------------- effective source count
+
+_EFF_SRC_SQL = """
+    WITH c AS (
+        SELECT lang, source, count(*) AS n_s
+        FROM documents GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT lang, sum(n_s)::HUGEINT AS n,
+               sum((n_s::HUGEINT) * n_s) AS q,
+               count(*) AS n_sources
+        FROM c GROUP BY 1
+    )
+    SELECT lang, n::BIGINT AS n_docs, n_sources,
+           round((n * n)::DOUBLE / q::DOUBLE, 4) AS eff_sources_r,
+           round((n * n)::DOUBLE / q::DOUBLE / n_sources, 4)
+               AS evenness_r
+    FROM g
+"""
+
+
+@register("effective_source_count", oracle=_EFF_SRC_SQL)
+def effective_source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective number of sources per language — the inverse-Simpson
+    diversity n²/Σnₛ² (Hill number of order 2): how many EQUALLY-SIZED
+    sources the mix behaves like, plus evenness (effective/actual). The
+    data-mixing read that complements ``source_entropy`` (Shannon,
+    order 1): inverse-Simpson down-weights tail sources harder, so a mix
+    dominated by two giants scores ≈2 here even when entropy still looks
+    healthy.
+
+    Exactness: pure integer counts — n² and Σnₛ² as exact decimals, one
+    double division per language row. Scale shape: a (lang, source)
+    partial aggregate on the bounded dimension grid, then a per-lang
+    combine."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n_s"))
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    g = c.groupBy("lang").agg(
+        F.sum(dec("n_s")).alias("n"),
+        F.sum(dec("n_s") * F.col("n_s")).alias("q"),
+        F.count("*").alias("n_sources"),
+    )
+    return g.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        "n_sources",
+        F.round(
+            (F.col("n") * F.col("n")).cast("double") / F.col("q").cast("double"),
+            4,
+        ).alias("eff_sources_r"),
+        F.round(
+            (F.col("n") * F.col("n")).cast("double")
+            / F.col("q").cast("double")
+            / F.col("n_sources"),
+            4,
+        ).alias("evenness_r"),
+    )

@@ -1509,3 +1509,102 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("max_dd") / F.col("peak_level"), 6).alias("dd_pct_r"),
         )
     )
+
+
+# --------------------------------------------- SPC control chart
+
+_SPC_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    m AS (
+        SELECT count(*) AS n, sum(rev) AS s, sum(rev * rev) AS q
+        FROM d
+    ),
+    lim AS (
+        SELECT s / n AS mu,
+               sqrt((q - s * s / n) / (n - 1)) AS sigma
+        FROM m
+    ),
+    lab AS (
+        SELECT day, rev,
+               CASE WHEN rev > l.mu + 3 * l.sigma THEN 1
+                    WHEN rev < l.mu - 3 * l.sigma THEN -1
+                    ELSE 0 END AS rule1,
+               CASE WHEN rev > l.mu THEN 1 ELSE -1 END AS side
+        FROM d CROSS JOIN lim l
+    ),
+    runs AS (
+        SELECT day, rule1, side,
+               row_number() OVER (ORDER BY day)
+                 - row_number() OVER (PARTITION BY side ORDER BY day)
+                   AS grp
+        FROM lab
+    ),
+    rule2 AS (
+        SELECT count(*) AS n_rule2_runs
+        FROM (SELECT side, grp, count(*) AS len
+              FROM runs GROUP BY 1, 2 HAVING count(*) >= 9)
+    )
+    SELECT (SELECT count(*) FROM lab WHERE rule1 = 1) AS n_above_3sigma,
+           (SELECT count(*) FROM lab WHERE rule1 = -1) AS n_below_3sigma,
+           r2.n_rule2_runs,
+           (SELECT count(*) FROM lab) AS n_days
+    FROM rule2 r2
+"""
+
+
+@register("spc_control_chart", oracle=_SPC_SQL)
+def spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control chart over daily revenue: Western
+    Electric rule 1 (points beyond μ±3σ) and rule 2 (runs of ≥9
+    consecutive days on one side of the mean, found with the classic
+    gaps-and-islands double row_number) — the monitoring layer above
+    ``ewma_anomaly``/``cusum_changepoint``: rules an operator can read
+    off a chart, not a tuned detector.
+
+    Determinism: daily sums are decimal-exact; μ/σ and the ±3σ
+    comparisons run on the same doubles in both engines (identical
+    expression over identical inputs); run grouping is integer
+    row_number arithmetic over the bounded day spine."""
+    d = _daily_revenue(spark, sf_dir)
+    m = d.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).alias("q"),
+    )
+    lim = m.select(
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    lab = d.crossJoin(F.broadcast(lim)).select(
+        "day",
+        "rev",
+        F.when(F.col("rev") > F.col("mu") + 3 * F.col("sigma"), 1)
+        .when(F.col("rev") < F.col("mu") - 3 * F.col("sigma"), -1)
+        .otherwise(0)
+        .alias("rule1"),
+        F.when(F.col("rev") > F.col("mu"), 1).otherwise(-1).alias("side"),
+    )
+    w_all = Window.orderBy("day")
+    w_side = Window.partitionBy("side").orderBy("day")
+    runs = lab.select(
+        "side",
+        (F.row_number().over(w_all) - F.row_number().over(w_side)).alias("grp"),
+    )
+    rule2 = (
+        runs.groupBy("side", "grp")
+        .agg(F.count("*").alias("len"))
+        .filter(F.col("len") >= 9)
+        .agg(F.count("*").alias("n_rule2_runs"))
+    )
+    stats = lab.agg(
+        F.sum(F.when(F.col("rule1") == 1, 1).otherwise(0)).alias("n_above_3sigma"),
+        F.sum(F.when(F.col("rule1") == -1, 1).otherwise(0)).alias(
+            "n_below_3sigma"
+        ),
+        F.count("*").alias("n_days"),
+    )
+    return stats.crossJoin(F.broadcast(rule2)).select(
+        "n_above_3sigma", "n_below_3sigma", "n_rule2_runs", "n_days"
+    )

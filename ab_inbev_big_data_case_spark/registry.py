@@ -199,6 +199,8 @@ _STAGED_NEXT = [
     "duplicate_payment_audit",
     "last_digit_uniformity",
     "max_drawdown_daily",
+    "spc_control_chart",
+    "effective_source_count",
 ]
 
 

@@ -56,6 +56,7 @@ PARTITIONLESS_ALLOWED = {
     "sax_motifs": 2,                # daily spine 3-gram leads (one spec per lead frame)
     "seasonal_residual_anomaly": 8, # daily spine decomposition
     "skyline_2d": 1,                # pruned local-survivor pass
+    "spc_control_chart": 1,         # day-spine gaps-and-islands row_number
     "spearman_corr_lengths": 2,     # two value-domain rank spines
     "ts_decomposition": 2,          # daily spine
     "wilcoxon_signed_rank": 1,      # |diff| rank spine (audit-panel sized)
