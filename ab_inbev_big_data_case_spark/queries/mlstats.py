@@ -2736,3 +2736,163 @@ def matched_att_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("diff_c").cast("double") / F.count("*") / 100, 4
         ).alias("att_r"),
     )
+
+
+# ---------------------------------------------------- log-rank test
+
+_LOGRANK_SQL = """
+    WITH su AS (
+        SELECT user_id, user_id % 2 AS arm, min(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ),
+    pu AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN su ON su.user_id = e.user_id
+                            AND epoch_us(e.ts) > su.s_us
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1
+    ),
+    obs AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+    durs AS (
+        SELECT su.arm,
+               CASE WHEN pu.p_us IS NOT NULL
+                    THEN (pu.p_us - su.s_us) // 86400000000
+                    ELSE (o.end_us - su.s_us) // 86400000000
+               END AS t_day,
+               CASE WHEN pu.p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+        CROSS JOIN obs o
+    ),
+    g AS (
+        SELECT t_day,
+               sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS d1,
+               sum(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS d0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0
+        FROM durs GROUP BY 1
+    ),
+    sp AS (
+        SELECT t_day, d1, d0,
+               sum(c1) OVER (ORDER BY t_day DESC
+                             ROWS UNBOUNDED PRECEDING) AS n1,
+               sum(c0) OVER (ORDER BY t_day DESC
+                             ROWS UNBOUNDED PRECEDING) AS n0
+        FROM g
+    ),
+    terms AS (
+        SELECT CAST(round(d1 - (d1 + d0) * 1.0 * n1 / (n1 + n0), 12)
+                    AS DECIMAL(38,12)) AS oe,
+               CAST(round(CASE WHEN n1 + n0 > 1 THEN
+                   (d1 + d0) * (n1 * 1.0 / (n1 + n0))
+                   * (1 - n1 * 1.0 / (n1 + n0))
+                   * ((n1 + n0) - (d1 + d0)) * 1.0 / ((n1 + n0) - 1)
+                   ELSE 0 END, 12) AS DECIMAL(38,12)) AS v
+        FROM sp WHERE d1 + d0 > 0
+    ),
+    s AS (
+        SELECT count(*) AS n_event_days,
+               sum(oe) AS oe_sum, sum(v) AS v_sum
+        FROM terms
+    )
+    SELECT n_event_days,
+           round(CAST(oe_sum AS DOUBLE), 6) AS o_minus_e_r,
+           round(CAST(v_sum AS DOUBLE), 6) AS var_r,
+           round(CAST(oe_sum AS DOUBLE) / sqrt(CAST(v_sum AS DOUBLE)), 4)
+               AS z_r
+    FROM s
+"""
+
+
+@register("logrank_test", oracle=_LOGRANK_SQL)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing signup→first-purchase survival between
+    the deterministic arms (odd vs even user_id): at each event day the
+    observed arm-1 events are compared against the hypergeometric
+    expectation given the at-risk sets, Z = Σ(O−E)/√ΣV — the standard
+    censoring-aware two-sample survival comparison
+    (``kaplan_meier_survival`` draws the curves; this tests whether they
+    differ).
+
+    Determinism: every per-day term is quantized to 12 decimals and
+    summed as EXACT decimals (order-independent — a plain double sum
+    over the spine could differ between engines' aggregation orders);
+    the z combines the exact sums once.
+
+    Scale shape: the duration construction is ``kaplan_meier_survival``'s
+    (user-keyed reductions onto the calendar-day spine); the at-risk
+    counts are two descending cumsums over that bounded spine."""
+    e = table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_raw"))
+        .join(su.select("user_id", "s_us"), "user_id")
+        .filter(F.col("p_raw") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_us"))
+    )
+    obs = e.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    durs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "arm",
+            F.when(
+                F.col("p_us").isNotNull(),
+                F.expr("(p_us - s_us) div 86400000000"),
+            )
+            .otherwise(F.expr("(end_us - s_us) div 86400000000"))
+            .alias("t_day"),
+            F.when(F.col("p_us").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    g = durs.groupBy("t_day").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("ev")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+    )
+    wdesc = Window.orderBy(F.col("t_day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded day spine (KM convention)
+    sp = g.select(
+        "t_day",
+        "d1",
+        "d0",
+        F.sum("c1").over(wdesc).alias("n1"),
+        F.sum("c0").over(wdesc).alias("n0"),
+    )
+    nt = F.col("n1") + F.col("n0")
+    dt = F.col("d1") + F.col("d0")
+    p1 = F.col("n1") * 1.0 / nt
+    terms = sp.filter(dt > 0).select(
+        F.round(F.col("d1") - dt * p1, 12).cast("decimal(38,12)").alias("oe"),
+        F.round(
+            F.when(
+                nt > 1,
+                dt * p1 * (1 - p1) * (nt - dt) * 1.0 / (nt - 1),
+            ).otherwise(0.0),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("v"),
+    )
+    s = terms.agg(
+        F.count("*").alias("n_event_days"),
+        F.sum("oe").alias("oe_sum"),
+        F.sum("v").alias("v_sum"),
+    )
+    return s.select(
+        "n_event_days",
+        F.round(F.col("oe_sum").cast("double"), 6).alias("o_minus_e_r"),
+        F.round(F.col("v_sum").cast("double"), 6).alias("var_r"),
+        F.round(
+            F.col("oe_sum").cast("double")
+            / F.sqrt(F.col("v_sum").cast("double")),
+            4,
+        ).alias("z_r"),
+    )

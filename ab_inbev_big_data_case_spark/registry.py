@@ -201,6 +201,7 @@ _STAGED_NEXT = [
     "max_drawdown_daily",
     "spc_control_chart",
     "effective_source_count",
+    "logrank_test",
 ]
 
 

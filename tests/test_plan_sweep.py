@@ -46,6 +46,7 @@ PARTITIONLESS_ALLOWED = {
     "histogram_quantile_sketch": 2, # fixed-width bin spine
     "kaplan_meier_survival": 3,     # calendar-day spine (desc+asc cumsum)
     "ks_two_sample": 6,             # pooled grouped-value spine
+    "logrank_test": 2,              # KM day-spine descending at-risk cumsums
     "lorenz_curve_points": 2,       # decile spine
     "mann_kendall_theil_sen": 4,    # daily spine pairwise stats
     "max_drawdown_daily": 6,        # day-spine running max, reused per branch
