@@ -1426,3 +1426,157 @@ def gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("lift_r"),
     )
+
+
+# -------------------------------------------------- Qini uplift curve
+
+_QINI_SQL = """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(round(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                   THEN CAST(value AS DECIMAL(18,6)) END), 2)
+                    * 100 AS BIGINT) AS score_c,
+               max(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                   AS buyer
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+        HAVING sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) > 0
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY score_c DESC, user_id DESC)
+                      AS desc_rank,
+               count(*) OVER () AS n
+        FROM u
+    ),
+    d AS (
+        SELECT ((desc_rank - 1) * 10) // n + 1 AS decile,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nt,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nc,
+               sum(CASE WHEN arm = 1 THEN buyer ELSE 0 END) AS bt,
+               sum(CASE WHEN arm = 0 THEN buyer ELSE 0 END) AS bc
+        FROM r GROUP BY 1
+    ),
+    c AS (
+        SELECT decile,
+               sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+               sum(bt) OVER w AS cbt, sum(bc) OVER w AS cbc
+        FROM d
+        WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT decile,
+           cnt::BIGINT AS cum_n_treated, cnc::BIGINT AS cum_n_control,
+           cbt::BIGINT AS cum_buyers_treated,
+           cbc::BIGINT AS cum_buyers_control,
+           round(cbt * 1.0 / nullif(cnt, 0)
+                 - cbc * 1.0 / nullif(cnc, 0), 6) AS uplift_r,
+           round(cbt - cbc * 1.0 * cnt / nullif(cnc, 0), 4) AS qini_r
+    FROM c
+"""
+
+
+@register("qini_curve_deciles", oracle=_QINI_SQL)
+def qini_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini/uplift curve by targeting-score decile: with deterministic
+    arms, each cumulative decile reports the treated-minus-control
+    conversion difference (uplift) and the Qini numerator
+    cum_bt − cum_bc·(cum_nt/cum_nc) — the uplift-model evaluation that
+    ``gains_chart_deciles`` (single-population capture) cannot express:
+    a score can rank buyers perfectly yet have zero UPLIFT if control
+    users convert identically.
+
+    Scale shape: identical two-level exact global descending rank as the
+    gains chart (percentile buckets + in-bucket window + carry spine),
+    arm-conditional aggregates on the decile grain, and ≤10-row
+    cumulative windows. All counts exact integers; two final divisions
+    per decile row."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    split = F.lit("2024-01-16").cast("timestamp")
+    u = (
+        e.groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("ts") < split,
+                            F.col("value").cast("decimal(18,6)"),
+                        )
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("score_c"),
+            F.max(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("buyer"),
+            F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n_pre"),
+        )
+        .filter(F.col("n_pre") > 0)
+        .drop("n_pre")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = u.agg(F.percentile_approx("score_c", qs, 10000).alias("bs"))
+    bucketed = u.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b_: acc + F.when(b_ < F.col("score_c"), 1).otherwise(0),
+        ),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("score_c", "user_id")
+    rl = bucketed.select(
+        "bucket", "score_c", "user_id", "arm", "buyer",
+        F.row_number().over(w_local).alias("rn"),
+    )
+    spine = rl.groupBy("bucket").agg(F.count("*").alias("bn"))
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = spine.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_spine), F.lit(0)).alias("off")
+    )
+    tot = u.agg(F.count("*").alias("n"))
+    ranked = (
+        rl.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "buyer",
+            (F.col("n") - (F.col("off") + F.col("rn")) + 1).alias("desc_rank"),
+            "n",
+        )
+    )
+    d = ranked.groupBy(
+        (F.expr("((desc_rank - 1) * 10) div n") + 1).alias("decile")
+    ).agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("arm") == 1, F.col("buyer")).otherwise(0)).alias("bt"),
+        F.sum(F.when(F.col("arm") == 0, F.col("buyer")).otherwise(0)).alias("bc"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "decile",
+        F.sum("nt").over(w_cum).alias("cnt"),
+        F.sum("nc").over(w_cum).alias("cnc"),
+        F.sum("bt").over(w_cum).alias("cbt"),
+        F.sum("bc").over(w_cum).alias("cbc"),
+    )
+    return c.select(
+        "decile",
+        F.col("cnt").cast("long").alias("cum_n_treated"),
+        F.col("cnc").cast("long").alias("cum_n_control"),
+        F.col("cbt").cast("long").alias("cum_buyers_treated"),
+        F.col("cbc").cast("long").alias("cum_buyers_control"),
+        F.round(
+            F.col("cbt") * 1.0 / F.nullif(F.col("cnt"), F.lit(0))
+            - F.col("cbc") * 1.0 / F.nullif(F.col("cnc"), F.lit(0)),
+            6,
+        ).alias("uplift_r"),
+        F.round(
+            F.col("cbt")
+            - F.col("cbc") * 1.0 * F.col("cnt") / F.nullif(F.col("cnc"), F.lit(0)),
+            4,
+        ).alias("qini_r"),
+    )

@@ -202,6 +202,7 @@ _STAGED_NEXT = [
     "spc_control_chart",
     "effective_source_count",
     "logrank_test",
+    "qini_curve_deciles",
 ]
 
 
