@@ -1608,3 +1608,143 @@ def spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(rule2)).select(
         "n_above_3sigma", "n_below_3sigma", "n_rule2_runs", "n_days"
     )
+
+
+# ------------------------------------------- matrix profile (daily)
+
+_MATRIX_PROFILE_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, x, row_number() OVER (ORDER BY d) AS i FROM daily
+    ),
+    win AS (
+        SELECT i, d,
+               [x, lead(x, 1) OVER w, lead(x, 2) OVER w, lead(x, 3) OVER w,
+                lead(x, 4) OVER w, lead(x, 5) OVER w, lead(x, 6) OVER w] AS v
+        FROM idx WINDOW w AS (ORDER BY i)
+        QUALIFY lead(x, 6) OVER w IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.i AS i, a.d AS d, b.i AS j,
+               (SELECT sum((p.a1 - p.b1) * (p.a1 - p.b1))
+                FROM (SELECT unnest(a.v)::HUGEINT AS a1,
+                             unnest(b.v)::HUGEINT AS b1) p) AS dist2
+        FROM win a JOIN win b ON abs(a.i - b.i) >= 7
+    ),
+    prof AS (
+        SELECT i, d, dist2 AS nn_dist2, j AS nn_j FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY i ORDER BY dist2, j) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    ),
+    top AS (
+        SELECT 'discord' AS kind, i, d, nn_j, nn_dist2,
+               row_number() OVER (ORDER BY nn_dist2 DESC, i) AS rk
+        FROM prof
+        UNION ALL
+        SELECT 'motif', i, d, nn_j, nn_dist2,
+               row_number() OVER (ORDER BY nn_dist2 ASC, i) AS rk
+        FROM prof
+    )
+    SELECT kind, rk, i, d, nn_j, nn_dist2::BIGINT AS nn_dist2
+    FROM top WHERE rk <= 5
+"""
+
+
+@register("matrix_profile_daily", oracle=_MATRIX_PROFILE_SQL)
+def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of the daily revenue series (Yeh et al. 2016,
+    window m=7): for every 7-day window, the exact squared Euclidean
+    distance to its nearest NON-OVERLAPPING window (trivial matches
+    |i−j| < m excluded); the five largest profile values are the
+    DISCORDS (the week least like any other — anomaly detection with
+    zero training) and the five smallest are the MOTIFS (the most
+    repeated weekly shape).
+
+    Exactness: windows are exact integer cent 7-vectors, distances are
+    exact integer sums of squares, argmins tie-break on (distance, j) —
+    nothing floats until never.
+
+    Scale shape: the all-pairs comparison is over the CALENDAR-DOMAIN-
+    bounded window spine (~2,400 windows at every SF — the spine does
+    not grow with fact rows), broadcast on one side so the product plans
+    as BroadcastNestedLoopJoin; per-window argmin is a grouped
+    min(struct), and the top-5 cuts are 2 spine-sized rank windows. The
+    fact scan contributes only the one daily aggregation."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select("d", "x", F.row_number().over(w).alias("i"))
+    wl = Window.orderBy("i")
+    win = idx.select(
+        "i",
+        "d",
+        F.array(
+            F.col("x"),
+            *[F.lead("x", k).over(wl) for k in range(1, 7)],
+        ).alias("v"),
+    ).filter(F.element_at("v", 7).isNotNull())
+    a = win.select(F.col("i"), F.col("d"), F.col("v").alias("va"))
+    b = win.select(F.col("i").alias("j"), F.col("v").alias("vb"))
+    dist2 = F.aggregate(
+        F.zip_with("va", "vb", lambda p, q: (p - q).cast("decimal(38,0)") * (p - q)),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + t,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.abs(F.col("i") - F.col("j")) >= 7)
+        .select("i", "d", "j", dist2.alias("dist2"))
+    )
+    prof = pairs.groupBy("i", "d").agg(
+        F.min(F.struct("dist2", "j")).alias("m")
+    ).select(
+        "i", "d", F.col("m.j").alias("nn_j"), F.col("m.dist2").alias("nn_dist2")
+    )
+    # Both top-5 cuts come off ONE profile subtree: a union of two ranked
+    # branches would recompute the all-pairs join twice, so instead rank
+    # twice over the same spine and explode (kind, rk) pairs.
+    wdisc = Window.orderBy(F.col("nn_dist2").desc(), F.col("i"))
+    wmot = Window.orderBy(F.col("nn_dist2").asc(), F.col("i"))
+    ranked = prof.select(
+        "i",
+        "d",
+        "nn_j",
+        "nn_dist2",
+        F.row_number().over(wdisc).alias("rk_disc"),
+        F.row_number().over(wmot).alias("rk_mot"),
+    ).filter((F.col("rk_disc") <= 5) | (F.col("rk_mot") <= 5))
+    top = ranked.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit("discord").alias("kind"), F.col("rk_disc").alias("rk")
+                    ),
+                    F.struct(F.lit("motif").alias("kind"), F.col("rk_mot").alias("rk")),
+                ),
+                lambda t: t["rk"] <= 5,
+            )
+        ).alias("t"),
+        "i",
+        "d",
+        "nn_j",
+        "nn_dist2",
+    )
+    return top.select(
+        F.col("t.kind").alias("kind"),
+        F.col("t.rk").alias("rk"),
+        "i",
+        "d",
+        "nn_j",
+        F.col("nn_dist2").cast("long").alias("nn_dist2"),
+    )

@@ -203,6 +203,7 @@ _STAGED_NEXT = [
     "effective_source_count",
     "logrank_test",
     "qini_curve_deciles",
+    "matrix_profile_daily",
 ]
 
 

@@ -49,6 +49,7 @@ PARTITIONLESS_ALLOWED = {
     "logrank_test": 2,              # KM day-spine descending at-risk cumsums
     "lorenz_curve_points": 2,       # decile spine
     "mann_kendall_theil_sen": 4,    # daily spine pairwise stats
+    "matrix_profile_daily": 16,     # day-spine window build ×2 join sides + 2 ranks
     "max_drawdown_daily": 6,        # day-spine running max, reused per branch
     "mom_revenue_growth": 3,        # monthly aggregate spine
     "pacf_lags": 3,                 # daily spine lag triplet

@@ -128,3 +128,24 @@ def test_ivf_nprobe_recall_monotone(spark, sf_dir):
     }
     assert set(rows) == {1, 2, 4}
     assert rows[1] <= rows[2] + 1e-9 <= rows[4] + 2e-9
+
+
+def test_matrix_profile_invariants(spark, sf_dir):
+    rows = QUERIES["matrix_profile_daily"](spark, sf_dir).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert set(by_kind) == {"discord", "motif"}
+    for kind, rs in by_kind.items():
+        assert sorted(r["rk"] for r in rs) == [1, 2, 3, 4, 5]
+        for r in rs:
+            # trivial-match exclusion: nearest neighbour non-overlapping
+            assert abs(r["i"] - r["nn_j"]) >= 7
+            assert r["nn_dist2"] >= 0
+    disc = sorted(by_kind["discord"], key=lambda r: r["rk"])
+    mot = sorted(by_kind["motif"], key=lambda r: r["rk"])
+    # ranks ordered by profile value, discords desc / motifs asc
+    assert all(a["nn_dist2"] >= b["nn_dist2"] for a, b in zip(disc, disc[1:]))
+    assert all(a["nn_dist2"] <= b["nn_dist2"] for a, b in zip(mot, mot[1:]))
+    # the worst motif is no worse than the best discord
+    assert mot[-1]["nn_dist2"] <= disc[0]["nn_dist2"]
