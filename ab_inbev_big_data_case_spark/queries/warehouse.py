@@ -1229,3 +1229,82 @@ def last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("n") - F.col("tot") / 10.0, 2) / (F.col("tot") / 10.0), 4
         ).alias("chi2_term_r"),
     )
+
+
+# --------------------------------------- ACID transaction log (delta-lite)
+
+_DELTALITE_SQL = """
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    upd AS (
+        SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus, o_totalprice,
+               o_orderdate, 'X-MERGED' AS o_orderpriority
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    ),
+    v0 AS (
+        SELECT 0 AS version, o_orderpriority, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS cents
+        FROM base GROUP BY o_orderpriority
+    ),
+    v1 AS (
+        SELECT 1 AS version, o_orderpriority, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS cents
+        FROM merged GROUP BY o_orderpriority
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1
+"""
+
+
+@register("deltalite_merge_time_travel", oracle=_DELTALITE_SQL)
+def deltalite_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ACID cycle on the delta-lite transaction log
+    (sources/txlog.py — the reference's Delta storage story,
+    `glue/etl_api.py:25,38,49`, re-expressed without the connector):
+    CREATE TABLE AS SELECT from a deterministic orders subset (version 0),
+    MERGE a keyed changeset (updates + inserts, version 1), then read BOTH
+    versions back — version 0 via time travel — and aggregate each by
+    priority. The oracle recomputes both states in pure SQL, so the driver
+    hash-checks that commit atomicity, merge semantics, and snapshot
+    time travel all round-trip the data exactly.
+
+    Scale shape: all transaction-log handling is driver-side metadata
+    (O(files) JSON lines, never row-scaled); the data moves only through
+    distributed parquet writes/scans, and MERGE rewrites only files whose
+    footer key-range overlaps the changeset (stats-based skipping,
+    asserted in tests/test_txlog.py)."""
+    import tempfile
+
+    from ..sources.txlog import DeltaLiteTable
+
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    upd = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("X-MERGED").alias("o_orderpriority"),
+    )
+    path = tempfile.mkdtemp(prefix="deltalite-q-")
+    t = DeltaLiteTable.create(spark, base, f"{path}/t", keys=["o_orderkey"])
+    t.merge(upd)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long")
+            .alias("cents"),
+        ).select(F.lit(version).alias("version"), "o_orderpriority", "n", "cents")
+
+    return agg(t.snapshot(version=0), 0).unionByName(agg(t.snapshot(), 1))

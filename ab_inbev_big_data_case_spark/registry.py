@@ -204,6 +204,7 @@ _STAGED_NEXT = [
     "logrank_test",
     "qini_curve_deciles",
     "matrix_profile_daily",
+    "deltalite_merge_time_travel",
 ]
 
 

@@ -14,7 +14,10 @@ Reference semantics (with bugs fixed — SURVEY.md §2.3):
 
 Delta Lake isn't on this classpath; plain partitioned Parquet is the portable
 equivalent (columnar + Hive-style partition pruning). The writer accepts a
-``fmt`` so a delta-enabled deployment can switch back.
+``fmt`` so a delta-enabled deployment can switch back. For the reference's
+ACID/time-travel semantics themselves (not just the layout), see
+``sources/txlog.py`` — a self-contained delta-protocol-style transaction log
+over these same parquet files.
 """
 
 from __future__ import annotations

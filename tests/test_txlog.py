@@ -1,0 +1,251 @@
+"""ACID semantics of the delta-lite transaction log (sources/txlog.py):
+atomic commits, snapshot isolation, time travel, optimistic concurrency,
+schema enforcement, stats-based file skipping, checkpointed replay, vacuum.
+
+Closes the r2-r5 carried partial: the reference writes Delta three times
+(`glue/etl_api.py:25,38,49`); delta-spark is absent from this classpath, so
+the transactional semantics are implemented (not stubbed) over plain parquet
+from the published protocol and tested here end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ab_inbev_big_data_case_spark.sources.txlog import (
+    ConcurrentWriteError,
+    DeltaLiteTable,
+    SchemaMismatchError,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id INT, grp STRING, val DOUBLE")
+
+
+@pytest.fixture()
+def base(spark):
+    return _df(spark, [(i, "ab"[i % 2], float(i)) for i in range(100)])
+
+
+def test_create_and_read_roundtrip(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"), keys=["id"])
+    got = t.snapshot()
+    assert got.count() == 100
+    assert got.schema == base.schema
+    assert t.version() == 0
+    # the log exists and version 0 holds protocol+metaData+adds
+    log = tmp_path / "t" / "_delta_log" / ("0" * 20 + ".json")
+    actions = [json.loads(line) for line in log.read_text().splitlines()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert "add" in kinds and kinds[-1] == "commitInfo"
+
+
+def test_create_refuses_existing_table(spark, base, tmp_path):
+    DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+    with pytest.raises(FileExistsError):
+        DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+
+
+def test_append_and_time_travel_by_version(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+    t.write(_df(spark, [(100 + i, "c", 0.0) for i in range(10)]), mode="append")
+    assert t.snapshot().count() == 110
+    assert t.snapshot(version=0).count() == 100  # VERSION AS OF
+    assert t.version() == 1
+
+
+def test_time_travel_by_timestamp(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+    ts0 = t.history()[0]["timestamp"]
+    t.write(_df(spark, [(200, "c", 1.0)]), mode="append")
+    assert t.snapshot(timestamp=ts0).count() == 100
+    assert t.snapshot(timestamp=t.history()[-1]["timestamp"]).count() == 101
+    with pytest.raises(ValueError):
+        t.snapshot(timestamp=ts0 - 10_000)
+
+
+def test_overwrite_replaces_but_history_remains(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "z", 9.0)]), mode="overwrite")
+    assert t.snapshot().count() == 1
+    assert t.snapshot(version=0).count() == 100
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["CREATE TABLE AS SELECT", "WRITE"]
+
+
+def test_snapshot_isolation_reader_pinned_during_write(spark, base, tmp_path):
+    """A DataFrame resolved against version 0 keeps returning version-0 rows
+    after later commits: data files are immutable, visibility is log-only."""
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+    pinned = t.snapshot()  # resolves the v0 file list
+    t.write(_df(spark, [(999, "z", 9.0)]), mode="append")
+    t.merge(_df(spark, [(0, "z", -1.0)]), keys=["id"])
+    assert pinned.count() == 100
+    assert pinned.filter("val < 0").count() == 0
+    assert t.snapshot().count() == 101
+    assert t.snapshot().filter("val < 0").count() == 1
+
+
+def test_merge_upsert_semantics(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"), keys=["id"])
+    upd = _df(spark, [(5, "u", 500.0), (100, "u", 1000.0)])  # 1 update, 1 insert
+    t.merge(upd)
+    got = {r["id"]: (r["grp"], r["val"]) for r in t.snapshot().collect()}
+    assert len(got) == 101
+    assert got[5] == ("u", 500.0)
+    assert got[100] == ("u", 1000.0)
+    assert got[6] == ("a", 6.0)  # untouched row survives
+
+
+def test_merge_skips_disjoint_files_by_stats(spark, tmp_path):
+    """Files whose [min,max] id-range is disjoint from the update keys are
+    NOT rewritten — their add actions carry over verbatim (data skipping)."""
+    t = DeltaLiteTable.create(
+        spark,
+        _df(spark, [(i, "a", float(i)) for i in range(0, 50)]).repartition(1),
+        str(tmp_path / "t"),
+        keys=["id"],
+    )
+    # second file: ids 1000..1049, far from the first file's range
+    t.write(
+        _df(spark, [(i, "b", float(i)) for i in range(1000, 1050)]).repartition(1),
+        mode="append",
+    )
+    files_before = {
+        a for a in os.listdir(tmp_path / "t") if a.endswith(".parquet")
+    }
+    t.merge(_df(spark, [(1001, "u", -1.0)]))
+    hist = t.history()[-1]
+    assert hist["operation"] == "MERGE"
+    assert hist["numTargetFilesRewritten"] == 1
+    assert hist["numTargetFilesSkipped"] == 1
+    # the low-range file is still live and was never rewritten
+    live = {a.split("/")[-1] for a in (p for p in _live_paths(t))}
+    assert any(f in files_before for f in live)
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got[1001] == -1.0 and got[3] == 3.0 and len(got) == 100
+
+
+def _live_paths(t):
+    return [a["path"] for a in t._replay().adds.values()]
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    t = DeltaLiteTable.create(
+        spark,
+        _df(spark, [(i, "a", float(i)) for i in range(0, 50)]).repartition(1),
+        str(tmp_path / "t"),
+    )
+    t.write(
+        _df(spark, [(i, "b", float(i)) for i in range(1000, 1050)]).repartition(1),
+        mode="append",
+    )
+    t.delete_where("id >= 1040")
+    assert t.history()[-1]["numFilesRewritten"] == 1
+    assert t.snapshot().count() == 90
+    assert t.snapshot(version=1).count() == 100  # pre-delete still readable
+
+
+def test_schema_enforcement_on_append_and_merge(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"), keys=["id"])
+    bad = spark.createDataFrame([(1, "x")], "id INT, grp STRING")
+    with pytest.raises(SchemaMismatchError):
+        t.write(bad, mode="append")
+    with pytest.raises(SchemaMismatchError):
+        t.merge(bad)
+    assert t.version() == 0  # nothing committed
+
+
+def test_optimistic_concurrency_append_retries_past_race(spark, base, tmp_path):
+    """Simulate a concurrent writer grabbing the next version: a blind
+    append must retry and land at the version after it, losing no rows."""
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+    # interloper commits version 1 directly (what a second process does)
+    t2 = DeltaLiteTable(spark, str(tmp_path / "t"))
+    t2.write(_df(spark, [(500, "w2", 1.0)]), mode="append")
+    # pre-create version 2's file to force a FileExistsError on first try
+    blocker = os.path.join(t.log_dir, f"{2:020d}.json")
+    with open(blocker, "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 0, "operation": "NOOP"}}) + "\n")
+    v = t.write(_df(spark, [(501, "w1", 1.0)]), mode="append")
+    assert v == 3  # slid past the blocked slot
+    assert t.snapshot().count() == 102
+
+
+def test_read_modify_write_conflict_raises(spark, base, tmp_path):
+    """MERGE is read-modify-write: if its version slot is taken it must NOT
+    blindly slide (its rewrite was computed against a stale snapshot)."""
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"), keys=["id"])
+    # interloper lands version 1 AFTER our transaction read its snapshot
+    # (i.e. between merge's _replay and its _commit): the retries=0 commit
+    # merge uses must abort, never slide to version 2.
+    blocker = os.path.join(t.log_dir, f"{1:020d}.json")
+    with open(blocker, "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 0, "operation": "NOOP"}}) + "\n")
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(1, [], {"operation": "MERGE"}, retries=0)
+    # a re-run of the whole transaction sees the interloper's commit and
+    # lands cleanly at the next version
+    t.merge(_df(spark, [(1, "u", 0.0)]))
+    assert t.version() == 2
+
+
+def test_partitioned_table_roundtrip_and_partition_column_recovery(
+    spark, base, tmp_path
+):
+    t = DeltaLiteTable.create(
+        spark, base, str(tmp_path / "t"), keys=["id"], partition_by=["grp"]
+    )
+    got = t.snapshot()
+    assert dict(got.groupBy("grp").count().collect()[0].asDict()) is not None
+    cnt = {r["grp"]: r["count"] for r in got.groupBy("grp").count().collect()}
+    assert cnt == {"a": 50, "b": 50}
+    # partitionValues recorded in the add actions
+    snap = t._replay()
+    assert all(a["partitionValues"].get("grp") in ("a", "b") for a in snap.adds.values())
+    # merge on a partitioned table keeps partition columns intact
+    t.merge(_df(spark, [(0, "a", -5.0)]))
+    got2 = {r["id"]: (r["grp"], r["val"]) for r in t.snapshot().collect()}
+    assert got2[0] == ("a", -5.0) and len(got2) == 100
+
+
+def test_stats_recorded_in_add_actions(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+    add = next(iter(t._replay().adds.values()))
+    st = json.loads(add["stats"])
+    assert st["numRecords"] >= 1
+    assert "id" in st["minValues"] and "id" in st["maxValues"]
+    assert st["minValues"]["id"] <= st["maxValues"]["id"]
+
+
+def test_checkpoint_bounds_replay_and_preserves_state(spark, base, tmp_path):
+    t = DeltaLiteTable.create(
+        spark, base, str(tmp_path / "t"), checkpoint_interval=4
+    )
+    for i in range(6):
+        t.write(_df(spark, [(1000 + i, "c", 0.0)]), mode="append")
+    cps = [f for f in os.listdir(t.log_dir) if f.endswith(".checkpoint.parquet")]
+    assert cps  # at least the version-4 checkpoint exists
+    assert os.path.exists(os.path.join(t.log_dir, "_last_checkpoint"))
+    # deleting pre-checkpoint json commits must not break current reads
+    for v in (1, 2, 3):
+        os.unlink(os.path.join(t.log_dir, f"{v:020d}.json"))
+    assert t.snapshot().count() == 106
+    assert t.version() == 6
+
+
+def test_vacuum_deletes_only_unreferenced_and_expired(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"), keys=["id"])
+    n_files_v0 = t.num_live_files()
+    t.write(_df(spark, [(5000, "z", 0.0)]), mode="overwrite")
+    assert t.vacuum(retention_ms=10**12) == 0  # retention window protects them
+    n = t.vacuum(retention_ms=0)
+    assert n == n_files_v0
+    assert t.snapshot().count() == 1  # current version intact
+    with pytest.raises(Exception):  # vacuumed version gone (as in the protocol)
+        t.snapshot(version=0).count()
