@@ -590,6 +590,106 @@ def media_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pixel_decode",
+    oracle="""
+    WITH bmp AS (
+        SELECT d.doc_id, 'bmp' AS fmt, 8 AS width, 8 AS height, 3 AS channels,
+               sum((d.doc_id * 31 + t.k * 7) % 256)::BIGINT AS v_sum,
+               min((d.doc_id * 31 + t.k * 7) % 256)::BIGINT AS v_min,
+               max((d.doc_id * 31 + t.k * 7) % 256)::BIGINT AS v_max
+        FROM documents d, generate_series(0, 191) AS t(k)
+        WHERE d.doc_id % 11 <> 0 AND d.doc_id % 3 = 0
+        GROUP BY d.doc_id
+    ),
+    ppm AS (
+        SELECT d.doc_id, 'ppm', 6, 4, 3,
+               sum((d.doc_id * 17 + t.k * 5) % 256)::BIGINT,
+               min((d.doc_id * 17 + t.k * 5) % 256)::BIGINT,
+               max((d.doc_id * 17 + t.k * 5) % 256)::BIGINT
+        FROM documents d, generate_series(0, 71) AS t(k)
+        WHERE d.doc_id % 11 <> 0 AND d.doc_id % 3 = 1
+        GROUP BY d.doc_id
+    ),
+    wav AS (
+        SELECT d.doc_id, 'wav', 8000 + (d.doc_id % 2) * 8000, 64, 1,
+               sum((d.doc_id * 13 + t.k * 5) % 4096 - 2048)::BIGINT,
+               min((d.doc_id * 13 + t.k * 5) % 4096 - 2048)::BIGINT,
+               max((d.doc_id * 13 + t.k * 5) % 4096 - 2048)::BIGINT
+        FROM documents d, generate_series(0, 63) AS t(k)
+        WHERE d.doc_id % 11 <> 0 AND d.doc_id % 3 = 2
+        GROUP BY d.doc_id
+    ),
+    bad AS (
+        SELECT doc_id, 'undecodable', -1, -1, -1, 0::BIGINT, 0::BIGINT,
+               0::BIGINT
+        FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT * FROM bmp UNION ALL SELECT * FROM ppm
+    UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM bad
+    """,
+)
+def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel/sample-level multimodal decode, no codec library:
+    synthesize a valid uncompressed container per document — 24-bit BMP,
+    binary PPM, or 16-bit PCM WAV, pixel/sample values derived from doc_id
+    arithmetic; every 11th payload truncated — then FULLY decode the raster
+    / PCM frames with the pure-numpy decoders
+    (``llm.multimodal.decode_bmp_pixels`` et al.) over Arrow-batched
+    mapInPandas and emit exact integer (sum, min, max) per payload.
+
+    The oracle recomputes those statistics from the doc_id arithmetic
+    alone, so the check crosses BOTH the encoder and the decoder: a
+    one-byte mistake in row padding, bottom-up order, BGR swap, header
+    length, chunk alignment, or int16 endianness shifts a sum and fails
+    the hash. Truncated payloads land in the 'undecodable' quarantine row
+    instead of failing the job.
+
+    Scale shape: map-only over the scan partitioning (no shuffle at all —
+    per-payload rows ARE the result); numpy vectorizes the raster math;
+    at 100 TB this is the binaryFile-split decode stage of a multimodal
+    training-data pipeline, and the compressed-codec variant differs only
+    in calling a codec inside the same batch iterator (decode_media,
+    Pillow-gated)."""
+    import numpy as np
+    import pandas as pd
+
+    from ab_inbev_big_data_case_spark.llm.multimodal import (
+        decode_pixel_features,
+        make_bmp,
+        make_ppm,
+        make_wav,
+    )
+
+    def synthesize(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 11 == 0:
+                    payloads.append(make_bmp(8, 8)[:20])  # truncated header
+                elif did % 3 == 0:
+                    px = bytes((did * 31 + k * 7) % 256 for k in range(192))
+                    payloads.append(make_bmp(8, 8, px))
+                elif did % 3 == 1:
+                    px = bytes((did * 17 + k * 5) % 256 for k in range(72))
+                    payloads.append(make_ppm(6, 4, px))
+                else:
+                    sm = np.array(
+                        [(did * 13 + k * 5) % 4096 - 2048 for k in range(64)],
+                        dtype="<i2",
+                    ).tobytes()
+                    payloads.append(make_wav(8000 + (did % 2) * 8000, 1, 64, sm))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(synthesize, schema="doc_id long, payload binary")
+    )
+    return decode_pixel_features(blobs)
+
+
+@register(
     "near_dup_dedup_corpus",
     oracle=f"""
     WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},

@@ -205,6 +205,7 @@ _STAGED_NEXT = [
     "qini_curve_deciles",
     "matrix_profile_daily",
     "deltalite_merge_time_travel",
+    "multimodal_pixel_decode",
 ]
 
 

@@ -926,3 +926,79 @@ def test_lsh_delta_pairs_occupancy_cap(spark):
         ).collect()
     }
     assert got == {(20, 21)}
+
+
+def test_pixel_decoders_exact_roundtrip():
+    """Pure-numpy FULL decode of uncompressed containers: encode->decode
+    recovers every pixel/sample byte-exactly (order-sensitive, unlike the
+    oracle's order-invariant sums) including layout inversions: bottom-up
+    BMP rows, BGR channel order, 4-byte row padding, int16 endianness."""
+    import numpy as np
+
+    from ab_inbev_big_data_case_spark.llm.multimodal import (
+        decode_bmp_pixels,
+        decode_ppm_pixels,
+        decode_wav_samples,
+        make_bmp,
+        make_ppm,
+        make_wav,
+    )
+
+    # width 5 -> row stride 15 -> 1 padding byte per row exercises padding
+    px = bytes((k * 37 + 11) % 256 for k in range(5 * 3 * 3))
+    assert decode_bmp_pixels(make_bmp(5, 3, px)).tobytes() == px
+    assert decode_bmp_pixels(make_bmp(5, 3, px)).shape == (3, 5, 3)
+
+    px2 = bytes((k * 7) % 256 for k in range(6 * 4 * 3))
+    assert decode_ppm_pixels(make_ppm(6, 4, px2)).tobytes() == px2
+
+    sm = np.arange(-100, 100, 2, dtype="<i2")
+    rate, back = decode_wav_samples(make_wav(44100, 2, 50, sm.tobytes()))
+    assert rate == 44100 and back.shape == (50, 2)
+    assert back.flatten().tolist() == sm.tolist()
+
+
+def test_pixel_decoders_reject_unsupported_variants():
+    import pytest as _pytest
+
+    from ab_inbev_big_data_case_spark.llm.multimodal import (
+        decode_bmp_pixels,
+        decode_ppm_pixels,
+        decode_wav_samples,
+        make_bmp,
+        make_wav,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(make_bmp(4, 4)[:30])  # truncated
+    with _pytest.raises(ValueError):
+        decode_ppm_pixels(b"P3\n2 2\n255\n0 0 0")  # ASCII PPM unsupported
+    with _pytest.raises(ValueError):
+        decode_wav_samples(make_bmp(2, 2))
+    with _pytest.raises(ValueError):
+        decode_wav_samples(make_wav(8000, 1)[:20])
+
+
+def test_decode_pixel_features_quarantines_undecodable(spark):
+    """The Spark-side batch decoder never fails the job: unsupported or
+    truncated payloads become fmt='undecodable' rows."""
+    from ab_inbev_big_data_case_spark.llm.multimodal import (
+        decode_pixel_features,
+        make_bmp,
+        make_png,
+    )
+
+    px = bytes(range(12))
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(make_bmp(2, 2, px))),
+            (2, bytearray(make_png(3, 3))),  # compressed -> not this tier
+            (3, bytearray(b"garbage")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in decode_pixel_features(rows).collect()}
+    assert got[1]["fmt"] == "bmp" and got[1]["v_sum"] == sum(px)
+    assert got[1]["v_min"] == 0 and got[1]["v_max"] == 11
+    assert got[2]["fmt"] == "undecodable"
+    assert got[3]["fmt"] == "undecodable"
