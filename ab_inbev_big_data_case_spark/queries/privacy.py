@@ -161,3 +161,95 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TCLOSE_SQL = """
+    WITH cls AS (
+        SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS INT) AS bal_kilo,
+               c_mktsegment, count(*) AS ks
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    class_tot AS (
+        SELECT c_nationkey, bal_kilo, sum(ks)::BIGINT AS k
+        FROM cls GROUP BY 1, 2
+    ),
+    gdist AS (SELECT c_mktsegment, sum(ks)::BIGINT AS gs FROM cls GROUP BY 1),
+    gtot AS (SELECT sum(ks)::BIGINT AS g FROM cls),
+    pairs AS (
+        SELECT ct.c_nationkey, ct.bal_kilo, ct.k, gl.gs, gt.g,
+               coalesce(c.ks, 0)::BIGINT AS ks
+        FROM class_tot ct
+        CROSS JOIN gdist gl
+        CROSS JOIN gtot gt
+        LEFT JOIN cls c
+          ON c.c_nationkey = ct.c_nationkey AND c.bal_kilo = ct.bal_kilo
+         AND c.c_mktsegment = gl.c_mktsegment
+    )
+    SELECT c_nationkey, bal_kilo, k,
+           sum(abs(ks * g - gs * k))::BIGINT AS t_num,
+           round(sum(abs(ks * g - gs * k)) / (2.0 * k * max(g)), 6) AS t_r,
+           CAST(sum(abs(ks * g - gs * k)) > 2 * 0.35 * k * max(g) AS INT)
+               AS exceeds_t35
+    FROM pairs GROUP BY 1, 2, 3
+"""
+
+
+@register("t_closeness_audit", oracle=_TCLOSE_SQL)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007), completing the
+    k-anonymity / l-diversity trio: for every (nation, balance-kilobucket)
+    equivalence class, the distance between its market-segment distribution
+    and the GLOBAL segment distribution. l-diversity misses the case where
+    a class is diverse but skewed toward one sensitive value; t-closeness
+    bounds exactly that. For a categorical sensitive attribute the EMD
+    reduces to total variation distance t = ½·Σ|p_class − p_global|.
+
+    Exactness: the TVD is carried as the INTEGER numerator
+    Σ|ks·g − gs·k| (order-independent integer sum over the ≤5-segment
+    domain); the only float is one final division per class row, and the
+    release gate (t > 0.35) is decided on integers, never on the rounded
+    float.
+
+    Scale shape: ``cls`` is a map-side-combinable groupBy on the bounded
+    QI×segment domain (25 × ~11 × 5); ``glob``/``gtot`` are ≤5-row and
+    1-row broadcasts; the left join runs on the dimension-sized class
+    table. Nothing scales with fact rows beyond the one customer scan."""
+    c = table(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_kilo"),
+        F.col("c_mktsegment"),
+    ).agg(F.count("*").alias("ks"))
+    class_tot = cls.groupBy("c_nationkey", "bal_kilo").agg(F.sum("ks").alias("k"))
+    glob = cls.groupBy("c_mktsegment").agg(F.sum("ks").alias("gs"))
+    gtot = cls.agg(F.sum("ks").alias("g"))
+    pairs = (
+        class_tot.alias("ct")
+        .crossJoin(F.broadcast(glob.alias("gl")))
+        .crossJoin(F.broadcast(gtot.alias("gt")))
+        .join(
+            cls.alias("c"),
+            on=(
+                (F.col("ct.c_nationkey") == F.col("c.c_nationkey"))
+                & (F.col("ct.bal_kilo") == F.col("c.bal_kilo"))
+                & (F.col("c.c_mktsegment") == F.col("gl.c_mktsegment"))
+            ),
+            how="left",
+        )
+        .select(
+            F.col("ct.c_nationkey").alias("c_nationkey"),
+            F.col("ct.bal_kilo").alias("bal_kilo"),
+            F.col("ct.k").alias("k"),
+            F.col("gl.gs").alias("gs"),
+            F.col("gt.g").alias("g"),
+            F.coalesce(F.col("c.ks"), F.lit(0)).alias("ks"),
+        )
+    )
+    term = F.abs(F.col("ks") * F.col("g") - F.col("gs") * F.col("k"))
+    return pairs.groupBy("c_nationkey", "bal_kilo", "k").agg(
+        F.sum(term).alias("t_num"),
+        F.round(F.sum(term) / (2.0 * F.col("k") * F.max("g")), 6).alias("t_r"),
+        (F.sum(term) > 2 * 0.35 * F.col("k") * F.max("g"))
+        .cast("int")
+        .alias("exceeds_t35"),
+    )

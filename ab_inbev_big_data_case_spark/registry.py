@@ -206,6 +206,7 @@ _STAGED_NEXT = [
     "matrix_profile_daily",
     "deltalite_merge_time_travel",
     "multimodal_pixel_decode",
+    "t_closeness_audit",
 ]
 
 

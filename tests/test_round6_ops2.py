@@ -149,3 +149,15 @@ def test_matrix_profile_invariants(spark, sf_dir):
     assert all(a["nn_dist2"] <= b["nn_dist2"] for a, b in zip(mot, mot[1:]))
     # the worst motif is no worse than the best discord
     assert mot[-1]["nn_dist2"] <= disc[0]["nn_dist2"]
+
+
+def test_t_closeness_invariants(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.sources.readers import table
+
+    rows = QUERIES["t_closeness_audit"](spark, sf_dir).collect()
+    n_cust = table(spark, sf_dir, "customer").count()
+    assert sum(r["k"] for r in rows) == n_cust  # classes partition the table
+    for r in rows:
+        assert 0.0 <= r["t_r"] <= 1.0  # TVD is a [0,1] metric
+        assert r["exceeds_t35"] == int(r["t_r"] > 0.35) or abs(r["t_r"] - 0.35) < 1e-5
+        assert r["t_num"] >= 0
