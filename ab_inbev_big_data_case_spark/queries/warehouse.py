@@ -1308,3 +1308,89 @@ def deltalite_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(version).alias("version"), "o_orderpriority", "n", "cents")
 
     return agg(t.snapshot(version=0), 0).unionByName(agg(t.snapshot(), 1))
+
+
+_DELTALITE_CDF_SQL = """
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    upd AS (
+        SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus, o_totalprice,
+               o_orderdate, 'X-MERGED' AS o_orderpriority
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 19 <> 0),
+    changes AS (
+        SELECT 'insert' AS _change_type, o_totalprice FROM final
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+        UNION ALL
+        SELECT 'delete', o_totalprice FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM final)
+        UNION ALL
+        SELECT 'update_preimage', b.o_totalprice
+        FROM base b JOIN final f USING (o_orderkey)
+        WHERE b.o_orderstatus IS DISTINCT FROM f.o_orderstatus
+           OR b.o_orderpriority IS DISTINCT FROM f.o_orderpriority
+           OR b.o_totalprice IS DISTINCT FROM f.o_totalprice
+           OR b.o_custkey IS DISTINCT FROM f.o_custkey
+           OR b.o_orderdate IS DISTINCT FROM f.o_orderdate
+        UNION ALL
+        SELECT 'update_postimage', f.o_totalprice
+        FROM base b JOIN final f USING (o_orderkey)
+        WHERE b.o_orderstatus IS DISTINCT FROM f.o_orderstatus
+           OR b.o_orderpriority IS DISTINCT FROM f.o_orderpriority
+           OR b.o_totalprice IS DISTINCT FROM f.o_totalprice
+           OR b.o_custkey IS DISTINCT FROM f.o_custkey
+           OR b.o_orderdate IS DISTINCT FROM f.o_orderdate
+    )
+    SELECT _change_type, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                AS BIGINT) AS cents
+    FROM changes GROUP BY 1
+"""
+
+
+@register("deltalite_change_data_feed", oracle=_DELTALITE_CDF_SQL)
+def deltalite_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across a three-commit transaction history
+    (CREATE → MERGE → DELETE) on the delta-lite log: the version-0→2 diff
+    must classify every row as insert / delete / update_preimage /
+    update_postimage exactly as Delta's ``table_changes`` does, with
+    unchanged rows never surfacing. The oracle recomputes all four change
+    classes in pure SQL from the same deterministic arithmetic, so the
+    driver hash-checks MERGE, file-rewriting DELETE, and snapshot diffing
+    in one query.
+
+    Scale shape: the CDF is one key-shuffled full-outer join between two
+    enumerated-file parquet scans (sources/txlog.py:change_data_feed);
+    the final aggregate is a 4-group re-group."""
+    import tempfile
+
+    from ..sources.txlog import DeltaLiteTable
+
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    upd = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("X-MERGED").alias("o_orderpriority"),
+    )
+    path = tempfile.mkdtemp(prefix="deltalite-cdf-")
+    t = DeltaLiteTable.create(spark, base, f"{path}/t", keys=["o_orderkey"])
+    t.merge(upd)
+    t.delete_where("o_orderkey % 19 = 0")
+    return t.change_data_feed(0).groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("cents"),
+    )

@@ -207,6 +207,7 @@ _STAGED_NEXT = [
     "deltalite_merge_time_travel",
     "multimodal_pixel_decode",
     "t_closeness_audit",
+    "deltalite_change_data_feed",
 ]
 
 

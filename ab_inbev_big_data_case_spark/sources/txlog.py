@@ -548,6 +548,81 @@ class DeltaLiteTable:
             )
         return self._read_files(snap, [a["path"] for a in snap.adds.values()])
 
+    def change_data_feed(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level changes between two committed versions (Delta's
+        ``table_changes`` surface): every table column plus
+        ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage} — updates emit BOTH the pre- and post-image row,
+        exactly as the connector's CDF does. Computed by diffing the two
+        snapshots (full-outer join on the merge keys, struct compare on the
+        non-key columns), so it needs no per-commit change files and works
+        across any version span, at the cost of reading both snapshots —
+        the documented trade against the connector's stored CDF files.
+
+        Scale shape: one shuffle on the key columns for the full-outer
+        join; both sides are parquet scans with pruning intact. Unchanged
+        rows are dropped before the result materializes."""
+        snap = self._replay()
+        keys = keys or [
+            k
+            for k in snap.metadata["configuration"].get("deltalite.keys", "").split(",")
+            if k
+        ]
+        if not keys:
+            raise ValueError("change_data_feed needs keys= (none stored at create)")
+        pre = self.snapshot(version=from_version)
+        post = self.snapshot(version=to_version)
+        cols = pre.columns
+        val_cols = [c for c in cols if c not in keys]
+        joined = (
+            pre.select(
+                *[F.col(k).alias(f"k_{k}") for k in keys],
+                F.struct(*cols).alias("pre"),
+            )
+            .join(
+                post.select(
+                    *[F.col(k).alias(f"k_{k}") for k in keys],
+                    F.struct(*cols).alias("post"),
+                ),
+                on=[f"k_{k}" for k in keys],
+                how="full_outer",
+            )
+        )
+        changed = (
+            F.col("pre").isNotNull()
+            & F.col("post").isNotNull()
+            & (
+                F.struct(*[F.col(f"pre.{c}") for c in val_cols])
+                != F.struct(*[F.col(f"post.{c}") for c in val_cols])
+            )
+        )
+        image = joined.select(
+            F.when(F.col("post").isNull(), F.lit("delete"))
+            .when(F.col("pre").isNull(), F.lit("insert"))
+            .when(changed, F.lit("update"))
+            .alias("kind"),
+            "pre",
+            "post",
+        ).filter(F.col("kind").isNotNull())
+        pre_rows = image.filter(F.col("kind").isin("delete", "update")).select(
+            F.when(F.col("kind") == "delete", F.lit("delete"))
+            .otherwise(F.lit("update_preimage"))
+            .alias("_change_type"),
+            *[F.col(f"pre.{c}").alias(c) for c in cols],
+        )
+        post_rows = image.filter(F.col("kind").isin("insert", "update")).select(
+            F.when(F.col("kind") == "insert", F.lit("insert"))
+            .otherwise(F.lit("update_postimage"))
+            .alias("_change_type"),
+            *[F.col(f"post.{c}").alias(c) for c in cols],
+        )
+        return pre_rows.unionByName(post_rows)
+
     def history(self) -> list[dict]:
         """commitInfo per version, newest-last (``DESCRIBE HISTORY``)."""
         out = []

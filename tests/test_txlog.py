@@ -249,3 +249,22 @@ def test_vacuum_deletes_only_unreferenced_and_expired(spark, base, tmp_path):
     assert t.snapshot().count() == 1  # current version intact
     with pytest.raises(Exception):  # vacuumed version gone (as in the protocol)
         t.snapshot(version=0).count()
+
+
+def test_change_data_feed_all_change_types(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"), keys=["id"])
+    t.merge(_df(spark, [(5, "u", 500.0), (200, "u", 2000.0)]))  # update + insert
+    t.delete_where("id = 7")
+    cdf = t.change_data_feed(0).collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {r["id"] for r in by_type["insert"]} == {200}
+    assert {r["id"] for r in by_type["delete"]} == {7}
+    assert {r["id"] for r in by_type["update_preimage"]} == {5}
+    assert {r["id"] for r in by_type["update_postimage"]} == {5}
+    assert by_type["update_preimage"][0]["val"] == 5.0   # old image
+    assert by_type["update_postimage"][0]["val"] == 500.0  # new image
+    assert len(cdf) == 4  # unchanged rows never surface
+    # span selection: v1 -> v2 sees only the delete
+    assert {r["_change_type"] for r in t.change_data_feed(1, 2).collect()} == {"delete"}
