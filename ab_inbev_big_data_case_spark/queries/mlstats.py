@@ -2896,3 +2896,104 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_r"),
     )
+
+
+# ------------------------------------------------- Wald SPRT (daily looks)
+
+# Hypotheses and thresholds fixed at design time (Wald 1945): conversion
+# rate p0=0.18 vs p1=0.22, alpha=beta=0.05. The log-likelihood-ratio
+# increments are embedded as PYTHON-evaluated literals so both engines
+# multiply integers by the SAME double constants (libm log() may differ by
+# an ulp between engines; a literal cannot).
+import math as _math
+
+_SPRT_L1 = repr(_math.log(0.22 / 0.18))  # per-conversion LLR increment
+_SPRT_L0 = repr(_math.log(0.78 / 0.82))  # per-non-conversion increment
+_SPRT_A = repr(_math.log(19.0))          # log((1-beta)/alpha)
+_SPRT_B = repr(-_math.log(19.0))         # log(beta/(1-alpha))
+
+_SPRT_SQL = f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day, count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                   AS c
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               sum(n) OVER w AS n_cum, sum(c) OVER w AS c_cum
+        FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    llr AS (
+        SELECT day, n_cum::BIGINT AS n_cum, c_cum::BIGINT AS c_cum,
+               c_cum * {_SPRT_L1}::DOUBLE + (n_cum - c_cum) * {_SPRT_L0}::DOUBLE AS llr
+        FROM cum
+    )
+    SELECT day, n_cum, c_cum, round(llr, 6) AS llr_r,
+           CASE WHEN llr >= {_SPRT_A}::DOUBLE THEN 'accept_h1'
+                WHEN llr <= {_SPRT_B}::DOUBLE THEN 'accept_h0'
+                ELSE 'continue' END AS look_state,
+           CASE WHEN min(CASE WHEN llr >= {_SPRT_A}::DOUBLE OR llr <= {_SPRT_B}::DOUBLE
+                              THEN day END) OVER () = day
+                THEN 1 ELSE 0 END AS is_decision_day
+    FROM llr
+"""
+
+
+@register("sprt_sequential_test", oracle=_SPRT_SQL)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test with daily looks: is the
+    purchase-conversion rate p1=0.22 (H1) or p0=0.18 (H0)? Each day's look
+    evaluates the cumulative log-likelihood ratio
+    LLR = C·ln(p1/p0) + (N−C)·ln((1−p1)/(1−p0)) against the Wald
+    boundaries ±ln(19) (α=β=0.05); the first crossing day is flagged.
+    Complements ``group_sequential_ab_monitor``: SPRT is the
+    every-observation-valid test a streaming experimentation stack runs,
+    group-sequential is the scheduled-interim variant.
+
+    Exactness: LLR is reconstructed per look from INTEGER cumulative
+    counts times Python-literal double constants — never a float running
+    sum — so both engines compute bit-identical doubles.
+
+    Scale shape: one map-combinable daily aggregate off the event scan;
+    the cumsum and the first-crossing flag are windows over the bounded
+    calendar-day spine (two partitionless specs, spine-sized)."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = d.select(
+        "day",
+        F.sum("n").over(w).alias("n_cum"),
+        F.sum("c").over(w).alias("c_cum"),
+    )
+    l1, l0 = float(_SPRT_L1), float(_SPRT_L0)
+    a, b = float(_SPRT_A), float(_SPRT_B)
+    llr = cum.select(
+        "day",
+        "n_cum",
+        "c_cum",
+        (
+            F.col("c_cum") * F.lit(l1)
+            + (F.col("n_cum") - F.col("c_cum")) * F.lit(l0)
+        ).alias("llr"),
+    )
+    wall = Window.partitionBy()
+    crossed = (F.col("llr") >= a) | (F.col("llr") <= b)
+    return llr.select(
+        "day",
+        "n_cum",
+        "c_cum",
+        F.round("llr", 6).alias("llr_r"),
+        F.when(F.col("llr") >= a, "accept_h1")
+        .when(F.col("llr") <= b, "accept_h0")
+        .otherwise("continue")
+        .alias("look_state"),
+        F.when(
+            F.min(F.when(crossed, F.col("day"))).over(wall) == F.col("day"), 1
+        )
+        .otherwise(0)
+        .alias("is_decision_day"),
+    )

@@ -208,6 +208,7 @@ _STAGED_NEXT = [
     "multimodal_pixel_decode",
     "t_closeness_audit",
     "deltalite_change_data_feed",
+    "sprt_sequential_test",
 ]
 
 

@@ -60,7 +60,8 @@ PARTITIONLESS_ALLOWED = {
     "seasonal_residual_anomaly": 8, # daily spine decomposition
     "skyline_2d": 1,                # pruned local-survivor pass
     "spc_control_chart": 1,         # day-spine gaps-and-islands row_number
-    "spearman_corr_lengths": 2,     # two value-domain rank spines
+    "spearman_corr_lengths": 2,    # two value-domain rank spines
+    "sprt_sequential_test": 2,      # day-spine LLR cumsum (crossing-min is unordered)
     "ts_decomposition": 2,          # daily spine
     "wilcoxon_signed_rank": 1,      # |diff| rank spine (audit-panel sized)
     "window_ntile": 1,              # global ntile is the operator semantic

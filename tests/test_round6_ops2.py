@@ -161,3 +161,27 @@ def test_t_closeness_invariants(spark, sf_dir):
         assert 0.0 <= r["t_r"] <= 1.0  # TVD is a [0,1] metric
         assert r["exceeds_t35"] == int(r["t_r"] > 0.35) or abs(r["t_r"] - 0.35) < 1e-5
         assert r["t_num"] >= 0
+
+
+def test_sprt_llr_walk_consistency(spark, sf_dir):
+    import math
+
+    rows = sorted(
+        QUERIES["sprt_sequential_test"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    l1, l0 = math.log(0.22 / 0.18), math.log(0.78 / 0.82)
+    for r in rows:
+        assert 0 <= r["c_cum"] <= r["n_cum"]
+        expect = r["c_cum"] * l1 + (r["n_cum"] - r["c_cum"]) * l0
+        assert abs(r["llr_r"] - expect) < 1e-5
+        assert r["look_state"] in ("accept_h1", "accept_h0", "continue")
+    # cumulative counts are monotone
+    assert all(a["n_cum"] <= b["n_cum"] for a, b in zip(rows, rows[1:]))
+    # at most one decision day, and it is the FIRST crossing
+    decisions = [r for r in rows if r["is_decision_day"] == 1]
+    assert len(decisions) <= 1
+    crossers = [r for r in rows if r["look_state"] != "continue"]
+    if crossers:
+        assert decisions and decisions[0]["day"] == crossers[0]["day"]
