@@ -2997,3 +2997,115 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_decision_day"),
     )
+
+
+# ------------------------------------------------- ridge regression sweep
+
+_RIDGE_SQL = """
+    WITH m AS (
+        SELECT
+            sum(q * q)::DECIMAL(38,0) AS sxx,
+            sum(q * d)::DECIMAL(38,0) AS sxy,
+            sum(d * d)::DECIMAL(38,0) AS syy,
+            sum(q * p)::DECIMAL(38,0) AS sxz,
+            sum(d * p)::DECIMAL(38,0) AS syz,
+            count(*) AS n
+        FROM (
+            SELECT CAST(round(CAST(l_quantity AS DECIMAL(18,6)), 2) * 100
+                        AS BIGINT) AS q,
+                   CAST(round(CAST(l_discount AS DECIMAL(18,6)), 2) * 100
+                        AS BIGINT) AS d,
+                   CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)), 2) * 100
+                        AS BIGINT) AS p
+            FROM lineitem
+        )
+    ),
+    lam AS (SELECT unnest([0.0, 0.1, 10.0])::DOUBLE AS ratio),
+    sol AS (
+        SELECT l.ratio, m.n,
+               l.ratio * (m.sxx::DOUBLE + m.syy::DOUBLE) / 2 AS lam_abs,
+               m.sxx::DOUBLE AS sxx, m.sxy::DOUBLE AS sxy,
+               m.syy::DOUBLE AS syy, m.sxz::DOUBLE AS sxz,
+               m.syz::DOUBLE AS syz
+        FROM m CROSS JOIN lam l
+    )
+    SELECT ratio, n,
+           round(((syy + lam_abs) * sxz - sxy * syz)
+                 / ((sxx + lam_abs) * (syy + lam_abs) - sxy * sxy), 8)
+               AS b_qty_r,
+           round(((sxx + lam_abs) * syz - sxy * sxz)
+                 / ((sxx + lam_abs) * (syy + lam_abs) - sxy * sxy), 8)
+               AS b_disc_r
+    FROM sol
+"""
+
+
+@register("ridge_regression_sweep", oracle=_RIDGE_SQL)
+def ridge_regression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (Hoerl & Kennard 1970) of extended
+    price on (quantity, discount), no intercept, solved from the normal
+    equations (X'X + λI)β = X'y with the 2×2 inverse written out — at
+    three regularization strengths λ = ratio·tr(X'X)/2, ratio ∈
+    {0, 0.1, 10} (ratio 0 IS the OLS solution; ratio 10 shrinks hard
+    toward zero, and tests pin that ‖β‖ decreases monotonically).
+
+    Exactness: all five Gram/cross moments are exact DECIMAL(38,0) sums
+    of integer-cent products (one shuffle-free aggregate); each β is two
+    float ops over identical expression trees, rounded once.
+
+    Scale shape: the moment pass is a single map-side-combinable
+    aggregate over the fact scan — the classic 'sufficient statistics,
+    not data movement' design for distributed linear models; the λ sweep
+    is a 3-row literal spine crossed against the 1-row moment table.
+    At p features this is the p²-state Gram aggregate (cf. the dim² Gram
+    collect in llm/similarity.py) — driver-side solve stays O(p³)."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = lambda c: (  # noqa: E731
+        F.round(F.col(c).cast("decimal(18,6)"), 2) * 100
+    ).cast("long")
+    base = li.select(
+        cents("l_quantity").alias("q"),
+        cents("l_discount").alias("d"),
+        cents("l_extendedprice").alias("p"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = base.select(
+        d38("q").alias("q"), d38("d").alias("d"), d38("p").alias("p")
+    ).agg(
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+        F.sum(F.col("q") * F.col("d")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).alias("syy"),
+        F.sum(F.col("q") * F.col("p")).alias("sxz"),
+        F.sum(F.col("d") * F.col("p")).alias("syz"),
+        F.count("*").alias("n"),
+    )
+    lam = spark.range(1).select(
+        F.explode(F.array(F.lit(0.0), F.lit(0.1), F.lit(10.0))).alias("ratio")
+    )
+    sol = m.crossJoin(F.broadcast(lam)).select(
+        "ratio",
+        "n",
+        (F.col("ratio") * (F.col("sxx").cast("double") + F.col("syy").cast("double")) / 2).alias("lam_abs"),
+        F.col("sxx").cast("double").alias("sxx"),
+        F.col("sxy").cast("double").alias("sxy"),
+        F.col("syy").cast("double").alias("syy"),
+        F.col("sxz").cast("double").alias("sxz"),
+        F.col("syz").cast("double").alias("syz"),
+    )
+    det = (F.col("sxx") + F.col("lam_abs")) * (F.col("syy") + F.col("lam_abs")) - F.col(
+        "sxy"
+    ) * F.col("sxy")
+    return sol.select(
+        "ratio",
+        "n",
+        F.round(
+            ((F.col("syy") + F.col("lam_abs")) * F.col("sxz") - F.col("sxy") * F.col("syz"))
+            / det,
+            8,
+        ).alias("b_qty_r"),
+        F.round(
+            ((F.col("sxx") + F.col("lam_abs")) * F.col("syz") - F.col("sxy") * F.col("sxz"))
+            / det,
+            8,
+        ).alias("b_disc_r"),
+    )

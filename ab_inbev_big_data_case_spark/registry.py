@@ -209,6 +209,7 @@ _STAGED_NEXT = [
     "t_closeness_audit",
     "deltalite_change_data_feed",
     "sprt_sequential_test",
+    "ridge_regression_sweep",
 ]
 
 

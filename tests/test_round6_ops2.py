@@ -185,3 +185,15 @@ def test_sprt_llr_walk_consistency(spark, sf_dir):
     crossers = [r for r in rows if r["look_state"] != "continue"]
     if crossers:
         assert decisions and decisions[0]["day"] == crossers[0]["day"]
+
+
+def test_ridge_norm_shrinks_monotonically(spark, sf_dir):
+    rows = {
+        r["ratio"]: (r["b_qty_r"], r["b_disc_r"])
+        for r in QUERIES["ridge_regression_sweep"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {0.0, 0.1, 10.0}
+    norms = [rows[r][0] ** 2 + rows[r][1] ** 2 for r in (0.0, 0.1, 10.0)]
+    assert norms[0] >= norms[1] >= norms[2]  # ridge shrinkage is monotone
+    # price rises with quantity: the dominant coefficient is positive OLS
+    assert rows[0.0][0] > 0
