@@ -430,3 +430,118 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count("*").alias("n_left"), F.max("dim_n").alias("dim_n"))
     )
+
+
+# ------------------------------------------------ spatial grid radius join
+
+_SPATIAL_SQL = """
+    WITH cpt AS (
+        SELECT c_custkey, c_nationkey,
+               (c_custkey * 2654435761) % 180000000 - 90000000 AS y,
+               (c_custkey * 2246822519) % 360000000 - 180000000 AS x
+        FROM customer
+    ),
+    spt AS (
+        SELECT s_suppkey,
+               (s_suppkey * 2654435761) % 180000000 - 90000000 AS y,
+               (s_suppkey * 2246822519) % 360000000 - 180000000 AS x
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT c.c_nationkey, c.c_custkey, s.s_suppkey,
+               (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+        FROM cpt c JOIN spt s
+          ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+             <= 25000000000000
+    )
+    SELECT c_nationkey,
+           count(*) AS n_pairs,
+           count(DISTINCT c_custkey) AS n_customers,
+           count(DISTINCT s_suppkey) AS n_suppliers,
+           min(d2)::BIGINT AS min_d2,
+           max(d2)::BIGINT AS max_d2
+    FROM pairs GROUP BY 1
+"""
+
+
+@register("spatial_grid_radius_join", oracle=_SPATIAL_SQL)
+def spatial_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via grid bucketing: customers and suppliers get
+    deterministic planar coordinates in integer micro-degrees (derived from
+    their keys by Knuth multiplicative hashing, so both engines agree
+    bit-for-bit), and each (customer, supplier) pair within 5e6 µ° planar
+    Euclidean distance is found by the standard scale pattern — assign
+    points to r-sized grid cells, EXPLODE one side into its 3×3 neighbor
+    cells, equi-join on cell id, verify the exact distance. The oracle
+    computes the same pairs with a naive quadratic theta-join, so the
+    driver hash proves the grid join is LOSSLESS (a candidate pair can
+    only be missed if the 3×3 neighborhood logic is wrong — any point
+    within r of a cell's point lies in that 3×3 block by construction).
+
+    Exactness: all coordinates and squared distances are BIGINT (planar
+    metric, no trig — libm sin/cos differ across engines; a production
+    haversine variant changes only the verify expression).
+
+    Scale shape: the 9× explode is on the smaller (supplier) side; the
+    join is a hash equi-join on cell id — at 100 TB this is the
+    partitioned geohash-join, never an all-pairs; AQE handles dense-cell
+    skew. Per-cell occupancy is bounded by the cell-size choice (r), the
+    same guard as the LSH band-bucket caps in llm/dedup.py."""
+    R = 5_000_000  # radius in micro-degrees; also the grid cell size
+    R2 = R * R
+
+    def pts(df: DataFrame, key: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            *(
+                [F.col("c_nationkey")] if key == "c_custkey" else []
+            ),
+            ((F.col(key) * 2654435761) % 180000000 - 90000000).alias("y"),
+            ((F.col(key) * 2246822519) % 360000000 - 180000000).alias("x"),
+        )
+
+    c = pts(table(spark, sf_dir, "customer"), "c_custkey").select(
+        "c_custkey",
+        "c_nationkey",
+        "x",
+        "y",
+        F.floor(F.col("x") / R).alias("cx"),
+        F.floor(F.col("y") / R).alias("cy"),
+    )
+    s = pts(table(spark, sf_dir, "supplier"), "s_suppkey")
+    # explode the SMALLER side into its 3x3 neighborhood so the big side
+    # keeps one row per point
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    s9 = s.select(
+        "s_suppkey",
+        F.col("x").alias("sx"),
+        F.col("y").alias("sy"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (F.floor(F.col("sx") / R) + F.col("o.dx")).alias("cx"),
+        (F.floor(F.col("sy") / R) + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    pairs = (
+        c.join(s9, on=["cx", "cy"])
+        .select("c_nationkey", "c_custkey", "s_suppkey", d2.alias("d2"))
+        .filter(F.col("d2") <= R2)
+    )
+    return pairs.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("c_custkey").alias("n_customers"),
+        F.count_distinct("s_suppkey").alias("n_suppliers"),
+        F.min("d2").alias("min_d2"),
+        F.max("d2").alias("max_d2"),
+    )

@@ -210,6 +210,7 @@ _STAGED_NEXT = [
     "deltalite_change_data_feed",
     "sprt_sequential_test",
     "ridge_regression_sweep",
+    "spatial_grid_radius_join",
 ]
 
 

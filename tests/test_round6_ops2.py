@@ -197,3 +197,42 @@ def test_ridge_norm_shrinks_monotonically(spark, sf_dir):
     assert norms[0] >= norms[1] >= norms[2]  # ridge shrinkage is monotone
     # price rises with quantity: the dominant coefficient is positive OLS
     assert rows[0.0][0] > 0
+
+
+def test_spatial_grid_join_is_equi_join_and_lossless(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ab_inbev_big_data_case_spark.sources.readers import table
+
+    df = QUERIES["spatial_grid_radius_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the candidate generator must be a hash equi-join on cell ids,
+    # never a nested-loop over all pairs
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    # cross-check against the naive quadratic join computed locally
+    R = 5_000_000
+    c = [
+        (r[0], (r[0] * 2654435761) % 360000000 - 180000000,
+         (r[0] * 2654435761) % 180000000 - 90000000)
+        for r in table(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    s = table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    sp = [
+        ((k[0] * 2246822519) % 360000000 - 180000000,
+         (k[0] * 2654435761) % 180000000 - 90000000)
+        for k in s
+    ]
+    cp = [
+        ((k[0] * 2246822519) % 360000000 - 180000000,
+         (k[0] * 2654435761) % 180000000 - 90000000)
+        for k in table(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    naive = sum(
+        1
+        for (cx, cy) in cp
+        for (sx, sy) in sp
+        if (cx - sx) ** 2 + (cy - sy) ** 2 <= R * R
+    )
+    assert sum(r["n_pairs"] for r in rows) == naive
