@@ -3109,3 +3109,104 @@ def ridge_regression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("b_disc_r"),
     )
+
+
+# ------------------------------------------- weighted SSSP (bounded hops)
+
+_SSSP_SQL = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_co
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    wsym AS (
+        SELECT u, v, CASE WHEN n_co >= 100 THEN 1 ELSE 101 - n_co END AS w
+        FROM e
+        UNION ALL
+        SELECT v AS u, u AS v, CASE WHEN n_co >= 100 THEN 1 ELSE 101 - n_co
+                                END AS w
+        FROM e
+    ),
+    seed AS (SELECT min(u) AS s FROM e),
+    d0 AS (SELECT s AS v, 0 AS d FROM seed),
+    d1 AS (SELECT v, min(d) AS d FROM (
+            SELECT v, d FROM d0
+            UNION ALL SELECT w.v, d0.d + w.w FROM d0 JOIN wsym w ON w.u = d0.v
+        ) GROUP BY v),
+    d2 AS (SELECT v, min(d) AS d FROM (
+            SELECT v, d FROM d1
+            UNION ALL SELECT w.v, d1.d + w.w FROM d1 JOIN wsym w ON w.u = d1.v
+        ) GROUP BY v),
+    d3 AS (SELECT v, min(d) AS d FROM (
+            SELECT v, d FROM d2
+            UNION ALL SELECT w.v, d2.d + w.w FROM d2 JOIN wsym w ON w.u = d2.v
+        ) GROUP BY v),
+    d4 AS (SELECT v, min(d) AS d FROM (
+            SELECT v, d FROM d3
+            UNION ALL SELECT w.v, d3.d + w.w FROM d3 JOIN wsym w ON w.u = d3.v
+        ) GROUP BY v)
+    SELECT v::BIGINT AS v, d::BIGINT AS d
+    FROM d4 ORDER BY d, v LIMIT 20
+"""
+
+
+@register("sssp_bounded_hops", oracle=_SSSP_SQL)
+def sssp_bounded_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths, 4-hop horizon: Bellman-Ford
+    unrolled over the co-purchase graph (same support-≥2 edge set as
+    ``khop_reachability`` / ``triangle_count``), edge cost 101−co_count
+    clamped to [1,100] — strong ties are cheap. Returns the 20 nearest
+    vertices (tie-broken on vertex id). Completes the graph family's
+    WEIGHTED traversal: k-hop answers "reachable?", this answers "how
+    cheaply?" — the backbone of influence radius / supply-chain routing.
+
+    Exactness: weights and distances are integers end-to-end; min() and
+    ties are exact.
+
+    Scale shape: the fixed-k Pregel unroll — each relaxation is one
+    equi-join of the current distance table against the edge list plus a
+    keyed min (map-side combinable); no driver iteration, no collect.
+    Frontier size is bounded by |V|; a production variant switches to
+    iterate-until-fixpoint with an early-exit count check per round."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    w_expr = F.when(F.col("n_co") >= 100, 1).otherwise(101 - F.col("n_co"))
+    wsym = e.select("u", "v", w_expr.alias("w")).unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), w_expr.alias("w"))
+    )
+    seed = e.agg(F.min("u").alias("v")).select("v", F.lit(0).alias("d"))
+    d = seed
+    for i in range(4):
+        dl, wl = f"d{i}", f"w{i}"
+        relaxed = (
+            d.alias(dl)
+            .join(wsym.alias(wl), F.col(f"{dl}.v") == F.col(f"{wl}.u"))
+            .select(
+                F.col(f"{wl}.v").alias("v"),
+                (F.col(f"{dl}.d") + F.col(f"{wl}.w")).alias("d"),
+            )
+        )
+        d = (
+            d.select("v", "d")
+            .unionAll(relaxed)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        d.orderBy("d", "v")
+        .limit(20)
+        .select(F.col("v").cast("long").alias("v"), F.col("d").cast("long").alias("d"))
+    )

@@ -211,6 +211,7 @@ _STAGED_NEXT = [
     "sprt_sequential_test",
     "ridge_regression_sweep",
     "spatial_grid_radius_join",
+    "sssp_bounded_hops",
 ]
 
 

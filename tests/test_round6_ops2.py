@@ -236,3 +236,15 @@ def test_spatial_grid_join_is_equi_join_and_lossless(spark, sf_dir):
         if (cx - sx) ** 2 + (cy - sy) ** 2 <= R * R
     )
     assert sum(r["n_pairs"] for r in rows) == naive
+
+
+def test_sssp_distances_valid(spark, sf_dir):
+    rows = sorted(
+        QUERIES["sssp_bounded_hops"](spark, sf_dir).collect(), key=lambda r: r["d"]
+    )
+    assert rows and rows[0]["d"] == 0  # the seed itself, distance 0
+    assert len(rows) <= 20
+    assert all(r["d"] >= 0 for r in rows)
+    # within a 4-hop horizon with max edge weight 100, d <= 400
+    assert all(r["d"] <= 400 for r in rows)
+    assert len({r["v"] for r in rows}) == len(rows)  # distinct vertices
