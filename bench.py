@@ -49,6 +49,8 @@ HEADLINE = [
     "k_anonymity_audit",      # privacy-audit groupBy family (r6 s2)
     "resource_allocation_links",  # basket-bounded link prediction (r6 s2)
     "rolling_active_users",   # explode-cover WAU rollup (r6 s2)
+    "spatial_grid_radius_join",   # grid-bucketed spatial join (r6 s3)
+    "multimodal_pixel_decode",    # numpy raster/PCM decode via Arrow (r6 s3)
 ]
 
 #: Known-bounded partitionless window specs per headline plan. Every entry
