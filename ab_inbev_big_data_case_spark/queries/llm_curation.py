@@ -2090,3 +2090,97 @@ def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_overlap") / 5.0, 2).alias("overlap_at5_r"),
         )
     )
+
+
+# -------------------------------------- cross-source quantile normalization
+
+_QNORM_SQL = """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS ns
+        FROM documents
+    ),
+    spine AS (
+        SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                      AS cnt_le,
+               sum(cnt) OVER () AS n_total
+        FROM spine
+    ),
+    grid AS (
+        SELECT t.b, min(c.v) AS q
+        FROM generate_series(1, 256) AS t(b)
+        JOIN cum c ON c.cnt_le * 256 >= t.b * c.n_total
+        GROUP BY t.b
+    ),
+    mapped AS (
+        SELECT rk.source, rk.n_chars,
+               g.q AS normalized
+        FROM ranked rk
+        JOIN grid g ON g.b = (256 * rk.r + rk.ns - 1) // rk.ns
+    )
+    SELECT source, count(*) AS n,
+           sum(n_chars)::BIGINT AS sum_len_before,
+           sum(normalized)::BIGINT AS sum_len_after
+    FROM mapped GROUP BY 1
+"""
+
+
+@register("quantile_normalize_lengths", oracle=_QNORM_SQL)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (the microarray-style
+    distribution equalizer, Bolstad et al. 2003, as a curation op): every
+    document's length is replaced by the POOLED length distribution's
+    value at the document's within-source quantile, so all sources end up
+    with the same length distribution — the standard fix when one crawl
+    source systematically writes longer documents and a length-based
+    quality gate would otherwise bias the source mix.
+
+    All arithmetic is INTEGER: within-source rank r of ns maps to grid
+    bucket b = ⌈256·r/ns⌉, and the pooled quantile q_b is the smallest
+    value whose cumulative count satisfies cnt_le·256 ≥ b·N — no float
+    percentiles anywhere, so both engines agree exactly.
+
+    Scale shape: one keyed window per source (rank), one partitionless
+    cumsum over the BOUNDED length-value spine, a 256×spine bounded join
+    to build the grid, then a broadcast 256-row equi-join back onto the
+    docs. Nothing quadratic, nothing unbounded-partitionless."""
+    d = table(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    spine = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = spine.select(
+        "v",
+        F.sum("cnt").over(wv).alias("cnt_le"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+    )
+    grid = (
+        spark.range(1, 257)
+        .select(F.col("id").alias("b"))
+        .join(
+            F.broadcast(cum),
+            F.col("cnt_le") * 256 >= F.col("b") * F.col("n_total"),
+        )
+        .groupBy("b")
+        .agg(F.min("v").alias("q"))
+    )
+    mapped = ranked.join(
+        F.broadcast(grid),
+        F.col("b")
+        == F.floor((256 * F.col("r") + F.col("ns") - 1) / F.col("ns")).cast("long"),
+    )
+    return mapped.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sum_len_before"),
+        F.sum(F.col("q")).alias("sum_len_after"),
+    )

@@ -212,6 +212,7 @@ _STAGED_NEXT = [
     "ridge_regression_sweep",
     "spatial_grid_radius_join",
     "sssp_bounded_hops",
+    "quantile_normalize_lengths",
 ]
 
 

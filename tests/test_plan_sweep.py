@@ -54,6 +54,7 @@ PARTITIONLESS_ALLOWED = {
     "mom_revenue_growth": 3,        # monthly aggregate spine
     "pacf_lags": 3,                 # daily spine lag triplet
     "qini_curve_deciles": 5,        # carry + decile cumsum spines (gains shape)
+    "quantile_normalize_lengths": 1,  # bounded length-value spine cumsum
     "rbo_rank_agreement": 4,        # top-k ranking spine
     "runs_test_randomness": 3,      # value-spine walk + day-spine lag
     "sax_motifs": 2,                # daily spine 3-gram leads (one spec per lead frame)

@@ -248,3 +248,16 @@ def test_sssp_distances_valid(spark, sf_dir):
     # within a 4-hop horizon with max edge weight 100, d <= 400
     assert all(r["d"] <= 400 for r in rows)
     assert len({r["v"] for r in rows}) == len(rows)  # distinct vertices
+
+
+def test_quantile_normalization_equalizes_sources(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.sources.readers import table
+
+    rows = QUERIES["quantile_normalize_lengths"](spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    assert sum(r["n"] for r in rows) == docs.count()
+    # after normalization every source's MEAN length is pulled toward the
+    # pooled mean: the spread of per-source means must not increase
+    before = [r["sum_len_before"] / r["n"] for r in rows]
+    after = [r["sum_len_after"] / r["n"] for r in rows]
+    assert max(after) - min(after) <= max(before) - min(before) + 1e-9
