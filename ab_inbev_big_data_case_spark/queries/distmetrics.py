@@ -1434,3 +1434,140 @@ def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("levene_w_r"),
         )
     )
+
+
+# ----------------------------------- Benjamini-Hochberg FDR (chi2 panel)
+
+
+def _chi2_df4_threshold(p_target: float) -> float:
+    """Invert the CLOSED-FORM df=4 chi-square upper tail
+    Q(x) = exp(-x/2)(1 + x/2) at ``p_target`` by bisection (pure Python —
+    evaluated ONCE at import, embedded as literals so neither engine's
+    libm exp() sits in the decision path)."""
+    lo, hi = 0.0, 200.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        q = math.exp(-mid / 2) * (1 + mid / 2)
+        if q > p_target:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+_BH_Q = 0.10
+_BH_M = 25  # nations = hypotheses
+_BH_THRESHOLDS = [
+    (k, _chi2_df4_threshold(k * _BH_Q / _BH_M)) for k in range(1, _BH_M + 1)
+]
+_BH_VALUES_SQL = ", ".join(f"({k}, {t!r})" for k, t in _BH_THRESHOLDS)
+
+_BH_SQL = f"""
+    WITH cells AS (
+        SELECT c.c_nationkey AS nation, o.o_orderpriority AS pr,
+               count(*) AS o_cnt
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ntot AS (SELECT nation, sum(o_cnt) AS n FROM cells GROUP BY 1),
+    gdist AS (
+        SELECT pr, sum(o_cnt) AS g FROM cells GROUP BY 1
+    ),
+    gtot AS (SELECT sum(o_cnt) AS gn FROM cells),
+    chi AS (
+        SELECT t.nation,
+               sum(
+                   (coalesce(c.o_cnt, 0) - t.n * d.g * 1.0 / gt.gn)
+                   * (coalesce(c.o_cnt, 0) - t.n * d.g * 1.0 / gt.gn)
+                   / (t.n * d.g * 1.0 / gt.gn)
+               ) AS x2
+        FROM ntot t
+        CROSS JOIN gdist d
+        CROSS JOIN gtot gt
+        LEFT JOIN cells c ON c.nation = t.nation AND c.pr = d.pr
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT nation, x2,
+               row_number() OVER (ORDER BY x2 DESC, nation) AS k
+        FROM chi
+    ),
+    th(k, x2_min) AS (VALUES {_BH_VALUES_SQL}),
+    marked AS (
+        SELECT r.nation, r.x2, r.k,
+               CASE WHEN r.x2 >= t.x2_min THEN 1 ELSE 0 END AS below
+        FROM ranked r JOIN th t ON t.k = r.k
+    ),
+    kstar AS (SELECT max(CASE WHEN below = 1 THEN k END) AS ks FROM marked)
+    SELECT m.nation, round(m.x2, 6) AS chi2_r, m.k,
+           CASE WHEN m.k <= coalesce(s.ks, 0) THEN 1 ELSE 0 END AS rejected
+    FROM marked m CROSS JOIN kstar s
+"""
+
+
+@register("bh_fdr_chi2_panel", oracle=_BH_SQL)
+def bh_fdr_chi2_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (1995) over a 25-hypothesis panel:
+    per nation, a df=4 chi-square of its order-priority mix against the
+    global mix; BH rejects the k* most extreme statistics where k* is the
+    largest k whose k-th order statistic clears p_(k) ≤ k·q/m (q=0.10).
+    The step-up rule runs on the CHI-SQUARE scale against thresholds
+    inverted ONCE in Python from the closed-form df=4 tail
+    Q(x)=e^{-x/2}(1+x/2) and embedded as literals — no libm exp() in
+    either engine's decision path, so marginal hypotheses cannot flip on
+    an ulp.
+
+    Scale shape: one fact join + (nation × priority)-bounded aggregate;
+    everything after lives on a 25-row panel (rank window, 25-row literal
+    threshold join, 1-row k* broadcast)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), F.col("o_orderpriority").alias("pr"))
+        .agg(F.count("*").alias("o_cnt"))
+    )
+    ntot = cells.groupBy("nation").agg(F.sum("o_cnt").alias("n"))
+    gdist = cells.groupBy("pr").agg(F.sum("o_cnt").alias("g"))
+    gtot = cells.agg(F.sum("o_cnt").alias("gn"))
+    e = F.col("n") * F.col("g") * F.lit(1.0) / F.col("gn")
+    chi = (
+        ntot.crossJoin(F.broadcast(gdist))
+        .crossJoin(F.broadcast(gtot))
+        .join(
+            cells.withColumnRenamed("nation", "cn").withColumnRenamed("pr", "cpr"),
+            (F.col("cn") == F.col("nation")) & (F.col("cpr") == F.col("pr")),
+            "left",
+        )
+        .select(
+            "nation",
+            (
+                (F.coalesce(F.col("o_cnt"), F.lit(0)) - e)
+                * (F.coalesce(F.col("o_cnt"), F.lit(0)) - e)
+                / e
+            ).alias("term"),
+        )
+        .groupBy("nation")
+        .agg(F.sum("term").alias("x2"))
+    )
+    ranked = chi.select(
+        "nation",
+        "x2",
+        F.row_number().over(Window.orderBy(F.col("x2").desc(), F.col("nation"))).alias("k"),
+    )
+    th = spark.createDataFrame(_BH_THRESHOLDS, "k INT, x2_min DOUBLE")
+    marked = ranked.join(F.broadcast(th), "k").select(
+        "nation",
+        "x2",
+        "k",
+        (F.col("x2") >= F.col("x2_min")).cast("int").alias("below"),
+    )
+    kstar = marked.agg(
+        F.max(F.when(F.col("below") == 1, F.col("k"))).alias("ks")
+    )
+    return marked.crossJoin(F.broadcast(kstar)).select(
+        "nation",
+        F.round("x2", 6).alias("chi2_r"),
+        "k",
+        (F.col("k") <= F.coalesce(F.col("ks"), F.lit(0))).cast("int").alias("rejected"),
+    )

@@ -213,6 +213,7 @@ _STAGED_NEXT = [
     "spatial_grid_radius_join",
     "sssp_bounded_hops",
     "quantile_normalize_lengths",
+    "bh_fdr_chi2_panel",
 ]
 
 

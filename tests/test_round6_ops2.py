@@ -261,3 +261,19 @@ def test_quantile_normalization_equalizes_sources(spark, sf_dir):
     before = [r["sum_len_before"] / r["n"] for r in rows]
     after = [r["sum_len_after"] / r["n"] for r in rows]
     assert max(after) - min(after) <= max(before) - min(before) + 1e-9
+
+
+def test_bh_rejections_are_rank_prefix(spark, sf_dir):
+    rows = sorted(
+        QUERIES["bh_fdr_chi2_panel"](spark, sf_dir).collect(), key=lambda r: r["k"]
+    )
+    assert len(rows) == 25
+    assert [r["k"] for r in rows] == list(range(1, 26))
+    chis = [r["chi2_r"] for r in rows]
+    assert all(a >= b for a, b in zip(chis, chis[1:]))  # ranked descending
+    flags = [r["rejected"] for r in rows]
+    # BH step-up: the rejection set is exactly ranks 1..k*
+    if 1 in flags:
+        last = max(i for i, f in enumerate(flags) if f == 1)
+        assert all(f == 1 for f in flags[: last + 1])
+        assert all(f == 0 for f in flags[last + 1 :])
