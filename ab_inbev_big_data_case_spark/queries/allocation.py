@@ -77,3 +77,126 @@ def interval_allocation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum("alloc_c").alias("alloc_rev_c"),
     )
+
+
+# ----------------------------------------- proportional seat apportionment
+
+_APPORTION_SQL = """
+    WITH votes AS (
+        SELECT c.c_nationkey AS nation, count(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_orders) AS t FROM votes),
+    ham AS (
+        SELECT v.nation, v.n_orders,
+               (v.n_orders * 1000) // t.t AS floor_seats,
+               (v.n_orders * 1000) % t.t AS remainder
+        FROM votes v CROSS JOIN tot t
+    ),
+    hamrk AS (
+        SELECT nation, n_orders, floor_seats, remainder,
+               row_number() OVER (ORDER BY remainder DESC, nation) AS rr,
+               1000 - sum(floor_seats) OVER () AS leftover
+        FROM ham
+    ),
+    hamilton AS (
+        SELECT nation, n_orders,
+               floor_seats + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                   AS seats_hamilton
+        FROM hamrk
+    ),
+    quot AS (
+        SELECT v.nation, v.n_orders * 1.0 / d.d AS q,
+               row_number() OVER (
+                   ORDER BY v.n_orders * 1.0 / d.d DESC, v.nation, d.d
+               ) AS qr
+        FROM votes v, generate_series(1, 1000) AS d(d)
+    ),
+    dhondt AS (
+        SELECT nation, count(*) AS seats_dhondt
+        FROM quot WHERE qr <= 1000 GROUP BY 1
+    )
+    SELECT h.nation, h.n_orders, h.seats_hamilton::BIGINT AS seats_hamilton,
+           coalesce(d.seats_dhondt, 0)::BIGINT AS seats_dhondt
+    FROM hamilton h LEFT JOIN dhondt d ON d.nation = h.nation
+"""
+
+
+@register("seat_apportionment", oracle=_APPORTION_SQL)
+def seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional apportionment of 1000 'seats' (shards, samples, budget
+    units) across nations by order volume, under BOTH classic methods:
+    Hamilton largest-remainder (exact integer floors + remainder ranking)
+    and D'Hondt highest-averages (top-1000 of the nation/divisor quotient
+    grid). The pair is the canonical quota-vs-divisor contrast — Hamilton
+    matches quotas but suffers the Alabama paradox, D'Hondt is monotone
+    but favors large parties; a data platform meets the same trade when
+    it splits a fixed sampling budget across strata
+    (cf. ``neyman_allocation``, ``source_quota_sample``).
+
+    Exactness: Hamilton is INTEGER end-to-end (multiply-then-divide,
+    remainder ranking); D'Hondt quotients are single IEEE divisions of
+    integers — exactly rounded and identical in both engines, never
+    summed.
+
+    Scale shape: one fact join collapses to a 25-row vote panel;
+    everything after is panel-sized (25×1000 quotient grid = 25k rows,
+    two bounded rank windows, a broadcast total)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    votes = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    tot = votes.agg(F.sum("n_orders").alias("t"))
+    ham = votes.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "n_orders",
+        F.floor(F.col("n_orders") * 1000 / F.col("t")).alias("floor_seats"),
+        ((F.col("n_orders") * 1000) % F.col("t")).alias("remainder"),
+    )
+    from pyspark.sql import Window as W
+
+    hamrk = ham.select(
+        "nation",
+        "n_orders",
+        "floor_seats",
+        F.row_number()
+        .over(W.orderBy(F.col("remainder").desc(), F.col("nation")))
+        .alias("rr"),
+        (1000 - F.sum("floor_seats").over(W.partitionBy())).alias("leftover"),
+    )
+    hamilton = hamrk.select(
+        "nation",
+        "n_orders",
+        (
+            F.col("floor_seats")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("seats_hamilton"),
+    )
+    divisors = spark.range(1, 1001).select(F.col("id").alias("d"))
+    quot = votes.crossJoin(F.broadcast(divisors)).select(
+        "nation",
+        F.row_number()
+        .over(
+            W.orderBy(
+                (F.col("n_orders") * 1.0 / F.col("d")).desc(),
+                F.col("nation"),
+                F.col("d"),
+            )
+        )
+        .alias("qr"),
+    )
+    dhondt = (
+        quot.filter(F.col("qr") <= 1000)
+        .groupBy("nation")
+        .agg(F.count("*").alias("seats_dhondt"))
+    )
+    return hamilton.join(dhondt, "nation", "left").select(
+        "nation",
+        "n_orders",
+        F.col("seats_hamilton").cast("long").alias("seats_hamilton"),
+        F.coalesce(F.col("seats_dhondt"), F.lit(0)).cast("long").alias("seats_dhondt"),
+    )

@@ -214,6 +214,7 @@ _STAGED_NEXT = [
     "sssp_bounded_hops",
     "quantile_normalize_lengths",
     "bh_fdr_chi2_panel",
+    "seat_apportionment",
 ]
 
 

@@ -58,6 +58,7 @@ PARTITIONLESS_ALLOWED = {
     "quantile_normalize_lengths": 1,  # bounded length-value spine cumsum
     "rbo_rank_agreement": 4,        # top-k ranking spine
     "runs_test_randomness": 3,      # value-spine walk + day-spine lag
+    "seat_apportionment": 2,        # 25-row remainder rank + 25k quotient-grid rank
     "sax_motifs": 2,                # daily spine 3-gram leads (one spec per lead frame)
     "seasonal_residual_anomaly": 8, # daily spine decomposition
     "skyline_2d": 1,                # pruned local-survivor pass

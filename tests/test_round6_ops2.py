@@ -277,3 +277,15 @@ def test_bh_rejections_are_rank_prefix(spark, sf_dir):
         last = max(i for i, f in enumerate(flags) if f == 1)
         assert all(f == 1 for f in flags[: last + 1])
         assert all(f == 0 for f in flags[last + 1 :])
+
+
+def test_apportionment_seats_sum_to_1000(spark, sf_dir):
+    rows = QUERIES["seat_apportionment"](spark, sf_dir).collect()
+    assert sum(r["seats_hamilton"] for r in rows) == 1000
+    assert sum(r["seats_dhondt"] for r in rows) == 1000
+    tot = sum(r["n_orders"] for r in rows)
+    for r in rows:
+        # Hamilton stays within quota (floor(q) <= seats <= ceil(q))
+        q = r["n_orders"] * 1000 / tot
+        assert q - 1 < r["seats_hamilton"] < q + 1
+        assert r["seats_dhondt"] >= 0
