@@ -3210,3 +3210,96 @@ def sssp_bounded_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("v").cast("long").alias("v"), F.col("d").cast("long").alias("d"))
     )
+
+
+# --------------------------------------------- WoE / IV feature binning
+
+_WOE_SQL = """
+    WITH v AS (
+        SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS x_c,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        FROM orders
+    ),
+    cells AS (
+        SELECT x_c, count(*) AS c, sum(bad)::BIGINT AS cb
+        FROM v GROUP BY 1
+    ),
+    walk AS (
+        SELECT x_c, c, cb,
+               sum(c) OVER (ORDER BY x_c ROWS UNBOUNDED PRECEDING) - c
+                   AS cnt_lt,
+               sum(c) OVER () AS n
+        FROM cells
+    ),
+    binned AS (
+        SELECT ((cnt_lt * 10) // n)::BIGINT AS bin,
+               sum(c)::BIGINT AS n, sum(cb)::BIGINT AS n_bad
+        FROM walk GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n)::BIGINT AS nt, sum(n_bad)::BIGINT AS bt FROM binned
+    )
+    SELECT b.bin, b.n, b.n_bad,
+           round(ln(((b.n - b.n_bad) * t.bt) * 1.0
+                    / (b.n_bad * (t.nt - t.bt))), 6) AS woe_r,
+           round(((b.n - b.n_bad) * 1.0 / (t.nt - t.bt)
+                  - b.n_bad * 1.0 / t.bt)
+                 * ln(((b.n - b.n_bad) * t.bt) * 1.0
+                      / (b.n_bad * (t.nt - t.bt))), 6) AS iv_term_r
+    FROM binned b CROSS JOIN tot t
+"""
+
+
+@register("woe_iv_binning", oracle=_WOE_SQL)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binning (the credit-scoring
+    feature screen, Siddiqi 2006): order value in 10 equal-frequency bins
+    against the 'bad' target (status F); per bin WoE =
+    ln((good_share)/(bad_share)) and its IV contribution
+    (g/G − b/B)·WoE. Bins are assigned on the cent-VALUE spine — a value
+    group's bin is (count_below·10)/N, all integer — so there is no
+    global per-row rank anywhere and ties land deterministically.
+
+    Exactness: counts are exact integers; each WoE is one ln() of an
+    exactly-computed double ratio rounded to 6 (the same libm discipline
+    as the entropy/JSD family); no float is ever summed across rows.
+
+    Scale shape: one fact pass to value-spine cells (cent-domain-
+    bounded), a cumsum window over that bounded spine, then a 10-row
+    bin aggregate and broadcast totals."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("x_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    cells = v.groupBy("x_c").agg(F.count("*").alias("c"), F.sum("bad").alias("cb"))
+    wcum = Window.orderBy("x_c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = cells.select(
+        "x_c",
+        "c",
+        "cb",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cnt_lt"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    binned = walk.groupBy(
+        F.floor(F.col("cnt_lt") * 10 / F.col("n")).cast("long").alias("bin")
+    ).agg(F.sum("c").alias("n"), F.sum("cb").alias("n_bad"))
+    tot = binned.agg(F.sum("n").alias("nt"), F.sum("n_bad").alias("bt"))
+    bt = binned.crossJoin(F.broadcast(tot))
+    good_share = (F.col("n") - F.col("n_bad")) * 1.0 / (F.col("nt") - F.col("bt"))
+    bad_share = F.col("n_bad") * 1.0 / F.col("bt")
+    woe = F.log(
+        ((F.col("n") - F.col("n_bad")) * F.col("bt"))
+        * 1.0
+        / (F.col("n_bad") * (F.col("nt") - F.col("bt")))
+    )
+    return bt.select(
+        "bin",
+        "n",
+        "n_bad",
+        F.round(woe, 6).alias("woe_r"),
+        F.round((good_share - bad_share) * woe, 6).alias("iv_term_r"),
+    )

@@ -215,6 +215,7 @@ _STAGED_NEXT = [
     "quantile_normalize_lengths",
     "bh_fdr_chi2_panel",
     "seat_apportionment",
+    "woe_iv_binning",
 ]
 
 

@@ -68,6 +68,7 @@ PARTITIONLESS_ALLOWED = {
     "ts_decomposition": 2,          # daily spine
     "wilcoxon_signed_rank": 1,      # |diff| rank spine (audit-panel sized)
     "window_ntile": 1,              # global ntile is the operator semantic
+    "woe_iv_binning": 1,            # cent-value spine cumsum
     "zipf_fit": 1,                  # capped vocab rank spine
 }
 

@@ -289,3 +289,16 @@ def test_apportionment_seats_sum_to_1000(spark, sf_dir):
         q = r["n_orders"] * 1000 / tot
         assert q - 1 < r["seats_hamilton"] < q + 1
         assert r["seats_dhondt"] >= 0
+
+
+def test_woe_bins_partition_and_iv_nonneg(spark, sf_dir):
+    rows = sorted(
+        QUERIES["woe_iv_binning"](spark, sf_dir).collect(), key=lambda r: r["bin"]
+    )
+    assert [r["bin"] for r in rows] == list(range(10))
+    n_total = sum(r["n"] for r in rows)
+    for r in rows:
+        # equal-frequency: each bin within (0.5x, 1.5x) of N/10 despite ties
+        assert 0.5 * n_total / 10 < r["n"] < 1.5 * n_total / 10
+        # each IV contribution is nonnegative by construction (g-b)*ln(g/b)
+        assert r["iv_term_r"] >= -1e-9
