@@ -5383,3 +5383,158 @@ def effective_source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("evenness_r"),
     )
+
+
+_AHASH_SQL = """
+    WITH px AS (
+        SELECT d.doc_id, t.k,
+               CASE WHEN d.doc_id % 10 = 1 AND t.k = 0
+                    THEN least(255, ((d.doc_id - 1) * 1000003) % 256 + 8)
+                    WHEN d.doc_id % 10 = 1
+                    THEN ((d.doc_id - 1) * 1000003 + t.k * 4093
+                          + ((d.doc_id - 1) * t.k) % 251) % 256
+                    ELSE (d.doc_id * 1000003 + t.k * 4093
+                          + (d.doc_id * t.k) % 251) % 256 END AS p
+        FROM documents d, generate_series(0, 191) AS t(k)
+    ),
+    gray AS (
+        SELECT doc_id, k // 3 AS g_idx, sum(p) // 3 AS g
+        FROM px GROUP BY 1, 2
+    ),
+    m AS (SELECT doc_id, sum(g) // 64 AS mean_g FROM gray GROUP BY 1),
+    bits AS (
+        SELECT gr.doc_id, gr.g_idx,
+               CASE WHEN gr.g > m.mean_g THEN 1 ELSE 0 END AS b
+        FROM gray gr JOIN m ON m.doc_id = gr.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, g_idx // 16 AS band,
+               sum(b * (1 << (g_idx % 16)))::BIGINT AS bv
+        FROM bits GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT doc_id,
+               max(CASE WHEN band = 0 THEN bv END) AS b0,
+               max(CASE WHEN band = 1 THEN bv END) AS b1,
+               max(CASE WHEN band = 2 THEN bv END) AS b2,
+               max(CASE WHEN band = 3 THEN bv END) AS b3
+        FROM bands GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                   AS hamming
+        FROM wide a JOIN wide b
+          ON a.doc_id < b.doc_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT id1, id2, hamming::BIGINT AS hamming
+    FROM pairs WHERE hamming <= 6
+"""
+
+
+@register("ahash_image_dedup", oracle=_AHASH_SQL)
+def ahash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE detection over real decoded
+    rasters: synthesize one 8×8 BMP per document (every doc_id ≡ 1 mod 10
+    is a one-pixel-brightened twin of its predecessor), FULLY decode the
+    container with the pure-numpy BMP decoder, compute the classic
+    average-hash (gray = (r+g+b)/3 per pixel, bit = gray > mean) as four
+    16-bit bands, generate candidates by LSH band equi-join (a ≤3-bit
+    corruption always leaves one clean band by pigeonhole — same
+    calibration argument as ``simhash_hamming_pairs``), and verify
+    popcount-of-XOR Hamming ≤ 6. Reported semantics are exactly
+    'band-collision AND Hamming ≤ 6'; the oracle evaluates that
+    definition with a quadratic join over hashes recomputed from the
+    pixel arithmetic alone, so a single decoder or hash bit off fails
+    the driver hash.
+
+    Scale shape: decode + hash are one map-only Arrow stage (no
+    shuffle); candidates come from four bounded-occupancy band buckets,
+    never all-pairs; the verify is integer popcount. This is the image
+    half of the dedup suite — MinHash for text, aHash for rasters, one
+    architecture."""
+    import numpy as np
+    import pandas as pd
+
+    from ab_inbev_big_data_case_spark.llm.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    def synth_hash(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did - 1 if did % 10 == 1 else did
+                px = bytearray(
+                    (base * 1000003 + k * 4093 + (base * k) % 251) % 256
+                    for k in range(192)
+                )
+                if did % 10 == 1:
+                    px[0] = min(255, (base * 1000003) % 256 + 8)
+                px = bytes(px)
+                raster = decode_bmp_pixels(make_bmp(8, 8, px))  # real decode
+                gray = raster.astype("int64").sum(axis=2) // 3  # (8,8)
+                g = gray.flatten()
+                mean_g = int(g.sum()) // 64
+                bits = (g > mean_g).astype("int64")
+                out["doc_id"].append(did)
+                for b in range(4):
+                    seg = bits[b * 16 : (b + 1) * 16]
+                    out[f"b{b}"].append(int((seg << np.arange(16)).sum()))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    wide = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            synth_hash,
+            schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
+        )
+    )
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bv"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    ham = (
+        cand.join(wide.alias("wa"), F.col("id1") == F.col("wa.doc_id"))
+        .join(wide.alias("wb"), F.col("id2") == F.col("wb.doc_id"))
+        .select(
+            "id1",
+            "id2",
+            sum(
+                F.bit_count(
+                    F.col(f"wa.b{b}").bitwiseXOR(F.col(f"wb.b{b}"))
+                )
+                for b in range(4)
+            ).alias("hamming"),
+        )
+    )
+    return ham.filter(F.col("hamming") <= 6).select(
+        "id1", "id2", F.col("hamming").cast("long").alias("hamming")
+    )
