@@ -1518,8 +1518,12 @@ def bh_fdr_chi2_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ulp.
 
     Scale shape: one fact join + (nation × priority)-bounded aggregate;
-    everything after lives on a 25-row panel (rank window, 25-row literal
-    threshold join, 1-row k* broadcast)."""
+    everything after lives on the 25-row nation panel: the rank window
+    and the step-up itself, a suffix running-max over the same panel
+    (rejected_k = max_{j≥k} below_j, exactly k ≤ k*) — TWO partitionless
+    window specs, both bounded by the 25-nation panel, never the fact
+    table, and no duplicated fact subtree (the old 1-row k* aggregate
+    re-ran the whole chi-square branch a second time)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     cells = (
@@ -1562,12 +1566,13 @@ def bh_fdr_chi2_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         (F.col("x2") >= F.col("x2_min")).cast("int").alias("below"),
     )
-    kstar = marked.agg(
-        F.max(F.when(F.col("below") == 1, F.col("k"))).alias("ks")
+    w_suffix = (
+        Window.orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return marked.crossJoin(F.broadcast(kstar)).select(
+    return marked.select(
         "nation",
         F.round("x2", 6).alias("chi2_r"),
         "k",
-        (F.col("k") <= F.coalesce(F.col("ks"), F.lit(0))).cast("int").alias("rejected"),
+        F.max("below").over(w_suffix).alias("rejected"),
     )

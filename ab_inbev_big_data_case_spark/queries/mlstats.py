@@ -3258,16 +3258,24 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the 'bad' target (status F); per bin WoE =
     ln((good_share)/(bad_share)) and its IV contribution
     (g/G − b/B)·WoE. Bins are assigned on the cent-VALUE spine — a value
-    group's bin is (count_below·10)/N, all integer — so there is no
-    global per-row rank anywhere and ties land deterministically.
+    group's bin is (count_below·10) DIV N, all LONG integer arithmetic
+    (matching the oracle's '//' exactly; no floor-on-double) — so there
+    is no global per-row rank anywhere and ties land deterministically.
 
     Exactness: counts are exact integers; each WoE is one ln() of an
     exactly-computed double ratio rounded to 6 (the same libm discipline
     as the entropy/JSD family); no float is ever summed across rows.
 
-    Scale shape: one fact pass to value-spine cells (cent-domain-
-    bounded), a cumsum window over that bounded spine, then a 10-row
-    bin aggregate and broadcast totals."""
+    Scale shape: the cent-value spine is the ORDER-TOTAL domain (~10⁷
+    distinct values at 100 TB), so the prefix count is TWO-LEVEL (the
+    abc_pareto_class discipline): 16 value-range buckets from broadcast
+    percentile boundaries (equal cents ⇒ equal bucket, bucket monotone in
+    x_c), a window partitioned BY BUCKET for the local cumsum, and a
+    16-row bucket-total spine for the carry — the only partitionless
+    window, bounded by the bucket count, not the data. The grand total
+    rides the same broadcast 1-row aggregate. Provably equal to the
+    oracle's flat cumsum because counts are exact longs and addition is
+    associative."""
     o = table(spark, sf_dir, "orders")
     v = o.select(
         (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
@@ -3276,19 +3284,49 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
     )
     cells = v.groupBy("x_c").agg(F.count("*").alias("c"), F.sum("bad").alias("cb"))
-    wcum = Window.orderBy("x_c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    walk = cells.select(
-        "x_c",
-        "c",
-        "cb",
-        (F.sum("c").over(wcum) - F.col("c")).alias("cnt_lt"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
+    qs = [i / 16 for i in range(1, 16)]
+    # nt/bt (grand totals) ride the same broadcast 1-row aggregate as the
+    # bucket boundaries: bin totals are cell totals, so no second pass over
+    # the binned subtree is ever planned.
+    bounds = cells.agg(
+        F.percentile_approx("x_c", qs, 10000).alias("bs"),
+        F.sum("c").alias("nt"),
+        F.sum("cb").alias("bt"),
+    )
+    bucketed = cells.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc + F.when(b < F.col("x_c"), 1).otherwise(0),
+        ),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("x_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn(
+        "cnt_lt_local", F.sum("c").over(w_local) - F.col("c")
+    )
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    spine = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("c").alias("bucket_c"))
+        .withColumn("carry", F.coalesce(F.sum("bucket_c").over(w_spine), F.lit(0)))
+        .select("bucket", "carry")
+    )
+    walk = local.join(F.broadcast(spine), "bucket").withColumn(
+        "cnt_lt", F.col("cnt_lt_local") + F.col("carry")
     )
     binned = walk.groupBy(
-        F.floor(F.col("cnt_lt") * 10 / F.col("n")).cast("long").alias("bin")
-    ).agg(F.sum("c").alias("n"), F.sum("cb").alias("n_bad"))
-    tot = binned.agg(F.sum("n").alias("nt"), F.sum("n_bad").alias("bt"))
-    bt = binned.crossJoin(F.broadcast(tot))
+        F.expr("(cnt_lt * 10) DIV nt").cast("long").alias("bin")
+    ).agg(
+        F.sum("c").alias("n"),
+        F.sum("cb").alias("n_bad"),
+        F.first("nt").alias("nt"),
+        F.first("bt").alias("bt"),
+    )
     good_share = (F.col("n") - F.col("n_bad")) * 1.0 / (F.col("nt") - F.col("bt"))
     bad_share = F.col("n_bad") * 1.0 / F.col("bt")
     woe = F.log(
@@ -3296,7 +3334,7 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1.0
         / (F.col("n_bad") * (F.col("nt") - F.col("bt")))
     )
-    return bt.select(
+    return binned.select(
         "bin",
         "n",
         "n_bad",

@@ -32,7 +32,7 @@ PARTITIONLESS_ALLOWED = {
     "abc_pareto_class": 1,          # pruned local-survivor rank
     "acf_lags": 7,                  # daily spine, one spec per lag
     "auc_mann_whitney": 1,          # 2-group rank on grouped score spine
-    "bh_fdr_chi2_panel": 1,        # 25-row nation panel rank
+    "bh_fdr_chi2_panel": 2,        # 25-row nation panel rank + step-up suffix max
     "ccf_lead_lag": 14,             # daily spine, lead/lag ±7
     "concurrent_sessions": 1,       # event-boundary sweep spine
     "cumulative_unique_users": 1,   # daily first-seen spine
