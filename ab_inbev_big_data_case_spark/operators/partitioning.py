@@ -26,18 +26,33 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     job builds):
 
     1. metadata-only fast path — ``inputFiles()`` is a catalog lookup; a
-       scan over ``>= 4 * target`` files yields ample parallelism unless
-       files are tiny enough to pack 4-to-a-partition (not the regime a
-       compute-heavy operator over big data runs in);
+       scan qualifies only when BOTH the file count is ``>= 4 * target``
+       AND the summed file bytes cover ``target × maxPartitionBytes``
+       (ADVICE r6: Spark PACKS small files by ``maxPartitionBytes``, so
+       hundreds of tiny files can still plan as 1-2 scan partitions —
+       count alone is not evidence of parallelism);
     2. otherwise the precise RDD-partition probe, now reached only for
        small inputs where plan analysis is trivially cheap.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    import os
+
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= 4 * target:
-            return df
+        files = df.inputFiles()
+        if len(files) >= 4 * target:
+            max_pb = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+                .rstrip("b")
+            )
+            # local paths only; any non-resolvable scheme → precise probe
+            total = sum(
+                os.path.getsize(f.removeprefix("file:")) for f in files
+            )
+            if total >= target * max_pb:
+                return df
     except Exception:
-        pass  # non-file source: fall through to the precise probe
+        pass  # non-file/remote source: fall through to the precise probe
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

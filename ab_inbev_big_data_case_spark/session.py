@@ -31,6 +31,16 @@ _DEFAULTS = {
 }
 
 
+def _default_heap_gb() -> int:
+    """min(16, physical_ram // 2) GiB, floor 1 — probed via sysconf; hosts
+    without the sysconf keys (or non-POSIX) keep the 16g ceiling."""
+    try:
+        ram = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        return max(1, min(16, int(ram / (2 * 1024**3))))
+    except (ValueError, OSError, AttributeError):
+        return 16
+
+
 def get_spark(
     app_name: str = "ab_inbev_big_data_case_spark",
     master: str | None = None,
@@ -50,11 +60,14 @@ def get_spark(
     # Local mode runs every executor thread inside the DRIVER JVM, whose
     # default heap is 1 GiB — 32 threads' shuffle buffers + broadcast
     # builds in 1 GiB is the silent spill/GC tax (and an outright
-    # broadcast-OOM at sf1). Size it to the machine unless the caller or
-    # an existing JVM already chose. Cluster deployments override per
-    # executor; this only applies before the first JVM start.
+    # broadcast-OOM at sf1). Size it to the machine: min(16g, ~half of
+    # physical RAM), so a small host keeps a heap the OS can actually back
+    # (a 16g cap over 8 GiB RAM trades managed spill for the OOM killer).
+    # Cluster deployments override per executor; this only applies before
+    # the first JVM start.
     conf.setdefault(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{_default_heap_gb()}g"),
     )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -46,6 +46,8 @@ with a clustered key rewrites a few files, not the table.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
@@ -90,6 +92,15 @@ def _json_safe(v):
     return str(v)
 
 
+def _decimal_from_raw(raw, scale: int) -> decimal.Decimal:
+    """Parquet DECIMAL footer stat from its physical representation: the
+    unscaled integer (INT32/INT64) or big-endian two's-complement bytes
+    (FIXED_LEN_BYTE_ARRAY)."""
+    if isinstance(raw, bytes):
+        raw = int.from_bytes(raw, "big", signed=True)
+    return decimal.Decimal(raw).scaleb(-scale)
+
+
 def _footer_stats(file_path: str, stat_cols: list[str]) -> dict:
     """numRecords + per-column min/max from the parquet FOOTER (pyarrow
     metadata read — no row data touched; at 100 TB this is the only
@@ -110,7 +121,24 @@ def _footer_stats(file_path: str, stat_cols: list[str]) -> dict:
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
-            lo, hi = _json_safe(st.min), _json_safe(st.max)
+            # merge across row groups on the RAW pyarrow values (Decimal,
+            # date, …) — JSON-stringified decimals would merge
+            # lexicographically ('9.5' > '10.2'); _json_safe only at the end
+            try:
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow can't logical-decode some types (DECIMAL): rebuild
+                # from the unscaled raw stats; anything else → no stats for
+                # this column (safe: absent stats mean assume-overlap)
+                lt = md.schema.column(ci).logical_type
+                if str(getattr(lt, "type", "")).upper() != "DECIMAL":
+                    continue
+                try:
+                    scale = json.loads(lt.to_json())["scale"]
+                    lo = _decimal_from_raw(st.min_raw, scale)
+                    hi = _decimal_from_raw(st.max_raw, scale)
+                except Exception:
+                    continue
             if lo is not None and (name not in mins or lo < mins[name]):
                 mins[name] = lo
             if hi is not None and (name not in maxs or hi > maxs[name]):
@@ -119,8 +147,8 @@ def _footer_stats(file_path: str, stat_cols: list[str]) -> dict:
                 nulls[name] = nulls.get(name, 0) + st.null_count
     return {
         "numRecords": md.num_rows,
-        "minValues": mins,
-        "maxValues": maxs,
+        "minValues": {k: s for k, v in mins.items() if (s := _json_safe(v)) is not None},
+        "maxValues": {k: s for k, v in maxs.items() if (s := _json_safe(v)) is not None},
         "nullCount": nulls,
     }
 
@@ -443,6 +471,34 @@ class DeltaLiteTable:
             *[F.max(k).alias(f"hi_{k}") for k in keys],
         ).first()
 
+        def comparable(stat, bound):
+            """Coerce a JSON footer stat and a Spark-side bound into a pair
+            that compares correctly in the key's DOMAIN, or None when not
+            provably comparable (→ assume overlap, never wrongly skip).
+            Decimal stats arrive as strings via _json_safe: parsed back with
+            decimal.Decimal, never compared lexicographically; dates and
+            timestamps compare as their ISO-ordered str() forms (identical
+            format on both sides); a str stat against a numeric bound is NOT
+            comparable."""
+            if isinstance(stat, bool) or isinstance(bound, bool):
+                return (stat, bound) if type(stat) is type(bound) else None
+            if isinstance(stat, (int, float)):
+                if isinstance(bound, (int, float, decimal.Decimal)):
+                    return (stat, bound)
+                return None
+            if isinstance(stat, str):
+                if isinstance(bound, decimal.Decimal):
+                    try:
+                        return (decimal.Decimal(stat), bound)
+                    except decimal.InvalidOperation:
+                        return None
+                if isinstance(bound, (datetime.date, datetime.datetime)):
+                    return (stat, str(bound))
+                if isinstance(bound, str):
+                    return (stat, bound)
+                return None
+            return None
+
         def overlaps(add: dict) -> bool:
             st = json.loads(add.get("stats") or "{}")
             mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
@@ -453,12 +509,12 @@ class DeltaLiteTable:
                 flo, fhi = mins.get(k), maxs.get(k)
                 if flo is None or fhi is None:
                     continue  # no stats → must assume overlap on this key
-                try:
-                    lo_c, hi_c = type(flo)(str(lo)), type(fhi)(str(hi))
-                    if fhi < lo_c or flo > hi_c:
-                        return False
-                except (TypeError, ValueError):
-                    continue  # uncoercible stats → assume overlap (safe)
+                hi_pair = comparable(fhi, lo)
+                lo_pair = comparable(flo, hi)
+                if hi_pair is None or lo_pair is None:
+                    continue  # not domain-comparable → assume overlap (safe)
+                if hi_pair[0] < hi_pair[1] or lo_pair[0] > lo_pair[1]:
+                    return False
             return True
 
         touched = [a for a in snap.adds.values() if overlaps(a)]

@@ -131,6 +131,41 @@ def test_merge_skips_disjoint_files_by_stats(spark, tmp_path):
     assert got[1001] == -1.0 and got[3] == 3.0 and len(got) == 100
 
 
+def test_merge_decimal_key_stats_compare_numerically(spark, tmp_path):
+    """Decimal merge keys: footer stats arrive as STRINGS via _json_safe, and
+    '10.50' < '9.50' lexicographically — the skip decision must parse them
+    back to Decimal (ADVICE r6). An overlapping file must be rewritten (no
+    duplicate keys after upsert) while a genuinely disjoint decimal file is
+    still skipped."""
+    from decimal import Decimal
+
+    def ddf(rows):
+        return spark.createDataFrame(rows, "id DECIMAL(10,2), grp STRING, val DOUBLE")
+
+    t = DeltaLiteTable.create(
+        spark,
+        ddf([(Decimal("2.00"), "a", 2.0), (Decimal("9.50"), "a", 9.5),
+             (Decimal("10.50"), "a", 10.5)]).repartition(1),
+        str(tmp_path / "t"),
+        keys=["id"],
+    )
+    t.write(
+        ddf([(Decimal("1000.00"), "b", 1.0), (Decimal("1001.00"), "b", 2.0)])
+        .repartition(1),
+        mode="append",
+    )
+    # key 9.50 lies inside file A's [2.00, 10.50] but lexicographically
+    # '10.50' < '9.50' — the old string compare skipped A and duplicated 9.50
+    t.merge(ddf([(Decimal("9.50"), "u", -1.0)]))
+    hist = t.history()[-1]
+    assert hist["numTargetFilesRewritten"] == 1
+    assert hist["numTargetFilesSkipped"] == 1
+    got = t.snapshot().collect()
+    assert len(got) == 5  # upsert, not duplicate
+    vals = {r["id"]: r["val"] for r in got}
+    assert vals[Decimal("9.50")] == -1.0
+
+
 def _live_paths(t):
     return [a["path"] for a in t._replay().adds.values()]
 
