@@ -55,11 +55,15 @@ _GINI_BUCKETS = 16
 def _custrev_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer revenue cents with the GLOBAL ascending rank
     (rev_c, o_custkey) attached via the two-level decomposition: 16
-    percentile-boundary value buckets (broadcast 1-row array; bucket =
-    #boundaries strictly BELOW the value, so ties share a bucket),
-    ``row_number`` windowed WITHIN each bucket, and a 16-row
-    bucket-count carry spine — equal to a flat partitionless
-    ``row_number`` without ever single-tasking the customer spine.
+    equal-WIDTH value buckets from the exact [min,max] cents (broadcast
+    1-row bounds; ties share a bucket, bucket monotone in rev_c, and —
+    unlike percentile_approx boundaries — byte-identical on every
+    re-evaluation of the shared subtree: GK-sketch partial merges are
+    scheduling-order-sensitive, so the local rank and the carry spine
+    could land on DIFFERENT bucketings), ``row_number`` windowed WITHIN
+    each bucket, and a 16-row bucket-count carry spine — equal to a flat
+    partitionless ``row_number`` without ever single-tasking the customer
+    spine. Value skew only unbalances bucket sizes, never correctness.
     Shared by ``gini_concentration`` and ``lorenz_curve_points``."""
     o = table(spark, sf_dir, "orders")
     prev = o.groupBy("o_custkey").agg(
@@ -67,15 +71,10 @@ def _custrev_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_c")
     )
-    qs = [i / _GINI_BUCKETS for i in range(1, _GINI_BUCKETS)]
-    bounds = prev.agg(F.percentile_approx("rev_c", qs, 10000).alias("bs"))
+    bounds = prev.agg(F.min("rev_c").alias("lo"), F.max("rev_c").alias("hi"))
     bucketed = prev.crossJoin(F.broadcast(bounds)).withColumn(
         "bucket",
-        F.aggregate(
-            "bs",
-            F.lit(0),
-            lambda acc, b: acc + F.when(b < F.col("rev_c"), 1).otherwise(0),
-        ),
+        F.expr(f"(rev_c - lo) DIV ((hi - lo) DIV {_GINI_BUCKETS} + 1)"),
     )
     w_local = Window.partitionBy("bucket").orderBy("rev_c", "o_custkey")
     local = bucketed.withColumn("lrank", F.row_number().over(w_local))

@@ -2141,9 +2141,17 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate would otherwise bias the source mix.
 
     All arithmetic is INTEGER: within-source rank r of ns maps to grid
-    bucket b = ⌈256·r/ns⌉, and the pooled quantile q_b is the smallest
-    value whose cumulative count satisfies cnt_le·256 ≥ b·N — no float
-    percentiles anywhere, so both engines agree exactly.
+    bucket b = ⌈256·r/ns⌉ computed with long DIV (matching the oracle's
+    '//' exactly — no floor-on-double, which diverges from integer
+    division as counts approach 2^53), and the pooled quantile q_b is the
+    smallest value whose cumulative count satisfies cnt_le·256 ≥ b·N — no
+    float percentiles anywhere, so both engines agree exactly.
+
+    Spine bound: the cumsum runs over DISTINCT n_chars values, bounded by
+    the maximum document length (a pipeline property independent of corpus
+    row count — a length gate upstream caps it), not by the 100 TB fact
+    size; n_total shares the same single Window exec as the cumsum (one
+    pass, no second scan).
 
     Scale shape: one keyed window per source (rank), one partitionless
     cumsum over the BOUNDED length-value spine, a 256×spine bounded join
@@ -2176,8 +2184,7 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mapped = ranked.join(
         F.broadcast(grid),
-        F.col("b")
-        == F.floor((256 * F.col("r") + F.col("ns") - 1) / F.col("ns")).cast("long"),
+        F.col("b") == F.expr("(256 * r + ns - 1) DIV ns"),
     )
     return mapped.groupBy("source").agg(
         F.count("*").alias("n"),

@@ -3268,14 +3268,17 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the cent-value spine is the ORDER-TOTAL domain (~10⁷
     distinct values at 100 TB), so the prefix count is TWO-LEVEL (the
-    abc_pareto_class discipline): 16 value-range buckets from broadcast
-    percentile boundaries (equal cents ⇒ equal bucket, bucket monotone in
-    x_c), a window partitioned BY BUCKET for the local cumsum, and a
-    16-row bucket-total spine for the carry — the only partitionless
-    window, bounded by the bucket count, not the data. The grand total
-    rides the same broadcast 1-row aggregate. Provably equal to the
-    oracle's flat cumsum because counts are exact longs and addition is
-    associative."""
+    abc_pareto_class discipline): 16 equal-WIDTH value-range buckets from
+    the exact [min,max] cents (equal cents ⇒ equal bucket, bucket monotone
+    in x_c, and — unlike percentile_approx boundaries — byte-identical on
+    every re-evaluation of the shared subtree: the GK sketch's partial
+    merges are scheduling-order-sensitive, which at sf0.1 put the local
+    cumsum and the carry spine on DIFFERENT bucketings), a window
+    partitioned BY BUCKET for the local cumsum, and a 16-row bucket-total
+    spine for the carry — the only partitionless window, bounded by the
+    bucket count, not the data. The grand total rides the same broadcast
+    1-row aggregate. Provably equal to the oracle's flat cumsum because
+    counts are exact longs and addition is associative."""
     o = table(spark, sf_dir, "orders")
     v = o.select(
         (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
@@ -3284,22 +3287,17 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
     )
     cells = v.groupBy("x_c").agg(F.count("*").alias("c"), F.sum("bad").alias("cb"))
-    qs = [i / 16 for i in range(1, 16)]
     # nt/bt (grand totals) ride the same broadcast 1-row aggregate as the
-    # bucket boundaries: bin totals are cell totals, so no second pass over
+    # bucket bounds: bin totals are cell totals, so no second pass over
     # the binned subtree is ever planned.
     bounds = cells.agg(
-        F.percentile_approx("x_c", qs, 10000).alias("bs"),
+        F.min("x_c").alias("lo"),
+        F.max("x_c").alias("hi"),
         F.sum("c").alias("nt"),
         F.sum("cb").alias("bt"),
     )
     bucketed = cells.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket",
-        F.aggregate(
-            "bs",
-            F.lit(0),
-            lambda acc, b: acc + F.when(b < F.col("x_c"), 1).otherwise(0),
-        ),
+        "bucket", F.expr("(x_c - lo) DIV ((hi - lo) DIV 16 + 1)")
     )
     w_local = (
         Window.partitionBy("bucket")

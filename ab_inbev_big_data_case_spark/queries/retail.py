@@ -93,10 +93,13 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     share).
 
     Scale shape: the prefix sum over the revenue-ranked part spine is
-    TWO-LEVEL — 16 value-range buckets from percentile boundaries
-    (broadcast 1-row array; bucket = #boundaries strictly above the
-    part's cents, so equal revenues always share a bucket and bucket
-    order is consistent with the global (rev desc, partkey) order), a
+    TWO-LEVEL — 16 equal-width value buckets from the exact [min,max]
+    cents (broadcast 1-row bounds; equal revenues always share a bucket,
+    bucket order is consistent with the global (rev desc, partkey) order,
+    and — unlike the percentile_approx boundaries this first shipped
+    with — byte-identical on every re-evaluation of the shared subtree:
+    GK-sketch partial merges are scheduling-order-sensitive, so the local
+    cumsum and the carry spine could land on DIFFERENT bucketings), a
     window partitioned BY BUCKET for the local cumsum, and a 16-row
     bucket-total spine for the carry (the only partitionless window —
     bounded by the bucket count, not the data). Result is provably equal
@@ -119,19 +122,15 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_c")
     )
-    qs = [i / _ABC_BUCKETS for i in range(1, _ABC_BUCKETS)]
     bounds = prev.agg(
-        F.percentile_approx("rev_c", qs, 10000).alias("bs"),
+        F.min("rev_c").alias("lo"),
+        F.max("rev_c").alias("hi"),
         F.sum("rev_c").alias("total_c"),
     )
     # bucket 0 holds the highest revenues; equal rev_c ⇒ equal bucket
     bucketed = prev.crossJoin(F.broadcast(bounds)).withColumn(
         "bucket",
-        F.aggregate(
-            "bs",
-            F.lit(0),
-            lambda acc, b: acc + F.when(b > F.col("rev_c"), 1).otherwise(0),
-        ),
+        F.expr(f"(hi - rev_c) DIV ((hi - lo) DIV {_ABC_BUCKETS} + 1)"),
     )
     w_local = (
         Window.partitionBy("bucket")
@@ -1364,15 +1363,13 @@ def gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pre") > 0)
         .drop("n_pre")
     )
-    qs = [i / 10 for i in range(1, 10)]
-    bounds = u.agg(F.percentile_approx("score_c", qs, 10000).alias("bs"))
+    # equal-width value buckets from exact [min,max]: deterministic across
+    # re-evaluations of the shared subtree (percentile_approx is not — its
+    # GK partial merges are scheduling-order-sensitive), monotone in
+    # score_c, ties share a bucket; skew only unbalances bucket sizes.
+    bounds = u.agg(F.min("score_c").alias("lo"), F.max("score_c").alias("hi"))
     bucketed = u.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket",
-        F.aggregate(
-            "bs",
-            F.lit(0),
-            lambda acc, b_: acc + F.when(b_ < F.col("score_c"), 1).otherwise(0),
-        ),
+        "bucket", F.expr("(score_c - lo) DIV ((hi - lo) DIV 10 + 1)")
     )
     w_local = Window.partitionBy("bucket").orderBy("score_c", "user_id")
     ranked_local = bucketed.select(
@@ -1514,15 +1511,13 @@ def qini_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pre") > 0)
         .drop("n_pre")
     )
-    qs = [i / 10 for i in range(1, 10)]
-    bounds = u.agg(F.percentile_approx("score_c", qs, 10000).alias("bs"))
+    # equal-width value buckets from exact [min,max]: deterministic across
+    # re-evaluations of the shared subtree (percentile_approx is not — its
+    # GK partial merges are scheduling-order-sensitive), monotone in
+    # score_c, ties share a bucket; skew only unbalances bucket sizes.
+    bounds = u.agg(F.min("score_c").alias("lo"), F.max("score_c").alias("hi"))
     bucketed = u.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket",
-        F.aggregate(
-            "bs",
-            F.lit(0),
-            lambda acc, b_: acc + F.when(b_ < F.col("score_c"), 1).otherwise(0),
-        ),
+        "bucket", F.expr("(score_c - lo) DIV ((hi - lo) DIV 10 + 1)")
     )
     w_local = Window.partitionBy("bucket").orderBy("score_c", "user_id")
     rl = bucketed.select(

@@ -46,81 +46,37 @@ _QUERY_MODULES = [
 
 # The driver's correctness harness verifies the FIRST 50 registered queries
 # per round, so registration order decides what gets independent
-# verification. Evidence so far: r1 checked scalar/agg/join/window families
-# (47 green), r2 the LLM/analytics/streaming-twin/UDF/set-op families (46
-# green + 4 type-level reds, all since fixed), r3 the rotation of 50
-# never-checked queries (49 green + 1 driver-canonicalizer crash on an
-# array output column, fixed this round). Union r1-r3: 144 distinct names.
+# verification. Union r1-r6: 262 of 358 registered names driver-checked,
+# all green on latest evidence; 96 had never been in a driver window.
 #
-# The round-6 window holds the first 50 of the 81 queries that had never
-# been in a driver window as of round 5 (all round-5 session-2/3/4
-# additions — the full retail/graph/retrieval and distribution-comparison
-# families plus the time-series/retrieval tail). Round 5 closed 50/50
-# green with zero reds, so no re-checks outrank these. Positions 51-81
-# stage the remaining 31 never-checked names for round 7; after round 7
-# the rotation returns to stale-evidence re-checks (the 19 r1-only greens
-# displaced in r5: window_lag_lead, window_running, window_rank,
-# window_ntile, window_range_frame, window_first_last, join_left_outer,
-# join_full_outer, join_cross, join_multikey, pivot_agg, histogram_bucket,
-# topk_global, salted_agg, dedup_latest, argmax_agg, join_semi, join_anti,
-# window_topk_group), then r2-era names.
+# The round-7 window holds 50 of those 96 never-checked names (VERDICT r6
+# item 2): the 18 post-close-sweep additions FIRST (they include the two
+# round-7 plan-shape rewrites, woe_iv_binning and bh_fdr_chi2_panel, so the
+# fixes get driver evidence immediately), then the first 32 of the 78-name
+# round-5/6 backlog. _STAGED_NEXT holds the remaining 46 never-checked
+# names for round 8, followed by the 19 r1-only stale greens (displaced in
+# r5: the outer-join and window-frame families) so the round-9 rotation is
+# pre-staged. All 96 were pre-cleared locally at sf0.01 and sf0.1 before
+# this rotation landed.
 _CHECK_FIRST = [
-    "join_null_safe",
-    "cumulative_unique_users",
-    "weighted_median",
-    "ordered_string_agg",
-    "session_path_mining",
-    "conversion_latency_quantiles",
-    "gapfill_linear_interp",
-    "strict_funnel_conversion",
-    "zorder_pruning_audit",
-    "tier_migration_matrix",
-    "cohort_ltv_curve",
-    "split_leakage_audit",
-    "bm25_topk",
-    "log_odds_terms",
-    "rrf_hybrid_search",
-    "ndcg_eval",
-    "simhash_hamming_pairs",
-    "query_likelihood_topk",
-    "postings_lists",
-    "mmr_rerank",
-    "dedup_paths_agreement",
-    "prf_rocchio_expansion",
-    "ivf_balance_report",
-    "embedding_similarity_histogram",
-    "cluster_purity_eval",
-    "knn_label_accuracy",
-    "intrinsic_dimension_twonn",
-    "source_vocab_overlap",
-    "lang_id_kappa",
-    "contrastive_negative_sampling",
-    "rbo_rank_agreement",
-    "partition_checksum",
-    "benford_law_check",
-    "sorted_neighborhood_pairs",
-    "price_volume_mix",
-    "order_cycle_quantiles",
-    "psi_drift",
-    "kaplan_meier_survival",
-    "return_rate_wilson_ci",
-    "poisson_bootstrap_ci",
-    "cuped_adjustment",
-    "target_encoding_smoothed",
-    "quantile_treatment_effect",
-    "group_sequential_ab_monitor",
-    "clustering_coefficient",
-    "hill_tail_index",
-    "neyman_allocation",
-    "anova_two_way",
-    "bpe_apply_merges",
-    "collocations_pmi",
-]
-
-# The remaining 31 never-checked names, staged to become round 7's window
-# (they occupy registration slots 51-81 so this round's window is exactly
-# the 50 above; round 7 promotes these into _CHECK_FIRST).
-_STAGED_NEXT = [
+    "max_drawdown_daily",
+    "spc_control_chart",
+    "effective_source_count",
+    "logrank_test",
+    "qini_curve_deciles",
+    "matrix_profile_daily",
+    "deltalite_merge_time_travel",
+    "multimodal_pixel_decode",
+    "t_closeness_audit",
+    "deltalite_change_data_feed",
+    "sprt_sequential_test",
+    "ridge_regression_sweep",
+    "spatial_grid_radius_join",
+    "sssp_bounded_hops",
+    "quantile_normalize_lengths",
+    "bh_fdr_chi2_panel",
+    "seat_apportionment",
+    "woe_iv_binning",
     "heaps_law_fit",
     "importance_weight_ess",
     "feature_hash_collision_audit",
@@ -152,9 +108,12 @@ _STAGED_NEXT = [
     "permutation_test_ab",
     "lorenz_curve_points",
     "markov_next_event_accuracy",
-    # --- round-6 session-2 additions (never driver-checked; locally green
-    # at sf0.001/0.01/0.1): queue behind the r5 tail for the r7/r8 windows.
     "k_anonymity_audit",
+]
+
+# Round-8 window candidates: the remaining 46 never-checked names, then the
+# 19 r1-only stale greens (5-round-old evidence, queued for re-check).
+_STAGED_NEXT = [
     "l_diversity_audit",
     "spearman_corr_lengths",
     "kendall_tau_nations",
@@ -198,24 +157,29 @@ _STAGED_NEXT = [
     "embedding_isotropy_audit",
     "duplicate_payment_audit",
     "last_digit_uniformity",
-    "max_drawdown_daily",
-    "spc_control_chart",
-    "effective_source_count",
-    "logrank_test",
-    "qini_curve_deciles",
-    "matrix_profile_daily",
-    "deltalite_merge_time_travel",
-    "multimodal_pixel_decode",
-    "t_closeness_audit",
-    "deltalite_change_data_feed",
-    "sprt_sequential_test",
-    "ridge_regression_sweep",
-    "spatial_grid_radius_join",
-    "sssp_bounded_hops",
-    "quantile_normalize_lengths",
-    "bh_fdr_chi2_panel",
-    "seat_apportionment",
-    "woe_iv_binning",
+    "lsh_index_delta_pairs",
+    "media_metadata_extract",
+    "ahash_image_dedup",
+    # --- r1-only stale greens (re-check after the never-checked drain) ---
+    "window_lag_lead",
+    "window_running",
+    "window_rank",
+    "window_ntile",
+    "window_range_frame",
+    "window_first_last",
+    "join_left_outer",
+    "join_full_outer",
+    "join_cross",
+    "join_multikey",
+    "pivot_agg",
+    "histogram_bucket",
+    "topk_global",
+    "salted_agg",
+    "dedup_latest",
+    "argmax_agg",
+    "join_semi",
+    "join_anti",
+    "window_topk_group",
 ]
 
 

@@ -51,6 +51,8 @@ HEADLINE = [
     "rolling_active_users",   # explode-cover WAU rollup (r6 s2)
     "spatial_grid_radius_join",   # grid-bucketed spatial join (r6 s3)
     "multimodal_pixel_decode",    # numpy raster/PCM decode via Arrow (r6 s3)
+    "matrix_profile_daily",       # widest window build: exact matrix profile (r6 s3)
+    "deltalite_merge_time_travel",  # the write-path headliner: ACID MERGE + travel (r6 s3)
 ]
 
 #: Known-bounded partitionless window specs per headline plan. Every entry
@@ -62,6 +64,7 @@ EXPECTED_PARTITIONLESS = {
     "zorder_layout_extents": 1,   # 16-row extent spine (test_plans.py)
     "abc_pareto_class": 1,        # pruned local-survivor rank
     "gini_concentration": 1,      # bounded decile spine
+    "matrix_profile_daily": 16,   # calendar-day pair spine ×2 join sides + 2 ranks
 }
 
 
