@@ -2014,3 +2014,70 @@ def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_touches"),
         F.sum("credit_c").cast("long").alias("credit_c"),
     )
+
+
+# ------------------------------------------ off-policy bandit evaluation
+
+_IPS_SQL = """
+    WITH logged AS (
+        SELECT user_id % 2 AS arm_logged,
+               dayofmonth(ts) % 2 AS arm_target,
+               CAST(round(CAST(value AS DECIMAL(18,6)), 2) * 100 AS BIGINT)
+                   AS r_c
+        FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(CASE WHEN arm_target = arm_logged THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_matched,
+               sum(CASE WHEN arm_target = arm_logged THEN r_c ELSE 0 END)
+                   ::BIGINT AS sum_r_matched
+        FROM logged
+    )
+    SELECT n, n_matched,
+           round(2.0 * sum_r_matched / n / 100, 6) AS ips_r,
+           round(sum_r_matched * 1.0 / n_matched / 100, 6) AS snips_r
+    FROM agg
+"""
+
+
+@register("ips_offpolicy_eval", oracle=_IPS_SQL)
+def ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy from logged
+    bandit data (Horvitz-Thompson IPS and the self-normalized SNIPS,
+    Swaminathan-Joachims 2015): the logging policy assigns arms uniformly
+    by user parity (known propensity 1/2), the target policy picks by
+    day-of-month parity; the estimators replay only the matching
+    interactions, weighted 1/p = 2. SNIPS divides by the realized weight
+    mass (here: the matched count) — the variance-reduced variant every
+    recommender replay uses.
+
+    Exactness: rewards are exact cents (longs); both estimates are single
+    double divisions of exact integer sums — no float crosses rows.
+
+    Scale shape: ONE filtered fact pass to a 1-row conditional-sum
+    aggregate (map-side combinable); nothing else."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    logged = e.select(
+        (F.col("user_id") % 2).alias("arm_logged"),
+        (F.dayofmonth("ts") % 2).alias("arm_target"),
+        (F.round(F.col("value").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("r_c"),
+    )
+    m = F.col("arm_target") == F.col("arm_logged")
+    agg = logged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(m, 1).otherwise(0)).alias("n_matched"),
+        F.sum(F.when(m, F.col("r_c")).otherwise(0)).alias("sum_r_matched"),
+    )
+    return agg.select(
+        "n",
+        "n_matched",
+        F.round(F.lit(2.0) * F.col("sum_r_matched") / F.col("n") / 100, 6).alias(
+            "ips_r"
+        ),
+        F.round(
+            F.col("sum_r_matched") * F.lit(1.0) / F.col("n_matched") / 100, 6
+        ).alias("snips_r"),
+    )

@@ -1575,3 +1575,103 @@ def bh_fdr_chi2_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.max("below").over(w_suffix).alias("rejected"),
     )
+
+
+# --------------------------------- Cochran-Mantel-Haenszel stratified test
+
+_CMH_SQL = """
+    WITH s AS (
+        SELECT c.c_nationkey AS nation,
+               sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                         AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS a,
+               sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN o.o_orderstatus = 'F'
+                        THEN 1 ELSE 0 END)::BIGINT AS m1,
+               count(*)::BIGINT AS nk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT count(*) AS n_strata,
+               sum(a)::BIGINT AS sum_a,
+               sum((n1 * m1) / nk) AS sum_e,
+               sum(n1::DOUBLE * (nk - n1) * m1 * (nk - m1)
+                   / (nk::DOUBLE * nk * (nk - 1))) AS sum_v
+        FROM s WHERE nk > 1
+    )
+    SELECT n_strata::INT AS n_strata, sum_a,
+           round(sum_e, 6) AS sum_e_r,
+           round(sum_v, 6) AS sum_v_r,
+           round((sum_a - sum_e) * (sum_a - sum_e) / sum_v, 6) AS cmh_r
+    FROM agg
+"""
+
+
+@register("cmh_test", oracle=_CMH_SQL)
+def cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel chi-square (1959): association between
+    urgency (priority '1-URGENT') and fulfillment (status 'F') controlled
+    for nation — 25 stratified 2×2 tables, one pooled statistic
+    CMH = (Σaₖ − ΣEₖ)² / ΣVₖ with Eₖ = n1ₖm1ₖ/nₖ and the standard
+    hypergeometric Vₖ. No continuity correction (both engines compute the
+    same uncorrected form). The stratified upgrade of
+    ``chi2_independence`` — Simpson-proof where the marginal test is not.
+
+    Exactness: the four per-stratum counts are exact longs; Σaₖ stays
+    integer (the squared numerator uses the exact count difference), and
+    Eₖ/Vₖ are per-stratum doubles from identical expression trees summed
+    only over the 25-row panel (the anova discipline).
+
+    Scale shape: one fact join + ONE grouped pass to the 25-row stratum
+    panel (conditional-sum partials, map-side combinable); everything
+    after is arithmetic on that panel."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("o_orderpriority") == "1-URGENT")
+                    & (F.col("o_orderstatus") == "F"),
+                    1,
+                ).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("n1"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("m1"),
+            F.count("*").alias("nk"),
+        )
+        .filter(F.col("nk") > 1)
+    )
+    e = (F.col("n1") * F.col("m1")) / F.col("nk")
+    v = (
+        F.col("n1").cast("double")
+        * (F.col("nk") - F.col("n1"))
+        * F.col("m1")
+        * (F.col("nk") - F.col("m1"))
+        / (F.col("nk").cast("double") * F.col("nk") * (F.col("nk") - 1))
+    )
+    agg = s.agg(
+        F.count("*").cast("int").alias("n_strata"),
+        F.sum("a").alias("sum_a"),
+        F.sum(e).alias("sum_e"),
+        F.sum(v).alias("sum_v"),
+    )
+    return agg.select(
+        "n_strata",
+        "sum_a",
+        F.round("sum_e", 6).alias("sum_e_r"),
+        F.round("sum_v", 6).alias("sum_v_r"),
+        F.round(
+            (F.col("sum_a") - F.col("sum_e"))
+            * (F.col("sum_a") - F.col("sum_e"))
+            / F.col("sum_v"),
+            6,
+        ).alias("cmh_r"),
+    )

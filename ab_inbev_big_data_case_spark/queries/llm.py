@@ -5538,3 +5538,65 @@ def ahash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ham.filter(F.col("hamming") <= 6).select(
         "id1", "id2", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+@register(
+    "mutual_nearest_neighbors",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 128),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_DOT.format(x='q.embedding', y='c.embedding')} /
+                     ({_NORM.format(x='q.embedding', tag='q')}
+                      * {_NORM.format(x='c.embedding', tag='c')}),
+                     3) AS cosine
+        FROM sub q, sub c WHERE q.vec_id != c.vec_id
+    ),
+    top1 AS (
+        SELECT query_id, cand_id, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC NULLS LAST, cand_id) AS rk
+            FROM pairs
+        ) WHERE rk = 1
+    )
+    SELECT a.query_id AS u, a.cand_id AS v, a.cosine
+    FROM top1 a JOIN top1 b
+      ON a.cand_id = b.query_id AND b.cand_id = a.query_id
+    WHERE a.query_id < a.cand_id
+    """,
+)
+def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal top-1 (mutual nearest neighbor) pairs over the bounded
+    evaluation panel (vec_id < 128): u and v are MNNs when each is the
+    other's single nearest neighbor by quantized cosine — the
+    high-precision pairing rule batch-effect integration (Haghverdi et
+    al. 2018) and bitext mining use, MUCH stricter than one-directional
+    top-1 (a hub vector is many points' top-1 but reciprocates once at
+    most).
+
+    Determinism: cosine is rounded to 3 decimals BEFORE ranking with a
+    cand_id tiebreak (the cosine_topk discipline), so top-1 choice is
+    FP-implementation-independent; the reciprocity join is then exact.
+
+    Scale shape: the pair join is bounded to the broadcast panel (128²);
+    the production path at corpus scale swaps the panel for LSH/IVF
+    buckets (ann_lsh_search / ivf_search) and applies the same reciprocal
+    filter on candidate pairs — top-1 per side is a keyed window, the
+    reciprocity test a self-equi-join on (u,v)."""
+    from ab_inbev_big_data_case_spark.llm.similarity import cosine_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    sub = e.filter(F.col("vec_id") < 128)
+    top1 = cosine_topk(sub, sub, "vec_id", "vec_id", "embedding", "embedding", 1)
+    a = top1.select(
+        F.col("query_id").alias("u"), F.col("cand_id").alias("v"), "cosine"
+    )
+    b = top1.select(
+        F.col("query_id").alias("bu"), F.col("cand_id").alias("bv")
+    )
+    return (
+        a.join(b, (F.col("v") == F.col("bu")) & (F.col("bv") == F.col("u")))
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v", "cosine")
+    )

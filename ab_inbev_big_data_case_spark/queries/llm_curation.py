@@ -2191,3 +2191,162 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_len_before"),
         F.sum(F.col("q")).alias("sum_len_after"),
     )
+
+
+# ----------------------------------------- split conformal prediction
+
+_CONFORMAL_SQL = """
+    WITH scored AS (
+        SELECT doc_id,
+               abs(n_chars
+                   - 6 * (1 + len(text) - len(replace(text, ' ', ''))))
+                   ::BIGINT AS score,
+               ('0x' || substr(sha256(doc_id::VARCHAR), 1, 15))::BIGINT % 2
+                   AS fold
+        FROM documents
+    ),
+    cal AS (SELECT score FROM scored WHERE fold = 0),
+    tst AS (SELECT score FROM scored WHERE fold = 1),
+    spine AS (SELECT score AS v, count(*) AS c FROM cal GROUP BY 1),
+    cum AS (
+        SELECT x.v,
+               (SELECT sum(y.c) FROM spine y WHERE y.v <= x.v)::BIGINT AS cnt_le
+        FROM spine x
+    ),
+    kq AS (
+        SELECT count(*)::BIGINT AS n_cal,
+               least(CAST(ceil((count(*) + 1) * 0.9) AS BIGINT),
+                     count(*)) AS k
+        FROM cal
+    ),
+    qhat AS (
+        SELECT kq.n_cal, kq.k, min(cum.v) AS q
+        FROM cum CROSS JOIN kq WHERE cum.cnt_le >= kq.k
+        GROUP BY 1, 2
+    )
+    SELECT q.n_cal, q.k, q.q AS qhat,
+           count(*)::BIGINT AS n_test,
+           sum(CASE WHEN t.score <= q.q THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+           round(sum(CASE WHEN t.score <= q.q THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS coverage_r
+    FROM tst t CROSS JOIN qhat q
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("split_conformal_coverage", oracle=_CONFORMAL_SQL)
+def split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction (Vovk; Lei et al. 2018) over a
+    deterministic length model: predicted chars = 6·word_count,
+    nonconformity = |actual − predicted| (an exact integer). The corpus
+    hash-splits 50/50 (portable sha256 fold — the deterministic_sample
+    discipline, identical membership in both engines); the calibration
+    quantile q̂ is the ⌈(n+1)·0.9⌉-th smallest calibration score (the
+    finite-sample-valid order statistic, capped at n), and the reported
+    coverage is the share of test scores ≤ q̂ — the marginal ≥90%
+    guarantee a data-quality gate needs before trusting the predictor's
+    intervals.
+
+    Exactness: scores are integers, the order statistic is an exact
+    threshold on an integer cumulative count, coverage is one double
+    division of two exact longs.
+
+    Scale shape: one fact pass to per-fold score tables; the quantile
+    comes from the DISTINCT-score spine (bounded by max document length)
+    via a triangular broadcast join — no window, nothing partitionless;
+    q̂ is a 1-row broadcast into the test-side aggregate."""
+    d = table(spark, sf_dir, "documents")
+    words = F.lit(1) + F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    scored = d.select(
+        F.abs(F.col("n_chars") - 6 * words).cast("long").alias("score"),
+        (token_hash64(F.col("doc_id").cast("string")) % 2).alias("fold"),
+    )
+    cal = scored.filter(F.col("fold") == 0).select("score")
+    tst = scored.filter(F.col("fold") == 1).select("score")
+    spine = cal.groupBy(F.col("score").alias("v")).agg(F.count("*").alias("c"))
+    prior = spine.select(F.col("v").alias("v2"), F.col("c").alias("c2"))
+    cum = (
+        spine.join(F.broadcast(prior), F.col("v2") <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("c2").alias("cnt_le"))
+    )
+    kq = cal.agg(
+        F.count("*").alias("n_cal"),
+        F.least(
+            F.ceil((F.count("*") + 1) * F.lit(0.9)).cast("long"), F.count("*")
+        ).alias("k"),
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(kq))
+        .filter(F.col("cnt_le") >= F.col("k"))
+        .groupBy("n_cal", "k")
+        .agg(F.min("v").alias("qhat"))
+    )
+    covered = F.sum(F.when(F.col("score") <= F.col("qhat"), 1).otherwise(0))
+    return (
+        tst.crossJoin(F.broadcast(qhat))
+        .groupBy("n_cal", "k", "qhat")
+        .agg(
+            F.count("*").alias("n_test"),
+            covered.alias("n_covered"),
+            F.round(covered * F.lit(1.0) / F.count("*"), 6).alias("coverage_r"),
+        )
+    )
+
+
+# ------------------------------------- leave-one-source-out influence
+
+_LOO_SQL = """
+    WITH srcs AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n_docs)::BIGINT AS nn, sum(sum_chars)::BIGINT AS ss
+        FROM srcs
+    )
+    SELECT s.source, s.n_docs,
+           round(t.ss * 1.0 / t.nn, 6) AS mean_all_r,
+           round((t.ss - s.sum_chars) * 1.0 / (t.nn - s.n_docs), 6)
+               AS mean_excl_r,
+           round((t.ss - s.sum_chars) * 1.0 / (t.nn - s.n_docs)
+                 - t.ss * 1.0 / t.nn, 6) AS influence_r
+    FROM srcs s CROSS JOIN tot t
+"""
+
+
+@register("loo_source_influence", oracle=_LOO_SQL)
+def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation: how much does each crawl
+    source pull the corpus-level mean document length — the cheapest
+    member of the influence-function family (Ghorbani-Zou data-Shapley's
+    degenerate single-coalition case), and the first report a curation
+    team reads before re-weighting sources. influence > 0 means removing
+    the source RAISES the corpus mean (the source drags it down).
+
+    Exactness: the leave-one-out mean is algebraic over the per-source
+    partials ((S−s)/(N−n)) — no second pass over the fact table, no
+    float crosses a row boundary; each mean is one double division of
+    exact longs.
+
+    Scale shape: ONE grouped pass to the ~20-row source panel; the
+    grand total is a 1-row broadcast over that panel."""
+    d = table(spark, sf_dir, "documents")
+    srcs = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    tot = srcs.agg(
+        F.sum("n_docs").alias("nn"), F.sum("sum_chars").alias("ss")
+    )
+    mean_all = F.col("ss") * F.lit(1.0) / F.col("nn")
+    mean_excl = (F.col("ss") - F.col("sum_chars")) * F.lit(1.0) / (
+        F.col("nn") - F.col("n_docs")
+    )
+    return srcs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(mean_all, 6).alias("mean_all_r"),
+        F.round(mean_excl, 6).alias("mean_excl_r"),
+        F.round(mean_excl - mean_all, 6).alias("influence_r"),
+    )

@@ -3339,3 +3339,311 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe, 6).alias("woe_r"),
         F.round((good_share - bad_share) * woe, 6).alias("iv_term_r"),
     )
+
+
+# --------------------------------------------- Kruskal-Wallis rank test
+
+_KW_SQL = """
+    WITH v AS (
+        SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS x_c,
+               o_orderpriority AS grp
+        FROM orders
+    ),
+    cells_gv AS (SELECT x_c, grp, count(*) AS cg FROM v GROUP BY 1, 2),
+    cells AS (SELECT x_c, sum(cg)::BIGINT AS c FROM cells_gv GROUP BY 1),
+    walk AS (
+        SELECT x_c, c,
+               sum(c) OVER (ORDER BY x_c ROWS UNBOUNDED PRECEDING) - c
+                   AS cnt_lt
+        FROM cells
+    ),
+    tot AS (
+        SELECT sum(c)::BIGINT AS n,
+               sum(c::HUGEINT * c * c - c)::HUGEINT AS tsum
+        FROM cells
+    ),
+    rg AS (
+        SELECT g.grp, sum(g.cg)::BIGINT AS n_g,
+               sum(g.cg::HUGEINT * (2 * w.cnt_lt + w.c + 1))::HUGEINT AS r2
+        FROM cells_gv g JOIN walk w USING (x_c)
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT count(*) AS k,
+               sum((r2::DOUBLE) * (r2::DOUBLE) / n_g) AS sr
+        FROM rg
+    )
+    SELECT t.n, s.k::INT AS k,
+           round(3.0 / (t.n::DOUBLE * (t.n + 1)) * s.sr - 3 * (t.n + 1), 6)
+               AS h_r,
+           round(1.0 - t.tsum::DOUBLE
+                     / (t.n::DOUBLE * t.n * t.n - t.n), 9) AS c_tie_r,
+           round((3.0 / (t.n::DOUBLE * (t.n + 1)) * s.sr - 3 * (t.n + 1))
+                 / (1.0 - t.tsum::DOUBLE
+                        / (t.n::DOUBLE * t.n * t.n - t.n)), 6) AS h_adj_r
+    FROM tot t CROSS JOIN s
+"""
+
+
+@register("kruskal_wallis_test", oracle=_KW_SQL)
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (1952): the k-group rank ANOVA of order value
+    across the 5 order priorities, with the standard tie correction
+    C = 1 − Σ(t³−t)/(N³−N) — the nonparametric sibling of
+    ``anova_two_way`` (no normality assumption).
+
+    Rank arithmetic is INTEGER throughout: the mid-rank of a tied value
+    group is kept DOUBLED (2·cnt_lt + c + 1, always an integer), group
+    rank sums accumulate in DECIMAL(38,0) (HUGEINT on the oracle side),
+    and H = 3/(N(N+1))·Σ(R2_g²/n_g) − 3(N+1) uses the doubled sums
+    directly (12/4 = 3). Doubles appear only in the final ≤5-row panel
+    arithmetic over identical expression trees (the anova_two_way
+    discipline).
+
+    Scale shape: ranks come from the TWO-LEVEL prefix count over the
+    order-cents value spine (equal-width buckets from exact broadcast
+    [min,max] — the woe_iv_binning discipline, deterministic across
+    subtree re-evaluations), so there is no global per-row rank; the
+    only partitionless window is the 16-row bucket-carry spine."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("x_c"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    cells_gv = v.groupBy("x_c", "grp").agg(F.count("*").alias("cg"))
+    cells = cells_gv.groupBy("x_c").agg(F.sum("cg").alias("c"))
+    bounds = cells.agg(
+        F.min("x_c").alias("lo"),
+        F.max("x_c").alias("hi"),
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c").cast("decimal(12,0)")
+            * F.col("c").cast("decimal(12,0)")
+            * F.col("c").cast("decimal(12,0)")
+            - F.col("c").cast("decimal(12,0)")
+        ).alias("tsum"),
+    )
+    bucketed = cells.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("(x_c - lo) DIV ((hi - lo) DIV 16 + 1)")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("x_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("cnt_lt_local", F.sum("c").over(w_local) - F.col("c"))
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    spine = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("c").alias("bucket_c"))
+        .withColumn("carry", F.coalesce(F.sum("bucket_c").over(w_spine), F.lit(0)))
+        .select("bucket", "carry")
+    )
+    walk = local.join(F.broadcast(spine), "bucket").select(
+        "x_c",
+        "c",
+        "n",
+        "tsum",
+        (F.col("cnt_lt_local") + F.col("carry")).alias("cnt_lt"),
+    )
+    rg = (
+        cells_gv.join(walk, "x_c")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").alias("n_g"),
+            F.sum(
+                F.col("cg").cast("decimal(18,0)")
+                * (2 * F.col("cnt_lt") + F.col("c") + 1)
+            ).alias("r2"),
+            F.first("n").alias("n"),
+            F.first("tsum").alias("tsum"),
+        )
+    )
+    s = rg.agg(
+        F.count("*").cast("int").alias("k"),
+        F.sum(
+            F.col("r2").cast("double") * F.col("r2").cast("double") / F.col("n_g")
+        ).alias("sr"),
+        F.first("n").alias("n"),
+        F.first("tsum").alias("tsum"),
+    )
+    nd = F.col("n").cast("double")
+    h = F.lit(3.0) / (nd * (F.col("n") + 1)) * F.col("sr") - 3 * (F.col("n") + 1)
+    c_tie = F.lit(1.0) - F.col("tsum").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    return s.select(
+        "n",
+        "k",
+        F.round(h, 6).alias("h_r"),
+        F.round(c_tie, 9).alias("c_tie_r"),
+        F.round(h / c_tie, 6).alias("h_adj_r"),
+    )
+
+
+# ------------------------------------ isotonic calibration (PAVA minimax)
+
+_PAVA_SQL = """
+    WITH b AS (
+        SELECT least(n_chars // 50, 19) AS bin,
+               count(*) AS n,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+        FROM documents GROUP BY 1
+    ),
+    cum AS (
+        SELECT x.bin, x.n, x.pos,
+               (SELECT sum(y.n) FROM b y WHERE y.bin <= x.bin)::BIGINT AS cn,
+               (SELECT sum(y.pos) FROM b y WHERE y.bin <= x.bin)::BIGINT AS cp
+        FROM b x
+    ),
+    j AS (
+        SELECT bin AS jb, cn AS nj, cp AS pj FROM cum
+        UNION ALL SELECT -1, 0, 0
+    ),
+    tri AS (
+        SELECT i.bin, j.jb,
+               min((k.cp - j.pj) * 1.0 / (k.cn - j.nj)) AS minr
+        FROM cum i
+        JOIN j ON j.jb < i.bin
+        JOIN cum k ON k.bin >= i.bin
+        GROUP BY 1, 2
+    ),
+    fit AS (SELECT bin, max(minr) AS iso FROM tri GROUP BY 1)
+    SELECT c.bin, c.n, c.pos,
+           round(c.pos * 1.0 / c.n, 6) AS rate_raw_r,
+           round(f.iso, 6) AS rate_iso_r
+    FROM cum c JOIN fit f USING (bin)
+"""
+
+
+@register("isotonic_calibration_pava", oracle=_PAVA_SQL)
+def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of P(lang='en') on the document-length bin —
+    the PAVA calibration fit (Barlow et al. 1972), computed in its
+    minimax closed form: on the cumulative-sum diagram, the isotonic
+    value at bin i is max_{j≤i} min_{k≥i} (P_k − P_{j−1})/(N_k − N_{j−1})
+    (the greatest convex minorant's slope). Pool-adjacent-violators is a
+    sequential sweep; the minimax form is the order-free equivalent that
+    distributes.
+
+    Exactness: cumulative counts are exact longs; every candidate slope
+    is ONE double division of two exact integers, and min/max are
+    comparisons (never float sums) — bit-deterministic in both engines.
+
+    Scale shape: one fact pass to the ≤20-row bin table; cumulative sums
+    and the (i,j,k) minimax live on that bounded spine via triangular
+    broadcast joins (≤20³ rows, no window at all, nothing partitionless)."""
+    d = table(spark, sf_dir, "documents")
+    b = d.groupBy(
+        F.least(F.expr("n_chars DIV 50"), F.lit(19)).alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+    )
+    prior = b.select(
+        F.col("bin").alias("b2"), F.col("n").alias("n2"), F.col("pos").alias("p2")
+    )
+    cum = (
+        b.join(F.broadcast(prior), F.col("b2") <= F.col("bin"))
+        .groupBy("bin", "n", "pos")
+        .agg(F.sum("n2").alias("cn"), F.sum("p2").alias("cp"))
+    )
+    j = cum.select(
+        F.col("bin").alias("jb"), F.col("cn").alias("nj"), F.col("cp").alias("pj")
+    ).unionByName(
+        cum.sparkSession.createDataFrame([(-1, 0, 0)], "jb BIGINT, nj BIGINT, pj BIGINT")
+    )
+    k = cum.select(
+        F.col("bin").alias("kb"), F.col("cn").alias("nk"), F.col("cp").alias("pk")
+    )
+    tri = (
+        cum.select("bin")
+        .join(F.broadcast(j), F.col("jb") < F.col("bin"))
+        .join(F.broadcast(k), F.col("kb") >= F.col("bin"))
+        .groupBy("bin", "jb")
+        .agg(
+            F.min(
+                (F.col("pk") - F.col("pj")) * F.lit(1.0) / (F.col("nk") - F.col("nj"))
+            ).alias("minr")
+        )
+    )
+    fit = tri.groupBy("bin").agg(F.max("minr").alias("iso"))
+    return cum.join(F.broadcast(fit), "bin").select(
+        "bin",
+        "n",
+        "pos",
+        F.round(F.col("pos") * F.lit(1.0) / F.col("n"), 6).alias("rate_raw_r"),
+        F.round("iso", 6).alias("rate_iso_r"),
+    )
+
+
+# ------------------------------------ quantile regression via pinball grid
+
+_QREG_SLOPES = list(range(50_000, 1_100_000, 50_000))  # cents per unit, 21 pts
+_QREG_VALUES = ", ".join(f"({b})" for b in _QREG_SLOPES)
+
+_QREG_SQL = f"""
+    WITH li AS (
+        SELECT CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS y_c,
+               l_quantity::BIGINT AS x
+        FROM lineitem
+    ),
+    grid(b_c) AS (VALUES {_QREG_VALUES}),
+    taus(tau10) AS (VALUES (5), (9)),
+    loss AS (
+        SELECT t.tau10, g.b_c,
+               sum(CASE WHEN li.y_c - g.b_c * li.x >= 0
+                        THEN t.tau10 * (li.y_c - g.b_c * li.x)
+                        ELSE (t.tau10 - 10) * (li.y_c - g.b_c * li.x)
+                   END)::HUGEINT AS loss10
+        FROM li CROSS JOIN grid g CROSS JOIN taus t
+        GROUP BY 1, 2
+    ),
+    best AS (SELECT tau10, min(loss10) AS ml FROM loss GROUP BY 1)
+    SELECT l.tau10, l.b_c, l.loss10::DOUBLE AS loss10_d,
+           CASE WHEN l.loss10 = b.ml THEN 1 ELSE 0 END AS is_min
+    FROM loss l JOIN best b USING (tau10)
+"""
+
+
+@register("quantile_regression_grid", oracle=_QREG_SQL)
+def quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression through the origin (price ~ b·quantity) by
+    exact pinball-loss minimization over a fixed slope grid, at
+    τ ∈ {0.5, 0.9} (Koenker-Bassett 1978). The pinball loss
+    L_τ(r) = r·(τ − 1{r<0}) is kept INTEGER by working in tenths
+    (τ10 ∈ {5,9}: positive residuals weigh τ10, negative τ10−10), so
+    every loss cell is an exact integer accumulated in DECIMAL(38,0) —
+    no float ever crosses a row boundary; the argmin is an integer
+    comparison.
+
+    Scale shape: a grid-bounded explode (42 = 21 slopes × 2 taus
+    replicas, constant) followed by ONE partial+final aggregate to the
+    42-row loss table — the same map-side-combine cost profile as any
+    groupBy sum; the argmin join runs on the 42-row panel."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.round(F.col("l_extendedprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("y_c"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    grid = spark.createDataFrame(
+        [(t, b) for t in (5, 9) for b in _QREG_SLOPES], "tau10 INT, b_c BIGINT"
+    )
+    r = F.col("y_c") - F.col("b_c") * F.col("x")
+    term = F.when(r >= 0, F.col("tau10") * r).otherwise((F.col("tau10") - 10) * r)
+    loss = (
+        v.join(F.broadcast(grid))
+        .groupBy("tau10", "b_c")
+        .agg(F.sum(term.cast("decimal(38,0)")).alias("loss10"))
+    )
+    best = loss.groupBy("tau10").agg(F.min("loss10").alias("ml"))
+    return loss.join(F.broadcast(best), "tau10").select(
+        "tau10",
+        "b_c",
+        F.col("loss10").cast("double").alias("loss10_d"),
+        (F.col("loss10") == F.col("ml")).cast("int").alias("is_min"),
+    )

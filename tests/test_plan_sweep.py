@@ -46,6 +46,7 @@ PARTITIONLESS_ALLOWED = {
     "hill_tail_index": 3,           # top-k tail spine
     "histogram_quantile_sketch": 2, # fixed-width bin spine
     "kaplan_meier_survival": 3,     # calendar-day spine (desc+asc cumsum)
+    "kruskal_wallis_test": 1,       # 16-row bucket-carry spine (two-level rank)
     "ks_two_sample": 6,             # pooled grouped-value spine
     "logrank_test": 2,              # KM day-spine descending at-risk cumsums
     "lorenz_curve_points": 2,       # decile spine

@@ -1,0 +1,98 @@
+"""Behavioral tests for the round-7 operator batch: statistical tests
+(Kruskal-Wallis, CMH), calibration (isotonic PAVA, split conformal),
+off-policy evaluation (IPS/SNIPS), data valuation (LOO source influence),
+quantile regression, and reciprocal-NN pairing. Each query's VALUE
+correctness is covered by its DuckDB oracle (tools/check_oracle.py); these
+pin the semantic invariants an oracle hash can't express (monotonicity,
+coverage guarantees, symmetry, argmin uniqueness)."""
+
+from __future__ import annotations
+
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
+    rows = sorted(
+        QUERIES["isotonic_calibration_pava"](spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["rate_iso_r"] for r in rows]
+    assert iso == sorted(iso)  # PAVA output is nondecreasing
+    assert all(0.0 <= x <= 1.0 for x in iso)
+    # PAVA preserves the weighted mean of the response (up to rounding)
+    n = sum(r["n"] for r in rows)
+    assert abs(
+        sum(r["n"] * r["rate_iso_r"] for r in rows) / n
+        - sum(r["pos"] for r in rows) / n
+    ) < 1e-4
+
+
+def test_conformal_coverage_meets_marginal_guarantee(spark, sf_dir):
+    r = QUERIES["split_conformal_coverage"](spark, sf_dir).collect()[0]
+    # finite-sample guarantee is on the calibration quantile: k/(n_cal+1) >= 0.9;
+    # empirical test coverage concentrates near it (exchangeable folds)
+    assert r["k"] >= 0.9 * (r["n_cal"] + 1)
+    assert r["coverage_r"] >= 0.85
+    assert r["n_cal"] + r["n_test"] > 0 and r["qhat"] >= 0
+
+
+def test_mutual_nearest_neighbors_reciprocal_and_unique(spark, sf_dir):
+    rows = QUERIES["mutual_nearest_neighbors"](spark, sf_dir).collect()
+    pairs = [(r["u"], r["v"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(u < v for u, v in pairs)
+    # each vector participates in at most one reciprocal pair
+    flat = [x for p in pairs for x in p]
+    assert len(flat) == len(set(flat))
+
+
+def test_kruskal_wallis_statistic_sane(spark, sf_dir):
+    r = QUERIES["kruskal_wallis_test"](spark, sf_dir).collect()[0]
+    assert r["k"] == 5 and r["n"] > 0
+    assert r["h_r"] >= 0.0
+    assert 0.0 < r["c_tie_r"] <= 1.0
+    # the tie correction can only grow the statistic
+    assert r["h_adj_r"] >= r["h_r"]
+
+
+def test_cmh_components_consistent(spark, sf_dir):
+    r = QUERIES["cmh_test"](spark, sf_dir).collect()[0]
+    assert r["n_strata"] == 25
+    assert r["sum_v_r"] > 0 and r["cmh_r"] >= 0.0
+    # the statistic reproduces from its reported components
+    assert abs((r["sum_a"] - r["sum_e_r"]) ** 2 / r["sum_v_r"] - r["cmh_r"]) < 1e-3
+
+
+def test_quantile_regression_grid_argmin_per_tau(spark, sf_dir):
+    rows = QUERIES["quantile_regression_grid"](spark, sf_dir).collect()
+    assert len(rows) == 42
+    for tau in (5, 9):
+        tr = [r for r in rows if r["tau10"] == tau]
+        mins = [r for r in tr if r["is_min"] == 1]
+        assert len(mins) >= 1
+        assert min(r["loss10_d"] for r in tr) == mins[0]["loss10_d"]
+    # the tau=0.9 optimum slope is >= the median's (pinball asymmetry)
+    b = {t: max(r["b_c"] for r in rows if r["tau10"] == t and r["is_min"] == 1)
+         for t in (5, 9)}
+    assert b[9] >= b[5]
+
+
+def test_loo_influence_sums_consistent(spark, sf_dir):
+    rows = QUERIES["loo_source_influence"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    mean_all = rows[0]["mean_all_r"]
+    for r in rows:
+        assert r["mean_all_r"] == mean_all
+        assert abs((r["mean_excl_r"] - mean_all) - r["influence_r"]) < 2e-6
+    # influences must straddle zero unless all sources are identical
+    infl = [r["influence_r"] for r in rows]
+    assert min(infl) <= 0.0 <= max(infl)
+
+
+def test_ips_snips_relationship(spark, sf_dir):
+    r = QUERIES["ips_offpolicy_eval"](spark, sf_dir).collect()[0]
+    assert 0 < r["n_matched"] <= r["n"]
+    # IPS = SNIPS * (realized weight mass / n); with w=2 exactly:
+    assert abs(r["ips_r"] - r["snips_r"] * 2 * r["n_matched"] / r["n"]) < 1e-4
