@@ -2350,3 +2350,79 @@ def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_excl, 6).alias("mean_excl_r"),
         F.round(mean_excl - mean_all, 6).alias("influence_r"),
     )
+
+
+# --------------------------------------------- k-fold cross-validation
+
+@register(
+    "kfold_cv_mae",
+    oracle="""
+    WITH d AS (
+        SELECT n_chars::BIGINT AS y,
+               ('0x' || substr(sha256(doc_id::VARCHAR), 1, 15))::BIGINT % 5
+                   AS fold
+        FROM documents
+    ),
+    f AS (
+        SELECT fold, count(*)::BIGINT AS n_f, sum(y)::BIGINT AS s_f
+        FROM d GROUP BY 1
+    ),
+    t AS (SELECT sum(n_f)::BIGINT AS nn, sum(s_f)::BIGINT AS ss FROM f),
+    terms AS (
+        SELECT d.fold,
+               abs(d.y * (t.nn - f.n_f) - (t.ss - f.s_f))::HUGEINT AS num,
+               (t.nn - f.n_f)::BIGINT AS n_train
+        FROM d JOIN f USING (fold) CROSS JOIN t
+    )
+    SELECT fold, count(*)::BIGINT AS n_test, max(n_train) AS n_train,
+           round(sum(num)::DOUBLE / (count(*) * max(n_train)::DOUBLE), 6)
+               AS mae_r
+    FROM terms GROUP BY 1
+    """,
+)
+def kfold_cv_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated MAE of the mean-predictor baseline on
+    document length: each fold is scored by the mean of the OTHER four
+    folds — the sanity baseline every regression eval needs before
+    claiming a model beats it. Folds come from the portable sha256 hash
+    (identical membership in both engines, stable under repartition —
+    never ``df.randomSplit``, which is partition-layout-dependent).
+
+    Exactness: the leave-fold-out mean is the rational (S−s_f)/(N−n_f);
+    each absolute error is kept as the INTEGER numerator
+    |y·(N−n_f) − (S−s_f)| (exact in DECIMAL/HUGEINT) and divided by its
+    common denominator n_test·(N−n_f) exactly once — no float crosses a
+    row boundary.
+
+    Scale shape: one pass to the 5-row fold panel, a broadcast panel join
+    back onto the facts (no second shuffle — fold stats ride with each
+    row), then one grouped sum to 5 rows."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("y"),
+        (token_hash64(F.col("doc_id").cast("string")) % 5).alias("fold"),
+    )
+    f = d.groupBy("fold").agg(
+        F.count("*").alias("n_f"), F.sum("y").alias("s_f")
+    )
+    t = f.agg(F.sum("n_f").alias("nn"), F.sum("s_f").alias("ss"))
+    stats = f.crossJoin(F.broadcast(t)).select(
+        "fold",
+        (F.col("nn") - F.col("n_f")).alias("n_train"),
+        (F.col("ss") - F.col("s_f")).alias("s_train"),
+    )
+    terms = d.join(F.broadcast(stats), "fold").select(
+        "fold",
+        "n_train",
+        F.abs(
+            F.col("y").cast("decimal(38,0)") * F.col("n_train") - F.col("s_train")
+        ).alias("num"),
+    )
+    return terms.groupBy("fold").agg(
+        F.count("*").alias("n_test"),
+        F.max("n_train").alias("n_train"),
+        F.round(
+            F.sum("num").cast("double")
+            / (F.count("*") * F.max("n_train").cast("double")),
+            6,
+        ).alias("mae_r"),
+    )

@@ -3647,3 +3647,258 @@ def quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("loss10").cast("double").alias("loss10_d"),
         (F.col("loss10") == F.col("ml")).cast("int").alias("is_min"),
     )
+
+
+# ------------------------------------------------ Chow structural break
+
+_CHOW_SQL = """
+    WITH v AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 0 ELSE 1 END AS seg,
+               datediff('day', TIMESTAMP '1995-01-01', o_orderdate)::BIGINT
+                   AS x,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS y
+        FROM orders
+    ),
+    m AS (
+        SELECT seg, count(*)::HUGEINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * x) AS sxx,
+               sum(x::HUGEINT * y) AS sxy,
+               sum(y::HUGEINT * y) AS syy
+        FROM v GROUP BY 1
+    ),
+    p AS (
+        SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+               sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy
+        FROM m
+    ),
+    ssr AS (
+        SELECT seg, n::DOUBLE AS nd,
+               (a::DOUBLE - b::DOUBLE * b::DOUBLE / c::DOUBLE) / n::DOUBLE AS s
+        FROM (
+            SELECT seg, n,
+                   n * syy - sy * sy AS a,
+                   n * sxy - sx * sy AS b,
+                   n * sxx - sx * sx AS c
+            FROM (SELECT * FROM m UNION ALL SELECT 2, * FROM p)
+                 u(seg, n, sx, sy, sxx, sxy, syy)
+        )
+    )
+    SELECT max(CASE WHEN seg = 0 THEN nd END)::BIGINT AS n1,
+           max(CASE WHEN seg = 1 THEN nd END)::BIGINT AS n2,
+           round(ln(max(CASE WHEN seg = 2 THEN s END)), 6) AS ln_ssr_pooled_r,
+           round(ln(max(CASE WHEN seg = 0 THEN s END)
+                    + max(CASE WHEN seg = 1 THEN s END)), 6) AS ln_ssr_split_r,
+           round(((max(CASE WHEN seg = 2 THEN s END)
+                   - (max(CASE WHEN seg = 0 THEN s END)
+                      + max(CASE WHEN seg = 1 THEN s END))) / 2)
+                 / ((max(CASE WHEN seg = 0 THEN s END)
+                     + max(CASE WHEN seg = 1 THEN s END))
+                    / (max(CASE WHEN seg = 0 THEN nd END)
+                       + max(CASE WHEN seg = 1 THEN nd END) - 4)), 6)
+               AS chow_f_r
+    FROM ssr
+"""
+
+
+@register("chow_test", oracle=_CHOW_SQL)
+def chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test (1960) for a structural break in the order-value trend at
+    1998-01-01: F = ((SSR_pooled − SSR₁ − SSR₂)/k) / ((SSR₁+SSR₂)/(n−2k)),
+    k = 2 (slope + intercept) — did the price/time relationship change
+    regime, the econometrician's changepoint test (vs the distributional
+    ``cusum_changepoint``).
+
+    Exactness: raw moments (n, Σx, Σy, Σx², Σxy, Σy²) accumulate in
+    DECIMAL(38,0)/HUGEINT — exact, order-free; pooled moments are SUMS of
+    the two segment rows (still exact). SSRs convert to double only in
+    the final per-row expression with identical trees, so the notorious
+    SSR cancellation (big−big) happens on identical inputs in both
+    engines. regr_* aggregates are deliberately NOT used here — their
+    one-pass centered updates are engine-specific and the Chow numerator
+    amplifies any drift.
+
+    Scale shape: one fact pass to TWO moment rows (map-side combinable),
+    then arithmetic on a ≤3-row panel."""
+    o = table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    v = o.select(
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("seg"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("x"),
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    x_d, y_d = F.col("x").cast(d38), F.col("y").cast(d38)
+    m = v.groupBy("seg").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(x_d).alias("sx"),
+        F.sum(y_d).alias("sy"),
+        F.sum(x_d * F.col("x")).alias("sxx"),
+        F.sum(x_d * F.col("y")).alias("sxy"),
+        F.sum(y_d * F.col("y")).alias("syy"),
+    )
+    p = m.agg(
+        F.lit(2).alias("seg"),
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+    )
+    u = m.unionByName(p).select(
+        "seg",
+        "n",
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("a"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("b"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("c"),
+    )
+    # a,b,c are EXACT n-scaled centered moments (decimal38); ssr converts
+    # each to double ONCE (correctly-rounded in both engines) and runs four
+    # IEEE ops on identical trees — no engine-specific centering updates
+    nd = F.col("n").cast("double")
+    ssr = (
+        F.col("a").cast("double")
+        - F.col("b").cast("double") * F.col("b").cast("double")
+        / F.col("c").cast("double")
+    ) / nd
+    rows = u.select("seg", nd.alias("nd"), ssr.alias("s"))
+    agg = rows.agg(
+        F.max(F.when(F.col("seg") == 0, F.col("nd"))).alias("nd1"),
+        F.max(F.when(F.col("seg") == 1, F.col("nd"))).alias("nd2"),
+        F.max(F.when(F.col("seg") == 0, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("seg") == 1, F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("seg") == 2, F.col("s"))).alias("sp"),
+    )
+    split = F.col("s1") + F.col("s2")
+    f_stat = ((F.col("sp") - split) / 2) / (
+        split / (F.col("nd1") + F.col("nd2") - 4)
+    )
+    # SSRs are ~1e19 cents² where a single input ulp is ~4e3 — reported on
+    # the LOG scale (relative 1e-16 per ulp), the only rounding-stable form
+    return agg.select(
+        F.col("nd1").cast("long").alias("n1"),
+        F.col("nd2").cast("long").alias("n2"),
+        F.round(F.log("sp"), 6).alias("ln_ssr_pooled_r"),
+        F.round(F.log(split), 6).alias("ln_ssr_split_r"),
+        F.round(f_stat, 6).alias("chow_f_r"),
+    )
+
+
+# ------------------------------------------ Nelson-Aalen cumulative hazard
+
+_NA_SQL = """
+    WITH su AS (
+        SELECT user_id, min(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN su ON su.user_id = e.user_id
+                            AND epoch_us(e.ts) > su.s_us
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1
+    ),
+    obs AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+    durs AS (
+        SELECT CASE WHEN pu.p_us IS NOT NULL
+                    THEN (pu.p_us - su.s_us) // 86400000000
+                    ELSE (o.end_us - su.s_us) // 86400000000
+               END AS t_day,
+               CASE WHEN pu.p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+        CROSS JOIN obs o
+    ),
+    g AS (SELECT t_day, sum(ev) AS d, count(*) AS c FROM durs GROUP BY 1),
+    sp AS (
+        SELECT t_day, d,
+               sum(c) OVER (ORDER BY t_day DESC
+                            ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM g
+    ),
+    na AS (
+        SELECT t_day, d, n_risk,
+               sum(d * 1.0 / n_risk)
+                   OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS h,
+               sum((d * 1.0 / n_risk) * (d * 1.0 / n_risk) / d)
+                   OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS vh
+        FROM sp WHERE d > 0
+    )
+    SELECT t_day, d::BIGINT AS n_events, n_risk::BIGINT AS n_risk,
+           round(h, 6) AS na_cumhaz_r,
+           round(vh, 9) AS na_var_r
+    FROM na
+"""
+
+
+@register("nelson_aalen_hazard", oracle=_NA_SQL)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for the signup→first-purchase
+    process (same right-censored setup as ``kaplan_meier_survival``):
+    H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with the standard variance estimate
+    Σ dᵢ/nᵢ² — the hazard-scale counterpart of KM (exp(−H) ≈ S with
+    equality in the continuous limit), and the input to the log-rank
+    family's expected-event arithmetic.
+
+    Determinism: each increment is one double division of exact longs;
+    the running sums are windows ORDERED BY the day spine, so both
+    engines accumulate the same additions in the same order (the KM
+    discipline).
+
+    Scale shape: grouped per-user reductions, then everything lives on
+    the calendar-bounded day spine — the at-risk descending cumsum and
+    the two hazard running sums are the only partitionless windows, all
+    spine-bounded (O(observation days), independent of user count)."""
+    e = table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_raw"))
+        .join(su, "user_id")
+        .filter(F.col("p_raw") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_us"))
+    )
+    obs = e.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    durs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.when(
+                F.col("p_us").isNotNull(),
+                F.expr("(p_us - s_us) div 86400000000"),
+            )
+            .otherwise(F.expr("(end_us - s_us) div 86400000000"))
+            .alias("t_day"),
+            F.when(F.col("p_us").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    g = durs.groupBy("t_day").agg(F.sum("ev").alias("d"), F.count("*").alias("c"))
+    w_desc = Window.orderBy(F.col("t_day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sp = g.select("t_day", "d", F.sum("c").over(w_desc).alias("n_risk")).filter(
+        F.col("d") > 0
+    )
+    w_asc = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    inc = F.col("d") * F.lit(1.0) / F.col("n_risk")
+    return sp.select(
+        "t_day",
+        F.col("d").alias("n_events"),
+        "n_risk",
+        F.round(F.sum(inc).over(w_asc), 6).alias("na_cumhaz_r"),
+        F.round(F.sum(inc * inc / F.col("d")).over(w_asc), 9).alias("na_var_r"),
+    )

@@ -54,6 +54,7 @@ PARTITIONLESS_ALLOWED = {
     "matrix_profile_daily": 16,     # day-spine window build ×2 join sides + 2 ranks
     "max_drawdown_daily": 6,        # day-spine running max, reused per branch
     "mom_revenue_growth": 3,        # monthly aggregate spine
+    "nelson_aalen_hazard": 3,       # KM day spine: desc at-risk + 2 hazard cumsums
     "pacf_lags": 3,                 # daily spine lag triplet
     "qini_curve_deciles": 5,        # carry + decile cumsum spines (gains shape)
     "quantile_normalize_lengths": 1,  # bounded length-value spine cumsum

@@ -96,3 +96,35 @@ def test_ips_snips_relationship(spark, sf_dir):
     assert 0 < r["n_matched"] <= r["n"]
     # IPS = SNIPS * (realized weight mass / n); with w=2 exactly:
     assert abs(r["ips_r"] - r["snips_r"] * 2 * r["n_matched"] / r["n"]) < 1e-4
+
+
+def test_chow_f_nonnegative_and_pooled_dominates(spark, sf_dir):
+    r = QUERIES["chow_test"](spark, sf_dir).collect()[0]
+    assert r["n1"] > 0 and r["n2"] > 0
+    # pooled SSR >= split SSR always (extra parameters can't fit worse)
+    assert r["ln_ssr_pooled_r"] >= r["ln_ssr_split_r"]
+    assert r["chow_f_r"] >= 0.0
+
+
+def test_kfold_partitions_and_baseline_mae(spark, sf_dir):
+    rows = QUERIES["kfold_cv_mae"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    n = sum(r["n_test"] for r in rows)
+    for r in rows:
+        assert r["n_train"] == n - r["n_test"]  # folds partition the corpus
+        assert r["mae_r"] > 0.0
+
+
+def test_nelson_aalen_monotone_and_bounds_km(spark, sf_dir):
+    import math
+
+    na = {r["t_day"]: r for r in QUERIES["nelson_aalen_hazard"](spark, sf_dir).collect()}
+    h = [na[t]["na_cumhaz_r"] for t in sorted(na)]
+    assert h == sorted(h) and all(x > 0 for x in h)  # cumhaz nondecreasing
+    km = {
+        r["t_day"]: r["surv_r"]
+        for r in QUERIES["kaplan_meier_survival"](spark, sf_dir).collect()
+    }
+    # exp(-H(t)) >= S_KM(t) pointwise (classic NA/KM inequality)
+    for t, row in na.items():
+        assert math.exp(-row["na_cumhaz_r"]) >= km[t] - 1e-9
