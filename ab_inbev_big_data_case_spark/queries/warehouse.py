@@ -1394,3 +1394,82 @@ def deltalite_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+
+
+_DELTALITE_OPT_SQL = """
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                AS BIGINT) AS cents,
+           1 AS compacted,
+           1 AS clustered_disjoint
+    FROM base GROUP BY o_orderpriority
+"""
+
+
+@register("deltalite_optimize_compaction", oracle=_DELTALITE_OPT_SQL)
+def deltalite_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the delta-lite log: CTAS from a deterministic orders
+    subset deliberately fragmented into 12 small files, then
+    ``optimize(cluster_by=['o_orderkey'])`` — a global range-sort rewrite
+    committed with ``dataChange: false``. The output aggregates the
+    post-OPTIMIZE snapshot by priority (the oracle recomputes it from raw
+    SQL, so the driver hash-proves compaction is row-exact) and embeds two
+    runtime audits as value-checked columns: ``compacted`` (live file
+    count strictly dropped) and ``clustered_disjoint`` (every pair of live
+    files has non-overlapping [min,max] o_orderkey footer envelopes — the
+    property that makes MERGE/DELETE stat pruning selective). Either
+    failing flips a 1 to 0 and hash-mismatches.
+
+    Scale shape: log handling is driver-side O(files) metadata; the
+    rewrite is one distributed range-partitioned sort+write sized to
+    ~target bytes per file."""
+    import tempfile
+
+    from ..sources.txlog import DeltaLiteTable
+
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    path = tempfile.mkdtemp(prefix="deltalite-opt-")
+    t = DeltaLiteTable.create(
+        spark, base.repartition(12), f"{path}/t", keys=["o_orderkey"]
+    )
+    n_before = t.num_live_files()
+    t.optimize(cluster_by=["o_orderkey"])
+    n_after = t.num_live_files()
+    import json as _json
+
+    envs = []
+    for a in t._replay().adds.values():
+        st = _json.loads(a.get("stats") or "{}")
+        lo = st.get("minValues", {}).get("o_orderkey")
+        hi = st.get("maxValues", {}).get("o_orderkey")
+        if lo is None or hi is None:
+            envs = None
+            break
+        envs.append((lo, hi))
+    disjoint = 0
+    if envs is not None:
+        envs.sort()
+        disjoint = int(
+            all(envs[i][1] < envs[i + 1][0] for i in range(len(envs) - 1))
+        )
+    return (
+        t.snapshot()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "cents",
+            F.lit(int(n_after < n_before)).alias("compacted"),
+            F.lit(disjoint).alias("clustered_disjoint"),
+        )
+    )

@@ -569,6 +569,105 @@ class DeltaLiteTable:
             retries=0,
         )
 
+    def optimize(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE: bin-pack small live files into ~``target_file_bytes``
+        files, optionally clustering rows by ``cluster_by`` inside each
+        rewritten file (linear multi-column sort — the clustering that makes
+        footer-stat pruning in ``merge``/``delete_where`` selective; the
+        interleaved variant lives in ``operators.layout.zorder_key``).
+
+        Protocol semantics: rewrites commit with ``dataChange: false`` —
+        readers see the identical row multiset (``change_data_feed`` across
+        an OPTIMIZE is empty), and the commit races like any
+        read-modify-write (retries=0 → ``ConcurrentWriteError`` → re-run
+        against the fresh snapshot). Compaction never merges across
+        partitionValues. Small-file candidacy is < target/2 (already-compact
+        files carry over untouched) unless ``cluster_by`` forces a full
+        recluster. Returns the committed version, or the current version
+        untouched when there is nothing to do.
+
+        At 100 TB this is the maintenance job that keeps scan task counts
+        (and the driver's add-action replay) bounded after many incremental
+        appends — log handling stays O(files) driver-side metadata; row data
+        moves only through distributed scan+write jobs."""
+        snap = self._replay()
+        groups: dict[tuple, list[dict]] = {}
+        for a in snap.adds.values():
+            key = tuple(sorted((a.get("partitionValues") or {}).items()))
+            groups.setdefault(key, []).append(a)
+        removes, adds = [], []
+        for files in groups.values():
+            if cluster_by:
+                # recluster the WHOLE partition: a GLOBAL range sort split
+                # into ~target-size files gives every output file a DISJOINT
+                # cluster-key envelope (per-bin sorting would leave every
+                # file spanning the full range and defeat stat pruning)
+                cand = sorted(files, key=lambda a: a["path"])
+                total = sum(a["size"] for a in cand)
+                n_out = max(1, -(-total // target_file_bytes))
+                df = (
+                    self._read_files(snap, [a["path"] for a in cand])
+                    .repartitionByRange(n_out, *cluster_by)
+                    .sortWithinPartitions(*cluster_by)
+                )
+                adds.extend(
+                    self._write_data_files(df, snap.metadata["partitionColumns"])
+                )
+                removes.extend(cand)
+                continue
+            cand = sorted(
+                (a for a in files if a["size"] < target_file_bytes // 2),
+                key=lambda a: a["path"],
+            )
+            bins: list[list[dict]] = []
+            cur: list[dict] = []
+            cur_bytes = 0
+            for a in cand:
+                if cur and cur_bytes + a["size"] > target_file_bytes:
+                    bins.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(a)
+                cur_bytes += a["size"]
+            if cur:
+                bins.append(cur)
+            for b in bins:
+                if len(b) < 2:
+                    continue  # a lone small file gains nothing from rewrite
+                df = self._read_files(snap, [a["path"] for a in b])
+                new = self._write_data_files(
+                    df.coalesce(1), snap.metadata["partitionColumns"]
+                )
+                removes.extend(b)
+                adds.extend(new)
+        if not removes:
+            return snap.version
+        now = int(time.time() * 1000)
+        actions = [
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+            for a in removes
+        ] + [{"add": {**a, "dataChange": False}} for a in adds]
+        return self._commit(
+            snap.version + 1,
+            actions,
+            {
+                "operation": "OPTIMIZE",
+                "numFilesRemoved": len(removes),
+                "numFilesAdded": len(adds),
+                "clusterBy": list(cluster_by or []),
+            },
+            retries=0,
+        )
+
     # ------------------------------------------------------------- read ops
 
     def _read_files(self, snap: _Snapshot, rel_paths: list[str]) -> DataFrame:

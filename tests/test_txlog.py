@@ -303,3 +303,55 @@ def test_change_data_feed_all_change_types(spark, base, tmp_path):
     assert len(cdf) == 4  # unchanged rows never surface
     # span selection: v1 -> v2 sees only the delete
     assert {r["_change_type"] for r in t.change_data_feed(1, 2).collect()} == {"delete"}
+
+
+def test_optimize_compacts_small_files_same_rows(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"), keys=["id"])
+    for i in range(4):  # four tiny appends -> five live files
+        t.write(_df(spark, [(100 + i, "x", float(i))]).repartition(1), mode="append")
+    before = t.snapshot().collect()
+    n_before = t.num_live_files()
+    v = t.optimize(target_file_bytes=1 << 20)
+    assert t.num_live_files() < n_before
+    assert sorted(r["id"] for r in t.snapshot().collect()) == sorted(
+        r["id"] for r in before
+    )
+    # OPTIMIZE is not a data change: CDF across it is empty
+    assert t.change_data_feed(v - 1, v).count() == 0
+    hist = t.history()[-1]
+    assert hist["operation"] == "OPTIMIZE"
+    assert hist["numFilesRemoved"] > hist["numFilesAdded"]
+    # time travel to the pre-OPTIMIZE version still works
+    assert t.snapshot(version=v - 1).count() == len(before)
+
+
+def test_optimize_cluster_by_improves_stat_pruning(spark, tmp_path):
+    """After cluster_by id, footer [min,max] ranges are disjoint enough
+    that a targeted MERGE skips most files."""
+    import random
+
+    rows = [(i, "a", float(i)) for i in range(400)]
+    random.Random(7).shuffle(rows)
+    t = DeltaLiteTable.create(
+        spark,
+        _df(spark, rows[:100]).repartition(1),
+        str(tmp_path / "t"),
+        keys=["id"],
+    )
+    for lo in (100, 200, 300):  # interleaved id ranges across files
+        t.write(_df(spark, rows[lo : lo + 100]).repartition(1), mode="append")
+    # tiny target -> several clustered output files
+    t.optimize(target_file_bytes=6000, cluster_by=["id"])
+    t.merge(_df(spark, [(5, "u", -1.0)]))
+    hist = t.history()[-1]
+    assert hist["operation"] == "MERGE"
+    assert hist["numTargetFilesSkipped"] >= 1
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got[5] == -1.0 and len(got) == 400
+
+
+def test_optimize_noop_when_already_compact(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+    v0 = t.version()
+    assert t.optimize(target_file_bytes=10) == v0  # nothing qualifies
+    assert t.version() == v0
