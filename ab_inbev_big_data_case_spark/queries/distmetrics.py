@@ -1675,3 +1675,315 @@ def cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cmh_r"),
     )
+
+
+# ----------------------------------- energy distance between two samples
+
+_ENERGY_SQL = """
+    WITH v AS (
+        SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS x_c,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_x
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    cells AS (
+        SELECT x_c,
+               sum(is_x)::BIGINT AS cx,
+               sum(1 - is_x)::BIGINT AS cy
+        FROM v GROUP BY 1
+    ),
+    walk AS (
+        SELECT x_c, cx, cy,
+               coalesce(sum(cx) OVER w, 0)::HUGEINT AS cxlt,
+               coalesce(sum(cy) OVER w, 0)::HUGEINT AS cylt,
+               coalesce(sum(x_c * cx) OVER w, 0)::HUGEINT AS sxlt,
+               coalesce(sum(x_c * cy) OVER w, 0)::HUGEINT AS sylt
+        FROM cells
+        WINDOW w AS (ORDER BY x_c ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    tot AS (
+        SELECT sum(cx)::HUGEINT AS nx, sum(cy)::HUGEINT AS ny,
+               sum(x_c * cx)::HUGEINT AS sx, sum(x_c * cy)::HUGEINT AS sy
+        FROM cells
+    ),
+    sums AS (
+        SELECT
+          sum(w.cx * ((w.x_c * w.cylt - w.sylt)
+                      + (t.sy - w.sylt - w.x_c * w.cy)
+                      - w.x_c * (t.ny - w.cylt - w.cy)))::HUGEINT AS sxy,
+          sum(w.cx * ((w.x_c * w.cxlt - w.sxlt)
+                      + (t.sx - w.sxlt - w.x_c * w.cx)
+                      - w.x_c * (t.nx - w.cxlt - w.cx)))::HUGEINT AS sxx,
+          sum(w.cy * ((w.x_c * w.cylt - w.sylt)
+                      + (t.sy - w.sylt - w.x_c * w.cy)
+                      - w.x_c * (t.ny - w.cylt - w.cy)))::HUGEINT AS syy,
+          max(t.nx) AS nx, max(t.ny) AS ny
+        FROM walk w CROSS JOIN tot t
+    )
+    SELECT nx::BIGINT AS nx, ny::BIGINT AS ny,
+           round(2.0 * (sxy::DOUBLE / (nx::DOUBLE * ny::DOUBLE))
+                 - sxx::DOUBLE / (nx::DOUBLE * nx::DOUBLE)
+                 - syy::DOUBLE / (ny::DOUBLE * ny::DOUBLE), 6) AS energy_d_r,
+           round(sxy::DOUBLE / (nx::DOUBLE * ny::DOUBLE), 6) AS mean_xy_r
+    FROM sums
+"""
+
+
+@register("energy_distance_two_sample", oracle=_ENERGY_SQL)
+def energy_distance_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance (Székely-Rizzo) between fulfilled ('F') and open
+    ('O') order-value distributions: D = 2·E|X−Y| − E|X−X'| − E|Y−Y'| —
+    the distribution-shift metric that is zero iff the distributions
+    match, metrizes weak convergence, and (unlike KS) weighs HOW FAR
+    apart the mass sits. The n²-pairwise sums collapse to ONE pass over
+    the value spine: Σᵢⱼ|xᵢ−yⱼ| = Σ_v cx_v·[v·#{y<v} − Σ{y<v} +
+    (Σ{y>v} − v·#{y>v})] — exact integers end to end (HUGEINT /
+    DECIMAL(38,0)); the three means are one double division each.
+
+    Scale shape: one fact pass to the shared distinct-cents spine, the
+    TWO-LEVEL equal-width-bucket prefix of four running quantities
+    (counts and value-sums per sample — only the 16-row carry spine is
+    partitionless), a 1-row totals broadcast, one final aggregate."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = o.select(
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("x_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_x"),
+    )
+    cells = v.groupBy("x_c").agg(
+        F.sum("is_x").alias("cx"), F.sum(1 - F.col("is_x")).alias("cy")
+    )
+    d38 = "decimal(38,0)"
+    bounds = cells.agg(
+        F.min("x_c").alias("lo"),
+        F.max("x_c").alias("hi"),
+        F.sum("cx").cast(d38).alias("nx"),
+        F.sum("cy").cast(d38).alias("ny"),
+        F.sum(F.col("x_c").cast(d38) * F.col("cx")).alias("sx"),
+        F.sum(F.col("x_c").cast(d38) * F.col("cy")).alias("sy"),
+    )
+    bucketed = cells.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("(x_c - lo) DIV ((hi - lo) DIV 16 + 1)")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("x_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast(d38)
+    local = bucketed.select(
+        "*",
+        F.coalesce(F.sum(F.col("cx").cast(d38)).over(w_local), zero).alias("cxlt_l"),
+        F.coalesce(F.sum(F.col("cy").cast(d38)).over(w_local), zero).alias("cylt_l"),
+        F.coalesce(
+            F.sum((F.col("x_c").cast(d38) * F.col("cx"))).over(w_local), zero
+        ).alias("sxlt_l"),
+        F.coalesce(
+            F.sum((F.col("x_c").cast(d38) * F.col("cy"))).over(w_local), zero
+        ).alias("sylt_l"),
+    )
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum(F.col("cx").cast(d38)).alias("bcx"),
+            F.sum(F.col("cy").cast(d38)).alias("bcy"),
+            F.sum(F.col("x_c").cast(d38) * F.col("cx")).alias("bsx"),
+            F.sum(F.col("x_c").cast(d38) * F.col("cy")).alias("bsy"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bcx").over(w_spine), zero).alias("cxlt_c"),
+            F.coalesce(F.sum("bcy").over(w_spine), zero).alias("cylt_c"),
+            F.coalesce(F.sum("bsx").over(w_spine), zero).alias("sxlt_c"),
+            F.coalesce(F.sum("bsy").over(w_spine), zero).alias("sylt_c"),
+        )
+    )
+    walk = local.join(F.broadcast(carry), "bucket").select(
+        "x_c",
+        "cx",
+        "cy",
+        "nx",
+        "ny",
+        "sx",
+        "sy",
+        (F.col("cxlt_l") + F.col("cxlt_c")).alias("cxlt"),
+        (F.col("cylt_l") + F.col("cylt_c")).alias("cylt"),
+        (F.col("sxlt_l") + F.col("sxlt_c")).alias("sxlt"),
+        (F.col("sylt_l") + F.col("sylt_c")).alias("sylt"),
+    )
+    vc = F.col("x_c").cast(d38)
+
+    def absum_vs(c_lt, s_lt, n_t, s_t, c_eq):
+        # Σ_j |v − w_j| for one point at v against sample w, from prefix stats
+        return (
+            (vc * c_lt - s_lt)
+            + (s_t - s_lt - vc * c_eq)
+            - vc * (n_t - c_lt - c_eq)
+        )
+
+    sums = walk.agg(
+        F.sum(
+            F.col("cx").cast(d38)
+            * absum_vs(F.col("cylt"), F.col("sylt"), F.col("ny"), F.col("sy"), F.col("cy"))
+        ).alias("sxy"),
+        F.sum(
+            F.col("cx").cast(d38)
+            * absum_vs(F.col("cxlt"), F.col("sxlt"), F.col("nx"), F.col("sx"), F.col("cx"))
+        ).alias("sxx"),
+        F.sum(
+            F.col("cy").cast(d38)
+            * absum_vs(F.col("cylt"), F.col("sylt"), F.col("ny"), F.col("sy"), F.col("cy"))
+        ).alias("syy"),
+        F.max("nx").alias("nx"),
+        F.max("ny").alias("ny"),
+    )
+    nxd, nyd = F.col("nx").cast("double"), F.col("ny").cast("double")
+    return sums.select(
+        F.col("nx").cast("long").alias("nx"),
+        F.col("ny").cast("long").alias("ny"),
+        F.round(
+            F.lit(2.0) * (F.col("sxy").cast("double") / (nxd * nyd))
+            - F.col("sxx").cast("double") / (nxd * nxd)
+            - F.col("syy").cast("double") / (nyd * nyd),
+            6,
+        ).alias("energy_d_r"),
+        F.round(F.col("sxy").cast("double") / (nxd * nyd), 6).alias("mean_xy_r"),
+    )
+
+
+# --------------------------------- Wasserstein-1 (earth mover) distance
+
+_W1_SQL = """
+    WITH v AS (
+        SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS x_c,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_x
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    cells AS (
+        SELECT x_c, sum(is_x)::BIGINT AS cx, sum(1 - is_x)::BIGINT AS cy
+        FROM v GROUP BY 1
+    ),
+    walk AS (
+        SELECT x_c,
+               lead(x_c) OVER (ORDER BY x_c) AS x_next,
+               sum(cx) OVER (ORDER BY x_c ROWS UNBOUNDED PRECEDING)
+                   ::HUGEINT AS cxle,
+               sum(cy) OVER (ORDER BY x_c ROWS UNBOUNDED PRECEDING)
+                   ::HUGEINT AS cyle
+        FROM cells
+    ),
+    tot AS (SELECT sum(cx)::HUGEINT AS nx, sum(cy)::HUGEINT AS ny FROM cells),
+    s AS (
+        SELECT sum((w.x_next - w.x_c)
+                   * abs(w.cxle * t.ny - w.cyle * t.nx))::HUGEINT AS num,
+               max(t.nx) AS nx, max(t.ny) AS ny
+        FROM walk w CROSS JOIN tot t
+        WHERE w.x_next IS NOT NULL
+    )
+    SELECT nx::BIGINT AS nx, ny::BIGINT AS ny,
+           round(num::DOUBLE / (nx::DOUBLE * ny::DOUBLE) / 100, 6)
+               AS w1_dollars_r
+    FROM s
+"""
+
+
+@register("wasserstein1_distance", oracle=_W1_SQL)
+def wasserstein1_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the fulfilled ('F')
+    and open ('O') order-value distributions: on the line,
+    W₁ = ∫|F_X − F_Y| dv = Σ_spine (v₊ − v)·|F_X(v) − F_Y(v)| — the
+    actual cost of morphing one distribution into the other, in dollars
+    (complements ``ks_two_sample``'s sup-norm and
+    ``energy_distance_two_sample``). The integrand is kept integer:
+    |cnt_le_x·n_y − cnt_le_y·n_x| avoids the CDF ratios entirely; ONE
+    double division at the end.
+
+    Scale shape: the spine prefix counts use the two-level equal-width
+    bucket decomposition; the next-value gap is a lead WITHIN each bucket
+    plus a 16-row broadcast of each bucket's first value to patch the
+    boundaries — the 16-row carry/boundary spines are the only
+    partitionless pieces."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = o.select(
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("x_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_x"),
+    )
+    cells = v.groupBy("x_c").agg(
+        F.sum("is_x").alias("cx"), F.sum(1 - F.col("is_x")).alias("cy")
+    )
+    d38 = "decimal(38,0)"
+    bounds = cells.agg(
+        F.min("x_c").alias("lo"),
+        F.max("x_c").alias("hi"),
+        F.sum("cx").cast(d38).alias("nx"),
+        F.sum("cy").cast(d38).alias("ny"),
+    )
+    bucketed = cells.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("(x_c - lo) DIV ((hi - lo) DIV 16 + 1)")
+    )
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("x_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("bucket").orderBy("x_c")
+    zero = F.lit(0).cast(d38)
+    local = bucketed.select(
+        "*",
+        F.sum(F.col("cx").cast(d38)).over(w_cum).alias("cxle_l"),
+        F.sum(F.col("cy").cast(d38)).over(w_cum).alias("cyle_l"),
+        F.lead("x_c").over(w_lead).alias("x_next_l"),
+    )
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # per-bucket totals for the carry + each bucket's FIRST value to patch
+    # the lead at bucket boundaries (the next value after a bucket's last
+    # row is the next non-empty bucket's minimum)
+    w_next = Window.orderBy("bucket").rowsBetween(1, Window.unboundedFollowing)
+    spine = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum(F.col("cx").cast(d38)).alias("bcx"),
+            F.sum(F.col("cy").cast(d38)).alias("bcy"),
+            F.min("x_c").alias("bmin"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bcx").over(w_spine), zero).alias("cxle_c"),
+            F.coalesce(F.sum("bcy").over(w_spine), zero).alias("cyle_c"),
+            F.min("bmin").over(w_next).alias("next_bucket_min"),
+        )
+    )
+    walk = local.join(F.broadcast(spine), "bucket").select(
+        "x_c",
+        "nx",
+        "ny",
+        (F.col("cxle_l") + F.col("cxle_c")).alias("cxle"),
+        (F.col("cyle_l") + F.col("cyle_c")).alias("cyle"),
+        F.coalesce(F.col("x_next_l"), F.col("next_bucket_min")).alias("x_next"),
+    )
+    s = walk.filter(F.col("x_next").isNotNull()).agg(
+        F.sum(
+            (F.col("x_next") - F.col("x_c")).cast(d38)
+            * F.abs(F.col("cxle") * F.col("ny") - F.col("cyle") * F.col("nx"))
+        ).alias("num"),
+        F.max("nx").alias("nx"),
+        F.max("ny").alias("ny"),
+    )
+    nxd, nyd = F.col("nx").cast("double"), F.col("ny").cast("double")
+    return s.select(
+        F.col("nx").cast("long").alias("nx"),
+        F.col("ny").cast("long").alias("ny"),
+        F.round(F.col("num").cast("double") / (nxd * nyd) / 100, 6).alias(
+            "w1_dollars_r"
+        ),
+    )

@@ -3902,3 +3902,407 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(inc).over(w_asc), 6).alias("na_cumhaz_r"),
         F.round(F.sum(inc * inc / F.col("d")).over(w_asc), 9).alias("na_var_r"),
     )
+
+
+# --------------------------------------------------- Mood's median test
+
+_MOOD_SQL = """
+    WITH v AS (
+        SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS x_c,
+               o_orderpriority AS grp
+        FROM orders
+    ),
+    spine AS (SELECT x_c, count(*) AS c FROM v GROUP BY 1),
+    cum AS (
+        SELECT x.x_c,
+               (SELECT sum(y.c) FROM spine y WHERE y.x_c <= x.x_c)::BIGINT
+                   AS cnt_le
+        FROM spine x
+    ),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM spine),
+    med AS (
+        SELECT min(cum.x_c) AS m FROM cum CROSS JOIN tot
+        WHERE cum.cnt_le * 2 >= tot.n
+    ),
+    cells AS (
+        SELECT v.grp,
+               sum(CASE WHEN v.x_c > med.m THEN 1 ELSE 0 END)::BIGINT AS n_above,
+               sum(CASE WHEN v.x_c <= med.m THEN 1 ELSE 0 END)::BIGINT AS n_below
+        FROM v CROSS JOIN med GROUP BY 1
+    ),
+    g AS (
+        SELECT sum(n_above)::BIGINT AS ta, sum(n_below)::BIGINT AS tb FROM cells
+    )
+    SELECT c.grp, c.n_above, c.n_below,
+           round(
+             (c.n_above - (c.n_above + c.n_below) * 1.0 * g.ta / (g.ta + g.tb))
+             * (c.n_above - (c.n_above + c.n_below) * 1.0 * g.ta / (g.ta + g.tb))
+             / ((c.n_above + c.n_below) * 1.0 * g.ta / (g.ta + g.tb))
+             +
+             (c.n_below - (c.n_above + c.n_below) * 1.0 * g.tb / (g.ta + g.tb))
+             * (c.n_below - (c.n_above + c.n_below) * 1.0 * g.tb / (g.ta + g.tb))
+             / ((c.n_above + c.n_below) * 1.0 * g.tb / (g.ta + g.tb)), 6)
+               AS chi2_term_r
+    FROM cells c CROSS JOIN g
+"""
+
+
+@register("mood_median_test", oracle=_MOOD_SQL)
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: each priority group's above/below split against
+    the GLOBAL median order value, with the per-group chi-square
+    contribution — the coarse-but-robust k-group location test (the
+    rank-free sibling of ``kruskal_wallis_test``; immune to outliers by
+    construction).
+
+    The global median is the exact order statistic (smallest value whose
+    cumulative count covers half of N) — integer arithmetic only; the
+    chi-square terms are doubles from exact longs on the 5-row panel.
+
+    Scale shape: one shuffle groups the fact to the distinct-cents spine;
+    the cumulative count uses the TWO-LEVEL equal-width-bucket
+    decomposition (the woe_iv_binning discipline — only the 16-row
+    bucket-carry spine is partitionless), and the above/below counts are
+    ONE conditional-sum pass with the 1-row median broadcast."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("x_c"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    spine = v.groupBy("x_c").agg(F.count("*").alias("c"))
+    bounds = spine.agg(
+        F.min("x_c").alias("lo"), F.max("x_c").alias("hi"), F.sum("c").alias("n")
+    )
+    bucketed = spine.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("(x_c - lo) DIV ((hi - lo) DIV 16 + 1)")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("x_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("cnt_le_local", F.sum("c").over(w_local))
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("c").alias("bucket_c"))
+        .withColumn("carry", F.coalesce(F.sum("bucket_c").over(w_spine), F.lit(0)))
+        .select("bucket", "carry")
+    )
+    cum = local.join(F.broadcast(carry), "bucket").select(
+        "x_c", "n", (F.col("cnt_le_local") + F.col("carry")).alias("cnt_le")
+    )
+    med = (
+        cum.filter(F.col("cnt_le") * 2 >= F.col("n"))
+        .agg(F.min("x_c").alias("m"))
+    )
+    cells = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("x_c") > F.col("m"), 1).otherwise(0)).alias("n_above"),
+            F.sum(F.when(F.col("x_c") <= F.col("m"), 1).otherwise(0)).alias("n_below"),
+        )
+    )
+    g = cells.agg(F.sum("n_above").alias("ta"), F.sum("n_below").alias("tb"))
+    bt = cells.crossJoin(F.broadcast(g))
+    n_g = F.col("n_above") + F.col("n_below")
+    ea = n_g * F.lit(1.0) * F.col("ta") / (F.col("ta") + F.col("tb"))
+    eb = n_g * F.lit(1.0) * F.col("tb") / (F.col("ta") + F.col("tb"))
+    return bt.select(
+        "grp",
+        "n_above",
+        "n_below",
+        F.round(
+            (F.col("n_above") - ea) * (F.col("n_above") - ea) / ea
+            + (F.col("n_below") - eb) * (F.col("n_below") - eb) / eb,
+            6,
+        ).alias("chi2_term_r"),
+    )
+
+
+# ------------------------------------------------------- Friedman test
+
+_FRIEDMAN_SQL = """
+    WITH cells0 AS (
+        SELECT date_trunc('month', o_orderdate) AS blk,
+               o_orderpriority AS trt,
+               count(*)::BIGINT AS val
+        FROM orders GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT * FROM cells0
+        WHERE blk IN (SELECT blk FROM cells0 GROUP BY 1 HAVING count(*) = 5)
+    ),
+    ranked AS (
+        SELECT a.blk, a.trt,
+               (2 * sum(CASE WHEN b.val < a.val THEN 1 ELSE 0 END)
+                + sum(CASE WHEN b.val = a.val THEN 1 ELSE 0 END)
+                + 1)::BIGINT AS r2
+        FROM cells a JOIN cells b ON a.blk = b.blk
+        GROUP BY 1, 2
+    ),
+    rsum AS (
+        SELECT trt, sum(r2)::HUGEINT AS r2s FROM ranked GROUP BY 1
+    ),
+    ties AS (
+        SELECT blk, val, count(*)::BIGINT AS t
+        FROM cells GROUP BY 1, 2
+    ),
+    dims AS (
+        SELECT (SELECT count(DISTINCT blk) FROM cells)::BIGINT AS b,
+               (SELECT count(DISTINCT trt) FROM cells)::BIGINT AS k,
+               (SELECT sum(t * t * t - t) FROM ties)::BIGINT AS tsum,
+               (SELECT sum((r2s::DOUBLE) * (r2s::DOUBLE)) FROM rsum) AS sr
+    )
+    SELECT b, k,
+           round(3.0 / (b::DOUBLE * k * (k + 1)) * sr - 3 * b * (k + 1), 6)
+               AS q_r,
+           round(1.0 - tsum::DOUBLE / (b::DOUBLE * k * (k * k - 1)), 9)
+               AS c_tie_r,
+           round((3.0 / (b::DOUBLE * k * (k + 1)) * sr - 3 * b * (k + 1))
+                 / (1.0 - tsum::DOUBLE / (b::DOUBLE * k * (k * k - 1))), 6)
+               AS q_adj_r
+    FROM dims
+"""
+
+
+@register("friedman_test", oracle=_FRIEDMAN_SQL)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (1937) on the month × priority panel of order counts:
+    within each month block the 5 priorities are mid-ranked (doubled
+    integer ranks — ties get the exact average), rank sums accumulate per
+    treatment, and Q = 3/(bk(k+1))·ΣR2ⱼ² − 3b(k+1) with Kendall's tie
+    correction C = 1 − Σ(t³−t)/(bk(k²−1)) — the repeated-measures
+    companion of ``kruskal_wallis_test`` (blocks absorb the monthly
+    level, so only the WITHIN-month ordering matters).
+
+    Exactness: ranks come from the block's 5×5 comparison join (exact
+    integers, no window); doubles appear only in the ≤5-row final
+    arithmetic over identical trees.
+
+    Only COMPLETE blocks enter (months observing all 5 priorities) — the
+    design Friedman assumes; with incomplete blocks the rank sums deflate
+    and the statistic loses meaning (observed at sf0.001).
+
+    Scale shape: one fact pass to the (months × 5)-cell panel, a
+    block-keyed bounded self-join (fan-out exactly k=5), two panel
+    aggregates — nothing partitionless, nothing row-scaled."""
+    o = table(spark, sf_dir, "orders")
+    cells0 = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(F.count("*").alias("val"))
+    complete = (
+        cells0.groupBy("blk").agg(F.count("*").alias("ntrt"))
+        .filter(F.col("ntrt") == 5)
+        .select("blk")
+    )
+    cells = cells0.join(F.broadcast(complete), "blk")
+    b_side = cells.select(
+        F.col("blk").alias("b_blk"), F.col("val").alias("b_val")
+    )
+    ranked = (
+        cells.join(b_side, F.col("b_blk") == F.col("blk"))
+        .groupBy("blk", "trt")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("b_val") < F.col("val"), 1).otherwise(0))
+                + F.sum(F.when(F.col("b_val") == F.col("val"), 1).otherwise(0))
+                + 1
+            ).alias("r2")
+        )
+    )
+    rsum = ranked.groupBy("trt").agg(F.sum(F.col("r2").cast("decimal(38,0)")).alias("r2s"))
+    ties = cells.groupBy("blk", "val").agg(F.count("*").alias("t"))
+    d12 = "decimal(12,0)"
+    dims = (
+        cells.agg(
+            F.countDistinct("blk").alias("b"), F.countDistinct("trt").alias("k")
+        )
+        .crossJoin(
+            F.broadcast(
+                ties.agg(
+                    F.sum(
+                        F.col("t").cast(d12) * F.col("t").cast(d12) * F.col("t").cast(d12)
+                        - F.col("t").cast(d12)
+                    ).alias("tsum")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                rsum.agg(
+                    F.sum(
+                        F.col("r2s").cast("double") * F.col("r2s").cast("double")
+                    ).alias("sr")
+                )
+            )
+        )
+    )
+    bd, kd = F.col("b").cast("double"), F.col("k")
+    q = F.lit(3.0) / (bd * kd * (kd + 1)) * F.col("sr") - 3 * F.col("b") * (kd + 1)
+    c_tie = F.lit(1.0) - F.col("tsum").cast("double") / (
+        bd * kd * (kd * kd - 1)
+    )
+    return dims.select(
+        "b",
+        "k",
+        F.round(q, 6).alias("q_r"),
+        F.round(c_tie, 9).alias("c_tie_r"),
+        F.round(q / c_tie, 6).alias("q_adj_r"),
+    )
+
+
+# ------------------------------------------- Jonckheere-Terpstra trend
+
+_JT_PAIRS = [(g, h) for g in range(5) for h in range(5) if g < h]
+_JT_UNION = "\nUNION ALL\n".join(
+    f"SELECT {g} AS g_idx, {h} AS h_idx, n{g} AS n_g, n{h} AS n_h, "
+    f"u2_{g}{h} AS u2 FROM sums"
+    for g, h in _JT_PAIRS
+)
+_JT_U2 = ",\n".join(
+    f"sum(c{h} * (2 * c{g}lt + c{g}))::HUGEINT AS u2_{g}{h}"
+    for g, h in _JT_PAIRS
+)
+
+_JT_SQL = f"""
+    WITH v AS (
+        SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS x_c,
+               CAST(substr(o_orderpriority, 1, 1) AS INT) - 1 AS gi
+        FROM orders
+    ),
+    cells AS (
+        SELECT x_c,
+               {", ".join(f"sum(CASE WHEN gi = {i} THEN 1 ELSE 0 END)::BIGINT AS c{i}" for i in range(5))}
+        FROM v GROUP BY 1
+    ),
+    walk AS (
+        SELECT x_c, {", ".join(f"c{i}" for i in range(5))},
+               {", ".join(f"coalesce(sum(c{i}) OVER w, 0)::BIGINT AS c{i}lt" for i in range(5))}
+        FROM cells
+        WINDOW w AS (ORDER BY x_c ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    sums AS (
+        SELECT {", ".join(f"sum(c{i})::BIGINT AS n{i}" for i in range(5))},
+               {_JT_U2}
+        FROM walk
+    )
+    SELECT g_idx, h_idx, n_g, n_h, u2::DOUBLE AS u2_d,
+           round(u2 * 1.0 / (2.0 * n_g * n_h), 6) AS p_gt_r
+    FROM ({_JT_UNION})
+"""
+
+
+@register("jonckheere_terpstra", oracle=_JT_SQL)
+def jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative panel: for every ordered
+    priority pair g<h the Mann-Whitney count U_gh = #{x∈g < y∈h} + ½·ties
+    (kept DOUBLED so it stays integer), plus the tie-adjusted exceedance
+    probability U/(n_g·n_h) — the trend test that, unlike Kruskal-Wallis,
+    has POWER against the monotone ordering urgency implies. The JT
+    statistic is the panel's u2 sum; the 10-row panel itself localizes
+    WHERE the ordering holds.
+
+    Exactness: every U is Σ_v c_h(v)·(2·cnt_lt_g(v) + c_g(v)) over the
+    shared value spine — integers end to end; the probability is one
+    terminal double division.
+
+    Scale shape: one fact pass to the pivoted 5-count value spine, the
+    two-level equal-width-bucket prefix of the five counts (16-row carry
+    spine only), one 10-expression aggregate, a 10-row explode."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("x_c"),
+        (F.substring("o_orderpriority", 1, 1).cast("int") - 1).alias("gi"),
+    )
+    cells = v.groupBy("x_c").agg(
+        *[
+            F.sum(F.when(F.col("gi") == i, 1).otherwise(0)).alias(f"c{i}")
+            for i in range(5)
+        ]
+    )
+    bounds = cells.agg(F.min("x_c").alias("lo"), F.max("x_c").alias("hi"))
+    bucketed = cells.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("(x_c - lo) DIV ((hi - lo) DIV 16 + 1)")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("x_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.select(
+        "*",
+        *[
+            F.coalesce(F.sum(f"c{i}").over(w_local), F.lit(0)).alias(f"c{i}lt_l")
+            for i in range(5)
+        ],
+    )
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bucketed.groupBy("bucket")
+        .agg(*[F.sum(f"c{i}").alias(f"b{i}") for i in range(5)])
+        .select(
+            "bucket",
+            *[
+                F.coalesce(F.sum(f"b{i}").over(w_spine), F.lit(0)).alias(
+                    f"c{i}lt_c"
+                )
+                for i in range(5)
+            ],
+        )
+    )
+    walk = local.join(F.broadcast(carry), "bucket").select(
+        *[F.col(f"c{i}") for i in range(5)],
+        *[
+            (F.col(f"c{i}lt_l") + F.col(f"c{i}lt_c")).alias(f"c{i}lt")
+            for i in range(5)
+        ],
+    )
+    d38 = "decimal(38,0)"
+    sums = walk.agg(
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(5)],
+        *[
+            F.sum(
+                F.col(f"c{h}").cast(d38)
+                * (2 * F.col(f"c{g}lt") + F.col(f"c{g}"))
+            ).alias(f"u2_{g}{h}")
+            for g, h in _JT_PAIRS
+        ],
+    )
+    panel = sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("g_idx"),
+                        F.lit(h).alias("h_idx"),
+                        F.col(f"n{g}").alias("n_g"),
+                        F.col(f"n{h}").alias("n_h"),
+                        F.col(f"u2_{g}{h}").alias("u2"),
+                    )
+                    for g, h in _JT_PAIRS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return panel.select(
+        "g_idx",
+        "h_idx",
+        "n_g",
+        "n_h",
+        F.col("u2").cast("double").alias("u2_d"),
+        F.round(
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("n_g") * F.col("n_h")),
+            6,
+        ).alias("p_gt_r"),
+    )

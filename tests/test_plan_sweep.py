@@ -55,6 +55,10 @@ PARTITIONLESS_ALLOWED = {
     "max_drawdown_daily": 6,        # day-spine running max, reused per branch
     "mom_revenue_growth": 3,        # monthly aggregate spine
     "nelson_aalen_hazard": 3,       # KM day spine: desc at-risk + 2 hazard cumsums
+    "mood_median_test": 2,          # 16-row bucket-carry spine (median branch)
+    "energy_distance_two_sample": 4,  # 16-row carry spine, 4 prefix quantities
+    "wasserstein1_distance": 3,     # 16-row carry (2 counts) + boundary-min spine
+    "jonckheere_terpstra": 4,       # 16-row carry spine, 5-group prefix counts
     "pacf_lags": 3,                 # daily spine lag triplet
     "qini_curve_deciles": 5,        # carry + decile cumsum spines (gains shape)
     "quantile_normalize_lengths": 1,  # bounded length-value spine cumsum

@@ -128,3 +128,51 @@ def test_nelson_aalen_monotone_and_bounds_km(spark, sf_dir):
     # exp(-H(t)) >= S_KM(t) pointwise (classic NA/KM inequality)
     for t, row in na.items():
         assert math.exp(-row["na_cumhaz_r"]) >= km[t] - 1e-9
+
+
+def test_mood_median_splits_balance(spark, sf_dir):
+    rows = QUERIES["mood_median_test"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    ta = sum(r["n_above"] for r in rows)
+    tb = sum(r["n_below"] for r in rows)
+    # the exact median definition puts at least half at-or-below
+    assert tb >= ta and all(r["chi2_term_r"] >= 0 for r in rows)
+
+
+def test_energy_distance_nonnegative_and_self_zero(spark, sf_dir):
+    r = QUERIES["energy_distance_two_sample"](spark, sf_dir).collect()[0]
+    assert r["nx"] > 0 and r["ny"] > 0
+    assert r["energy_d_r"] >= 0.0  # energy distance is a metric
+    assert r["mean_xy_r"] > 0.0
+
+
+def test_wasserstein_vs_mean_difference_bound(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.sources.readers import table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["wasserstein1_distance"](spark, sf_dir).collect()[0]
+    assert r["w1_dollars_r"] >= 0.0
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("F", "O"))
+    m = (
+        o.groupBy("o_orderstatus")
+        .agg(F.avg("o_totalprice").alias("mu"))
+        .collect()
+    )
+    gap = abs(m[0]["mu"] - m[1]["mu"])
+    # |E X - E Y| <= W1 (Kantorovich duality with 1-Lipschitz f(x)=x)
+    assert r["w1_dollars_r"] >= gap - 1e-3
+
+
+def test_friedman_statistic_sane(spark, sf_dir):
+    r = QUERIES["friedman_test"](spark, sf_dir).collect()[0]
+    assert r["k"] == 5 and r["b"] > 0
+    assert r["q_r"] >= 0.0 and 0.0 < r["c_tie_r"] <= 1.0
+
+
+def test_jonckheere_pair_panel_consistent(spark, sf_dir):
+    rows = QUERIES["jonckheere_terpstra"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # doubled U is bounded by 2 * n_g * n_h; probability in [0,1]
+        assert 0 <= r["u2_d"] <= 2.0 * r["n_g"] * r["n_h"]
+        assert 0.0 <= r["p_gt_r"] <= 1.0
