@@ -5600,3 +5600,97 @@ def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v", "cosine")
     )
+
+
+_KMV_K = 256
+_KMV_M = 1 << 60  # token_hash64 codomain
+
+_KMV_SQL = f"""
+    WITH h AS (
+        SELECT DISTINCT ('0x' || substr(sha256(o_custkey::VARCHAR), 1, 15))
+                            ::BIGINT AS h,
+               o_custkey
+        FROM orders
+    ),
+    direct AS (
+        SELECT max(h) AS kth FROM (SELECT h FROM h ORDER BY h LIMIT {_KMV_K})
+    ),
+    per_nation AS (
+        SELECT hh.h FROM (
+            SELECT h.h,
+                   row_number() OVER (PARTITION BY c.c_nationkey
+                                      ORDER BY h.h) AS rk
+            FROM h JOIN customer c ON c.c_custkey = h.o_custkey
+        ) hh WHERE hh.rk <= {_KMV_K}
+    ),
+    merged AS (
+        SELECT max(h) AS kth FROM
+            (SELECT h FROM per_nation ORDER BY h LIMIT {_KMV_K})
+    ),
+    ex AS (SELECT count(DISTINCT o_custkey)::BIGINT AS exact_d FROM orders)
+    SELECT {_KMV_K} AS k, d.kth AS kth_hash,
+           round(({_KMV_K - 1}.0 * {_KMV_M}) / d.kth, 4) AS est_r,
+           ex.exact_d,
+           CASE WHEN abs(({_KMV_K - 1}.0 * {_KMV_M}) / d.kth / ex.exact_d
+                         - 1.0) < 0.2 THEN 1 ELSE 0 END AS within_tol,
+           CASE WHEN d.kth = m.kth THEN 1 ELSE 0 END AS merge_consistent
+    FROM direct d CROSS JOIN merged m CROSS JOIN ex
+"""
+
+
+@register("kmv_distinct_estimate", oracle=_KMV_SQL)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch
+    (Bar-Yossef et al. 2002) over ordering customers: keep the k=256
+    smallest distinct 60-bit hashes; D̂ = (k−1)·M/h₍ₖ₎. The classic
+    mergeable alternative to HLL (``hll_distinct``) with a directly
+    interpretable state — bottom-k of a union is the bottom-k of the
+    merged bottom-k's, which the query PROVES on itself: the global
+    sketch and the merge of 25 per-nation sketches must agree on h₍ₖ₎
+    (the ``merge_consistent`` audit column; a broken merge flips it to 0
+    and hash-mismatches the oracle). The estimate's ±20% tolerance vs
+    the exact count rides the same value check (the approx_ops
+    discipline).
+
+    Scale shape: hashes are map-side; the global bottom-k is a
+    TakeOrderedAndProject (no full sort); the per-nation path is one
+    keyed window rank. All deterministic — the portable sha-derived
+    hash makes the sketch STATE itself oracle-checkable, not just the
+    estimate."""
+    from ab_inbev_big_data_case_spark.functions.text import token_hash64
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    h = o.select(
+        token_hash64(F.col("o_custkey").cast("string")).alias("h"), "o_custkey"
+    ).distinct()
+    direct = (
+        h.select("h").orderBy("h").limit(_KMV_K).agg(F.max("h").alias("kth"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("h")
+    merged = (
+        h.join(c, h["o_custkey"] == c["c_custkey"])
+        .select("h", "c_nationkey")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("h")
+        .orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth_m"))
+    )
+    ex = o.agg(F.countDistinct("o_custkey").alias("exact_d"))
+    est = F.lit(float(_KMV_K - 1) * _KMV_M) / F.col("kth")
+    return (
+        direct.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(_KMV_K).alias("k"),
+            F.col("kth").alias("kth_hash"),
+            F.round(est, 4).alias("est_r"),
+            "exact_d",
+            (F.abs(est / F.col("exact_d") - 1.0) < 0.2).cast("int").alias(
+                "within_tol"
+            ),
+            (F.col("kth") == F.col("kth_m")).cast("int").alias("merge_consistent"),
+        )
+    )

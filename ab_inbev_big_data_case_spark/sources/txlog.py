@@ -415,14 +415,95 @@ class DeltaLiteTable:
                 f"{expected.simpleString()}"
             )
 
+    def _evolve_schema(self, df: DataFrame, meta: dict) -> tuple[DataFrame, dict | None]:
+        """Schema evolution (Delta's ``mergeSchema``): NEW df columns are
+        appended to the table schema as nullable fields; table columns the
+        df lacks are filled with nulls; common columns must match types
+        exactly (widening is not implicit). Returns the aligned df and the
+        updated metaData action (None when the schema is unchanged —
+        old files simply read the missing new columns as null)."""
+        expected = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        exp_types = {f.name: f.dataType for f in expected.fields}
+        for f in df.schema.fields:
+            if f.name in exp_types and f.dataType != exp_types[f.name]:
+                raise SchemaMismatchError(
+                    f"column {f.name}: {f.dataType.simpleString()} != table "
+                    f"{exp_types[f.name].simpleString()} (no implicit widening)"
+                )
+        new_fields = [f for f in df.schema.fields if f.name not in exp_types]
+        merged = T.StructType(
+            list(expected.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+        )
+        aligned = df.select(
+            *[
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged.fields
+            ]
+        )
+        if not new_fields:
+            return aligned, None
+        new_meta = {**meta, "schemaString": merged.json()}
+        return aligned, new_meta
+
+    def _check_constraints(self, df: DataFrame, meta: dict) -> None:
+        """CHECK constraints (``deltalite.constraints.<name>`` in the table
+        configuration): every incoming row must satisfy every constraint
+        expression, or the whole transaction is rejected BEFORE any file is
+        staged — Delta's write-side invariant enforcement. One filtered
+        limit(1) probe per constraint (a map-only scan, no shuffle)."""
+        for k, expr in meta.get("configuration", {}).items():
+            if not k.startswith("deltalite.constraints."):
+                continue
+            bad = df.filter(f"NOT ({expr})").limit(1).take(1)
+            if bad:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {k.rsplit('.', 1)[1]!r} ({expr}) "
+                    f"violated, e.g. by row {bad[0].asDict()}"
+                )
+
+    def add_constraint(self, name: str, sql_expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
+        CURRENT snapshot against the expression, then commits a metaData
+        update. Future writes/merges enforce it."""
+        snap = self._replay()
+        current = self.snapshot()
+        if current.filter(f"NOT ({sql_expr})").limit(1).take(1):
+            raise ConstraintViolationError(
+                f"existing rows violate CHECK ({sql_expr}); constraint not added"
+            )
+        meta = {
+            **snap.metadata,
+            "configuration": {
+                **snap.metadata.get("configuration", {}),
+                f"deltalite.constraints.{name}": sql_expr,
+            },
+        }
+        return self._commit(
+            snap.version + 1,
+            [{"metaData": meta}],
+            {"operation": "ADD CONSTRAINT", "name": name, "expr": sql_expr},
+            retries=0,
+        )
+
     # ------------------------------------------------------------ write ops
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(self, df: DataFrame, mode: str = "append", merge_schema: bool = False) -> int:
         """APPEND (blind — commutes with concurrent appends, auto-retries
         the commit) or OVERWRITE (removes every live file, read-modify-write
-        → no blind retry). Returns the committed version."""
+        → no blind retry). ``merge_schema=True`` evolves the table schema
+        with the df's new columns in the same commit (a metaData action —
+        note an evolving append is no longer blind: retries=0). Returns the
+        committed version."""
         snap = self._replay()
-        self._check_schema(df, snap.metadata)
+        new_meta = None
+        if merge_schema:
+            df, new_meta = self._evolve_schema(df, snap.metadata)
+        else:
+            self._check_schema(df, snap.metadata)
+        self._check_constraints(df, snap.metadata)
         adds = self._write_data_files(df, snap.metadata["partitionColumns"])
         now = int(time.time() * 1000)
         if mode == "append":
@@ -436,6 +517,9 @@ class DeltaLiteTable:
             retries = 0
         else:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if new_meta is not None:
+            actions = [{"metaData": new_meta}] + actions
+            retries = 0  # schema change is read-modify-write, never blind
         return self._commit(
             snap.version + 1,
             actions,
@@ -465,6 +549,7 @@ class DeltaLiteTable:
         if not keys:
             raise ValueError("merge needs keys= (none stored at create time)")
         self._check_schema(updates, snap.metadata)
+        self._check_constraints(updates, snap.metadata)
 
         key_bounds = updates.agg(
             *[F.min(k).alias(f"lo_{k}") for k in keys],
@@ -826,3 +911,7 @@ class ConcurrentWriteError(RuntimeError):
 
 class SchemaMismatchError(ValueError):
     """Append/merge schema does not match the table schema."""
+
+
+class ConstraintViolationError(ValueError):
+    """A CHECK constraint rejected an incoming (or existing) row."""

@@ -355,3 +355,57 @@ def test_optimize_noop_when_already_compact(spark, base, tmp_path):
     v0 = t.version()
     assert t.optimize(target_file_bytes=10) == v0  # nothing qualifies
     assert t.version() == v0
+
+
+def test_schema_evolution_merge_schema_append(spark, base, tmp_path):
+    from ab_inbev_big_data_case_spark.sources.txlog import (
+        ConstraintViolationError,  # noqa: F401  (import sanity)
+    )
+
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"))
+    wide = spark.createDataFrame(
+        [(500, "n", 1.0, "extra")], "id INT, grp STRING, val DOUBLE, note STRING"
+    )
+    with pytest.raises(SchemaMismatchError):
+        t.write(wide, mode="append")  # without merge_schema: rejected
+    t.write(wide, mode="append", merge_schema=True)
+    got = t.snapshot()
+    assert got.columns == ["id", "grp", "val", "note"]
+    # old rows read the evolved column as null; the new row carries it
+    assert got.filter("note IS NULL").count() == 100
+    assert got.filter("note = 'extra'").count() == 1
+    # a later append MISSING the evolved column null-fills it
+    t.write(
+        spark.createDataFrame([(501, "n", 2.0)], "id INT, grp STRING, val DOUBLE"),
+        mode="append",
+        merge_schema=True,
+    )
+    assert t.snapshot().filter("id = 501 AND note IS NULL").count() == 1
+    # time travel to version 0 still shows the ORIGINAL schema
+    assert t.snapshot(version=0).columns == ["id", "grp", "val"]
+    # type conflicts on common columns are never widened implicitly
+    with pytest.raises(SchemaMismatchError):
+        t.write(
+            spark.createDataFrame([("x", "n", 1.0)], "id STRING, grp STRING, val DOUBLE"),
+            mode="append",
+            merge_schema=True,
+        )
+
+
+def test_check_constraints_enforced_on_write_and_merge(spark, base, tmp_path):
+    from ab_inbev_big_data_case_spark.sources.txlog import ConstraintViolationError
+
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"), keys=["id"])
+    t.add_constraint("val_nonneg", "val >= 0")
+    assert t.history()[-1]["operation"] == "ADD CONSTRAINT"
+    with pytest.raises(ConstraintViolationError):
+        t.write(_df(spark, [(600, "x", -5.0)]), mode="append")
+    with pytest.raises(ConstraintViolationError):
+        t.merge(_df(spark, [(5, "x", -1.0)]))
+    # nothing was committed by the rejected transactions
+    assert t.snapshot().filter("val < 0").count() == 0
+    t.write(_df(spark, [(600, "x", 5.0)]), mode="append")  # valid row passes
+    assert t.snapshot().count() == 101
+    # a constraint the EXISTING data violates is refused outright
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("impossible", "val > 1e9")
