@@ -159,6 +159,7 @@ class _Snapshot:
     metadata: dict
     adds: dict = field(default_factory=dict)  # path -> add action
     commit_ts: int = 0
+    txns: dict = field(default_factory=dict)  # appId -> last txn version
 
 
 class DeltaLiteTable:
@@ -286,6 +287,11 @@ class DeltaLiteTable:
                         snap.adds[action["add"]["path"]] = action["add"]
                     elif "remove" in action:
                         snap.adds.pop(action["remove"]["path"], None)
+                    elif "txn" in action:
+                        t = action["txn"]
+                        snap.txns[t["appId"]] = max(
+                            t["version"], snap.txns.get(t["appId"], -1)
+                        )
                     elif "commitInfo" in action:
                         snap.commit_ts = action["commitInfo"]["timestamp"]
         return snap
@@ -527,7 +533,13 @@ class DeltaLiteTable:
             retries=retries,
         )
 
-    def merge(self, updates: DataFrame, keys: list[str] | None = None) -> int:
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: list[str] | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
         """Copy-on-write MERGE (upsert) by key: update rows whose key
         matches, insert the rest — the Delta ``MERGE`` the reference's
         storage story implies (`glue/etl_api.py:25,38,49`).
@@ -539,8 +551,20 @@ class DeltaLiteTable:
         commit races as read-modify-write: a concurrent commit at our
         version aborts with ConcurrentWriteError; the caller re-runs
         against the fresh snapshot.
+
+        ``txn_app``/``txn_version`` implement the protocol's SetTransaction
+        (``txn``) action — the idempotent-writer contract a streaming
+        foreachBatch sink needs: if this (appId, version) is at or below the
+        log's recorded watermark the merge is a NO-OP (the batch already
+        committed; a replay after checkpoint recovery must not double-apply),
+        otherwise the commit carries the txn action that advances it.
         """
         snap = self._replay()
+        if txn_app is not None:
+            if txn_version is None:
+                raise ValueError("txn_app requires txn_version")
+            if txn_version <= snap.txns.get(txn_app, -1):
+                return snap.version  # already applied: idempotent replay
         keys = keys or [
             k
             for k in snap.metadata["configuration"].get("deltalite.keys", "").split(",")
@@ -616,6 +640,8 @@ class DeltaLiteTable:
             {"remove": {"path": a["path"], "deletionTimestamp": now, "dataChange": True}}
             for a in touched
         ] + [{"add": a} for a in adds]
+        if txn_app is not None:
+            actions = [{"txn": {"appId": txn_app, "version": txn_version}}] + actions
         return self._commit(
             snap.version + 1,
             actions,

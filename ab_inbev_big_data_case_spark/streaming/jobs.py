@@ -300,3 +300,63 @@ def stream_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_deltalite(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    order_col: str,
+    app_id: str = "stream-upsert",
+):
+    """Streaming keyed upsert into a delta-lite ACID table: foreachBatch →
+    ``DeltaLiteTable.merge`` carrying the protocol's SetTransaction
+    (``txn``) action with (app_id, batch_id).
+
+    Exactly-once-effective the way the real Delta streaming sink is: the
+    checkpoint tracks source progress, and on recovery the REPLAYED
+    micro-batch hits the log's recorded (appId, version) watermark and
+    merges as a no-op — idempotency lives in the transaction log, not in
+    fragile sink-side ordering rules (contrast :func:`stream_upsert_sink`,
+    the plain-parquet variant that relies on order_col monotonicity).
+
+    A micro-batch can carry SEVERAL updates for one key (source files
+    coalesce into one batch under availableNow): the batch is first
+    reduced to its latest row per key (max ``order_col``, the table's
+    merge keys from its own configuration) — MERGE semantics need
+    distinct update keys.
+
+    Scale shape: each micro-batch is one keyed window + one stats-pruned
+    MERGE (only files whose footer key envelope overlaps the batch's keys
+    rewrite)."""
+    from pyspark.sql import Window
+
+    from ab_inbev_big_data_case_spark.sources.txlog import DeltaLiteTable
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = DeltaLiteTable(batch_df.sparkSession, table_path)
+        keys = [
+            k
+            for k in t._replay()
+            .metadata["configuration"]
+            .get("deltalite.keys", "")
+            .split(",")
+            if k
+        ]
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        t.merge(latest, txn_app=app_id, txn_version=batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -338,3 +338,59 @@ def test_stream_static_join_equals_batch(spark, events_batch, events_stream_path
     )
     cols = ["segment", "n", "total"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_upsert_deltalite_txn_idempotent(spark, tmp_path):
+    """foreachBatch -> delta-lite MERGE with the protocol's txn action:
+    micro-batches upsert into an ACID table; re-running the stream with a
+    FRESH checkpoint (full source replay) leaves the table version and
+    contents unchanged because the log's (appId, batch) watermark turns
+    every replayed merge into a committed no-op."""
+    import pyspark.sql.types as T
+
+    from ab_inbev_big_data_case_spark.sources.txlog import DeltaLiteTable
+    from ab_inbev_big_data_case_spark.streaming.jobs import (
+        stream_from_parquet,
+        stream_upsert_deltalite,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    spark.createDataFrame([(2, "b2", 2), (3, "c", 2)], schema).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    table = str(tmp_path / "table")
+    DeltaLiteTable.create(
+        spark, spark.createDataFrame([], schema), table, keys=["id"]
+    )
+    q = stream_upsert_deltalite(
+        stream_from_parquet(spark, src + "/*", schema),
+        table,
+        str(tmp_path / "ckpt"),
+        order_col="ver",
+    )
+    q.awaitTermination(120)
+    t = DeltaLiteTable(spark, table)
+    want = {1: "a", 2: "b2", 3: "c"}
+    # NOTE: both files may land in ONE micro-batch (keep-latest by ver)
+    assert {r["id"]: r["v"] for r in t.snapshot().collect()} == want
+    v_after = t.version()
+
+    q2 = stream_upsert_deltalite(
+        stream_from_parquet(spark, src + "/*", schema),
+        table,
+        str(tmp_path / "ckpt2"),  # fresh checkpoint = full replay
+        order_col="ver",
+    )
+    q2.awaitTermination(120)
+    assert t.version() == v_after  # replayed batches were no-ops
+    assert {r["id"]: r["v"] for r in t.snapshot().collect()} == want

@@ -409,3 +409,22 @@ def test_check_constraints_enforced_on_write_and_merge(spark, base, tmp_path):
     # a constraint the EXISTING data violates is refused outright
     with pytest.raises(ConstraintViolationError):
         t.add_constraint("impossible", "val > 1e9")
+
+
+def test_txn_action_makes_merge_idempotent(spark, base, tmp_path):
+    t = DeltaLiteTable.create(spark, base, str(tmp_path / "t"), keys=["id"])
+    upd = _df(spark, [(5, "u", 500.0)])
+    v1 = t.merge(upd, txn_app="job-a", txn_version=0)
+    # replaying the same (appId, version) is a committed no-op
+    assert t.merge(upd, txn_app="job-a", txn_version=0) == v1
+    assert t.version() == v1
+    # a later txn version applies; an unrelated app is independent
+    v2 = t.merge(_df(spark, [(6, "u", 600.0)]), txn_app="job-a", txn_version=1)
+    assert v2 == v1 + 1
+    v3 = t.merge(_df(spark, [(7, "u", 700.0)]), txn_app="job-b", txn_version=0)
+    assert v3 == v2 + 1
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got[5] == 500.0 and got[6] == 600.0 and got[7] == 700.0
+    # the txn action is in the log (protocol parity)
+    log = (tmp_path / "t" / "_delta_log" / f"{v1:020d}.json").read_text()
+    assert '"txn"' in log and '"appId": "job-a"' in log.replace('","', '", "') or '"appId":"job-a"' in log
