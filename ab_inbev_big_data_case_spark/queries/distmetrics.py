@@ -1987,3 +1987,123 @@ def wasserstein1_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1_dollars_r"
         ),
     )
+
+
+# ----------------------------------------------- QQ plot decile points
+
+_QQ_SQL = """
+    WITH v AS (
+        SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS x_c,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_x
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    cells AS (
+        SELECT x_c, sum(is_x)::BIGINT AS cx, sum(1 - is_x)::BIGINT AS cy
+        FROM v GROUP BY 1
+    ),
+    walk AS (
+        SELECT x_c,
+               sum(cx) OVER w AS cxle, sum(cy) OVER w AS cyle
+        FROM cells
+        WINDOW w AS (ORDER BY x_c ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT sum(cx)::BIGINT AS nx, sum(cy)::BIGINT AS ny FROM cells),
+    qs AS (SELECT unnest(range(1, 10)) AS q),
+    pts AS (
+        SELECT qs.q,
+               min(CASE WHEN w.cxle * 10 >= qs.q * t.nx THEN w.x_c END)
+                   AS x_decile_c,
+               min(CASE WHEN w.cyle * 10 >= qs.q * t.ny THEN w.x_c END)
+                   AS y_decile_c
+        FROM walk w CROSS JOIN tot t CROSS JOIN qs
+        GROUP BY 1
+    )
+    SELECT q, x_decile_c, y_decile_c,
+           (x_decile_c - y_decile_c)::BIGINT AS gap_c
+    FROM pts
+"""
+
+
+@register("qq_plot_deciles", oracle=_QQ_SQL)
+def qq_plot_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile decile points between the fulfilled ('F') and
+    open ('O') order-value distributions: for q ∈ 1..9 the EXACT q-th
+    decile of each sample (smallest value whose cumulative count covers
+    q/10 of the sample) and their gap — the per-quantile localization
+    the scalar distances (KS, W1, energy) can't give: WHERE in the
+    distribution the two samples diverge.
+
+    Exactness: pure integer order statistics (cnt_le·10 ≥ q·n — no
+    float percentile anywhere, the split-conformal discipline).
+
+    Scale shape: one fact pass to the pivoted two-count value spine, the
+    two-level equal-width-bucket prefix, a 9-row broadcast quantile grid
+    joined against the spine with a min-aggregate — nothing per-row."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = o.select(
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("x_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_x"),
+    )
+    cells = v.groupBy("x_c").agg(
+        F.sum("is_x").alias("cx"), F.sum(1 - F.col("is_x")).alias("cy")
+    )
+    bounds = cells.agg(
+        F.min("x_c").alias("lo"),
+        F.max("x_c").alias("hi"),
+        F.sum("cx").alias("nx"),
+        F.sum("cy").alias("ny"),
+    )
+    bucketed = cells.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("(x_c - lo) DIV ((hi - lo) DIV 16 + 1)")
+    )
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("x_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "*",
+        F.sum("cx").over(w_cum).alias("cxle_l"),
+        F.sum("cy").over(w_cum).alias("cyle_l"),
+    )
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("cx").alias("bcx"), F.sum("cy").alias("bcy"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bcx").over(w_spine), F.lit(0)).alias("cxle_c"),
+            F.coalesce(F.sum("bcy").over(w_spine), F.lit(0)).alias("cyle_c"),
+        )
+    )
+    walk = local.join(F.broadcast(carry), "bucket").select(
+        "x_c",
+        "nx",
+        "ny",
+        (F.col("cxle_l") + F.col("cxle_c")).alias("cxle"),
+        (F.col("cyle_l") + F.col("cyle_c")).alias("cyle"),
+    )
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    return (
+        walk.crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(F.col("cxle") * 10 >= F.col("q") * F.col("nx"), F.col("x_c"))
+            ).alias("x_decile_c"),
+            F.min(
+                F.when(F.col("cyle") * 10 >= F.col("q") * F.col("ny"), F.col("x_c"))
+            ).alias("y_decile_c"),
+        )
+        .select(
+            "q",
+            "x_decile_c",
+            "y_decile_c",
+            (F.col("x_decile_c") - F.col("y_decile_c")).alias("gap_c"),
+        )
+    )

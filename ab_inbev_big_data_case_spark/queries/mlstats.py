@@ -4306,3 +4306,153 @@ def jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_gt_r"),
     )
+
+
+# --------------------------------- direct standardization + MH odds ratio
+
+_DSTD_SQL = """
+    WITH cells AS (
+        SELECT o.o_orderpriority AS grp, c.c_nationkey AS stratum,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   ::BIGINT AS ev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    std AS (SELECT stratum, sum(n)::BIGINT AS w FROM cells GROUP BY 1),
+    wtot AS (SELECT sum(w)::BIGINT AS wt FROM std),
+    g AS (
+        SELECT cells.grp,
+               sum(cells.n)::BIGINT AS n,
+               sum(cells.ev)::BIGINT AS ev,
+               sum(std.w * (cells.ev * 1.0 / cells.n)) AS wsum
+        FROM cells JOIN std USING (stratum)
+        GROUP BY 1
+    )
+    SELECT g.grp, g.n, g.ev,
+           round(g.ev * 1.0 / g.n, 6) AS rate_raw_r,
+           round(g.wsum / wt.wt, 6) AS rate_std_r
+    FROM g CROSS JOIN wtot wt
+"""
+
+
+@register("direct_standardization", oracle=_DSTD_SQL)
+def direct_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directly standardized fulfillment rates: each priority's 'F'-rate
+    re-weighted to the POOLED nation mix (the epidemiologist's
+    confounding adjustment — raw rates are incomparable when groups draw
+    from different nation mixes; the standardized rate answers "what
+    would this group's rate be on the common population"). rate_std =
+    Σ_s w_s·r_gs / Σ_s w_s with w_s = the stratum's pooled size.
+
+    Exactness: per-cell rates are single double divisions of exact longs;
+    the weighted sum runs over the ≤(25·5)-row panel with identical
+    expression trees (the anova discipline).
+
+    Scale shape: one fact join + ONE grouped pass to the (nation ×
+    priority) cell panel; standard weights are a 25-row rollup of the
+    same panel, totals a 1-row broadcast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("c_nationkey").alias("stratum"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("ev"),
+        )
+    )
+    std = cells.groupBy("stratum").agg(F.sum("n").alias("w"))
+    wtot = std.agg(F.sum("w").alias("wt"))
+    g = (
+        cells.join(F.broadcast(std), "stratum")
+        .groupBy("grp")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("ev").alias("ev"),
+            F.sum(F.col("w") * (F.col("ev") * F.lit(1.0) / F.col("n"))).alias("wsum"),
+        )
+    )
+    return g.crossJoin(F.broadcast(wtot)).select(
+        "grp",
+        "n",
+        "ev",
+        F.round(F.col("ev") * F.lit(1.0) / F.col("n"), 6).alias("rate_raw_r"),
+        F.round(F.col("wsum") / F.col("wt"), 6).alias("rate_std_r"),
+    )
+
+
+_MHOR_SQL = """
+    WITH s AS (
+        SELECT c.c_nationkey AS stratum,
+               sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                         AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   ::BIGINT AS a,
+               sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                         AND o.o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                   ::BIGINT AS b,
+               sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                         AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   ::BIGINT AS c,
+               sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                         AND o.o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                   ::BIGINT AS d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT count(*) AS n_strata,
+               sum((a * d) * 1.0 / (a + b + c + d)) AS num,
+               sum((b * c) * 1.0 / (a + b + c + d)) AS den
+        FROM s
+    )
+    SELECT n_strata::INT AS n_strata,
+           round(num, 6) AS num_r, round(den, 6) AS den_r,
+           round(num / den, 6) AS or_mh_r,
+           round(ln(num / den), 6) AS ln_or_mh_r
+    FROM agg
+"""
+
+
+@register("mh_pooled_odds_ratio", oracle=_MHOR_SQL)
+def mh_pooled_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio (1959) for urgency → fulfillment
+    across nation strata: OR_MH = Σ(aₖdₖ/nₖ) / Σ(bₖcₖ/nₖ) — the
+    ESTIMATE that goes with ``cmh_test``'s significance (the test says
+    WHETHER, this says HOW MUCH, both Simpson-proof by stratification).
+
+    Exactness: per-stratum a·d and b·c are exact long products; each
+    term is one double division, summed only over the 25-row panel.
+
+    Scale shape: identical to cmh_test — one fact join, ONE grouped pass
+    to the stratum panel, panel arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    filled = F.col("o_orderstatus") == "F"
+    s = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("stratum"))
+        .agg(
+            F.sum(F.when(urgent & filled, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(urgent & ~filled, 1).otherwise(0)).alias("b"),
+            F.sum(F.when(~urgent & filled, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(~urgent & ~filled, 1).otherwise(0)).alias("d"),
+        )
+    )
+    nk = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    agg = s.agg(
+        F.count("*").cast("int").alias("n_strata"),
+        F.sum((F.col("a") * F.col("d")) * F.lit(1.0) / nk).alias("num"),
+        F.sum((F.col("b") * F.col("c")) * F.lit(1.0) / nk).alias("den"),
+    )
+    return agg.select(
+        "n_strata",
+        F.round("num", 6).alias("num_r"),
+        F.round("den", 6).alias("den_r"),
+        F.round(F.col("num") / F.col("den"), 6).alias("or_mh_r"),
+        F.round(F.log(F.col("num") / F.col("den")), 6).alias("ln_or_mh_r"),
+    )

@@ -61,6 +61,7 @@ PARTITIONLESS_ALLOWED = {
     "jonckheere_terpstra": 4,       # 16-row carry spine, 5-group prefix counts
     "pacf_lags": 3,                 # daily spine lag triplet
     "qini_curve_deciles": 5,        # carry + decile cumsum spines (gains shape)
+    "qq_plot_deciles": 2,           # 16-row bucket-carry spine (2 counts)
     "quantile_normalize_lengths": 1,  # bounded length-value spine cumsum
     "rbo_rank_agreement": 4,        # top-k ranking spine
     "runs_test_randomness": 3,      # value-spine walk + day-spine lag

@@ -176,3 +176,34 @@ def test_jonckheere_pair_panel_consistent(spark, sf_dir):
         # doubled U is bounded by 2 * n_g * n_h; probability in [0,1]
         assert 0 <= r["u2_d"] <= 2.0 * r["n_g"] * r["n_h"]
         assert 0.0 <= r["p_gt_r"] <= 1.0
+
+
+def test_qq_deciles_monotone_and_w1_consistent(spark, sf_dir):
+    rows = sorted(
+        QUERIES["qq_plot_deciles"](spark, sf_dir).collect(), key=lambda r: r["q"]
+    )
+    assert [r["q"] for r in rows] == list(range(1, 10))
+    xs = [r["x_decile_c"] for r in rows]
+    ys = [r["y_decile_c"] for r in rows]
+    assert xs == sorted(xs) and ys == sorted(ys)  # quantiles nondecreasing
+    for r in rows:
+        assert r["gap_c"] == r["x_decile_c"] - r["y_decile_c"]
+
+
+def test_direct_standardization_weights_average_out(spark, sf_dir):
+    rows = QUERIES["direct_standardization"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["rate_std_r"] <= 1.0
+        # standardization reweights WITHIN the observed rate range wiggle
+        assert abs(r["rate_std_r"] - r["rate_raw_r"]) < 0.5
+
+
+def test_mh_or_components(spark, sf_dir):
+    import math
+
+    r = QUERIES["mh_pooled_odds_ratio"](spark, sf_dir).collect()[0]
+    assert r["n_strata"] == 25
+    assert r["num_r"] > 0 and r["den_r"] > 0
+    assert abs(r["or_mh_r"] - r["num_r"] / r["den_r"]) < 1e-4
+    assert abs(r["ln_or_mh_r"] - math.log(r["or_mh_r"])) < 1e-4
