@@ -168,3 +168,43 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+_XML_SCAN_SQL = """
+    SELECT n_nationkey, n_name, n_regionkey,
+           count(*) AS n_suppliers,
+           round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2)::DOUBLE
+               AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("xml_scan", oracle=_XML_SCAN_SQL)
+def xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (Spark 4's built-in spark-xml): supplier → XML → read
+    back schema-PINNED → join nation → aggregate. Inference on XML is a
+    full extra pass AND widens int to bigint, so the read pins the
+    original schema (the read_json discipline). DuckDB can't read XML;
+    the oracle computes the identical aggregate from the parquet truth —
+    a value match proves the XML round-trip lossless, types included."""
+    from ab_inbev_big_data_case_spark.sources.readers import read_xml, write_xml
+
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = os.path.join(_IO_ROOT, f"supplier_{os.path.basename(sf_dir)}_xml")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_xml(sup, path)
+    x = read_xml(spark, path, schema=sup.schema)
+    n = table(spark, sf_dir, "nation")
+    return (
+        x.join(F.broadcast(n), x["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

@@ -77,6 +77,32 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4's built-in spark-xml). Pin ``schema`` wherever
+    possible: inference is a full extra pass AND widens integers to
+    bigint / drops type fidelity — the same discipline as read_json."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, root_tag: str = "rows", row_tag: str = "row") -> None:
+    """XML sink (one element per row under ``root_tag``)."""
+    (
+        df.write.format("xml")
+        .option("rootTag", root_tag)
+        .option("rowTag", row_tag)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from a scale-factor directory.
 

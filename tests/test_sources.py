@@ -349,3 +349,24 @@ def test_python_streaming_datasource_reads_deterministic_batches(spark):
     ).first()
     assert s["sid"] == sum(range(300))
     assert s["sraw"] == sum((rid * 2654435761) % 1000 for rid in range(300))
+
+
+def test_xml_roundtrip_schema_pinned(spark, tmp_path, sf_dir):
+    """XML (Spark 4 built-in spark-xml): write/read round-trips rows, and a
+    schema-PINNED read preserves the original types where inference would
+    widen int -> bigint."""
+    from ab_inbev_big_data_case_spark.sources.readers import read_xml, write_xml
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    out = str(tmp_path / "nation_xml")
+    write_xml(src, out)
+    back = read_xml(spark, out, schema=src.schema)
+    assert back.schema == src.schema  # pinned read keeps exact types
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
+    inferred = read_xml(spark, out)  # inference widens integers
+    assert dict(inferred.dtypes)["n_nationkey"] == "bigint"
