@@ -5694,3 +5694,105 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kth") == F.col("kth_m")).cast("int").alias("merge_consistent"),
         )
     )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id, t.k,
+               (d.doc_id * 13 + t.k * 5) % 4096 - 2048 AS v
+        FROM documents d, generate_series(0, 63) AS t(k)
+        WHERE d.doc_id % 7 <> 0
+    ),
+    feats AS (
+        SELECT a.doc_id,
+               64::BIGINT AS n_samples,
+               sum(CASE WHEN (a.v >= 0) <> (b.v >= 0) THEN 1 ELSE 0 END)
+                   ::BIGINT AS zc_count
+        FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        GROUP BY 1
+    ),
+    pw AS (
+        SELECT doc_id,
+               sum(v::BIGINT * v)::BIGINT AS energy_sum,
+               max(abs(v))::BIGINT AS peak
+        FROM s GROUP BY 1
+    ),
+    bad AS (
+        SELECT doc_id, 0::BIGINT AS n_samples, -1::BIGINT AS zc_count,
+               -1::BIGINT AS energy_sum, -1::BIGINT AS peak
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT f.doc_id, f.n_samples, f.zc_count, p.energy_sum, p.peak
+    FROM feats f JOIN pw p USING (doc_id)
+    UNION ALL SELECT * FROM bad
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-accurate audio feature extraction, no codec library: per
+    document a valid 16-bit PCM WAV is synthesized (sample values from
+    doc_id arithmetic; every 7th payload truncated), then FULLY decoded
+    by the pure-numpy RIFF walker (``llm.multimodal.decode_wav_samples``)
+    and reduced to the classic signal features — zero-crossing count
+    (sign-change convention s≥0 vs s<0), total energy Σs², and peak |s| —
+    all EXACT integers, recomputed analytically by the oracle from the
+    same doc_id arithmetic, so the value hash crosses encoder, RIFF
+    chunk-walk, int16 endianness, AND the feature math. Truncated
+    payloads land in the (-1,-1,-1) quarantine row.
+
+    Scale shape: map-only Arrow-batched mapInPandas over the scan
+    partitioning (zero shuffles); numpy vectorizes the sign-change and
+    energy kernels per batch — the audio twin of
+    ``multimodal_pixel_decode`` in a multimodal curation pipeline."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ab_inbev_big_data_case_spark.llm.multimodal import (
+        decode_wav_samples,
+        make_wav,
+    )
+
+    def synth_and_extract(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sm = np.array(
+                    [(did * 13 + k * 5) % 4096 - 2048 for k in range(64)],
+                    dtype="<i2",
+                ).tobytes()
+                wav = make_wav(8000, 1, 64, sm)
+                if did % 7 == 0:
+                    wav = wav[:30]  # truncated mid-chunk
+                try:
+                    _, frames = decode_wav_samples(wav)
+                    v = frames[:, 0].astype(np.int64)
+                    sign = v >= 0
+                    out.append(
+                        (
+                            did,
+                            int(v.size),
+                            int(np.count_nonzero(sign[1:] != sign[:-1])),
+                            int(np.sum(v * v)),
+                            int(np.max(np.abs(v))),
+                        )
+                    )
+                except (ValueError, struct.error):
+                    out.append((did, 0, -1, -1, -1))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "zc_count", "energy_sum", "peak"],
+            )
+
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            synth_and_extract,
+            schema="doc_id long, n_samples long, zc_count long, "
+            "energy_sum long, peak long",
+        )
+    )
