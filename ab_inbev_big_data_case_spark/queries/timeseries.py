@@ -1669,20 +1669,28 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: windows are exact integer cent 7-vectors, distances are
     exact integer sums of squares, argmins tie-break on (distance, j) —
-    nothing floats until never.
+    nothing floats until never. The sum-of-squares runs in LONG (fully
+    codegen'd) when the series' runtime range bound proves it cannot
+    overflow (7·(max−min)² < 2⁶³ — one 1-row aggregate probe), else in
+    DECIMAL(38,0); both paths are the identical exact integer.
 
     Scale shape: the all-pairs comparison is over the CALENDAR-DOMAIN-
     bounded window spine (~2,400 windows at every SF — the spine does
     not grow with fact rows), broadcast on one side so the product plans
-    as BroadcastNestedLoopJoin; per-window argmin is a grouped
-    min(struct), and the top-5 cuts are 2 spine-sized rank windows. The
-    fact scan contributes only the one daily aggregation."""
+    as BroadcastNestedLoopJoin — and only the j ≥ i+7 HALF is computed
+    (d(i,j)=d(j,i)); each half-pair mirrors into both directions with a
+    2-struct explode before the grouped min(struct) argmin. The top-5
+    cuts are 2 spine-sized rank windows; the fact scan contributes only
+    the one daily aggregation."""
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
         .cast("long")
         .alias("x")
     )
+    daily = daily.localCheckpoint(eager=False)  # probe + spine share one scan
+    rng = daily.agg((F.max("x") - F.min("x")).alias("m")).first()["m"] or 0
+    long_safe = 7 * rng * rng < (1 << 63)  # Python ints: no overflow here
     w = Window.orderBy("d")
     idx = daily.select("d", "x", F.row_number().over(w).alias("i"))
     wl = Window.orderBy("i")
@@ -1695,20 +1703,52 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     ).filter(F.element_at("v", 7).isNotNull())
     a = win.select(F.col("i"), F.col("d"), F.col("v").alias("va"))
-    b = win.select(F.col("i").alias("j"), F.col("v").alias("vb"))
-    dist2 = F.aggregate(
-        F.zip_with("va", "vb", lambda p, q: (p - q).cast("decimal(38,0)") * (p - q)),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, t: acc + t,
+    b = win.select(
+        F.col("i").alias("j"), F.col("d").alias("dj"), F.col("v").alias("vb")
     )
-    pairs = (
-        a.join(F.broadcast(b), F.abs(F.col("i") - F.col("j")) >= 7)
-        .select("i", "d", "j", dist2.alias("dist2"))
+    # unrolled scalar terms (no per-pair array allocation, whole-stage
+    # codegen end to end) — element_at is 1-based
+    def _term(k):
+        p, q = F.element_at("va", k), F.element_at("vb", k)
+        if long_safe:
+            return (p - q) * (p - q)
+        return (p - q).cast("decimal(38,0)") * (p - q)
+
+    terms = [_term(k) for k in range(1, 8)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    dist2 = acc.cast("decimal(38,0)")
+    half = (
+        a.join(F.broadcast(b), F.col("j") >= F.col("i") + 7)
+        .select("i", "d", "j", "dj", dist2.alias("dist2"))
     )
-    prof = pairs.groupBy("i", "d").agg(
-        F.min(F.struct("dist2", "j")).alias("m")
-    ).select(
-        "i", "d", F.col("m.j").alias("nn_j"), F.col("m.dist2").alias("nn_dist2")
+    # each computed half-pair serves BOTH directions (d(i,j)=d(j,i)): the
+    # date rides each struct so no third pass over the window spine is
+    # ever planned
+    sym = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("ii"), F.col("d").alias("dd"),
+                    F.col("j").alias("jj"), "dist2",
+                ),
+                F.struct(
+                    F.col("j").alias("ii"), F.col("dj").alias("dd"),
+                    F.col("i").alias("jj"), "dist2",
+                ),
+            )
+        ).alias("t")
+    ).select("t.*")
+    prof = (
+        sym.groupBy("ii", "dd")
+        .agg(F.min(F.struct("dist2", F.col("jj"))).alias("m"))
+        .select(
+            F.col("ii").alias("i"),
+            F.col("dd").alias("d"),
+            F.col("m.jj").alias("nn_j"),
+            F.col("m.dist2").alias("nn_dist2"),
+        )
     )
     # Both top-5 cuts come off ONE profile subtree: a union of two ranked
     # branches would recompute the all-pairs join twice, so instead rank
