@@ -4456,3 +4456,178 @@ def mh_pooled_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("num") / F.col("den"), 6).alias("or_mh_r"),
         F.round(F.log(F.col("num") / F.col("den")), 6).alias("ln_or_mh_r"),
     )
+
+
+# ------------------------------------------- survey raking (IPF) + SRM
+
+def _ipf_sql() -> str:
+    # 3 unrolled IPF iterations = 6 alternating margin scalings, identical
+    # expression trees to the Spark side
+    steps = []
+    prev = "w0"
+    for it in range(3):
+        rname, cname = f"r{it}", f"c{it}"
+        steps.append(
+            f"""{rname} AS (
+        SELECT t.grp, t.st,
+               t.w * rt.tg / rs.sg AS w
+        FROM {prev} t
+        JOIN (SELECT grp, sum(w) AS sg FROM {prev} GROUP BY 1) rs
+          ON rs.grp = t.grp
+        JOIN tgt_g rt ON rt.grp = t.grp
+    )"""
+        )
+        steps.append(
+            f"""{cname} AS (
+        SELECT t.grp, t.st,
+               t.w * ct.ts / cs.ss AS w
+        FROM {rname} t
+        JOIN (SELECT st, sum(w) AS ss FROM {rname} GROUP BY 1) cs
+          ON cs.st = t.st
+        JOIN tgt_s ct ON ct.st = t.st
+    )"""
+        )
+        prev = cname
+    return f"""
+    WITH pop AS (
+        SELECT o_orderpriority AS grp, o_orderstatus AS st FROM orders
+    ),
+    samp AS (
+        SELECT o_orderpriority AS grp, o_orderstatus AS st
+        FROM orders WHERE o_orderkey % 7 < 2
+    ),
+    cells AS (
+        SELECT grp, st, count(*)::BIGINT AS n FROM samp GROUP BY 1, 2
+    ),
+    tgt_g AS (SELECT grp, count(*)::BIGINT AS tg FROM pop GROUP BY 1),
+    tgt_s AS (SELECT st, count(*)::BIGINT AS ts FROM pop GROUP BY 1),
+    scale AS (
+        SELECT (SELECT count(*) FROM samp) * 1.0
+               / (SELECT count(*) FROM pop) AS f
+    ),
+    w0 AS (
+        SELECT c.grp, c.st, c.n * 1.0 AS w FROM cells c
+    ),
+    {", ".join(steps)}
+    SELECT t.grp, t.st, c.n AS n_sample,
+           round(t.w * s.f, 4) AS w_scaled_r
+    FROM {prev} t
+    JOIN cells c ON c.grp = t.grp AND c.st = t.st
+    CROSS JOIN scale s
+"""
+
+
+_IPF_SQL = _ipf_sql()
+
+
+@register("survey_raking_ipf", oracle=_IPF_SQL)
+def survey_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting (Deming-Stephan
+    1940): a deterministic biased subsample (o_orderkey % 7 < 2) is
+    reweighted so its (priority × status) cell weights match BOTH
+    full-population margins — 3 unrolled IPF iterations (row-scale then
+    column-scale), the standard bias correction when a sample's mix
+    drifts from the population's. Output weights are rescaled by the
+    sampling fraction so they read as per-cell inflation factors.
+
+    Determinism: every scaling is a ratio of exact counts or of sums of
+    previously-computed weights over the 15-cell panel; both engines run
+    the identical 6-step expression tree (small-panel double sums, the
+    anova discipline).
+
+    Scale shape: two grouped fact passes (sample cells + population
+    margins); everything else is panel arithmetic — the 6 scalings are
+    15-row joins against 5-row margin rollups."""
+    o = table(spark, sf_dir, "orders")
+    pop = o.select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_orderstatus").alias("st")
+    )
+    samp = o.filter(F.col("o_orderkey") % 7 < 2).select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_orderstatus").alias("st")
+    )
+    cells = samp.groupBy("grp", "st").agg(F.count("*").alias("n"))
+    tgt_g = pop.groupBy("grp").agg(F.count("*").alias("tg"))
+    tgt_s = pop.groupBy("st").agg(F.count("*").alias("ts"))
+    scale = samp.agg(F.count("*").alias("ns")).crossJoin(
+        F.broadcast(pop.agg(F.count("*").alias("np")))
+    ).select((F.col("ns") * F.lit(1.0) / F.col("np")).alias("f"))
+    w = cells.select("grp", "st", (F.col("n") * F.lit(1.0)).alias("w"))
+    for _ in range(3):
+        rs = w.groupBy("grp").agg(F.sum("w").alias("sg"))
+        w = (
+            w.join(F.broadcast(rs), "grp")
+            .join(F.broadcast(tgt_g), "grp")
+            .select(
+                "grp", "st", (F.col("w") * F.col("tg") / F.col("sg")).alias("w")
+            )
+        )
+        cs = w.groupBy("st").agg(F.sum("w").alias("ss"))
+        w = (
+            w.join(F.broadcast(cs), "st")
+            .join(F.broadcast(tgt_s), "st")
+            .select(
+                "grp", "st", (F.col("w") * F.col("ts") / F.col("ss")).alias("w")
+            )
+        )
+    return (
+        w.join(cells, ["grp", "st"])
+        .crossJoin(F.broadcast(scale))
+        .select(
+            "grp",
+            "st",
+            F.col("n").alias("n_sample"),
+            F.round(F.col("w") * F.col("f"), 4).alias("w_scaled_r"),
+        )
+    )
+
+
+_SRM_SQL = """
+    WITH arms AS (
+        SELECT user_id % 2 AS arm, count(DISTINCT user_id)::BIGINT AS n
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n)::BIGINT AS nt FROM arms)
+    SELECT a.arm, a.n,
+           round(t.nt / 2.0, 1) AS expected_r,
+           round((a.n - t.nt / 2.0) * (a.n - t.nt / 2.0) / (t.nt / 2.0), 6)
+               AS chi2_term_r,
+           CASE WHEN (SELECT sum((x.n - q.nt / 2.0) * (x.n - q.nt / 2.0)
+                                 / (q.nt / 2.0))
+                      FROM arms x CROSS JOIN t q) > 3.841 THEN 1 ELSE 0 END
+               AS srm_flag
+    FROM arms a CROSS JOIN t
+"""
+
+
+@register("abtest_srm_check", oracle=_SRM_SQL)
+def abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: distinct users per arm (parity
+    assignment) against the designed 50/50 split, per-arm chi-square
+    terms, and the df=1 SRM flag at the fixed 3.841 critical value
+    (literal — no libm inverse anywhere). The first sanity check every
+    experimentation platform runs before reading ANY metric: a
+    significant SRM means the assignment or logging is broken and all
+    downstream results are void.
+
+    Scale shape: ONE distinct-user aggregate to a 2-row panel — the panel
+    is lazily checkpointed so the total, the chi-square sum, and the
+    output rows share a single fact scan (three consumers would otherwise
+    each re-plan the distinct)."""
+    e = table(spark, sf_dir, "events")
+    arms = e.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.countDistinct("user_id").alias("n")
+    ).localCheckpoint(eager=False)
+    t = arms.agg(F.sum("n").alias("nt"))
+    bt = arms.crossJoin(F.broadcast(t))
+    exp = F.col("nt") / 2.0
+    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    tot = bt.agg(F.sum(term).alias("chi2")).select(
+        (F.col("chi2") > 3.841).cast("int").alias("srm_flag")
+    )
+    return bt.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        F.round(exp, 1).alias("expected_r"),
+        F.round(term, 6).alias("chi2_term_r"),
+        "srm_flag",
+    )

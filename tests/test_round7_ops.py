@@ -207,3 +207,38 @@ def test_mh_or_components(spark, sf_dir):
     assert r["num_r"] > 0 and r["den_r"] > 0
     assert abs(r["or_mh_r"] - r["num_r"] / r["den_r"]) < 1e-4
     assert abs(r["ln_or_mh_r"] - math.log(r["or_mh_r"])) < 1e-4
+
+
+def test_raking_matches_population_margins(spark, sf_dir):
+    from collections import defaultdict
+
+    from ab_inbev_big_data_case_spark.sources.readers import table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["survey_raking_ipf"](spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders")
+    pop_g = {
+        r["grp"]: r["n"]
+        for r in o.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_pop = sum(pop_g.values())
+    # rescaled weights times pop/sample fraction recover population margins
+    wg = defaultdict(float)
+    for r in rows:
+        wg[r["grp"]] += r["w_scaled_r"]
+    n_samp = sum(r["n_sample"] for r in rows)
+    for g, target in pop_g.items():
+        # w_scaled sums to the raked weight x sampling fraction: the row
+        # margin of the UNSCALED weights equals the population margin, so
+        # scaled margins equal target * (n_samp/n_pop)
+        assert abs(wg[g] - target * n_samp / n_pop) / target < 0.01
+
+
+def test_srm_check_terms(spark, sf_dir):
+    rows = QUERIES["abtest_srm_check"](spark, sf_dir).collect()
+    assert len(rows) == 2
+    assert len({r["srm_flag"] for r in rows}) == 1  # flag is global
+    for r in rows:
+        assert r["chi2_term_r"] >= 0.0 and r["n"] > 0
