@@ -13,7 +13,7 @@ graph. Each is an engine operator (``operators/relational.py``,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_hash64
@@ -1472,4 +1472,97 @@ def deltalite_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(int(n_after < n_before)).alias("compacted"),
             F.lit(disjoint).alias("clustered_disjoint"),
         )
+    )
+
+
+_BITEMPORAL_SQL = """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS grp,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS v_c,
+               o_orderdate AS valid_from,
+               o_orderdate AS tx_time
+        FROM orders
+    ),
+    corrections AS (
+        SELECT k, grp, (v_c * 11) // 10 AS v_c,
+               valid_from,
+               tx_time + INTERVAL 30 DAY AS tx_time
+        FROM base WHERE k % 13 = 0
+    ),
+    log AS (SELECT * FROM base UNION ALL SELECT * FROM corrections),
+    pts(label, t_know, t_valid) AS (VALUES
+        ('early', TIMESTAMP '1996-07-01', TIMESTAMP '1996-06-01'),
+        ('late',  TIMESTAMP '1999-01-01', TIMESTAMP '1996-06-01')
+    ),
+    resolved AS (
+        SELECT p.label, l.k, l.grp, l.v_c, l.valid_from,
+               row_number() OVER (PARTITION BY p.label, l.k
+                                  ORDER BY l.tx_time DESC) AS rk
+        FROM log l JOIN pts p ON l.tx_time <= p.t_know
+    ),
+    state AS (
+        SELECT a.label, a.grp, a.v_c
+        FROM resolved a JOIN pts p ON p.label = a.label
+        WHERE a.rk = 1 AND a.valid_from <= p.t_valid
+    )
+    SELECT label, grp, count(*) AS n, sum(v_c)::BIGINT AS cents
+    FROM state GROUP BY 1, 2
+"""
+
+
+@register("bitemporal_as_of", oracle=_BITEMPORAL_SQL)
+def bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS OF reconstruction (Snodgrass; SQL:2011 system/
+    application time): a synthesized correction stream retroactively
+    amends every 13th order's amount 30 days after the fact
+    (valid_from unchanged — the classic late-arriving correction), and
+    the query reads the SAME validity instant at two KNOWLEDGE instants:
+    'early' (before corrections were recorded — original amounts) vs
+    'late' (after — corrected amounts). This is the audit question SCD2
+    alone cannot answer: "what did we believe on date T about the state
+    at date V". Per (knowledge point, key) the latest tx_time ≤ T wins
+    (rank window), then validity filters valid_from ≤ V.
+
+    Scale shape: the log is fact-sized ×(1+ε); the as-of resolution is a
+    keyed rank window per knowledge point (2 points → a bounded 2×
+    row multiplication via the points join, NOT a per-row explosion);
+    one grouped rollup ends it."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("grp"),
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("v_c"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderdate").alias("tx_time"),
+    )
+    corrections = base.filter(F.col("k") % 13 == 0).select(
+        "k",
+        "grp",
+        F.expr("(v_c * 11) DIV 10").alias("v_c"),
+        "valid_from",
+        (F.col("tx_time") + F.expr("INTERVAL 30 DAYS")).alias("tx_time"),
+    )
+    log = base.unionByName(corrections)
+    pts = spark.createDataFrame(
+        [
+            ("early", "1996-07-01", "1996-06-01"),
+            ("late", "1999-01-01", "1996-06-01"),
+        ],
+        "label STRING, t_know STRING, t_valid STRING",
+    ).select(
+        "label",
+        F.col("t_know").cast("timestamp").alias("t_know"),
+        F.col("t_valid").cast("timestamp").alias("t_valid"),
+    )
+    w = Window.partitionBy("label", "k").orderBy(F.col("tx_time").desc())
+    asof = (
+        log.join(F.broadcast(pts), F.col("tx_time") <= F.col("t_know"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("valid_from") <= F.col("t_valid")))
+    )
+    return asof.groupBy("label", "grp").agg(
+        F.count("*").alias("n"), F.sum("v_c").alias("cents")
     )
