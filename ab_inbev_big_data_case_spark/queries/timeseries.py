@@ -1788,3 +1788,139 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn_j",
         F.col("nn_dist2").cast("long").alias("nn_dist2"),
     )
+
+
+# ------------------------------------------ Granger causality (lag 1)
+
+_GRANGER_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS x,
+               count(*)::BIGINT AS y
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT d, x AS x0,
+               lag(x) OVER (ORDER BY d) AS x1,
+               lag(y) OVER (ORDER BY d) AS y1
+        FROM daily
+    ),
+    m AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(x0)::HUGEINT AS s0, sum(x1)::HUGEINT AS s1,
+               sum(y1)::HUGEINT AS sy,
+               sum(x0::HUGEINT * x0) AS s00, sum(x0::HUGEINT * x1) AS s01,
+               sum(x0::HUGEINT * y1) AS s0y, sum(x1::HUGEINT * x1) AS s11,
+               sum(x1::HUGEINT * y1) AS s1y, sum(y1::HUGEINT * y1) AS syy
+        FROM lagged WHERE x1 IS NOT NULL
+    ),
+    a AS (
+        SELECT n::DOUBLE AS nd,
+               (n * s00 - s0 * s0)::DOUBLE AS a00,
+               (n * s01 - s0 * s1)::DOUBLE AS a0x,
+               (n * s0y - s0 * sy)::DOUBLE AS a0y,
+               (n * s11 - s1 * s1)::DOUBLE AS axx,
+               (n * s1y - s1 * sy)::DOUBLE AS axy,
+               (n * syy - sy * sy)::DOUBLE AS ayy
+        FROM m
+    ),
+    s AS (
+        SELECT nd,
+               (a00 - a0x * a0x / axx) / nd AS ssr_r,
+               (a00 - (a0x * (a0x * ayy - a0y * axy)
+                       + a0y * (a0y * axx - a0x * axy))
+                      / (axx * ayy - axy * axy)) / nd AS ssr_u
+        FROM a
+    )
+    SELECT nd::BIGINT AS n,
+           round(ln(ssr_r), 6) AS ln_ssr_r,
+           round(ln(ssr_u), 6) AS ln_ssr_u,
+           round((ssr_r - ssr_u) / (ssr_u / (nd - 3)), 6) AS granger_f_r
+    FROM s
+"""
+
+
+@register("granger_f_lite", oracle=_GRANGER_SQL)
+def granger_f_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (1969), lag 1: does yesterday's ORDER COUNT help
+    predict today's REVENUE beyond yesterday's revenue? F compares the
+    restricted regression x_t ~ x_{t−1} against the unrestricted
+    x_t ~ x_{t−1} + y_{t−1}, both solved in CLOSED FORM from exact
+    n-scaled centered moments (the chow_test discipline: raw moments
+    accumulate in DECIMAL(38,0)/HUGEINT, the A_ab = n·S_ab − S_a·S_b
+    centering is exact, ONE double cast each, and the 2×2 Cramer solve +
+    SSR cancellation run on identical IEEE trees in both engines). SSRs
+    reported on the log scale (a raw SSR's last ulp is ~4e3 at these
+    magnitudes; ln is 1e-16-relative per ulp).
+
+    Scale shape: one fact pass to the calendar-bounded daily spine, one
+    lag window over that spine, ONE moment aggregate (map-combinable),
+    then scalar arithmetic on a 1-row panel."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("x"),
+        F.count("*").alias("y"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("x").alias("x0"),
+        F.lag("x").over(w).alias("x1"),
+        F.lag("y").over(w).alias("y1"),
+    ).filter(F.col("x1").isNotNull())
+    d38 = "decimal(38,0)"
+    c = lambda name: F.col(name).cast(d38)  # noqa: E731
+    m = lagged.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(c("x0")).alias("s0"),
+        F.sum(c("x1")).alias("s1"),
+        F.sum(c("y1")).alias("sy"),
+        F.sum(c("x0") * F.col("x0")).alias("s00"),
+        F.sum(c("x0") * F.col("x1")).alias("s01"),
+        F.sum(c("x0") * F.col("y1")).alias("s0y"),
+        F.sum(c("x1") * F.col("x1")).alias("s11"),
+        F.sum(c("x1") * F.col("y1")).alias("s1y"),
+        F.sum(c("y1") * F.col("y1")).alias("syy"),
+    )
+    a = m.select(
+        F.col("n").cast("double").alias("nd"),
+        (F.col("n") * F.col("s00") - F.col("s0") * F.col("s0"))
+        .cast("double")
+        .alias("a00"),
+        (F.col("n") * F.col("s01") - F.col("s0") * F.col("s1"))
+        .cast("double")
+        .alias("a0x"),
+        (F.col("n") * F.col("s0y") - F.col("s0") * F.col("sy"))
+        .cast("double")
+        .alias("a0y"),
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        .alias("axx"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy"))
+        .cast("double")
+        .alias("axy"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("ayy"),
+    )
+    ssr_r = (F.col("a00") - F.col("a0x") * F.col("a0x") / F.col("axx")) / F.col("nd")
+    ssr_u = (
+        F.col("a00")
+        - (
+            F.col("a0x") * (F.col("a0x") * F.col("ayy") - F.col("a0y") * F.col("axy"))
+            + F.col("a0y") * (F.col("a0y") * F.col("axx") - F.col("a0x") * F.col("axy"))
+        )
+        / (F.col("axx") * F.col("ayy") - F.col("axy") * F.col("axy"))
+    ) / F.col("nd")
+    s = a.select(F.col("nd"), ssr_r.alias("ssr_r"), ssr_u.alias("ssr_u"))
+    return s.select(
+        F.col("nd").cast("long").alias("n"),
+        F.round(F.log("ssr_r"), 6).alias("ln_ssr_r"),
+        F.round(F.log("ssr_u"), 6).alias("ln_ssr_u"),
+        F.round(
+            (F.col("ssr_r") - F.col("ssr_u")) / (F.col("ssr_u") / (F.col("nd") - 3)),
+            6,
+        ).alias("granger_f_r"),
+    )

@@ -1492,7 +1492,7 @@ _BITEMPORAL_SQL = """
     ),
     log AS (SELECT * FROM base UNION ALL SELECT * FROM corrections),
     pts(label, t_know, t_valid) AS (VALUES
-        ('early', TIMESTAMP '1996-07-01', TIMESTAMP '1996-06-01'),
+        ('early', TIMESTAMP '1996-06-05', TIMESTAMP '1996-06-01'),
         ('late',  TIMESTAMP '1999-01-01', TIMESTAMP '1996-06-01')
     ),
     resolved AS (
@@ -1548,7 +1548,7 @@ def bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = base.unionByName(corrections)
     pts = spark.createDataFrame(
         [
-            ("early", "1996-07-01", "1996-06-01"),
+            ("early", "1996-06-05", "1996-06-01"),
             ("late", "1999-01-01", "1996-06-01"),
         ],
         "label STRING, t_know STRING, t_valid STRING",

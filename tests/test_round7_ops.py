@@ -242,3 +242,24 @@ def test_srm_check_terms(spark, sf_dir):
     assert len({r["srm_flag"] for r in rows}) == 1  # flag is global
     for r in rows:
         assert r["chi2_term_r"] >= 0.0 and r["n"] > 0
+
+
+def test_granger_unrestricted_fits_no_worse(spark, sf_dir):
+    r = QUERIES["granger_f_lite"](spark, sf_dir).collect()[0]
+    assert r["n"] > 10
+    # adding a regressor can only reduce SSR
+    assert r["ln_ssr_r"] >= r["ln_ssr_u"]
+    assert r["granger_f_r"] >= 0.0
+
+
+def test_bitemporal_late_knowledge_sees_corrections(spark, sf_dir):
+    rows = QUERIES["bitemporal_as_of"](spark, sf_dir).collect()
+    early = {r["grp"]: r for r in rows if r["label"] == "early"}
+    late = {r["grp"]: r for r in rows if r["label"] == "late"}
+    assert early.keys() == late.keys()
+    # identical validity instant: same ROW COUNTS, but the late knowledge
+    # point sees the retroactive +10% corrections -> strictly more cents
+    assert all(early[g]["n"] == late[g]["n"] for g in early)
+    assert sum(late[g]["cents"] for g in late) > sum(
+        early[g]["cents"] for g in early
+    )
