@@ -42,6 +42,7 @@ PARTITIONLESS_ALLOWED = {
     "gains_chart_deciles": 5,       # ≤10-row carry + decile cumsum/total spines
     "gini_concentration": 1,        # bounded decile spine
     "global_sort": 1,               # explicit total-order contract
+    "granger_f_lite": 2,            # daily-spine lag pair (calendar-bounded)
     "heaps_law_fit": 2,             # per-doc-rank spine (bounded by docs)
     "hill_tail_index": 3,           # top-k tail spine
     "histogram_quantile_sketch": 2, # fixed-width bin spine
