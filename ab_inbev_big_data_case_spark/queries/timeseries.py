@@ -1924,3 +1924,116 @@ def granger_f_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("granger_f_r"),
     )
+
+
+# ------------------------------------------ dynamic time warping (7x7)
+
+def _dtw_sql() -> str:
+    # unrolled 7x7 DP as chained CTEs (the recurrence is sequential; a
+    # textual inline of d77 would be exponentially large)
+    ctes, prev = [], "base"
+    for i in range(1, 8):
+        for j in range(1, 8):
+            cost = f"abs(a{i} - b{j})"
+            if i == 1 and j == 1:
+                e = cost
+            elif i == 1:
+                e = f"{cost} + d1{j-1}"
+            elif j == 1:
+                e = f"{cost} + d{i-1}1"
+            else:
+                e = f"{cost} + least(d{i-1}{j}, d{i}{j-1}, d{i-1}{j-1})"
+            name = f"s{i}{j}"
+            ctes.append(f"{name} AS (SELECT *, {e} AS d{i}{j} FROM {prev})")
+            prev = name
+    base_cost = " + ".join(f"abs(a{k} - b{k})" for k in range(1, 8))
+    return f"""
+    WITH dow AS (
+        SELECT dayofweek(CAST(o.o_orderdate AS DATE)) + 1 AS dw,
+               c.c_nationkey AS nat,
+               CAST(round(CAST(o.o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey IN (0, 1)
+    ),
+    base AS (
+        SELECT
+            {", ".join(f"sum(CASE WHEN nat = 0 AND dw = {k} THEN v ELSE 0 END)::BIGINT AS a{k}" for k in range(1, 8))},
+            {", ".join(f"sum(CASE WHEN nat = 1 AND dw = {k} THEN v ELSE 0 END)::BIGINT AS b{k}" for k in range(1, 8))}
+        FROM dow
+    ),
+    {", ".join(ctes)}
+    SELECT d77 AS dtw_c, ({base_cost}) AS lockstep_c,
+           round(d77 * 1.0 / ({base_cost}), 6) AS ratio_r
+    FROM {prev}
+"""
+
+
+_DTW_SQL = _dtw_sql()
+
+
+@register("dtw_weekly_profiles", oracle=_DTW_SQL)
+def dtw_weekly_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dynamic time warping (Sakoe-Chiba 1978, full 7×7 grid)
+    between nation 0's and nation 1's day-of-week revenue profiles: the
+    minimal cumulative |aᵢ−bⱼ| alignment cost allowing local time
+    shifts — vs the lockstep (Manhattan) baseline Σ|aₖ−bₖ|. DTW ≤
+    lockstep always; a ratio well under 1 means the two nations share
+    the same weekly shape on shifted days. The DP recurrence is
+    SEQUENTIAL, so it is unrolled cell-by-cell over the FIXED 7×7 grid
+    (49 integer expressions — both engines evaluate the identical
+    chain; a general-length DTW would be a Pandas-UDF op instead).
+
+    Exactness: per-cell costs and the running minima are exact longs;
+    the only double is the final ratio.
+
+    Scale shape: one fact join + ONE conditional-sum aggregate to a
+    single 14-column row; the DP is scalar arithmetic on that row.
+    DOW convention: Spark dayofweek is 1-based, DuckDB 0-based —
+    aligned in the oracle (the holiday_lift discipline)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    dow = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_nationkey").isin(0, 1))
+        .select(
+            F.dayofweek(F.to_date("o_orderdate")).alias("dw"),
+            F.col("c_nationkey").alias("nat"),
+            (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    row = dow.agg(
+        *[
+            F.sum(F.when((F.col("nat") == 0) & (F.col("dw") == k), F.col("v")).otherwise(0)).alias(f"a{k}")
+            for k in range(1, 8)
+        ],
+        *[
+            F.sum(F.when((F.col("nat") == 1) & (F.col("dw") == k), F.col("v")).otherwise(0)).alias(f"b{k}")
+            for k in range(1, 8)
+        ],
+    )
+    for i in range(1, 8):
+        for j in range(1, 8):
+            cost = F.abs(F.col(f"a{i}") - F.col(f"b{j}"))
+            if i == 1 and j == 1:
+                e = cost
+            elif i == 1:
+                e = cost + F.col(f"d1{j-1}")
+            elif j == 1:
+                e = cost + F.col(f"d{i-1}1")
+            else:
+                e = cost + F.least(
+                    F.col(f"d{i-1}{j}"), F.col(f"d{i}{j-1}"), F.col(f"d{i-1}{j-1}")
+                )
+            row = row.withColumn(f"d{i}{j}", e)
+    lockstep = None
+    for k in range(1, 8):
+        t = F.abs(F.col(f"a{k}") - F.col(f"b{k}"))
+        lockstep = t if lockstep is None else lockstep + t
+    return row.select(
+        F.col("d77").alias("dtw_c"),
+        lockstep.alias("lockstep_c"),
+        F.round(F.col("d77") * F.lit(1.0) / lockstep, 6).alias("ratio_r"),
+    )

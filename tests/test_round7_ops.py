@@ -263,3 +263,9 @@ def test_bitemporal_late_knowledge_sees_corrections(spark, sf_dir):
     assert sum(late[g]["cents"] for g in late) > sum(
         early[g]["cents"] for g in early
     )
+
+
+def test_dtw_bounded_by_lockstep(spark, sf_dir):
+    r = QUERIES["dtw_weekly_profiles"](spark, sf_dir).collect()[0]
+    assert 0 <= r["dtw_c"] <= r["lockstep_c"]  # warping can only help
+    assert 0.0 <= r["ratio_r"] <= 1.0
