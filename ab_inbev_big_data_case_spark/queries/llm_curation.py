@@ -2426,3 +2426,104 @@ def kfold_cv_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mae_r"),
     )
+
+
+# ------------------------------------------- token-budget greedy packing
+
+_BUDGET_SQL = """
+    WITH d AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' '))::BIGINT AS toks,
+               len(list_distinct(string_split(text, ' ')))::BIGINT AS rich
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, toks,
+               (rich * 1000000) // toks AS q
+        FROM d
+    ),
+    ranked AS (
+        SELECT *,
+               sum(toks) OVER (ORDER BY q DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cumtok
+        FROM scored
+    ),
+    b AS (SELECT (sum(toks) // 10)::BIGINT AS budget FROM scored),
+    sel AS (
+        SELECT r.*, CASE WHEN r.cumtok <= b.budget THEN 1 ELSE 0 END AS sel
+        FROM ranked r CROSS JOIN b
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(sel)::BIGINT AS n_sel,
+           sum(toks)::BIGINT AS tok_total,
+           sum(CASE WHEN sel = 1 THEN toks ELSE 0 END)::BIGINT AS tok_sel,
+           round(sum(sel) * 1.0 / count(*), 6) AS sel_share_r
+    FROM sel GROUP BY 1
+"""
+
+
+@register("token_budget_pack", oracle=_BUDGET_SQL)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget greedy packing: fill a 10%-of-corpus token budget with
+    the documents of highest lexical-richness-per-token (the fractional-
+    knapsack-optimal prefix of the quality ranking) and report the
+    resulting SOURCE MIX SHIFT — the question every budgeted pretraining
+    run asks: "which sources does the quality gate actually buy, and at
+    what selection rate". Quality-per-token is quantized to an exact
+    integer ((distinct_tokens·10⁶) DIV tokens; ties by doc_id), so
+    selection is engine-reproducible.
+
+    Scale shape: the global (q desc, doc_id) rank AND the running token
+    total both use the TWO-LEVEL equal-width-bucket decomposition over
+    the BOUNDED quality domain (q ∈ 0..10⁶): bucket-local cumsum windows
+    plus a 16-row token-carry spine — no per-row global window anywhere;
+    the budget is a 1-row broadcast."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("rich"),
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.expr("(rich * 1000000) DIV toks").alias("q"),
+    )
+    bounds = scored.agg(
+        F.min("q").alias("lo"),
+        F.max("q").alias("hi"),
+        F.expr("sum(toks) DIV 10").alias("budget"),
+    )
+    # bucket 0 holds the HIGHEST quality (rank order is q desc)
+    bucketed = scored.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("(hi - q) DIV ((hi - lo) DIV 16 + 1)")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("q").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("cumtok_local", F.sum("toks").over(w_local))
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("toks").alias("btok"))
+        .withColumn("carry", F.coalesce(F.sum("btok").over(w_spine), F.lit(0)))
+        .select("bucket", "carry")
+    )
+    sel = (
+        local.join(F.broadcast(carry), "bucket")
+        .withColumn("cumtok", F.col("cumtok_local") + F.col("carry"))
+        .withColumn(
+            "sel", (F.col("cumtok") <= F.col("budget")).cast("int")
+        )
+    )
+    return sel.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("sel").alias("n_sel"),
+        F.sum("toks").alias("tok_total"),
+        F.sum(F.when(F.col("sel") == 1, F.col("toks")).otherwise(0)).alias("tok_sel"),
+        F.round(F.sum("sel") * F.lit(1.0) / F.count("*"), 6).alias("sel_share_r"),
+    )

@@ -73,6 +73,7 @@ PARTITIONLESS_ALLOWED = {
     "spc_control_chart": 1,         # day-spine gaps-and-islands row_number
     "spearman_corr_lengths": 2,    # two value-domain rank spines
     "sprt_sequential_test": 2,      # day-spine LLR cumsum (crossing-min is unordered)
+    "token_budget_pack": 1,         # 16-row token-carry spine (two-level rank)
     "ts_decomposition": 2,          # daily spine
     "wilcoxon_signed_rank": 1,      # |diff| rank spine (audit-panel sized)
     "window_ntile": 1,              # global ntile is the operator semantic

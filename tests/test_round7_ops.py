@@ -269,3 +269,14 @@ def test_dtw_bounded_by_lockstep(spark, sf_dir):
     r = QUERIES["dtw_weekly_profiles"](spark, sf_dir).collect()[0]
     assert 0 <= r["dtw_c"] <= r["lockstep_c"]  # warping can only help
     assert 0.0 <= r["ratio_r"] <= 1.0
+
+
+def test_token_budget_pack_respects_budget(spark, sf_dir):
+    rows = QUERIES["token_budget_pack"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    tok_total = sum(r["tok_total"] for r in rows)
+    tok_sel = sum(r["tok_sel"] for r in rows)
+    assert 0 < tok_sel <= tok_total // 10  # never exceeds the budget
+    assert any(r["n_sel"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_sel"] <= r["n_docs"]
