@@ -160,6 +160,38 @@ _STAGED_NEXT = [
     "lsh_index_delta_pairs",
     "media_metadata_extract",
     "ahash_image_dedup",
+    # --- round-7 additions (never driver-checked; each locally green at
+    # sf0.001/0.01/0.1 at registration time) — queue for the r8/r9 windows
+    # alongside the 46 above ---
+    "ips_offpolicy_eval",
+    "mutual_nearest_neighbors",
+    "kmv_distinct_estimate",
+    "multimodal_audio_features",
+    "xml_scan",
+    "deltalite_optimize_compaction",
+    "bitemporal_as_of",
+    "kruskal_wallis_test",
+    "isotonic_calibration_pava",
+    "quantile_regression_grid",
+    "chow_test",
+    "nelson_aalen_hazard",
+    "mood_median_test",
+    "friedman_test",
+    "jonckheere_terpstra",
+    "direct_standardization",
+    "mh_pooled_odds_ratio",
+    "survey_raking_ipf",
+    "abtest_srm_check",
+    "split_conformal_coverage",
+    "loo_source_influence",
+    "kfold_cv_mae",
+    "token_budget_pack",
+    "granger_f_lite",
+    "dtw_weekly_profiles",
+    "cmh_test",
+    "energy_distance_two_sample",
+    "wasserstein1_distance",
+    "qq_plot_deciles",
     # --- r1-only stale greens (re-check after the never-checked drain) ---
     "window_lag_lead",
     "window_running",
