@@ -2107,3 +2107,125 @@ def qq_plot_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x_decile_c") - F.col("y_decile_c")).alias("gap_c"),
         )
     )
+
+
+# --------------------------------------- Cramér-von Mises two-sample
+
+_CVM_SQL = """
+    WITH v AS (
+        SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                    AS BIGINT) AS x_c,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_x
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    cells AS (
+        SELECT x_c, sum(is_x)::BIGINT AS cx, sum(1 - is_x)::BIGINT AS cy
+        FROM v GROUP BY 1
+    ),
+    walk AS (
+        SELECT x_c, cx, cy,
+               sum(cx) OVER w AS cxle, sum(cy) OVER w AS cyle
+        FROM cells
+        WINDOW w AS (ORDER BY x_c ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT sum(cx)::HUGEINT AS nx, sum(cy)::HUGEINT AS ny FROM cells),
+    s AS (
+        SELECT sum((w.cx + w.cy)::HUGEINT
+                   * (w.cxle::HUGEINT * t.ny - w.cyle::HUGEINT * t.nx)
+                   * (w.cxle::HUGEINT * t.ny - w.cyle::HUGEINT * t.nx))
+                   AS num,
+               max(t.nx) AS nx, max(t.ny) AS ny
+        FROM walk w CROSS JOIN tot t
+    )
+    SELECT nx::BIGINT AS nx, ny::BIGINT AS ny,
+           round(num::DOUBLE * 1.0
+                 / ((nx::DOUBLE * ny) * (nx + ny) * (nx + ny)),
+                 9) AS cvm_t_r
+    FROM s
+"""
+
+
+@register("cvm_two_sample", oracle=_CVM_SQL)
+def cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic between the fulfilled ('F')
+    and open ('O') order-value distributions:
+    T = nm/(n+m)² · Σ_pooled (F_X(z) − F_Y(z))² — the INTEGRATED-square
+    CDF distance (each pooled point weighted by its multiplicity), more
+    sensitive to body-of-distribution shifts than KS's single supremum
+    and completing the engine's two-sample quartet (KS sup-norm, W₁
+    transport, energy, CvM L²). Computed with cross-multiplied integer
+    CDF numerators ((cxle·ny − cyle·nx)², exact in HUGEINT/DECIMAL) so
+    nothing floats until the single terminal division.
+
+    Scale shape: one fact pass to the pivoted two-count value spine, the
+    two-level equal-width-bucket prefix (16-row carry spine only), one
+    final aggregate."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = o.select(
+        (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+        .cast("long")
+        .alias("x_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_x"),
+    )
+    cells = v.groupBy("x_c").agg(
+        F.sum("is_x").alias("cx"), F.sum(1 - F.col("is_x")).alias("cy")
+    )
+    d38 = "decimal(38,0)"
+    bounds = cells.agg(
+        F.min("x_c").alias("lo"),
+        F.max("x_c").alias("hi"),
+        F.sum("cx").cast(d38).alias("nx"),
+        F.sum("cy").cast(d38).alias("ny"),
+    )
+    bucketed = cells.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("(x_c - lo) DIV ((hi - lo) DIV 16 + 1)")
+    )
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("x_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "*",
+        F.sum(F.col("cx").cast(d38)).over(w_cum).alias("cxle_l"),
+        F.sum(F.col("cy").cast(d38)).over(w_cum).alias("cyle_l"),
+    )
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    zero = F.lit(0).cast(d38)
+    carry = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum(F.col("cx").cast(d38)).alias("bcx"),
+            F.sum(F.col("cy").cast(d38)).alias("bcy"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bcx").over(w_spine), zero).alias("cxle_c"),
+            F.coalesce(F.sum("bcy").over(w_spine), zero).alias("cyle_c"),
+        )
+    )
+    diff = (F.col("cxle_l") + F.col("cxle_c")) * F.col("ny") - (
+        F.col("cyle_l") + F.col("cyle_c")
+    ) * F.col("nx")
+    s = (
+        local.join(F.broadcast(carry), "bucket")
+        .agg(
+            F.sum(
+                (F.col("cx") + F.col("cy")).cast(d38) * diff * diff
+            ).alias("num"),
+            F.max("nx").alias("nx"),
+            F.max("ny").alias("ny"),
+        )
+    )
+    nxd, nyd = F.col("nx").cast("double"), F.col("ny").cast("double")
+    return s.select(
+        F.col("nx").cast("long").alias("nx"),
+        F.col("ny").cast("long").alias("ny"),
+        F.round(
+            F.col("num").cast("double")
+            / ((nxd * nyd) * (nxd + nyd) * (nxd + nyd)),
+            9,
+        ).alias("cvm_t_r"),
+    )

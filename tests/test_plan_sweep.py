@@ -36,6 +36,7 @@ PARTITIONLESS_ALLOWED = {
     "ccf_lead_lag": 14,             # daily spine, lead/lag ±7
     "concurrent_sessions": 1,       # event-boundary sweep spine
     "cumulative_unique_users": 1,   # daily first-seen spine
+    "cvm_two_sample": 2,            # 16-row bucket-carry spine (2 counts)
     "cusum_changepoint": 1,         # daily spine cumsum
     "error_rate_changepoint": 4,    # daily spine prefix stats
     "forecast_method_bakeoff": 5,   # day-spine index + 28-row holdout windows

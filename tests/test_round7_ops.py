@@ -280,3 +280,10 @@ def test_token_budget_pack_respects_budget(spark, sf_dir):
     assert any(r["n_sel"] > 0 for r in rows)
     for r in rows:
         assert 0 <= r["n_sel"] <= r["n_docs"]
+
+
+def test_cvm_nonnegative_and_ks_bound(spark, sf_dir):
+    cvm = QUERIES["cvm_two_sample"](spark, sf_dir).collect()[0]
+    assert cvm["cvm_t_r"] >= 0.0
+    # T = nm/N^2 * sum c*(Fx-Fy)^2 <= nm/N^2 * N * sup^2 <= nm/N * 1
+    assert cvm["cvm_t_r"] <= cvm["nx"] * cvm["ny"] / (cvm["nx"] + cvm["ny"])
