@@ -2037,3 +2037,160 @@ def dtw_weekly_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lockstep.alias("lockstep_c"),
         F.round(F.col("d77") * F.lit(1.0) / lockstep, 6).alias("ratio_r"),
     )
+
+
+# ------------------------------------------ Hurst exponent (R/S lite)
+
+_HURST_SCALES = [16, 32, 64, 128]
+_HURST_SCALES_SQL = ", ".join(f"({s})" for s in _HURST_SCALES)
+
+_HURST_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, row_number() OVER (ORDER BY d) AS i FROM daily
+    ),
+    scales(s) AS (VALUES {_HURST_SCALES_SQL}),
+    blk AS (
+        SELECT sc.s, (ix.i - 1) // sc.s AS b, ix.i, ix.x
+        FROM idx ix CROSS JOIN scales sc
+        WHERE ix.i <= ((SELECT count(*) FROM idx) // sc.s) * sc.s
+    ),
+    bs AS (
+        SELECT s, b, sum(x)::HUGEINT AS sx, sum(x::HUGEINT * x) AS sxx,
+               count(*)::BIGINT AS n
+        FROM blk GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT k.s, k.b,
+               k.s * sum(k.x) OVER (PARTITION BY k.s, k.b ORDER BY k.i
+                                    ROWS UNBOUNDED PRECEDING)
+               - (row_number() OVER (PARTITION BY k.s, k.b ORDER BY k.i))
+                 * t.sx AS sz
+        FROM blk k JOIN bs t ON t.s = k.s AND t.b = k.b
+    ),
+    zr AS (
+        SELECT s, b, max(sz) - min(sz) AS zrange FROM z GROUP BY 1, 2
+    ),
+    rs AS (
+        SELECT t.s,
+               avg(ln((zr.zrange::DOUBLE)
+                      / sqrt((t.s * t.sxx - t.sx * t.sx)::DOUBLE))) AS mlog
+        FROM zr JOIN bs t ON t.s = zr.s AND t.b = zr.b
+        WHERE zr.zrange > 0
+        GROUP BY 1
+    ),
+    fit AS (
+        SELECT count(*)::BIGINT AS k,
+               sum(ln(s::DOUBLE)) AS su, sum(mlog) AS sv,
+               sum(ln(s::DOUBLE) * ln(s::DOUBLE)) AS suu,
+               sum(ln(s::DOUBLE) * mlog) AS suv
+        FROM rs
+    )
+    SELECT r.s, round(r.mlog, 6) AS mean_ln_rs_r,
+           round((f.k * f.suv - f.su * f.sv)
+                 / (f.k * f.suu - f.su * f.su), 6) AS hurst_r
+    FROM rs r CROSS JOIN fit f
+"""
+
+
+@register("hurst_rs_lite", oracle=_HURST_SQL)
+def hurst_rs_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot-
+    Wallis): per scale s ∈ {16,32,64,128} the daily-revenue series splits
+    into blocks of s days; each block's R/S = (max−min of the cumulative
+    deviation walk) / (block σ), and H is the log-log slope of the mean
+    ln(R/S) against ln(s) — H≈0.5 is memoryless, H>0.5 long-range
+    persistent, the capacity-planning diagnostic for whether demand
+    excursions cluster.
+
+    Exactness: the deviation walk is kept INTEGER by s-scaling
+    (s·Z_k = s·Σxₖ − k·S_block), the block range and the variance
+    radicand (s·Σx² − S²) are exact HUGEINT/DECIMAL(38,0), so each
+    block's ln(R/S) is ln of a ratio of one exact integer to one sqrt of
+    an exact integer — identical trees; the per-scale means and the
+    4-point slope are small-panel double sums (the anova discipline).
+
+    Scale shape: one fact pass to the calendar-bounded daily spine; the
+    ×4 scale explode and the per-(scale, block) walks are keyed windows
+    over that bounded spine; everything after lives on a ≤(4×blocks)
+    panel."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("x")
+    )
+    daily = daily.localCheckpoint(eager=False)  # count probe + spine share
+    n_days = daily.count()
+    w = Window.orderBy("d")
+    # checkpoint ABOVE the spine row_number: blk feeds three consumers and
+    # would otherwise re-plan the daily window per branch
+    idx = daily.select("x", F.row_number().over(w).alias("i")).localCheckpoint(
+        eager=False
+    )
+    scales = spark.createDataFrame([(s,) for s in _HURST_SCALES], "s INT")
+    blk = (
+        idx.crossJoin(F.broadcast(scales))
+        .filter(F.col("i") <= F.expr(f"({n_days} DIV s) * s"))
+        .select("s", F.expr("(i - 1) DIV s").alias("b"), "i", "x")
+    )
+    d38 = "decimal(38,0)"
+    bs = blk.groupBy("s", "b").agg(
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+    )
+    wk = (
+        Window.partitionBy("s", "b")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("s", "b").orderBy("i")
+    z = blk.join(bs, ["s", "b"]).select(
+        "s",
+        "b",
+        (
+            F.col("s").cast(d38) * F.sum(F.col("x").cast(d38)).over(wk)
+            - F.row_number().over(wr).cast(d38) * F.col("sx")
+        ).alias("sz"),
+    )
+    zr = z.groupBy("s", "b").agg((F.max("sz") - F.min("sz")).alias("zrange"))
+    rs = (
+        zr.join(bs, ["s", "b"])
+        .filter(F.col("zrange") > 0)
+        .groupBy("s")
+        .agg(
+            F.avg(
+                F.log(
+                    F.col("zrange").cast("double")
+                    / F.sqrt(
+                        (
+                            F.col("s").cast(d38) * F.col("sxx")
+                            - F.col("sx") * F.col("sx")
+                        ).cast("double")
+                    )
+                )
+            ).alias("mlog")
+        )
+    )
+    lu = F.log(F.col("s").cast("double"))
+    fit = rs.agg(
+        F.count("*").alias("k"),
+        F.sum(lu).alias("su"),
+        F.sum("mlog").alias("sv"),
+        F.sum(lu * lu).alias("suu"),
+        F.sum(lu * F.col("mlog")).alias("suv"),
+    )
+    return rs.crossJoin(F.broadcast(fit)).select(
+        "s",
+        F.round("mlog", 6).alias("mean_ln_rs_r"),
+        F.round(
+            (F.col("k") * F.col("suv") - F.col("su") * F.col("sv"))
+            / (F.col("k") * F.col("suu") - F.col("su") * F.col("su")),
+            6,
+        ).alias("hurst_r"),
+    )

@@ -287,3 +287,15 @@ def test_cvm_nonnegative_and_ks_bound(spark, sf_dir):
     assert cvm["cvm_t_r"] >= 0.0
     # T = nm/N^2 * sum c*(Fx-Fy)^2 <= nm/N^2 * N * sup^2 <= nm/N * 1
     assert cvm["cvm_t_r"] <= cvm["nx"] * cvm["ny"] / (cvm["nx"] + cvm["ny"])
+
+
+def test_hurst_in_valid_range_and_slope_consistent(spark, sf_dir):
+    rows = QUERIES["hurst_rs_lite"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    h = rows[0]["hurst_r"]
+    assert all(r["hurst_r"] == h for r in rows)  # slope is global
+    assert 0.0 < h < 1.5  # R/S estimates live near (0,1); small-sample slack
+    # mean ln(R/S) must increase with scale (ranges grow with block size)
+    by_s = sorted(rows, key=lambda r: r["s"])
+    vals = [r["mean_ln_rs_r"] for r in by_s]
+    assert vals == sorted(vals)
