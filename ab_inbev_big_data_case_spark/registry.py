@@ -192,6 +192,8 @@ _STAGED_NEXT = [
     "energy_distance_two_sample",
     "wasserstein1_distance",
     "qq_plot_deciles",
+    "cvm_two_sample",
+    "hurst_rs_lite",
     # --- r1-only stale greens (re-check after the never-checked drain) ---
     "window_lag_lead",
     "window_running",
