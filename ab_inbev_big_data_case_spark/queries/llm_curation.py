@@ -2527,3 +2527,112 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("sel") == 1, F.col("toks")).otherwise(0)).alias("tok_sel"),
         F.round(F.sum("sel") * F.lit(1.0) / F.count("*"), 6).alias("sel_share_r"),
     )
+
+
+# ------------------------------------------- n-gram coverage curve
+
+_COVERAGE_KS = [100, 1000, 10000]
+_COVERAGE_KS_SQL = ", ".join(f"({k})" for k in _COVERAGE_KS)
+
+_NGRAM_COVERAGE_SQL = f"""
+    WITH grams AS (
+        SELECT unnest(string_split(text, ' ')) AS g FROM documents
+    ),
+    freq AS (SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY 1),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, g) AS rk FROM freq
+    ),
+    cum AS (
+        SELECT rk, sum(c) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING)
+                   AS mass_le
+        FROM ranked
+    ),
+    tot AS (
+        SELECT sum(c)::BIGINT AS mass, count(*)::BIGINT AS n_types FROM freq
+    ),
+    ks(k) AS (VALUES {_COVERAGE_KS_SQL})
+    SELECT ks.k, t.n_types, t.mass AS total_mass,
+           max(CASE WHEN cum.rk <= ks.k THEN cum.mass_le ELSE 0 END)
+               ::BIGINT AS mass_topk,
+           round(max(CASE WHEN cum.rk <= ks.k THEN cum.mass_le ELSE 0 END)
+                 * 1.0 / t.mass, 6) AS coverage_r
+    FROM cum CROSS JOIN tot t CROSS JOIN ks
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("ngram_coverage_curve", oracle=_NGRAM_COVERAGE_SQL)
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of total token mass covered by
+    the top-K most frequent unigrams at K ∈ {100, 1k, 10k} (ties broken
+    by the token string) — the truncation-planning readout for tokenizer
+    vocabulary sizing ("how big must V be before <unk> mass is
+    negligible"), the applied face of ``zipf_fit``/``heaps_law_fit``.
+
+    Scale shape: one explode+count pass to the type-frequency table; the
+    global (count desc, token) rank AND the cumulative mass use the
+    TWO-LEVEL decomposition over the bounded COUNT-value domain
+    (equal-width count buckets, bucket-local windows, 16-row carry
+    spine); the three K cuts are a broadcast 3-row grid. All integer
+    until the terminal coverage ratios."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = freq.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.sum("c").alias("mass"),
+        F.count("*").alias("n_types"),
+    )
+    # bucket 0 = highest counts (rank order is c desc, g asc)
+    bucketed = freq.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("(hi - c) DIV ((hi - lo) DIV 16 + 1)")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("c").desc(), "g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "*",
+        F.count("*").over(w_local).alias("lrk"),
+        F.sum("c").over(w_local).alias("lmass"),
+    )
+    w_spine = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("bn"), F.sum("c").alias("bmass"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_spine), F.lit(0)).alias("rk_c"),
+            F.coalesce(F.sum("bmass").over(w_spine), F.lit(0)).alias("mass_c"),
+        )
+    )
+    ranked = local.join(F.broadcast(carry), "bucket").select(
+        "n_types",
+        "mass",
+        (F.col("lrk") + F.col("rk_c")).alias("rk"),
+        (F.col("lmass") + F.col("mass_c")).alias("mass_le"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k INT")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k", "n_types", F.col("mass").alias("total_mass"))
+        .agg(
+            F.max(
+                F.when(F.col("rk") <= F.col("k"), F.col("mass_le")).otherwise(0)
+            ).alias("mass_topk"),
+        )
+        .select(
+            "k",
+            "n_types",
+            "total_mass",
+            "mass_topk",
+            F.round(
+                F.col("mass_topk") * F.lit(1.0) / F.col("total_mass"), 6
+            ).alias("coverage_r"),
+        )
+    )

@@ -194,6 +194,7 @@ _STAGED_NEXT = [
     "qq_plot_deciles",
     "cvm_two_sample",
     "hurst_rs_lite",
+    "ngram_coverage_curve",
     # --- r1-only stale greens (re-check after the never-checked drain) ---
     "window_lag_lead",
     "window_running",

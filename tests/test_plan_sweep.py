@@ -58,6 +58,7 @@ PARTITIONLESS_ALLOWED = {
     "mom_revenue_growth": 3,        # monthly aggregate spine
     "nelson_aalen_hazard": 3,       # KM day spine: desc at-risk + 2 hazard cumsums
     "mood_median_test": 2,          # 16-row bucket-carry spine (median branch)
+    "ngram_coverage_curve": 2,      # 16-row count-carry spine (rank + mass)
     "energy_distance_two_sample": 4,  # 16-row carry spine, 4 prefix quantities
     "wasserstein1_distance": 3,     # 16-row carry (2 counts) + boundary-min spine
     "jonckheere_terpstra": 4,       # 16-row carry spine, 5-group prefix counts

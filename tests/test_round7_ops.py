@@ -299,3 +299,17 @@ def test_hurst_in_valid_range_and_slope_consistent(spark, sf_dir):
     by_s = sorted(rows, key=lambda r: r["s"])
     vals = [r["mean_ln_rs_r"] for r in by_s]
     assert vals == sorted(vals)
+
+
+def test_ngram_coverage_monotone_in_k(spark, sf_dir):
+    rows = sorted(
+        QUERIES["ngram_coverage_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [100, 1000, 10000]
+    cov = [r["coverage_r"] for r in rows]
+    assert cov == sorted(cov) and all(0.0 <= c <= 1.0 for c in cov)
+    # once K >= the type count, coverage is exactly 1
+    for r in rows:
+        if r["k"] >= r["n_types"]:
+            assert r["coverage_r"] == 1.0
