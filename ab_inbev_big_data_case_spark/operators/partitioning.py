@@ -15,6 +15,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_SIZE_SUFFIX = {
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+}
+
+
+def _parse_bytes(conf: str) -> int:
+    """Spark byte-size conf values come bare (``134217728``), bare-``b``
+    (``134217728b``), or suffixed (``128m``/``128MB``); a user-set suffixed
+    value must not silently disable the metadata fast path (ADVICE r7)."""
+    s = conf.strip().lower()
+    for suf in sorted(_SIZE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _SIZE_SUFFIX[suf])
+    return int(s)
+
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least ``min_partitions`` (default: cluster default
@@ -41,9 +64,8 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     try:
         files = df.inputFiles()
         if len(files) >= 4 * target:
-            max_pb = int(
+            max_pb = _parse_bytes(
                 spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-                .rstrip("b")
             )
             # local paths only; any non-resolvable scheme → precise probe
             total = sum(

@@ -46,74 +46,19 @@ _QUERY_MODULES = [
 
 # The driver's correctness harness verifies the FIRST 50 registered queries
 # per round, so registration order decides what gets independent
-# verification. Union r1-r6: 262 of 358 registered names driver-checked,
-# all green on latest evidence; 96 had never been in a driver window.
+# verification. Union r1-r7: 312 of 390 registered names driver-checked,
+# all green on latest evidence (CORRECTNESS_r07.json: 50/50); 78 had never
+# been in a driver window.
 #
-# The round-7 window holds 50 of those 96 never-checked names (VERDICT r6
-# item 2): the 18 post-close-sweep additions FIRST (they include the two
-# round-7 plan-shape rewrites, woe_iv_binning and bh_fdr_chi2_panel, so the
-# fixes get driver evidence immediately), then the first 32 of the 78-name
-# round-5/6 backlog. _STAGED_NEXT holds the remaining 46 never-checked
-# names for round 8, followed by the 19 r1-only stale greens (displaced in
-# r5: the outer-join and window-frame families) so the round-9 rotation is
-# pre-staged. All 96 were pre-cleared locally at sf0.01 and sf0.1 before
-# this rotation landed.
+# The round-8 window (VERDICT r7 item 1) holds the first 50 of those 78:
+# the 46-name round-5/6 backlog plus the first 4 round-7 additions. All 50
+# were pre-cleared locally at sf0.01 (tools/check_oracle.py) before this
+# rotation landed, and 12 of them were independently re-verified green by
+# the round-7 judge (resource_allocation_links, lateral_topk_per_group,
+# ivf_nprobe_sweep, pacf_lags, wilcoxon_signed_rank, media_metadata_extract,
+# lsh_index_delta_pairs, hierarchical_share_rollup, phrase_search_positional,
+# caliper_matching, fellegi_sunter_scores, rolling_active_users).
 _CHECK_FIRST = [
-    "max_drawdown_daily",
-    "spc_control_chart",
-    "effective_source_count",
-    "logrank_test",
-    "qini_curve_deciles",
-    "matrix_profile_daily",
-    "deltalite_merge_time_travel",
-    "multimodal_pixel_decode",
-    "t_closeness_audit",
-    "deltalite_change_data_feed",
-    "sprt_sequential_test",
-    "ridge_regression_sweep",
-    "spatial_grid_radius_join",
-    "sssp_bounded_hops",
-    "quantile_normalize_lengths",
-    "bh_fdr_chi2_panel",
-    "seat_apportionment",
-    "woe_iv_binning",
-    "heaps_law_fit",
-    "importance_weight_ess",
-    "feature_hash_collision_audit",
-    "winnowing_fingerprints",
-    "entropy_rate_bigram",
-    "time_weighted_avg",
-    "ts_decomposition",
-    "seasonal_residual_anomaly",
-    "error_rate_changepoint",
-    "mann_kendall_theil_sen",
-    "ccf_lead_lag",
-    "abc_pareto_class",
-    "item_item_cosine",
-    "label_propagation_communities",
-    "community_modularity",
-    "graph_assortativity",
-    "recsys_coverage_eval",
-    "leaderboard_rank_shift",
-    "kcore_peeling",
-    "basket_lift_rules",
-    "price_elasticity",
-    "gini_concentration",
-    "ks_two_sample",
-    "auc_mann_whitney",
-    "js_divergence_sources",
-    "burstiness_fano",
-    "reliability_calibration_bins",
-    "mcnemar_dedup_paths",
-    "permutation_test_ab",
-    "lorenz_curve_points",
-    "markov_next_event_accuracy",
-    "k_anonymity_audit",
-]
-
-# Round-8 window candidates: the remaining 46 never-checked names, then the
-# 19 r1-only stale greens (5-round-old evidence, queued for re-check).
-_STAGED_NEXT = [
     "l_diversity_audit",
     "spearman_corr_lengths",
     "kendall_tau_nations",
@@ -160,13 +105,19 @@ _STAGED_NEXT = [
     "lsh_index_delta_pairs",
     "media_metadata_extract",
     "ahash_image_dedup",
-    # --- round-7 additions (never driver-checked; each locally green at
-    # sf0.001/0.01/0.1 at registration time) — queue for the r8/r9 windows
-    # alongside the 46 above ---
     "ips_offpolicy_eval",
     "mutual_nearest_neighbors",
     "kmv_distinct_estimate",
     "multimodal_audio_features",
+]
+
+# Round-9 window, pre-staged (VERDICT r7 item 3). Arithmetic: 78 never-
+# checked at r7 close − 50 promoted into the round-8 _CHECK_FIRST above =
+# 28 never-checked round-7 additions (xml_scan … ngram_coverage_curve),
+# followed by the 19 r1-only stale greens (outer-join and window-frame
+# families, displaced in r5 — 6-round-old evidence by r9) = 47 names, one
+# clean round-9 window that takes driver-side evidence to 390/390.
+_STAGED_NEXT = [
     "xml_scan",
     "deltalite_optimize_compaction",
     "bitemporal_as_of",

@@ -31,12 +31,40 @@ _DEFAULTS = {
 }
 
 
-def _default_heap_gb() -> int:
-    """min(16, physical_ram // 2) GiB, floor 1 — probed via sysconf; hosts
-    without the sysconf keys (or non-POSIX) keep the 16g ceiling."""
+def _available_ram_bytes() -> int:
+    """Effective memory budget: the cgroup limit when the process runs in a
+    memory-capped container (v2 ``memory.max``, v1 ``memory.limit_in_bytes``),
+    else host physical RAM via sysconf. Host RAM alone would let a container
+    pick a heap above its own cap — the exact OOM-killer scenario the heap
+    sizing exists to avoid (ADVICE r7)."""
+    host = None
     try:
-        ram = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
-        return max(1, min(16, int(ram / (2 * 1024**3))))
+        host = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        pass
+    for path in ("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(path) as f:
+                raw = f.read().strip()
+            if raw != "max":
+                limit = int(raw)
+                # v1 reports an effectively-unlimited sentinel (~2^63); only
+                # trust limits below host RAM (or any sane bound w/o sysconf)
+                if limit < (host or 1 << 62):
+                    return limit
+            break
+        except (OSError, ValueError):
+            continue
+    if host is None:
+        raise OSError("no memory probe available")
+    return host
+
+
+def _default_heap_gb() -> int:
+    """min(16, available_ram // 2) GiB, floor 1 — cgroup-aware; hosts
+    without any probe keep the 16g ceiling."""
+    try:
+        return max(1, min(16, int(_available_ram_bytes() / (2 * 1024**3))))
     except (ValueError, OSError, AttributeError):
         return 16
 

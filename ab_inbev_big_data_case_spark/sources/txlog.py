@@ -235,9 +235,15 @@ class DeltaLiteTable:
             raise FileNotFoundError(f"empty delta-lite log at {self.path}")
         return vs[-1]
 
-    def _read_checkpoint(self, upto: int) -> tuple[int, dict, dict] | None:
+    def _read_checkpoint(self, upto: int) -> tuple[int, dict, dict, dict] | None:
         """Latest parquet checkpoint at version <= upto (via the
-        ``_last_checkpoint`` pointer, falling back to a listing scan)."""
+        ``_last_checkpoint`` pointer, falling back to a listing scan).
+
+        Returns ``(version, metadata, adds, txns)``. The Delta checkpoint
+        format requires SetTransaction (``txn``) actions to be carried in
+        checkpoints — dropping them would silently void the idempotent-
+        replay guarantee of ``merge(txn_app=...)`` after the first
+        checkpoint boundary."""
         import pyarrow.parquet as pq
 
         cands = sorted(
@@ -254,13 +260,17 @@ class DeltaLiteTable:
         ).to_pylist()
         meta: dict = {}
         adds: dict = {}
+        txns: dict = {}
         for row in tbl:
             action = json.loads(row["action"])
             if "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
                 adds[action["add"]["path"]] = action["add"]
-        return v, meta, adds
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
+        return v, meta, adds, txns
 
     def _replay(self, upto: int | None = None) -> _Snapshot:
         """Replay the log (from the newest checkpoint) to ``upto``."""
@@ -275,6 +285,7 @@ class DeltaLiteTable:
         cp = self._read_checkpoint(upto)
         if cp is not None:
             start, snap.metadata, snap.adds = cp[0] + 1, cp[1], dict(cp[2])
+            snap.txns = dict(cp[3])
         for v in vs:
             if v < start or v > upto:
                 continue
@@ -344,9 +355,14 @@ class DeltaLiteTable:
         import pyarrow.parquet as pq
 
         snap = self._replay(version)
-        rows = [{"action": json.dumps({"metaData": snap.metadata})}] + [
-            {"action": json.dumps({"add": a})} for a in snap.adds.values()
-        ]
+        rows = (
+            [{"action": json.dumps({"metaData": snap.metadata})}]
+            + [{"action": json.dumps({"add": a})} for a in snap.adds.values()]
+            + [
+                {"action": json.dumps({"txn": {"appId": app, "version": tv}})}
+                for app, tv in sorted(snap.txns.items())
+            ]
+        )
         cp_tmp = os.path.join(self.log_dir, f".tmp-cp-{uuid.uuid4().hex}")
         pq.write_table(pa.Table.from_pylist(rows), cp_tmp)
         os.replace(cp_tmp, os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet"))
@@ -720,10 +736,17 @@ class DeltaLiteTable:
                 cand = sorted(files, key=lambda a: a["path"])
                 total = sum(a["size"] for a in cand)
                 n_out = max(1, -(-total // target_file_bytes))
+                # sort key = (partition cols, cluster cols): within this
+                # group the partition cols are constant, so the row order is
+                # exactly cluster_by — but the prefix satisfies the file
+                # writer's required ordering on partitionBy columns, so it
+                # inserts NO sort of its own and the within-file cluster
+                # order (disjoint min/max envelopes) survives (ADVICE r7).
+                part_cols = snap.metadata["partitionColumns"]
                 df = (
                     self._read_files(snap, [a["path"] for a in cand])
                     .repartitionByRange(n_out, *cluster_by)
-                    .sortWithinPartitions(*cluster_by)
+                    .sortWithinPartitions(*part_cols, *cluster_by)
                 )
                 adds.extend(
                     self._write_data_files(df, snap.metadata["partitionColumns"])

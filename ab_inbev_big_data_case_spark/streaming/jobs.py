@@ -307,7 +307,7 @@ def stream_upsert_deltalite(
     table_path: str,
     checkpoint_dir: str,
     order_col: str,
-    app_id: str = "stream-upsert",
+    app_id: str,
 ):
     """Streaming keyed upsert into a delta-lite ACID table: foreachBatch →
     ``DeltaLiteTable.merge`` carrying the protocol's SetTransaction
@@ -319,6 +319,12 @@ def stream_upsert_deltalite(
     merges as a no-op — idempotency lives in the transaction log, not in
     fragile sink-side ordering rules (contrast :func:`stream_upsert_sink`,
     the plain-parquet variant that relies on order_col monotonicity).
+
+    ``app_id`` is REQUIRED and names the logical job (ADVICE r7): it must be
+    STABLE across checkpoint resets (that stability is the whole recovery
+    guarantee) yet UNIQUE per query writing this table — two queries sharing
+    one app_id would shadow each other's batch_ids and silently skip
+    batches. No default can satisfy both, so the caller chooses.
 
     A micro-batch can carry SEVERAL updates for one key (source files
     coalesce into one batch under availableNow): the batch is first

@@ -372,11 +372,14 @@ def test_stream_upsert_deltalite_txn_idempotent(spark, tmp_path):
     DeltaLiteTable.create(
         spark, spark.createDataFrame([], schema), table, keys=["id"]
     )
+    # app_id names the LOGICAL job: stable across checkpoint resets (the
+    # recovery guarantee below), unique per query (ADVICE r7)
     q = stream_upsert_deltalite(
         stream_from_parquet(spark, src + "/*", schema),
         table,
         str(tmp_path / "ckpt"),
         order_col="ver",
+        app_id="events-upsert",
     )
     q.awaitTermination(120)
     t = DeltaLiteTable(spark, table)
@@ -390,6 +393,7 @@ def test_stream_upsert_deltalite_txn_idempotent(spark, tmp_path):
         table,
         str(tmp_path / "ckpt2"),  # fresh checkpoint = full replay
         order_col="ver",
+        app_id="events-upsert",
     )
     q2.awaitTermination(120)
     assert t.version() == v_after  # replayed batches were no-ops

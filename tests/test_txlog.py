@@ -428,3 +428,66 @@ def test_txn_action_makes_merge_idempotent(spark, base, tmp_path):
     # the txn action is in the log (protocol parity)
     log = (tmp_path / "t" / "_delta_log" / f"{v1:020d}.json").read_text()
     assert '"txn"' in log and '"appId": "job-a"' in log.replace('","', '", "') or '"appId":"job-a"' in log
+
+
+def test_txn_watermark_survives_checkpoint(spark, base, tmp_path):
+    """ADVICE r7 (high): the Delta checkpoint format carries SetTransaction
+    actions — a (appId, version) watermark recorded BEFORE a checkpoint must
+    still make a replayed merge a no-op AFTER replay resumes from it."""
+    t = DeltaLiteTable.create(
+        spark, base, str(tmp_path / "t"), keys=["id"], checkpoint_interval=4
+    )
+    upd = _df(spark, [(5, "u", 500.0)])
+    v1 = t.merge(upd, txn_app="job-a", txn_version=0)
+    # cross at least one checkpoint boundary with unrelated appends
+    while t.version() < v1 + 5:
+        t.write(_df(spark, [(1000 + t.version(), "x", 0.0)]), mode="append")
+    cps = [f for f in os.listdir(t.log_dir) if f.endswith(".checkpoint.parquet")]
+    assert cps, "test needs a checkpoint between the txn commit and the replay"
+    # the checkpoint parquet itself carries the txn action
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(os.path.join(t.log_dir, sorted(cps)[-1])).to_pylist()
+    txns = [json.loads(r["action"]).get("txn") for r in rows]
+    assert {"appId": "job-a", "version": 0} in [x for x in txns if x]
+    # a fresh handle (fresh replay, checkpoint-seeded) still sees the watermark
+    t2 = DeltaLiteTable(spark, str(tmp_path / "t"))
+    assert t2._replay().txns.get("job-a") == 0
+    v_before = t2.version()
+    assert t2.merge(upd, txn_app="job-a", txn_version=0) == v_before  # no-op
+    assert t2.version() == v_before
+    assert t2.snapshot().filter("id = 5").collect()[0]["val"] == 500.0
+
+
+def test_optimize_cluster_by_partitioned_disjoint_envelopes(spark, tmp_path):
+    """ADVICE r7: on a hive-partitioned table, OPTIMIZE(cluster_by) must keep
+    the within-file cluster order — per partition, the rewritten files'
+    footer [min,max] envelopes on the cluster key are pairwise disjoint."""
+    import random
+
+    rows = [(i, "ab"[i % 2], float(i)) for i in range(400)]
+    random.Random(11).shuffle(rows)
+    t = DeltaLiteTable.create(
+        spark,
+        _df(spark, rows[:100]).repartition(1),
+        str(tmp_path / "t"),
+        keys=["id"],
+        partition_by=["grp"],
+    )
+    for lo in (100, 200, 300):  # interleaved id ranges across files
+        t.write(_df(spark, rows[lo : lo + 100]).repartition(1), mode="append")
+    before = {r["id"]: (r["grp"], r["val"]) for r in t.snapshot().collect()}
+    t.optimize(target_file_bytes=4000, cluster_by=["id"])
+    by_part: dict = {}
+    for a in t._replay().adds.values():
+        st = json.loads(a["stats"])
+        by_part.setdefault(a["partitionValues"]["grp"], []).append(
+            (st["minValues"]["id"], st["maxValues"]["id"])
+        )
+    for grp, envs in by_part.items():
+        envs.sort()
+        assert len(envs) >= 2, f"partition {grp}: want multiple clustered files"
+        for (lo1, hi1), (lo2, hi2) in zip(envs, envs[1:]):
+            assert hi1 < lo2, f"partition {grp}: overlapping envelopes {envs}"
+    after = {r["id"]: (r["grp"], r["val"]) for r in t.snapshot().collect()}
+    assert after == before

@@ -1,0 +1,133 @@
+"""Round-close gate runner (VERDICT r7 item 5).
+
+Runs ALL four gates — full DuckDB oracle sweep, pytest (including the
+registry-wide plan sweep), the bench harness, and the registry count — at
+ONE immutable SHA, then writes a single close record. It REFUSES to write
+the record if:
+
+- the working tree is dirty when it starts (uncommitted code would make the
+  record describe a state that never existed in history), or
+- HEAD moves while the gates run (the round-6 red and the round-7 3-query
+  tail both came from registry changes landing after a recorded sweep).
+
+Usage:
+
+    python tools/close_gates.py --round 8            # full close (~15 min)
+    python tools/close_gates.py --round 8 --skip-bench
+
+The record lands in CLOSE_r{N}.json and is meant to be committed as the
+round's final change; any commit after it invalidates it by definition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def _run(cmd: list[str], env: dict | None = None) -> tuple[int, str]:
+    proc = subprocess.run(
+        cmd,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        env={**os.environ, **(env or {})},
+    )
+    return proc.returncode, proc.stdout + proc.stderr
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument("--sf", default="sf0.01", help="oracle-sweep scale factor")
+    args = ap.parse_args()
+
+    if _git("status", "--porcelain"):
+        print("REFUSED: working tree is dirty — commit or stash first.", file=sys.stderr)
+        return 2
+    sha = _git("rev-parse", "HEAD")
+    record: dict = {"round": args.round, "sha": sha, "gates": {}}
+
+    # Gate 1: registry shape (count + oracle coverage + window arithmetic)
+    sys.path.insert(0, REPO)
+    from ab_inbev_big_data_case_spark import registry
+
+    registry.load_all()
+    record["gates"]["registry"] = {
+        "queries": len(registry.QUERIES),
+        "oracles": len(registry.ORACLE),
+        "rows_only": len(registry.QUERIES) - len(registry.ORACLE),
+        "check_first": len(registry._CHECK_FIRST),
+        "staged_next": len(registry._STAGED_NEXT),
+    }
+
+    # Gate 2: full oracle sweep at one SF (the driver's comparison, all names)
+    rc, out = _run([sys.executable, "tools/check_oracle.py", "--sf", args.sf])
+    m = re.search(r"(\d+) pass, (\d+) rows-only, (\d+) fail / (\d+) total", out)
+    record["gates"]["oracle_sweep"] = {
+        "rc": rc,
+        "sf": args.sf,
+        "summary": m.group(0) if m else out[-300:],
+        "green": bool(m and m.group(3) == "0" and rc == 0),
+    }
+
+    # Gate 3: pytest (plan sweep + property specs + live streaming included)
+    rc, out = _run([sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"])
+    m = re.search(r"(\d+) passed(?:, (\d+) failed)?", out)
+    record["gates"]["pytest"] = {
+        "rc": rc,
+        "summary": (m.group(0) if m else out[-300:]),
+        "green": rc == 0,
+    }
+
+    # Gate 4: bench harness (one JSON line; parse-or-fail)
+    if args.skip_bench:
+        record["gates"]["bench"] = {"skipped": True}
+    else:
+        rc, out = _run([sys.executable, "bench.py"])
+        line = next(
+            (ln for ln in out.splitlines() if ln.startswith("{")), None
+        )
+        bench = json.loads(line) if line else None
+        record["gates"]["bench"] = {
+            "rc": rc,
+            "total_sec": bench["value"] if bench else None,
+            "n_queries": len(bench["queries"]) if bench else 0,
+            "green": rc == 0 and bench is not None,
+        }
+
+    if _git("rev-parse", "HEAD") != sha or _git("status", "--porcelain"):
+        print(
+            "REFUSED: HEAD moved or tree went dirty during the gates — the "
+            "record would not describe one SHA. Re-run at the final SHA.",
+            file=sys.stderr,
+        )
+        return 3
+
+    record["all_green"] = all(
+        g.get("green", True) for g in record["gates"].values()
+    )
+    path = os.path.join(REPO, f"CLOSE_r{args.round:02d}.json")
+    with open(path, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    print(json.dumps(record, indent=2))
+    print(f"\nwrote {path} at SHA {sha[:10]} — commit it as the round's final change.")
+    return 0 if record["all_green"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
