@@ -2229,3 +2229,188 @@ def cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cvm_t_r"),
     )
+
+
+# ------------------------------------------------------------------ round 8
+
+# Anderson-Darling two-sample, right-continuous-ECDF version with ties
+# (Scholz & Stephens 1987, eq. for A2_kN at k=2, reduced algebraically):
+#   A2 = (1/(m*n)) * SUM_j l_j * (N*M_j - m*B_j)^2 / (B_j*(N - B_j))
+# over the grouped pooled-value spine (B_j < N), where m,n are sample
+# sizes, N = m+n, l_j the pooled tie count at value j, B_j the cumulative
+# pooled count, M_j the cumulative sample-1 count. Per-term division is
+# FLOORED after scaling by 10^6 so the sum is exact integer arithmetic in
+# both engines (discretization error < L/1e6, documented in the query).
+_AD_SQL = """
+    WITH lab AS (
+        SELECT n_chars,
+               CASE WHEN length(source) <= 4 THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ),
+    cell AS (
+        SELECT n_chars, sum(is_a) AS ca, sum(1 - is_a) AS cb,
+               count(*) AS l
+        FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS m, sum(cb) AS n, sum(l) AS nn FROM cell),
+    walk AS (
+        SELECT l,
+               sum(l)  OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS b,
+               sum(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS ma
+        FROM cell
+    ),
+    terms AS (
+        SELECT CAST(1000000 AS HUGEINT) * l
+               * (CAST(t.nn AS HUGEINT) * ma - CAST(t.m AS HUGEINT) * b)
+               * (CAST(t.nn AS HUGEINT) * ma - CAST(t.m AS HUGEINT) * b)
+               // (CAST(b AS HUGEINT) * (t.nn - b)) AS q
+        FROM walk CROSS JOIN tot t
+        WHERE b < t.nn
+    ),
+    s AS (SELECT sum(q) AS sq FROM terms)
+    SELECT t.m::BIGINT AS n_a, t.n::BIGINT AS n_b,
+           round(CAST(s.sq AS DOUBLE)
+                 / (1000000.0 * CAST(t.m AS DOUBLE) * CAST(t.n AS DOUBLE)),
+                 6) AS ad_a2_r
+    FROM tot t CROSS JOIN s
+"""
+
+
+@register("anderson_darling_two_sample", oracle=_AD_SQL)
+def anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling two-sample statistic on document lengths, short-name
+    sources vs the rest (the ``ks_two_sample`` populations): the
+    variance-weighted ECDF distance that — unlike KS's single supremum —
+    accumulates discrepancy over the WHOLE support with extra weight in the
+    tails (Scholz & Stephens 1987, k=2 right-continuous-with-ties form).
+
+    Exactness: the per-value walk is integer cumsums on the grouped
+    length spine; each term's division is floor-scaled by 1e6 so the sum
+    is exact 128-bit integer arithmetic in BOTH engines (defined
+    discretization < spine_size/1e6 — at 1e4 distinct lengths that is
+    1e-2 absolute on an unnormalized sum of order 1e6·N, i.e. relative
+    ~1e-12); one double division at the end. Magnitude bound: terms stay
+    inside DECIMAL(38) up to N ≈ 3e6 docs per the N⁴ numerator — past
+    that, pre-bucket lengths (the spine is already value-domain-bounded).
+
+    Scale shape: one groupBy on the bounded length domain, one bounded-
+    spine cumsum window, one map-side integer sum. No per-row float."""
+    docs = table(spark, sf_dir, "documents")
+    cell = (
+        docs.select(
+            "n_chars",
+            F.when(F.length("source") <= 4, 1).otherwise(0).alias("is_a"),
+        )
+        .groupBy("n_chars")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+            F.count("*").alias("l"),
+        )
+    )
+    tot = cell.agg(
+        F.sum("ca").alias("m"), F.sum("cb").alias("n"), F.sum("l").alias("nn")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    walk = cell.select(
+        "l",
+        F.sum("l").over(w).alias("b"),
+        F.sum("ca").over(w).alias("ma"),
+    )
+    d = F.col("t.nn").cast("decimal(38,0)") * F.col("ma") - F.col(
+        "t.m"
+    ).cast("decimal(38,0)") * F.col("b")
+    num = F.lit(1000000).cast("decimal(38,0)") * F.col("l") * d * d
+    den = (F.col("b").cast("decimal(38,0)") * (F.col("t.nn") - F.col("b"))).cast(
+        "decimal(38,0)"
+    )
+    q = ((num - num % den) / den).cast("decimal(38,0)")
+    terms = (
+        walk.crossJoin(F.broadcast(tot.alias("t")))
+        .filter(F.col("b") < F.col("t.nn"))
+        .select(q.alias("q"), "t.m", "t.n")
+    )
+    return terms.groupBy("m", "n").agg(F.sum("q").alias("sq")).select(
+        F.col("m").cast("long").alias("n_a"),
+        F.col("n").cast("long").alias("n_b"),
+        F.round(
+            F.col("sq").cast("double")
+            / (F.lit(1000000.0) * F.col("m").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("ad_a2_r"),
+    )
+
+
+# Hodges-Lehmann shift between early (pre-1998) and late weekly revenue:
+# the median of ALL pairwise differences late_i - early_j — the robust
+# location-shift estimator dual to the Wilcoxon rank-sum test (Hodges &
+# Lehmann 1963). Weekly sums are decimal-exact; the pair spine is
+# calendar-bounded (#weeks_a x #weeks_b), so the exact median is a
+# bounded-spine sort. Even pair counts average the two middle values —
+# exact in decimal.
+_HL_SQL = """
+    WITH wk AS (
+        SELECT date_trunc('week', o_orderdate) AS w,
+               round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS rev,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a'
+                    ELSE 'b' END AS grp
+        FROM orders GROUP BY 1, 3
+    ),
+    diffs AS (
+        SELECT b.rev - a.rev AS d
+        FROM (SELECT rev FROM wk WHERE grp = 'a') a
+        CROSS JOIN (SELECT rev FROM wk WHERE grp = 'b') b
+    ),
+    ranked AS (
+        SELECT d, row_number() OVER (ORDER BY d) AS r, count(*) OVER () AS n
+        FROM diffs
+    )
+    SELECT max(n)::BIGINT AS n_pairs,
+           CAST(avg(d) AS DOUBLE) AS hl_shift
+    FROM ranked
+    WHERE r IN ((n + 1) // 2, n // 2 + 1)
+"""
+
+
+@register("hodges_lehmann_shift", oracle=_HL_SQL)
+def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimator of the revenue shift between pre-1998 and
+    1998+ weekly totals: the exact median of all pairwise differences
+    (late - early), the robust alternative to the difference of means the
+    ``did_estimator``/``welch_ab_test`` family uses.
+
+    Scale shape: fact rows collapse to the calendar-bounded weekly spine
+    FIRST (one shuffle); the pairwise-difference table is spine², i.e.
+    bounded by elapsed-weeks² regardless of data volume (~160×190 here —
+    broadcast the smaller side). The exact-median rank window runs on that
+    bounded pair spine (documented bounded-spine exception). Differences
+    and their middle-pair average are exact DECIMAL — both engines agree
+    bit-for-bit; the only double is the final cast."""
+    o = table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).alias("w"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("grp"),
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).alias("rev")
+    )
+    a = wk.filter(F.col("grp") == "a").select(F.col("rev").alias("rev_a"))
+    b = wk.filter(F.col("grp") == "b").select(F.col("rev").alias("rev_b"))
+    diffs = b.crossJoin(F.broadcast(a)).select(
+        (F.col("rev_b") - F.col("rev_a")).alias("d")
+    )
+    wr = Window.orderBy("d")
+    ranked = diffs.select(
+        "d",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("r") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("r") == F.floor(F.col("n") / 2) + 1)
+    )
+    return mid.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.avg("d").cast("double").alias("hl_shift"),
+    )

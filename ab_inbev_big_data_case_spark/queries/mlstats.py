@@ -4631,3 +4631,285 @@ def abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("chi2_term_r"),
         "srm_flag",
     )
+
+
+# ------------------------------------------------------------------ round 8
+
+# Multinomial naive Bayes language-ID, trained on a deterministic 80/20
+# doc_id split, Laplace-smoothed, evaluated as a confusion matrix. Per-
+# token log-probabilities are rounded to 12 decimals and summed as exact
+# DECIMAL so the per-(doc, lang) score is independent of float summation
+# order; argmax ties break on the lexicographically smallest language.
+_NB_SQL = """
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    test  AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    langs AS (SELECT lang, count(*) AS d FROM train GROUP BY 1),
+    dtot  AS (SELECT sum(d) AS dn FROM langs),
+    tok_train AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train
+    ),
+    cnt AS (SELECT lang, tok, count(*) AS c FROM tok_train GROUP BY 1, 2),
+    ltot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM tok_train),
+    tok_test AS (
+        SELECT doc_id, lang AS true_lang,
+               unnest(string_split(text, ' ')) AS tok
+        FROM test
+    ),
+    grid AS (
+        SELECT tt.doc_id, tt.true_lang, tt.tok, lg.lang AS cand,
+               lg.d, lt.t
+        FROM tok_test tt
+        CROSS JOIN langs lg
+        JOIN ltot lt ON lt.lang = lg.lang
+    ),
+    scored AS (
+        SELECT doc_id, true_lang, cand, d, t,
+               round(ln((coalesce(c.c, 0) + 1)::DOUBLE
+                        / (t + (SELECT v FROM vocab))::DOUBLE), 12)
+                   ::DECIMAL(38,12) AS lp
+        FROM grid g
+        LEFT JOIN cnt c ON c.lang = g.cand AND c.tok = g.tok
+    ),
+    docscore AS (
+        SELECT doc_id, true_lang, cand,
+               round(ln(d::DOUBLE / (SELECT dn FROM dtot)::DOUBLE), 12)
+                   ::DECIMAL(38,12) + sum(lp) AS score
+        FROM scored GROUP BY doc_id, true_lang, cand, d
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, cand AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand ASC) AS rn
+        FROM docscore
+    )
+    SELECT true_lang, pred_lang, count(*) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+"""
+
+
+@register("nb_classifier_eval", oracle=_NB_SQL)
+def nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language identification: train on the 80%
+    doc_id-hash split (Laplace-smoothed unigram likelihoods + log priors),
+    score the held-out 20% against every candidate language, output the
+    confusion matrix. The from-counts twin of the heuristic
+    ``lang_id_confusion``; McNemar/kappa-style agreement audits can run on
+    top of both.
+
+    Exactness: each token's log-likelihood is ONE deterministic double
+    (log of a ratio of exact integers) rounded to 12 decimals and summed
+    as DECIMAL(38,12) — per-(doc, lang) scores are independent of both
+    engines' float summation order. Argmax = partitioned row_number with
+    a (score DESC, lang ASC) tiebreak.
+
+    Scale shape: token counts are one explode + groupBy (vocab-bounded
+    state); scoring fans test tokens out by the LANGUAGE DIMENSION (5
+    rows, broadcast) and joins token stats token-keyed; the per-doc argmax
+    window partitions by doc_id. No all-pairs, no driver loop, no Python
+    UDF."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    tok_train = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = tok_train.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    ltot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
+    langs = train.groupBy("lang").agg(F.count("*").alias("d"))
+    dtot = langs.agg(F.sum("d").alias("dn"))
+    vocab = tok_train.agg(F.countDistinct("tok").alias("v"))
+
+    tok_test = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    lang_dim = (
+        langs.join(ltot, "lang")
+        .crossJoin(F.broadcast(dtot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cand"),
+            "d",
+            "t",
+            "dn",
+            "v",
+        )
+    )
+    grid = tok_test.crossJoin(F.broadcast(lang_dim))
+    scored = grid.join(
+        cnt.select(F.col("lang").alias("cand"), "tok", "c"),
+        ["cand", "tok"],
+        "left",
+    ).select(
+        "doc_id",
+        "true_lang",
+        "cand",
+        "d",
+        "t",
+        "dn",
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("t") + F.col("v")).cast("double")
+            ),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("lp"),
+    )
+    docscore = scored.groupBy("doc_id", "true_lang", "cand", "d", "dn").agg(
+        F.sum("lp").alias("lsum")
+    ).select(
+        "doc_id",
+        "true_lang",
+        "cand",
+        (
+            F.round(
+                F.log(F.col("d").cast("double") / F.col("dn").cast("double")), 12
+            ).cast("decimal(38,12)")
+            + F.col("lsum")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    pred = docscore.select(
+        "true_lang",
+        F.col("cand").alias("pred_lang"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# Bradley-Terry strengths from weekly revenue "matches" between customer
+# nations: nation i beats j in a week when both sold and i's exact weekly
+# revenue is higher (decimal ties excluded, standard BT). 3 unrolled MM
+# iterations (Hunter 2004): p_i <- W_i / SUM_j n_ij/(p_i+p_j), normalized
+# to sum 1 and rounded to 8 per iteration (the pagerank_nations float
+# discipline: neighbor sums are <=24 rounded terms).
+_BT_SQL = """
+    WITH wk AS (
+        SELECT c.c_nationkey AS nat, date_trunc('week', o.o_orderdate) AS w,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    duels AS (
+        SELECT a.nat AS i, b.nat AS j,
+               sum(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END) AS wins,
+               sum(CASE WHEN a.rev <> b.rev THEN 1 ELSE 0 END) AS n
+        FROM wk a JOIN wk b ON a.w = b.w AND a.nat <> b.nat
+        GROUP BY 1, 2
+    ),
+    wtot AS (SELECT i, sum(wins) AS wi FROM duels GROUP BY 1),
+    k AS (SELECT count(*) AS k FROM wtot),
+    p0 AS (SELECT i, round(1.0 / (SELECT k FROM k), 8) AS p FROM wtot),
+    r1 AS (
+        SELECT d.i, w.wi / sum(d.n / (pi.p + pj.p)) AS praw
+        FROM duels d
+        JOIN p0 pi ON pi.i = d.i
+        JOIN p0 pj ON pj.i = d.j
+        JOIN wtot w ON w.i = d.i
+        GROUP BY d.i, w.wi
+    ),
+    p1 AS (SELECT i, round(praw / sum(praw) OVER (), 8) AS p FROM r1),
+    r2 AS (
+        SELECT d.i, w.wi / sum(d.n / (pi.p + pj.p)) AS praw
+        FROM duels d
+        JOIN p1 pi ON pi.i = d.i
+        JOIN p1 pj ON pj.i = d.j
+        JOIN wtot w ON w.i = d.i
+        GROUP BY d.i, w.wi
+    ),
+    p2 AS (SELECT i, round(praw / sum(praw) OVER (), 8) AS p FROM r2),
+    r3 AS (
+        SELECT d.i, w.wi / sum(d.n / (pi.p + pj.p)) AS praw
+        FROM duels d
+        JOIN p2 pi ON pi.i = d.i
+        JOIN p2 pj ON pj.i = d.j
+        JOIN wtot w ON w.i = d.i
+        GROUP BY d.i, w.wi
+    ),
+    p3 AS (SELECT i, round(praw / sum(praw) OVER (), 8) AS p FROM r3)
+    SELECT p3.i AS nationkey, round(p3.p, 6) AS bt_strength_r,
+           w.wi::BIGINT AS n_wins
+    FROM p3 JOIN wtot w ON w.i = p3.i
+"""
+
+
+@register("bradley_terry_strengths", oracle=_BT_SQL)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry paired-comparison strengths (Bradley & Terry 1952,
+    Hunter 2004 MM algorithm) over weekly revenue duels between customer
+    nations — the batch preference-ranking primitive LLM evaluation
+    arenas and RLHF preference datasets need (pairwise wins → latent
+    quality scale).
+
+    Scale shape: the fact collapses to the (nation, week) spine first; the
+    duel table is the week-keyed self-join of a bounded dimension (25
+    nations → ≤600 directed pairs REGARDLESS of data volume). Each MM
+    iteration is one equi-join of the strength table onto the duel table +
+    one grouped sum + one global normalize window on 25 rows — unrolled,
+    no driver iteration. Wins compare EXACT decimal revenue (ties drop).
+    Strengths round to 8 per iteration so ≤24-term float sums agree across
+    engines."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    wk = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nat"),
+            F.date_trunc("week", "o_orderdate").alias("w"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    a, b = wk.alias("a"), wk.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.nat") != F.col("b.nat")),
+        )
+        .groupBy(F.col("a.nat").alias("i"), F.col("b.nat").alias("j"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.rev") > F.col("b.rev"), 1).otherwise(0)
+            ).alias("wins"),
+            F.sum(
+                F.when(F.col("a.rev") != F.col("b.rev"), 1).otherwise(0)
+            ).alias("n"),
+        )
+        .localCheckpoint(eager=False)  # bounded ≤600-row duel dim, reused 3×
+    )
+    wtot = duels.groupBy("i").agg(F.sum("wins").alias("wi")).localCheckpoint(
+        eager=False
+    )
+    kdf = wtot.agg(F.count("*").alias("k"))
+    p = wtot.crossJoin(F.broadcast(kdf)).select(
+        "i", F.round(F.lit(1.0) / F.col("k"), 8).alias("p")
+    )
+    for _ in range(3):
+        raw = (
+            duels.join(p.select(F.col("i").alias("pi_i"), F.col("p").alias("pi")),
+                       F.col("i") == F.col("pi_i"))
+            .join(p.select(F.col("i").alias("pj_i"), F.col("p").alias("pj")),
+                  F.col("j") == F.col("pj_i"))
+            .join(wtot.select(F.col("i").alias("w_i"), "wi"), F.col("i") == F.col("w_i"))
+            .groupBy("i", "wi")
+            .agg((F.first("wi") / F.sum(F.col("n") / (F.col("pi") + F.col("pj")))).alias("praw"))
+        )
+        p = raw.select(
+            "i",
+            F.round(
+                F.col("praw") / F.sum("praw").over(Window.partitionBy()), 8
+            ).alias("p"),
+        )
+    return p.join(wtot, "i").select(
+        F.col("i").alias("nationkey"),
+        F.round("p", 6).alias("bt_strength_r"),
+        F.col("wi").cast("long").alias("n_wins"),
+    )

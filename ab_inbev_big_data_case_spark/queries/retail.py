@@ -1575,3 +1575,108 @@ def qini_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("qini_r"),
     )
+
+
+# ------------------------------------------------------------------ round 8
+
+# Bullwhip effect (Lee, Padmanabhan & Whang 1997): per customer nation,
+# variance amplification between downstream demand (weekly quantity by
+# ORDER date) and the upstream replenishment signal (weekly quantity by
+# SHIP date). Ratio > 1 = the supply signal swings harder than demand.
+# Variances derive from exact decimal sums via n*Σx² - (Σx)² — identical
+# doubles in both engines.
+_BULLWHIP_SQL = """
+    WITH base AS (
+        SELECT c.c_nationkey AS nationkey,
+               date_trunc('week', o.o_orderdate) AS ow,
+               date_trunc('week', l.l_shipdate) AS sw,
+               CAST(l.l_quantity AS DECIMAL(18,2)) AS qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    demand AS (
+        SELECT nationkey, ow AS w, sum(qty) AS q
+        FROM base GROUP BY 1, 2
+    ),
+    supply AS (
+        SELECT nationkey, sw AS w, sum(qty) AS q
+        FROM base GROUP BY 1, 2
+    ),
+    dv AS (
+        SELECT nationkey, count(*) AS n,
+               sum(q) AS s1, sum(q * q) AS s2
+        FROM demand GROUP BY 1
+    ),
+    sv AS (
+        SELECT nationkey, count(*) AS n,
+               sum(q) AS s1, sum(q * q) AS s2
+        FROM supply GROUP BY 1
+    )
+    SELECT dv.nationkey,
+           round((sv.n * sv.s2::DOUBLE - sv.s1::DOUBLE * sv.s1::DOUBLE)
+                 / (sv.n::DOUBLE * (sv.n - 1))
+                 / ((dv.n * dv.s2::DOUBLE - dv.s1::DOUBLE * dv.s1::DOUBLE)
+                    / (dv.n::DOUBLE * (dv.n - 1))), 6) AS bullwhip_r,
+           dv.n::BIGINT AS n_demand_weeks,
+           sv.n::BIGINT AS n_supply_weeks
+    FROM dv JOIN sv ON dv.nationkey = sv.nationkey
+    WHERE dv.n > 1 AND sv.n > 1
+"""
+
+
+@register("bullwhip_ratio", oracle=_BULLWHIP_SQL)
+def bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect ratio per customer nation (Lee et al. 1997):
+    Var(weekly shipped qty) / Var(weekly ordered qty). TPC-H's order→ship
+    lag acts as the replenishment delay; a ratio above 1 quantifies the
+    variance amplification the supply chain adds.
+
+    Scale shape: the fact join collapses straight to two (nation, week)
+    aggregates — calendar × 25-nation bounded spines; per-nation variance
+    comes from exact DECIMAL Σq and Σq² (order-independent), with ONE
+    double expression per nation row at the end. Two shuffles, no windows,
+    no Python."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("week", "o_orderdate").alias("ow"),
+            F.date_trunc("week", "l_shipdate").alias("sw"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        )
+    )
+
+    def weekly_var(df: DataFrame, wcol: str) -> DataFrame:
+        weekly = df.groupBy("nationkey", F.col(wcol).alias("w")).agg(
+            F.sum("qty").alias("q")
+        )
+        return weekly.groupBy("nationkey").agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+        )
+
+    dv = weekly_var(base, "ow").alias("dv")
+    sv = weekly_var(base, "sw").alias("sv")
+
+    def var(side: str):
+        n = F.col(f"{side}.n")
+        s1 = F.col(f"{side}.s1").cast("double")
+        s2 = F.col(f"{side}.s2").cast("double")
+        return (n * s2 - s1 * s1) / (n.cast("double") * (n - 1))
+
+    return (
+        dv.join(sv, F.col("dv.nationkey") == F.col("sv.nationkey"))
+        .filter((F.col("dv.n") > 1) & (F.col("sv.n") > 1))
+        .select(
+            F.col("dv.nationkey").alias("nationkey"),
+            F.round(var("sv") / var("dv"), 6).alias("bullwhip_r"),
+            F.col("dv.n").cast("long").alias("n_demand_weeks"),
+            F.col("sv.n").cast("long").alias("n_supply_weeks"),
+        )
+    )

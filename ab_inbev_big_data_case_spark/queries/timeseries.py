@@ -2194,3 +2194,160 @@ def hurst_rs_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst_r"),
     )
+
+
+# ------------------------------------------------------------------ round 8
+
+_PGRAM_K = 8  # bounded frequency grid: periods N/1 .. N/8
+
+_PGRAM_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (
+        SELECT rev, row_number() OVER (ORDER BY day) - 1 AS t,
+               count(*) OVER () AS n, avg(rev) OVER () AS mu
+        FROM d
+    ),
+    ks AS (
+        {" UNION ALL ".join(f"SELECT {k} AS k" for k in range(1, _PGRAM_K + 1))}
+    ),
+    terms AS (
+        SELECT ks.k,
+               sum((rev - mu) * cos(2 * pi() * ks.k * t / n)) AS c,
+               sum((rev - mu) * sin(2 * pi() * ks.k * t / n)) AS s,
+               max(n) AS n
+        FROM idx CROSS JOIN ks
+        GROUP BY ks.k
+    )
+    SELECT k, round((c * c + s * s) / n, 2) AS power
+    FROM terms
+"""
+
+
+@register("periodogram_peaks", oracle=_PGRAM_SQL)
+def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of the demeaned daily-revenue series at
+    a bounded frequency grid (k = 1..8 cycles over the observed span):
+    I(k) = (Σ x̃_t cos(2πkt/N))² + (Σ x̃_t sin(2πkt/N))², scaled by N —
+    the classical spectral screen for hidden periodicity (Schuster 1898)
+    complementing the lag-domain ``acf_lags``.
+
+    Scale shape: fact → day spine (one shuffle, calendar-bounded), then the
+    k-grid is a broadcast 8-row spine crossed onto the spine rows — each
+    frequency's cos/sin sums are ONE map-side partial aggregation; no
+    all-pairs, no per-row Python. The three partitionless windows (t-index,
+    N, mean) run on the bounded day spine. Power rounded to 2 (the input
+    series is exact-decimal, but trig sums are float — cents precision is
+    what survives reordering)."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day")
+    idx = d.select(
+        "rev",
+        (F.row_number().over(w) - 1).alias("t"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.avg("rev").over(Window.partitionBy()).alias("mu"),
+    )
+    ks = spark.range(1, _PGRAM_K + 1).select(F.col("id").alias("k"))
+    ang = 2 * F.lit(float(__import__("math").pi)) * F.col("k") * F.col("t") / F.col("n")
+    terms = (
+        idx.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("rev") - F.col("mu")) * F.cos(ang)).alias("c"),
+            F.sum((F.col("rev") - F.col("mu")) * F.sin(ang)).alias("s"),
+            F.max("n").alias("n"),
+        )
+    )
+    return terms.select(
+        "k",
+        F.round((F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 2).alias(
+            "power"
+        ),
+    )
+
+
+_BOLLINGER_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (
+        SELECT day, rev,
+               CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+        FROM d
+    ),
+    b AS (
+        SELECT day, rev,
+               sum(cents) OVER w AS s1c,
+               sum(cents * cents) OVER w AS s2c,
+               count(*) OVER w AS nw
+        FROM c
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+        SELECT day, rev,
+               -- mean at cents precision via INTEGER half-up division:
+               -- s1/20 lands exactly on half-cents, where double round()
+               -- diverges between engines
+               ((s1c + 10) // 20)::DOUBLE / 100 AS ma20,
+               s1c::DOUBLE / 100 / 20 AS ma,
+               sqrt((s2c::DOUBLE / 10000
+                     - (s1c::DOUBLE / 100) * (s1c::DOUBLE / 100) / 20) / 19)
+                   AS sd
+        FROM b WHERE nw = 20
+    )
+    SELECT day, rev,
+           ma20,
+           round(ma + 2 * sd, 2) AS upper_band,
+           round(ma - 2 * sd, 2) AS lower_band,
+           CASE WHEN rev > ma + 2 * sd THEN 'above'
+                WHEN rev < ma - 2 * sd THEN 'below'
+                ELSE 'inside' END AS band_pos
+    FROM m
+"""
+
+
+@register("bollinger_bands", oracle=_BOLLINGER_SQL)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (Bollinger 1992) on daily revenue: 20-day trailing
+    moving average ± 2 trailing sample standard deviations, each day
+    classified above/inside/below. Days without a full 20-day window are
+    excluded (both engines agree exactly instead of differing on partial-
+    window stddev).
+
+    Scale shape: fact → day spine, then ONE partitionless sliding window
+    over the calendar-bounded spine (the documented bounded-spine
+    exception); per-SKU banding would partition by key and scale with
+    cardinality. Float discipline: daily revenue quantizes to integer
+    CENTS, and the window accumulates Σc and Σc² as 128-bit integers
+    (exact, order-independent — plain 64-bit Σc² overflows past ~1e9-cent
+    days × 20); mean/stddev derive from those two exact scalars in double,
+    so both engines compute identical values (a float stddev_samp window
+    differs in the last cent between engines)."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-19, 0)
+    cents = (F.col("rev").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    agg = d.select(
+        "day",
+        "rev",
+        F.sum(cents).over(w).alias("s1c"),
+        F.sum(cents * cents).over(w).alias("s2c"),
+        F.count("*").over(w).alias("nw"),
+    ).filter(F.col("nw") == 20)
+    s1d = F.col("s1c").cast("double") / 100
+    s2d = F.col("s2c").cast("double") / 10000
+    half_up = F.col("s1c") + 10
+    b = agg.select(
+        "day",
+        "rev",
+        ((half_up - half_up % 20) / 20).cast("long").alias("ma_c"),
+        (s1d / 20).alias("ma"),
+        F.sqrt((s2d - s1d * s1d / 20) / 19).alias("sd"),
+    )
+    return b.select(
+        "day",
+        "rev",
+        (F.col("ma_c").cast("double") / 100).alias("ma20"),
+        F.round(F.col("ma") + 2 * F.col("sd"), 2).alias("upper_band"),
+        F.round(F.col("ma") - 2 * F.col("sd"), 2).alias("lower_band"),
+        F.when(F.col("rev") > F.col("ma") + 2 * F.col("sd"), "above")
+        .when(F.col("rev") < F.col("ma") - 2 * F.col("sd"), "below")
+        .otherwise("inside")
+        .alias("band_pos"),
+    )

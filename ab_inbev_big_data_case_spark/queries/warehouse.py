@@ -1566,3 +1566,132 @@ def bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.groupBy("label", "grp").agg(
         F.count("*").alias("n"), F.sum("v_c").alias("cents")
     )
+
+
+# HITS on the same nation trade graph PageRank uses (distinct edges,
+# unweighted): hubs point at good authorities, authorities are pointed at
+# by good hubs (Kleinberg 1999). 2 unrolled mutual-reinforcement rounds,
+# max-normalized and rounded to 8 per step (summation-order independence,
+# the pagerank_nations discipline), output rounded to 6.
+_HITS_SQL = """
+    WITH edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ),
+    a1r AS (  -- a1 = A^T h0 with h0 = 1: in-degree
+        SELECT n.node, CAST(count(e.src) AS DOUBLE) AS v
+        FROM nodes n LEFT JOIN edges e ON e.dst = n.node GROUP BY n.node
+    ),
+    a1 AS (SELECT node, round(v / max(v) OVER (), 8) AS a FROM a1r),
+    h1r AS (  -- h1 = A a1
+        SELECT n.node, coalesce(sum(a1.a), 0.0) AS v
+        FROM nodes n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN a1 ON a1.node = e.dst
+        GROUP BY n.node
+    ),
+    h1 AS (SELECT node, round(v / max(v) OVER (), 8) AS h FROM h1r),
+    a2r AS (
+        SELECT n.node, coalesce(sum(h1.h), 0.0) AS v
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN h1 ON h1.node = e.src
+        GROUP BY n.node
+    ),
+    a2 AS (SELECT node, round(v / max(v) OVER (), 8) AS a FROM a2r),
+    h2r AS (
+        SELECT n.node, coalesce(sum(a2.a), 0.0) AS v
+        FROM nodes n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN a2 ON a2.node = e.dst
+        GROUP BY n.node
+    ),
+    h2 AS (SELECT node, round(v / max(v) OVER (), 8) AS h FROM h2r)
+    SELECT a2.node AS nationkey,
+           round(h2.h, 6) AS hub_r,
+           round(a2.a, 6) AS authority_r
+    FROM a2 JOIN h2 ON a2.node = h2.node
+"""
+
+
+@register("hits_hub_authority", oracle=_HITS_SQL)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over the nation trade graph:
+    2 unrolled mutual-reinforcement rounds (a ← Aᵀh, h ← A a), each
+    max-normalized and rounded to 8 (the ``pagerank_nations`` float
+    discipline — neighbor sums are ≤25 rounded terms, deterministic at 8).
+
+    Scale shape: the edge list aggregates fact-side ONCE (distinct on the
+    nation pair — bounded 25×25 after the shuffle); every HITS round is an
+    equi-join of a node-cardinality score table onto the edge list + a
+    grouped sum, unrolled into one lazy plan — no driver iteration. The
+    max-normalizer is a broadcast 1-row aggregate. At 100 TB the fact scan
+    dominates; iteration cost is dimension-sized."""
+    load_tables(spark, sf_dir, ("orders", "customer", "lineitem", "supplier"))
+    edges = spark.sql(
+        """
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        """
+    ).localCheckpoint(eager=False)
+    # the lazy-checkpoint seam (zorder_layout_extents precedent): edges and
+    # nodes appear in all 4 unrolled rounds — without truncation the
+    # ANALYZED plan carries ~9 copies of the 4-table join and analysis
+    # alone costs seconds; as LogicalRDD leaves the rounds are dim-sized
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def norm(scores: DataFrame, col: str) -> DataFrame:
+        # max-normalize via one unordered global window on the 25-node
+        # score table — NOT agg+crossJoin, which would duplicate the whole
+        # upstream subtree per round and blow up analysis/codegen 2^rounds
+        mx = F.max(col).over(Window.partitionBy())
+        return scores.select("node", F.round(F.col(col) / mx, 8).alias(col))
+
+    def a_step(h: DataFrame) -> DataFrame:
+        # a_i = sum of h over in-neighbors
+        raw = (
+            nodes.join(edges, edges.dst == nodes.node, "left")
+            .join(h.withColumnRenamed("node", "hn"), F.col("src") == F.col("hn"), "left")
+            .groupBy("node")
+            .agg(F.coalesce(F.sum("h"), F.lit(0.0)).alias("a"))
+        )
+        return norm(raw, "a")
+
+    def h_step(a: DataFrame) -> DataFrame:
+        raw = (
+            nodes.join(edges, edges.src == nodes.node, "left")
+            .join(a.withColumnRenamed("node", "an"), F.col("dst") == F.col("an"), "left")
+            .groupBy("node")
+            .agg(F.coalesce(F.sum("a"), F.lit(0.0)).alias("h"))
+        )
+        return norm(raw, "h")
+
+    # round 1 seeded with h0 = 1: a1 = in-degree (exact), then alternate
+    a1_raw = (
+        nodes.join(edges, edges.dst == nodes.node, "left")
+        .groupBy("node")
+        .agg(F.count("src").cast("double").alias("a"))
+    )
+    a1 = norm(a1_raw, "a")
+    h1 = h_step(a1)
+    a2 = a_step(h1)
+    h2 = h_step(a2)
+    return a2.join(h2, "node").select(
+        F.col("node").alias("nationkey"),
+        F.round("h", 6).alias("hub_r"),
+        F.round("a", 6).alias("authority_r"),
+    )

@@ -114,9 +114,11 @@ _CHECK_FIRST = [
 # Round-9 window, pre-staged (VERDICT r7 item 3). Arithmetic: 78 never-
 # checked at r7 close − 50 promoted into the round-8 _CHECK_FIRST above =
 # 28 never-checked round-7 additions (xml_scan … ngram_coverage_curve),
-# followed by the 19 r1-only stale greens (outer-join and window-frame
-# families, displaced in r5 — 6-round-old evidence by r9) = 47 names, one
-# clean round-9 window that takes driver-side evidence to 390/390.
+# then the 8 round-8 additions (periodogram_peaks … bradley_terry_strengths,
+# each locally green at 3 SFs), then the 19 r1-only stale greens (outer-join
+# and window-frame families, displaced in r5 — 6-round-old evidence by r9)
+# = 55 names: the round-9 window takes the first 50 (28 r7 + 8 r8 + 14
+# stale), leaving 5 stale greens for round 10.
 _STAGED_NEXT = [
     "xml_scan",
     "deltalite_optimize_compaction",
@@ -146,6 +148,18 @@ _STAGED_NEXT = [
     "cvm_two_sample",
     "hurst_rs_lite",
     "ngram_coverage_curve",
+    # --- round-8 additions (never driver-checked; each verified locally at
+    # sf0.001/0.01/0.1 at registration time) — behind the 28 r7 names so the
+    # round-9 window takes the OLDEST backlog first; the tail spills into
+    # round 10 with the stale greens below ---
+    "periodogram_peaks",
+    "bollinger_bands",
+    "anderson_darling_two_sample",
+    "hodges_lehmann_shift",
+    "hits_hub_authority",
+    "bullwhip_ratio",
+    "nb_classifier_eval",
+    "bradley_terry_strengths",
     # --- r1-only stale greens (re-check after the never-checked drain) ---
     "window_lag_lead",
     "window_running",

@@ -44,6 +44,10 @@ PARTITIONLESS_ALLOWED = {
     "gini_concentration": 1,        # bounded decile spine
     "global_sort": 1,               # explicit total-order contract
     "granger_f_lite": 2,            # daily-spine lag pair (calendar-bounded)
+    "periodogram_peaks": 1,         # daily-spine t-index (r8)
+    "bollinger_bands": 3,           # daily-spine 20-day sliding window (r8)
+    "anderson_darling_two_sample": 2,  # bounded length-domain ECDF walk (r8)
+    "hodges_lehmann_shift": 1,      # weeks² bounded pair-spine median rank (r8)
     "heaps_law_fit": 2,             # per-doc-rank spine (bounded by docs)
     "hill_tail_index": 3,           # top-k tail spine
     "histogram_quantile_sketch": 2, # fixed-width bin spine
