@@ -53,6 +53,8 @@ HEADLINE = [
     "multimodal_pixel_decode",    # numpy raster/PCM decode via Arrow (r6 s3)
     "matrix_profile_daily",       # widest window build: exact matrix profile (r6 s3)
     "deltalite_merge_time_travel",  # the write-path headliner: ACID MERGE + travel (r6 s3)
+    "kruskal_wallis_test",        # nonparametric-test panel representative (r8)
+    "xml_scan",                   # native XML source path (r8)
 ]
 
 #: Known-bounded partitionless window specs per headline plan. Every entry
@@ -65,6 +67,7 @@ EXPECTED_PARTITIONLESS = {
     "abc_pareto_class": 1,        # pruned local-survivor rank
     "gini_concentration": 1,      # bounded decile spine
     "matrix_profile_daily": 16,   # calendar-day pair spine ×2 join sides + 2 ranks
+    "kruskal_wallis_test": 1,     # 16-row bucket-carry spine (two-level rank)
 }
 
 
