@@ -5796,3 +5796,93 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy_sum long, peak long",
         )
     )
+
+
+# ------------------------------------------------------------------ round 8
+
+# LSH band/row tuning curve at a FIXED 8-hash budget: for every (bands b,
+# rows r) split of the signature, the candidate volume the bucket join
+# would emit — computed from BUCKET SIZES (sum nC2), never materializing
+# a single pair — plus the config's similarity threshold (1/b)^(1/r).
+# This is the sweep a 100 TB dedup run does before committing to a band
+# layout (the ivf_nprobe_sweep of the MinHash path). Band signatures are
+# order-pinned string folds, so any r works without overflow.
+_LSH_SWEEP_SQL = f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE},
+    cfg AS (
+        SELECT unnest([1, 2, 4, 8]) AS r
+    ),
+    bucketed AS (
+        SELECT cfg.r, sig.doc_id, sig.seed // cfg.r AS band,
+               string_agg(sig.minhash::VARCHAR, '-' ORDER BY sig.seed)
+                   AS band_sig
+        FROM sig CROSS JOIN cfg
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT r, band, band_sig, count(*) AS sz
+        FROM bucketed GROUP BY 1, 2, 3
+    )
+    SELECT (8 // r)::BIGINT AS n_bands,
+           r::BIGINT AS rows_per_band,
+           round(pow(CAST(r AS DOUBLE) / 8, 1.0 / r), 6) AS est_threshold_r,
+           sum(sz * (sz - 1) // 2)::BIGINT AS n_candidate_pairs,
+           count(*) FILTER (WHERE sz > 1)::BIGINT AS n_colliding_buckets,
+           max(sz)::BIGINT AS max_bucket
+    FROM buckets
+    GROUP BY r
+"""
+
+
+@register("lsh_band_sweep", oracle=_LSH_SWEEP_SQL)
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-layout sweep at a fixed 8-hash budget: for each (b, r)
+    with b·r = 8, the candidate-pair volume, colliding-bucket count, max
+    bucket size, and the config's S-curve threshold (1/b)^(1/r) — the
+    cost/recall frontier a dedup run tunes BEFORE materializing any pairs
+    (companion to ``ivf_nprobe_sweep`` on the ANN side).
+
+    Scale shape: signatures are the one-shuffle parallel min-aggregation;
+    the sweep fans each signature row out by the 4-row config dim
+    (broadcast), folds band members into an order-pinned string signature
+    (no numeric overflow at any r), and counts pairs as Σ n(n−1)/2 over
+    bucket sizes — the quadratic pair volume is REPORTED, never emitted.
+    Everything is exact integers except the closed-form threshold."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    cfg = spark.createDataFrame([(1,), (2,), (4,), (8,)], "r INT")
+    bucketed = (
+        sig.crossJoin(F.broadcast(cfg))
+        .groupBy("r", "doc_id", (F.col("seed") / F.col("r")).cast("long").alias("band"))
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+    )
+    buckets = bucketed.groupBy("r", "band", "band_sig").agg(
+        F.count("*").alias("sz")
+    )
+    sz = F.col("sz")
+    return buckets.groupBy("r").agg(
+        F.sum((sz * (sz - 1) - (sz * (sz - 1)) % 2) / 2)
+        .cast("long")
+        .alias("n_candidate_pairs"),
+        F.count(F.when(sz > 1, 1)).cast("long").alias("n_colliding_buckets"),
+        F.max(sz).cast("long").alias("max_bucket"),
+    ).select(
+        (F.lit(8) / F.col("r")).cast("long").alias("n_bands"),
+        F.col("r").cast("long").alias("rows_per_band"),
+        F.round(
+            F.pow(F.col("r").cast("double") / 8, 1.0 / F.col("r")), 6
+        ).alias("est_threshold_r"),
+        "n_candidate_pairs",
+        "n_colliding_buckets",
+        "max_bucket",
+    )

@@ -160,6 +160,7 @@ _STAGED_NEXT = [
     "bullwhip_ratio",
     "nb_classifier_eval",
     "bradley_terry_strengths",
+    "lsh_band_sweep",
     # --- r1-only stale greens (re-check after the never-checked drain) ---
     "window_lag_lead",
     "window_running",
