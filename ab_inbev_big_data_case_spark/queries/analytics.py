@@ -2081,3 +2081,246 @@ def ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_r_matched") * F.lit(1.0) / F.col("n_matched") / 100, 6
         ).alias("snips_r"),
     )
+
+
+# ------------------------------------------------------------------ round 8
+
+# Markov removal-effect attribution (Anderl et al. 2014): model user
+# journeys as a first-order chain over channel states with absorbing
+# CONV/DROP; a channel's credit is how much the conversion probability
+# falls when the channel is removed (its inbound transitions redirect to
+# DROP). Absorption is evaluated by K=8 unrolled hops — a deterministic
+# truncation both engines compute identically (self-loops make CONV/DROP
+# absorbing, so hop-8 CONV mass is "absorbed within 8 steps").
+_MARKOV_HOPS = 8
+_MARKOV_CHANNELS = ("click", "view", "signup", "error")
+
+
+def _markov_sql() -> str:
+    hops = ""
+    for t in range(1, _MARKOV_HOPS + 1):
+        hops += f""",
+    hop{t} AS (
+        SELECT m.cfg, m.dst AS st, round(sum(p.p * m.q), 8) AS p
+        FROM hop{t - 1} p JOIN m ON m.cfg = p.cfg AND m.src = p.st
+        GROUP BY 1, 2
+    )"""
+    chans = ", ".join(f"'{c}'" for c in _MARKOV_CHANNELS)
+    return f"""
+    WITH fp AS (
+        SELECT user_id, ts AS fts, event_id AS fid
+        FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    ev AS (
+        SELECT e.user_id, e.ts, e.event_id,
+               CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+                    ELSE e.event_type END AS st
+        FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+        WHERE fp.fts IS NULL
+           OR e.ts < fp.fts OR (e.ts = fp.fts AND e.event_id <= fp.fid)
+    ),
+    seq AS (
+        SELECT user_id, st,
+               lead(st) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos
+        FROM ev
+    ),
+    trans AS (
+        SELECT 'START' AS src, st AS dst FROM seq WHERE pos = 1
+        UNION ALL
+        SELECT st AS src, coalesce(nxt, 'DROP') AS dst
+        FROM seq WHERE st <> 'CONV'
+    ),
+    cnt AS (SELECT src, dst, count(*) AS c FROM trans GROUP BY 1, 2),
+    cfgs AS (SELECT unnest(['none', {chans}]) AS cfg),
+    redirected AS (
+        SELECT cfg, src,
+               CASE WHEN dst = cfg THEN 'DROP' ELSE dst END AS dst,
+               sum(c) AS c
+        FROM cnt CROSS JOIN cfgs
+        WHERE src <> cfg
+        GROUP BY 1, 2, 3
+    ),
+    m0 AS (
+        SELECT cfg, src, dst,
+               c::DOUBLE / sum(c) OVER (PARTITION BY cfg, src) AS q
+        FROM redirected
+    ),
+    m AS (
+        SELECT cfg, src, dst, q FROM m0
+        UNION ALL
+        SELECT cfg, s, s, 1.0
+        FROM cfgs CROSS JOIN (SELECT unnest(['CONV', 'DROP']) AS s)
+    ),
+    hop0 AS (SELECT cfg, 'START' AS st, 1.0 AS p FROM cfgs){hops},
+    conv AS (
+        SELECT cfg, coalesce(max(p) FILTER (WHERE st = 'CONV'), 0.0) AS cv
+        FROM hop{_MARKOV_HOPS} GROUP BY cfg
+    ),
+    eff AS (
+        SELECT r.cfg AS channel,
+               round(f.cv, 6) AS conv_full_r,
+               round(r.cv, 6) AS conv_removed_r,
+               round((f.cv - r.cv) / f.cv, 6)::DECIMAL(18,6) AS e
+        FROM conv r CROSS JOIN (SELECT cv FROM conv WHERE cfg = 'none') f
+        WHERE r.cfg <> 'none'
+    )
+    SELECT channel, conv_full_r, conv_removed_r,
+           CAST(e AS DOUBLE) AS removal_effect_r,
+           round(e::DOUBLE / (sum(e) OVER ())::DOUBLE, 6) AS attribution_r
+    FROM eff
+"""
+
+
+@register("markov_attribution_removal", oracle=_markov_sql())
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2014) over
+    user journeys truncated at the first purchase: each channel's credit
+    is the relative drop in 8-hop absorption probability into CONV when
+    the channel's inbound transitions redirect to DROP — the data-driven
+    multi-touch model complementing the heuristic ``attribution_last_touch``
+    and ``position_based_attribution``.
+
+    Determinism: transition probabilities are exact-count ratios (one
+    double division each); every hop's state mass is a ≤7-term sum rounded
+    HALF_UP to 8 (the ``pagerank_nations`` discipline, replicated exactly
+    in the Arrow kernel); the attribution shares normalize
+    DECIMAL-quantized effects so the 4-term denominator is
+    order-independent.
+
+    Scale shape: journeys collapse to a ≤7×7 transition-count matrix in
+    ONE keyed window pass over events + one groupBy (the matrix is
+    channel-domain bounded at any data volume). The 8 absorption hops per
+    removal config run in ONE ``applyInPandas`` over the 5 config groups —
+    the brief's pattern for bounded iterative state; expressing them as 8
+    chained join+agg rounds planned ~16 AQE stages of pure overhead for
+    dimension-sized data. The oracle unrolls the same hops as SQL CTEs."""
+    from pyspark.sql import Window as _W
+
+    e = table(spark, sf_dir, "events")
+    wp = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", F.row_number().over(wp).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid"))
+    )
+    ev = (
+        e.join(fp, "user_id", "left")
+        .filter(
+            F.col("fts").isNull()
+            | (F.col("ts") < F.col("fts"))
+            | ((F.col("ts") == F.col("fts")) & (F.col("event_id") <= F.col("fid")))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+        )
+    )
+    seq = ev.select(
+        "user_id",
+        "st",
+        F.lead("st").over(wp).alias("nxt"),
+        F.row_number().over(wp).alias("pos"),
+    )
+    trans = (
+        seq.filter(F.col("pos") == 1)
+        .select(F.lit("START").alias("src"), F.col("st").alias("dst"))
+        .unionAll(
+            seq.filter(F.col("st") != "CONV").select(
+                F.col("st").alias("src"),
+                F.coalesce("nxt", F.lit("DROP")).alias("dst"),
+            )
+        )
+    )
+    cnt = trans.groupBy("src", "dst").agg(F.count("*").alias("c"))
+    cfgs = spark.createDataFrame(
+        [("none",)] + [(c,) for c in _MARKOV_CHANNELS], "cfg STRING"
+    )
+    redirected = (
+        cnt.crossJoin(F.broadcast(cfgs))
+        .filter(F.col("src") != F.col("cfg"))
+        .groupBy(
+            "cfg",
+            "src",
+            F.when(F.col("dst") == F.col("cfg"), "DROP")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+        )
+        .agg(F.sum("c").alias("c"))
+    )
+    m0 = redirected.select(
+        "cfg",
+        "src",
+        "dst",
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(_W.partitionBy("cfg", "src")).cast("double")
+        ).alias("q"),
+    )
+    # 8 absorption hops per config, each config's ≤7×7 matrix in one Arrow
+    # group (applyInPandas — the brief's pattern for bounded iterative
+    # state; 8 chained join+agg hops cost ~16 AQE-replanned stages of pure
+    # overhead for dimension-sized data). Rounding replicates Spark/DuckDB
+    # round(x, 8) HALF_UP; CONV/DROP absorb via mass carry-over, identical
+    # to the oracle's explicit self-loop rows.
+    import math
+
+    import pandas as pd
+
+    def _absorb(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = sorted(
+            zip(pdf["src"], pdf["dst"], pdf["q"]), key=lambda r: (r[0], r[1])
+        )
+        p = {"START": 1.0}
+        for _ in range(_MARKOV_HOPS):
+            nxt: dict[str, float] = {}
+            for s in ("CONV", "DROP"):  # absorbing self-loops
+                if s in p:
+                    nxt[s] = p[s]
+            for src, dst, q in rows:
+                if src in p:
+                    nxt[dst] = nxt.get(dst, 0.0) + p[src] * q
+            p = {
+                s: math.floor(v * 1e8 + 0.5) / 1e8 for s, v in nxt.items()
+            }
+        return pd.DataFrame(
+            {"cfg": [pdf["cfg"].iloc[0]], "cv": [p.get("CONV", 0.0)]}
+        )
+
+    conv = m0.groupBy("cfg").applyInPandas(_absorb, "cfg string, cv double")
+    full = conv.filter(F.col("cfg") == "none").select(F.col("cv").alias("fcv"))
+    eff = (
+        conv.filter(F.col("cfg") != "none")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("cfg").alias("channel"),
+            F.round("fcv", 6).alias("conv_full_r"),
+            F.round("cv", 6).alias("conv_removed_r"),
+            F.round((F.col("fcv") - F.col("cv")) / F.col("fcv"), 6)
+            .cast("decimal(18,6)")
+            .alias("e"),
+        )
+    )
+    return eff.select(
+        "channel",
+        "conv_full_r",
+        "conv_removed_r",
+        F.col("e").cast("double").alias("removal_effect_r"),
+        F.round(
+            F.col("e").cast("double")
+            / F.sum("e").over(_W.partitionBy()).cast("double"),
+            6,
+        ).alias("attribution_r"),
+    )
