@@ -2414,3 +2414,81 @@ def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_pairs"),
         F.avg("d").cast("double").alias("hl_shift"),
     )
+
+
+# Theil T and Atkinson(ε=1) inequality of customer revenue — the
+# decomposable entropy-based complements to gini_concentration. Per-
+# customer log terms are single deterministic doubles (logs of exact
+# integer ratios) quantized to DECIMAL(38,12) before the fact-sized sums,
+# so neither engine's summation order can move the result.
+_THEIL_SQL = """
+    WITH cust AS (
+        SELECT o_custkey,
+               (round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100)
+                   ::HUGEINT AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, sum(x) AS s FROM cust),
+    terms AS (
+        SELECT t.n, t.s,
+               round((CAST(t.n AS DOUBLE) * c.x / CAST(t.s AS DOUBLE))
+                     * ln(CAST(t.n AS DOUBLE) * c.x / CAST(t.s AS DOUBLE)),
+                     12)::DECIMAL(38,12) AS theil_term,
+               round(ln(CAST(c.x AS DOUBLE)), 12)::DECIMAL(38,12) AS ln_x
+        FROM cust c CROSS JOIN tot t
+    )
+    SELECT max(n)::BIGINT AS n_customers,
+           round(CAST(sum(theil_term) AS DOUBLE) / max(n), 6) AS theil_r,
+           round(1 - exp(CAST(sum(ln_x) AS DOUBLE) / max(n)
+                         - ln(CAST(max(s) AS DOUBLE) / max(n))), 6)
+               AS atkinson_r
+    FROM terms
+"""
+
+
+@register("theil_atkinson_inequality", oracle=_THEIL_SQL)
+def theil_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Atkinson (ε=1) inequality indexes of per-customer
+    revenue: the entropy/welfare-based concentration measures that, unlike
+    ``gini_concentration``, decompose additively across subgroups (Theil)
+    and encode explicit inequality aversion (Atkinson).
+
+    Exactness: customer totals are exact cents; each log term is ONE
+    deterministic double (log of an exact integer ratio) rounded to 12 and
+    summed as DECIMAL(38,12) — order-independent at any parallelism; the
+    final index arithmetic runs on those exact scalars. Scale shape: one
+    fact aggregate to the customer key, a broadcast 1-row total, one
+    map-side decimal sum — no windows, no sorts (the Gini path needs a
+    global rank; entropy indexes don't)."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    tot = cust.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    ratio = (
+        F.col("n").cast("double")
+        * F.col("x").cast("double")
+        / F.col("s").cast("double")
+    )
+    terms = cust.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "s",
+        F.round(ratio * F.log(ratio), 12).cast("decimal(38,12)").alias("theil_term"),
+        F.round(F.log(F.col("x").cast("double")), 12)
+        .cast("decimal(38,12)")
+        .alias("ln_x"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(F.sum("theil_term").cast("double") / F.max("n"), 6).alias("theil_r"),
+        F.round(
+            1
+            - F.exp(
+                F.sum("ln_x").cast("double") / F.max("n")
+                - F.log(F.max("s").cast("double") / F.max("n"))
+            ),
+            6,
+        ).alias("atkinson_r"),
+    )

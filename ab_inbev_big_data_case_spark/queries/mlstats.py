@@ -4913,3 +4913,160 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p", 6).alias("bt_strength_r"),
         F.col("wi").cast("long").alias("n_wins"),
     )
+
+
+# Event-study (dynamic DiD) coefficients around the did_estimator's
+# 2024-01-16 boundary: per relative week r, the treated-control purchase-
+# value gap net of the r = −1 baseline gap — the parallel-trends picture
+# (pre-period coefficients ≈ 0) behind the single DiD number.
+_EVENT_STUDY_SQL = """
+    WITH p AS (
+        SELECT (user_id % 2 = 1)::INT AS treat,
+               CAST(floor(date_diff('day', DATE '2024-01-16', ts::DATE) / 7.0)
+                    AS BIGINT) AS r,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cell AS (
+        SELECT r, treat, sum(v) AS sv, count(*) AS n
+        FROM p GROUP BY 1, 2
+    ),
+    gap AS (
+        SELECT t.r,
+               t.sv::DOUBLE / t.n - c.sv::DOUBLE / c.n AS g,
+               t.n AS n_treat, c.n AS n_ctrl
+        FROM cell t JOIN cell c ON t.r = c.r AND t.treat = 1 AND c.treat = 0
+    )
+    SELECT g.r AS rel_week,
+           g.n_treat::BIGINT AS n_treat,
+           g.n_ctrl::BIGINT AS n_ctrl,
+           round(g.g - b.g, 6) AS coef_r
+    FROM gap g CROSS JOIN (SELECT g FROM gap WHERE r = -1) b
+"""
+
+
+@register("event_study_coefficients", oracle=_EVENT_STUDY_SQL)
+def event_study_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study coefficients (dynamic difference-in-differences,
+    leads-and-lags) around ``did_estimator``'s treatment boundary: the
+    per-relative-week treated−control gap net of the week −1 baseline.
+    Pre-boundary coefficients near zero are the parallel-trends evidence
+    the scalar DiD assumes; post-boundary ones trace the effect's shape.
+
+    Exactness: purchase values sum as DECIMAL(18,6) (order-independent);
+    per-cell means and the gap-of-gaps are double arithmetic on those
+    exact scalars. One conditional aggregate over the fact scan + a
+    treated×control self-join on the ≤6-row week spine."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = e.select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-16").cast("date"))
+            / 7.0
+        )
+        .cast("long")
+        .alias("r"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    cell = p.groupBy("r", "treat").agg(
+        F.sum("v").alias("sv"), F.count("*").alias("n")
+    )
+    t = cell.filter(F.col("treat") == 1).alias("t")
+    c = cell.filter(F.col("treat") == 0).alias("c")
+    gap = t.join(c, F.col("t.r") == F.col("c.r")).select(
+        F.col("t.r").alias("r"),
+        (
+            F.col("t.sv").cast("double") / F.col("t.n")
+            - F.col("c.sv").cast("double") / F.col("c.n")
+        ).alias("g"),
+        F.col("t.n").alias("n_treat"),
+        F.col("c.n").alias("n_ctrl"),
+    )
+    base = gap.filter(F.col("r") == -1).select(F.col("g").alias("gb"))
+    return gap.crossJoin(F.broadcast(base)).select(
+        F.col("r").alias("rel_week"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.round(F.col("g") - F.col("gb"), 6).alias("coef_r"),
+    )
+
+
+# Sharp regression discontinuity, local linear, rectangular kernel:
+# running variable = order quantity, cutoff 25, bandwidth 10; outcome =
+# discount rate. OLS on each side in closed form from exact sums; the
+# jump is the difference of the two intercepts AT the cutoff.
+_RDD_SQL = """
+    WITH w AS (
+        SELECT (l_quantity >= 25)::INT AS side,
+               CAST(l_quantity AS BIGINT) - 25 AS u,
+               CAST(l_discount AS DECIMAL(8,2)) AS y
+        FROM lineitem
+        WHERE l_quantity >= 15 AND l_quantity < 35
+    ),
+    s AS (
+        SELECT side, count(*) AS n,
+               sum(u) AS su, sum(u * u) AS suu,
+               sum(y) AS sy, sum(u * y) AS suy
+        FROM w GROUP BY 1
+    ),
+    fit AS (
+        SELECT side, n,
+               (n * suy::DOUBLE - su::DOUBLE * sy::DOUBLE)
+               / (n * suu::DOUBLE - su::DOUBLE * su::DOUBLE) AS b,
+               sy::DOUBLE / n
+               - (n * suy::DOUBLE - su::DOUBLE * sy::DOUBLE)
+                 / (n * suu::DOUBLE - su::DOUBLE * su::DOUBLE)
+                 * (su::DOUBLE / n) AS a
+        FROM s
+    )
+    SELECT round(r.a - l.a, 6) AS rdd_jump_r,
+           round(l.b, 6) AS slope_left_r,
+           round(r.b, 6) AS slope_right_r,
+           l.n::BIGINT AS n_left, r.n::BIGINT AS n_right
+    FROM fit l CROSS JOIN fit r
+    WHERE l.side = 0 AND r.side = 1
+"""
+
+
+@register("rdd_local_linear", oracle=_RDD_SQL)
+def rdd_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate (local linear, rectangular
+    kernel): discount rate as a function of order quantity around the
+    25-unit cutoff, bandwidth 10 — the boundary-jump causal design
+    complementing ``did_estimator`` (time boundary) and
+    ``matched_att_estimate`` (covariate matching). TPC-H discounts have no
+    true discontinuity, so the estimate doubles as a placebo check.
+
+    Exactness: per-side OLS in closed form from exact integer/decimal
+    sums (u integer-centered at the cutoff, y DECIMAL(8,2)); the only
+    float arithmetic is the final slope/intercept algebra on those exact
+    scalars — bit-identical across engines. One filtered fact aggregate,
+    a 2-row fit table, one broadcast cross of the two sides."""
+    li = table(spark, sf_dir, "lineitem")
+    w = li.filter((F.col("l_quantity") >= 15) & (F.col("l_quantity") < 35)).select(
+        (F.col("l_quantity") >= 25).cast("int").alias("side"),
+        (F.col("l_quantity").cast("long") - 25).alias("u"),
+        F.col("l_discount").cast("decimal(8,2)").alias("y"),
+    )
+    s = w.groupBy("side").agg(
+        F.count("*").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("u") * F.col("y")).alias("suy"),
+    )
+    n = F.col("n")
+    su, suu = F.col("su").cast("double"), F.col("suu").cast("double")
+    sy, suy = F.col("sy").cast("double"), F.col("suy").cast("double")
+    b = (n * suy - su * sy) / (n * suu - su * su)
+    a = sy / n - b * (su / n)
+    fit = s.select("side", "n", b.alias("b"), a.alias("a"))
+    l = fit.filter(F.col("side") == 0).alias("l")
+    r = fit.filter(F.col("side") == 1).alias("r")
+    return l.crossJoin(F.broadcast(r)).select(
+        F.round(F.col("r.a") - F.col("l.a"), 6).alias("rdd_jump_r"),
+        F.round(F.col("l.b"), 6).alias("slope_left_r"),
+        F.round(F.col("r.b"), 6).alias("slope_right_r"),
+        F.col("l.n").cast("long").alias("n_left"),
+        F.col("r.n").cast("long").alias("n_right"),
+    )

@@ -1680,3 +1680,164 @@ def bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sv.n").cast("long").alias("n_supply_weeks"),
         )
     )
+
+
+# Paasche + Fisher price indexes, matched-model, same FLOOR-milli unit
+# prices and base month as laspeyres_price_index: Paasche weights by the
+# CURRENT month's basket, Fisher is the geometric mean of the two. All
+# sums are exact integers; the two divisions and the sqrt are the only
+# float ops, identical in both engines.
+_PAASCHE_SQL = """
+    WITH pm AS (
+        SELECT l_partkey AS part, date_trunc('month', l_shipdate)::DATE AS mth,
+               (round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) * 100)
+                   ::BIGINT AS ext_c,
+               sum(l_quantity)::BIGINT AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT part, mth, qty, (ext_c * 1000) // qty AS price_milli FROM pm
+    ),
+    b0 AS (SELECT min(mth) AS base_mth FROM pr),
+    base AS (
+        SELECT part, qty AS qty0, price_milli AS p0
+        FROM pr CROSS JOIN b0 WHERE mth = base_mth
+    ),
+    matched AS (
+        SELECT pr.mth, pr.part, pr.qty, pr.price_milli, b.qty0, b.p0
+        FROM pr JOIN base b ON pr.part = b.part
+    ),
+    s AS (
+        SELECT mth,
+               sum(CAST(price_milli AS HUGEINT) * qty)  AS pt_qt,
+               sum(CAST(p0 AS HUGEINT) * qty)           AS p0_qt,
+               sum(CAST(price_milli AS HUGEINT) * qty0) AS pt_q0,
+               sum(CAST(p0 AS HUGEINT) * qty0)          AS p0_q0,
+               count(*) AS n_parts
+        FROM matched GROUP BY 1
+    )
+    SELECT mth,
+           n_parts::BIGINT AS n_parts,
+           round(CAST(pt_qt AS DOUBLE) / CAST(p0_qt AS DOUBLE), 6)
+               AS paasche_r,
+           round(sqrt((CAST(pt_qt AS DOUBLE) / CAST(p0_qt AS DOUBLE))
+                      * (CAST(pt_q0 AS DOUBLE) / CAST(p0_q0 AS DOUBLE))), 6)
+               AS fisher_r
+    FROM s
+"""
+
+
+@register("paasche_fisher_price_index", oracle=_PAASCHE_SQL)
+def paasche_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paasche and Fisher monthly price indexes over the matched part
+    sample — the current-basket dual (and its geometric mean, the 'ideal'
+    index) of ``laspeyres_price_index``, sharing its FLOOR-milli unit
+    prices, base month, and matched-model convention so all three are
+    directly comparable.
+
+    Scale shape: identical to the Laspeyres plan — one (part, month)
+    partial aggregate over the fact scan, the base basket joined back
+    part-keyed, sums grouped on the bounded month domain; exact 128-bit
+    integer Σp·q everywhere, two divisions + sqrt per month row."""
+    li = table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mth"),
+    ).agg(
+        (F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("ext_c"),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )
+    pr = pm.select(
+        "part", "mth", "qty", F.expr("(ext_c * 1000) div qty").alias("price_milli")
+    )
+    b0 = pr.agg(F.min("mth").alias("base_mth"))
+    base = (
+        pr.crossJoin(F.broadcast(b0))
+        .filter(F.col("mth") == F.col("base_mth"))
+        .select("part", F.col("qty").alias("qty0"), F.col("price_milli").alias("p0"))
+    )
+    d = F.col("price_milli").cast("decimal(38,0)")
+    d0 = F.col("p0").cast("decimal(38,0)")
+    s = (
+        pr.join(base, "part")
+        .groupBy("mth")
+        .agg(
+            F.sum(d * F.col("qty")).alias("pt_qt"),
+            F.sum(d0 * F.col("qty")).alias("p0_qt"),
+            F.sum(d * F.col("qty0")).alias("pt_q0"),
+            F.sum(d0 * F.col("qty0")).alias("p0_q0"),
+            F.count("*").alias("n_parts"),
+        )
+    )
+    paasche = F.col("pt_qt").cast("double") / F.col("p0_qt").cast("double")
+    laspey = F.col("pt_q0").cast("double") / F.col("p0_q0").cast("double")
+    return s.select(
+        "mth",
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.round(paasche, 6).alias("paasche_r"),
+        F.round(F.sqrt(paasche * laspey), 6).alias("fisher_r"),
+    )
+
+
+# Herfindahl-Hirschman market concentration per order year: squared
+# nation revenue shares. Shares are exact-cent ratios; each share² is
+# quantized to DECIMAL(38,16) before the 25-term sum so the total is
+# independent of either engine's float summation order.
+_HHI_SQL = """
+    WITH nat AS (
+        SELECT year(o.o_orderdate) AS yr, c.c_nationkey AS nat,
+               (round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) * 100)
+                   ::HUGEINT AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT yr, sum(cents) AS t FROM nat GROUP BY 1),
+    sh AS (
+        SELECT n.yr,
+               round((CAST(n.cents AS DOUBLE) / CAST(t.t AS DOUBLE))
+                     * (CAST(n.cents AS DOUBLE) / CAST(t.t AS DOUBLE)),
+                     16)::DECIMAL(38,16) AS s2
+        FROM nat n JOIN tot t ON n.yr = t.yr
+    )
+    SELECT yr, round(CAST(sum(s2) AS DOUBLE), 6) AS hhi_r,
+           count(*)::BIGINT AS n_nations
+    FROM sh GROUP BY 1
+"""
+
+
+@register("herfindahl_index", oracle=_HHI_SQL)
+def herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of customer-nation revenue
+    shares per order year — the antitrust-style summary scalar on top of
+    the ``gini_concentration``/``abc_pareto_class`` family (HHI weights
+    LARGE shares quadratically where Gini integrates the whole curve).
+
+    Scale shape: one fact aggregate to the (year, nation) spine; shares
+    divide exact cents; share² quantizes to DECIMAL(38,16) so the 25-term
+    per-year sum is order-independent. No windows, no joins beyond the
+    year-total broadcast-sized attach."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .agg(
+            (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    tot = nat.groupBy("yr").agg(F.sum("cents").alias("t"))
+    share = F.col("cents").cast("double") / F.col("t").cast("double")
+    sh = nat.join(tot, "yr").select(
+        "yr", F.round(share * share, 16).cast("decimal(38,16)").alias("s2")
+    )
+    return sh.groupBy("yr").agg(
+        F.round(F.sum("s2").cast("double"), 6).alias("hhi_r"),
+        F.count("*").cast("long").alias("n_nations"),
+    )

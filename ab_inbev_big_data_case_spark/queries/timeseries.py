@@ -2351,3 +2351,220 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("inside")
         .alias("band_pos"),
     )
+
+
+# Newey-West (1987) HAC long-run variance of daily revenue, Bartlett
+# kernel, lag 3. Everything up to the final division is exact 128-bit
+# integer arithmetic on cents: with S = Σc and n days, the lag-k
+# autocovariance scaled by n³ is Γ_k = Σ_t (n·c_t − S)(n·c_{t+k} − S),
+# and lrv·4n³·10⁴ = (4Γ0 + 2Σ_{k=1..3}(4−k)Γ_k)·… — both engines divide
+# the same exact integers once.
+_NW_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (
+        SELECT day, CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+        FROM d
+    ),
+    l AS (
+        SELECT c,
+               lead(c, 1) OVER (ORDER BY day) AS c1,
+               lead(c, 2) OVER (ORDER BY day) AS c2,
+               lead(c, 3) OVER (ORDER BY day) AS c3,
+               sum(c) OVER () AS s, count(*) OVER () AS n
+        FROM c
+    ),
+    g AS (
+        SELECT max(n) AS n,
+               sum((n*c - s) * (n*c - s)) AS g0,
+               sum(CASE WHEN c1 IS NOT NULL
+                        THEN (n*c - s) * (n*c1 - s) END) AS g1,
+               sum(CASE WHEN c2 IS NOT NULL
+                        THEN (n*c - s) * (n*c2 - s) END) AS g2,
+               sum(CASE WHEN c3 IS NOT NULL
+                        THEN (n*c - s) * (n*c3 - s) END) AS g3
+        FROM l
+    )
+    SELECT n::BIGINT AS n_days,
+           round(CAST(g0 AS DOUBLE)
+                 / (CAST(n AS DOUBLE)**3) / 10000, 2) AS var0_r,
+           round(CAST(4*g0 + 2*(3*g1 + 2*g2 + 1*g3) AS DOUBLE)
+                 / (4 * CAST(n AS DOUBLE)**3) / 10000, 2) AS lrv_r,
+           round(sqrt(CAST(4*g0 + 2*(3*g1 + 2*g2 + 1*g3) AS DOUBLE)
+                      / (4 * CAST(n AS DOUBLE)**3) / 10000
+                      / CAST(n AS DOUBLE)), 4) AS se_mean_r
+    FROM g
+"""
+
+
+@register("newey_west_variance", oracle=_NW_SQL)
+def newey_west_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West HAC long-run variance of the daily revenue series
+    (Bartlett kernel, 3 lags): the autocorrelation-robust standard error
+    for the series mean that the iid variance (``var0_r``) understates
+    when days are serially correlated — the inference companion to
+    ``acf_lags``.
+
+    Exactness: lag products are 128-bit integer arithmetic on cents (the
+    n-scaled demeaning trick n·c_t − S avoids the rational mean), summed
+    exactly; the Bartlett weights (1 − k/4) enter as integer multiples of
+    4Γ_k; both engines perform identical final divisions. The four
+    partitionless windows run on the calendar-bounded day spine."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    c = d.select(
+        "day",
+        (F.col("rev").cast("decimal(18,2)") * 100).cast("decimal(38,0)").alias("c"),
+    )
+    lagd = c.select(
+        "c",
+        F.lead("c", 1).over(w).alias("c1"),
+        F.lead("c", 2).over(w).alias("c2"),
+        F.lead("c", 3).over(w).alias("c3"),
+        F.sum("c").over(wall).alias("s"),
+        F.count("*").over(wall).alias("n"),
+    )
+    n, s = F.col("n"), F.col("s")
+    dev = n * F.col("c") - s
+
+    def gk(col: str):
+        return F.sum(
+            F.when(F.col(col).isNotNull(), dev * (n * F.col(col) - s))
+        )
+
+    g = lagd.agg(
+        F.max("n").alias("n"),
+        F.sum(dev * dev).alias("g0"),
+        gk("c1").alias("g1"),
+        gk("c2").alias("g2"),
+        gk("c3").alias("g3"),
+    )
+    nd = F.col("n").cast("double")
+    lrv_num = (
+        4 * F.col("g0") + 2 * (3 * F.col("g1") + 2 * F.col("g2") + F.col("g3"))
+    ).cast("double")
+    return g.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("g0").cast("double") / F.pow(nd, 3) / 10000, 2).alias("var0_r"),
+        F.round(lrv_num / (4 * F.pow(nd, 3)) / 10000, 2).alias("lrv_r"),
+        F.round(F.sqrt(lrv_num / (4 * F.pow(nd, 3)) / 10000 / nd), 4).alias(
+            "se_mean_r"
+        ),
+    )
+
+
+# Generalized-ESD-style outlier screen (Rosner 1983, statistic side): 3
+# unrolled rounds, each reporting the most extreme studentized day of the
+# REMAINING series and removing it. Because the round's denominator is a
+# constant, the argmax reduces to an exact integer argmax of |n·c − S|
+# (ties → earliest day) — the float residual is computed only for the
+# report.
+_ESD_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    c0 AS (
+        SELECT day, CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+        FROM d
+    )
+    {{rounds}}
+    SELECT * FROM ({{union}})
+"""
+
+
+def _esd_round_sql(i: int) -> str:
+    prev = "c0" if i == 1 else f"c{i - 1}"
+    return f"""
+    s{i} AS (
+        SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS q FROM {prev}
+    ),
+    r{i} AS (
+        SELECT p.day, p.c, t.n, t.s, t.q,
+               abs(t.n * p.c - t.s) AS num
+        FROM {prev} p CROSS JOIN s{i} t
+    ),
+    w{i} AS (
+        SELECT day, c, n,
+               CAST(num AS DOUBLE)
+               / (CAST(n AS DOUBLE)
+                  * sqrt(CAST(n*q - s*s AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (n - 1)))) AS resid
+        FROM r{i} ORDER BY num DESC, day ASC LIMIT 1
+    ),
+    c{i} AS (
+        SELECT p.day, p.c FROM {prev} p
+        WHERE p.day NOT IN (SELECT day FROM w{i})
+    )"""
+
+
+_ESD_SQL = _ESD_SQL.format(
+    rounds="," + ",".join(_esd_round_sql(i).strip().rstrip(",") for i in (1, 2, 3)),
+    union=" UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS round_i, day, n::BIGINT AS n_remaining, "
+        f"round(resid, 6) AS resid_r FROM w{i}"
+        for i in (1, 2, 3)
+    ),
+)
+
+
+@register("esd_outlier_stats", oracle=_ESD_SQL)
+def esd_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD outlier screen on daily revenue (Rosner 1983): 3
+    unrolled remove-the-extreme rounds, each reporting the remaining
+    series' most studentized day — the multi-outlier-robust alternative to
+    one-shot ``mad_outliers``/z-scores, which masked secondary outliers
+    inflate.
+
+    Exactness: each round's argmax is the exact integer argmax of
+    |n·c − S| (the denominator is round-constant), ties to the earliest
+    day; the reported residual divides exact integers once. Rounds chain
+    by anti-joining the single removed day.
+
+    Scale shape: the fact collapses to the calendar-bounded day spine
+    once (lazy-checkpointed); each round is a 1-row stats aggregate
+    broadcast back onto the spine + a 1-row argmax + a broadcast
+    anti-join — dimension-sized work, unrolled, no driver iteration."""
+    d = _daily_revenue(spark, sf_dir)
+    cur = d.select(
+        "day",
+        (F.col("rev").cast("decimal(18,2)") * 100).cast("decimal(38,0)").alias("c"),
+    ).localCheckpoint(eager=False)
+    outs = []
+    for i in (1, 2, 3):
+        stats = cur.agg(
+            F.count("*").alias("n"), F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("q")
+        )
+        n, s, q = F.col("n"), F.col("s"), F.col("q")
+        num = F.abs(n * F.col("c") - s)
+        scored = cur.crossJoin(F.broadcast(stats)).select(
+            "day", "c", "n",
+            num.alias("num"),
+            (
+                num.cast("double")
+                / (
+                    n.cast("double")
+                    * F.sqrt(
+                        (n * q - s * s).cast("double")
+                        / (n.cast("double") * (n - 1).cast("double"))
+                    )
+                )
+            ).alias("resid"),
+        )
+        win = (
+            scored.orderBy(F.col("num").desc(), F.col("day").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        outs.append(
+            win.select(
+                F.lit(i).cast("long").alias("round_i"),
+                "day",
+                F.col("n").cast("long").alias("n_remaining"),
+                F.round("resid", 6).alias("resid_r"),
+            )
+        )
+        cur = cur.join(
+            win.select(F.col("day").alias("rm")), cur.day == F.col("rm"), "left_anti"
+        ).localCheckpoint(eager=False)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
