@@ -5886,3 +5886,137 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_colliding_buckets",
         "max_bucket",
     )
+
+
+# Burrows' Delta (Burrows 2002) between sources: z-score the relative
+# frequencies of the corpus' top-20 function words across the 20 sources,
+# then pairwise mean |Δz| — the classic stylometric authorship distance,
+# here auditing whether corpus "sources" share a generator. Every sum is
+# over quantized DECIMAL values, so both engines agree bit-for-bit.
+_BURROWS_SQL = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    topw AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c FROM tok GROUP BY 1
+            ORDER BY c DESC, w ASC LIMIT 20
+        )
+    ),
+    stot AS (SELECT source, count(*) AS nt FROM tok GROUP BY 1),
+    freq AS (
+        SELECT st.source, tw.w,
+               round(CAST(coalesce(c.c, 0) AS DOUBLE) / st.nt, 12)
+                   ::DECIMAL(38,12) AS f
+        FROM stot st CROSS JOIN topw tw
+        LEFT JOIN (
+            SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+        ) c ON c.source = st.source AND c.w = tw.w
+    ),
+    wstat AS (
+        -- square in DOUBLE and re-quantize: DECIMAL(38,12)^2 loses scale
+        -- under Spark's precision cap, so the decimal product is not
+        -- portable; the quantized-square sum is
+        SELECT w, count(*) AS k, sum(f) AS sf,
+               sum(round(CAST(f AS DOUBLE) * CAST(f AS DOUBLE), 16)
+                   ::DECIMAL(38,16)) AS sff
+        FROM freq GROUP BY 1
+    ),
+    z AS (
+        SELECT f.source, f.w,
+               round((CAST(f.f AS DOUBLE) - CAST(s.sf AS DOUBLE) / s.k)
+                     / sqrt((CAST(s.sff AS DOUBLE)
+                             - CAST(s.sf AS DOUBLE) * CAST(s.sf AS DOUBLE) / s.k)
+                            / (s.k - 1)), 12)::DECIMAL(38,12) AS z
+        FROM freq f JOIN wstat s ON f.w = s.w
+    )
+    SELECT a.source AS source1, b.source AS source2,
+           round(CAST(sum(abs(a.z - b.z)) AS DOUBLE) / count(*), 6)
+               AS burrows_delta_r
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+"""
+
+
+@register("burrows_delta_stylometry", oracle=_BURROWS_SQL)
+def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between corpus sources: z-score
+    the top-20 word relative frequencies across sources, average pairwise
+    |Δz| — the standard authorship-attribution measure (Burrows 2002),
+    used in LLM data curation to flag sources that share a generator or
+    template (low Delta = suspiciously similar style).
+
+    Exactness: frequencies and z-scores quantize to DECIMAL(38,12) before
+    any sum (frequencies are exact-count ratios; z-scores derive from the
+    exact decimal Σf/Σf² across the 20 sources), so neither engine's
+    summation order matters. Tie-broken (count DESC, word ASC) top-20
+    keeps the vocabulary deterministic.
+
+    Scale shape: token counting is the usual explode+groupBy (vocab-
+    bounded); everything after lives on the 20-source × 20-word dimension
+    — the pair matrix is 190 rows regardless of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    topw = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(20)
+        .select("w")
+        .localCheckpoint(eager=False)
+    )
+    stot = tok.groupBy("source").agg(F.count("*").alias("nt"))
+    swc = tok.join(F.broadcast(topw), "w").groupBy("source", "w").agg(
+        F.count("*").alias("c")
+    )
+    freq = (
+        stot.crossJoin(F.broadcast(topw))
+        .join(swc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("nt"), 12
+            )
+            .cast("decimal(38,12)")
+            .alias("f"),
+        )
+    )
+    fd = F.col("f").cast("double")
+    wstat = freq.groupBy("w").agg(
+        F.count("*").alias("k"),
+        F.sum("f").alias("sf"),
+        # square in DOUBLE, re-quantize: Spark caps DECIMAL(38,12)² at a
+        # reduced scale, so the decimal product is not engine-portable
+        F.sum(F.round(fd * fd, 16).cast("decimal(38,16)")).alias("sff"),
+    )
+    k = F.col("k")
+    sf, sff = F.col("sf").cast("double"), F.col("sff").cast("double")
+    z = freq.join(wstat, "w").select(
+        "source",
+        "w",
+        F.round(
+            (F.col("f").cast("double") - sf / k)
+            / F.sqrt((sff - sf * sf / k) / (k - 1)),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source1"), F.col("b.source").alias("source2")
+        )
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("a.z") - F.col("b.z"))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("burrows_delta_r")
+        )
+    )

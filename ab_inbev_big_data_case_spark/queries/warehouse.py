@@ -1574,7 +1574,7 @@ def bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 # max-normalized and rounded to 8 per step (summation-order independence,
 # the pagerank_nations discipline), output rounded to 6.
 _HITS_SQL = """
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
         SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1694,4 +1694,163 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nationkey"),
         F.round("h", 6).alias("hub_r"),
         F.round("a", 6).alias("authority_r"),
+    )
+
+
+# Exact betweenness centrality on the nation trade graph via the path-
+# counting identity: B(v) = Σ_{s≠v≠t} [d(s,v)+d(v,t)=d(s,t)]·σ_sv·σ_vt/σ_st.
+# Shortest-path counts come from 4 unrolled count-matrix powers (the graph's
+# diameter is far below 4); every count is exact integer, the per-triple
+# ratio quantizes to DECIMAL(38,12) before the sum.
+_BETWEENNESS_HOPS = 4
+
+
+def _betweenness_sql() -> str:
+    powers = """
+    p1 AS (SELECT src, dst, CAST(1 AS HUGEINT) AS c FROM edges)"""
+    for k in range(2, _BETWEENNESS_HOPS + 1):
+        powers += f""",
+    p{k} AS (
+        SELECT a.src, b.dst, sum(a.c) AS c
+        FROM p{k - 1} a JOIN edges b ON a.dst = b.src
+        WHERE a.src <> b.dst
+        GROUP BY 1, 2
+    )"""
+    layers = " UNION ALL ".join(
+        f"SELECT src, dst, {k} AS d, c FROM p{k}"
+        for k in range(1, _BETWEENNESS_HOPS + 1)
+    )
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),{powers},
+    layers AS ({layers}),
+    sp AS (
+        SELECT src, dst, min(d) AS d FROM layers GROUP BY 1, 2
+    ),
+    sigma AS (
+        SELECT l.src, l.dst, sp.d, max(l.c) AS sigma
+        FROM layers l JOIN sp ON l.src = sp.src AND l.dst = sp.dst
+                             AND l.d = sp.d
+        GROUP BY 1, 2, 3
+    ),
+    nodes AS (SELECT DISTINCT src AS v FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    triples AS (
+        SELECT n.v,
+               round(CAST(sv.sigma AS DOUBLE) * CAST(vt.sigma AS DOUBLE)
+                     / CAST(st.sigma AS DOUBLE), 12)::DECIMAL(38,12) AS w
+        FROM sigma st
+        JOIN nodes n ON n.v <> st.src AND n.v <> st.dst
+        JOIN sigma sv ON sv.src = st.src AND sv.dst = n.v
+        JOIN sigma vt ON vt.src = n.v AND vt.dst = st.dst
+        WHERE sv.d + vt.d = st.d
+    )
+    SELECT n.v AS nationkey,
+           round(CAST(coalesce(sum(t.w), 0) AS DOUBLE), 6) AS betweenness_r
+    FROM nodes n LEFT JOIN triples t ON t.v = n.v
+    GROUP BY 1
+"""
+
+
+@register("betweenness_centrality", oracle=_betweenness_sql())
+def betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness centrality (directed, self-loops excluded) of the
+    nation trade graph — which nations sit on the most shortest trade
+    routes; the brokerage complement to ``pagerank_nations`` (volume) and
+    ``hits_hub_authority`` (mutual reinforcement).
+
+    Method: shortest-path counts σ_st from 4 unrolled count-matrix
+    powers (exact integers; the dense trade graph's diameter is ≤2, the
+    hop bound is slack), then Brandes' pair-dependency identity summed
+    directly: B(v) = Σ [d(s,v)+d(v,t)=d(s,t)] σ_sv·σ_vt/σ_st. Ratios
+    quantize to DECIMAL(38,12) so the triple sum is order-independent.
+
+    Scale shape: the fact collapses to the ≤25×25 distinct-edge dim ONCE;
+    all powers/joins run on dimension-bounded tables (lazy-checkpointed so
+    the unrolled plan stays leaf-rooted). At 100 TB the fact scan
+    dominates; the centrality math is constant-size."""
+    load_tables(spark, sf_dir, ("orders", "customer", "lineitem", "supplier"))
+    edges = (
+        spark.sql(
+            """
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        """
+        )
+        .localCheckpoint(eager=False)
+    )
+    p = edges.select("src", "dst", F.lit(1).cast("decimal(38,0)").alias("c"))
+    layers = [p.select("src", "dst", F.lit(1).alias("d"), "c")]
+    for k in range(2, _BETWEENNESS_HOPS + 1):
+        p = (
+            p.alias("a")
+            .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .filter(F.col("a.src") != F.col("b.dst"))
+            .groupBy(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .agg(F.sum("c").alias("c"))
+        )
+        layers.append(p.select("src", "dst", F.lit(k).alias("d"), "c"))
+    lay = layers[0]
+    for x in layers[1:]:
+        lay = lay.unionAll(x)
+    lay = lay.localCheckpoint(eager=False)
+    sp = lay.groupBy("src", "dst").agg(F.min("d").alias("d"))
+    sigma = (
+        lay.join(sp, ["src", "dst", "d"])
+        .groupBy("src", "dst", "d")
+        .agg(F.max("c").alias("sigma"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    st, sv, vt = sigma.alias("st"), sigma.alias("sv"), sigma.alias("vt")
+    triples = (
+        st.join(
+            F.broadcast(nodes),  # 25-row dim: BNLJ, never CartesianProduct
+            (F.col("v") != F.col("st.src")) & (F.col("v") != F.col("st.dst")),
+        )
+        .join(
+            sv,
+            (F.col("sv.src") == F.col("st.src")) & (F.col("sv.dst") == F.col("v")),
+        )
+        .join(
+            vt,
+            (F.col("vt.src") == F.col("v")) & (F.col("vt.dst") == F.col("st.dst")),
+        )
+        .filter(F.col("sv.d") + F.col("vt.d") == F.col("st.d"))
+        .select(
+            "v",
+            F.round(
+                F.col("sv.sigma").cast("double")
+                * F.col("vt.sigma").cast("double")
+                / F.col("st.sigma").cast("double"),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("w"),
+        )
+    )
+    return (
+        nodes.join(triples, "v", "left")
+        .groupBy("v")
+        .agg(
+            F.round(F.coalesce(F.sum("w"), F.lit(0)).cast("double"), 6).alias(
+                "betweenness_r"
+            )
+        )
+        .select(F.col("v").alias("nationkey"), "betweenness_r")
     )

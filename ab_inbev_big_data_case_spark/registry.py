@@ -114,11 +114,11 @@ _CHECK_FIRST = [
 # Round-9 window, pre-staged (VERDICT r7 item 3). Arithmetic: 78 never-
 # checked at r7 close − 50 promoted into the round-8 _CHECK_FIRST above =
 # 28 never-checked round-7 additions (xml_scan … ngram_coverage_curve),
-# then the 17 round-8 additions (periodogram_peaks …
-# theil_atkinson_inequality, each locally green at 3 SFs), then the 19
+# then the 19 round-8 additions (periodogram_peaks …
+# burrows_delta_stylometry, each locally green at 3 SFs), then the 19
 # r1-only stale greens (outer-join and window-frame families, displaced in
-# r5 — 6-round-old evidence by r9) = 64 names: the round-9 window takes the
-# first 50 (28 r7 + 17 r8 + 5 stale), leaving 14 stale greens for round 10.
+# r5 — 6-round-old evidence by r9) = 66 names: the round-9 window takes the
+# first 50 (28 r7 + 19 r8 + 3 stale), leaving 16 stale greens for round 10.
 _STAGED_NEXT = [
     "xml_scan",
     "deltalite_optimize_compaction",
@@ -169,6 +169,8 @@ _STAGED_NEXT = [
     "event_study_coefficients",
     "rdd_local_linear",
     "theil_atkinson_inequality",
+    "betweenness_centrality",
+    "burrows_delta_stylometry",
     # --- r1-only stale greens (re-check after the never-checked drain) ---
     "window_lag_lead",
     "window_running",
