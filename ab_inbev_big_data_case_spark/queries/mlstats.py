@@ -5070,3 +5070,117 @@ def rdd_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.n").cast("long").alias("n_left"),
         F.col("r.n").cast("long").alias("n_right"),
     )
+
+
+# Propensity-stratified ATE on per-user purchase totals: strata from a
+# deterministic activity covariate; within-stratum treated/control means
+# from exact decimal sums. With stratum-saturated outcome/propensity
+# models the AIPW (doubly-robust) estimator reduces EXACTLY to this
+# stratified form — the augmentation terms vanish — so this is the
+# degenerate-but-exact member of that family, next to ips_offpolicy_eval
+# (the weighting half) and matched_att_estimate (the matching half).
+_STRAT_ATE_SQL = """
+    WITH u AS (
+        SELECT user_id,
+               (user_id % 2 = 1)::INT AS treat,
+               count(*) AS n_events,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT least(n_events // 5, 8) AS stratum, treat, y FROM u
+    ),
+    cell AS (
+        SELECT stratum,
+               sum(treat) AS n1, sum(1 - treat) AS n0,
+               sum(CASE WHEN treat = 1 THEN y ELSE CAST(0 AS DECIMAL(18,6)) END)
+                   AS s1,
+               sum(CASE WHEN treat = 0 THEN y ELSE CAST(0 AS DECIMAL(18,6)) END)
+                   AS s0
+        FROM s GROUP BY 1
+    ),
+    valid AS (SELECT * FROM cell WHERE n1 > 0 AND n0 > 0),
+    agg AS (
+        SELECT sum(n1 + n0) AS n_used,
+               count(*) AS n_strata,
+               sum((n1 + n0)
+                   * (s1::DOUBLE / n1 - s0::DOUBLE / n0)) AS wsum
+        FROM valid
+    ),
+    naive AS (
+        SELECT sum(CASE WHEN treat = 1 THEN y END)::DOUBLE
+                   / sum(treat)
+               - sum(CASE WHEN treat = 0 THEN y END)::DOUBLE
+                   / sum(1 - treat) AS d
+        FROM u
+    )
+    SELECT a.n_used::BIGINT AS n_users_used,
+           a.n_strata::BIGINT AS n_strata_used,
+           round(a.wsum / a.n_used, 6) AS ate_stratified_r,
+           round(n.d, 6) AS ate_naive_r
+    FROM agg a CROSS JOIN naive n
+"""
+
+
+@register("stratified_ate", oracle=_STRAT_ATE_SQL)
+def stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-stratified average treatment effect on per-user purchase
+    totals (treatment = the ``did_estimator`` odd-user assignment; strata
+    = activity buckets of the event count). With stratum-saturated
+    outcome and propensity models, the AIPW doubly-robust estimator's
+    augmentation terms vanish and it equals this stratified form exactly
+    — reported next to the naive difference so the covariate adjustment
+    is visible. Strata missing a treatment arm drop (counted).
+
+    Exactness: user outcomes sum as DECIMAL(18,6); per-stratum means and
+    the weighted combination are double arithmetic on exact scalars. One
+    user-keyed aggregate, one bounded-strata aggregate, no windows."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+        F.least(F.expr("n_events div 5"), F.lit(8)).alias("stratum"),
+        "y",
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    cell = u.groupBy("stratum").agg(
+        F.sum("treat").alias("n1"),
+        F.sum(1 - F.col("treat")).alias("n0"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(zero)).alias("s1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(zero)).alias("s0"),
+    )
+    valid = cell.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    agg = valid.agg(
+        F.sum(F.col("n1") + F.col("n0")).alias("n_used"),
+        F.count("*").alias("n_strata"),
+        F.sum(
+            (F.col("n1") + F.col("n0"))
+            * (
+                F.col("s1").cast("double") / F.col("n1")
+                - F.col("s0").cast("double") / F.col("n0")
+            )
+        ).alias("wsum"),
+    )
+    naive = u.agg(
+        (
+            F.sum(F.when(F.col("treat") == 1, F.col("y"))).cast("double")
+            / F.sum("treat")
+            - F.sum(F.when(F.col("treat") == 0, F.col("y"))).cast("double")
+            / F.sum(1 - F.col("treat"))
+        ).alias("d")
+    )
+    return agg.crossJoin(F.broadcast(naive)).select(
+        F.col("n_used").cast("long").alias("n_users_used"),
+        F.col("n_strata").cast("long").alias("n_strata_used"),
+        F.round(F.col("wsum") / F.col("n_used"), 6).alias("ate_stratified_r"),
+        F.round(F.col("d"), 6).alias("ate_naive_r"),
+    )

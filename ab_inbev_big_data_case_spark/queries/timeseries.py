@@ -2568,3 +2568,105 @@ def esd_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# Trend/seasonal strength (Wang, Smith & Hyndman 2006; FPP3 §4.5) on the
+# classical decomposition: F_T = max(0, 1 − Var(R)/Var(T+R)),
+# F_S = max(0, 1 − Var(R)/Var(S+R)), restricted to days with a full trend
+# window. Components are exact cents after the decomposition's round(…,2),
+# so the variances reduce to 128-bit integer n·Σx² − (Σx)² — identical
+# across engines up to the two final divisions.
+_SEASONAL_STRENGTH_SQL = f"""
+    WITH dec AS ({_DECOMP_SQL.strip()}),
+    cents AS (
+        SELECT CAST(CAST(round(rev - trend_r - seasonal_r, 2)
+                         AS DECIMAL(18,2)) * 100 AS HUGEINT) AS r,
+               CAST(CAST(round(rev - seasonal_r, 2)
+                         AS DECIMAL(18,2)) * 100 AS HUGEINT) AS tr,
+               CAST(CAST(round(rev - trend_r, 2)
+                         AS DECIMAL(18,2)) * 100 AS HUGEINT) AS sr
+        FROM dec WHERE trend_r IS NOT NULL
+    ),
+    v AS (
+        SELECT count(*) AS n,
+               sum(r) AS s_r,   sum(r * r) AS q_r,
+               sum(tr) AS s_tr, sum(tr * tr) AS q_tr,
+               sum(sr) AS s_sr, sum(sr * sr) AS q_sr
+        FROM cents
+    )
+    SELECT n::BIGINT AS n_days_used,
+           round(greatest(0, 1 - CAST(n * q_r - s_r * s_r AS DOUBLE)
+                                 / CAST(n * q_tr - s_tr * s_tr AS DOUBLE)),
+                 6) AS f_trend_r,
+           round(greatest(0, 1 - CAST(n * q_r - s_r * s_r AS DOUBLE)
+                                 / CAST(n * q_sr - s_sr * s_sr AS DOUBLE)),
+                 6) AS f_seasonal_r
+    FROM v
+"""
+
+
+@register("seasonal_strength", oracle=_SEASONAL_STRENGTH_SQL)
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal strength of daily revenue (Wang, Smith &
+    Hyndman 2006): F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    F_S = max(0, 1 − Var(R)/Var(S+R)) over ``ts_decomposition``'s
+    components — the scalar summaries that rank thousands of series by
+    how trended/seasonal they are before a human looks at any of them.
+
+    Exactness: component values are exact cents (the decomposition rounds
+    every pass at 2), so each variance is 128-bit integer n·Σx² − (Σx)²;
+    the two ratios are the only float ops. One windowed pass over the
+    calendar-bounded day spine + a single 1-row aggregate."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "rev",
+        F.when(
+            F.count("rev").over(w) == 7, F.round(F.avg("rev").over(w), 2)
+        ).alias("trend_r"),
+    )
+    ws = Window.partitionBy(F.dayofweek("day"))
+    s = t.select(
+        "day",
+        "rev",
+        "trend_r",
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("trend_r").isNotNull(),
+                    F.col("rev") - F.col("trend_r"),
+                )
+            ).over(ws),
+            2,
+        ).alias("seasonal_r"),
+    ).filter(F.col("trend_r").isNotNull())
+
+    def cent(expr):
+        return (
+            (F.round(expr, 2).cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+        )
+
+    cents = s.select(
+        cent(F.col("rev") - F.col("trend_r") - F.col("seasonal_r")).alias("r"),
+        cent(F.col("rev") - F.col("seasonal_r")).alias("tr"),
+        cent(F.col("rev") - F.col("trend_r")).alias("sr"),
+    )
+    v = cents.agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("s_r"),
+        F.sum(F.col("r") * F.col("r")).alias("q_r"),
+        F.sum("tr").alias("s_tr"),
+        F.sum(F.col("tr") * F.col("tr")).alias("q_tr"),
+        F.sum("sr").alias("s_sr"),
+        F.sum(F.col("sr") * F.col("sr")).alias("q_sr"),
+    )
+    n = F.col("n")
+    var_r = (n * F.col("q_r") - F.col("s_r") * F.col("s_r")).cast("double")
+    var_tr = (n * F.col("q_tr") - F.col("s_tr") * F.col("s_tr")).cast("double")
+    var_sr = (n * F.col("q_sr") - F.col("s_sr") * F.col("s_sr")).cast("double")
+    return v.select(
+        n.cast("long").alias("n_days_used"),
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_tr), 6).alias("f_trend_r"),
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_sr), 6).alias("f_seasonal_r"),
+    )

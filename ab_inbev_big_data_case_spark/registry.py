@@ -114,11 +114,11 @@ _CHECK_FIRST = [
 # Round-9 window, pre-staged (VERDICT r7 item 3). Arithmetic: 78 never-
 # checked at r7 close − 50 promoted into the round-8 _CHECK_FIRST above =
 # 28 never-checked round-7 additions (xml_scan … ngram_coverage_curve),
-# then the 19 round-8 additions (periodogram_peaks …
-# burrows_delta_stylometry, each locally green at 3 SFs), then the 19
-# r1-only stale greens (outer-join and window-frame families, displaced in
-# r5 — 6-round-old evidence by r9) = 66 names: the round-9 window takes the
-# first 50 (28 r7 + 19 r8 + 3 stale), leaving 16 stale greens for round 10.
+# then the 21 round-8 additions (periodogram_peaks … stratified_ate, each
+# locally green at 3 SFs), then the 19 r1-only stale greens (outer-join and
+# window-frame families, displaced in r5 — 6-round-old evidence by r9) = 68
+# names: the round-9 window takes the first 50 (28 r7 + 21 r8 + 1 stale),
+# leaving 18 stale greens for round 10.
 _STAGED_NEXT = [
     "xml_scan",
     "deltalite_optimize_compaction",
@@ -171,6 +171,8 @@ _STAGED_NEXT = [
     "theil_atkinson_inequality",
     "betweenness_centrality",
     "burrows_delta_stylometry",
+    "seasonal_strength",
+    "stratified_ate",
     # --- r1-only stale greens (re-check after the never-checked drain) ---
     "window_lag_lead",
     "window_running",

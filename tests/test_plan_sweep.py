@@ -49,6 +49,7 @@ PARTITIONLESS_ALLOWED = {
     "anderson_darling_two_sample": 2,  # bounded length-domain ECDF walk (r8)
     "hodges_lehmann_shift": 1,      # weeks² bounded pair-spine median rank (r8)
     "newey_west_variance": 3,       # daily-spine lag-1..3 leads (r8)
+    "seasonal_strength": 2,         # decomposition's day-spine trend windows (r8)
     "heaps_law_fit": 2,             # per-doc-rank spine (bounded by docs)
     "hill_tail_index": 3,           # top-k tail spine
     "histogram_quantile_sketch": 2, # fixed-width bin spine
