@@ -2214,11 +2214,11 @@ _PGRAM_SQL = f"""
         SELECT ks.k,
                sum((rev - mu) * cos(2 * pi() * ks.k * t / n)) AS c,
                sum((rev - mu) * sin(2 * pi() * ks.k * t / n)) AS s,
-               max(n) AS n
+               sum((rev - mu) * (rev - mu)) AS ss
         FROM idx CROSS JOIN ks
         GROUP BY ks.k
     )
-    SELECT k, round((c * c + s * s) / n, 2) AS power
+    SELECT k, round((c * c + s * s) / ss, 6) AS norm_power
     FROM terms
 """
 
@@ -2235,9 +2235,12 @@ def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-grid is a broadcast 8-row spine crossed onto the spine rows — each
     frequency's cos/sin sums are ONE map-side partial aggregation; no
     all-pairs, no per-row Python. The three partitionless windows (t-index,
-    N, mean) run on the bounded day spine. Power rounded to 2 (the input
-    series is exact-decimal, but trig sums are float — cents precision is
-    what survives reordering)."""
+    N, mean) run on the bounded day spine. Power is reported NORMALIZED by
+    the series' sum of squared deviations (ADVICE r8: raw (sum x*cos)^2/N
+    grows with SF^2, so absolute ULP noise eventually swamps any fixed
+    rounding margin; the normalized ratio is scale-free — cross-engine
+    divergence stays relative ~1e-13 — so 6-decimal rounding holds at
+    every SF)."""
     d = _daily_revenue(spark, sf_dir)
     w = Window.orderBy("day")
     idx = d.select(
@@ -2254,14 +2257,16 @@ def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum((F.col("rev") - F.col("mu")) * F.cos(ang)).alias("c"),
             F.sum((F.col("rev") - F.col("mu")) * F.sin(ang)).alias("s"),
-            F.max("n").alias("n"),
+            F.sum(
+                (F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))
+            ).alias("ss"),
         )
     )
     return terms.select(
         "k",
-        F.round((F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 2).alias(
-            "power"
-        ),
+        F.round(
+            (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("ss"), 6
+        ).alias("norm_power"),
     )
 
 

@@ -10,7 +10,11 @@ computed column is aliased identically in the Spark plan and the oracle SQL
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,79 +50,82 @@ _QUERY_MODULES = [
 
 # The driver's correctness harness verifies the FIRST 50 registered queries
 # per round, so registration order decides what gets independent
-# verification. Union r1-r7: 312 of 390 registered names driver-checked,
-# all green on latest evidence (CORRECTNESS_r07.json: 50/50); 78 had never
-# been in a driver window.
-#
-# The round-8 window (VERDICT r7 item 1) holds the first 50 of those 78:
-# the 46-name round-5/6 backlog plus the first 4 round-7 additions. All 50
-# were pre-cleared locally at sf0.01 (tools/check_oracle.py) before this
-# rotation landed, and 12 of them were independently re-verified green by
-# the round-7 judge (resource_allocation_links, lateral_topk_per_group,
-# ivf_nprobe_sweep, pacf_lags, wilcoxon_signed_rank, media_metadata_extract,
-# lsh_index_delta_pairs, hierarchical_share_rollup, phrase_search_positional,
-# caliper_matching, fellegi_sunter_scores, rolling_active_users).
-_CHECK_FIRST = [
-    "l_diversity_audit",
-    "spearman_corr_lengths",
-    "kendall_tau_nations",
-    "interval_allocation_daily",
-    "resource_allocation_links",
-    "readability_scores",
-    "matryoshka_truncation_eval",
-    "did_estimator",
-    "rolling_active_users",
-    "newsvendor_quantile_stock",
-    "fellegi_sunter_scores",
-    "hll_set_intersection",
-    "caliper_matching",
-    "sax_motifs",
-    "covariate_balance_smd",
-    "edge_triangle_support",
-    "laspeyres_price_index",
-    "map_at_k_eval",
-    "lateral_topk_per_group",
-    "hierarchical_share_rollup",
-    "holiday_lift",
-    "oov_rate_heldout",
-    "phrase_search_positional",
-    "interarrival_burstiness",
-    "cross_table_consistency_audit",
-    "negbin_overdispersion_fit",
-    "market_basket_triples",
-    "price_jump_events",
-    "gains_chart_deciles",
-    "ivf_nprobe_sweep",
-    "wilcoxon_signed_rank",
-    "position_based_attribution",
-    "embedding_dim_robust_stats",
-    "levene_test",
-    "runs_test_randomness",
-    "pacf_lags",
-    "simpson_slope_reversal",
-    "matched_att_estimate",
-    "dedup_transitivity_audit",
-    "forecast_method_bakeoff",
-    "embedding_isotropy_audit",
-    "duplicate_payment_audit",
-    "last_digit_uniformity",
-    "lsh_index_delta_pairs",
-    "media_metadata_extract",
-    "ahash_image_dedup",
-    "ips_offpolicy_eval",
-    "mutual_nearest_neighbors",
-    "kmv_distinct_estimate",
-    "multimodal_audio_features",
-]
+# verification. Rounds 2-8 rotated this window BY HAND each round (a
+# recurring start-of-round landmine — VERDICT r6/r7/r8 all had to carry it).
+# Since round 9 the window is DERIVED from the evidence files themselves:
+# ``load_all()`` reads every ``CORRECTNESS_r*.json`` at the repo root and
+# orders the registry by evidence age — names whose latest driver row is
+# red or missing come first (in ``_STAGED_NEXT`` backlog order), then
+# checked names oldest-round-first. The landmine is structurally
+# impossible: as soon as a round's CORRECTNESS file lands in the repo, the
+# next ``load_all()`` demotes its greens and promotes the stalest backlog.
+_WINDOW_SIZE = 50
 
-# Round-9 window, pre-staged (VERDICT r7 item 3). Arithmetic: 78 never-
-# checked at r7 close − 50 promoted into the round-8 _CHECK_FIRST above =
-# 28 never-checked round-7 additions (xml_scan … ngram_coverage_curve),
-# then the 21 round-8 additions (periodogram_peaks … stratified_ate, each
-# locally green at 3 SFs), then the 19 r1-only stale greens (outer-join and
-# window-frame families, displaced in r5 — 6-round-old evidence by r9) = 68
-# names: the round-9 window takes the first 50 (28 r7 + 21 r8 + 1 stale),
-# leaving 18 stale greens for round 10.
+# Derived head of the registration order; filled by ``load_all()``. Kept as
+# a module attribute (not just a local) so tools/close_gates.py and tests
+# can audit the window the driver will actually verify.
+_CHECK_FIRST: list[str] = []
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _evidence_rounds(repo_root: str = _REPO_ROOT) -> dict[str, int]:
+    """name -> latest driver round with a GREEN correctness row.
+
+    A red row (rows/schema/hash mismatch or a recorded error) does NOT
+    count as evidence — the name re-enters the never-checked head of the
+    queue so the next driver window re-verifies the fix.
+    """
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+                and not row.get("err")
+            )
+            if green and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
+
+
+def _derive_order(
+    registered: list[str],
+    evidence: dict[str, int],
+    staged: list[str],
+) -> list[str]:
+    """Deterministic registry order: never/red-checked first (staged
+    backlog order, then registration order for new names), then green
+    names oldest-evidence-round first (same tie-break)."""
+    staged_pos = {n: i for i, n in enumerate(staged)}
+    reg_pos = {n: i for i, n in enumerate(registered)}
+    offset = len(staged)
+
+    def key(name: str) -> tuple[int, int]:
+        backlog = staged_pos.get(name, offset + reg_pos[name])
+        return (evidence.get(name, -1), backlog)
+
+    return sorted(registered, key=key)
+
+# Backlog PRIORITY ORDER for never-driver-checked names (the derived
+# rotation above consumes this): oldest additions first — 28 round-7
+# additions (xml_scan … ngram_coverage_curve), then the 21 round-8
+# additions (periodogram_peaks … stratified_ate), then the 19 r1-only
+# stale greens (these ARE green in CORRECTNESS_r01.json, so the derivation
+# ranks them by that old evidence, behind every never-checked name, ahead
+# of every fresher green — listed here only to pin their relative order).
+# New never-checked registrations (round 9+) are APPENDED as they land.
 _STAGED_NEXT = [
     "xml_scan",
     "deltalite_optimize_compaction",
@@ -227,21 +234,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import every query module (idempotent) so registration side-effects
-    run, then reorder the registry so ``_CHECK_FIRST`` names occupy the
-    driver-verified leading slots."""
+    run, then reorder the registry by evidence age so the driver-verified
+    first ``_WINDOW_SIZE`` slots always hold the stalest-evidence names
+    (never/red-checked first). The rotation is derived, never manual."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
 
-    missing = [n for n in _CHECK_FIRST + _STAGED_NEXT if n not in QUERIES]
+    missing = [n for n in _STAGED_NEXT if n not in QUERIES]
     if missing:
-        raise RuntimeError(f"_CHECK_FIRST names not registered: {missing}")
-    if len(_CHECK_FIRST) > 50:
-        raise RuntimeError(
-            f"_CHECK_FIRST has {len(_CHECK_FIRST)} entries; the driver only "
-            "verifies the first 50"
-        )
-    head = _CHECK_FIRST + _STAGED_NEXT
-    ordered = head + [n for n in QUERIES if n not in head]
+        raise RuntimeError(f"_STAGED_NEXT names not registered: {missing}")
+    ordered = _derive_order(list(QUERIES), _evidence_rounds(), _STAGED_NEXT)
+    _CHECK_FIRST[:] = ordered[:_WINDOW_SIZE]
     for reg in (QUERIES, ORACLE):
         snapshot = dict(reg)
         reg.clear()

@@ -42,7 +42,18 @@ def test_default_heap_within_bounds():
 def test_heap_respects_cgroup_limit_when_below_host(monkeypatch, tmp_path):
     from ab_inbev_big_data_case_spark import session as S
 
-    # fake a 4 GiB cgroup v2 cap on a big host
+    # fake a 4 GiB cgroup v2 cap on a big host. The host probe is faked
+    # too (ADVICE r8): _available_ram_bytes only trusts a cap BELOW host
+    # RAM, so on a <=4 GiB physical machine the real sysconf would make
+    # the fake cap ignored and the assert flake.
+    page = 4096
+    fake_host_pages = (64 * 1024**3) // page
+
+    def fake_sysconf(name):
+        return {"SC_PHYS_PAGES": fake_host_pages, "SC_PAGE_SIZE": page}[name]
+
+    monkeypatch.setattr("os.sysconf", fake_sysconf)
+
     cg = tmp_path / "memory.max"
     cg.write_text(str(4 * 1024**3))
     real_open = open

@@ -1,0 +1,117 @@
+"""Structural guarantee for the driver-window rotation (VERDICT r8 items 1-2).
+
+Rounds 2-8 rotated ``registry._CHECK_FIRST`` by hand each round and three
+consecutive verdicts carried the "not rotated yet" landmine. Since round 9
+the window is DERIVED from the ``CORRECTNESS_r*.json`` evidence files, so
+these tests pin the property that makes the landmine impossible: a name
+with green driver evidence can never occupy a window slot while a
+never-checked (or red-checked) name waits outside it.
+"""
+
+from __future__ import annotations
+
+import json
+
+from ab_inbev_big_data_case_spark import registry
+
+
+def _loaded():
+    registry.load_all()
+    return list(registry.QUERIES)
+
+
+def test_window_prefers_unchecked_over_checked():
+    order = _loaded()
+    ev = registry._evidence_rounds()
+    window = order[: registry._WINDOW_SIZE]
+    outside = order[registry._WINDOW_SIZE :]
+    # No green-checked name sits in the window while a never-checked name
+    # waits outside it.
+    unchecked_outside = [n for n in outside if n not in ev]
+    checked_inside = [n for n in window if n in ev]
+    assert not (unchecked_outside and checked_inside), (
+        f"window holds checked names {checked_inside[:5]} while "
+        f"{unchecked_outside[:5]} were never driver-checked"
+    )
+
+
+def test_window_matches_check_first_attribute():
+    order = _loaded()
+    assert registry._CHECK_FIRST == order[: registry._WINDOW_SIZE]
+    assert len(registry._CHECK_FIRST) == min(
+        registry._WINDOW_SIZE, len(order)
+    )
+
+
+def test_checked_tail_is_oldest_evidence_first():
+    order = _loaded()
+    ev = registry._evidence_rounds()
+    rounds = [ev[n] for n in order if n in ev]
+    assert rounds == sorted(rounds), "green names not ordered oldest-first"
+
+
+def test_rotation_is_deterministic():
+    first = _loaded()
+    second = _loaded()
+    assert first == second
+
+
+def test_red_row_reenters_window(tmp_path):
+    """A red correctness row must NOT count as evidence: the name re-enters
+    the never-checked head so the next driver window re-verifies the fix."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "green_q": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                },
+                "red_q": {
+                    "rows_match": True,
+                    "schema_match": False,
+                    "hash_match": False,
+                    "err": None,
+                },
+                "errored_q": {
+                    "rows_match": False,
+                    "schema_match": False,
+                    "hash_match": False,
+                    "err": "AnalysisException",
+                },
+            }
+        )
+    )
+    ev = registry._evidence_rounds(str(tmp_path))
+    assert ev == {"green_q": 1}
+
+
+def test_future_evidence_demotes_window(tmp_path):
+    """Simulate the NEXT round's evidence landing: every name it covers
+    must drop out of the derived window — i.e. the round-6/7/8 landmine
+    (stale window re-checked) is structurally impossible."""
+    order = _loaded()
+    window = order[: registry._WINDOW_SIZE]
+    # Write a fake next-round file that greens the current window, layered
+    # on top of the real evidence set.
+    ev = dict(registry._evidence_rounds())
+    next_round = max(ev.values(), default=0) + 1
+    for n in window:
+        ev[n] = next_round
+    reordered = registry._derive_order(order, ev, registry._STAGED_NEXT)
+    new_window = reordered[: registry._WINDOW_SIZE]
+    assert not set(new_window) & set(window) or all(
+        n in ev for n in reordered
+    ), "freshly-greened names re-occupied window slots ahead of staler ones"
+    # The new window is exactly the 50 stalest of the updated evidence map.
+    staleness = sorted(order, key=lambda n: ev.get(n, -1))
+    cutoff = ev.get(staleness[registry._WINDOW_SIZE - 1], -1)
+    assert all(ev.get(n, -1) <= cutoff for n in new_window)
+
+
+def test_evidence_files_exist_and_parse():
+    ev = registry._evidence_rounds()
+    # r1-r8 driver history: hundreds of green names, none in the future.
+    assert len(ev) > 300
+    assert max(ev.values()) >= 8

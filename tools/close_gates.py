@@ -53,6 +53,14 @@ def main() -> int:
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--sf", default="sf0.01", help="oracle-sweep scale factor")
+    ap.add_argument(
+        "--expect-queries",
+        type=int,
+        required=True,
+        help="registered-query count the round froze at; the registry and "
+        "oracle-sweep gates go red on any other count (ADVICE r8: a wrong "
+        "count must be able to redden the close record)",
+    )
     args = ap.parse_args()
 
     if _git("status", "--porcelain"):
@@ -66,12 +74,23 @@ def main() -> int:
     from ab_inbev_big_data_case_spark import registry
 
     registry.load_all()
+    n_queries = len(registry.QUERIES)
+    n_oracles = len(registry.ORACLE)
     record["gates"]["registry"] = {
-        "queries": len(registry.QUERIES),
-        "oracles": len(registry.ORACLE),
-        "rows_only": len(registry.QUERIES) - len(registry.ORACLE),
+        "queries": n_queries,
+        "oracles": n_oracles,
+        "rows_only": n_queries - n_oracles,
         "check_first": len(registry._CHECK_FIRST),
         "staged_next": len(registry._STAGED_NEXT),
+        "expected": args.expect_queries,
+        # ADVICE r8: green must be explicit — count pinned to the frozen
+        # registry size, every query oracle-backed, full driver window.
+        "green": (
+            n_queries == args.expect_queries
+            and n_oracles == n_queries
+            and len(registry._CHECK_FIRST)
+            == min(registry._WINDOW_SIZE, n_queries)
+        ),
     }
 
     # Gate 2: full oracle sweep at one SF (the driver's comparison, all names)
@@ -81,7 +100,15 @@ def main() -> int:
         "rc": rc,
         "sf": args.sf,
         "summary": m.group(0) if m else out[-300:],
-        "green": bool(m and m.group(3) == "0" and rc == 0),
+        # ADVICE r8: a rows-only regression (a query silently losing its
+        # value oracle) and a total-count drift must both redden the gate.
+        "green": bool(
+            m
+            and rc == 0
+            and m.group(2) == "0"
+            and m.group(3) == "0"
+            and int(m.group(4)) == args.expect_queries
+        ),
     }
 
     # Gate 3: pytest (plan sweep + property specs + live streaming included)
