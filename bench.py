@@ -55,6 +55,10 @@ HEADLINE = [
     "deltalite_merge_time_travel",  # the write-path headliner: ACID MERGE + travel (r6 s3)
     "kruskal_wallis_test",        # nonparametric-test panel representative (r8)
     "xml_scan",                   # native XML source path (r8)
+    "stratified_ate",             # causal/ML-analytics representative (r9;
+                                  # mlstats.py had zero bench coverage)
+    "event_study_coefficients",   # panel regression around event time (r9)
+    "markov_attribution_removal", # bounded-matrix applyInPandas path (r9)
 ]
 
 #: Known-bounded partitionless window specs per headline plan. Every entry
