@@ -2492,3 +2492,251 @@ def theil_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("atkinson_r"),
     )
+
+
+# ------------------------------------------- Cramér's V association matrix
+
+# Three categorical pairs screened in one pass family; per-cell chi-square
+# terms quantized to DECIMAL(38,12) so the cell-order of the sum can't
+# diverge the statistic between engines.
+def _cramers_pair_sql(tag: str, tbl: str, a: str, b: str) -> str:
+    return f"""
+    SELECT '{tag}' AS pair,
+           n_rows,
+           round(sqrt(chi2 / (n_rows * mindim)), 6) AS cramers_v_r
+    FROM (
+        SELECT max(n)::BIGINT AS n_rows,
+               sum(round(
+                   (n_ab - (n_a * n_b)::DOUBLE / n)
+                   * (n_ab - (n_a * n_b)::DOUBLE / n)
+                   / ((n_a * n_b)::DOUBLE / n), 12)::DECIMAL(38,12)
+               )::DOUBLE AS chi2,
+               max(least(n_da - 1, n_db - 1)) AS mindim
+        FROM (
+            SELECT {a} AS va, {b} AS vb, count(*) AS n_ab,
+                   sum(count(*)) OVER (PARTITION BY {a}) AS n_a,
+                   sum(count(*)) OVER (PARTITION BY {b}) AS n_b,
+                   sum(count(*)) OVER () AS n
+            FROM {tbl} GROUP BY {a}, {b}
+        ) cells,
+        (SELECT count(DISTINCT {a}) AS n_da,
+                count(DISTINCT {b}) AS n_db FROM {tbl}) dims
+    )
+"""
+
+
+_CRAMERS_SQL = " UNION ALL ".join(
+    _cramers_pair_sql(tag, tbl, a, b)
+    for tag, tbl, a, b in (
+        ("returnflag_linestatus", "lineitem", "l_returnflag", "l_linestatus"),
+        ("orderpriority_orderstatus", "orders", "o_orderpriority", "o_orderstatus"),
+        ("mktsegment_nation", "customer", "c_mktsegment", "c_nationkey"),
+    )
+)
+
+
+@register("cramers_v_matrix", oracle=_CRAMERS_SQL)
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association screen over three categorical column pairs
+    (the normalized [0,1] companion of ``chi2_independence``, comparable
+    ACROSS pairs with different table dimensions): V = sqrt(χ²/(N·min(r−1,
+    c−1))). The matrix form is the first tool a feature-audit pass runs to
+    find redundant categorical columns before encoding.
+
+    Exactness: observed/marginal counts are exact integers; each cell's
+    χ² term is quantized to DECIMAL(38,12) before the sum (cell order
+    cannot move the total); one sqrt per pair on identical doubles.
+
+    Scale shape: per pair, ONE groupBy on the (a,b) cell key — cells are
+    value-domain-bounded (≤21 per pair here), marginals come from windows
+    OVER the bounded cell table, not a second fact pass. Three pairs union
+    into one plan; at 100 TB this is three map-side-combinable aggregates
+    over one scan each (Catalyst shares nothing across pairs, but a
+    production variant would pivot all pairs through one shuffle)."""
+    out = None
+    for tag, tbl, a, b in (
+        ("returnflag_linestatus", "lineitem", "l_returnflag", "l_linestatus"),
+        ("orderpriority_orderstatus", "orders", "o_orderpriority", "o_orderstatus"),
+        ("mktsegment_nation", "customer", "c_mktsegment", "c_nationkey"),
+    ):
+        t = table(spark, sf_dir, tbl)
+        cells = (
+            t.groupBy(F.col(a).alias("va"), F.col(b).alias("vb"))
+            .agg(F.count("*").alias("n_ab"))
+            .select(
+                "va",
+                "vb",
+                "n_ab",
+                F.sum("n_ab").over(Window.partitionBy("va")).alias("n_a"),
+                F.sum("n_ab").over(Window.partitionBy("vb")).alias("n_b"),
+                F.sum("n_ab").over(Window.partitionBy()).alias("n"),
+            )
+        )
+        exp = F.col("n_a").cast("double") * F.col("n_b") / F.col("n")
+        term = F.round(
+            (F.col("n_ab") - exp) * (F.col("n_ab") - exp) / exp, 12
+        ).cast("decimal(38,12)")
+        dims = t.agg(
+            F.countDistinct(a).alias("n_da"), F.countDistinct(b).alias("n_db")
+        )
+        pair = (
+            cells.agg(
+                F.max("n").alias("n_rows"),
+                F.sum(term).cast("double").alias("chi2"),
+            )
+            .crossJoin(F.broadcast(dims))
+            .select(
+                F.lit(tag).alias("pair"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("n_rows")
+                            * F.least(F.col("n_da") - 1, F.col("n_db") - 1)
+                        )
+                    ),
+                    6,
+                ).alias("cramers_v_r"),
+            )
+        )
+        out = pair if out is None else out.unionAll(pair)
+    return out
+
+
+# --------------------------------------- upper-tail dependence coefficient
+
+# Rank-threshold empirical λ_U between paired daily revenue series of the
+# AMERICA-region nations: with k = ceil(n/10) top days per series,
+# λ_U = |top(X) ∩ top(Y)| / k — exact integers end-to-end.
+_TAILDEP_SQL = """
+    WITH amer AS (
+        SELECT n_nationkey, n_name FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+    ),
+    daily AS (
+        SELECT c.c_nationkey AS nk,
+               date_trunc('day', o.o_orderdate) AS day,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS HUGEINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN amer a ON a.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT x.nk AS nk_x, y.nk AS nk_y, x.day,
+               x.cents AS cx, y.cents AS cy
+        FROM daily x JOIN daily y ON x.day = y.day AND x.nk < y.nk
+    ),
+    ranked AS (
+        SELECT nk_x, nk_y, day,
+               row_number() OVER (PARTITION BY nk_x, nk_y
+                                  ORDER BY cx DESC, day) AS rx,
+               row_number() OVER (PARTITION BY nk_x, nk_y
+                                  ORDER BY cy DESC, day) AS ry,
+               count(*) OVER (PARTITION BY nk_x, nk_y) AS n
+        FROM paired
+    )
+    SELECT ax.n_name AS nation_x, ay.n_name AS nation_y,
+           max(n)::BIGINT AS n_days,
+           ((max(n) + 9) // 10)::BIGINT AS k_top,
+           sum(CASE WHEN rx <= (n + 9) // 10 AND ry <= (n + 9) // 10
+                    THEN 1 ELSE 0 END)::BIGINT AS n_joint,
+           round(sum(CASE WHEN rx <= (n + 9) // 10 AND ry <= (n + 9) // 10
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / ((max(n) + 9) // 10), 6) AS lambda_u_r
+    FROM ranked
+    JOIN amer ax ON ax.n_nationkey = ranked.nk_x
+    JOIN amer ay ON ay.n_nationkey = ranked.nk_y
+    GROUP BY 1, 2
+"""
+
+
+@register("tail_dependence_coefficient", oracle=_TAILDEP_SQL)
+def tail_dependence_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper-tail dependence λ_U between the daily-revenue series
+    of each AMERICA-region nation pair: the probability that one nation has
+    a top-decile revenue day GIVEN the other does — the risk-analytics
+    question (do extremes co-occur?) that correlation famously misses
+    (Embrechts et al. 2002). λ_U = |topk(X) ∩ topk(Y)|/k with k = ⌈n/10⌉
+    defined by RANK thresholds, not value quantiles, so there is no
+    cross-engine percentile-boundary hazard.
+
+    Exactness: day-level cents are exact; top-k membership is a
+    row_number with a full (value DESC, day) tie-break; the coefficient is
+    one division of identical integers.
+
+    Scale shape: fact → (nation, day) spine in one aggregate shuffle; the
+    pair join is day-keyed over a 5-nation slice (≤10 pair-series), and
+    the rank windows partition by pair — bounded by the calendar × pair
+    count, independent of fact rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    amer = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select("n_nationkey", "n_name")
+    )
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(amer), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        )
+        .agg(
+            (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    x = daily.select(
+        F.col("nk").alias("nk_x"), "day", F.col("cents").alias("cx")
+    )
+    y = daily.select(
+        F.col("nk").alias("nk_y"), F.col("day").alias("day_y"), F.col("cents").alias("cy")
+    )
+    paired = x.join(
+        y, (F.col("day") == F.col("day_y")) & (F.col("nk_x") < F.col("nk_y"))
+    )
+    wx = Window.partitionBy("nk_x", "nk_y").orderBy(F.col("cx").desc(), "day")
+    wy = Window.partitionBy("nk_x", "nk_y").orderBy(F.col("cy").desc(), "day")
+    wn = Window.partitionBy("nk_x", "nk_y")
+    ranked = paired.select(
+        "nk_x",
+        "nk_y",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+        F.count("*").over(wn).alias("n"),
+    )
+    k = F.expr("(n + 9) div 10")
+    joint = F.when((F.col("rx") <= k) & (F.col("ry") <= k), 1).otherwise(0)
+    agg = ranked.groupBy("nk_x", "nk_y").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.expr("(max(n) + 9) div 10").cast("long").alias("k_top"),
+        F.sum(joint).cast("long").alias("n_joint"),
+    )
+    ax = amer.select(
+        F.col("n_nationkey").alias("nk_x"), F.col("n_name").alias("nation_x")
+    )
+    ay = amer.select(
+        F.col("n_nationkey").alias("nk_y"), F.col("n_name").alias("nation_y")
+    )
+    return (
+        agg.join(F.broadcast(ax), "nk_x")
+        .join(F.broadcast(ay), "nk_y")
+        .select(
+            "nation_x",
+            "nation_y",
+            "n_days",
+            "k_top",
+            "n_joint",
+            F.round(
+                F.col("n_joint").cast("double") / F.col("k_top"), 6
+            ).alias("lambda_u_r"),
+        )
+    )

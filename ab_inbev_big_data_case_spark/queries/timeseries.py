@@ -2675,3 +2675,218 @@ def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(F.lit(0.0), 1 - var_r / var_tr), 6).alias("f_trend_r"),
         F.round(F.greatest(F.lit(0.0), 1 - var_r / var_sr), 6).alias("f_seasonal_r"),
     )
+
+
+# ------------------------------------------------------------------ round 9
+
+# Gumbel block-maxima fit: monthly maxima of daily revenue in exact cents,
+# method-of-moments Gumbel parameters, and 1/5/10-year return levels.
+_EULER_GAMMA = 0.57721566490153286
+_GUMBEL_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    blocks AS (
+        SELECT date_trunc('month', day) AS mon,
+               max(CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS mx_c
+        FROM d GROUP BY 1
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS n_blocks,
+               sum(mx_c) AS s1, sum(mx_c * mx_c) AS s2
+        FROM blocks
+    ),
+    fit AS (
+        SELECT n_blocks,
+               s1::DOUBLE / n_blocks / 100 AS m,
+               sqrt((s2::DOUBLE / 10000
+                     - (s1::DOUBLE / 100) * (s1::DOUBLE / 100) / n_blocks)
+                    / (n_blocks - 1)) AS sd
+        FROM mom
+    )
+    SELECT n_blocks,
+           round(m - {_EULER_GAMMA} * (sd * sqrt(6) / pi()), 4) AS mu_r,
+           round(sd * sqrt(6) / pi(), 4) AS beta_r,
+           round((m - {_EULER_GAMMA} * (sd * sqrt(6) / pi()))
+                 - (sd * sqrt(6) / pi()) * ln(-ln(1 - 1.0/12)), 4) AS rl_1y_r,
+           round((m - {_EULER_GAMMA} * (sd * sqrt(6) / pi()))
+                 - (sd * sqrt(6) / pi()) * ln(-ln(1 - 1.0/60)), 4) AS rl_5y_r,
+           round((m - {_EULER_GAMMA} * (sd * sqrt(6) / pi()))
+                 - (sd * sqrt(6) / pi()) * ln(-ln(1 - 1.0/120)), 4) AS rl_10y_r
+    FROM fit
+"""
+
+
+@register("gumbel_block_maxima", oracle=_GUMBEL_SQL)
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis via the Gumbel block-maxima method (Gumbel
+    1958; the Fisher–Tippett type-I limit for light-tailed block maxima):
+    monthly maxima of daily revenue, method-of-moments fit (β̂ = s·√6/π,
+    μ̂ = x̄ − γβ̂), and the 1/5/10-year return levels
+    x_T = μ̂ − β̂·ln(−ln(1−1/T)) — the capacity-planning complement to
+    ``hill_tail_index`` (which estimates the tail exponent, not return
+    levels) and ``max_drawdown_daily``.
+
+    Exactness: block maxima are exact cents (max of exact values); the
+    two moments come from exact HUGEINT/DECIMAL(38) Σ and Σ²; every
+    double expression after that is computed from identical integers by
+    the identical formula in both engines, then rounded to 4.
+
+    Scale shape: fact → day spine (one shuffle) → ≤84-month block spine
+    (second keyed aggregate) → 1-row moments; nothing downstream of the
+    first aggregate scales with fact rows."""
+    d = _daily_revenue(spark, sf_dir)
+    blocks = (
+        d.groupBy(F.date_trunc("month", F.col("day")).alias("mon"))
+        .agg(
+            F.max(
+                (F.col("rev").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+            ).alias("mx_c")
+        )
+    )
+    mom = blocks.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("mx_c").alias("s1"),
+        F.sum(F.col("mx_c") * F.col("mx_c")).alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("n_blocks") / 100
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double") / 10000
+            - (F.col("s1").cast("double") / 100)
+            * (F.col("s1").cast("double") / 100)
+            / F.col("n_blocks")
+        )
+        / (F.col("n_blocks") - 1)
+    )
+    beta = sd * F.lit(6.0) ** F.lit(0.5) / F.lit(float(__import__("math").pi))
+    mu = m - F.lit(_EULER_GAMMA) * beta
+    def _rl(t: int):
+        return mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / t))
+    return mom.select(
+        "n_blocks",
+        F.round(mu, 4).alias("mu_r"),
+        F.round(beta, 4).alias("beta_r"),
+        F.round(_rl(12), 4).alias("rl_1y_r"),
+        F.round(_rl(60), 4).alias("rl_5y_r"),
+        F.round(_rl(120), 4).alias("rl_10y_r"),
+    )
+
+
+# Page–Hinkley sequential drift detector on the normalized daily series.
+_PH_DELTA = 0.005   # drift allowance (in units of the series mean)
+_PH_LAMBDA = 2.0    # alarm threshold
+
+_PH_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (
+        SELECT day, CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+        FROM d
+    ),
+    u AS (
+        SELECT day,
+               round(cents::DOUBLE / (sum(cents) OVER ()::DOUBLE
+                                      / count(*) OVER ()), 8)::DECIMAL(38,8)
+                   AS uq
+        FROM c
+    ),
+    pre AS (
+        SELECT day, uq,
+               sum(uq) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS su,
+               row_number() OVER (ORDER BY day) AS i
+        FROM u
+    ),
+    terms AS (
+        SELECT day,
+               round(uq::DOUBLE - su::DOUBLE / i - {_PH_DELTA}, 8)
+                   ::DECIMAL(38,8) AS term
+        FROM pre
+    ),
+    m AS (
+        SELECT day,
+               sum(term) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS mt
+        FROM terms
+    ),
+    ph AS (
+        SELECT day,
+               mt - min(mt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS pht
+        FROM m
+    )
+    SELECT count(*)::BIGINT AS n_days,
+           round(max(pht)::DOUBLE, 6) AS max_ph_r,
+           min(CASE WHEN pht > {_PH_LAMBDA} THEN day END) AS first_alarm_day,
+           sum(CASE WHEN pht > {_PH_LAMBDA} THEN 1 ELSE 0 END)::BIGINT
+               AS n_alarm_days
+    FROM ph
+"""
+
+
+@register("page_hinkley_drift", oracle=_PH_SQL)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley sequential drift detector (Page 1954; Hinkley 1971) on
+    the mean-normalized daily-revenue series: m_t = Σ_{{i≤t}}(u_i − ū_i − δ),
+    PH_t = m_t − min_{{s≤t}} m_s, alarm when PH_t > λ. The SEQUENTIAL
+    companion of the batch changepoint tests (``cusum_changepoint`` locates
+    one retrospective break; ``error_rate_changepoint``/``psi_drift`` watch
+    rates) — PH is the classic streaming-monitor statistic with O(1) state,
+    the shape a ``foreachBatch`` monitor would checkpoint.
+
+    Exactness: the series is normalized by its global mean (identical
+    double from identical exact cents), each term is quantized to
+    DECIMAL(38,8) BEFORE the prefix sums — both engines' window-sum trees
+    (sequential vs segment-tree) give the same exact decimal total, the
+    ULP hazard a raw double cumsum would carry. Running min on exact
+    decimals; the alarm comparison is exact.
+
+    Scale shape: the prefix windows run on the calendar-bounded day spine
+    (one fact shuffle upstream), not fact rows — the documented
+    bounded-spine exception; a production stream replaces the spine scan
+    with incremental state."""
+    d = _daily_revenue(spark, sf_dir)
+    c = d.select(
+        "day",
+        (F.col("rev").cast("decimal(18,2)") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    wall = Window.partitionBy()
+    u = c.select(
+        "day",
+        F.round(
+            F.col("cents").cast("double")
+            / (
+                F.sum("cents").over(wall).cast("double")
+                / F.count("*").over(wall)
+            ),
+            8,
+        )
+        .cast("decimal(38,8)")
+        .alias("uq"),
+    )
+    wseq = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrow = Window.orderBy("day")
+    pre = u.select(
+        "day",
+        "uq",
+        F.sum("uq").over(wseq).alias("su"),
+        F.row_number().over(wrow).alias("i"),
+    )
+    terms = pre.select(
+        "day",
+        F.round(
+            F.col("uq").cast("double")
+            - F.col("su").cast("double") / F.col("i")
+            - F.lit(_PH_DELTA),
+            8,
+        )
+        .cast("decimal(38,8)")
+        .alias("term"),
+    )
+    m = terms.select("day", F.sum("term").over(wseq).alias("mt"))
+    ph = m.select("day", (F.col("mt") - F.min("mt").over(wseq)).alias("pht"))
+    alarm = F.col("pht") > _PH_LAMBDA
+    return ph.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.max("pht").cast("double"), 6).alias("max_ph_r"),
+        F.min(F.when(alarm, F.col("day"))).alias("first_alarm_day"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_days"),
+    )

@@ -1854,3 +1854,110 @@ def betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("v").alias("nationkey"), "betweenness_r")
     )
+
+
+# Harmonic (in-)centrality on the same nation trade graph: H(v) =
+# Σ_{u≠v reachable} 1/d(u,v). Distances come from the betweenness query's
+# unrolled hop layers; 1/d is kept EXACT as 12/d (lcm of hop counts 1..4).
+_HARMONIC_HOPS = 4
+
+
+def _harmonic_sql() -> str:
+    powers = """
+    p1 AS (SELECT src, dst FROM edges)"""
+    for k in range(2, _HARMONIC_HOPS + 1):
+        powers += f""",
+    p{k} AS (
+        SELECT DISTINCT a.src, b.dst
+        FROM p{k - 1} a JOIN edges b ON a.dst = b.src
+        WHERE a.src <> b.dst
+    )"""
+    layers = " UNION ALL ".join(
+        f"SELECT src, dst, {k} AS d FROM p{k}"
+        for k in range(1, _HARMONIC_HOPS + 1)
+    )
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),{powers},
+    layers AS ({layers}),
+    sp AS (SELECT src, dst, min(d) AS d FROM layers GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT src AS v FROM edges
+              UNION SELECT DISTINCT dst FROM edges)
+    SELECT n.v AS nationkey,
+           coalesce(sum(12 // sp.d), 0)::BIGINT AS harmonic_x12,
+           round(coalesce(sum(12 // sp.d), 0)::DOUBLE / 12, 6) AS harmonic_r
+    FROM nodes n LEFT JOIN sp ON sp.dst = n.v
+    GROUP BY 1
+"""
+
+
+@register("harmonic_centrality", oracle=_harmonic_sql())
+def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic in-centrality (Marchiori-Latora 2000 / Boldi-Vigna 2014)
+    of the nation trade graph: H(v) = Σ_{u≠v} 1/d(u,v) over finite
+    shortest-path distances into v — the closeness variant that handles
+    disconnected pairs gracefully (they contribute 0, no infinite mean).
+    Completes the centrality family: volume (``pagerank_nations``),
+    brokerage (``betweenness_centrality``), mutual reinforcement
+    (``hits_hub_authority``), and now proximity.
+
+    Exactness: distances are small integers from the unrolled hop layers,
+    so 1/d is carried as the exact integer 12/d (12 = lcm(1..4)); the
+    reported ``harmonic_x12`` is exact and ``harmonic_r`` is one final
+    division of identical integers in both engines.
+
+    Scale shape: identical to ``betweenness_centrality`` — the fact
+    collapses ONCE to the ≤25×25 distinct-edge dim, the hop unroll and
+    the centrality sum run on dimension-bounded tables (lazy-checkpointed
+    so the unrolled plan stays leaf-rooted). At 100 TB the fact scan is
+    the cost; the graph math is constant-size."""
+    load_tables(spark, sf_dir, ("orders", "customer", "lineitem", "supplier"))
+    edges = spark.sql(
+        """
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        """
+    ).localCheckpoint(eager=False)
+    p = edges
+    layers = [p.select("src", "dst", F.lit(1).alias("d"))]
+    for k in range(2, _HARMONIC_HOPS + 1):
+        p = (
+            p.alias("a")
+            .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .filter(F.col("a.src") != F.col("b.dst"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .distinct()
+        )
+        layers.append(p.select("src", "dst", F.lit(k).alias("d")))
+    lay = layers[0]
+    for x in layers[1:]:
+        lay = lay.unionAll(x)
+    sp = lay.groupBy("src", "dst").agg(F.min("d").alias("d"))
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    contrib = sp.select(
+        F.col("dst").alias("v"), (F.lit(12) / F.col("d")).cast("long").alias("h12")
+    )
+    return (
+        nodes.join(contrib, "v", "left")
+        .groupBy("v")
+        .agg(F.coalesce(F.sum("h12"), F.lit(0)).alias("harmonic_x12"))
+        .select(
+            F.col("v").alias("nationkey"),
+            F.col("harmonic_x12").cast("long").alias("harmonic_x12"),
+            F.round(F.col("harmonic_x12").cast("double") / 12, 6).alias("harmonic_r"),
+        )
+    )
