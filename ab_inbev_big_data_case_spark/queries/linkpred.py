@@ -89,3 +89,181 @@ def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_q").desc(), "p1", "p2")
         .limit(100)
     )
+
+
+# --------------------------------------------- round-10 family widening
+#
+# Adamic–Adar and neighborhood-Jaccard variants sharing the RA query's
+# basket-bounded shape (cap-before-pairing is the quadratic guard; scores
+# accumulate as exact integers; top-100 via TakeOrderedAndProject with a
+# full deterministic tie-break).
+
+#: Adamic–Adar weight table: round(1e6 / ln(deg)) for every allowed basket
+#: size, PRECOMPUTED in Python so neither engine evaluates ln at all —
+#: stronger than the lcm trick (which only works for 1/deg): pair scores
+#: are exact integer sums of these fixed constants in both engines.
+_AA_W = {
+    2: 1442695, 3: 910239, 4: 721348, 5: 621335, 6: 558111, 7: 513898,
+    8: 480898, 9: 455120, 10: 434294, 11: 417032, 12: 402430, 13: 389871,
+    14: 378923, 15: 369269, 16: 360674,
+}
+
+_AA_CASE_SQL = "CASE count(*) " + " ".join(
+    f"WHEN {d} THEN {w}" for d, w in _AA_W.items()
+) + " END"
+
+_AA_SQL = f"""
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    w AS (
+        SELECT o, {_AA_CASE_SQL} AS wq
+        FROM e GROUP BY 1
+        HAVING count(*) BETWEEN 2 AND {_MAX_BASKET}
+    ),
+    pr AS (
+        SELECT a.p AS p1, b.p AS p2, w.wq
+        FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+        JOIN w ON w.o = a.o
+    ),
+    s AS (
+        SELECT p1, p2, count(*) AS n_shared, sum(wq)::BIGINT AS score_q
+        FROM pr GROUP BY 1, 2
+    )
+    SELECT p1, p2, n_shared, score_q,
+           round(score_q / 1000000.0, 6) AS aa_score_r
+    FROM s
+    ORDER BY score_q DESC, p1, p2
+    LIMIT 100
+"""
+
+
+@register("adamic_adar_links", oracle=_AA_SQL)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 part pairs by the Adamic–Adar index (Adamic & Adar 2003):
+    AA(p1,p2) = Σ over shared orders o of 1/ln(|basket(o)|) — the
+    log-discounted cousin of ``resource_allocation_links`` (RA penalizes
+    big baskets harder with 1/deg; AA's gentler 1/ln(deg) is the standard
+    social-network predictor). The 1/ln weight is the reason RA was built
+    first: ln is transcendental. Solved here by PRECOMPUTING the 15
+    possible weights round(1e6/ln(deg)) as Python integers, so both
+    engines sum identical fixed-point constants — zero transcendental
+    evaluation anywhere.
+
+    Scale shape: identical to RA — weights attach BEFORE pairing so
+    over-cap baskets never fan out (≤120 pairs/order), partial+final
+    aggregate on (p1,p2), top-100 TakeOrderedAndProject on the exact
+    integer score with (p1, p2) tie-break."""
+    e = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    wq = F.lit(None)
+    for d, wt in _AA_W.items():
+        wq = F.when(F.col("deg") == d, wt).otherwise(wq)
+    w = (
+        e.groupBy("o")
+        .agg(F.count("*").alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= _MAX_BASKET))
+        .select("o", wq.alias("wq"))
+    )
+    a = e.join(w, "o").select("o", F.col("p").alias("p1"), "wq")
+    b = e.select("o", F.col("p").alias("p2"))
+    pr = a.join(b, "o").filter(F.col("p1") < F.col("p2"))
+    s = pr.groupBy("p1", "p2").agg(
+        F.count("*").alias("n_shared"), F.sum("wq").alias("score_q")
+    )
+    return (
+        s.select(
+            "p1",
+            "p2",
+            "n_shared",
+            "score_q",
+            F.round(F.col("score_q") / 1000000.0, 6).alias("aa_score_r"),
+        )
+        .orderBy(F.col("score_q").desc(), "p1", "p2")
+        .limit(100)
+    )
+
+
+_JN_SCALE = 1000000000  # fixed-point Jaccard: shared*1e9 // union is exact
+
+_JN_SQL = f"""
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ok AS (
+        SELECT o FROM e GROUP BY 1
+        HAVING count(*) BETWEEN 2 AND {_MAX_BASKET}
+    ),
+    ec AS (SELECT e.o, e.p FROM e JOIN ok ON ok.o = e.o),
+    deg AS (SELECT p, count(*) AS d FROM ec GROUP BY 1),
+    s AS (
+        SELECT a.p AS p1, b.p AS p2, count(*) AS n_shared
+        FROM ec a JOIN ec b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT s.p1, s.p2, s.n_shared,
+           d1.d::BIGINT AS deg1, d2.d::BIGINT AS deg2,
+           (s.n_shared * {_JN_SCALE}) // (d1.d + d2.d - s.n_shared)
+               AS jacc_q,
+           round(s.n_shared * 1.0 / (d1.d + d2.d - s.n_shared), 6)
+               AS jacc_r
+    FROM s JOIN deg d1 ON d1.p = s.p1 JOIN deg d2 ON d2.p = s.p2
+    ORDER BY jacc_q DESC, s.p1, s.p2
+    LIMIT 100
+"""
+
+
+@register("jaccard_neighbor_links", oracle=_JN_SQL)
+def jaccard_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 part pairs by neighborhood Jaccard: J(p1,p2) =
+    |orders(p1) ∩ orders(p2)| / |orders(p1) ∪ orders(p2)| over the capped
+    basket graph (the same ≤16-part graph RA/AA score, so the three
+    predictors rank the same candidate universe). Degrees count each
+    part's capped-basket orders; union = deg1 + deg2 − shared.
+
+    Exactness/ordering: the ranking key is the FIXED-POINT integer
+    quotient shared·1e9 // union (exact floor division of exact integers
+    in both engines), so the top-100 boundary never depends on a float;
+    ``jacc_r`` is reported alongside from the same integers.
+
+    Scale shape: cap-before-pairing bounds the fan-out (≤120 pairs/order);
+    the two degree attachments are keyed equi-joins against the
+    part-dimension-sized degree table (shuffle-partitioned on partkey, AQE
+    free to broadcast it at small SF); top-100 is
+    TakeOrderedAndProject."""
+    e = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ok = (
+        e.groupBy("o")
+        .agg(F.count("*").alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= _MAX_BASKET))
+        .select("o")
+    )
+    ec = e.join(ok, "o")
+    deg = ec.groupBy("p").agg(F.count("*").alias("d"))
+    a = ec.select("o", F.col("p").alias("p1"))
+    b = ec.select("o", F.col("p").alias("p2"))
+    s = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    j = (
+        s.join(deg.select(F.col("p").alias("p1"), F.col("d").alias("deg1")), "p1")
+        .join(deg.select(F.col("p").alias("p2"), F.col("d").alias("deg2")), "p2")
+    )
+    union = F.col("deg1") + F.col("deg2") - F.col("n_shared")
+    return (
+        j.select(
+            "p1",
+            "p2",
+            "n_shared",
+            F.col("deg1").cast("long").alias("deg1"),
+            F.col("deg2").cast("long").alias("deg2"),
+            F.expr(f"n_shared * {_JN_SCALE} div (deg1 + deg2 - n_shared)").alias(
+                "jacc_q"
+            ),
+            F.round(F.col("n_shared") * 1.0 / union, 6).alias("jacc_r"),
+        )
+        .orderBy(F.col("jacc_q").desc(), "p1", "p2")
+        .limit(100)
+    )

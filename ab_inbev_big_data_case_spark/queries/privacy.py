@@ -253,3 +253,212 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("exceeds_t35"),
     )
+
+
+# --------------------------------------------- differential privacy (r10)
+#
+# The k-anon/l-div/t-closeness trio above AUDITS a table before release;
+# the two queries below RELEASE dp-noised aggregates — the other half of a
+# privacy pipeline (Dwork et al. 2006; Dwork & Roth 2014). Noise is drawn
+# by inverse-CDF / Box–Muller over the engine's portable sha256 uniform
+# (the ``poisson_bootstrap_ci`` discipline, mlstats.py): DETERMINISTIC, so
+# the release is reproducible and the DuckDB twin computes the identical
+# noisy value — a full value oracle, not a bound-only check. (A production
+# release would swap the keyed hash for a secret-seeded PRF; the mechanism,
+# calibration, and plan shape are unchanged.)
+
+#: denominator of the portable uniform; numerator is 1 + (h mod (D-2)),
+#: so u ∈ (0,1) STRICTLY and ln(1-2|u-0.5|) / ln(u) never see 0.
+_DP_UDEN = 1000000007
+
+_DP_EPS = [("eps_0.1", 0.1), ("eps_1.0", 1.0)]
+#: 99.9% Laplace tail bound: P(|Lap(b)| > b·ln(1000)) = 0.001
+_LAP_LN1000 = 6.907755278982137
+
+
+def _u01_sql(tag: str) -> str:
+    return (
+        f"(1 + ('0x' || substr(sha256({tag}), 1, 15))::BIGINT"
+        f" % {_DP_UDEN - 2}) / {_DP_UDEN}.0"
+    )
+
+
+def _u01_spark(tag) -> "F.Column":
+    return (
+        1
+        + F.conv(F.substring(F.sha2(tag, 256), 1, 15), 16, 10).cast("long")
+        % (_DP_UDEN - 2)
+    ) / float(_DP_UDEN)
+
+
+_DP_LAP_CASES = " ".join(
+    f"WHEN '{lbl}' THEN {eps}" for lbl, eps in _DP_EPS
+)
+
+_DPLAP_SQL = f"""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    fan AS (
+        SELECT c_nationkey, c_mktsegment, n, e.lbl,
+               CASE e.lbl {_DP_LAP_CASES} END AS eps
+        FROM cls CROSS JOIN (VALUES {", ".join(f"('{l}')" for l, _ in _DP_EPS)})
+            e(lbl)
+    ),
+    noised AS (
+        SELECT c_nationkey, c_mktsegment, n, lbl, eps,
+               {_u01_sql("'dplap:' || lbl || ':' || c_nationkey"
+                         " || ':' || c_mktsegment")} AS u
+        FROM fan
+    )
+    SELECT c_nationkey, c_mktsegment, lbl AS eps_label, n AS exact_n,
+           round(n + (-1.0 / eps)
+                     * CASE WHEN u >= 0.5 THEN 1 ELSE -1 END
+                     * ln(1 - 2 * abs(u - 0.5)), 4) AS noisy_n_r,
+           CAST(abs((-1.0 / eps)
+                    * CASE WHEN u >= 0.5 THEN 1 ELSE -1 END
+                    * ln(1 - 2 * abs(u - 0.5)))
+                <= {_LAP_LN1000} / eps AS INT) AS within_999_bound
+    FROM noised
+"""
+
+
+@register("dp_laplace_counts", oracle=_DPLAP_SQL)
+def dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP release of the (nation × segment) customer histogram via the
+    Laplace mechanism: each cell count n gets Lap(Δ/ε) noise with Δ = 1
+    (unbounded neighbors change one count by 1), at ε ∈ {0.1, 1.0} — the
+    loose/strict pair a release policy compares. Noise is the inverse-CDF
+    transform −b·sign(u−½)·ln(1−2|u−½|) of the portable keyed uniform, so
+    both engines produce the IDENTICAL release; ``within_999_bound`` flags
+    draws inside the 99.9% tail bound b·ln(1000) (computed from the same
+    doubles, never from the rounded output).
+
+    Scale shape: one map-side-combinable groupBy over the bounded
+    (25 × 5) cell domain, then a constant 2× in-row fan-out for the ε grid
+    and per-row scalar noise arithmetic — nothing downstream of the first
+    aggregate scales with fact rows; no joins, no windows."""
+    c = table(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    grid = F.array(
+        *[
+            F.struct(F.lit(lbl).alias("lbl"), F.lit(eps).alias("eps"))
+            for lbl, eps in _DP_EPS
+        ]
+    )
+    fan = cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        F.explode(grid).alias("e"),
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        F.col("e.lbl").alias("lbl"),
+        F.col("e.eps").alias("eps"),
+    )
+    tag = F.concat(
+        F.lit("dplap:"),
+        F.col("lbl"),
+        F.lit(":"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(":"),
+        F.col("c_mktsegment"),
+    )
+    noised = fan.withColumn("u", _u01_spark(tag))
+    noise = (
+        (F.lit(-1.0) / F.col("eps"))
+        * F.when(F.col("u") >= 0.5, 1).otherwise(-1)
+        * F.log(F.lit(1.0) - 2 * F.abs(F.col("u") - 0.5))
+    )
+    return noised.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("lbl").alias("eps_label"),
+        F.col("n").alias("exact_n"),
+        F.round(F.col("n") + noise, 4).alias("noisy_n_r"),
+        (F.abs(noise) <= F.lit(_LAP_LN1000) / F.col("eps"))
+        .cast("int")
+        .alias("within_999_bound"),
+    )
+
+
+# Gaussian mechanism on per-priority clipped revenue sums.
+_DPG_CLIP = 400000        # per-order contribution clip C (dollars) => Δ = C
+_DPG_EPS = 1.0
+_DPG_DELTA = 1e-06
+#: σ = C·sqrt(2·ln(1.25/δ))/ε, spelled to full double precision so both
+#: engines multiply by the identical constant
+_DPG_SIGMA_OVER_C = 5.29624262585906  # sqrt(2*ln(1.25/1e-6))/1.0
+
+_DPG_SQL = f"""
+    WITH cls AS (
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(least(o_totalprice, {_DPG_CLIP}) AS DECIMAL(18,2)))
+                   AS s_clip
+        FROM orders GROUP BY 1
+    ),
+    noised AS (
+        SELECT o_orderpriority, n_orders, s_clip,
+               {_u01_sql("'dpgauss1:' || o_orderpriority")} AS u1,
+               {_u01_sql("'dpgauss2:' || o_orderpriority")} AS u2
+        FROM cls
+    )
+    SELECT o_orderpriority, n_orders,
+           round(s_clip, 2) AS exact_clipped_sum,
+           round({_DPG_CLIP} * CAST({_DPG_SIGMA_OVER_C} AS DOUBLE), 2) AS sigma_r,
+           round(s_clip::DOUBLE
+                 + {_DPG_CLIP} * CAST({_DPG_SIGMA_OVER_C} AS DOUBLE)
+                   * sqrt(-2 * ln(u1)) * cos({2 * 3.141592653589793} * u2),
+                 2) AS noisy_sum_r
+    FROM noised
+"""
+
+
+@register("dp_gaussian_sum", oracle=_DPG_SQL)
+def dp_gaussian_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ε,δ)-DP release of per-priority revenue: order totals are CLIPPED
+    at C = 400,000 (bounding one order's contribution, hence sensitivity
+    Δ = C), summed exactly in DECIMAL, then noised with N(0, σ²) at
+    σ = C·√(2·ln(1.25/δ))/ε (ε = 1, δ = 1e-6 — the classical Gaussian
+    mechanism calibration). The draw is Box–Muller √(−2·ln u₁)·cos(2π u₂)
+    over two portable keyed uniforms, so the release is deterministic and
+    the DuckDB twin reproduces it exactly (same discipline as
+    ``dp_laplace_counts``/``poisson_bootstrap_ci``).
+
+    Scale shape: one map-side-combinable groupBy over the 5-value priority
+    domain (clip + sum are per-row scalar then partial-aggregated); the
+    noise arithmetic runs on the 5-row aggregate. Nothing scales with fact
+    rows beyond the single orders scan."""
+    o = table(spark, sf_dir, "orders")
+    cls = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.least(F.col("o_totalprice"), F.lit(_DPG_CLIP)).cast(
+                "decimal(18,2)"
+            )
+        ).alias("s_clip"),
+    )
+    noised = cls.select(
+        "*",
+        _u01_spark(
+            F.concat(F.lit("dpgauss1:"), F.col("o_orderpriority"))
+        ).alias("u1"),
+        _u01_spark(
+            F.concat(F.lit("dpgauss2:"), F.col("o_orderpriority"))
+        ).alias("u2"),
+    )
+    sigma = _DPG_CLIP * _DPG_SIGMA_OVER_C
+    z = F.sqrt(-2 * F.log("u1")) * F.cos(F.lit(2 * 3.141592653589793) * F.col("u2"))
+    return noised.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("s_clip"), 2).alias("exact_clipped_sum"),
+        F.round(F.lit(sigma), 2).alias("sigma_r"),
+        F.round(F.col("s_clip").cast("double") + F.lit(sigma) * z, 2).alias(
+            "noisy_sum_r"
+        ),
+    )

@@ -25,6 +25,8 @@ ratios round at 6.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2227,7 +2229,7 @@ _PGRAM_SQL = f"""
 def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete-Fourier periodogram of the demeaned daily-revenue series at
     a bounded frequency grid (k = 1..8 cycles over the observed span):
-    I(k) = (Σ x̃_t cos(2πkt/N))² + (Σ x̃_t sin(2πkt/N))², scaled by N —
+    I(k) = [(Σ x̃_t cos(2πkt/N))² + (Σ x̃_t sin(2πkt/N))²] / Σ x̃_t² —
     the classical spectral screen for hidden periodicity (Schuster 1898)
     complementing the lag-domain ``acf_lags``.
 
@@ -2250,7 +2252,7 @@ def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("rev").over(Window.partitionBy()).alias("mu"),
     )
     ks = spark.range(1, _PGRAM_K + 1).select(F.col("id").alias("k"))
-    ang = 2 * F.lit(float(__import__("math").pi)) * F.col("k") * F.col("t") / F.col("n")
+    ang = 2 * F.lit(math.pi) * F.col("k") * F.col("t") / F.col("n")
     terms = (
         idx.crossJoin(F.broadcast(ks))
         .groupBy("k")
@@ -2757,7 +2759,7 @@ def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.col("n_blocks") - 1)
     )
-    beta = sd * F.lit(6.0) ** F.lit(0.5) / F.lit(float(__import__("math").pi))
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(math.pi)
     mu = m - F.lit(_EULER_GAMMA) * beta
     def _rl(t: int):
         return mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / t))

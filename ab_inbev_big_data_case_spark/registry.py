@@ -70,13 +70,14 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _evidence_rounds(repo_root: str = _REPO_ROOT) -> dict[str, int]:
-    """name -> latest driver round with a GREEN correctness row.
-
-    A red row (rows/schema/hash mismatch or a recorded error) does NOT
-    count as evidence — the name re-enters the never-checked head of the
-    queue so the next driver window re-verifies the fix.
-    """
-    latest: dict[str, int] = {}
+    """name -> evidence age for the rotation: the latest driver round with
+    a GREEN correctness row, UNLESS a later round recorded a RED row for
+    the same name (rows/schema/hash mismatch or a recorded error) — a
+    regression maps to -1, the same bucket as never-checked, so the next
+    driver window re-verifies the fix ahead of every green (ADVICE r9:
+    tracking only greens let a round-N green outlive a round-M>N red)."""
+    latest_green: dict[str, int] = {}
+    latest_any: dict[str, tuple[int, bool]] = {}  # name -> (round, green)
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -95,9 +96,14 @@ def _evidence_rounds(repo_root: str = _REPO_ROOT) -> dict[str, int]:
                 and row.get("hash_match") is True
                 and not row.get("err")
             )
-            if green and rnd > latest.get(name, -1):
-                latest[name] = rnd
-    return latest
+            if green and rnd > latest_green.get(name, -1):
+                latest_green[name] = rnd
+            if rnd > latest_any.get(name, (-1, True))[0]:
+                latest_any[name] = (rnd, green)
+    return {
+        name: (rnd if latest_any[name][1] else -1)
+        for name, rnd in latest_green.items()
+    }
 
 
 def _derive_order(

@@ -30,6 +30,11 @@ load_all()
 #: justification in the query).
 PARTITIONLESS_ALLOWED = {
     "abc_pareto_class": 1,          # pruned local-survivor rank
+    "bradley_terry_strengths": 7,   # 25-row nation strength table, per-round Σ normalize (mlstats.py:4908)
+    "cramers_v_matrix": 3,          # ≤25×5 contingency-cell tables, one order-less N per pair (distmetrics.py:2572)
+    "hits_hub_authority": 7,        # 25-node score table, per-round max-normalize (warehouse.py:1661)
+    "markov_attribution_removal": 1,  # ≤7-channel removal-effect table Σ normalize (analytics.py:2323)
+    "permutation_test_ab": 3,       # 21-row replicate spine, obs-row broadcast via window (distmetrics.py:913)
     "acf_lags": 7,                  # daily spine, one spec per lag
     "auc_mann_whitney": 1,          # 2-group rank on grouped score spine
     "bh_fdr_chi2_panel": 2,        # 25-row nation panel rank + step-up suffix max
@@ -44,11 +49,11 @@ PARTITIONLESS_ALLOWED = {
     "gini_concentration": 1,        # bounded decile spine
     "global_sort": 1,               # explicit total-order contract
     "granger_f_lite": 2,            # daily-spine lag pair (calendar-bounded)
-    "periodogram_peaks": 1,         # daily-spine t-index (r8)
+    "periodogram_peaks": 3,         # daily-spine t-index + order-less N/mean (r8; r10 sweep widened)
     "bollinger_bands": 3,           # daily-spine 20-day sliding window (r8)
     "anderson_darling_two_sample": 2,  # bounded length-domain ECDF walk (r8)
-    "hodges_lehmann_shift": 1,      # weeks² bounded pair-spine median rank (r8)
-    "newey_west_variance": 3,       # daily-spine lag-1..3 leads (r8)
+    "hodges_lehmann_shift": 2,      # weeks² bounded pair-spine median rank + pair count (r8; r10 order-less count)
+    "newey_west_variance": 5,       # daily-spine lag-1..3 leads + order-less Σ/count (r8; r10 sweep widened)
     "seasonal_strength": 2,         # decomposition's day-spine trend windows (r8)
     "heaps_law_fit": 2,             # per-doc-rank spine (bounded by docs)
     "hill_tail_index": 3,           # top-k tail spine
@@ -69,18 +74,19 @@ PARTITIONLESS_ALLOWED = {
     "wasserstein1_distance": 3,     # 16-row carry (2 counts) + boundary-min spine
     "jonckheere_terpstra": 4,       # 16-row carry spine, 5-group prefix counts
     "pacf_lags": 3,                 # daily spine lag triplet
+    "page_hinkley_drift": 6,        # day-spine prefix sums ×3 + row_number + order-less Σ/count (r9 docstring "Scale shape")
     "qini_curve_deciles": 5,        # carry + decile cumsum spines (gains shape)
     "qq_plot_deciles": 2,           # 16-row bucket-carry spine (2 counts)
-    "quantile_normalize_lengths": 1,  # bounded length-value spine cumsum
+    "quantile_normalize_lengths": 2,  # bounded length-value spine cumsum + order-less total
     "rbo_rank_agreement": 4,        # top-k ranking spine
     "runs_test_randomness": 3,      # value-spine walk + day-spine lag
-    "seat_apportionment": 2,        # 25-row remainder rank + 25k quotient-grid rank
+    "seat_apportionment": 3,        # 25-row remainder rank + 25k quotient-grid rank + order-less leftover Σ
     "sax_motifs": 2,                # daily spine 3-gram leads (one spec per lead frame)
     "seasonal_residual_anomaly": 8, # daily spine decomposition
     "skyline_2d": 1,                # pruned local-survivor pass
     "spc_control_chart": 1,         # day-spine gaps-and-islands row_number
     "spearman_corr_lengths": 2,    # two value-domain rank spines
-    "sprt_sequential_test": 2,      # day-spine LLR cumsum (crossing-min is unordered)
+    "sprt_sequential_test": 3,      # day-spine LLR cumsum + the unordered crossing-min itself (r10 sweep counts it)
     "token_budget_pack": 1,         # 16-row token-carry spine (two-level rank)
     "ts_decomposition": 2,          # daily spine
     "wilcoxon_signed_rank": 1,      # |diff| rank spine (audit-panel sized)
@@ -92,11 +98,17 @@ PARTITIONLESS_ALLOWED = {
 
 def _n_partitionless(plan: str) -> int:
     # a windowspecdefinition whose FIRST argument carries a sort direction
-    # has no partitionBy (same heuristic as test_plans.py / bench.py)
+    # has no partitionBy (same heuristic as test_plans.py / bench.py).
+    # VERDICT r9 item 3: ALSO count ORDER-less empty-partition specs —
+    # e.g. F.sum(x).over(Window.partitionBy()) — whose first argument is
+    # the frame itself (``specifiedwindowframe(...)``), previously
+    # invisible to the sweep.
     return sum(
         1
         for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan)
-        if " ASC" in m.group(1) or " DESC" in m.group(1)
+        if " ASC" in m.group(1)
+        or " DESC" in m.group(1)
+        or m.group(1).startswith("specifiedwindowframe(")
     )
 
 

@@ -87,6 +87,32 @@ def test_red_row_reenters_window(tmp_path):
     assert ev == {"green_q": 1}
 
 
+def test_regression_after_green_demotes_to_unchecked(tmp_path):
+    """ADVICE r9 (medium): a name green in round N but RED in a later round
+    M>N is a regression — it must map to the never-checked bucket (-1), not
+    keep its stale round-N green age, so the next window re-verifies it."""
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    red = dict(green, hash_match=False)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"stable_q": green, "regressed_q": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"regressed_q": red, "recovered_q": red})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"recovered_q": green})
+    )
+    ev = registry._evidence_rounds(str(tmp_path))
+    # regressed_q's latest row is red -> -1 (ahead of every green);
+    # recovered_q's latest row is green -> its recovery round stands.
+    assert ev == {"stable_q": 1, "regressed_q": -1, "recovered_q": 3}
+
+
 def test_future_evidence_demotes_window(tmp_path):
     """Simulate the NEXT round's evidence landing: every name it covers
     must drop out of the derived window — i.e. the round-6/7/8 landmine

@@ -1,0 +1,89 @@
+"""Behavioral invariants for the round-10 additions — properties the
+DuckDB oracle equality cannot see (mechanism bounds, determinism,
+cross-predictor consistency), per the operator-invariant discipline of
+test_round6_ops.py."""
+
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+load_all()
+
+
+# ------------------------------------------------- differential privacy
+
+
+def test_dp_laplace_is_deterministic_and_noised(spark, sf_dir):
+    a = QUERIES["dp_laplace_counts"](spark, sf_dir).collect()
+    b = QUERIES["dp_laplace_counts"](spark, sf_dir).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))  # keyed hash, no RNG state
+    # every released cell actually carries noise (P[draw == 0] is zero for
+    # the strictly-interior uniform)
+    assert all(r["noisy_n_r"] != r["exact_n"] for r in a)
+
+
+def test_dp_laplace_bound_flag_and_eps_scaling(spark, sf_dir):
+    rows = QUERIES["dp_laplace_counts"](spark, sf_dir).collect()
+    by_eps = {}
+    for r in rows:
+        by_eps.setdefault(r["eps_label"], []).append(
+            abs(r["noisy_n_r"] - r["exact_n"])
+        )
+    # the 99.9% tail bound holds for the vast majority of deterministic
+    # draws (flag computed pre-rounding; recompute approximately here)
+    frac_within = sum(r["within_999_bound"] for r in rows) / len(rows)
+    assert frac_within >= 0.95
+    # Laplace scale is 1/eps: mean |noise| at eps=0.1 must dominate eps=1.0
+    assert (
+        sum(by_eps["eps_0.1"]) / len(by_eps["eps_0.1"])
+        > 2 * sum(by_eps["eps_1.0"]) / len(by_eps["eps_1.0"])
+    )
+
+
+def test_dp_gaussian_noise_within_six_sigma(spark, sf_dir):
+    rows = QUERIES["dp_gaussian_sum"](spark, sf_dir).collect()
+    assert len(rows) == 5  # priority domain
+    for r in rows:
+        noise = abs(float(r["noisy_sum_r"]) - float(r["exact_clipped_sum"]))
+        assert 0 < noise < 6 * float(r["sigma_r"])
+
+
+def test_dp_gaussian_clipped_sum_bounded_by_raw_sum(spark, sf_dir):
+    out = QUERIES["dp_gaussian_sum"](spark, sf_dir)
+    clipped = float(
+        out.agg(F.sum("exact_clipped_sum")).first()[0]
+    )
+    raw = float(
+        table(spark, sf_dir, "orders")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .first()[0]
+    )
+    assert clipped <= raw
+
+
+# ------------------------------------------------------- link prediction
+
+
+def test_adamic_adar_scores_within_weight_envelope(spark, sf_dir):
+    # every shared order contributes a weight in [w(16), w(2)]; the exact
+    # integer score must sit inside that envelope
+    rows = QUERIES["adamic_adar_links"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["n_shared"] >= 1
+        assert 360674 * r["n_shared"] <= r["score_q"] <= 1442695 * r["n_shared"]
+    scores = [r["score_q"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_jaccard_links_exact_fixed_point(spark, sf_dir):
+    rows = QUERIES["jaccard_neighbor_links"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    for r in rows:
+        union = r["deg1"] + r["deg2"] - r["n_shared"]
+        assert 0 < r["n_shared"] <= min(r["deg1"], r["deg2"])
+        assert r["jacc_q"] == r["n_shared"] * 1000000000 // union
+        assert 0.0 < r["jacc_r"] <= 1.0
+    ranks = [r["jacc_q"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
