@@ -238,7 +238,14 @@ def jaccard_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o")
     )
     ec = e.join(ok, "o")
-    deg = ec.groupBy("p").agg(F.count("*").alias("d"))
+    # checkpoint the dimension-sized degree table so the TWO broadcast
+    # attachments below don't each recompute the lineitem scan + basket
+    # filter (the warehouse.py HITS pattern)
+    deg = (
+        ec.groupBy("p")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
     a = ec.select("o", F.col("p").alias("p1"))
     b = ec.select("o", F.col("p").alias("p2"))
     s = (
@@ -247,9 +254,23 @@ def jaccard_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p1", "p2")
         .agg(F.count("*").alias("n_shared"))
     )
+    # the degree table is part-dimension-sized (2 ints/row) while the pair
+    # table is fact-fan-out-sized: broadcast the small side explicitly so
+    # the two attachments never shuffle the pairs (sf1 audit: sort-merge
+    # here was the 4.2× step; broadcast restores ~linear)
     j = (
-        s.join(deg.select(F.col("p").alias("p1"), F.col("d").alias("deg1")), "p1")
-        .join(deg.select(F.col("p").alias("p2"), F.col("d").alias("deg2")), "p2")
+        s.join(
+            F.broadcast(
+                deg.select(F.col("p").alias("p1"), F.col("d").alias("deg1"))
+            ),
+            "p1",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("p").alias("p2"), F.col("d").alias("deg2"))
+            ),
+            "p2",
+        )
     )
     union = F.col("deg1") + F.col("deg2") - F.col("n_shared")
     return (
