@@ -6020,3 +6020,148 @@ def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burrows_delta_r")
         )
     )
+
+
+# ------------------------------------------ duplicate cluster components
+
+_CC_ROUNDS = 4
+
+
+def _cc_oracle_sql() -> str:
+    """Chained-CTE mirror of the Spark CC loop: identical edge set (the
+    minhash_lsh_pairs CTEs), identical K rounds of min-label relax +
+    pointer-jump compress, identical convergence certificate."""
+
+    def relax(src: str, dst: str) -> str:
+        return f"""{dst} AS MATERIALIZED (
+        SELECT n.v, least(n.l, coalesce(min(nb.lu), n.l)) AS l
+        FROM {src} n
+        LEFT JOIN (SELECT e.v, lu.l AS lu
+                   FROM bidir e JOIN {src} lu ON lu.v = e.u) nb
+          ON nb.v = n.v
+        GROUP BY n.v, n.l
+    )"""
+
+    rounds = []
+    cur = "l0"
+    for i in range(1, _CC_ROUNDS + 1):
+        rounds.append(relax(cur, f"r{i}"))
+        rounds.append(
+            f"l{i} AS MATERIALIZED (SELECT a.v, b.l FROM r{i} a JOIN r{i} b ON a.l = b.v)"
+        )
+        cur = f"l{i}"
+    return f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    prs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    bidir AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM prs
+              UNION ALL SELECT id2, id1 FROM prs),
+    l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM documents),
+    {", ".join(rounds)},
+    chk AS MATERIALIZED (
+        SELECT n.v, n.l, least(n.l, coalesce(min(nb.lu), n.l)) AS l2
+        FROM {cur} n
+        LEFT JOIN (SELECT e.v, lu.l AS lu
+                   FROM bidir e JOIN {cur} lu ON lu.v = e.u) nb
+          ON nb.v = n.v
+        GROUP BY n.v, n.l
+    ),
+    unc AS (SELECT sum((l2 <> l)::INT)::BIGINT AS n_unconverged FROM chk),
+    sizes AS (SELECT l, count(*) AS cluster_size FROM {cur} GROUP BY l)
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters, u.n_unconverged
+    FROM sizes CROSS JOIN unc u
+    GROUP BY 1, 3
+"""
+
+
+@register("duplicate_cluster_components", oracle=_cc_oracle_sql())
+def duplicate_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph — the step
+    a corpus dedup pipeline runs BETWEEN candidate pairs and canonical
+    selection: pair lists only relate two docs at a time, but 'keep one
+    per duplicate CLUSTER' needs the transitive closure (A~B, B~C ⇒ one
+    cluster {A,B,C}). Output is the cluster-size histogram plus a
+    convergence certificate.
+
+    Algorithm: K = 4 unrolled rounds of min-label propagation, each round
+    an edge RELAX (l(v) ← min over neighbors, one shuffle on node id)
+    followed by a pointer-jump COMPRESS (l(v) ← l(l(v)), one shuffle on
+    label) — the alternating-star family (Kiveris et al. 2014, 'CC in
+    MapReduce and beyond'); compress doubles reach per round, so 4 rounds
+    cover diameter ≫ any LSH dup-cluster. Convergence is CERTIFIED, not
+    assumed: one extra relax counts nodes that would still change
+    (``n_unconverged`` — relax-stability implies labels are exactly the
+    per-component min doc_id, so 0 is a complete certificate; both engines
+    compute it from the same final state).
+
+    Exactness: labels are doc_ids (integers); min/least over integers;
+    the histogram is integer counts — no floats anywhere.
+
+    Scale shape: edges come from the capped LSH buckets (never all-pairs);
+    labels are a doc-dimension-sized table; each round is 2 keyed shuffles
+    with the label table lazily checkpointed so the unrolled plan stays
+    K-linear (the HITS/warehouse pattern). At 100 TB the same loop runs
+    with persisted label state per round."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    pairs = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    edges = (
+        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+        .unionAll(pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = d.select(F.col("doc_id").alias("v"), F.col("doc_id").alias("l"))
+
+    def relax(lbl: DataFrame) -> DataFrame:
+        nbr = (
+            edges.join(
+                lbl.select(F.col("v").alias("u"), F.col("l").alias("lu")), "u"
+            )
+            .groupBy("v")
+            .agg(F.min("lu").alias("lnbr"))
+        )
+        return lbl.join(nbr, "v", "left").select(
+            "v",
+            F.least(F.col("l"), F.coalesce(F.col("lnbr"), F.col("l"))).alias("l"),
+        )
+
+    for _ in range(_CC_ROUNDS):
+        labels = relax(labels)
+        compressed = labels.select(
+            F.col("v").alias("lv"), F.col("l").alias("ll")
+        )
+        labels = (
+            labels.join(compressed, labels["l"] == compressed["lv"])
+            .select("v", F.col("ll").alias("l"))
+            .localCheckpoint(eager=False)
+        )
+
+    chk = (
+        labels.join(
+            edges.join(
+                labels.select(F.col("v").alias("u"), F.col("l").alias("lu")), "u"
+            )
+            .groupBy("v")
+            .agg(F.min("lu").alias("lnbr")),
+            "v",
+            "left",
+        )
+        .select(
+            "l",
+            F.least(F.col("l"), F.coalesce(F.col("lnbr"), F.col("l"))).alias("l2"),
+        )
+    )
+    unc = chk.agg(
+        F.sum((F.col("l2") != F.col("l")).cast("long")).alias("n_unconverged")
+    )
+    sizes = labels.groupBy("l").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .crossJoin(F.broadcast(unc))
+        .select("cluster_size", "n_clusters", "n_unconverged")
+    )

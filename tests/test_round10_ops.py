@@ -87,3 +87,56 @@ def test_jaccard_links_exact_fixed_point(spark, sf_dir):
         assert 0.0 < r["jacc_r"] <= 1.0
     ranks = [r["jacc_q"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+# --------------------------------------------------- connected components
+
+
+def test_cc_converged_and_conserves_docs(spark, sf_dir):
+    rows = QUERIES["duplicate_cluster_components"](spark, sf_dir).collect()
+    # the convergence certificate must be 0: labels are per-component mins
+    assert all(r["n_unconverged"] == 0 for r in rows)
+    # clusters partition the corpus: sizes weighted by counts = |documents|
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in rows) == n_docs
+    # the fixture corpus has near-dups: at least one multi-doc cluster
+    assert any(r["cluster_size"] >= 2 for r in rows)
+
+
+def test_cc_labels_match_transitive_closure_of_pairs(spark, sf_dir):
+    """Cross-check the histogram against a driver-side union-find over the
+    SAME candidate pairs (fixture-sized; the distributed loop must agree
+    with the textbook algorithm exactly)."""
+    from ab_inbev_big_data_case_spark.llm.dedup import (
+        lsh_band_buckets_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+        shingle_set,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    pairs = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id"
+    ).collect()
+    ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["id1"]), find(r["id2"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    from collections import Counter
+
+    sizes = Counter(Counter(find(i) for i in ids).values())
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in QUERIES["duplicate_cluster_components"](spark, sf_dir).collect()
+    }
+    assert got == dict(sizes)
