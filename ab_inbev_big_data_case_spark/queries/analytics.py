@@ -2324,3 +2324,161 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("attribution_r"),
     )
+
+
+# ------------------------------------------------- Shapley attribution
+
+#: channel -> bit, and the 16 coalition masks with their 24-scaled Shapley
+#: kernel weights |S|!(n-1-|S|)!·(24/4!) = [6,2,2,6] by |S| — PRECOMPUTED
+#: literals so neither engine evaluates factorials or popcounts.
+_SHAP_CHANNELS = (("click", 1), ("view", 2), ("signup", 4), ("error", 8))
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6, 4: 0}  # |S|=4 never excludes a channel
+_SHAP_COAL = [
+    (s, _SHAP_W[bin(s).count("1")]) for s in range(16)
+]  # (mask, weight-of-|S|) for S; weight used when S EXCLUDES the channel
+
+
+def _shapley_sql() -> str:
+    coal_rows = ", ".join(f"({s}, {w})" for s, w in _SHAP_COAL)
+    chan_rows = ", ".join(f"('{c}', {b})" for c, b in _SHAP_CHANNELS)
+    chan_bits = " ".join(
+        f"WHEN '{c}' THEN {b}" for c, b in _SHAP_CHANNELS
+    )
+    return f"""
+    WITH fp AS (
+        SELECT user_id, ts AS fts, event_id AS fid
+        FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    touches AS (
+        SELECT DISTINCT e.user_id,
+               CASE e.event_type {chan_bits} END AS bit
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE e.event_type <> 'purchase'
+          AND (e.ts < fp.fts OR (e.ts = fp.fts AND e.event_id <= fp.fid))
+    ),
+    umask AS (
+        SELECT f.user_id, coalesce(sum(t.bit), 0)::BIGINT AS mask
+        FROM fp f LEFT JOIN touches t ON t.user_id = f.user_id
+        GROUP BY 1
+    ),
+    mcnt AS (SELECT mask, count(*) AS n_conv FROM umask GROUP BY 1),
+    coal(smask, w) AS (VALUES {coal_rows}),
+    v AS (
+        SELECT c.smask, c.w, coalesce(sum(m.n_conv), 0)::BIGINT AS v
+        FROM coal c LEFT JOIN mcnt m ON (m.mask & ~c.smask) = 0
+        GROUP BY 1, 2
+    ),
+    chan(channel, bit) AS (VALUES {chan_rows}),
+    phi AS (
+        SELECT ch.channel,
+               sum(s.w * (sb.v - s.v))::BIGINT AS phi24_q
+        FROM chan ch
+        JOIN v s ON (s.smask & ch.bit) = 0
+        JOIN v sb ON sb.smask = (s.smask | ch.bit)
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(phi24_q)::BIGINT AS t FROM phi)
+    SELECT p.channel, p.phi24_q,
+           round(p.phi24_q / 24.0, 6) AS shapley_r,
+           round(p.phi24_q / nullif(t.t, 0)::DOUBLE, 6) AS attribution_r
+    FROM phi p CROSS JOIN tot t
+"""
+
+
+@register("shapley_attribution", oracle=_shapley_sql())
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value multi-touch attribution (Shapley 1953; the
+    game-theoretic alternative to ``markov_attribution_removal``): each
+    converting user's pre-purchase channel SET defines the data, the
+    coalition value v(S) = conversions reachable using only channels in S
+    (users whose touched set ⊆ S), and channel i's credit is
+    φ_i = Σ_S |S|!(n−1−|S|)!/n!·[v(S∪i) − v(S)]. With n = 4 channels the
+    24-scaled kernel weights are the integer literals [6,2,2,6], so
+    24·φ_i is an EXACT integer sum of integer conversion counts — both
+    engines agree bit-for-bit before the two final roundings; efficiency
+    (Σφ = v(N) − v(∅)) makes ``attribution_r`` a true share.
+
+    Scale shape: one events scan → per-user distinct (user, channel-bit)
+    touches (keyed aggregate) → exact-mask conversion counts (≤16 rows).
+    Everything after that — the subset-sum v(S), the per-channel Shapley
+    sum — runs on 16-row literal coalition tables (broadcast); no step
+    downstream of the mask aggregate scales with fact rows. The same
+    shape holds for n ≤ ~20 channels (2^n coalition rows, still
+    dimension-sized); beyond that production samples permutations."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id", F.row_number().over(w_first).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid")
+        )
+    )
+    bit = F.lit(None)
+    for c, b in _SHAP_CHANNELS:
+        bit = F.when(F.col("event_type") == c, b).otherwise(bit)
+    touches = (
+        ev.join(fp, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (
+                (F.col("ts") < F.col("fts"))
+                | ((F.col("ts") == F.col("fts")) & (F.col("event_id") <= F.col("fid")))
+            )
+        )
+        .select("user_id", bit.alias("bit"))
+        .distinct()
+    )
+    umask = (
+        fp.join(touches, "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum("bit"), F.lit(0)).cast("long").alias("mask"))
+    )
+    mcnt = umask.groupBy("mask").agg(F.count("*").alias("n_conv"))
+    coal = spark.createDataFrame(_SHAP_COAL, "smask INT, w INT")
+    v = (
+        F.broadcast(coal)
+        .join(
+            mcnt,
+            F.expr("(mask & ~smask) = 0"),
+            "left",
+        )
+        .groupBy("smask", "w")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    chan = spark.createDataFrame(list(_SHAP_CHANNELS), "channel STRING, bit INT")
+    s = v.select(
+        F.col("smask").alias("s_mask"), F.col("w"), F.col("v").alias("v_s")
+    )
+    sb = v.select(F.col("smask").alias("sb_mask"), F.col("v").alias("v_sb"))
+    phi = (
+        F.broadcast(chan)
+        .join(F.broadcast(s), F.expr("(s_mask & bit) = 0"))
+        .withColumn("want", F.expr("s_mask | bit"))
+        .join(F.broadcast(sb), F.col("want") == F.col("sb_mask"))
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.col("v_sb") - F.col("v_s")))
+            .cast("long")
+            .alias("phi24_q")
+        )
+    )
+    tot = phi.agg(F.sum("phi24_q").cast("long").alias("t"))
+    return phi.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "phi24_q",
+        F.round(F.col("phi24_q") / 24.0, 6).alias("shapley_r"),
+        F.round(
+            F.col("phi24_q") / F.nullif(F.col("t"), F.lit(0)).cast("double"), 6
+        ).alias("attribution_r"),
+    )

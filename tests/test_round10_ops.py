@@ -140,3 +140,50 @@ def test_cc_labels_match_transitive_closure_of_pairs(spark, sf_dir):
         for r in QUERIES["duplicate_cluster_components"](spark, sf_dir).collect()
     }
     assert got == dict(sizes)
+
+
+# --------------------------------------------------- Shapley attribution
+
+
+def test_shapley_efficiency_property(spark, sf_dir):
+    """Σφ_i = v(N) − v(∅): total credit equals conversions reachable with
+    all channels minus no-touch conversions — recomputed independently."""
+    rows = QUERIES["shapley_attribution"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    total_phi24 = sum(r["phi24_q"] for r in rows)
+
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid"))
+    )
+    v_full = fp.count()  # every converted user's mask ⊆ N
+    touched = (
+        ev.join(fp, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (
+                (F.col("ts") < F.col("fts"))
+                | ((F.col("ts") == F.col("fts")) & (F.col("event_id") <= F.col("fid")))
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    v_empty = v_full - touched  # converted users with zero pre-purchase touches
+    assert total_phi24 == 24 * (v_full - v_empty)
+    # shares are a true partition of unity
+    assert abs(sum(r["attribution_r"] for r in rows) - 1.0) < 1e-4
+
+
+def test_shapley_values_nonnegative_for_monotone_game(spark, sf_dir):
+    # v(S) = conversions with mask ⊆ S is monotone, so every marginal
+    # contribution (and hence every Shapley value) is >= 0
+    rows = QUERIES["shapley_attribution"](spark, sf_dir).collect()
+    assert all(r["phi24_q"] >= 0 for r in rows)
