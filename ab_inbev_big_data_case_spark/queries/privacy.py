@@ -462,3 +462,116 @@ def dp_gaussian_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "noisy_sum_r"
         ),
     )
+
+
+# ------------------------------------------------ local DP: randomized response
+
+#: fixed response domain (local-DP mechanisms fix the domain BY DESIGN,
+#: independent of observed data) and ε = ln 3, so p_true = 3/7 and
+#: q_other = 1/7 exactly — the debiased estimate (7·obs − n)/2 is pure
+#: integer arithmetic up to one final halving.
+_RR_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+_RR_IDX_SQL = "CASE c_mktsegment " + " ".join(
+    f"WHEN '{s}' THEN {i}" for i, s in enumerate(_RR_SEGMENTS)
+) + " END"
+_RR_NAME_SQL = "CASE ridx " + " ".join(
+    f"WHEN {i} THEN '{s}'" for i, s in enumerate(_RR_SEGMENTS)
+) + " END"
+
+_RR_SQL = f"""
+    WITH resp AS (
+        SELECT {_RR_IDX_SQL} AS tidx,
+               {_u01_sql("'rr:' || c_custkey")} AS u
+        FROM customer
+    ),
+    rep AS (
+        SELECT tidx,
+               CASE WHEN u < {3.0 / 7.0} THEN tidx
+                    ELSE least(CAST(floor(7 * u - 3) AS INT), 3)
+                         + CASE WHEN least(CAST(floor(7 * u - 3) AS INT), 3)
+                                     >= tidx THEN 1 ELSE 0 END
+               END AS ridx
+        FROM resp
+    ),
+    dom(ridx, segment) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in enumerate(_RR_SEGMENTS))}),
+    obs AS (
+        SELECT d.segment, d.ridx,
+               coalesce(sum((r.ridx = d.ridx)::INT), 0)::BIGINT AS n_reported
+        FROM dom d LEFT JOIN rep r ON r.ridx = d.ridx
+        GROUP BY 1, 2
+    ),
+    tru AS (
+        SELECT {_RR_IDX_SQL} AS tidx, count(*) AS n_true
+        FROM customer GROUP BY 1
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM customer)
+    SELECT o.segment,
+           coalesce(t.n_true, 0)::BIGINT AS n_true,
+           o.n_reported,
+           round((7 * o.n_reported - x.n) / 2.0, 1) AS n_hat_r
+    FROM obs o
+    LEFT JOIN tru t ON t.tidx = o.ridx
+    CROSS JOIN tot x
+"""
+
+
+@register("randomized_response_frequency", oracle=_RR_SQL)
+def randomized_response_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy via k-ary randomized response (Warner
+    1965; the RAPPOR/Apple-style LOCAL model, completing the central-model
+    pair ``dp_laplace_counts``/``dp_gaussian_sum``): each customer reports
+    their true market segment with probability p = e^ε/(e^ε+k−1) and one
+    of the other k−1 uniformly otherwise; the curator sees only the noisy
+    reports and debiases n̂_v = (obs_v − n·q)/(p − q). With ε = ln 3 and
+    k = 5, p = 3/7 and q = 1/7 exactly, so n̂_v = (7·obs_v − n)/2 — integer
+    arithmetic up to one final halving; the per-user coin is the portable
+    keyed uniform, so both engines flip IDENTICAL coins and the release is
+    reproducible (a full value oracle). ``n_true`` is emitted alongside as
+    the oracle/utility audit column — a production release drops it.
+
+    Scale shape: one customer scan → per-row scalar mechanism → two
+    map-side-combinable groupBys over the 5-value domain; the domain table
+    is a 5-row literal (fixed BY DESIGN — local-DP domains are a priori,
+    not data-derived). Nothing downstream of the aggregates scales with
+    fact rows."""
+    c = table(spark, sf_dir, "customer")
+    tidx = F.lit(None)
+    for i, s in enumerate(_RR_SEGMENTS):
+        tidx = F.when(F.col("c_mktsegment") == s, i).otherwise(tidx)
+    resp = c.select(
+        tidx.alias("tidx"),
+        _u01_spark(F.concat(F.lit("rr:"), F.col("c_custkey").cast("string"))).alias(
+            "u"
+        ),
+    )
+    other = F.least(F.floor(7 * F.col("u") - 3).cast("int"), F.lit(3))
+    rep = resp.select(
+        "tidx",
+        F.when(F.col("u") < 3.0 / 7.0, F.col("tidx"))
+        .otherwise(other + F.when(other >= F.col("tidx"), 1).otherwise(0))
+        .alias("ridx"),
+    )
+    dom = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_RR_SEGMENTS)], "ridx INT, segment STRING"
+    )
+    obs = (
+        F.broadcast(dom)
+        .join(rep, "ridx", "left")
+        .groupBy("segment", "ridx")
+        .agg(F.count("tidx").cast("long").alias("n_reported"))
+    )
+    tru = c.groupBy(tidx.alias("tidx")).agg(F.count("*").alias("n_true"))
+    tot = c.agg(F.count("*").cast("long").alias("n"))
+    return (
+        obs.join(F.broadcast(tru), obs["ridx"] == tru["tidx"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+            "n_reported",
+            F.round((7 * F.col("n_reported") - F.col("n")) / 2.0, 1).alias(
+                "n_hat_r"
+            ),
+        )
+    )

@@ -187,3 +187,27 @@ def test_shapley_values_nonnegative_for_monotone_game(spark, sf_dir):
     # contribution (and hence every Shapley value) is >= 0
     rows = QUERIES["shapley_attribution"](spark, sf_dir).collect()
     assert all(r["phi24_q"] >= 0 for r in rows)
+
+
+# ------------------------------------------------ local-DP randomized response
+
+
+def test_rr_estimates_sum_to_population(spark, sf_dir):
+    """Σ n̂_v = n identically: Σ(7·obs_v − n)/2 = (7n − 5n)/2 = n — the
+    debias is unbiased in aggregate by construction."""
+    rows = QUERIES["randomized_response_frequency"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    n = table(spark, sf_dir, "customer").count()
+    assert sum(r["n_true"] for r in rows) == n
+    assert abs(sum(r["n_hat_r"] for r in rows) - n) < 1e-9
+
+
+def test_rr_estimate_tracks_truth(spark, sf_dir):
+    """The debiased estimate should be far closer to the truth than the
+    raw noisy counts are (the whole point of the correction); RR noise
+    std is ~sqrt(n), so allow a generous 6-sigma band."""
+    rows = QUERIES["randomized_response_frequency"](spark, sf_dir).collect()
+    n = sum(r["n_true"] for r in rows)
+    band = 6 * (n ** 0.5) * 3.5  # (p-q)^{-1} = 3.5 inflation
+    for r in rows:
+        assert abs(r["n_hat_r"] - r["n_true"]) <= band
