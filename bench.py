@@ -59,6 +59,10 @@ HEADLINE = [
                                   # mlstats.py had zero bench coverage)
     "event_study_coefficients",   # panel regression around event time (r9)
     "markov_attribution_removal", # bounded-matrix applyInPandas path (r9)
+    "duplicate_cluster_components",  # iterative CC over the LSH dup graph (r10;
+                                     # first bench coverage of the unrolled
+                                     # relax/compress loop shape)
+    "shapley_attribution",        # coalition-lattice attribution (r10)
 ]
 
 #: Known-bounded partitionless window specs per headline plan. Every entry
@@ -72,18 +76,24 @@ EXPECTED_PARTITIONLESS = {
     "gini_concentration": 1,      # bounded decile spine
     "matrix_profile_daily": 16,   # calendar-day pair spine ×2 join sides + 2 ranks
     "kruskal_wallis_test": 1,     # 16-row bucket-carry spine (two-level rank)
+    "markov_attribution_removal": 1,  # ≤7-channel removal table Σ normalize
+                                      # (r10: heuristic now sees ORDER-less specs)
 }
 
 
 def _n_partitionless_windows(plan: str) -> int:
-    # Same heuristic as tests/test_plans.py: a windowspecdefinition whose
-    # first argument carries a sort direction has no partitionBy.
+    # Same heuristic as tests/test_plan_sweep.py (r10-widened): a
+    # windowspecdefinition whose first argument carries a sort direction
+    # has no partitionBy, and an ORDER-less empty-partition spec's first
+    # argument is the frame itself.
     import re
 
     return sum(
         1
         for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan)
-        if " ASC" in m.group(1) or " DESC" in m.group(1)
+        if " ASC" in m.group(1)
+        or " DESC" in m.group(1)
+        or m.group(1).startswith("specifiedwindowframe(")
     )
 
 
