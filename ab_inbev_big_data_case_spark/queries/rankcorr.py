@@ -226,3 +226,130 @@ def kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b_r"),
     )
+
+
+# ---------------------------------------------- gamma / Somers' D (r10)
+
+_GSD_SQL = """
+    WITH cells AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS x,
+               least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS y,
+               count(*)::BIGINT AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    cross_pairs AS (
+        SELECT a.n * b.n AS np,
+               CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tiex,
+               CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tiey
+        FROM cells a JOIN cells b
+          ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+    ),
+    within AS (
+        SELECT sum(n * (n - 1) // 2)::BIGINT AS t_both FROM cells
+    ),
+    agg AS (
+        SELECT sum(np * conc)::BIGINT AS c,
+               sum(np * disc)::BIGINT AS d,
+               sum(np * tiex)::BIGINT AS tx_cross,
+               sum(np * tiey)::BIGINT AS ty_cross,
+               sum(np)::BIGINT AS cross_total
+        FROM cross_pairs
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS nr FROM cells)
+    SELECT t.nr AS n_rows,
+           a.c AS conc_pairs, a.d AS disc_pairs,
+           round((a.c - a.d) / CAST(a.c + a.d AS DOUBLE), 6) AS gamma_r,
+           round((a.c - a.d) / CAST(t.nr * (t.nr - 1) // 2
+                                    - (a.tx_cross + w.t_both) AS DOUBLE), 6)
+               AS somers_d_yx_r,
+           round((a.c - a.d) / CAST(t.nr * (t.nr - 1) // 2
+                                    - (a.ty_cross + w.t_both) AS DOUBLE), 6)
+               AS somers_d_xy_r
+    FROM agg a CROSS JOIN within w CROSS JOIN tot t
+"""
+
+
+@register("gamma_somers_d", oracle=_GSD_SQL)
+def gamma_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal gamma and BOTH Somers' D asymmetries between order
+    priority (ordinal 1–5) and the order-value band (fixed $50k bands,
+    capped at 10) — the ordinal-association companions of
+    ``kendall_tau_nations`` (gamma ignores ties entirely; D_yx/D_xy
+    penalize ties on the independent variable only, the directional
+    statistic a rank-based uplift readout uses).
+
+    Exactness: the whole computation reduces to the bounded ≤5×10
+    contingency table; concordant/discordant/tied pair counts are
+    Σ n_a·n_b products of exact integer cell counts over ≤50² cell pairs
+    plus the within-cell n(n−1)/2 terms — every count is an exact 64-bit
+    integer, and the three statistics are one double division each.
+
+    Scale shape: one map-side-combinable groupBy onto the fixed cell
+    domain; the cell-pair join, tie terms, and final arithmetic all run
+    on ≤50-row broadcast tables. The pair semantics cover all n(n−1)/2
+    row pairs WITHOUT ever forming them — the contingency decomposition
+    is what makes gamma computable at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("x"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+        ).alias("y"),
+    ).agg(F.count("*").alias("n"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cross_pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.x") < F.col("b.x"))
+        | ((F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))),
+    ).select(
+        (F.col("a.n") * F.col("b.n")).alias("np"),
+        ((F.col("b.x") - F.col("a.x")) * (F.col("b.y") - F.col("a.y"))).alias(
+            "prod"
+        ),
+        (F.col("a.x") == F.col("b.x")).alias("eqx"),
+        (F.col("a.y") == F.col("b.y")).alias("eqy"),
+    )
+    agg = cross_pairs.agg(
+        F.sum(F.when(F.col("prod") > 0, F.col("np")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("prod") < 0, F.col("np")).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("eqx"), F.col("np")).otherwise(0))
+        .cast("long")
+        .alias("tx_cross"),
+        F.sum(F.when(F.col("eqy"), F.col("np")).otherwise(0))
+        .cast("long")
+        .alias("ty_cross"),
+    )
+    within = cells.agg(
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("t_both")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("nr"))
+    half = F.expr("nr * (nr - 1) div 2")
+    return (
+        agg.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nr").alias("n_rows"),
+            F.col("c").alias("conc_pairs"),
+            F.col("d").alias("disc_pairs"),
+            F.round(
+                (F.col("c") - F.col("d")) / (F.col("c") + F.col("d")).cast("double"),
+                6,
+            ).alias("gamma_r"),
+            F.round(
+                (F.col("c") - F.col("d"))
+                / (half - (F.col("tx_cross") + F.col("t_both"))).cast("double"),
+                6,
+            ).alias("somers_d_yx_r"),
+            F.round(
+                (F.col("c") - F.col("d"))
+                / (half - (F.col("ty_cross") + F.col("t_both"))).cast("double"),
+                6,
+            ).alias("somers_d_xy_r"),
+        )
+    )

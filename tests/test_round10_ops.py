@@ -211,3 +211,47 @@ def test_rr_estimate_tracks_truth(spark, sf_dir):
     band = 6 * (n ** 0.5) * 3.5  # (p-q)^{-1} = 3.5 inflation
     for r in rows:
         assert abs(r["n_hat_r"] - r["n_true"]) <= band
+
+
+# --------------------------------------------- gamma / Somers' D
+
+
+def test_gamma_somers_identities(spark, sf_dir):
+    """Pair-count identities: C + D + ties = n(n-1)/2 (checked via the
+    statistic denominators), |gamma| >= |D_yx| and |D_xy| (gamma's
+    denominator is the smallest), all three in [-1, 1]."""
+    r = QUERIES["gamma_somers_d"](spark, sf_dir).first()
+    n = table(spark, sf_dir, "orders").count()
+    assert r["n_rows"] == n
+    assert r["conc_pairs"] >= 0 and r["disc_pairs"] >= 0
+    assert r["conc_pairs"] + r["disc_pairs"] <= n * (n - 1) // 2
+    for col in ("gamma_r", "somers_d_yx_r", "somers_d_xy_r"):
+        assert -1.0 <= r[col] <= 1.0
+    assert abs(r["gamma_r"]) >= abs(r["somers_d_yx_r"]) - 1e-9
+    assert abs(r["gamma_r"]) >= abs(r["somers_d_xy_r"]) - 1e-9
+
+
+def test_gamma_somers_match_bruteforce_pairs(spark, sf_dir):
+    """Brute-force O(n²) pair count over the fixture (sf0.001: 1.5k
+    orders) must reproduce the contingency-decomposition counts exactly."""
+    import itertools
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("x"),
+            F.least(
+                F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+            ).alias("y"),
+        )
+        .collect()
+    )
+    if len(rows) > 3000:  # keep the quadratic check fixture-sized
+        return
+    c = d = 0
+    for (x1, y1), (x2, y2) in itertools.combinations([(r.x, r.y) for r in rows], 2):
+        p = (x1 - x2) * (y1 - y2)
+        c += p > 0
+        d += p < 0
+    r = QUERIES["gamma_somers_d"](spark, sf_dir).first()
+    assert (r["conc_pairs"], r["disc_pairs"]) == (c, d)
