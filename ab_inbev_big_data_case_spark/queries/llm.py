@@ -6027,10 +6027,11 @@ def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_ROUNDS = 4
 
 
-def _cc_oracle_sql() -> str:
+def _cc_core_ctes() -> tuple[str, str]:
     """Chained-CTE mirror of the Spark CC loop: identical edge set (the
     minhash_lsh_pairs CTEs), identical K rounds of min-label relax +
-    pointer-jump compress, identical convergence certificate."""
+    pointer-jump compress. Returns (WITH-body, final-labels-CTE-name) so
+    the histogram and keep-list oracles share one generator."""
 
     def relax(src: str, dst: str) -> str:
         return f"""{dst} AS MATERIALIZED (
@@ -6050,8 +6051,7 @@ def _cc_oracle_sql() -> str:
             f"l{i} AS MATERIALIZED (SELECT a.v, b.l FROM r{i} a JOIN r{i} b ON a.l = b.v)"
         )
         cur = f"l{i}"
-    return f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    body = f"""{_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
     prs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM bands a JOIN bands b
@@ -6061,7 +6061,14 @@ def _cc_oracle_sql() -> str:
     bidir AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM prs
               UNION ALL SELECT id2, id1 FROM prs),
     l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM documents),
-    {", ".join(rounds)},
+    {", ".join(rounds)}"""
+    return body, cur
+
+
+def _cc_oracle_sql() -> str:
+    body, cur = _cc_core_ctes()
+    return f"""
+    WITH {body},
     chk AS MATERIALIZED (
         SELECT n.v, n.l, least(n.l, coalesce(min(nb.lu), n.l)) AS l2
         FROM {cur} n
@@ -6078,34 +6085,11 @@ def _cc_oracle_sql() -> str:
 """
 
 
-@register("duplicate_cluster_components", oracle=_cc_oracle_sql())
-def duplicate_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash-LSH near-dup graph — the step
-    a corpus dedup pipeline runs BETWEEN candidate pairs and canonical
-    selection: pair lists only relate two docs at a time, but 'keep one
-    per duplicate CLUSTER' needs the transitive closure (A~B, B~C ⇒ one
-    cluster {A,B,C}). Output is the cluster-size histogram plus a
-    convergence certificate.
-
-    Algorithm: K = 4 unrolled rounds of min-label propagation, each round
-    an edge RELAX (l(v) ← min over neighbors, one shuffle on node id)
-    followed by a pointer-jump COMPRESS (l(v) ← l(l(v)), one shuffle on
-    label) — the alternating-star family (Kiveris et al. 2014, 'CC in
-    MapReduce and beyond'); compress doubles reach per round, so 4 rounds
-    cover diameter ≫ any LSH dup-cluster. Convergence is CERTIFIED, not
-    assumed: one extra relax counts nodes that would still change
-    (``n_unconverged`` — relax-stability implies labels are exactly the
-    per-component min doc_id, so 0 is a complete certificate; both engines
-    compute it from the same final state).
-
-    Exactness: labels are doc_ids (integers); min/least over integers;
-    the histogram is integer counts — no floats anywhere.
-
-    Scale shape: edges come from the capped LSH buckets (never all-pairs);
-    labels are a doc-dimension-sized table; each round is 2 keyed shuffles
-    with the label table lazily checkpointed so the unrolled plan stays
-    K-linear (the HITS/warehouse pattern). At 100 TB the same loop runs
-    with persisted label state per round."""
+def _cc_labels(spark: SparkSession, sf_dir: str):
+    """Shared CC engine: (bidirectional edge set, converged min-labels)
+    for the LSH near-dup graph — the loop both ``duplicate_cluster_components``
+    and ``dedup_canonical_keep_list`` run (see the former's docstring for
+    the algorithm and scale notes)."""
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
     pairs = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
@@ -6139,7 +6123,38 @@ def duplicate_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v", F.col("ll").alias("l"))
             .localCheckpoint(eager=False)
         )
+    return edges, labels
 
+
+@register("duplicate_cluster_components", oracle=_cc_oracle_sql())
+def duplicate_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph — the step
+    a corpus dedup pipeline runs BETWEEN candidate pairs and canonical
+    selection: pair lists only relate two docs at a time, but 'keep one
+    per duplicate CLUSTER' needs the transitive closure (A~B, B~C ⇒ one
+    cluster {A,B,C}). Output is the cluster-size histogram plus a
+    convergence certificate.
+
+    Algorithm: K = 4 unrolled rounds of min-label propagation, each round
+    an edge RELAX (l(v) ← min over neighbors, one shuffle on node id)
+    followed by a pointer-jump COMPRESS (l(v) ← l(l(v)), one shuffle on
+    label) — the alternating-star family (Kiveris et al. 2014, 'CC in
+    MapReduce and beyond'); compress doubles reach per round, so 4 rounds
+    cover diameter ≫ any LSH dup-cluster. Convergence is CERTIFIED, not
+    assumed: one extra relax counts nodes that would still change
+    (``n_unconverged`` — relax-stability implies labels are exactly the
+    per-component min doc_id, so 0 is a complete certificate; both engines
+    compute it from the same final state).
+
+    Exactness: labels are doc_ids (integers); min/least over integers;
+    the histogram is integer counts — no floats anywhere.
+
+    Scale shape: edges come from the capped LSH buckets (never all-pairs);
+    labels are a doc-dimension-sized table; each round is 2 keyed shuffles
+    with the label table lazily checkpointed so the unrolled plan stays
+    K-linear (the HITS/warehouse pattern). At 100 TB the same loop runs
+    with persisted label state per round."""
+    edges, labels = _cc_labels(spark, sf_dir)
     chk = (
         labels.join(
             edges.join(
@@ -6164,4 +6179,72 @@ def duplicate_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_clusters"))
         .crossJoin(F.broadcast(unc))
         .select("cluster_size", "n_clusters", "n_unconverged")
+    )
+
+
+def _keep_list_sql() -> str:
+    body, cur = _cc_core_ctes()
+    return f"""
+    WITH {body},
+    lab AS MATERIALIZED (
+        SELECT l.v AS doc_id, l.l AS cluster_id, d.n_chars
+        FROM {cur} l JOIN documents d ON d.doc_id = l.v
+    ),
+    canon AS (
+        SELECT cluster_id,
+               count(*)::BIGINT AS cluster_size,
+               min(-n_chars * 10000000000 + doc_id) AS ckey
+        FROM lab GROUP BY 1
+    )
+    SELECT lab.doc_id, lab.cluster_id, c.cluster_size,
+           (c.ckey + 10000000000 * ((-c.ckey + 9999999999) // 10000000000))
+               AS canonical_id,
+           (lab.doc_id = c.ckey + 10000000000
+                * ((-c.ckey + 9999999999) // 10000000000))::INT AS keep
+    FROM lab JOIN canon c ON c.cluster_id = lab.cluster_id
+"""
+
+
+@register("dedup_canonical_keep_list", oracle=_keep_list_sql())
+def dedup_canonical_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE end of the dedup pipeline: a per-document keep/drop
+    decision. Clusters come from the shared CC engine (``_cc_labels`` —
+    see ``duplicate_cluster_components``); within each cluster the
+    canonical is the LONGEST document (keep the most complete copy, the
+    standard corpus-dedup rule), ties broken by min doc_id.
+
+    Exactness: the canonical argmax is ONE integer key
+    min(−n_chars·10^10 + doc_id) — an order-free aggregate both engines
+    compute identically (n_chars and doc_id both < 10^10 in any fixture
+    and any real corpus shard keyed this way); the canonical doc_id is
+    recovered from the key by exact integer arithmetic, so no struct-max
+    or window rank whose tie semantics could differ.
+
+    Scale shape: the CC loop's cost (see its docstring) plus one
+    doc-dimension join and one keyed argmax — nothing new scales with
+    fact rows. Output is doc-dimension-sized (one decision per document),
+    the shape a downstream filter join consumes."""
+    _, labels = _cc_labels(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    lab = labels.join(
+        d.select("doc_id", "n_chars"), labels["v"] == d["doc_id"]
+    ).select("doc_id", F.col("l").alias("cluster_id"), "n_chars")
+    canon = lab.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.min(-F.col("n_chars") * F.lit(10000000000) + F.col("doc_id")).alias(
+            "ckey"
+        ),
+    )
+    canonical = F.col("ckey") + F.lit(10000000000) * F.expr(
+        "(-ckey + 9999999999) div 10000000000"
+    )
+    return (
+        lab.join(canon, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            canonical.alias("canonical_id"),
+            (F.col("doc_id") == canonical).cast("int").alias("keep"),
+        )
     )

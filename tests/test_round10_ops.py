@@ -255,3 +255,42 @@ def test_gamma_somers_match_bruteforce_pairs(spark, sf_dir):
         d += p < 0
     r = QUERIES["gamma_somers_d"](spark, sf_dir).first()
     assert (r["conc_pairs"], r["disc_pairs"]) == (c, d)
+
+
+# --------------------------------------------- canonical keep-list
+
+
+def test_keep_list_one_canonical_per_cluster(spark, sf_dir):
+    rows = QUERIES["dedup_canonical_keep_list"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # one decision per document
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r["keep"] == 1]
+        assert len(keeps) == 1  # exactly one canonical per cluster
+        assert keeps[0]["doc_id"] == members[0]["canonical_id"]
+        assert all(r["canonical_id"] == keeps[0]["doc_id"] for r in members)
+        assert all(r["cluster_size"] == len(members) for r in members)
+
+
+def test_keep_list_canonical_is_longest_then_min_id(spark, sf_dir):
+    d = {
+        r["doc_id"]: r["n_chars"]
+        for r in table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+    rows = QUERIES["dedup_canonical_keep_list"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        want = min(members, key=lambda i: (-d[i], i))
+        got = next(
+            r["canonical_id"] for r in rows if r["cluster_id"] == cid
+        )
+        assert got == want
