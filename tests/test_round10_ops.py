@@ -294,3 +294,51 @@ def test_keep_list_canonical_is_longest_then_min_id(spark, sf_dir):
             r["canonical_id"] for r in rows if r["cluster_id"] == cid
         )
         assert got == want
+
+
+# --------------------------------------------------- triangle counting
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Brute-force triangle enumeration over the fixture edge set must
+    match the degree-ordered-orientation count exactly."""
+    from itertools import combinations
+
+    r = QUERIES["triangle_count_copurchase"](spark, sf_dir).first()
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ok = (
+        li.groupBy("o").agg(F.count("*").alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= 16)).select("o")
+    )
+    ec = li.join(ok, "o").collect()
+    from collections import defaultdict
+
+    basket = defaultdict(set)
+    for row in ec:
+        basket[row["o"]].add(row["p"])
+    pair_count = defaultdict(int)
+    for parts in basket.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_count[(a, b)] += 1
+    edges = {e for e, c in pair_count.items() if c >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = 0
+    for a, b in edges:
+        tri += len(adj[a] & adj[b])
+    tri //= 3  # each triangle seen from its 3 edges
+    assert r["n_triangles"] == tri
+    assert r["n_edges"] == len(edges)
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+    assert r["n_nodes"] == len(nodes)
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in adj)
+    assert r["n_wedges"] == wedges
+    if wedges:
+        assert abs(r["clustering_coef_r"] - round(3 * tri / wedges, 6)) < 1e-9
