@@ -366,3 +366,62 @@ def stream_upsert_deltalite(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_page_hinkley(
+    stream_df: DataFrame,
+    global_mean_cents: float,
+    delta: float = 0.005,
+    lam: float = 2.0,
+    state: dict | None = None,
+):
+    """Live Page–Hinkley drift monitor as a checkpoint-shaped foreachBatch:
+    the streaming counterpart of ``queries.timeseries.page_hinkley_drift``
+    (whose docstring promises exactly this — 'a production stream replaces
+    the spine scan with incremental state').
+
+    State is O(1) regardless of stream length: (i, su, m, min_m, max_ph,
+    first_alarm_day, n_alarm_days) — the recurrence m_t = m_{t-1} +
+    (u_t − ū_t − δ), PH_t = m_t − min_{s≤t} m_s needs only the running
+    count, running Σu, running m, and running min. Here the state dict is
+    driver-held (a production job persists it in the checkpoint or a
+    ``transformWithState`` handle); ``global_mean_cents`` is the
+    normalizer computed in a prior calibration pass, as any deployed
+    monitor does (the batch query can use the in-sample mean because it
+    sees all data at once).
+
+    Each micro-batch must deliver day-complete rows in day order (one
+    file per chunk with maxFilesPerTrigger=1 ON THE READER gives that
+    from a file source); rows within a batch are sorted by day before
+    folding. The
+    per-batch collect() is day-spine-bounded — monitor state, not data
+    movement.
+
+    Returns the started StreamingQuery; read results from ``state``."""
+    st = state if state is not None else {}
+    st.setdefault("i", 0)
+    st.setdefault("su", 0.0)
+    st.setdefault("m", 0.0)
+    st.setdefault("min_m", 0.0)
+    st.setdefault("max_ph", 0.0)
+    st.setdefault("first_alarm_day", None)
+    st.setdefault("n_alarm_days", 0)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.orderBy("day").collect():
+            u = round(row["cents"] / global_mean_cents, 8)
+            st["i"] += 1
+            st["su"] += u
+            term = round(u - st["su"] / st["i"] - delta, 8)
+            st["m"] += term
+            st["min_m"] = min(st["min_m"], st["m"])
+            ph = st["m"] - st["min_m"]
+            st["max_ph"] = max(st["max_ph"], ph)
+            if ph > lam:
+                st["n_alarm_days"] += 1
+                if st["first_alarm_day"] is None:
+                    st["first_alarm_day"] = row["day"]
+
+    return (
+        stream_df.writeStream.outputMode("append").foreachBatch(fold).start()
+    )

@@ -398,3 +398,77 @@ def test_stream_upsert_deltalite_txn_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     assert t.version() == v_after  # replayed batches were no-ops
     assert {r["id"]: r["v"] for r in t.snapshot().collect()} == want
+
+
+def test_stream_page_hinkley_matches_batch_query(spark, sf_dir, tmp_path_factory):
+    """The live foreachBatch Page–Hinkley monitor, fed the day spine in 4
+    ordered micro-batches with only O(1) carried state, must reproduce the
+    batch query's outputs: exact integer/day outputs, max-PH to float
+    tolerance (the monitor folds in Python doubles; the batch query
+    quantizes to DECIMAL(38,8) — both follow the identical recurrence)."""
+    from ab_inbev_big_data_case_spark.queries.timeseries import (
+        _PH_DELTA,
+        _PH_LAMBDA,
+        _daily_revenue,
+    )
+    from ab_inbev_big_data_case_spark.registry import QUERIES
+    from ab_inbev_big_data_case_spark.streaming.jobs import stream_page_hinkley
+
+    d = (
+        _daily_revenue(spark, sf_dir)
+        .select(
+            "day",
+            (F.col("rev").cast("decimal(18,2)") * 100)
+            .cast("double")
+            .alias("cents"),
+        )
+        .orderBy("day")
+    )
+    rows = d.collect()
+    gm = sum(r["cents"] for r in rows) / len(rows)
+
+    # write the spine as 4 day-ordered chunk files; maxFilesPerTrigger=1
+    # delivers them as 4 in-order micro-batches
+    base = tmp_path_factory.mktemp("ph_stream")
+    n = len(rows)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        chunk = rows[cuts[i] : cuts[i + 1]]
+        spark.createDataFrame(chunk, d.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(base / f"chunk{i}"))
+    import shutil, glob, os
+
+    feed = base / "feed"
+    os.makedirs(feed)
+    import time as _time
+
+    t0 = _time.time() - 1000
+    for i in range(4):
+        src = glob.glob(str(base / f"chunk{i}" / "part-*.parquet"))[0]
+        dst = str(feed / f"{i:02d}.parquet")
+        shutil.copy(src, dst)
+        # the file source orders micro-batches by modification time —
+        # pin strictly increasing mtimes so the 4 chunks arrive in day
+        # order (same-second copies otherwise tie and can scramble)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    state: dict = {}
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = stream_page_hinkley(stream, gm, _PH_DELTA, _PH_LAMBDA, state)
+    q.processAllAvailable()
+    q.stop()
+
+    batch = QUERIES["page_hinkley_drift"](spark, sf_dir).first()
+    assert state["i"] == batch["n_days"]
+    assert abs(state["max_ph"] - batch["max_ph_r"]) < 1e-5
+    assert state["n_alarm_days"] == batch["n_alarm_days"]
+    got_first = state["first_alarm_day"]
+    want_first = batch["first_alarm_day"]
+    assert (got_first is None) == (want_first is None)
+    if want_first is not None:
+        assert got_first == want_first
