@@ -5184,3 +5184,125 @@ def stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("wsum") / F.col("n_used"), 6).alias("ate_stratified_r"),
         F.round(F.col("d"), 6).alias("ate_naive_r"),
     )
+
+
+# ------------------------------------------------ A/B power / MDE (r10)
+
+_Z975 = 1.959963984540054   # Phi^-1(0.975), two-sided alpha = 0.05
+_Z80 = 0.8416212335729143   # Phi^-1(0.80), power = 0.8
+_MDE_REL_TARGET = 0.01      # sizing target: 1% relative lift
+
+_POWER_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id % 2 AS arm,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        ELSE 0 END)::BIGINT AS cents
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n,
+               sum(cents)::HUGEINT AS s1,
+               sum(cents::HUGEINT * cents)::HUGEINT AS s2
+        FROM per_user GROUP BY 1
+    ),
+    stats AS (
+        SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+               max(CASE WHEN arm = 1 THEN n END) AS n_b,
+               max(CASE WHEN arm = 0 THEN s1 END)::DOUBLE / 100 AS sa,
+               max(CASE WHEN arm = 1 THEN s1 END)::DOUBLE / 100 AS sb,
+               max(CASE WHEN arm = 0 THEN s2 END)::DOUBLE / 10000 AS qa,
+               max(CASE WHEN arm = 1 THEN s2 END)::DOUBLE / 10000 AS qb
+        FROM arms
+    ),
+    calc AS (
+        SELECT n_a, n_b,
+               sa / n_a AS mean_a, sb / n_b AS mean_b,
+               (sa + sb) / (n_a + n_b) AS mean_pooled,
+               ((qa - sa * sa / n_a) + (qb - sb * sb / n_b))
+                   / (n_a + n_b - 2) AS var_pooled
+        FROM stats
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 4) AS mean_a_r,
+           round(mean_b, 4) AS mean_b_r,
+           round(sqrt(var_pooled), 4) AS sd_pooled_r,
+           round(({_Z975} + {_Z80}) * sqrt(var_pooled)
+                 * sqrt(1.0 / n_a + 1.0 / n_b), 4) AS mde_abs_r,
+           round(({_Z975} + {_Z80}) * sqrt(var_pooled)
+                 * sqrt(1.0 / n_a + 1.0 / n_b) / mean_pooled, 6) AS mde_rel_r,
+           CAST(ceil(2 * var_pooled * ({_Z975} + {_Z80}) * ({_Z975} + {_Z80})
+                     / (({_MDE_REL_TARGET} * mean_pooled)
+                        * ({_MDE_REL_TARGET} * mean_pooled))) AS BIGINT)
+               AS n_per_arm_1pct
+    FROM calc
+"""
+
+
+@register("abtest_power_mde", oracle=_POWER_SQL)
+def abtest_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing readout: the minimum detectable effect of the
+    RUNNING test and the sample size a FUTURE test needs — the two numbers
+    an experimentation platform prints next to every A/B dashboard
+    (complementing ``abtest_srm_check``'s validity guardrail and
+    ``cuped_variance_reduction``'s sensitivity booster). Two-sample z
+    formulation: MDE = (z_{0.975}+z_{0.8})·s_p·√(1/n_a+1/n_b);
+    n/arm for a 1% relative lift = 2·s_p²·(z_α+z_β)²/δ².
+
+    Exactness: per-user purchase totals are exact cents (BIGINT), arm
+    moments are exact HUGEINT Σ and Σ², and every double expression after
+    that is the identical formula on identical doubles in both engines
+    (z constants spelled to full precision); the ceil lands on the same
+    integer because its argument is the same double.
+
+    Scale shape: one events scan → per-user keyed aggregate → 2-row arm
+    moments; all sizing arithmetic runs on the 1-row stats. Nothing
+    downstream of the user aggregate scales with fact rows."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy((F.col("user_id") % 2).alias("arm"), "user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("cents")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("s2"),
+    )
+    stats = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        (F.max(F.when(F.col("arm") == 0, F.col("s1"))).cast("double") / 100).alias("sa"),
+        (F.max(F.when(F.col("arm") == 1, F.col("s1"))).cast("double") / 100).alias("sb"),
+        (F.max(F.when(F.col("arm") == 0, F.col("s2"))).cast("double") / 10000).alias("qa"),
+        (F.max(F.when(F.col("arm") == 1, F.col("s2"))).cast("double") / 10000).alias("qb"),
+    )
+    mean_a = F.col("sa") / F.col("n_a")
+    mean_b = F.col("sb") / F.col("n_b")
+    mean_pooled = (F.col("sa") + F.col("sb")) / (F.col("n_a") + F.col("n_b"))
+    var_pooled = (
+        (F.col("qa") - F.col("sa") * F.col("sa") / F.col("n_a"))
+        + (F.col("qb") - F.col("sb") * F.col("sb") / F.col("n_b"))
+    ) / (F.col("n_a") + F.col("n_b") - 2)
+    zsum = F.lit(_Z975 + _Z80)
+    mde = zsum * F.sqrt(var_pooled) * F.sqrt(
+        1.0 / F.col("n_a") + 1.0 / F.col("n_b")
+    )
+    delta = F.lit(_MDE_REL_TARGET) * mean_pooled
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a_r"),
+        F.round(mean_b, 4).alias("mean_b_r"),
+        F.round(F.sqrt(var_pooled), 4).alias("sd_pooled_r"),
+        F.round(mde, 4).alias("mde_abs_r"),
+        F.round(mde / mean_pooled, 6).alias("mde_rel_r"),
+        F.ceil(2 * var_pooled * zsum * zsum / (delta * delta))
+        .cast("long")
+        .alias("n_per_arm_1pct"),
+    )

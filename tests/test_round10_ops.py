@@ -342,3 +342,43 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
     assert r["n_wedges"] == wedges
     if wedges:
         assert abs(r["clustering_coef_r"] - round(3 * tri / wedges, 6)) < 1e-9
+
+
+# --------------------------------------------------- A/B power / MDE
+
+
+def test_power_mde_matches_closed_form(spark, sf_dir):
+    """Recompute the two-sample MDE from independently-collected per-user
+    totals with Python floats — the engine's exact-moment path must agree
+    to float tolerance, and the sizing must be consistent with the MDE."""
+    rows = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("cents")
+        )
+        .collect()
+    )
+    import statistics
+
+    a = [r["cents"] / 100 for r in rows if r["user_id"] % 2 == 0]
+    b = [r["cents"] / 100 for r in rows if r["user_id"] % 2 == 1]
+    var_p = (
+        sum((x - statistics.fmean(a)) ** 2 for x in a)
+        + sum((x - statistics.fmean(b)) ** 2 for x in b)
+    ) / (len(a) + len(b) - 2)
+    zsum = 1.959963984540054 + 0.8416212335729143
+    want_mde = zsum * var_p ** 0.5 * (1 / len(a) + 1 / len(b)) ** 0.5
+    r = QUERIES["abtest_power_mde"](spark, sf_dir).first()
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert abs(r["mde_abs_r"] - want_mde) < 1e-3
+    # sizing consistency: at the returned n/arm, the achievable MDE is at
+    # most the 1% relative target (ceil only over-provisions)
+    mean_p = statistics.fmean(a + b)
+    achievable = zsum * var_p ** 0.5 * (2 / r["n_per_arm_1pct"]) ** 0.5
+    assert achievable <= 0.01 * mean_p * (1 + 1e-9)
