@@ -6193,14 +6193,11 @@ def _keep_list_sql() -> str:
     canon AS (
         SELECT cluster_id,
                count(*)::BIGINT AS cluster_size,
-               min(-n_chars * 10000000000 + doc_id) AS ckey
+               (min({{'a': -n_chars, 'b': doc_id}})).b AS canonical_id
         FROM lab GROUP BY 1
     )
-    SELECT lab.doc_id, lab.cluster_id, c.cluster_size,
-           (c.ckey + 10000000000 * ((-c.ckey + 9999999999) // 10000000000))
-               AS canonical_id,
-           (lab.doc_id = c.ckey + 10000000000
-                * ((-c.ckey + 9999999999) // 10000000000))::INT AS keep
+    SELECT lab.doc_id, lab.cluster_id, c.cluster_size, c.canonical_id,
+           (lab.doc_id = c.canonical_id)::INT AS keep
     FROM lab JOIN canon c ON c.cluster_id = lab.cluster_id
 """
 
@@ -6213,12 +6210,15 @@ def dedup_canonical_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical is the LONGEST document (keep the most complete copy, the
     standard corpus-dedup rule), ties broken by min doc_id.
 
-    Exactness: the canonical argmax is ONE integer key
-    min(−n_chars·10^10 + doc_id) — an order-free aggregate both engines
-    compute identically (n_chars and doc_id both < 10^10 in any fixture
-    and any real corpus shard keyed this way); the canonical doc_id is
-    recovered from the key by exact integer arithmetic, so no struct-max
-    or window rank whose tie semantics could differ.
+    Exactness: the canonical argmax is min(struct(−n_chars, doc_id)) —
+    an order-free aggregate both engines evaluate with identical
+    field-by-field lexicographic struct comparison (longest doc wins,
+    ties to min doc_id), then project the doc_id field back out. Unlike
+    a packed integer key (−n_chars·10^10 + doc_id), the struct ordering
+    cannot overflow for ANY n_chars/doc_id magnitude — a packed key
+    silently wraps in Spark's non-ANSI int64 arithmetic once
+    n_chars ≳ 9.2·10^8 (a ~900 MB document), picking a wrong canonical
+    with no error.
 
     Scale shape: the CC loop's cost (see its docstring) plus one
     doc-dimension join and one keyed argmax — nothing new scales with
@@ -6231,12 +6231,11 @@ def dedup_canonical_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("l").alias("cluster_id"), "n_chars")
     canon = lab.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size"),
-        F.min(-F.col("n_chars") * F.lit(10000000000) + F.col("doc_id")).alias(
-            "ckey"
-        ),
-    )
-    canonical = F.col("ckey") + F.lit(10000000000) * F.expr(
-        "(-ckey + 9999999999) div 10000000000"
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("a"), F.col("doc_id").alias("b")
+            )
+        )["b"].alias("canonical_id"),
     )
     return (
         lab.join(canon, "cluster_id")
@@ -6244,7 +6243,7 @@ def dedup_canonical_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "cluster_id",
             F.col("cluster_size").cast("long").alias("cluster_size"),
-            canonical.alias("canonical_id"),
-            (F.col("doc_id") == canonical).cast("int").alias("keep"),
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("keep"),
         )
     )

@@ -397,27 +397,50 @@ def stream_page_hinkley(
     per-batch collect() is day-spine-bounded — monitor state, not data
     movement.
 
-    Returns the started StreamingQuery; read results from ``state``."""
+    Exactness (bit-for-bit with the batch twin): the batch query
+    quantizes u and each increment term to DECIMAL(38,8) with HALF_UP
+    rounding before the exact-decimal prefix sums. This fold mirrors
+    that recurrence with ``decimal.Decimal``: each double intermediate
+    is quantized via ``Decimal(repr(x)).quantize(1E-8, ROUND_HALF_UP)``
+    — identical to Spark's ``round(double, 8)``, which is
+    ``BigDecimal.valueOf(d).setScale(8, HALF_UP)`` on the same shortest
+    decimal representation — and the running sums/min/max stay exact
+    decimals, so the alarm counts and first-alarm day are identities,
+    not approximations (Python's float ``round()`` is half-to-even and
+    would diverge on .5 ties at the 8th place). The alarm compare casts
+    PH back to double first, mirroring the batch decimal>double
+    comparison.
+
+    Returns the started StreamingQuery; read results from ``state``
+    (``su``/``m``/``min_m``/``max_ph`` are ``Decimal``; ``float()`` them
+    for reporting)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q8 = Decimal("1E-8")
+
+    def round8(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q8, rounding=ROUND_HALF_UP)
+
     st = state if state is not None else {}
     st.setdefault("i", 0)
-    st.setdefault("su", 0.0)
-    st.setdefault("m", 0.0)
-    st.setdefault("min_m", 0.0)
-    st.setdefault("max_ph", 0.0)
+    st.setdefault("su", Decimal(0))
+    st.setdefault("m", Decimal(0))
+    st.setdefault("min_m", Decimal(0))
+    st.setdefault("max_ph", Decimal(0))
     st.setdefault("first_alarm_day", None)
     st.setdefault("n_alarm_days", 0)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         for row in batch_df.orderBy("day").collect():
-            u = round(row["cents"] / global_mean_cents, 8)
+            u = round8(row["cents"] / global_mean_cents)
             st["i"] += 1
             st["su"] += u
-            term = round(u - st["su"] / st["i"] - delta, 8)
+            term = round8(float(u) - float(st["su"]) / st["i"] - delta)
             st["m"] += term
             st["min_m"] = min(st["min_m"], st["m"])
             ph = st["m"] - st["min_m"]
             st["max_ph"] = max(st["max_ph"], ph)
-            if ph > lam:
+            if float(ph) > lam:
                 st["n_alarm_days"] += 1
                 if st["first_alarm_day"] is None:
                     st["first_alarm_day"] = row["day"]

@@ -403,9 +403,10 @@ def test_stream_upsert_deltalite_txn_idempotent(spark, tmp_path):
 def test_stream_page_hinkley_matches_batch_query(spark, sf_dir, tmp_path_factory):
     """The live foreachBatch Page–Hinkley monitor, fed the day spine in 4
     ordered micro-batches with only O(1) carried state, must reproduce the
-    batch query's outputs: exact integer/day outputs, max-PH to float
-    tolerance (the monitor folds in Python doubles; the batch query
-    quantizes to DECIMAL(38,8) — both follow the identical recurrence)."""
+    batch query's outputs EXACTLY: the fold mirrors the batch DECIMAL(38,8)
+    half-up recurrence with ``decimal.Decimal``, so alarm counts, first
+    alarm day, and the 6-place-rounded max-PH are identities, not
+    tolerances."""
     from ab_inbev_big_data_case_spark.queries.timeseries import (
         _PH_DELTA,
         _PH_LAMBDA,
@@ -465,7 +466,17 @@ def test_stream_page_hinkley_matches_batch_query(spark, sf_dir, tmp_path_factory
 
     batch = QUERIES["page_hinkley_drift"](spark, sf_dir).first()
     assert state["i"] == batch["n_days"]
-    assert abs(state["max_ph"] - batch["max_ph_r"]) < 1e-5
+    # state["max_ph"] is an exact Decimal; mirror the batch query's
+    # round(max(pht)::double, 6) — BigDecimal.valueOf(d).setScale(6,
+    # HALF_UP) — and require identity, not tolerance
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got_max = float(
+        Decimal(repr(float(state["max_ph"]))).quantize(
+            Decimal("1E-6"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got_max == batch["max_ph_r"]
     assert state["n_alarm_days"] == batch["n_alarm_days"]
     got_first = state["first_alarm_day"]
     want_first = batch["first_alarm_day"]
