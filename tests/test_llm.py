@@ -1002,3 +1002,63 @@ def test_decode_pixel_features_quarantines_undecodable(spark):
     assert got[1]["v_min"] == 0 and got[1]["v_max"] == 11
     assert got[2]["fmt"] == "undecodable"
     assert got[3]["fmt"] == "undecodable"
+
+
+def test_ivf_assign_vectorized_identity(spark):
+    """The vectorized (mapInPandas + numpy rank-1-update) IVF assignment
+    must be BIT-IDENTICAL to the JVM array-lambda reference
+    (``ivf_assign_hof``) — same left-to-right double accumulation, same
+    HALF_UP rounding at the 3rd decimal, same (cosine DESC, cell_id ASC)
+    argmax — at every fixture SF, so every IVF-backed oracle stays green
+    after the fast-path swap."""
+    import math
+
+    from ab_inbev_big_data_case_spark.llm.similarity import (
+        ivf_assign,
+        ivf_assign_hof,
+    )
+
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = table(spark, d, "embeddings")
+        m = max(1, math.isqrt(e.count()))
+        fast = {
+            (r["vec_id"], r["cell_id"])
+            for r in ivf_assign(
+                e, "vec_id", "embedding", lambda vid, m=m: vid % m == 0
+            ).collect()
+        }
+        ref = {
+            (r["vec_id"], r["cell_id"])
+            for r in ivf_assign_hof(
+                e, "vec_id", "embedding", lambda vid, m=m: vid % m == 0
+            ).collect()
+        }
+        assert fast == ref, f"assignment mismatch at {d}"
+
+
+def test_ivf_assign_rounding_boundary_fixup(spark):
+    """Constructed .0005-boundary cosines: the vectorized rounding's slow
+    path must reproduce Spark's BigDecimal(shortest-repr) HALF_UP behavior
+    where the binary floor(t+0.5) fast path would disagree (e.g. a cosine
+    whose double is 0.0864999... but whose shortest repr is '0.0865')."""
+    from ab_inbev_big_data_case_spark.llm.similarity import (
+        ivf_assign,
+        ivf_assign_hof,
+    )
+
+    # two centroids engineered so vector 3's cosine vs both lands exactly on
+    # a .5 rounding boundary at the 3rd decimal: cos(v, c) = 0.5 for the
+    # orthogonal-plus-parallel split, and ties must break to min cell_id
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (3, [1.0, 1.0, 1.0, 1.0]),   # cos = 0.5 vs both centroids (tie)
+        (4, [1.0, 0.0, 0.0, 0.0]),   # cos = 1.0 vs c0, 0.0 vs c1
+        (5, [-1.0, -1.0, -1.0, -1.0]),  # cos = -0.5 vs both (negative tie)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flt = lambda vid: vid <= 1  # noqa: E731
+    fast = {(r["vec_id"], r["cell_id"]) for r in ivf_assign(df, "vec_id", "embedding", flt).collect()}
+    ref = {(r["vec_id"], r["cell_id"]) for r in ivf_assign_hof(df, "vec_id", "embedding", flt).collect()}
+    assert fast == ref
+    assert (3, 0) in fast and (5, 0) in fast  # ties to min cell_id

@@ -174,17 +174,30 @@ def test_lsh_pairs_single_corpus_pass(spark, sf_dir):
 
 
 def test_ivf_assign_is_aggregate_not_window(spark, sf_dir):
-    """The argmax cell assignment must plan as partial+final aggregate
-    (map-side combine collapses N·K scored rows to N before the shuffle),
-    never as a row_number window over the full N·K."""
-    from ab_inbev_big_data_case_spark.llm.similarity import ivf_assign
+    """The vectorized assignment (r11) maps each scan partition straight to
+    (vec_id, cell_id): NO window over N·K, NO shuffle exchange at all — the
+    centroids ride an sc.broadcast into the Arrow-batched scorer. The JVM
+    reference path must still plan as partial+final aggregate (map-side
+    combine collapses N·K scored rows to N before its one shuffle), never
+    as a row_number window."""
+    from ab_inbev_big_data_case_spark.llm.similarity import (
+        ivf_assign,
+        ivf_assign_hof,
+    )
 
     e = table(spark, sf_dir, "embeddings")
     plan = _plan(ivf_assign(e, "vec_id", "embedding", lambda vid: vid % 29 == 0))
     assert "Window" not in plan
-    assert "partial_max" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # zero-shuffle assignment
+
+    plan_ref = _plan(
+        ivf_assign_hof(e, "vec_id", "embedding", lambda vid: vid % 29 == 0)
+    )
+    assert "Window" not in plan_ref
+    assert "partial_max" in plan_ref
     # centroids broadcast: the corpus side never shuffles for the join
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan_ref or "BroadcastHashJoin" in plan_ref
 
 
 def test_contamination_broadcasts_benchmark(spark, sf_dir):

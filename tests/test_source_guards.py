@@ -27,8 +27,9 @@ PKG = os.path.join(
 COLLECT_ALLOWED = {
     # per-micro-batch monitor fold over the day-spine-bounded batch
     "streaming/jobs.py": 1,
-    # dim²-bounded Gram-matrix pull for the PQ codebook
-    "llm/similarity.py": 1,
+    # dim²-bounded Gram-matrix pull for the PQ codebook, plus the
+    # K-bounded (K = O(√N)) centroid pull feeding ivf_assign's broadcast
+    "llm/similarity.py": 2,
     # touched-partition list (partition-count-bounded) for targeted overwrite
     "sources/writers.py": 1,
 }
