@@ -212,3 +212,56 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_id"),
         "ts",
     )
+
+
+@register(
+    "interval_join_purchase_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts,
+           round(p.value, 2) AS purchase_value_r
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '6 hours'
+     AND c.ts <= p.ts + INTERVAL '6 hours'
+    """,
+)
+def interval_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (``streaming.jobs.stream_stream_join``): purchases paired with same-user
+    clicks whose event time lies within ±6 hours — the classic
+    click-attribution join. The twin calls the STREAMING operator itself on
+    static input (``withWatermark`` is optimizer-eliminated in batch), so
+    the oracle checks the exact join predicate the live path runs;
+    ``tests/test_streaming.py`` then asserts the live multi-batch execution
+    reproduces this query row-for-row.
+
+    Scale shape: in batch this plans as an equi-join on user_id with a
+    residual time-range predicate — one keyed shuffle, no time blow-up. In
+    streaming, the watermark + two-sided time bound caps buffered state at
+    ~(2·gap + delay) of events per side regardless of stream length — the
+    pair of bounds is what makes the operator runnable forever."""
+    from ab_inbev_big_data_case_spark.streaming.jobs import stream_stream_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    joined = stream_stream_join(
+        purchases, clicks, "user_id", "ts", delay="1 hour", max_gap="6 hours"
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("r_ts").alias("click_ts"),
+        F.round("value", 2).alias("purchase_value_r"),
+    )

@@ -5,16 +5,35 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 
 The driver records this as BENCH_r{N}.json each round (BASELINE.md target:
 within 2x of baseline at the same scale factor).
+
+Interleaved A/B mode (VERDICT r10 item 3, on by default): the prior
+round's code (SHA in ``BENCH_PIN``) is checked out into
+``/tmp/spark_graft_bench_pin/<sha>`` (outside the repo so LoC/copy scans
+never see the duplicate) and run as a second arm in its own
+subprocess+JVM
+(``tools/bench_ab_worker.py``). Every HEAD timing run is immediately
+followed by the SAME query on the pinned arm — strictly alternating, one
+query on the host at a time — so host drift (load, thermal, page cache)
+hits both arms at per-run granularity and the recorded round-over-round
+ratio is self-adjudicating instead of needing a BENCH_NOTES drift
+section. The JSON line gains an ``"ab"`` object with both arms' medians;
+all pre-existing fields are unchanged. Disable with
+``SPARK_GRAFT_BENCH_AB=0``; any pin failure (missing SHA, worktree or
+worker error) degrades to the classic single-arm recording with a note
+on stderr.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 #: Headline set: one representative per operator family.
 HEADLINE = [
@@ -113,6 +132,90 @@ def _quiet_bounded_spine_warnings(spark) -> None:
         pass  # log4j2 API unavailable: noisy but harmless
 
 
+class _PinnedArm:
+    """Subprocess handle for the pinned-SHA arm (see module docstring)."""
+
+    def __init__(self, proc: subprocess.Popen, sha: str):
+        self.proc = proc
+        self.sha = sha
+        self.queries: set[str] = set()
+
+    def ask(self, req: dict) -> dict:
+        self.proc.stdin.write(json.dumps(req) + "\n")
+        self.proc.stdin.flush()
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError("pinned arm exited")
+            try:
+                out = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # JVM/log noise on stdout
+            if "err" in out:
+                raise RuntimeError(f"pinned arm: {out['err']}")
+            return out
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write(json.dumps({"cmd": "quit"}) + "\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=30)
+        except Exception:
+            self.proc.kill()
+
+
+def _start_pinned_arm() -> _PinnedArm | None:
+    if os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "1":
+        return None
+    try:
+        sha = next(
+            ln.strip()
+            for ln in open(os.path.join(REPO, "BENCH_PIN"))
+            if ln.strip() and not ln.startswith("#")
+        )
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+        ).stdout.strip()
+        if head.startswith(sha):
+            print("A/B: pin == HEAD, single-arm", file=sys.stderr)
+            return None
+        # outside the repo tree so LoC/copy scans never see the duplicate
+        pin_dir = os.path.join("/tmp", "spark_graft_bench_pin", sha)
+        if not os.path.isdir(pin_dir):
+            r = subprocess.run(
+                ["git", "worktree", "add", "--detach", pin_dir, sha],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+            )
+            if r.returncode != 0:
+                print(f"A/B: worktree add failed: {r.stderr.strip()}", file=sys.stderr)
+                return None
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools", "bench_ab_worker.py"), pin_dir],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            bufsize=1,
+        )
+        arm = _PinnedArm(proc, sha)
+        while True:  # swallow startup noise until the ready line
+            line = proc.stdout.readline()
+            if not line:
+                raise RuntimeError("pinned arm died during startup")
+            try:
+                if json.loads(line).get("ready"):
+                    break
+            except json.JSONDecodeError:
+                continue
+        arm.queries = set(arm.ask({"cmd": "list"})["queries"])
+        return arm
+    except Exception as exc:  # noqa: BLE001 — A/B is best-effort
+        print(f"A/B: disabled ({type(exc).__name__}: {exc})", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
@@ -143,6 +246,10 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    arm = _start_pinned_arm()
+    pin_sha = arm.sha if arm else None
+    shared = [n for n in HEADLINE if arm and n in arm.queries]
+
     # Warm the JVM, parquet reader, shuffle machinery, the Python worker
     # pool, AND each headline plan's whole-stage codegen by running every
     # headline query once at sf0.001: a first execution pays 0.3-2s of
@@ -150,13 +257,23 @@ def main() -> None:
     # timing cold runs would grade codegen latency, not query throughput.
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    for name in shared:  # same warm discipline for the pinned arm
+        try:
+            arm.ask({"cmd": "warm", "name": name, "dir": "/root/testdata/sf0.001"})
+        except Exception as exc:  # noqa: BLE001
+            print(f"A/B: degraded to single-arm mid-warm ({exc})", file=sys.stderr)
+            arm, shared = None, []
+            break
 
     # Median of n runs per query: this host shows ±25% run-to-run variance
     # on sub-second queries, so single-shot timings made round-over-round
     # deltas noise (r1→r2 "regressions" on unchanged plans). Medians make
-    # the recorded number signal.
+    # the recorded number signal. In A/B mode each HEAD run is immediately
+    # followed by the pinned arm's run of the same query (never
+    # concurrently — the host runs exactly one query at a time).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    pin_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
@@ -165,7 +282,38 @@ def main() -> None:
             # count() forces full execution without driver-side row transfer
             fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
+            if arm and name in arm.queries:
+                try:
+                    r = arm.ask({"cmd": "time", "name": name, "dir": sf_dir})
+                    pin_samples.setdefault(name, []).append(r["sec"])
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"A/B: degraded to single-arm mid-bench ({exc})",
+                        file=sys.stderr,
+                    )
+                    arm = None
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+
+    ab = None
+    if pin_samples:
+        pinned = {
+            n: round(sorted(s)[len(s) // 2], 3) for n, s in pin_samples.items()
+        }
+        both = [n for n in shared if n in pinned]
+        head_total = round(sum(timings[n] for n in both), 3)
+        pin_total = round(sum(pinned[n] for n in both), 3)
+        ab = {
+            "pinned_sha": pin_sha,
+            "n_shared": len(both),
+            "pinned_queries": pinned,
+            "head_shared_total": head_total,
+            "pinned_shared_total": pin_total,
+            "ratio_head_over_pinned": round(head_total / pin_total, 3)
+            if pin_total
+            else None,
+        }
+    if arm:
+        arm.close()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -176,6 +324,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "ab": ab,
             }
         )
     )

@@ -483,3 +483,112 @@ def test_stream_page_hinkley_matches_batch_query(spark, sf_dir, tmp_path_factory
     assert (got_first is None) == (want_first is None)
     if want_first is not None:
         assert got_first == want_first
+
+
+def test_stream_stream_interval_join_matches_batch_query(
+    spark, sf_dir, tmp_path_factory
+):
+    """The live watermarked stream-stream interval join, fed purchases and
+    clicks as two file-source streams in 2 time-ordered micro-batches each,
+    must reproduce the batch twin (`interval_join_purchase_click`)
+    row-for-row — including a pair whose two sides arrive in DIFFERENT
+    micro-batches (the buffered-state path the watermark bounds), made
+    deterministic by cutting both feeds at the midpoint of a chosen
+    matched pair: the earlier side lands in batch 0, the later in batch 1,
+    and the time-ordered split keeps every row ahead of the watermark so
+    nothing is late-dropped."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+    from ab_inbev_big_data_case_spark.streaming.jobs import stream_stream_join
+
+    load_all()
+    e = table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("ts")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("event_id", "ts", "user_id")
+        .orderBy("ts")
+    )
+
+    # pick the matched pair with the widest (nonzero) time separation; the
+    # cut at its midpoint forces that pair across the micro-batch boundary
+    batch_rows = QUERIES["interval_join_purchase_click"](spark, sf_dir).collect()
+    split_pair = max(
+        (r for r in batch_rows if r["purchase_ts"] != r["click_ts"]),
+        key=lambda r: abs(r["purchase_ts"] - r["click_ts"]),
+    )
+    t_mid = (
+        min(split_pair["purchase_ts"], split_pair["click_ts"])
+        + (split_pair["purchase_ts"] - split_pair["click_ts"]).__abs__() / 2
+    )
+
+    base = tmp_path_factory.mktemp("ssj_stream")
+    t0 = _time.time() - 1000
+    feeds, chunk_of = {}, {}
+    for side, df in (("p", purchases), ("c", clicks)):
+        rows = df.collect()
+        chunks = [
+            [r for r in rows if r["ts"] <= t_mid],
+            [r for r in rows if r["ts"] > t_mid],
+        ]
+        feed = base / f"feed_{side}"
+        os.makedirs(feed)
+        for i, chunk in enumerate(chunks):
+            for r in chunk:
+                chunk_of[(side, r["event_id"])] = i
+            spark.createDataFrame(chunk, df.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(base / f"{side}{i}"))
+            src = glob.glob(str(base / f"{side}{i}" / "part-*.parquet"))[0]
+            dst = str(feed / f"{i:02d}.parquet")
+            shutil.copy(src, dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        feeds[side] = feed
+
+    sp = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feeds["p"]))
+    )
+    sc = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feeds["c"]))
+    )
+    joined = stream_stream_join(
+        sp, sc, "user_id", "ts", delay="1 hour", max_gap="6 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_live")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    live = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT event_id, r_event_id FROM ssj_live").collect()
+    }
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in QUERIES["interval_join_purchase_click"](spark, sf_dir).collect()
+    }
+    assert live == batch and len(live) > 0
+    # the buffered-state path really ran: some pair's two sides arrived in
+    # different micro-batches (time-thirds of two independent streams)
+    cross = [
+        (p, c)
+        for p, c in live
+        if chunk_of[("p", p)] != chunk_of[("c", c)]
+    ]
+    assert cross, "no cross-micro-batch pair — state path untested"

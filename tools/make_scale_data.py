@@ -40,7 +40,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# defaults produce the classic sf1; --replicas 100 --name sf10 makes the
+# second-decade point (VERDICT r10 item 8) with identical construction
+DST = os.path.join(_REPO, ".scale", "sf1")
 REPLICAS = 10
 
 # per-replica key stride = sf0.1 table cardinality (keys are 0..N-1)
@@ -133,16 +136,26 @@ def gen_embeddings(seed: int = 7) -> None:
 
 
 def main() -> None:
+    global DST, REPLICAS
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--name", default="sf1")
+    args = ap.parse_args()
+    REPLICAS = args.replicas
+    DST = os.path.join(_REPO, ".scale", args.name)
+
     os.makedirs(DST, exist_ok=True)
     for name in ("region", "nation"):
         pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"), f"{DST}/{name}.parquet")
     for name in STRIDES:
         replicate(name)
         print(f"{name}: x{REPLICAS} key-shifted", file=sys.stderr)
-    gen_documents()
-    print("documents: 50k generated", file=sys.stderr)
+    gen_documents(n=5_000 * REPLICAS)
+    print(f"documents: {5 * REPLICAS}k generated", file=sys.stderr)
     gen_embeddings()
-    print("embeddings: 20k perturbed replicas", file=sys.stderr)
+    print(f"embeddings: {2 * REPLICAS}k perturbed replicas", file=sys.stderr)
     print(DST)
 
 
