@@ -265,3 +265,110 @@ def interval_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_ts").alias("click_ts"),
         F.round("value", 2).alias("purchase_value_r"),
     )
+
+
+@register(
+    "interval_join_unmatched_purchases",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           round(p.value, 2) AS purchase_value_r
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click'
+            AND c.user_id = p.user_id
+            AND c.ts >= p.ts - INTERVAL '6 hours'
+            AND c.ts <= p.ts + INTERVAL '6 hours'
+      )
+    """,
+)
+def interval_join_unmatched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER watermarked stream-stream interval join:
+    purchases with NO same-user click within ±6 hours — the unattributed
+    set the outer join's null-emission path produces in streaming. The twin
+    calls ``stream_stream_join(..., how='left_outer')`` itself on static
+    input and keeps the null-right rows, so the oracle (a NOT EXISTS
+    anti-join) checks exactly the rows the live path emits once the
+    watermark passes each purchase's match window;
+    ``tests/test_streaming.py`` drives that emission with a trailing
+    watermark-pushing row and asserts identity.
+
+    Scale shape: batch plans this as an anti-join (one keyed shuffle). In
+    streaming, state is the same ~(2·gap + delay)-bounded buffer as the
+    inner join, plus the null emission on watermark-driven eviction —
+    the mechanism that makes outer stream joins terminate."""
+    from ab_inbev_big_data_case_spark.streaming.jobs import stream_stream_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    joined = stream_stream_join(
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        delay="1 hour",
+        max_gap="6 hours",
+        how="left_outer",
+    )
+    return joined.filter(F.col("r_event_id").isNull()).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value_r"),
+    )
+
+
+@register(
+    "chained_window_daily_peak",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+               event_type,
+               sum(CAST(round(CAST(value AS DECIMAL(18,6)), 2) * 100
+                        AS BIGINT))::BIGINT AS cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL '1 day', h) AS day_start,
+           time_bucket(INTERVAL '1 day', h) + INTERVAL '1 day' AS day_end,
+           event_type,
+           max(cents)::BIGINT AS peak_window_cents,
+           count(*)::BIGINT AS n_active_windows
+    FROM hourly
+    GROUP BY 1, 2, 3
+    """,
+)
+def chained_window_daily_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of CHAINED streaming windows (Spark 3.4+ multiple
+    stateful operators): hourly revenue-cents sums per event type, rolled
+    up to the daily PEAK hour — the 'busiest hour per day' dashboard
+    shape that, live, runs both stateful stages in one append-mode query
+    chained through ``window_time`` (see
+    ``streaming.windows.chained_tumbling_peak``;
+    ``tests/test_streaming.py`` drives the live two-stage path and asserts
+    identity with this twin).
+
+    Exactness: hourly sums are exact integer cents; max/count of exact
+    ints is exact — no floats anywhere.
+
+    Scale shape: two keyed aggregations, the second over the
+    calendar-bounded (day × type) spine of hourly partials — the classic
+    pre-aggregation rollup that makes the coarse stage cost-free at 100 TB.
+    """
+    from ab_inbev_big_data_case_spark.streaming.windows import (
+        chained_tumbling_peak,
+    )
+
+    e = table(spark, sf_dir, "events")
+    cents = F.sum(
+        (F.round(F.col("value").cast("decimal(18,6)"), 2) * 100).cast("long")
+    ).cast("long")
+    return chained_tumbling_peak(e, "ts", ["event_type"], cents)

@@ -218,8 +218,9 @@ def stream_stream_join(
     ts_col: str,
     delay: str,
     max_gap: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: rows pair on ``key_col`` when
+    """Watermarked stream-stream join: rows pair on ``key_col`` when
     their event times are within ``max_gap`` of each other.
 
     Both sides carry a watermark AND the join has a time-range predicate —
@@ -227,6 +228,13 @@ def stream_stream_join(
     other stream's watermark passes them; an unconstrained stream-stream
     join would buffer both streams forever. Left columns keep their names,
     right columns get an ``r_`` prefix.
+
+    ``how='left_outer'`` emits (left, nulls) for rows that found no match
+    — but only once the watermark has passed the row's entire match window
+    (ts + max_gap + delay), because until then a matching right row could
+    still arrive. A test driving this path must push the watermark past
+    the data (e.g. one trailing non-matching row) or the unmatched rows
+    stay buffered forever.
     """
     l = left.withWatermark(ts_col, delay)
     r = right.withWatermark(ts_col, delay)
@@ -239,6 +247,7 @@ def stream_stream_join(
             f"r_{ts_col} >= {ts_col} - INTERVAL {max_gap} AND "
             f"r_{ts_col} <= {ts_col} + INTERVAL {max_gap}"
         ),
+        how,
     )
 
 

@@ -59,3 +59,37 @@ def session_agg(
     into one session; session_end = last event + gap."""
     out = df.groupBy(F.session_window(ts_col, gap), *keys).agg(*aggs)
     return _flatten(out, "session_window", "session_start", "session_end")
+
+
+def chained_tumbling_peak(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    cents_col: Column,
+    inner: str = "1 hour",
+    outer: str = "1 day",
+) -> DataFrame:
+    """CHAINED event-time windows — fine window, then a coarser rollup of
+    the fine aggregates: per-key ``inner``-window sums, then the per-key
+    ``outer``-window MAX of those sums (the 'peak hour per day' shape).
+
+    The chaining key is ``F.window_time(window)`` (= window.end − 1 tick),
+    an event-time column Spark accepts as the time input of the SECOND
+    window — the Spark 3.4+ multiple-stateful-operator path. On static
+    input this is just two grouped aggregations; on a watermarked stream
+    both stages run stateful in ONE query (append mode), each window
+    finalizing when the watermark passes its end.
+
+    Output: day_start, day_end, *key_cols, peak_window_cents (exact
+    integer cents — the inner sum is exact, max of exact ints is exact),
+    n_active_windows."""
+    fine = df.groupBy(F.window(ts_col, inner), *key_cols).agg(
+        cents_col.alias("__cents")
+    )
+    coarse = fine.groupBy(
+        F.window(F.window_time("window"), outer), *key_cols
+    ).agg(
+        F.max("__cents").alias("peak_window_cents"),
+        F.count("*").alias("n_active_windows"),
+    )
+    return _flatten(coarse, "window", "day_start", "day_end")

@@ -592,3 +592,187 @@ def test_stream_stream_interval_join_matches_batch_query(
         if chunk_of[("p", p)] != chunk_of[("c", c)]
     ]
     assert cross, "no cross-micro-batch pair — state path untested"
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(
+    spark, sf_dir, tmp_path_factory
+):
+    """The LEFT OUTER stream-stream interval join must emit (purchase,
+    nulls) for unmatched purchases — but only after the watermark passes
+    each purchase's whole match window, so the feed ends with a trailing
+    far-future non-matching click that pushes the watermark past every
+    real row. The emitted null-right set must equal the registered
+    anti-join twin (`interval_join_unmatched_purchases`)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import timedelta
+
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+    from ab_inbev_big_data_case_spark.streaming.jobs import stream_stream_join
+
+    load_all()
+    e = table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("ts")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("event_id", "ts", "user_id")
+        .orderBy("ts")
+    )
+
+    base = tmp_path_factory.mktemp("ssj_outer")
+    t0 = _time.time() - 1000
+    max_ts = e.agg(F.max("ts")).first()[0]
+
+    feeds = {}
+    for side, df in (("p", purchases), ("c", clicks)):
+        rows = df.collect()
+        # watermark pusher on BOTH sides (the join's global watermark is the
+        # MIN of the inputs' watermarks): 30 days past the data, user -1/-2
+        # matches nothing; the sentinel purchase itself stays buffered (its
+        # own window never closes) and is excluded from the comparison
+        if side == "c":
+            sentinel = [(int(-1), max_ts + timedelta(days=30), int(-1))]
+        else:
+            sentinel = [(int(-1), max_ts + timedelta(days=30), int(-2), 0.0)]
+        chunks = [rows, [spark.createDataFrame(sentinel, df.schema).first()]]
+        feed = base / f"feed_{side}"
+        os.makedirs(feed)
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, df.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(base / f"{side}{i}"))
+            src = glob.glob(str(base / f"{side}{i}" / "part-*.parquet"))[0]
+            dst = str(feed / f"{i:02d}.parquet")
+            shutil.copy(src, dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        feeds[side] = feed
+
+    sp = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feeds["p"]))
+    )
+    sc = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feeds["c"]))
+    )
+    joined = stream_stream_join(
+        sp, sc, "user_id", "ts", delay="1 hour", max_gap="6 hours",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer_live")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    live_unmatched = {
+        r["event_id"]
+        for r in spark.sql(
+            "SELECT event_id FROM ssj_outer_live "
+            "WHERE r_event_id IS NULL AND event_id >= 0"
+        ).collect()
+    }
+    want = {
+        r["purchase_id"]
+        for r in QUERIES["interval_join_unmatched_purchases"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert live_unmatched == want and len(want) > 0
+    # the matched rows must also agree with the inner twin (outer ⊇ inner)
+    live_matched = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql(
+            "SELECT event_id, r_event_id FROM ssj_outer_live "
+            "WHERE r_event_id IS NOT NULL"
+        ).collect()
+    }
+    inner = {
+        (r["purchase_id"], r["click_id"])
+        for r in QUERIES["interval_join_purchase_click"](spark, sf_dir).collect()
+    }
+    assert live_matched == inner
+
+
+def test_chained_window_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Two chained stateful window aggregations (hourly sums -> daily peak
+    via window_time) in ONE append-mode streaming query must reproduce the
+    batch twin; a trailing far-future sentinel event closes every real
+    window (append mode only finalizes a window once the watermark passes
+    its end)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import timedelta
+
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+    from ab_inbev_big_data_case_spark.streaming.windows import (
+        chained_tumbling_peak,
+    )
+
+    load_all()
+    e = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    rows = e.orderBy("ts").collect()
+    max_ts = rows[-1]["ts"]
+    sentinel = [(max_ts + timedelta(days=30), "__sentinel", 0.0)]
+
+    base = tmp_path_factory.mktemp("chained_win")
+    feed = base / "feed"
+    os.makedirs(feed)
+    t0 = _time.time() - 1000
+    n = len(rows)
+    chunks = [rows[: n // 2], rows[n // 2 :],
+              [spark.createDataFrame(sentinel, e.schema).first()]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, e.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(base / f"b{i}"))
+        src = glob.glob(str(base / f"b{i}" / "part-*.parquet"))[0]
+        dst = str(feed / f"{i:02d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    cents = F.sum(
+        (F.round(F.col("value").cast("decimal(18,6)"), 2) * 100).cast("long")
+    ).cast("long")
+    agg = chained_tumbling_peak(
+        stream.withWatermark("ts", "1 hour"), "ts", ["event_type"], cents
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("chained_win_live")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    cols = ["day_start", "day_end", "event_type", "peak_window_cents", "n_active_windows"]
+    live = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.sql(
+            "SELECT * FROM chained_win_live WHERE event_type != '__sentinel'"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in QUERIES["chained_window_daily_peak"](spark, sf_dir).collect()
+    )
+    assert live == want and len(want) > 0
