@@ -2482,3 +2482,121 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("phi24_q") / F.nullif(F.col("t"), F.lit(0)).cast("double"), 6
         ).alias("attribution_r"),
     )
+
+
+# --------------------------------------- time-decay attribution (r11)
+
+_TDECAY_SQL = """
+    WITH fp AS (
+        SELECT user_id, min(ts) AS fpt
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    pv AS (
+        SELECT user_id, v_c FROM (
+            SELECT e.user_id,
+                   CAST(round(CAST(e.value AS DECIMAL(18,6)), 2) * 100
+                        AS BIGINT) AS v_c,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS rn
+            FROM events e JOIN fp ON fp.user_id = e.user_id
+                                AND e.ts = fp.fpt
+            WHERE e.event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    clk AS (
+        SELECT e.user_id,
+               (e.props->>'$.k')::BIGINT % 5 AS channel,
+               round(exp(-((epoch_us(fp.fpt) - epoch_us(e.ts))
+                           / 86400000000.0) / 7.0), 6)::DECIMAL(38,8) AS wq
+        FROM events e JOIN fp ON fp.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts < fp.fpt
+    ),
+    sw AS (SELECT user_id, sum(wq) AS swq FROM clk GROUP BY 1),
+    credit AS (
+        SELECT c.channel,
+               round(p.v_c * (c.wq::DOUBLE / s.swq::DOUBLE), 4)
+                   ::DECIMAL(38,8) AS credit_q
+        FROM clk c JOIN pv p USING (user_id) JOIN sw s USING (user_id)
+    )
+    SELECT channel, count(*)::BIGINT AS n_touches,
+           round(sum(credit_q)::DOUBLE, 4) AS credit_cents_r
+    FROM credit GROUP BY 1
+"""
+
+
+@register("time_decay_attribution", oracle=_TDECAY_SQL)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (7-day half-life-style
+    exponential): each user's first purchase value (in cents) is split
+    across preceding clicks proportional to exp(−Δdays/7), rolled up by
+    channel — the recency-weighted model completing the attribution panel
+    (``attribution_last_touch`` winner-takes-all,
+    ``position_based_attribution`` U-shaped, ``markov_attribution_removal``
+    and ``shapley_attribution`` counterfactual).
+
+    Exactness: Δdays is exact integer microseconds over a constant; the
+    weight is quantized to DECIMAL(38,8) straight off the exp, the
+    per-user weight total is an EXACT decimal sum (engine-independent of
+    add order), each credit share is one double expression quantized to
+    4 decimals, and the channel rollup sums exact decimals — the same
+    quantize-before-prefix-sum discipline as ``page_hinkley_drift``.
+
+    Scale shape: one keyed min, two keyed joins, two keyed aggregates —
+    no windows over fact rows beyond the per-user first-purchase pick."""
+    from pyspark.sql import Window as _W
+
+    e = table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpt"))
+    )
+    wfirst = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    pv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fp, "user_id")
+        .filter(F.col("ts") == F.col("fpt"))
+        .withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.round(F.col("value").cast("decimal(18,6)"), 2) * 100)
+            .cast("long")
+            .alias("v_c"),
+        )
+    )
+    ddays = (
+        (F.unix_micros("fpt") - F.unix_micros("ts")) / F.lit(86400000000.0)
+    )
+    clk = (
+        e.filter(F.col("event_type") == "click")
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("fpt"))
+        .select(
+            "user_id",
+            (F.get_json_object("props", "$.k").cast("long") % 5).alias(
+                "channel"
+            ),
+            F.round(F.exp(-ddays / 7.0), 6).cast("decimal(38,8)").alias("wq"),
+        )
+    )
+    sw = clk.groupBy("user_id").agg(F.sum("wq").alias("swq"))
+    credit = (
+        clk.join(pv, "user_id")
+        .join(sw, "user_id")
+        .select(
+            "channel",
+            F.round(
+                F.col("v_c")
+                * (F.col("wq").cast("double") / F.col("swq").cast("double")),
+                4,
+            )
+            .cast("decimal(38,8)")
+            .alias("credit_q"),
+        )
+    )
+    return credit.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.round(F.sum("credit_q").cast("double"), 4).alias("credit_cents_r"),
+    )

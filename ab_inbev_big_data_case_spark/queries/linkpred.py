@@ -422,3 +422,205 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coef_r"),
         )
     )
+
+
+# ------------------------------------------------- k-truss peeling (r11)
+
+_KTRUSS_K = 4          # keep edges in >= k-2 = 2 triangles
+_KTRUSS_ROUNDS = 5     # unrolled peel rounds; certificate checks a 6th
+
+
+def _ktruss_round_ctes(r: int) -> str:
+    """One peel round as SQL CTEs: degree-ordered orientation over the
+    surviving edges, exactly-once triangle enumeration, per-undirected-edge
+    support, and the next edge set (support >= k-2)."""
+    return f"""
+    deg{r} AS (
+        SELECT p, count(*)::BIGINT AS d FROM (
+            SELECT p1 AS p FROM ed{r} UNION ALL SELECT p2 FROM ed{r}
+        ) GROUP BY 1
+    ),
+    orient{r} AS (
+        SELECT CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p1 ELSE e.p2 END AS u,
+               CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p2 ELSE e.p1 END AS v
+        FROM ed{r} e JOIN deg{r} d1 ON d1.p = e.p1
+                     JOIN deg{r} d2 ON d2.p = e.p2
+    ),
+    tri{r} AS (
+        SELECT o1.u AS a, o1.v AS b, o2.v AS c
+        FROM orient{r} o1
+        JOIN orient{r} o2 ON o2.u = o1.v
+        JOIN orient{r} o3 ON o3.u = o1.u AND o3.v = o2.v
+    ),
+    supp{r} AS (
+        SELECT least(x, y) AS p1, greatest(x, y) AS p2,
+               count(*)::BIGINT AS s
+        FROM (
+            SELECT a AS x, b AS y FROM tri{r}
+            UNION ALL SELECT b, c FROM tri{r}
+            UNION ALL SELECT a, c FROM tri{r}
+        ) GROUP BY 1, 2
+    ),
+    ed{r + 1} AS MATERIALIZED (
+        SELECT e.p1, e.p2
+        FROM ed{r} e JOIN supp{r} s ON s.p1 = e.p1 AND s.p2 = e.p2
+        WHERE s.s >= {_KTRUSS_K - 2}
+    )"""
+
+
+def _ktruss_sql() -> str:
+    rounds = ",".join(_ktruss_round_ctes(r) for r in range(_KTRUSS_ROUNDS + 1))
+    final = _KTRUSS_ROUNDS
+    return f"""
+    WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ok AS (
+        SELECT o FROM e0 GROUP BY 1
+        HAVING count(*) BETWEEN 2 AND {_MAX_BASKET}
+    ),
+    ec AS (SELECT e0.o, e0.p FROM e0 JOIN ok ON ok.o = e0.o),
+    ed0 AS MATERIALIZED (
+        SELECT a.p AS p1, b.p AS p2
+        FROM ec a JOIN ec b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),{rounds},
+    nodes AS (
+        SELECT count(DISTINCT p)::BIGINT AS n_nodes_truss FROM (
+            SELECT p1 AS p FROM ed{final} UNION ALL SELECT p2 FROM ed{final}
+        )
+    )
+    SELECT {_KTRUSS_K} AS k,
+           (SELECT count(*) FROM ed0)::BIGINT AS n_edges_initial,
+           (SELECT count(*) FROM ed{final})::BIGINT AS n_edges_truss,
+           n.n_nodes_truss,
+           ((SELECT count(*) FROM ed{final})
+            - (SELECT count(*) FROM ed{final + 1}))::BIGINT AS n_unconverged
+    FROM nodes n
+"""
+
+
+def _edge_support(ed: DataFrame) -> DataFrame:
+    """Per-undirected-edge triangle support among the edges of ``ed``
+    (p1 < p2): degree-ordered orientation makes the wedge join the m^1.5
+    enumeration (out-degree bounded by O(sqrt m)); every triangle is
+    counted once and credits its 3 edges."""
+    deg = (
+        ed.select(F.col("p1").alias("p"))
+        .unionAll(ed.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    j = ed.join(
+        F.broadcast(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1"))),
+        "p1",
+    ).join(
+        F.broadcast(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2"))),
+        "p2",
+    )
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    orient = j.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+    ).localCheckpoint(eager=False)
+    o1 = orient.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    o2 = orient.select(F.col("u").alias("x_u"), F.col("v").alias("x_v"))
+    o3 = orient.select(F.col("u").alias("c_u"), F.col("v").alias("c_v"))
+    tri = (
+        o1.join(o2, F.col("x_u") == F.col("w_v"))
+        .join(o3, (F.col("c_u") == F.col("w_u")) & (F.col("c_v") == F.col("x_v")))
+        .select(F.col("w_u").alias("a"), F.col("w_v").alias("b"), F.col("x_v").alias("c"))
+    )
+    e3 = (
+        tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+        .unionAll(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
+    )
+    return (
+        e3.select(
+            F.least("x", "y").alias("p1"), F.greatest("x", "y").alias("p2")
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("s"))
+    )
+
+
+@register("ktruss_edges", oracle=_ktruss_sql())
+def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=4) of the part co-purchase backbone: iteratively peel
+    edges supported by fewer than k−2 = 2 triangles until the survivors
+    form the 4-truss — the dense-substructure standard between triangles
+    and cliques (Cohen 2008; every edge of a k-truss is in ≥ k−2 triangles
+    among the truss itself, the community-core / spam-ring primitive one
+    level stronger than ``kcore_peeling``'s degree floor).
+
+    Algorithm: 5 unrolled peel rounds, each = degree-ordered oriented
+    triangle enumeration (the m^1.5 bound, same as
+    ``triangle_count_copurchase``) → per-edge support → filter. Like the
+    CC loop, convergence is CERTIFIED in-output, not assumed:
+    ``n_unconverged`` counts edges a 6th round would still drop (0 ⇒ the
+    reported edge set IS the fixed point, since peeling is monotone).
+
+    Exactness: integer supports, integer counts, exact (d, p) tuple
+    compares — no floats anywhere.
+
+    Scale shape: the quadratic guard is inherited (basket-capped pair
+    fan-out, repeat-co-occurrence backbone); each round is 2 keyed
+    aggregates + the oriented wedge join, and the edge set only shrinks.
+    Label state is edge-table-sized; lazy localCheckpoint per round keeps
+    the unrolled plan K-linear (the CC/HITS pattern)."""
+    e = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ok = (
+        e.groupBy("o")
+        .agg(F.count("*").alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= _MAX_BASKET))
+        .select("o")
+    )
+    ec = e.join(ok, "o")
+    ed = (
+        ec.alias("a")
+        .join(ec.alias("b"), F.expr("a.o = b.o AND a.p < b.p"))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=False)
+    )
+    n_initial = ed.agg(F.count("*").cast("long").alias("n_edges_initial"))
+    for _ in range(_KTRUSS_ROUNDS):
+        supp = _edge_support(ed)
+        ed = (
+            ed.join(supp, ["p1", "p2"])
+            .filter(F.col("s") >= _KTRUSS_K - 2)
+            .select("p1", "p2")
+            .localCheckpoint(eager=False)
+        )
+    supp_final = _edge_support(ed)
+    survivors = (
+        ed.join(supp_final, ["p1", "p2"])
+        .filter(F.col("s") >= _KTRUSS_K - 2)
+        .agg(F.count("*").cast("long").alias("n_next"))
+    )
+    n_truss = ed.agg(F.count("*").cast("long").alias("n_edges_truss"))
+    nodes = (
+        ed.select(F.col("p1").alias("p"))
+        .unionAll(ed.select(F.col("p2").alias("p")))
+        .agg(F.count_distinct("p").cast("long").alias("n_nodes_truss"))
+    )
+    return (
+        n_initial.crossJoin(F.broadcast(n_truss))
+        .crossJoin(F.broadcast(nodes))
+        .crossJoin(F.broadcast(survivors))
+        .select(
+            F.lit(_KTRUSS_K).cast("int").alias("k"),
+            "n_edges_initial",
+            "n_edges_truss",
+            "n_nodes_truss",
+            (F.col("n_edges_truss") - F.col("n_next"))
+            .cast("long")
+            .alias("n_unconverged"),
+        )
+    )

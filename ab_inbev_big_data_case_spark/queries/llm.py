@@ -247,6 +247,51 @@ def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+           sum(length(text))::BIGINT AS n_chars,
+           round(sum(length(text)) * 1.0
+                 / sum(len(string_split(text, ' '))), 4) AS chars_per_token_r,
+           round(sum(len(string_split(text, ' '))) * 1.0 / count(*), 4)
+               AS tokens_per_doc_r
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars-per-token and tokens-per-doc
+    by lang — the per-language cost/efficiency table every multilingual
+    training-mix decision starts from (a language whose tokenizer emits
+    2× the tokens per char costs 2× the compute per byte of text; fertility
+    imbalance is the standard argument for vocab re-allocation). Whitespace
+    tokens here, same as ``token_stats``; a BPE tokenizer slots into the
+    same ratios.
+
+    Exactness: integer sums (token counts, char lengths), two final
+    rounded divisions from identical integers.
+
+    Scale shape: one pushed-down scan with a lang-keyed partial+final
+    aggregate — no explode (token counts come from array length, the
+    tokens themselves are never materialized as rows)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.round(
+            F.sum(F.length("text")) * 1.0 / F.sum(toks), 4
+        ).alias("chars_per_token_r"),
+        F.round(F.sum(toks) * 1.0 / F.count("*"), 4).alias(
+            "tokens_per_doc_r"
+        ),
+    )
+
+
+@register(
     "word_freq",
     oracle="""
     SELECT tok AS token, count(*) AS n_occurrences
@@ -3103,6 +3148,162 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"), 4).alias(
             "ndcg_r"
         ),
+    )
+
+
+# ------------------------------------------------- ERR ranking (r11)
+
+# Fixed-point ERR@5: with graded relevance g = 2^(6-rank)-1 in {31,15,7,
+# 3,1,0} and R = g/32, every term (1/r)*R_r*prod_{i<r}(1-R_i) is a
+# rational with denominator r*32^r; D = 32^5*60 clears them all, so the
+# per-rank factor D/(r*32^r) is an exact integer and ERR accumulates as
+# int64 (max |term| < 2e9, <=5 terms). The running product of (32-g_i)
+# ints is exact in a double window-product (< 2^20 << 2^53).
+_ERR_D = 32**5 * 60
+_ERR_FACTORS = {r: _ERR_D // (r * 32**r) for r in range(1, 6)}
+_ERR_CASE = "CASE rk " + " ".join(
+    f"WHEN {r} THEN {f}" for r, f in _ERR_FACTORS.items()
+) + " END"
+
+_ERR_SQL = f"""
+    WITH {_BUCKET_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+    exact AS (
+        SELECT query_id, cand_id, rk AS exact_rank FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DOT.format(x='q.qv', y='c.embedding')} /
+                             ({_NORM.format(x='q.qv', tag='a')} *
+                              {_NORM.format(x='c.embedding', tag='b')}), 3)
+                             DESC NULLS LAST, c.vec_id) AS rk
+            FROM q, embeddings c WHERE c.vec_id != q.query_id
+        ) WHERE rk <= 5
+    ),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
+    lsh_cand AS (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
+        FROM qb JOIN buckets cb USING (tbl, bucket)
+        WHERE cb.vec_id != qb.query_id
+    ),
+    annk AS (
+        SELECT query_id, cand_id, rk FROM (
+            SELECT p.query_id, p.cand_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                             ({_NORM.format(x='x.embedding', tag='c')} *
+                              {_NORM.format(x='y.embedding', tag='d')}), 3)
+                             DESC NULLS LAST, p.cand_id) AS rk
+            FROM lsh_cand p
+            JOIN embeddings x ON x.vec_id = p.query_id
+            JOIN embeddings y ON y.vec_id = p.cand_id
+        ) WHERE rk <= 5
+    ),
+    g AS (
+        SELECT a.query_id, a.rk,
+               coalesce(CAST(pow(2, 6 - e.exact_rank) AS BIGINT) - 1, 0)
+                   AS gain
+        FROM annk a
+        LEFT JOIN exact e ON e.query_id = a.query_id
+                         AND e.cand_id = a.cand_id
+    ),
+    terms AS (
+        SELECT query_id, rk, gain,
+               CAST(coalesce(product(32 - gain) OVER (
+                   PARTITION BY query_id ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1)
+                   AS BIGINT) AS prodq
+        FROM g
+    ),
+    errq AS (
+        SELECT query_id,
+               sum(gain * prodq * {_ERR_CASE})::BIGINT AS err_q
+        FROM terms GROUP BY 1
+    )
+    SELECT qq.query_id,
+           coalesce(e.err_q, 0)::BIGINT AS err_q,
+           round(coalesce(e.err_q, 0) / {_ERR_D}.0, 6) AS err_r
+    FROM (SELECT DISTINCT query_id FROM exact) qq
+    LEFT JOIN errq e ON e.query_id = qq.query_id
+"""
+
+
+@register("err_at_k_eval", oracle=_ERR_SQL)
+def err_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank @5 (Chapelle et al. 2009) of the LSH ANN
+    ranking against the exact-cosine top-5 — the CASCADE-model retrieval
+    metric completing the eval panel: recall (set overlap), nDCG
+    (order-aware, independent gains), ERR (order-aware, each rank's credit
+    DISCOUNTED by how satisfying the earlier results were — one great hit
+    at rank 1 nearly zeroes everything below it, which nDCG can't express).
+
+    Exactness: graded relevance R = (2^(6−rank)−1)/32 makes every ERR term
+    a rational with denominator r·32^r; both engines accumulate the
+    numerators as exact int64 against the common denominator D = 32⁵·60
+    (per-rank integer factors precomputed), with the running
+    Π(32−g) as an exact windowed product of small ints — zero float
+    divergence surface except the final reported division.
+
+    Scale shape: both rankings are the published bounded pipelines
+    (brute-force exact over the fixture-sized query set; LSH candidates
+    bucket-joined); the metric is a per-query window over ≤5 rows."""
+    from ab_inbev_big_data_case_spark.llm.similarity import (
+        ann_lsh_search,
+        cosine_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    exact = cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", 5
+    ).select("query_id", "cand_id", F.col("rank").alias("exact_rank"))
+    lsh = ann_lsh_search(
+        e, "vec_id", "embedding",
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
+        n_planes=4, n_tables=4, min_cosine=-1.0, dim=64,
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("cand_id")
+    )
+    annk = (
+        lsh.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "rk")
+    )
+    gain = F.coalesce(
+        (F.pow(F.lit(2.0), 6 - F.col("exact_rank"))).cast("long") - 1,
+        F.lit(0).cast("long"),
+    )
+    g = annk.join(exact, ["query_id", "cand_id"], "left").select(
+        "query_id", "rk", gain.alias("gain")
+    )
+    wprod = Window.partitionBy("query_id").orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    factor = F.expr(_ERR_CASE.replace("CASE rk", "CASE rk"))
+    terms = g.select(
+        "query_id",
+        "rk",
+        "gain",
+        F.coalesce(F.product(32 - F.col("gain")).over(wprod), F.lit(1.0))
+        .cast("long")
+        .alias("prodq"),
+    )
+    errq = terms.groupBy("query_id").agg(
+        F.sum(F.col("gain") * F.col("prodq") * factor)
+        .cast("long")
+        .alias("err_q")
+    )
+    qq = exact.select("query_id").distinct()
+    return qq.join(errq, "query_id", "left").select(
+        "query_id",
+        F.coalesce("err_q", F.lit(0)).cast("long").alias("err_q"),
+        F.round(
+            F.coalesce("err_q", F.lit(0)) / F.lit(float(_ERR_D)), 6
+        ).alias("err_r"),
     )
 
 

@@ -1,0 +1,269 @@
+"""Behavioral invariants for the round-11 additions — properties the
+DuckDB oracle equality cannot see (cross-query consistency, conservation
+laws, convergence certificates), per the operator-invariant discipline of
+test_round6_ops.py / test_round10_ops.py."""
+
+from datetime import timedelta
+
+from pyspark.sql import functions as F
+
+from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
+
+load_all()
+
+
+# ------------------------------------------- interval join twins
+
+
+def test_interval_join_pairs_within_gap(spark, sf_dir):
+    rows = QUERIES["interval_join_purchase_click"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["purchase_ts"] - r["click_ts"]) <= timedelta(hours=6)
+
+
+def test_interval_join_matched_and_unmatched_partition_purchases(spark, sf_dir):
+    """Matched ∪ unmatched = ALL purchases; matched ∩ unmatched = ∅ — the
+    inner twin and the outer twin's null-emission set are complementary."""
+    matched = {
+        r["purchase_id"]
+        for r in QUERIES["interval_join_purchase_click"](spark, sf_dir).collect()
+    }
+    unmatched = {
+        r["purchase_id"]
+        for r in QUERIES["interval_join_unmatched_purchases"](
+            spark, sf_dir
+        ).collect()
+    }
+    all_purch = {
+        r["event_id"]
+        for r in table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+    assert matched & unmatched == set()
+    assert matched | unmatched == all_purch
+
+
+# ------------------------------------------- chained windows
+
+
+def test_chained_window_peak_bounded_by_hours(spark, sf_dir):
+    rows = QUERIES["chained_window_daily_peak"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_active_windows"] <= 24  # hours in a day
+        assert r["day_end"] - r["day_start"] == timedelta(days=1)
+
+
+def test_chained_window_peak_equals_recomputed_hourly_max(spark, sf_dir):
+    """The daily peak must equal the max of independently recomputed
+    hourly cent sums (conservation through the chaining)."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(
+            F.sum(
+                (F.round(F.col("value").cast("decimal(18,6)"), 2) * 100).cast(
+                    "long"
+                )
+            ).alias("cents")
+        )
+    )
+    want = {
+        (r["d"], r["event_type"]): r["mx"]
+        for r in hourly.groupBy(
+            F.date_trunc("day", "h").alias("d"), "event_type"
+        )
+        .agg(F.max("cents").alias("mx"))
+        .collect()
+    }
+    got = {
+        (r["day_start"], r["event_type"]): r["peak_window_cents"]
+        for r in QUERIES["chained_window_daily_peak"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------- time-decay attribution
+
+
+def test_time_decay_credits_conserve_purchase_value(spark, sf_dir):
+    """Channel credits must sum back to the attributed purchase pool —
+    each user's first-purchase cents, restricted to users with ≥1
+    preceding click — within the per-touch rounding quantum."""
+    rows = QUERIES["time_decay_attribution"](spark, sf_dir).collect()
+    assert rows
+    total_credit = sum(float(r["credit_cents_r"]) for r in rows)
+    n_touches = sum(r["n_touches"] for r in rows)
+
+    e = table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpt"))
+    )
+    users_with_clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("fpt"))
+        .select("user_id")
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    wfirst = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pool = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fp, "user_id")
+        .filter(F.col("ts") == F.col("fpt"))
+        .withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+        .join(users_with_clicks, "user_id")
+        .agg(
+            F.sum(
+                (F.round(F.col("value").cast("decimal(18,6)"), 2) * 100).cast(
+                    "long"
+                )
+            )
+        )
+        .first()[0]
+    )
+    # each touch's credit is rounded to 4 decimals: |error| <= 5e-5/touch
+    assert abs(total_credit - float(pool)) <= 5e-5 * n_touches + 1e-6
+
+
+def test_time_decay_weights_favor_recent_touches(spark, sf_dir):
+    """Mechanism check on the operator's own math: for one user with
+    clicks at increasing distance from the purchase, later (closer)
+    clicks must earn strictly more credit."""
+    import math
+
+    ws = [math.exp(-d / 7.0) for d in (0.5, 3.0, 10.0)]
+    assert ws[0] > ws[1] > ws[2]
+    shares = [w / sum(ws) for w in ws]
+    assert shares[0] > 1 / 3 > shares[2]
+
+
+# ------------------------------------------- ERR ranking eval
+
+
+def test_err_bounded_and_zero_iff_no_overlap(spark, sf_dir):
+    from ab_inbev_big_data_case_spark.queries.llm import _ERR_D
+
+    rows = QUERIES["err_at_k_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["err_q"] <= _ERR_D  # ERR@5 in [0, 1] scaled by D
+        assert abs(r["err_r"] - r["err_q"] / _ERR_D) < 1e-6
+
+
+def test_err_perfect_ranking_formula(spark):
+    """Closed-form pin of the fixed-point constants: a ranking identical
+    to the exact top-5 scores ERR = Σ (1/r)·R_r·Π(1−R_i) with
+    R = (2^(6−r)−1)/32 — computed independently here in Fraction space."""
+    from fractions import Fraction
+
+    from ab_inbev_big_data_case_spark.queries.llm import _ERR_D, _ERR_FACTORS
+
+    err = Fraction(0)
+    prod = Fraction(1)
+    for r in range(1, 6):
+        g = 2 ** (6 - r) - 1
+        rr = Fraction(g, 32)
+        err += Fraction(1, r) * rr * prod
+        prod *= 1 - rr
+    # the same value via the integer factors the query uses
+    errq = 0
+    prodi = 1
+    for r in range(1, 6):
+        g = 2 ** (6 - r) - 1
+        errq += g * prodi * _ERR_FACTORS[r]
+        prodi *= 32 - g
+    assert Fraction(errq, _ERR_D) == err
+
+
+# ------------------------------------------- k-truss
+
+
+def test_ktruss_is_subgraph_and_certified(spark, sf_dir):
+    r = QUERIES["ktruss_edges"](spark, sf_dir).first()
+    assert r["k"] == 4
+    assert 0 <= r["n_edges_truss"] <= r["n_edges_initial"]
+    assert r["n_unconverged"] == 0  # 5 peel rounds reach the fixed point
+    if r["n_edges_truss"] == 0:
+        assert r["n_nodes_truss"] == 0
+    else:
+        # a 4-truss edge needs 2 triangles -> >= 4 nodes, and node count
+        # is bounded by the handshake on edges
+        assert 4 <= r["n_nodes_truss"] <= 2 * r["n_edges_truss"]
+
+
+def test_ktruss_every_edge_supported(spark, sf_dir):
+    """Recompute the truss independently and verify the DEFINING property:
+    every surviving edge closes >= k-2 triangles among survivors."""
+    from ab_inbev_big_data_case_spark.queries.linkpred import (
+        _KTRUSS_K,
+        _KTRUSS_ROUNDS,
+        _MAX_BASKET,
+        _edge_support,
+    )
+
+    e = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ok = (
+        e.groupBy("o")
+        .agg(F.count("*").alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= _MAX_BASKET))
+        .select("o")
+    )
+    ec = e.join(ok, "o")
+    ed = (
+        ec.alias("a")
+        .join(ec.alias("b"), F.expr("a.o = b.o AND a.p < b.p"))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KTRUSS_ROUNDS):
+        supp = _edge_support(ed)
+        ed = (
+            ed.join(supp, ["p1", "p2"])
+            .filter(F.col("s") >= _KTRUSS_K - 2)
+            .select("p1", "p2")
+            .localCheckpoint(eager=False)
+        )
+    n_edges = ed.count()
+    want = QUERIES["ktruss_edges"](spark, sf_dir).first()
+    assert n_edges == want["n_edges_truss"]
+    if n_edges:
+        weak = (
+            ed.join(_edge_support(ed), ["p1", "p2"], "left")
+            .filter(
+                F.coalesce(F.col("s"), F.lit(0)) < _KTRUSS_K - 2
+            )
+            .count()
+        )
+        assert weak == 0
+
+
+# ------------------------------------------- tokenizer fertility
+
+
+def test_tokenizer_fertility_ratios_consistent(spark, sf_dir):
+    rows = QUERIES["tokenizer_fertility_by_lang"](spark, sf_dir).collect()
+    assert rows
+    d = table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert abs(
+            r["chars_per_token_r"] - r["n_chars"] / r["n_tokens"]
+        ) <= 5e-5
+        assert abs(r["tokens_per_doc_r"] - r["n_tokens"] / r["n_docs"]) <= 5e-5
+        # whitespace tokens are >= 1 char plus separators: fertility > 1
+        assert r["chars_per_token_r"] > 1
