@@ -82,6 +82,12 @@ HEADLINE = [
                                      # first bench coverage of the unrolled
                                      # relax/compress loop shape)
     "shapley_attribution",        # coalition-lattice attribution (r10)
+    "ktruss_edges",               # 5-round unrolled k-truss peeling (r11;
+                                  # the deepest iterative-refinement plan
+                                  # in the suite: 5x oriented wedge joins)
+    "err_at_k_eval",              # cascade-model ranking eval over the
+                                  # exact + LSH ANN pipelines (r11)
+    "interval_join_purchase_click",  # stream-stream interval join twin (r11)
 ]
 
 #: Known-bounded partitionless window specs per headline plan. Every entry
