@@ -189,7 +189,15 @@ def test_ivf_assign_is_aggregate_not_window(spark, sf_dir):
     plan = _plan(ivf_assign(e, "vec_id", "embedding", lambda vid: vid % 29 == 0))
     assert "Window" not in plan
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan  # zero-shuffle assignment
+    # no KEYED shuffle of N (let alone N·K) rows: the only exchange allowed
+    # is spread()'s round-robin re-balance of the small-file scan
+    import re as _re
+
+    keyed_exchanges = [
+        m for m in _re.findall(r"Exchange (\w+)", plan)
+        if m != "RoundRobinPartitioning"
+    ]
+    assert keyed_exchanges == []
 
     plan_ref = _plan(
         ivf_assign_hof(e, "vec_id", "embedding", lambda vid: vid % 29 == 0)
