@@ -6474,3 +6474,61 @@ def dedup_canonical_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("keep"),
         )
     )
+
+
+@register(
+    "curation_ensemble_votes",
+    oracle="""
+    WITH flags AS (
+        SELECT doc_id,
+               (lang IN ('en', 'es'))::INT AS lang_ok,
+               (len(string_split(text, ' ')) >= 20)::INT AS len_ok,
+               (len(list_distinct(string_split(text, ' '))) * 10
+                    >= len(string_split(text, ' ')) * 3)::INT AS diversity_ok,
+               (NOT list_contains(string_split(text, ' '), 'dup'))::INT
+                   AS nodup_ok
+        FROM documents
+    ),
+    voted AS (
+        SELECT doc_id,
+               (lang_ok + len_ok + diversity_ok + nodup_ok)::BIGINT AS votes
+        FROM flags
+    )
+    SELECT votes, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN votes >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM voted GROUP BY 1
+    """,
+)
+def curation_ensemble_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ensemble voting — the composition layer a real curation
+    pipeline puts ABOVE its individual gates: each document is scored by
+    how many of 4 independent quality filters it passes (language
+    whitelist, minimum length, lexical-diversity floor, near-dup marker
+    absence), and the keep rule is the ≥3-of-4 majority rather than the
+    all-must-pass conjunction of ``corpus_curation_filter`` — the standard
+    way to keep borderline docs a single noisy filter would kill (and to
+    audit which filter is the binding constraint, via the vote histogram).
+
+    Exactness: 4 integer predicates, an integer vote sum, integer
+    histogram — no floats anywhere.
+
+    Scale shape: one pushed-down scan, per-row predicates, a 5-key
+    map-side-combinable groupBy — no joins, no windows, no explode."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    votes = (
+        F.col("lang").isin("en", "es").cast("int")
+        + (F.size(toks) >= 20).cast("int")
+        + (F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 3).cast("int")
+        + (~F.array_contains(toks, "dup")).cast("int")
+    ).cast("long")
+    return (
+        d.select(votes.alias("votes"))
+        .groupBy("votes")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("votes") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -5306,3 +5306,165 @@ def abtest_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_1pct"),
     )
+
+
+# ------------------------------------- regression influence / Cook's D (r11)
+
+_COOKSD_SQL = """
+    WITH d AS (
+        SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                    AS HUGEINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    pts AS (
+        SELECT day, datediff('day', DATE '1970-01-01', day::DATE)::HUGEINT
+                   AS x, y
+        FROM d
+    ),
+    m AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pts
+    ),
+    c AS (
+        SELECT n::DOUBLE AS nd,
+               sx::DOUBLE / n AS xbar,
+               (n * sxy - sx * sy)::DOUBLE AS nsxy,
+               (n * sxx - sx * sx)::DOUBLE AS nsxx,
+               (n * syy - sy * sy)::DOUBLE AS nsyy,
+               sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+        FROM m
+    ),
+    fit AS (
+        SELECT nd, xbar, nsxx,
+               nsxy / nsxx AS b,
+               (syd - (nsxy / nsxx) * sxd) / nd AS a,
+               (nsyy - nsxy * nsxy / nsxx) / nd / (nd - 2) AS s2
+        FROM c
+    ),
+    infl AS (
+        SELECT p.day,
+               p.y::DOUBLE / 100 AS rev,
+               p.y::DOUBLE - (f.a + f.b * p.x::DOUBLE) AS e,
+               1.0 / f.nd
+                   + (p.x::DOUBLE - f.xbar) * (p.x::DOUBLE - f.xbar)
+                     / (f.nsxx / f.nd) AS h,
+               f.s2
+        FROM pts p CROSS JOIN fit f
+    )
+    SELECT day, round(rev, 2) AS rev_r,
+           round(e / 100, 4) AS residual_r,
+           round(h, 6) AS leverage_r,
+           round(e * e * h / (2 * s2 * (1 - h) * (1 - h)), 6) AS cooks_d_r
+    FROM infl
+    ORDER BY round(e * e * h / (2 * s2 * (1 - h) * (1 - h)), 6) DESC, day
+    LIMIT 10
+"""
+
+
+@register("ols_influence_cooks_distance", oracle=_COOKSD_SQL)
+def ols_influence_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance (Cook 1977) for the daily-revenue-on-time OLS trend:
+    the top-10 most INFLUENTIAL days — the leave-one-out regression
+    diagnostic (how much the fitted trend would move if this day were
+    dropped), completing the regression panel (``ols_regression`` fits,
+    ``newey_west_variance`` corrects the variance, this locates the points
+    that distort the fit; the data-influence mirror of
+    ``loo_source_influence``). D_i = e_i²·h_i / (p·s²·(1−h_i)²) with p=2,
+    leverage h_i = 1/n + (x_i−x̄)²/Sxx.
+
+    Exactness: all five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    exact 128-bit/decimal integers on integer day-index × integer cents —
+    add-order-free — and every double after that (slope, intercept, s²
+    via SSE = (nΣy²−(Σy)² − (nΣxy−ΣxΣy)²/(nΣxx−(Σx)²))/n, residual,
+    leverage, D) is the identical expression over those identical
+    integers; the top-10 ranks the ROUNDED statistic with day tiebreak.
+    No per-row double accumulates anywhere (SSE comes from the moments,
+    never from summing residuals²).
+
+    Scale shape: one fact→day aggregate, one 1-row moment aggregate
+    broadcast back, per-row scalar math, TakeOrderedAndProject."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+        .cast("decimal(38,0)")
+        .alias("y")
+    )
+    pts = d.select(
+        "day",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        "y",
+    )
+    m = pts.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    c = m.select(
+        F.col("n").cast("double").alias("nd"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("nsxy"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("nsxx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("nsyy"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    b = F.col("nsxy") / F.col("nsxx")
+    fit = c.select(
+        "nd",
+        "xbar",
+        "nsxx",
+        b.alias("b"),
+        ((F.col("syd") - b * F.col("sxd")) / F.col("nd")).alias("a"),
+        (
+            (F.col("nsyy") - F.col("nsxy") * F.col("nsxy") / F.col("nsxx"))
+            / F.col("nd")
+            / (F.col("nd") - 2)
+        ).alias("s2"),
+    )
+    e = F.col("y").cast("double") - (
+        F.col("a") + F.col("b") * F.col("x").cast("double")
+    )
+    h = (
+        F.lit(1.0) / F.col("nd")
+        + (F.col("x").cast("double") - F.col("xbar"))
+        * (F.col("x").cast("double") - F.col("xbar"))
+        / (F.col("nsxx") / F.col("nd"))
+    )
+    infl = pts.crossJoin(F.broadcast(fit)).select(
+        "day",
+        (F.col("y").cast("double") / 100).alias("rev"),
+        e.alias("e"),
+        h.alias("h"),
+        "s2",
+    )
+    cooksd = (
+        F.col("e")
+        * F.col("e")
+        * F.col("h")
+        / (2 * F.col("s2") * (1 - F.col("h")) * (1 - F.col("h")))
+    )
+    return (
+        infl.select(
+            "day",
+            F.round("rev", 2).alias("rev_r"),
+            F.round(F.col("e") / 100, 4).alias("residual_r"),
+            F.round("h", 6).alias("leverage_r"),
+            F.round(cooksd, 6).alias("cooks_d_r"),
+        )
+        .orderBy(F.col("cooks_d_r").desc(), "day")
+        .limit(10)
+    )

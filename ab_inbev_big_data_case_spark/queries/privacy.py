@@ -575,3 +575,109 @@ def randomized_response_frequency(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# --------------------------------------------- exponential mechanism (r11)
+
+_DPEXP_EPS = 1.0
+
+
+_DPEXP_SQL = f"""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT c_nationkey, c_mktsegment, n,
+               round({_DPEXP_EPS} * n / 2.0
+                     + (-ln(-ln({_u01_sql(
+                         "'dpexp:' || c_nationkey || ':' || c_mktsegment"
+                     )}))), 6) AS gkey
+        FROM cls
+    ),
+    dp AS (
+        SELECT c_nationkey, c_mktsegment AS dp_segment, gkey FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_nationkey
+                ORDER BY gkey DESC, c_mktsegment) AS rn
+            FROM keyed
+        ) WHERE rn = 1
+    ),
+    best AS (
+        SELECT c_nationkey, c_mktsegment AS true_segment FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_nationkey
+                ORDER BY n DESC, c_mktsegment) AS rn
+            FROM cls
+        ) WHERE rn = 1
+    )
+    SELECT d.c_nationkey, d.dp_segment, round(d.gkey, 4) AS dp_score_r,
+           b.true_segment,
+           (d.dp_segment = b.true_segment)::INT AS agree
+    FROM dp d JOIN best b ON b.c_nationkey = d.c_nationkey
+"""
+
+
+@register("dp_exponential_mechanism", oracle=_DPEXP_SQL)
+def dp_exponential_mechanism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP selection of each nation's dominant market segment via the
+    EXPONENTIAL mechanism (McSherry & Talwar 2007) in its Gumbel-max form:
+    the mechanism's softmax draw Pr[seg] ∝ exp(ε·u/2Δ) is realized exactly
+    by argmax(ε·n/2 + Gumbel), Gumbel = −ln(−ln(U)) over the portable
+    keyed uniform — the third DP release mechanism beside
+    ``dp_laplace_counts`` (numeric counts) and ``dp_gaussian_sum``
+    (clipped sums): this one releases a CATEGORICAL choice, which additive
+    noise cannot do. Utility = cell count, sensitivity Δ = 1.
+
+    Exactness/determinism: keyed-hash uniforms (the module's r10
+    discipline), the Gumbel key rounded to 6 BEFORE ranking with the
+    segment as tiebreak — both engines pick the identical winner;
+    ``agree`` compares against the non-private argmax so the utility loss
+    is visible in the release itself.
+
+    Scale shape: one map-side-combinable groupBy over the bounded
+    (25 × 5) domain, two bounded-domain windows, one keyed join — nothing
+    scales with fact rows after the first aggregate."""
+    c = table(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    tag = F.concat(
+        F.lit("dpexp:"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(":"),
+        F.col("c_mktsegment"),
+    )
+    gkey = F.round(
+        F.lit(_DPEXP_EPS) * F.col("n") / 2.0
+        + (-F.log(-F.log(_u01_spark(tag)))),
+        6,
+    )
+    keyed = cls.withColumn("gkey", gkey)
+    from pyspark.sql import Window as _W
+
+    wdp = _W.partitionBy("c_nationkey").orderBy(
+        F.col("gkey").desc(), F.col("c_mktsegment")
+    )
+    dp = (
+        keyed.withColumn("rn", F.row_number().over(wdp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("dp_segment"),
+            "gkey",
+        )
+    )
+    wbest = _W.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment")
+    )
+    best = (
+        cls.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("true_segment"))
+    )
+    return dp.join(best, "c_nationkey").select(
+        "c_nationkey",
+        "dp_segment",
+        F.round("gkey", 4).alias("dp_score_r"),
+        "true_segment",
+        (F.col("dp_segment") == F.col("true_segment")).cast("int").alias("agree"),
+    )

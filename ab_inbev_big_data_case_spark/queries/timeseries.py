@@ -2892,3 +2892,171 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(alarm, F.col("day"))).alias("first_alarm_day"),
         F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_days"),
     )
+
+
+# ----------------------------- binary-segmentation changepoints (r11)
+
+_BINSEG_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (
+        SELECT day, CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+        FROM d
+    ),
+    m1 AS (SELECT sum(cents)::DOUBLE / count(*) AS mu, count(*)::BIGINT AS n
+           FROM c),
+    t1 AS (
+        SELECT day,
+               sum(round(cents::DOUBLE - m1.mu, 8)::DECIMAL(38,8)) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+               m1.n
+        FROM c CROSS JOIN m1
+    ),
+    cp1 AS (
+        SELECT day AS cp_day, round(abs(s)::DOUBLE, 4) AS stat, n
+        FROM t1 ORDER BY round(abs(s)::DOUBLE, 4) DESC, day LIMIT 1
+    ),
+    seg AS (
+        SELECT c.day, c.cents,
+               CASE WHEN c.day <= cp1.cp_day THEN 0 ELSE 1 END AS seg_id
+        FROM c CROSS JOIN cp1
+    ),
+    m2 AS (
+        SELECT seg_id, sum(cents)::DOUBLE / count(*) AS mu,
+               count(*)::BIGINT AS n
+        FROM seg GROUP BY 1
+    ),
+    t2 AS (
+        SELECT s.seg_id, s.day,
+               sum(round(s.cents::DOUBLE - m2.mu, 8)::DECIMAL(38,8)) OVER (
+                   PARTITION BY s.seg_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2,
+               m2.n
+        FROM seg s JOIN m2 ON m2.seg_id = s.seg_id
+    ),
+    cp2 AS (
+        SELECT seg_id, day, stat, n FROM (
+            SELECT seg_id, day, round(abs(s2)::DOUBLE, 4) AS stat, n,
+                   row_number() OVER (
+                       PARTITION BY seg_id
+                       ORDER BY round(abs(s2)::DOUBLE, 4) DESC, day) AS rn
+            FROM t2
+        ) WHERE rn = 1
+    )
+    SELECT 1 AS level, 0::BIGINT AS seg_id, cp_day, stat AS max_abs_cusum_r,
+           n AS n_days_seg
+    FROM cp1
+    UNION ALL
+    SELECT 2 AS level, seg_id::BIGINT, day AS cp_day,
+           stat AS max_abs_cusum_r, n AS n_days_seg
+    FROM cp2
+"""
+
+
+@register("binary_segmentation_changepoints", oracle=_BINSEG_SQL)
+def binary_segmentation_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-level binary segmentation (Scott & Knott / the standard
+    recursive CUSUM splitting): the level-1 CUSUM argmax splits the daily
+    revenue series, then each half gets its own CUSUM argmax against its
+    own mean — the multi-changepoint extension of ``cusum_changepoint``
+    (which locates exactly one break). Output: 3 candidate changepoints
+    (1 level-1 + 2 level-2) with their peak |CUSUM| in cents.
+
+    Exactness: daily revenue collapses to exact integer cents; each
+    CUSUM term (cents − μ) is quantized to DECIMAL(38,8) BEFORE the
+    ordered prefix sum (the ``page_hinkley_drift`` discipline — exact
+    decimal window sums are add-order-free where a raw double cumsum is
+    not); argmaxes rank the ROUNDED statistic with the day as tiebreak in
+    both engines.
+
+    Scale shape: everything after the one fact→day aggregate runs on the
+    calendar-bounded day spine (the documented bounded-spine exception);
+    level 2's windows are partitioned by segment. Unrolling deeper levels
+    repeats the same two shuffles per level."""
+    d = _daily_revenue(spark, sf_dir)
+    c = d.select(
+        "day",
+        (F.col("rev").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    m1 = c.agg(
+        (F.sum("cents").cast("double") / F.count("*")).alias("mu"),
+        F.count("*").cast("long").alias("n"),
+    )
+    wseq = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded day spine
+    t1 = c.crossJoin(F.broadcast(m1)).select(
+        "day",
+        F.sum(
+            F.round(F.col("cents").cast("double") - F.col("mu"), 8).cast(
+                "decimal(38,8)"
+            )
+        )
+        .over(wseq)
+        .alias("s"),
+        "n",
+    )
+    cp1 = (
+        t1.select(
+            F.col("day").alias("cp_day"),
+            F.round(F.abs(F.col("s").cast("double")), 4).alias("stat"),
+            "n",
+        )
+        .orderBy(F.col("stat").desc(), "cp_day")
+        .limit(1)
+        .localCheckpoint(eager=False)
+    )
+    seg = c.crossJoin(F.broadcast(cp1.select("cp_day"))).select(
+        "day",
+        "cents",
+        F.when(F.col("day") <= F.col("cp_day"), 0).otherwise(1).alias("seg_id"),
+    )
+    m2 = seg.groupBy("seg_id").agg(
+        (F.sum("cents").cast("double") / F.count("*")).alias("mu"),
+        F.count("*").cast("long").alias("n"),
+    )
+    wseg = Window.partitionBy("seg_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t2 = seg.join(F.broadcast(m2), "seg_id").select(
+        "seg_id",
+        "day",
+        F.sum(
+            F.round(F.col("cents").cast("double") - F.col("mu"), 8).cast(
+                "decimal(38,8)"
+            )
+        )
+        .over(wseg)
+        .alias("s2"),
+        "n",
+    )
+    wrank = Window.partitionBy("seg_id").orderBy(
+        F.round(F.abs(F.col("s2").cast("double")), 4).desc(), F.col("day")
+    )
+    cp2 = (
+        t2.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "seg_id",
+            F.col("day").alias("cp_day"),
+            F.round(F.abs(F.col("s2").cast("double")), 4).alias("stat"),
+            "n",
+        )
+    )
+    lvl1 = cp1.select(
+        F.lit(1).alias("level"),
+        F.lit(0).cast("long").alias("seg_id"),
+        "cp_day",
+        F.col("stat").alias("max_abs_cusum_r"),
+        F.col("n").alias("n_days_seg"),
+    )
+    lvl2 = cp2.select(
+        F.lit(2).alias("level"),
+        F.col("seg_id").cast("long").alias("seg_id"),
+        "cp_day",
+        F.col("stat").alias("max_abs_cusum_r"),
+        F.col("n").alias("n_days_seg"),
+    )
+    return lvl1.unionAll(lvl2)

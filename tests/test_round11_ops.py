@@ -267,3 +267,76 @@ def test_tokenizer_fertility_ratios_consistent(spark, sf_dir):
         assert abs(r["tokens_per_doc_r"] - r["n_tokens"] / r["n_docs"]) <= 5e-5
         # whitespace tokens are >= 1 char plus separators: fertility > 1
         assert r["chars_per_token_r"] > 1
+
+
+# ------------------------------------------- binary segmentation
+
+
+def test_binseg_level1_matches_cusum_and_partitions(spark, sf_dir):
+    rows = {
+        (r["level"], r["seg_id"]): r
+        for r in QUERIES["binary_segmentation_changepoints"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {(1, 0), (2, 0), (2, 1)}
+    cp = QUERIES["cusum_changepoint"](spark, sf_dir).first()
+    assert rows[(1, 0)]["cp_day"] == cp["cp_day"]  # level 1 IS the CUSUM argmax
+    # the two level-2 segments partition the day spine
+    assert (
+        rows[(2, 0)]["n_days_seg"] + rows[(2, 1)]["n_days_seg"]
+        == rows[(1, 0)]["n_days_seg"]
+    )
+    # level-2 changepoints live inside their segments
+    assert rows[(2, 0)]["cp_day"] <= rows[(1, 0)]["cp_day"]
+    assert rows[(2, 1)]["cp_day"] > rows[(1, 0)]["cp_day"]
+
+
+# ------------------------------------------- exponential mechanism
+
+
+def test_dp_exponential_deterministic_and_useful(spark, sf_dir):
+    a = sorted(map(str, QUERIES["dp_exponential_mechanism"](spark, sf_dir).collect()))
+    b = sorted(map(str, QUERIES["dp_exponential_mechanism"](spark, sf_dir).collect()))
+    assert a == b  # keyed hash, no RNG state
+    rows = QUERIES["dp_exponential_mechanism"](spark, sf_dir).collect()
+    n_nations = (
+        table(spark, sf_dir, "customer").select("c_nationkey").distinct().count()
+    )
+    assert len(rows) == n_nations
+    # utility: the mechanism must beat the 1-in-5-segments uniform guess
+    # (at sf0.001 cells hold ~12 customers, so eps·n/2 is comparable to
+    # the Gumbel scale and disagreement is EXPECTED — that's the privacy
+    # working; at larger SFs the count signal dominates and agreement
+    # rises toward 1)
+    agree = sum(r["agree"] for r in rows)
+    assert agree >= 0.2 * len(rows) and agree > len(rows) / 5
+
+
+# ------------------------------------------- Cook's distance
+
+
+def test_cooks_distance_top10_properties(spark, sf_dir):
+    rows = QUERIES["ols_influence_cooks_distance"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    ds = [r["cooks_d_r"] for r in rows]
+    assert ds == sorted(ds, reverse=True)
+    for r in rows:
+        assert r["cooks_d_r"] >= 0
+        assert 0 < r["leverage_r"] < 1  # 1/n <= h < 1 for simple OLS
+
+
+# ------------------------------------------- curation ensemble
+
+
+def test_ensemble_votes_cover_corpus_and_bound_filter(spark, sf_dir):
+    rows = {r["votes"]: r for r in QUERIES["curation_ensemble_votes"](spark, sf_dir).collect()}
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    for v, r in rows.items():
+        assert 0 <= v <= 4
+        assert r["n_kept"] == (r["n_docs"] if v >= 3 else 0)
+    # votes==4 implies the 3-condition conjunction filter passes too
+    strict = QUERIES["corpus_curation_filter"](spark, sf_dir).count()
+    if 4 in rows:
+        assert rows[4]["n_docs"] <= strict
