@@ -1062,3 +1062,31 @@ def test_ivf_assign_rounding_boundary_fixup(spark):
     ref = {(r["vec_id"], r["cell_id"]) for r in ivf_assign_hof(df, "vec_id", "embedding", flt).collect()}
     assert fast == ref
     assert (3, 0) in fast and (5, 0) in fast  # ties to min cell_id
+
+
+def test_cosine_pairs_vectorized_identity(spark):
+    """The vectorized cosine_pairs must be BIT-IDENTICAL to the JVM
+    array-lambda reference (cosine_pairs_hof) at every fixture SF — same
+    accumulation order, same HALF_UP rounding, same (query != cand)
+    pair set."""
+    from ab_inbev_big_data_case_spark.llm.similarity import (
+        cosine_pairs,
+        cosine_pairs_hof,
+    )
+
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = table(spark, d, "embeddings")
+        q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+        fast = {
+            (r["query_id"], r["cand_id"]): r["cosine"]
+            for r in cosine_pairs(
+                q, e, "vec_id", "vec_id", "embedding", "embedding"
+            ).collect()
+        }
+        ref = {
+            (r["query_id"], r["cand_id"]): r["cosine"]
+            for r in cosine_pairs_hof(
+                q, e, "vec_id", "vec_id", "embedding", "embedding"
+            ).collect()
+        }
+        assert fast == ref, f"cosine_pairs mismatch at {d}"

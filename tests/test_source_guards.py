@@ -28,8 +28,10 @@ COLLECT_ALLOWED = {
     # per-micro-batch monitor fold over the day-spine-bounded batch
     "streaming/jobs.py": 1,
     # dim²-bounded Gram-matrix pull for the PQ codebook, plus the
-    # K-bounded (K = O(√N)) centroid pull feeding ivf_assign's broadcast
-    "llm/similarity.py": 2,
+    # K-bounded (K = O(√N)) centroid pull feeding ivf_assign's broadcast,
+    # plus the Q-bounded query-side pull feeding cosine_pairs' broadcast
+    # (it was already the broadcast side of the crossJoin)
+    "llm/similarity.py": 3,
     # touched-partition list (partition-count-bounded) for targeted overwrite
     "sources/writers.py": 1,
 }
