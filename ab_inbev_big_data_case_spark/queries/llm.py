@@ -141,6 +141,72 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "levenshtein_near_dup_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.id1, c.id2,
+           levenshtein(x.text, y.text)::BIGINT AS edit_distance,
+           greatest(x.n_chars, y.n_chars)::BIGINT AS max_chars,
+           (levenshtein(x.text, y.text) * 10
+                <= greatest(x.n_chars, y.n_chars))::INT AS is_near_dup
+    FROM cand c
+    JOIN documents x ON x.doc_id = c.id1
+    JOIN documents y ON y.doc_id = c.id2
+    """,
+)
+def levenshtein_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level near-dup verification of the MinHash-LSH candidate
+    pairs: exact Levenshtein edit distance, flagged near-dup when the
+    distance is ≤ 10% of the longer document (integer cross-multiplied).
+    Completes the verify-tier family — token-set Jaccard
+    (``near_dup_dedup_corpus``), containment, SimHash Hamming, and
+    embedding cosine all miss small character-level edits inside tokens
+    (OCR noise, typo farms, template fills), which edit distance is the
+    standard exact check for.
+
+    Exactness: both engines implement the identical unit-cost
+    Wagner–Fischer distance on identical strings — an integer; the flag is
+    an integer comparison.
+
+    Scale shape: distance is computed ONLY on the LSH-bucketed candidate
+    pairs (never all-pairs — the operator inherits the banding's capped
+    fan-out), and each evaluation is O(len²) on two documents, embarrassingly
+    parallel across pairs. The two doc joins are dimension-keyed."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
+    cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    x = d.select(
+        F.col("doc_id").alias("id1"),
+        F.col("text").alias("__t1"),
+        F.col("n_chars").alias("__c1"),
+    )
+    y = d.select(
+        F.col("doc_id").alias("id2"),
+        F.col("text").alias("__t2"),
+        F.col("n_chars").alias("__c2"),
+    )
+    dist = F.levenshtein("__t1", "__t2")
+    mx = F.greatest("__c1", "__c2")
+    return (
+        cand.join(x, "id1")
+        .join(y, "id2")
+        .select(
+            "id1",
+            "id2",
+            dist.cast("long").alias("edit_distance"),
+            mx.cast("long").alias("max_chars"),
+            (dist * 10 <= mx).cast("int").alias("is_near_dup"),
+        )
+    )
+
+
+@register(
     "lsh_index_delta_pairs",
     oracle=f"""
     WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}

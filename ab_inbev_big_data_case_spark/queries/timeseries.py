@@ -3060,3 +3060,151 @@ def binary_segmentation_changepoints(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n").alias("n_days_seg"),
     )
     return lvl1.unionAll(lvl2)
+
+
+# ------------------------------------------- sample entropy (r11)
+
+_SAMPEN_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (
+        SELECT day, CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x
+        FROM d
+    ),
+    seq AS (
+        SELECT row_number() OVER (ORDER BY day) AS i, x,
+               lead(x) OVER (ORDER BY day) AS xn
+        FROM c
+    ),
+    mom AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(x * x) AS sxx
+            FROM c),
+    rr AS (
+        SELECT greatest(1, CAST(floor(0.2 * sqrt(
+                   ((n * sxx - sx * sx)::DOUBLE)
+                   / (n::DOUBLE * (n::DOUBLE - 1)))) AS BIGINT)) AS r
+        FROM mom
+    ),
+    t AS (
+        SELECT i, x, xn, x // rr.r AS b, rr.r AS r
+        FROM seq CROSS JOIN rr WHERE xn IS NOT NULL
+    ),
+    fan AS (SELECT t.*, unnest([b - 1, b, b + 1]) AS key FROM t),
+    pairs AS (
+        SELECT a.x AS xa, bb.x AS xb, a.xn AS na, bb.xn AS nb, a.r
+        FROM fan a JOIN t bb ON bb.b = a.key AND a.i < bb.i
+    ),
+    cnt AS (
+        SELECT max(r) AS r,
+               sum((abs(xa - xb) <= r)::INT)::BIGINT AS b_pairs,
+               sum((abs(xa - xb) <= r AND abs(na - nb) <= r)::INT)::BIGINT
+                   AS a_pairs
+        FROM pairs
+    )
+    SELECT (SELECT count(*) FROM c)::BIGINT AS n_days,
+           r::BIGINT AS r_cents, b_pairs, a_pairs,
+           round(-ln(a_pairs * 1.0 / nullif(b_pairs, 0)), 6) AS sampen_r
+    FROM cnt
+"""
+
+
+@register("sample_entropy_daily", oracle=_SAMPEN_SQL)
+def sample_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy SampEn(m=1, r=0.2σ) of the daily-revenue series
+    (Richman & Moorman 2000): −ln(A/B) where B counts template pairs with
+    |x_i−x_j| ≤ r and A the pairs whose NEXT days also match — the
+    regularity/complexity statistic complementing ``hurst_rs_lite``
+    (long-range dependence) and ``entropy_rate_bigram`` (symbolic): low
+    SampEn = repetitive dynamics, high = irregularity.
+
+    Exactness: the series is exact integer cents; r is an integer
+    (floor(0.2·σ) from exact 128-bit moments, identical doubles); every
+    match test is an integer comparison, A and B are integer counts, and
+    the one float (−ln(A/B)) is a single rounded expression.
+
+    Scale shape: the all-pairs template comparison is BUCKETED, never a
+    cartesian — templates equi-join on floor(x/r) with a ±1 neighbor
+    fan-out (the ``spatial_grid_radius_join`` trick in value space), so
+    only bucket-adjacent pairs are ever generated; everything runs on the
+    calendar-bounded day spine (the documented bounded-spine exception —
+    the two partitionless specs are the spine's row index and next-day
+    lead, pinned in test_plan_sweep)."""
+    d = _daily_revenue(spark, sf_dir)
+    c = d.select(
+        "day",
+        (F.col("rev").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("x"),
+    )
+    wday = Window.orderBy("day")  # bounded day spine
+    seq = c.select(
+        F.row_number().over(wday).alias("i"),
+        "x",
+        F.lead("x").over(wday).alias("xn"),
+    )
+    mom = c.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    rr = mom.select(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                0.2
+                * F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                    / (
+                        F.col("n").cast("double")
+                        * (F.col("n").cast("double") - 1)
+                    )
+                )
+            ).cast("long"),
+        ).alias("r")
+    )
+    t = (
+        seq.crossJoin(F.broadcast(rr))
+        .filter(F.col("xn").isNotNull())
+        .select(
+            "i",
+            "x",
+            "xn",
+            F.expr("CAST(x div r AS LONG)").alias("b"),
+            "r",
+        )
+        # t feeds BOTH sides of the bucket join: without materialization the
+        # day-spine windows (and the fact aggregate above them) would run
+        # twice in one plan
+        .localCheckpoint(eager=False)
+    )
+    fan = t.select(
+        "i", "x", "xn", "r", F.explode(F.expr("array(b - 1, b, b + 1)")).alias("key")
+    )
+    tb = t.select(
+        F.col("i").alias("j"),
+        F.col("x").alias("xb"),
+        F.col("xn").alias("nb"),
+        F.col("b").alias("kb"),
+    )
+    pairs = fan.join(tb, (F.col("kb") == F.col("key")) & (F.col("i") < F.col("j")))
+    near = F.abs(F.col("x") - F.col("xb")) <= F.col("r")
+    near_next = F.abs(F.col("xn") - F.col("nb")) <= F.col("r")
+    cnt = pairs.agg(
+        F.max("r").alias("r"),
+        F.sum(near.cast("int")).cast("long").alias("b_pairs"),
+        F.sum((near & near_next).cast("int")).cast("long").alias("a_pairs"),
+    )
+    n_days = c.agg(F.count("*").cast("long").alias("n_days"))
+    return n_days.crossJoin(F.broadcast(cnt)).select(
+        "n_days",
+        F.col("r").cast("long").alias("r_cents"),
+        "b_pairs",
+        "a_pairs",
+        F.round(
+            -F.log(
+                F.col("a_pairs")
+                * 1.0
+                / F.nullif(F.col("b_pairs"), F.lit(0)).cast("double")
+            ),
+            6,
+        ).alias("sampen_r"),
+    )

@@ -340,3 +340,69 @@ def test_ensemble_votes_cover_corpus_and_bound_filter(spark, sf_dir):
     strict = QUERIES["corpus_curation_filter"](spark, sf_dir).count()
     if 4 in rows:
         assert rows[4]["n_docs"] <= strict
+
+
+# ------------------------------------------- levenshtein verify
+
+
+def test_levenshtein_pairs_cover_lsh_candidates_with_valid_bounds(spark, sf_dir):
+    pairs = QUERIES["levenshtein_near_dup_pairs"](spark, sf_dir).collect()
+    cand = {
+        (r["id1"], r["id2"])
+        for r in QUERIES["minhash_lsh_pairs"](spark, sf_dir).collect()
+    }
+    assert {(r["id1"], r["id2"]) for r in pairs} == cand  # same candidate set
+    lens = {
+        r["doc_id"]: r["n_chars"]
+        for r in table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+    for r in pairs:
+        l1, l2 = lens[r["id1"]], lens[r["id2"]]
+        # Levenshtein bounds: |len1-len2| <= d <= max(len1, len2)
+        assert abs(l1 - l2) <= r["edit_distance"] <= max(l1, l2)
+        assert r["max_chars"] == max(l1, l2)
+        assert r["is_near_dup"] == int(r["edit_distance"] * 10 <= r["max_chars"])
+
+
+def test_levenshtein_flags_marker_near_dups(spark, sf_dir):
+    """The fixture's near-dups are single-token 'dup' substitutions of a
+    base doc — edit distance a few chars — so among LSH candidates at
+    least some pairs must flag near-dup (the verify tier actually fires)."""
+    rows = QUERIES["levenshtein_near_dup_pairs"](spark, sf_dir).collect()
+    assert rows and any(r["is_near_dup"] == 1 for r in rows)
+
+
+# ------------------------------------------- sample entropy
+
+
+def test_sample_entropy_matches_bruteforce(spark, sf_dir):
+    """The bucketed pair generation must reproduce the O(n²) brute force
+    exactly (fixture-sized spine)."""
+    r = QUERIES["sample_entropy_daily"](spark, sf_dir).first()
+    xs = [
+        int(row["x"])
+        for row in table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("decimal(38,0)")
+            .alias("x")
+        )
+        .orderBy("day")
+        .collect()
+    ]
+    rr = r["r_cents"]
+    t = list(zip(xs[:-1], xs[1:]))
+    b = a = 0
+    for i in range(len(t)):
+        for j in range(i + 1, len(t)):
+            if abs(t[i][0] - t[j][0]) <= rr:
+                b += 1
+                if abs(t[i][1] - t[j][1]) <= rr:
+                    a += 1
+    assert (r["b_pairs"], r["a_pairs"]) == (b, a)
+    assert r["n_days"] == len(xs)
+    if b and a:
+        import math
+
+        assert abs(r["sampen_r"] - round(-math.log(a / b), 6)) < 1e-9
