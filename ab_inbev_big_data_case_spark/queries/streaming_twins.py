@@ -222,7 +222,7 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.user_id AS user_id,
            p.ts AS purchase_ts,
            c.ts AS click_ts,
-           round(p.value, 2) AS purchase_value_r
+           round(CAST(p.value AS DECIMAL(18,6)), 2)::DOUBLE AS purchase_value_r
     FROM events p JOIN events c
       ON c.user_id = p.user_id
      AND p.event_type = 'purchase' AND c.event_type = 'click'
@@ -263,7 +263,9 @@ def interval_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("purchase_ts"),
         F.col("r_ts").alias("click_ts"),
-        F.round("value", 2).alias("purchase_value_r"),
+        F.round(F.col("value").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("purchase_value_r"),
     )
 
 
@@ -273,7 +275,7 @@ def interval_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id AS purchase_id,
            p.user_id AS user_id,
            p.ts AS purchase_ts,
-           round(p.value, 2) AS purchase_value_r
+           round(CAST(p.value AS DECIMAL(18,6)), 2)::DOUBLE AS purchase_value_r
     FROM events p
     WHERE p.event_type = 'purchase'
       AND NOT EXISTS (
@@ -322,7 +324,9 @@ def interval_join_unmatched_purchases(spark: SparkSession, sf_dir: str) -> DataF
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("purchase_ts"),
-        F.round("value", 2).alias("purchase_value_r"),
+        F.round(F.col("value").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("purchase_value_r"),
     )
 
 

@@ -162,6 +162,13 @@ class _PinnedArm:
             return out
 
     def close(self) -> None:
+        # Idempotent: degrade paths close eagerly AND the finally block
+        # closes again (ADVICE r11 — a dropped handle orphaned the pinned
+        # JVM for the rest of the bench, adding background load to the
+        # remaining HEAD timings).
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
         try:
             self.proc.stdin.write(json.dumps({"cmd": "quit"}) + "\n")
             self.proc.stdin.flush()
@@ -253,6 +260,9 @@ def main() -> None:
         )
 
     arm = _start_pinned_arm()
+    # The handle is kept separately from the degrade flag so close() always
+    # runs even after a mid-bench degradation drops `arm` (ADVICE r11).
+    arm_handle = arm
     pin_sha = arm.sha if arm else None
     shared = [n for n in HEADLINE if arm and n in arm.queries]
 
@@ -268,6 +278,7 @@ def main() -> None:
             arm.ask({"cmd": "warm", "name": name, "dir": "/root/testdata/sf0.001"})
         except Exception as exc:  # noqa: BLE001
             print(f"A/B: degraded to single-arm mid-warm ({exc})", file=sys.stderr)
+            arm_handle.close()  # kill the pinned JVM before HEAD timings
             arm, shared = None, []
             break
 
@@ -280,25 +291,30 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     pin_samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        samples = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            # count() forces full execution without driver-side row transfer
-            fn(spark, sf_dir).count()
-            samples.append(time.time() - t0)
-            if arm and name in arm.queries:
-                try:
-                    r = arm.ask({"cmd": "time", "name": name, "dir": sf_dir})
-                    pin_samples.setdefault(name, []).append(r["sec"])
-                except Exception as exc:  # noqa: BLE001
-                    print(
-                        f"A/B: degraded to single-arm mid-bench ({exc})",
-                        file=sys.stderr,
-                    )
-                    arm = None
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+    try:
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            samples = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                # count() forces full execution, no driver-side row transfer
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+                if arm and name in arm.queries:
+                    try:
+                        r = arm.ask({"cmd": "time", "name": name, "dir": sf_dir})
+                        pin_samples.setdefault(name, []).append(r["sec"])
+                    except Exception as exc:  # noqa: BLE001
+                        print(
+                            f"A/B: degraded to single-arm mid-bench ({exc})",
+                            file=sys.stderr,
+                        )
+                        arm_handle.close()  # don't orphan the pinned JVM
+                        arm = None
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+    finally:
+        if arm_handle:
+            arm_handle.close()
 
     ab = None
     if pin_samples:
@@ -318,8 +334,25 @@ def main() -> None:
             if pin_total
             else None,
         }
-    if arm:
-        arm.close()
+    # The driver captures only a bounded TAIL of stdout; BENCH_r11.json came
+    # back "parsed": null because the per-query pinned-arm map pushed the
+    # result line past that capture. The full A/B detail goes to a side
+    # file; the printed number-of-record line stays compact (HEAD map +
+    # A/B summary only) so it always parses.
+    if ab is not None:
+        with open(os.path.join(REPO, "BENCH_AB.json"), "w") as f:
+            json.dump(ab, f, indent=1)
+        ab = {
+            k: ab[k]
+            for k in (
+                "pinned_sha",
+                "n_shared",
+                "head_shared_total",
+                "pinned_shared_total",
+                "ratio_head_over_pinned",
+            )
+        }
+        ab["detail"] = "BENCH_AB.json"
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -331,7 +364,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "ab": ab,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
