@@ -11,7 +11,9 @@ computed column is aliased identically in the Spark plan and the oracle SQL
 from __future__ import annotations
 
 import glob
+import hashlib
 import importlib
+import inspect
 import json
 import os
 import re
@@ -110,17 +112,26 @@ def _derive_order(
     registered: list[str],
     evidence: dict[str, int],
     staged: list[str],
+    changed: frozenset[str] = frozenset(),
 ) -> list[str]:
-    """Deterministic registry order: never/red-checked first (staged
-    backlog order, then registration order for new names), then green
-    names oldest-evidence-round first (same tie-break)."""
+    """Deterministic registry order, three buckets (VERDICT r11 item 1):
+
+    0. never/red-checked (staged backlog order, then registration order),
+    1. CHANGED since their last driver check — green evidence, but the
+       implementation-or-oracle content hash no longer matches the hash
+       recorded when that evidence was produced (``QUERY_HASHES.json``), so
+       the green is describing code that no longer exists,
+    2. unchanged greens, oldest-evidence-round first (same tie-break).
+    """
     staged_pos = {n: i for i, n in enumerate(staged)}
     reg_pos = {n: i for i, n in enumerate(registered)}
     offset = len(staged)
 
-    def key(name: str) -> tuple[int, int]:
+    def key(name: str) -> tuple[int, int, int]:
+        ev = evidence.get(name, -1)
+        bucket = 0 if ev == -1 else (1 if name in changed else 2)
         backlog = staged_pos.get(name, offset + reg_pos[name])
-        return (evidence.get(name, -1), backlog)
+        return (bucket, ev, backlog)
 
     return sorted(registered, key=key)
 
@@ -230,6 +241,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # content-hash target (query_hash)
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
@@ -238,18 +250,93 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Change-aware rotation (VERDICT r11 item 1): the r11-rewritten semdedup/IVF
+# family carried round-3 driver evidence straight through its own rewrite,
+# because the rotation ranked only never-checked > stalest-green. The fix is
+# a content hash per query, RECORDED when driver evidence is produced
+# (``tools/update_query_hashes.py`` at round start, from the just-landed
+# CORRECTNESS file) and COMPARED at every ``load_all()``: a name whose
+# current hash differs from its recorded hash outranks every unchanged
+# green in the next driver window (bucket 1 in ``_derive_order``).
+
+_HASHES_PATH = os.path.join(_REPO_ROOT, "QUERY_HASHES.json")
+
+# Engine-helper modules referenced inside a query function body (the repo
+# convention is function-local ``from ab_inbev_big_data_case_spark.x import
+# y``); their FILE content is folded into the query's hash so a helper
+# rewrite (the r11 case: llm/similarity.py under semdedup_corpus) marks
+# every query built on it as changed.
+_HELPER_RE = re.compile(r"ab_inbev_big_data_case_spark(?:\.\w+)+")
+
+_module_hash_cache: dict[str, str] = {}
+
+
+def _module_file_hash(dotted: str) -> str | None:
+    if dotted in _module_hash_cache:
+        return _module_hash_cache[dotted]
+    path = os.path.join(_REPO_ROOT, *dotted.split(".")) + ".py"
+    h = None
+    if os.path.isfile(path):
+        with open(path, "rb") as f:
+            h = hashlib.sha256(f.read()).hexdigest()
+    _module_hash_cache[dotted] = h
+    return h
+
+
+def query_hash(name: str) -> str:
+    """Content hash of a registered query: its function source, its oracle
+    SQL, and the file hash of every engine module its body references.
+    Comment-only edits DO change the hash — conservative by design (a
+    spurious re-check is cheap; a missed one is the r11 gap)."""
+    fn = getattr(QUERIES[name], "__wrapped__", QUERIES[name])
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = ""
+    parts = [src, ORACLE.get(name, "")]
+    for dotted in sorted(set(_HELPER_RE.findall(src))):
+        mh = _module_file_hash(dotted)
+        if mh:
+            parts.append(f"{dotted}={mh}")
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
+
+
+def recorded_hashes(repo_root: str = _REPO_ROOT) -> dict[str, str]:
+    path = os.path.join(repo_root, "QUERY_HASHES.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def changed_since_checked() -> frozenset[str]:
+    """Names whose current content hash differs from the hash recorded at
+    their last driver check. Absent-from-file names are NOT changed (they
+    are either never-checked — bucket 0 already — or pre-date the hash
+    file, where the r11-close 3-SF full sweep stands as the baseline)."""
+    rec = recorded_hashes()
+    return frozenset(
+        n for n in QUERIES if n in rec and rec[n] != query_hash(n)
+    )
+
+
 def load_all() -> None:
     """Import every query module (idempotent) so registration side-effects
     run, then reorder the registry by evidence age so the driver-verified
     first ``_WINDOW_SIZE`` slots always hold the stalest-evidence names
-    (never/red-checked first). The rotation is derived, never manual."""
+    (never/red-checked first, changed-since-checked second). The rotation
+    is derived, never manual."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
 
     missing = [n for n in _STAGED_NEXT if n not in QUERIES]
     if missing:
         raise RuntimeError(f"_STAGED_NEXT names not registered: {missing}")
-    ordered = _derive_order(list(QUERIES), _evidence_rounds(), _STAGED_NEXT)
+    ordered = _derive_order(
+        list(QUERIES), _evidence_rounds(), _STAGED_NEXT, changed_since_checked()
+    )
     _CHECK_FIRST[:] = ordered[:_WINDOW_SIZE]
     for reg in (QUERIES, ORACLE):
         snapshot = dict(reg)

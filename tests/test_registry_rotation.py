@@ -44,10 +44,25 @@ def test_window_matches_check_first_attribute():
 
 
 def test_checked_tail_is_oldest_evidence_first():
+    """Within each bucket greens are oldest-evidence-first; changed names
+    (bucket 1, VERDICT r11 item 1) precede every unchanged green
+    regardless of evidence age."""
     order = _loaded()
     ev = registry._evidence_rounds()
-    rounds = [ev[n] for n in order if n in ev]
-    assert rounds == sorted(rounds), "green names not ordered oldest-first"
+    changed = registry.changed_since_checked()
+    changed_rounds = [ev[n] for n in order if n in ev and n in changed]
+    unchanged_rounds = [ev[n] for n in order if n in ev and n not in changed]
+    assert changed_rounds == sorted(changed_rounds)
+    assert unchanged_rounds == sorted(unchanged_rounds)
+    if changed_rounds:
+        greens = [
+            (n in changed) for n in order if n in ev and ev[n] != -1
+        ]
+        # all changed greens precede all unchanged greens
+        first_unchanged = greens.index(False)
+        assert not any(greens[first_unchanged:]), (
+            "a changed name sits behind an unchanged green"
+        )
 
 
 def test_rotation_is_deterministic():
@@ -141,3 +156,56 @@ def test_evidence_files_exist_and_parse():
     # r1-r8 driver history: hundreds of green names, none in the future.
     assert len(ev) > 300
     assert max(ev.values()) >= 8
+
+
+def test_changed_name_outranks_stale_greens():
+    """VERDICT r11 item 1: a name whose implementation/oracle content hash
+    changed since its last driver check must enter the window ahead of
+    every unchanged green (but behind never-checked names)."""
+    ev = {"never_q": -1, "stale_green": 3, "changed_green": 11, "fresh_green": 11}
+    order = registry._derive_order(
+        ["fresh_green", "stale_green", "changed_green", "never_q"],
+        ev,
+        [],
+        changed=frozenset({"changed_green"}),
+    )
+    assert order == ["never_q", "changed_green", "stale_green", "fresh_green"]
+
+
+def test_changed_since_checked_detects_live_edits():
+    """The real registry: changed_since_checked() must flag exactly the
+    names whose current query_hash differs from QUERY_HASHES.json — and
+    every flagged name must sit inside the derived window."""
+    registry.load_all()
+    rec = registry.recorded_hashes()
+    if not rec:  # hash file not seeded in this checkout
+        import pytest
+
+        pytest.skip("QUERY_HASHES.json absent")
+    changed = registry.changed_since_checked()
+    for n in changed:
+        assert rec[n] != registry.query_hash(n)
+    ev = registry._evidence_rounds()
+    window = set(registry._CHECK_FIRST)
+    for n in changed:
+        if n in ev and ev[n] != -1:
+            assert n in window, (
+                f"changed name {n} has green evidence but was left outside "
+                f"the driver window"
+            )
+
+
+def test_query_hash_tracks_helper_module_content(tmp_path, monkeypatch):
+    """The r11 gap case: a query whose BODY references an engine helper
+    module must change hash when that module's file changes, even if the
+    query function source is untouched."""
+    registry.load_all()
+    name = "semdedup_corpus"  # references llm.similarity in its body
+    h0 = registry.query_hash(name)
+    # Simulate a helper edit by poisoning the module-hash cache entry the
+    # way a real file change would alter it.
+    key = "ab_inbev_big_data_case_spark.llm.similarity"
+    assert key in registry._module_hash_cache or registry._module_file_hash(key)
+    monkeypatch.setitem(registry._module_hash_cache, key, "0" * 64)
+    h1 = registry.query_hash(name)
+    assert h0 != h1

@@ -76,6 +76,9 @@ def main() -> int:
     registry.load_all()
     n_queries = len(registry.QUERIES)
     n_oracles = len(registry.ORACLE)
+    changed = sorted(registry.changed_since_checked())
+    window = set(registry._CHECK_FIRST)
+    changed_outside = [n for n in changed if n not in window]
     record["gates"]["registry"] = {
         "queries": n_queries,
         "oracles": n_oracles,
@@ -83,6 +86,12 @@ def main() -> int:
         "check_first": len(registry._CHECK_FIRST),
         "staged_next": len(registry._STAGED_NEXT),
         "expected": args.expect_queries,
+        # VERDICT r11 item 1: every changed-since-last-driver-check name
+        # must be inside the upcoming driver window, or the close is red
+        # (a changed name outside the window means never+changed overflow
+        # the 50 slots — shrink the round's additions).
+        "changed_since_checked": changed,
+        "changed_outside_window": changed_outside,
         # ADVICE r8: green must be explicit — count pinned to the frozen
         # registry size, every query oracle-backed, full driver window.
         "green": (
@@ -90,6 +99,7 @@ def main() -> int:
             and n_oracles == n_queries
             and len(registry._CHECK_FIRST)
             == min(registry._WINDOW_SIZE, n_queries)
+            and not changed_outside
         ),
     }
 
