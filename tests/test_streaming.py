@@ -776,3 +776,122 @@ def test_chained_window_stream_equals_batch(spark, sf_dir, tmp_path_factory):
         for r in QUERIES["chained_window_daily_peak"](spark, sf_dir).collect()
     )
     assert live == want and len(want) > 0
+
+
+def test_checkpoint_recovery_windowed_agg(spark, sf_dir, tmp_path_factory):
+    """Checkpoint recovery — the first production failure a real user hits
+    (VERDICT r11 item 6): a watermarked append-mode windowed aggregation is
+    STOPPED mid-feed (after ≥2 micro-batches, with unconsumed data still
+    arriving), then restarted from the same checkpoint directory. The
+    recovered run must pick up source offsets, window partials, and the
+    watermark from the checkpoint so the union of everything the sink ever
+    received equals the batch twin exactly — no duplicated windows, no lost
+    ones, including windows whose rows straddle the stop/restart boundary."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import timedelta
+
+    from ab_inbev_big_data_case_spark.streaming.jobs import (
+        stream_to_parquet_checkpointed,
+    )
+
+    e = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    rows = e.orderBy("ts").collect()
+    max_ts = rows[-1]["ts"]
+    sentinel = [(max_ts + timedelta(days=30), "__sentinel", 0.0)]
+
+    base = tmp_path_factory.mktemp("ckpt_recovery")
+    feed, out, ckpt = str(base / "feed"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(feed)
+    t0 = _time.time() - 1000
+
+    # 3 time-ordered thirds + a far-future sentinel that closes every real
+    # window (append mode emits a window only once the watermark passes it)
+    n = len(rows)
+    chunks = [
+        rows[: n // 3],
+        rows[n // 3 : 2 * n // 3],
+        rows[2 * n // 3 :],
+        [spark.createDataFrame(sentinel, e.schema).first()],
+    ]
+
+    def land(i: int) -> None:
+        spark.createDataFrame(chunks[i], e.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(base / f"b{i}"))
+        src = glob.glob(str(base / f"b{i}" / "part-*.parquet"))[0]
+        dst = os.path.join(feed, f"{i:02d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        cents = (
+            F.round(F.col("value").cast("decimal(18,6)"), 2) * 100
+        ).cast("long")
+        agg = tumbling_agg(
+            stream.withWatermark("ts", "1 hour"),
+            "ts",
+            "1 day",
+            ["event_type"],
+            [
+                F.count("*").alias("n_events"),
+                F.sum(cents).cast("long").alias("cents"),
+            ],
+        )
+        return stream_to_parquet_checkpointed(agg, out, ckpt)
+
+    # ---- run 1: two micro-batches land, then the query is stopped while
+    # the rest of the feed is still outstanding
+    land(0)
+    land(1)
+    q1 = start_query()
+    q1.processAllAvailable()
+    assert q1.lastProgress["batchId"] >= 1, "need >=2 micro-batches pre-kill"
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # ---- data keeps arriving while the query is down
+    land(2)
+    land(3)
+
+    # ---- run 2: same checkpoint dir — must resume offsets + window state
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__sentinel")
+        .select("window_start", "window_end", "event_type", "n_events", "cents")
+        .collect()
+    )
+    # no duplicate window emission across the stop/restart boundary
+    keys = [(r["window_start"], r["event_type"]) for r in got]
+    assert len(keys) == len(set(keys)), "duplicate windows after recovery"
+
+    cents_b = (
+        F.round(F.col("value").cast("decimal(18,6)"), 2) * 100
+    ).cast("long")
+    want = tumbling_agg(
+        e,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.sum(cents_b).cast("long").alias("cents"),
+        ],
+    ).collect()
+    cols = ["window_start", "window_end", "event_type", "n_events", "cents"]
+    assert sorted(tuple(r[c] for c in cols) for r in got) == sorted(
+        tuple(r[c] for c in cols) for r in want
+    )
+    assert len(got) > 0
