@@ -259,17 +259,44 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # CORRECTNESS file) and COMPARED at every ``load_all()``: a name whose
 # current hash differs from its recorded hash outranks every unchanged
 # green in the next driver window (bucket 1 in ``_derive_order``).
+#
+# Granularity: SYMBOL-level. A query's hash folds in the transitive source
+# closure of exactly the engine helpers it references (via module-top or
+# function-local imports), so editing ``ivf_assign`` re-flags the IVF
+# family without flooding the window with every query that merely shares
+# the helper FILE. Whole-module hashes are the fallback only when a
+# reference can't be resolved to a named top-level definition.
 
-_HASHES_PATH = os.path.join(_REPO_ROOT, "QUERY_HASHES.json")
+_PKG = "ab_inbev_big_data_case_spark"
+_WORD_RE_CACHE: dict[str, re.Pattern] = {}
 
-# Engine-helper modules referenced inside a query function body (the repo
-# convention is function-local ``from ab_inbev_big_data_case_spark.x import
-# y``); their FILE content is folded into the query's hash so a helper
-# rewrite (the r11 case: llm/similarity.py under semdedup_corpus) marks
-# every query built on it as changed.
-_HELPER_RE = re.compile(r"ab_inbev_big_data_case_spark(?:\.\w+)+")
 
-_module_hash_cache: dict[str, str] = {}
+def _word_re(name: str) -> re.Pattern:
+    r = _WORD_RE_CACHE.get(name)
+    if r is None:
+        r = _WORD_RE_CACHE[name] = re.compile(rf"\b{re.escape(name)}\b")
+    return r
+
+
+def _code_only(src: str) -> str:
+    """Source with comments and string literals (docstrings, SQL, labels)
+    blanked — dependency detection must see CODE references only, or every
+    docstring cross-mention ("read this beside cosine_topk") becomes a
+    false dependency edge. Hashing still uses the FULL source."""
+    import io
+    import tokenize
+
+    out = []
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type not in (tokenize.COMMENT, tokenize.STRING):
+                out.append(tok.string)
+    except (tokenize.TokenizeError, IndentationError, SyntaxError):
+        return src  # fall back to full source (conservative: more deps)
+    return " ".join(out)
+
+
+_module_hash_cache: dict[str, str | None] = {}
 
 
 def _module_file_hash(dotted: str) -> str | None:
@@ -284,21 +311,133 @@ def _module_file_hash(dotted: str) -> str | None:
     return h
 
 
+# module -> {"defs": {name: source_segment}, "imports": {local: (module, orig|None)}}
+_module_info_cache: dict[str, dict] = {}
+
+
+def _module_info(module: str) -> dict:
+    info = _module_info_cache.get(module)
+    if info is not None:
+        return info
+    import ast
+
+    info = {"defs": {}, "imports": {}}
+    path = os.path.join(_REPO_ROOT, *module.split(".")) + ".py"
+    try:
+        text = open(path).read()
+        tree = ast.parse(text)
+    except (OSError, SyntaxError):
+        _module_info_cache[module] = info
+        return info
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            info["defs"][node.name] = ast.get_source_segment(text, node) or ""
+        elif isinstance(node, ast.Assign):
+            seg = ast.get_source_segment(text, node) or ""
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    info["defs"][t.id] = seg
+        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(_PKG):
+            for alias in node.names:
+                info["imports"][alias.asname or alias.name] = (node.module, alias.name)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(_PKG):
+                    # ``import pkg.x as y``: attribute access is not resolved
+                    # per-symbol -> whole-module fallback
+                    info["imports"][alias.asname or alias.name.split(".")[0]] = (
+                        alias.name,
+                        None,
+                    )
+    _module_info_cache[module] = info
+    return info
+
+
+_symbol_hash_cache: dict[tuple[str, str], str] = {}
+
+
+def _symbol_hash(module: str, name: str | None, stack: frozenset = frozenset()) -> str:
+    """Content hash of one engine symbol: its top-level source segment plus
+    the hashes of every symbol it references (same module or imported),
+    transitively. ``name=None`` or an unresolvable name hashes the whole
+    module file (conservative fallback)."""
+    key = (module, name or "")
+    if key in _symbol_hash_cache:
+        return _symbol_hash_cache[key]
+    if key in stack:  # recursion cycle: the cycle members hash each other's
+        return "cycle"  # sources via the non-cyclic parts; marker is enough
+    info = _module_info(module)
+    src = info["defs"].get(name) if name else None
+    if src is None:
+        h = _module_file_hash(module) or ""
+        _symbol_hash_cache[key] = h
+        return h
+    stack = stack | {key}
+    code = _code_only(src)
+    parts = [src]
+    for dep, dep_src in info["defs"].items():
+        if dep != name and _word_re(dep).search(code):
+            parts.append(dep + "=" + _symbol_hash(module, dep, stack))
+    for local, (mod2, orig) in info["imports"].items():
+        if _word_re(local).search(code):
+            parts.append(local + "=" + _symbol_hash(mod2, orig, stack))
+    h = hashlib.sha256("\x00".join(parts).encode()).hexdigest()
+    _symbol_hash_cache[key] = h
+    return h
+
+
+def _fn_engine_deps(fn) -> list[tuple[str, str | None]]:
+    """(module, symbol) pairs a query function references: function-local
+    ``from pkg.x import y`` statements (AST of the function source) plus
+    module-top imports of its defining module whose local name appears in
+    the function body."""
+    import ast
+    import textwrap
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return []
+    deps: set[tuple[str, str | None]] = set()
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        tree = None
+    if tree is not None:
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.ImportFrom)
+                and node.module
+                and node.module.startswith(_PKG)
+            ):
+                for alias in node.names:
+                    deps.add((node.module, alias.name))
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(_PKG):
+                        deps.add((alias.name, None))
+    code = _code_only(src)
+    for local, (mod2, orig) in _module_info(
+        getattr(fn, "__module__", "") or ""
+    )["imports"].items():
+        if _word_re(local).search(code):
+            deps.add((mod2, orig))
+    return sorted(deps, key=lambda t: (t[0], t[1] or ""))
+
+
 def query_hash(name: str) -> str:
     """Content hash of a registered query: its function source, its oracle
-    SQL, and the file hash of every engine module its body references.
-    Comment-only edits DO change the hash — conservative by design (a
-    spurious re-check is cheap; a missed one is the r11 gap)."""
+    SQL, and the transitive symbol-closure hash of every engine helper it
+    references. Comment-only edits DO change the hash — conservative by
+    design (a spurious re-check is cheap; a missed one is the r11 gap)."""
     fn = getattr(QUERIES[name], "__wrapped__", QUERIES[name])
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = ""
     parts = [src, ORACLE.get(name, "")]
-    for dotted in sorted(set(_HELPER_RE.findall(src))):
-        mh = _module_file_hash(dotted)
-        if mh:
-            parts.append(f"{dotted}={mh}")
+    for module, symbol in _fn_engine_deps(fn):
+        parts.append(f"{module}:{symbol}={_symbol_hash(module, symbol)}")
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 

@@ -146,3 +146,35 @@ def test_interval_join_value_rounding_decimal_discipline(spark, sf_dir):
             .quantize(Decimal("1E-2"), rounding=ROUND_HALF_UP)
         )
         assert r["purchase_value_r"] == want
+
+
+# ---------------------------------- capped-nlist IVF regime (r11 item 8)
+
+
+def test_capped_centroid_modulus_arithmetic(spark):
+    """m = max(⌊√N⌋, ⌈N/cap⌉): the cap must bind when √N > cap and be a
+    no-op when √N ≤ cap."""
+    from ab_inbev_big_data_case_spark.llm.similarity import (
+        capped_centroid_modulus,
+        sqrt_centroid_modulus,
+    )
+
+    df = spark.range(10_000)  # √N = 100
+    assert sqrt_centroid_modulus(df) == 100
+    assert capped_centroid_modulus(df, nlist_cap=16) == 625  # ceil(1e4/16)
+    assert capped_centroid_modulus(df, nlist_cap=65536) == 100  # cap idle
+
+
+def test_ivf_balance_report_regimes(spark, sf_dir):
+    """The two regime rows must describe the same corpus (equal n_vecs);
+    the capped regime has ≤ cap cells and a per-probe cost at least the
+    √N regime's (bigger cells are the price of a linear assignment)."""
+    rows = {
+        r["regime"]: r
+        for r in QUERIES["ivf_balance_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"sqrt", "capped16"}
+    s, c = rows["sqrt"], rows["capped16"]
+    assert s["n_vecs"] == c["n_vecs"] > 0
+    assert c["n_cells"] <= 16 < s["n_cells"]
+    assert c["exp_probe_cost_r"] >= s["exp_probe_cost_r"]
