@@ -2384,9 +2384,19 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS band_sig
         FROM sig GROUP BY 1, 2
     ),
+    -- per-bucket occupancy cap (r12): a band bucket with > 64 occupants is
+    -- boilerplate pooling, not near-dup signal, and its occupancy^2 pair
+    -- fan-out is the quadratic term the sf10 audit measured (95x candidate
+    -- growth for 10x docs). Mirrors max_bucket_occupancy=64 in the engine.
+    bsize AS (SELECT band, band_sig, count(*) AS n_occ FROM bands GROUP BY 1, 2),
+    kept_bands AS (
+        SELECT b.doc_id, b.band, b.band_sig
+        FROM bands b JOIN bsize z ON z.band = b.band AND z.band_sig = b.band_sig
+        WHERE z.n_occ BETWEEN 2 AND 64
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -2449,7 +2459,18 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = shingle_set(exact, "doc_id", "text", 3).localCheckpoint(eager=False)
     sig = minhash_signatures_wide(sh, "doc_id", 8)
-    cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    # occupancy cap 64 (r12): bucket occupancy grows ~linearly in corpus
+    # size once content density saturates, so UNCAPPED pair fan-out is
+    # quadratic — the sf1->sf10 audit measured 101k -> 9.7M candidates
+    # (95x for 10x docs) and a 13.1x wall. The cap bounds per-bucket pairs
+    # at occ*64 = linear; mega-buckets carry boilerplate, not near-dup
+    # signal (llm/dedup.py pairs_within_groups doc). Mirrored in the
+    # oracle's kept_bands CTE.
+    cand = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=64,
+    )
     # candidate-driven exact verify (r6): LINEAR in candidates — the old
     # corpus-wide ngram_jaccard_pairs + semi-join computed Σdf² regardless
     from ab_inbev_big_data_case_spark.llm.dedup import jaccard_verify_candidates
