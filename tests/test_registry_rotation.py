@@ -195,17 +195,20 @@ def test_changed_since_checked_detects_live_edits():
             )
 
 
-def test_query_hash_tracks_helper_module_content(tmp_path, monkeypatch):
+def test_query_hash_tracks_helper_symbol_content(monkeypatch):
     """The r11 gap case: a query whose BODY references an engine helper
-    module must change hash when that module's file changes, even if the
-    query function source is untouched."""
+    must change hash when that helper's source changes, even if the query
+    function source is untouched. semdedup_corpus imports semdedup_cells
+    from llm.similarity inside its body; poisoning that symbol's closure
+    hash (what a real edit to the function would do) must flow through."""
     registry.load_all()
-    name = "semdedup_corpus"  # references llm.similarity in its body
+    name = "semdedup_corpus"
+    fn = getattr(registry.QUERIES[name], "__wrapped__")
+    deps = registry._fn_engine_deps(fn)
+    key = ("ab_inbev_big_data_case_spark.llm.similarity", "semdedup_cells")
+    assert key in [(m, s) for m, s in deps], deps
     h0 = registry.query_hash(name)
-    # Simulate a helper edit by poisoning the module-hash cache entry the
-    # way a real file change would alter it.
-    key = "ab_inbev_big_data_case_spark.llm.similarity"
-    assert key in registry._module_hash_cache or registry._module_file_hash(key)
-    monkeypatch.setitem(registry._module_hash_cache, key, "0" * 64)
+    registry._symbol_hash(*key)  # ensure the cache entry exists, then poison
+    monkeypatch.setitem(registry._symbol_hash_cache, key, "0" * 64)
     h1 = registry.query_hash(name)
     assert h0 != h1
