@@ -292,15 +292,32 @@ def main() -> None:
     timings: dict[str, float] = {}
     pin_samples: dict[str, list[float]] = {}
     try:
-        for name in HEADLINE:
+        for qi, name in enumerate(HEADLINE):
             fn = QUERIES[name]
             samples = []
-            for _ in range(n_runs):
-                t0 = time.time()
-                # count() forces full execution, no driver-side row transfer
-                fn(spark, sf_dir).count()
-                samples.append(time.time() - t0)
-                if arm and name in arm.queries:
+            for run in range(n_runs):
+                # ORDER-FAIR alternation (r12): which arm runs first flips
+                # with (query_index + run) parity. Rehearsals showed the
+                # second-to-run arm can eat a multi-second transient (JVM/
+                # Python-worker state after the warm phase) on a random
+                # handful of queries; a fixed head-first order credited all
+                # of it to the pin and flattered the ratio (measured 0.80
+                # vs 0.89 on back-to-back runs). Alternating parity puts
+                # the transient on both arms equally often, so medians
+                # cancel it.
+                head_first = (qi + run) % 2 == 0
+                do_pin = arm and name in arm.queries
+
+                def time_head() -> None:
+                    t0 = time.time()
+                    # count() forces full execution, no driver-side rows
+                    fn(spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+
+                def time_pin():
+                    nonlocal arm
+                    if not do_pin:
+                        return
                     try:
                         r = arm.ask({"cmd": "time", "name": name, "dir": sf_dir})
                         pin_samples.setdefault(name, []).append(r["sec"])
@@ -311,6 +328,13 @@ def main() -> None:
                         )
                         arm_handle.close()  # don't orphan the pinned JVM
                         arm = None
+
+                if head_first:
+                    time_head()
+                    time_pin()
+                else:
+                    time_pin()
+                    time_head()
             timings[name] = round(sorted(samples)[len(samples) // 2], 3)
     finally:
         if arm_handle:
