@@ -2740,3 +2740,152 @@ def tail_dependence_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lambda_u_r"),
         )
     )
+
+
+# --------------------------------------- Brier score: Murphy decomposition
+
+# Murphy (1973) 3-term decomposition of the Brier score for the same
+# scaled-value-as-purchase-probability forecaster reliability_calibration_
+# bins audits: BS_binned = REL - RES + UNC, where REL penalizes
+# miscalibration of the binned forecasts, RES rewards bins that separate
+# outcomes, and UNC = base-rate variance is the floor no forecaster can
+# beat without information. Reported beside the RAW (unbinned) Brier so
+# the binning loss is visible.
+_BRIER_BINS = 10
+
+_BRIER_SQL = f"""
+    WITH lab AS (
+        SELECT least(CAST(floor(value / 490.02 * {_BRIER_BINS}) AS BIGINT),
+                     {_BRIER_BINS - 1}) AS bin,
+               CAST(floor(value / 490.02 * 1000000 + 0.5) AS BIGINT) AS conf_u,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    cells AS (
+        SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+               sum(conf_u)::HUGEINT AS s_cu
+        FROM lab GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS n_all, sum(pos)::BIGINT AS p_all,
+               sum(conf_u::HUGEINT * conf_u) AS s_cu2,
+               sum(conf_u * pos)::HUGEINT AS s_cupos
+        FROM lab
+    ),
+    terms AS (
+        SELECT t.n_all, t.p_all,
+               (t.s_cu2::DOUBLE / 1e12
+                - 2.0 * t.s_cupos::DOUBLE / 1e6
+                + t.p_all::DOUBLE) / t.n_all::DOUBLE AS brier_raw,
+               sum(c.n::DOUBLE
+                   * pow(c.s_cu::DOUBLE / c.n::DOUBLE / 1e6
+                         - c.n_pos::DOUBLE / c.n::DOUBLE, 2))
+                   / t.n_all::DOUBLE AS rel,
+               sum(c.n::DOUBLE
+                   * pow(c.n_pos::DOUBLE / c.n::DOUBLE
+                         - t.p_all::DOUBLE / t.n_all::DOUBLE, 2))
+                   / t.n_all::DOUBLE AS res,
+               (t.p_all::DOUBLE / t.n_all::DOUBLE)
+                   * (1.0 - t.p_all::DOUBLE / t.n_all::DOUBLE) AS unc
+        FROM cells c CROSS JOIN tot t
+        GROUP BY 1, 2, 3, 6
+    )
+    SELECT n_all, p_all,
+           round(brier_raw, 6) AS brier_raw_r,
+           round(rel, 6) AS reliability_r,
+           round(res, 6) AS resolution_r,
+           round(unc, 6) AS uncertainty_r,
+           round(rel - res + unc, 6) AS brier_binned_r
+    FROM terms
+"""
+
+
+@register("brier_decomposition", oracle=_BRIER_SQL)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) Brier-score decomposition BS = REL − RES + UNC for the
+    scaled event value read as a purchase probability — the proper-scoring
+    companion to ``reliability_calibration_bins`` (ECE reports the average
+    calibration gap; the decomposition says how much of the total loss is
+    miscalibration vs missing resolution vs irreducible base-rate
+    variance). The raw unbinned Brier rides along so the binning loss is
+    itself visible.
+
+    Exactness: confidences quantize to micro-unit integers BEFORE any sum
+    (the reliability_calibration_bins discipline); the raw-Brier cross
+    moments (Σc², Σc·y) accumulate in DECIMAL(38,0)/HUGEINT so engine
+    summation order is moot; only the final per-bin ratios are double,
+    through identical IEEE trees.
+
+    Scale shape: one pushed-down events scan feeding BOTH the 10-cell bin
+    aggregate and the 1-row global moment aggregate (combinable, no
+    shuffle wider than 10 keys); the decomposition itself is arithmetic
+    over a broadcast 10-row × 1-row join."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    scale = 490.02  # fixture value-domain max: scores scale to [0, 1]
+    lab = e.select(
+        F.least(
+            F.floor(F.col("value") / scale * _BRIER_BINS).cast("long"),
+            F.lit(_BRIER_BINS - 1),
+        ).alias("bin"),
+        F.floor(F.col("value") / scale * 1000000 + 0.5)
+        .cast("long")
+        .alias("conf_u"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    d38 = "decimal(38,0)"
+    cells = lab.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("conf_u").cast(d38)).alias("s_cu"),
+    )
+    tot = lab.agg(
+        F.count("*").alias("n_all"),
+        F.sum("pos").cast("long").alias("p_all"),
+        F.sum(F.col("conf_u").cast(d38) * F.col("conf_u")).alias("s_cu2"),
+        F.sum(F.col("conf_u").cast(d38) * F.col("pos")).alias("s_cupos"),
+    )
+    nb = F.col("n").cast("double")
+    conf_bar = F.col("s_cu").cast("double") / nb / 1e6
+    acc = F.col("n_pos").cast("double") / nb
+    ybar = F.col("p_all").cast("double") / F.col("n_all").cast("double")
+    terms = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy(
+            "n_all",
+            "p_all",
+            (
+                (
+                    F.col("s_cu2").cast("double") / 1e12
+                    - 2.0 * F.col("s_cupos").cast("double") / 1e6
+                    + F.col("p_all").cast("double")
+                )
+                / F.col("n_all").cast("double")
+            ).alias("brier_raw"),
+            (ybar * (1.0 - ybar)).alias("unc"),
+        )
+        .agg(
+            F.sum(nb * F.pow(conf_bar - acc, 2)).alias("rel_num"),
+            F.sum(nb * F.pow(acc - ybar, 2)).alias("res_num"),
+        )
+        .select(
+            "n_all",
+            "p_all",
+            "brier_raw",
+            "unc",
+            (F.col("rel_num") / F.col("n_all").cast("double")).alias("rel"),
+            (F.col("res_num") / F.col("n_all").cast("double")).alias("res"),
+        )
+    )
+    return terms.select(
+        F.col("n_all").cast("long").alias("n_all"),
+        F.col("p_all").cast("long").alias("p_all"),
+        F.round("brier_raw", 6).alias("brier_raw_r"),
+        F.round("rel", 6).alias("reliability_r"),
+        F.round("res", 6).alias("resolution_r"),
+        F.round("unc", 6).alias("uncertainty_r"),
+        F.round(F.col("rel") - F.col("res") + F.col("unc"), 6).alias(
+            "brier_binned_r"
+        ),
+    )

@@ -5468,3 +5468,313 @@ def ols_influence_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cooks_d_r").desc(), "day")
         .limit(10)
     )
+
+
+# ------------------------------------------------- RANSAC robust line fit
+
+# Deterministic RANSAC (Fischler & Bolles 1981) over the daily
+# revenue-vs-order-count spine. Classic RANSAC samples point pairs with an
+# RNG; an engine-portable variant ranks points by a salted content hash
+# (the deterministic_sample discipline) so BOTH engines draw the SAME 16
+# seed points, pair them into 8 candidate lines, and vote with the same
+# inlier margin. All votes for all candidates come out of ONE pass over the
+# spine against a broadcast 8-row model table.
+_RANSAC_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               count(*)::BIGINT AS x,
+               sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) * 100
+                        AS BIGINT))::BIGINT AS y_c
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS n_days, sum(y_c)::BIGINT AS s_y FROM daily
+    ),
+    seeds AS (
+        SELECT x, y_c,
+               row_number() OVER (
+                   ORDER BY ('0x' || substr(sha256('ransac-' || d::VARCHAR),
+                                            1, 15))::BIGINT, d
+               ) AS rn
+        FROM daily
+        QUALIFY rn <= 16
+    ),
+    models AS (
+        SELECT CAST(floor((rn - 1) / 2.0) AS BIGINT) AS model_id,
+               max(CASE WHEN rn % 2 = 1 THEN x END) AS x1,
+               max(CASE WHEN rn % 2 = 1 THEN y_c END) AS y1,
+               max(CASE WHEN rn % 2 = 0 THEN x END) AS x2,
+               max(CASE WHEN rn % 2 = 0 THEN y_c END) AS y2
+        FROM seeds GROUP BY 1
+    ),
+    lines AS (
+        SELECT model_id,
+               (y2 - y1)::DOUBLE / (x2 - x1)::DOUBLE AS a,
+               y1::DOUBLE - (y2 - y1)::DOUBLE / (x2 - x1)::DOUBLE
+                   * x1::DOUBLE AS b
+        FROM models WHERE x1 <> x2
+    ),
+    marked AS (
+        SELECT dy.x, dy.y_c,
+               0.20 * (t.s_y::DOUBLE / t.n_days::DOUBLE) AS marg
+        FROM daily dy CROSS JOIN tot t
+    ),
+    votes AS (
+        SELECT l.model_id, l.a, l.b,
+               count(*) FILTER (
+                   WHERE abs(dy.y_c::DOUBLE - (l.a * dy.x::DOUBLE + l.b))
+                         <= dy.marg
+               )::BIGINT AS n_inliers
+        FROM lines l CROSS JOIN marked dy
+        GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT model_id, a, b, n_inliers
+        FROM votes ORDER BY n_inliers DESC, model_id LIMIT 1
+    ),
+    refit AS (
+        SELECT best.model_id, best.n_inliers,
+               best.a AS cand_a, best.b AS cand_b,
+               count(*)::HUGEINT AS m,
+               sum(dy.x)::HUGEINT AS sx, sum(dy.y_c)::HUGEINT AS sy,
+               sum(dy.x::HUGEINT * dy.x) AS sxx,
+               sum(dy.x::HUGEINT * dy.y_c) AS sxy
+        FROM best CROSS JOIN marked dy
+        WHERE abs(dy.y_c::DOUBLE - (best.a * dy.x::DOUBLE + best.b))
+              <= dy.marg
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT r.model_id AS best_model,
+           r.n_inliers,
+           round(r.n_inliers::DOUBLE / t.n_days, 6) AS inlier_frac_r,
+           round(r.cand_a / 100, 4) AS cand_slope_r,
+           round(r.cand_b / 100, 2) AS cand_intercept_r,
+           round((r.m * r.sxy - r.sx * r.sy)::DOUBLE
+                 / (r.m * r.sxx - r.sx * r.sx)::DOUBLE / 100, 4)
+               AS refit_slope_r,
+           round((r.sy::DOUBLE - (r.m * r.sxy - r.sx * r.sy)::DOUBLE
+                  / (r.m * r.sxx - r.sx * r.sx)::DOUBLE * r.sx::DOUBLE)
+                 / r.m::DOUBLE / 100, 2) AS refit_intercept_r
+    FROM refit r CROSS JOIN tot t
+"""
+
+
+@register("ransac_line_fit", oracle=_RANSAC_SQL)
+def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANSAC (Fischler & Bolles 1981): robust slope of daily
+    revenue on daily order count, immune to the outlier days OLS tilts
+    toward (``ols_influence_cooks_distance`` DIAGNOSES those days; RANSAC
+    simply outvotes them). RNG sampling is replaced by a salted-hash rank
+    (the ``deterministic_sample`` discipline) so the 16 seed points — hence
+    the 8 candidate lines and the final fit — are identical on any engine,
+    any cluster, any partition layout. Degenerate candidates (equal x)
+    are dropped; the margin is relative (20% of mean daily revenue) so the
+    same query is meaningful at every SF.
+
+    Exactness: revenue is quantized to integer cents BEFORE any sum (the
+    granger/chow moment discipline) so seed coordinates, candidate
+    parameters, inlier predicates, and the inlier-refit normal equations
+    are all derived from exact integers through identical IEEE trees; the
+    refit moments accumulate in DECIMAL(38,0)/HUGEINT.
+
+    Scale shape: one fact pass to the calendar-bounded daily spine; seed
+    selection is a global top-16 (tiny ordered limit); the 8-row model
+    table broadcasts against the spine so ALL candidates are scored in one
+    map-side pass (8·N predicate evaluations, one 8-key combinable agg);
+    the winner's refit is one more moment aggregate. Nothing scales worse
+    than the spine itself."""
+    from ab_inbev_big_data_case_spark.functions.text import token_hash64
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("x"),
+        F.sum(
+            (F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2) * 100)
+            .cast("long")
+        ).alias("y_c"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n_days"), F.sum("y_c").alias("s_y")
+    )
+    w = Window.orderBy(
+        token_hash64(F.concat(F.lit("ransac-"), F.col("d").cast("string"))),
+        "d",
+    )
+    seeds = (
+        daily.select("d", "x", "y_c", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 16)
+    )
+    models = seeds.groupBy(
+        # floor, not bare cast: Spark's double->long cast truncates while
+        # DuckDB's rounds (the conf_u quantizer lesson) -- an explicit
+        # floor() is the only pairing both engines agree on.
+        F.floor((F.col("rn") - 1) / 2.0).cast("long").alias("model_id")
+    ).agg(
+        F.max(F.when(F.col("rn") % 2 == 1, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("rn") % 2 == 1, F.col("y_c"))).alias("y1"),
+        F.max(F.when(F.col("rn") % 2 == 0, F.col("x"))).alias("x2"),
+        F.max(F.when(F.col("rn") % 2 == 0, F.col("y_c"))).alias("y2"),
+    )
+    slope = (F.col("y2") - F.col("y1")).cast("double") / (
+        F.col("x2") - F.col("x1")
+    ).cast("double")
+    lines = models.filter(F.col("x1") != F.col("x2")).select(
+        "model_id",
+        slope.alias("a"),
+        (
+            F.col("y1").cast("double")
+            - slope * F.col("x1").cast("double")
+        ).alias("b"),
+    )
+    margin = 0.20 * (
+        F.col("s_y").cast("double") / F.col("n_days").cast("double")
+    )
+    scored = (
+        F.broadcast(lines)
+        .crossJoin(daily.select("x", "y_c"))
+        .crossJoin(F.broadcast(tot))
+    )
+    inlier = (
+        F.abs(
+            F.col("y_c").cast("double")
+            - (F.col("a") * F.col("x").cast("double") + F.col("b"))
+        )
+        <= margin
+    )
+    votes = scored.groupBy("model_id", "a", "b").agg(
+        F.sum(inlier.cast("long")).alias("n_inliers")
+    )
+    best = votes.orderBy(F.col("n_inliers").desc(), "model_id").limit(1)
+    d38 = "decimal(38,0)"
+    refit = (
+        F.broadcast(best)
+        .crossJoin(daily.select("x", "y_c"))
+        .crossJoin(F.broadcast(tot))
+        .filter(inlier)
+        .groupBy(
+            F.col("model_id"),
+            F.col("n_inliers"),
+            F.col("a").alias("cand_a"),
+            F.col("b").alias("cand_b"),
+        )
+        .agg(
+            F.count("*").cast(d38).alias("m"),
+            F.sum(F.col("x").cast(d38)).alias("sx"),
+            F.sum(F.col("y_c").cast(d38)).alias("sy"),
+            F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast(d38) * F.col("y_c")).alias("sxy"),
+        )
+    )
+    rslope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return refit.crossJoin(F.broadcast(tot)).select(
+        F.col("model_id").alias("best_model"),
+        F.col("n_inliers").cast("long").alias("n_inliers"),
+        F.round(
+            F.col("n_inliers").cast("double") / F.col("n_days"), 6
+        ).alias("inlier_frac_r"),
+        F.round(F.col("cand_a") / 100, 4).alias("cand_slope_r"),
+        F.round(F.col("cand_b") / 100, 2).alias("cand_intercept_r"),
+        F.round(rslope / 100, 4).alias("refit_slope_r"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - rslope * F.col("sx").cast("double")
+            )
+            / F.col("m").cast("double")
+            / 100,
+            2,
+        ).alias("refit_intercept_r"),
+    )
+
+
+# ---------------------------------------------- Fleiss' kappa (m raters)
+
+# Inter-rater agreement for the 4-rater curation ensemble: each document is
+# "rated" keep/drop by 4 independent rule filters (the same gates
+# curation_ensemble_votes tallies), and Fleiss' kappa (1971) asks how much
+# the raters agree BEYOND the agreement their marginal keep-rates already
+# guarantee by chance. kappa ~ 0 means the filters are redundant coin
+# flips around their base rates; kappa -> 1 means they genuinely co-decide,
+# i.e. majority voting adds little over any single gate.
+_FLEISS_SQL = """
+    WITH votes AS (
+        SELECT (lang IN ('en', 'es'))::BIGINT
+               + (len(string_split(text, ' ')) >= 20)::BIGINT
+               + (len(list_distinct(string_split(text, ' '))) * 10
+                      >= len(string_split(text, ' ')) * 3)::BIGINT
+               + (NOT list_contains(string_split(text, ' '), 'dup'))::BIGINT
+                   AS k
+        FROM documents
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(k)::BIGINT AS s1,
+               sum(k * k + (4 - k) * (4 - k) - 4)::BIGINT AS s2
+        FROM votes
+    ),
+    p AS (
+        SELECT n_docs, s1, s2,
+               s2::DOUBLE / (12.0 * n_docs) AS p_bar,
+               s1::DOUBLE / (4.0 * n_docs) AS p1
+        FROM s
+    )
+    SELECT n_docs,
+           4::BIGINT AS n_raters,
+           round(p1, 6) AS p_pass_r,
+           round(p_bar, 6) AS p_bar_r,
+           round(p1 * p1 + (1 - p1) * (1 - p1), 6) AS p_e_r,
+           round((p_bar - (p1 * p1 + (1 - p1) * (1 - p1)))
+                 / (1 - (p1 * p1 + (1 - p1) * (1 - p1))), 6)
+               AS fleiss_kappa_r
+    FROM p
+"""
+
+
+@register("fleiss_kappa_raters", oracle=_FLEISS_SQL)
+def fleiss_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (1971) over the 4-filter curation ensemble read as 4
+    binary raters per document — the multi-rater generalization of
+    ``lang_id_kappa``'s two-rater Cohen kappa, and the agreement audit
+    behind ``curation_ensemble_votes``: a near-zero kappa says the gates
+    disagree like independent coins (majority voting genuinely arbitrates);
+    a high kappa says they co-decide (the ensemble is redundant).
+
+    Exactness: with m=4 raters and 2 categories, per-item agreement
+    P_i = (k_i^2 + (4-k_i)^2 - 4) / 12 — every numerator is a small
+    integer, so BOTH sums (s1 = Sum k_i, s2 = Sum numerators) are exact
+    int64; kappa is scalar double arithmetic on the one-row panel through
+    an identical IEEE tree in both engines.
+
+    Scale shape: one pushed-down documents scan, per-row integer
+    predicates, ONE combinable global aggregate — no joins, no windows;
+    the same shape at 500 docs and 10^11 docs."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    k = (
+        F.col("lang").isin("en", "es").cast("long")
+        + (F.size(toks) >= 20).cast("long")
+        + (F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 3).cast("long")
+        + (~F.array_contains(toks, "dup")).cast("long")
+    )
+    s = d.select(k.alias("k")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("k").alias("s1"),
+        F.sum(
+            F.col("k") * F.col("k")
+            + (4 - F.col("k")) * (4 - F.col("k"))
+            - 4
+        ).alias("s2"),
+    )
+    p_bar = F.col("s2").cast("double") / (12.0 * F.col("n_docs"))
+    p1 = F.col("s1").cast("double") / (4.0 * F.col("n_docs"))
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    return s.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.lit(4).cast("long").alias("n_raters"),
+        F.round(p1, 6).alias("p_pass_r"),
+        F.round(p_bar, 6).alias("p_bar_r"),
+        F.round(p_e, 6).alias("p_e_r"),
+        F.round((p_bar - p_e) / (1 - p_e), 6).alias("fleiss_kappa_r"),
+    )

@@ -49,6 +49,7 @@ PARTITIONLESS_ALLOWED = {
     "gini_concentration": 1,        # bounded decile spine
     "global_sort": 1,               # explicit total-order contract
     "granger_f_lite": 2,            # daily-spine lag pair (calendar-bounded)
+    "ransac_line_fit": 1,           # daily-spine hash-rank seed pick (r12; calendar-bounded)
     "periodogram_peaks": 3,         # daily-spine t-index + order-less N/mean (r8; r10 sweep widened)
     "bollinger_bands": 3,           # daily-spine 20-day sliding window (r8)
     "anderson_darling_two_sample": 2,  # bounded length-domain ECDF walk (r8)

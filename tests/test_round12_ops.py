@@ -1,180 +1,155 @@
-"""Round-12 invariants: the ADVICE r11 drain (degenerate-input behavior of
-the vectorized similarity kernels, native-dtype id round-trips, pinned-arm
-lifecycle) plus behavioral checks for the round's new operators."""
+"""Behavioral invariants for the round-12 additions — properties the
+DuckDB oracle equality cannot see (brute-force recomputation of the vote
+tally, scoring-rule identities, agreement-statistic bounds), per the
+operator-invariant discipline of test_round10_ops.py / test_round11_ops.py."""
+
+import math
 
 from pyspark.sql import functions as F
 
-from ab_inbev_big_data_case_spark.llm.similarity import (
-    cosine_pairs,
-    cosine_pairs_hof,
-    ivf_assign,
-)
 from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+from ab_inbev_big_data_case_spark.sources.readers import table
 
 load_all()
 
 
-# ---------------------------------- ADVICE r11: degenerate-input guards
+# ------------------------------------------------------- RANSAC line fit
 
 
-def test_cosine_pairs_empty_query_set(spark):
-    """An empty query side must return an empty DataFrame with the declared
-    schema (the hof twin's behavior), not crash on the (nq, dim) unpack."""
-    queries = spark.createDataFrame([], "qid bigint, qv array<float>")
-    cands = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "cid bigint, cv array<float>"
-    )
-    out = cosine_pairs(queries, cands, "qid", "cid", "qv", "cv")
-    assert out.count() == 0
-    assert [f.name for f in out.schema] == ["query_id", "cand_id", "cosine"]
-    # hof twin agrees
-    assert cosine_pairs_hof(queries, cands, "qid", "cid", "qv", "cv").count() == 0
-
-
-def test_ivf_assign_empty_centroid_set(spark):
-    """An empty centroid set must return an empty (vec_id, cell_id) frame
-    with the input id type, not crash on the (n_k, dim) unpack."""
-    df = spark.createDataFrame(
-        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "vid bigint, v array<float>"
-    )
-    out = ivf_assign(df, "vid", "v", centroid_filter=lambda c: c < 0)
-    assert out.count() == 0
-    assert [f.name for f in out.schema] == ["vec_id", "cell_id"]
-    assert out.schema["vec_id"].dataType.simpleString() == "bigint"
-
-
-def test_cosine_pairs_string_ids_native_dtype(spark):
-    """Non-integer id columns must round-trip unchanged through the
-    vectorized kernel (ADVICE r11: the forced int64 coercion would raise
-    or miscast string ids that cosine_pairs_hof handled)."""
-    queries = spark.createDataFrame(
-        [("qa", [1.0, 0.0]), ("qb", [0.0, 1.0])], "qid string, qv array<float>"
-    )
-    cands = spark.createDataFrame(
-        [("qa", [1.0, 0.0]), ("cx", [1.0, 1.0]), ("cy", [0.0, 1.0])],
-        "cid string, cv array<float>",
-    )
-    fast = cosine_pairs(queries, cands, "qid", "cid", "qv", "cv")
-    ref = cosine_pairs_hof(queries, cands, "qid", "cid", "qv", "cv")
-    key = lambda r: (r["query_id"], r["cand_id"])  # noqa: E731
-    f_rows = sorted(fast.collect(), key=key)
-    r_rows = sorted(ref.collect(), key=key)
-    assert [tuple(r) for r in f_rows] == [tuple(r) for r in r_rows]
-    assert {r["query_id"] for r in f_rows} == {"qa", "qb"}
-    # self-pair (qa, qa) excluded on string equality, like the hof filter
-    assert ("qa", "qa") not in {(r["query_id"], r["cand_id"]) for r in f_rows}
-
-
-def test_ivf_assign_string_ids_native_dtype(spark):
-    """ivf_assign with string ids: centroid ids must come back as the same
-    strings with nearest-by-cosine assignment. (The hof twin can't run
-    here — its tie-break negates cell_id, a numeric-only trick — so the
-    vectorized path is checked against a Python-computed expectation.)"""
-    df = spark.createDataFrame(
-        [
-            ("c_0", [1.0, 0.0]),
-            ("c_1", [0.0, 1.0]),
-            ("v_2", [0.9, 0.1]),
-            ("v_3", [0.2, 0.8]),
-            ("v_4", [1.0, 1.0]),  # equidistant: tie goes to min cell id c_0
-        ],
-        "vid string, v array<float>",
-    )
-    flt = lambda c: c.startswith("c_")  # noqa: E731
-    fast = {r["vec_id"]: r["cell_id"] for r in ivf_assign(df, "vid", "v", flt).collect()}
-    assert fast == {
-        "c_0": "c_0",
-        "c_1": "c_1",
-        "v_2": "c_0",
-        "v_3": "c_1",
-        "v_4": "c_0",
-    }
-
-
-# ---------------------------------- ADVICE r11: pinned-arm lifecycle
-
-
-def test_pinned_arm_close_idempotent_and_kills_on_error():
-    """close() must be safe to call twice (degrade path + finally block)
-    and must kill the subprocess when the quit handshake fails."""
-    import bench
-
-    class _FakeProc:
-        def __init__(self):
-            self.killed = 0
-            self.stdin = self
-
-        def write(self, _):
-            raise BrokenPipeError("worker gone")
-
-        def flush(self):
-            pass
-
-        def kill(self):
-            self.killed += 1
-
-    proc = _FakeProc()
-    arm = bench._PinnedArm(proc, "deadbeef")
-    arm.close()
-    assert proc.killed == 1
-    arm.close()  # second close is a no-op, not a second kill
-    assert proc.killed == 1
-
-
-# ---------------------------------- interval-join decimal rounding
-
-
-def test_interval_join_value_rounding_decimal_discipline(spark, sf_dir):
-    """purchase_value_r must equal round(CAST(value AS DECIMAL(18,6)), 2)
-    of the source purchase value — the repo's quantize-before-round
-    discipline (ADVICE r11), immune to binary-double .5-boundary drift."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    from ab_inbev_big_data_case_spark.sources.readers import table
-
-    e = table(spark, sf_dir, "events")
-    src = {
-        r["event_id"]: r["value"]
-        for r in e.filter(F.col("event_type") == "purchase").collect()
-    }
-    out = QUERIES["interval_join_purchase_click"](spark, sf_dir).collect()
-    assert out
-    for r in out[:200]:
-        want = float(
-            Decimal(repr(src[r["purchase_id"]]))
-            .quantize(Decimal("1E-6"), rounding=ROUND_HALF_UP)
-            .quantize(Decimal("1E-2"), rounding=ROUND_HALF_UP)
+def _daily_points(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(
+                (
+                    F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)
+                    * 100
+                ).cast("long")
+            ).alias("y_c"),
         )
-        assert r["purchase_value_r"] == want
-
-
-# ---------------------------------- capped-nlist IVF regime (r11 item 8)
-
-
-def test_capped_centroid_modulus_arithmetic(spark):
-    """m = max(⌊√N⌋, ⌈N/cap⌉): the cap must bind when √N > cap and be a
-    no-op when √N ≤ cap."""
-    from ab_inbev_big_data_case_spark.llm.similarity import (
-        capped_centroid_modulus,
-        sqrt_centroid_modulus,
+        .collect()
     )
 
-    df = spark.range(10_000)  # √N = 100
-    assert sqrt_centroid_modulus(df) == 100
-    assert capped_centroid_modulus(df, nlist_cap=16) == 625  # ceil(1e4/16)
-    assert capped_centroid_modulus(df, nlist_cap=65536) == 100  # cap idle
+
+def test_ransac_best_model_is_brute_force_argmax(spark, sf_dir):
+    """Recompute the whole vote independently: hash-rank the daily points
+    in Python, rebuild the 8 candidate lines, tally inliers per line, and
+    assert the engine's winner IS the argmax (ties to lowest model_id)."""
+    import hashlib
+
+    out = QUERIES["ransac_line_fit"](spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+
+    pts = _daily_points(spark, sf_dir)
+    margin = 0.20 * (sum(p["y_c"] for p in pts) / len(pts))
+
+    def h(d):
+        return int(hashlib.sha256(f"ransac-{d}".encode()).hexdigest()[:15], 16)
+
+    seeds = sorted(pts, key=lambda p: (h(p["d"].isoformat()), p["d"]))[:16]
+    votes = {}
+    lines = {}
+    for mid in range(8):
+        p1, p2 = seeds[2 * mid], seeds[2 * mid + 1]
+        if p1["x"] == p2["x"]:
+            continue
+        a = (p2["y_c"] - p1["y_c"]) / (p2["x"] - p1["x"])
+        b = p1["y_c"] - a * p1["x"]
+        lines[mid] = (a, b)
+        votes[mid] = sum(
+            1 for p in pts if abs(p["y_c"] - (a * p["x"] + b)) <= margin
+        )
+    assert votes, "every candidate degenerate — fixture spine too flat"
+    best = max(votes, key=lambda m: (votes[m], -m))
+    assert row["best_model"] == best
+    assert row["n_inliers"] == votes[best]
+    assert abs(row["cand_slope_r"] - lines[best][0] / 100) < 1e-3
 
 
-def test_ivf_balance_report_regimes(spark, sf_dir):
-    """The two regime rows must describe the same corpus (equal n_vecs);
-    the capped regime has ≤ cap cells and a per-probe cost at least the
-    √N regime's (bigger cells are the price of a linear assignment)."""
-    rows = {
-        r["regime"]: r
-        for r in QUERIES["ivf_balance_report"](spark, sf_dir).collect()
-    }
-    assert set(rows) == {"sqrt", "capped16"}
-    s, c = rows["sqrt"], rows["capped16"]
-    assert s["n_vecs"] == c["n_vecs"] > 0
-    assert c["n_cells"] <= 16 < s["n_cells"]
-    assert c["exp_probe_cost_r"] >= s["exp_probe_cost_r"]
+def test_ransac_refit_runs_through_inliers_only(spark, sf_dir):
+    """The refit line must fit the inlier subset at least as well (SSE)
+    as the raw 2-point candidate line does — OLS on the same subset is
+    the least-squares minimizer by construction."""
+    row = QUERIES["ransac_line_fit"](spark, sf_dir).collect()[0]
+    pts = _daily_points(spark, sf_dir)
+    margin = 0.20 * (sum(p["y_c"] for p in pts) / len(pts))
+    a_c, b_c = row["cand_slope_r"] * 100, row["cand_intercept_r"] * 100
+    inl = [p for p in pts if abs(p["y_c"] - (a_c * p["x"] + b_c)) <= margin]
+    # rounding of cand params can flip boundary points; tolerate 1%
+    assert abs(len(inl) - row["n_inliers"]) <= max(2, len(pts) // 100)
+    a_r, b_r = row["refit_slope_r"] * 100, row["refit_intercept_r"] * 100
+    sse_refit = sum((p["y_c"] - (a_r * p["x"] + b_r)) ** 2 for p in inl)
+    sse_cand = sum((p["y_c"] - (a_c * p["x"] + b_c)) ** 2 for p in inl)
+    assert sse_refit <= sse_cand * (1 + 1e-6)
+    assert 0.0 < row["inlier_frac_r"] <= 1.0
+
+
+# ---------------------------------------------------------- Fleiss' kappa
+
+
+def test_fleiss_kappa_matches_per_category_tally(spark, sf_dir):
+    """Recompute kappa from the raw per-document vote counts using the
+    textbook per-category formula (n_i1, n_i0 tallies) and assert the
+    engine's integer-moment shortcut lands on the same value."""
+    row = QUERIES["fleiss_kappa_raters"](spark, sf_dir).collect()[0]
+    d = table(spark, sf_dir, "documents").select("text", "lang").collect()
+    ks = []
+    for r in d:
+        toks = r["text"].split(" ")
+        k = (
+            int(r["lang"] in ("en", "es"))
+            + int(len(toks) >= 20)
+            + int(len(set(toks)) * 10 >= len(toks) * 3)
+            + int("dup" not in toks)
+        )
+        ks.append(k)
+    n, m = len(ks), 4
+    p1 = sum(ks) / (n * m)
+    p_bar = sum(k * k + (m - k) * (m - k) - m for k in ks) / (n * m * (m - 1))
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert row["n_docs"] == n
+    assert abs(row["fleiss_kappa_r"] - kappa) < 1e-5
+    assert -1.0 <= row["fleiss_kappa_r"] <= 1.0
+    # binned P_i are bounded below by the 2-category floor (k=2: P_i=1/3)
+    assert row["p_bar_r"] >= 1 / 3 - 1e-9
+
+
+# --------------------------------------------------- Brier decomposition
+
+
+def test_brier_decomposition_identity_and_binning_gain(spark, sf_dir):
+    """Two scoring-rule laws: (1) Murphy identity — the Brier score of the
+    BINNED forecaster (each forecast replaced by its bin's mean) equals
+    REL − RES + UNC exactly; (2) conditional-mean binning can only lower
+    the Brier score (convexity), so binned ≤ raw."""
+    row = QUERIES["brier_decomposition"](spark, sf_dir).collect()[0]
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("value", "event_type")
+        .collect()
+    )
+    scale, bins = 490.02, 10
+    cells = {}
+    for r in e:
+        b = min(int(math.floor(r["value"] / scale * bins)), bins - 1)
+        conf = math.floor(r["value"] / scale * 1e6 + 0.5) / 1e6
+        pos = int(r["event_type"] == "purchase")
+        cells.setdefault(b, []).append((conf, pos))
+    n_all = sum(len(v) for v in cells.values())
+    binned_brier = 0.0
+    for v in cells.values():
+        cbar = sum(c for c, _ in v) / len(v)
+        binned_brier += sum((cbar - p) ** 2 for _, p in v)
+    binned_brier /= n_all
+    rel_res_unc = (
+        row["reliability_r"] - row["resolution_r"] + row["uncertainty_r"]
+    )
+    assert abs(binned_brier - rel_res_unc) < 1e-5
+    assert abs(row["brier_binned_r"] - rel_res_unc) < 2e-6
+    assert row["brier_binned_r"] <= row["brier_raw_r"] + 1e-9
+    assert 0.0 <= row["uncertainty_r"] <= 0.25 + 1e-9
