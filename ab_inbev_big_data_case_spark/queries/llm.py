@@ -6682,3 +6682,295 @@ def curation_ensemble_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# ------------------------------------------ PCA top component (power iter)
+
+_PI_DIM = 64
+_PI_SCALE = 1000
+_PI_ITERS = 12
+
+
+def _pi_oracle_sql() -> str:
+    """Unrolled power iteration as chained CTEs (no RNG, no recursion):
+    v_{k+1} = floor(G v_k / max|G v_k| * 1e9 + 0.5). The matvec accumulates
+    in HUGEINT (exact); only the sup-norm normalization divides doubles,
+    and its input integers are identical in both engines."""
+    ctes = [
+        f"""gram AS MATERIALIZED (
+        SELECT t1.i::BIGINT AS i, t2.j::BIGINT AS j,
+               sum(qv[t1.i + 1] * qv[t2.j + 1])::BIGINT AS g
+        FROM (SELECT list_transform(embedding,
+                     v -> floor(v::DOUBLE * {_PI_SCALE}.0 + 0.5)::BIGINT) AS qv
+              FROM embeddings) q,
+             range({_PI_DIM}) t1(i), range({_PI_DIM}) t2(j)
+        GROUP BY 1, 2
+    )""",
+        f"v0 AS MATERIALIZED (SELECT i::BIGINT AS i, 1000000000::BIGINT AS vq "
+        f"FROM range({_PI_DIM}) t(i))",
+    ]
+    for k in range(_PI_ITERS):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT gram.i AS i, sum(gram.g::HUGEINT * v{k}.vq) AS w
+        FROM gram JOIN v{k} ON gram.j = v{k}.i GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""v{k + 1} AS MATERIALIZED (
+        SELECT w{k}.i AS i,
+               floor(w{k}.w::DOUBLE / m.mx::DOUBLE * 1e9 + 0.5)::BIGINT AS vq
+        FROM w{k}, (SELECT max(abs(w)) AS mx FROM w{k}) m
+    )"""
+        )
+    vf = f"v{_PI_ITERS}"
+    return f"""
+    WITH {",".join(ctes)},
+    rq AS (
+        SELECT sum(a.vq::HUGEINT * gram.g * b.vq) AS num
+        FROM gram JOIN {vf} a ON gram.i = a.i JOIN {vf} b ON gram.j = b.i
+    ),
+    den AS (SELECT sum(vq::HUGEINT * vq) AS d2 FROM {vf}),
+    tr AS (SELECT sum(g)::HUGEINT AS t FROM gram WHERE i = j)
+    SELECT {vf}.i::INT AS i,
+           round({vf}.vq::DOUBLE / sqrt(den.d2::DOUBLE), 6) AS loading_r,
+           round(rq.num::DOUBLE / den.d2::DOUBLE / {_PI_SCALE * _PI_SCALE},
+                 4) AS lambda_r,
+           round(rq.num::DOUBLE / den.d2::DOUBLE / tr.t::DOUBLE, 6) AS evr_r
+    FROM {vf}, rq, den, tr
+    ORDER BY i
+    """
+
+
+@register("power_iteration_top_eigen", oracle=_pi_oracle_sql())
+def power_iteration_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding second-moment matrix via
+    12 unrolled power iterations on the FIXED-POINT Gram matrix — the
+    'PCA at 100 TB' recipe: one distributed X'X pass (the
+    ``embedding_gram_matrix`` primitive: per-partition BLAS partials, a
+    dim²-row shuffle) and then dim²-bounded matvec joins that never touch
+    the fact table again. Returns all 64 loadings plus the Rayleigh-
+    quotient eigenvalue and its explained-variance ratio (λ/trace) — the
+    anisotropy direction ``embedding_isotropy_audit`` measures globally,
+    and the first step of the whitening loop.
+
+    Exactness: every matvec accumulates integer products in
+    DECIMAL(38,0)/HUGEINT (vq on a 1e-9 grid, gram_q exact int64), and
+    each iteration renormalizes by the SUP norm then re-quantizes —
+    floor(w/max|w|·1e9 + 0.5) — so both engines carry IDENTICAL integer
+    vectors through all 12 rounds; no float summation-order drift can
+    accumulate. Envelope: |w| ≤ 64·|g|·1e9 needs log₁₀(6.4e10·|g|) < 38
+    digits — |g| < 1e27, i.e. ~10²³ vectors at this scale; the final
+    Rayleigh numerator is the binding term and is documented in the test.
+
+    Scale shape: ONE fact pass (the gram), then 12 joins over 4096-row
+    tables with broadcast 1-row norms — free at any corpus size. The
+    Rayleigh quotient is a certified LOWER bound on λ₁ for any iterate;
+    the invariant test pins the remaining gap against a dense eigensolver
+    on the fixture spectrum, which is near-isotropic (λ₂/λ₁ ≈ 0.93–0.98,
+    power iteration's worst case — real embedding corpora have a dominant
+    anisotropy direction and converge far faster)."""
+    from ab_inbev_big_data_case_spark.llm.similarity import (
+        gram_matrix_fixed_point,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    # localCheckpoint: the gram is re-joined 14 times and each iteration
+    # nests a join+agg inside the last — without cutting lineage, Catalyst
+    # re-analyzes an exponentially growing tree (the ktruss peel lesson).
+    # The checkpointed sets are dim²- and dim-bounded: 4096 and 64 rows.
+    gram = (
+        gram_matrix_fixed_point(e, "embedding", dim=_PI_DIM, scale=_PI_SCALE)
+        .select("i", "j", F.col("gram_q").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    d38 = "decimal(38,0)"
+    v = spark.range(_PI_DIM).select(
+        F.col("id").alias("i"), F.lit(1000000000).cast("long").alias("vq")
+    )
+    for _ in range(_PI_ITERS):
+        w = (
+            gram.join(v.select(F.col("i").alias("j"), "vq"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g").cast(d38) * F.col("vq")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                "i",
+                F.floor(
+                    F.col("w").cast("double") / F.col("mx").cast("double")
+                    * 1e9
+                    + 0.5
+                )
+                .cast("long")
+                .alias("vq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rq = (
+        gram.join(v.select(F.col("i"), F.col("vq").alias("va")), "i")
+        .join(
+            v.select(F.col("i").alias("j"), F.col("vq").alias("vb")), "j"
+        )
+        .agg(
+            F.sum(
+                F.col("va").cast(d38) * F.col("g") * F.col("vb")
+            ).alias("num")
+        )
+    )
+    den = v.agg(F.sum(F.col("vq").cast(d38) * F.col("vq")).alias("d2"))
+    tr = gram.filter(F.col("i") == F.col("j")).agg(
+        F.sum("g").cast(d38).alias("t")
+    )
+    panel = rq.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(tr))
+    return (
+        v.crossJoin(F.broadcast(panel))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.round(
+                F.col("vq").cast("double")
+                / F.sqrt(F.col("d2").cast("double")),
+                6,
+            ).alias("loading_r"),
+            F.round(
+                F.col("num").cast("double")
+                / F.col("d2").cast("double")
+                / (_PI_SCALE * _PI_SCALE),
+                4,
+            ).alias("lambda_r"),
+            F.round(
+                F.col("num").cast("double")
+                / F.col("d2").cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("evr_r"),
+        )
+        .orderBy("i")
+    )
+
+
+# --------------------------------------------- linear CKA (half vs half)
+
+_CKA_SQL = f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                              v -> floor(v::DOUBLE * 1000.0 + 0.5)::BIGINT)
+                   AS qv
+        FROM embeddings
+    ),
+    gram AS (
+        SELECT t1.i::BIGINT AS i, t2.j::BIGINT AS j,
+               sum(qv[t1.i + 1] * qv[t2.j + 1])::HUGEINT AS g
+        FROM q, range(64) t1(i), range(64) t2(j)
+        GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT t.i::BIGINT AS i, sum(qv[t.i + 1])::HUGEINT AS s
+        FROM q, range(64) t(i) GROUP BY 1
+    ),
+    n AS (SELECT count(*)::HUGEINT AS n FROM q),
+    a AS (
+        SELECT gram.i, gram.j,
+               ((n.n * gram.g) - (mi.s * mj.s))::DOUBLE AS a
+        FROM gram, n
+        JOIN mom mi ON mi.i = gram.i
+        JOIN mom mj ON mj.i = gram.j
+    ),
+    blocks AS (
+        SELECT sum(CASE WHEN i < 32 AND j < 32 THEN a * a END) AS fxx,
+               sum(CASE WHEN i >= 32 AND j >= 32 THEN a * a END) AS fyy,
+               sum(CASE WHEN i < 32 AND j >= 32 THEN a * a END) AS fxy
+        FROM a
+    )
+    SELECT n.n::BIGINT AS n_rows,
+           round(ln(b.fxx), 6) AS ln_fxx_r,
+           round(ln(b.fyy), 6) AS ln_fyy_r,
+           round(ln(b.fxy), 6) AS ln_fxy_r,
+           round(b.fxy / sqrt(b.fxx * b.fyy), 6) AS cka_r
+    FROM blocks b, n
+"""
+
+
+@register("cka_embedding_similarity", oracle=_CKA_SQL)
+def cka_embedding_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (Kornblith et al. 2019) between the first-half and
+    second-half dimension blocks of the corpus embeddings — the
+    representation-similarity audit for concatenated / matryoshka-style
+    encoders: CKA ≈ 0 says the halves carry independent information (keep
+    both), CKA → 1 says one half is redundant (truncate, halve the index
+    bill — the decision ``matryoshka_truncation_eval`` measures by recall,
+    CKA measures intrinsically). CKA(X,Y) = ‖Cxy‖²F / (‖Cxx‖F·‖Cyy‖F) on
+    CENTERED cross-covariances.
+
+    Exactness: all second moments come from the one fixed-point gram pass
+    (exact int64), first moments from one 64-key agg (exact), and the
+    n-scaled centering A = n·G − S·Sᵀ is computed in DECIMAL(38,0)/HUGEINT
+    — exact integers. Only the Frobenius squares are double (A² would
+    overflow 38 digits); identical integer inputs give identical doubles,
+    and the 1024-term double sums sit ~1e-16 relative from engine order —
+    invisible at 6-decimal rounding of ln/ratio outputs.
+
+    Scale shape: ONE fact pass for the gram (BLAS partials, dim²-row
+    shuffle — the embedding_gram_matrix shape), one combinable explode-agg
+    for the moments, then arithmetic on 4096 rows. Envelope: A ≤ n·G ~
+    (scale²·‖x‖²∞)·n² needs n ≲ 10⁸ rows per exact block at scale=1000;
+    beyond that, drop scale to 100 (the test pins the 1e-3 agreement with
+    float CKA, which is insensitive to the grid)."""
+    from ab_inbev_big_data_case_spark.llm.similarity import (
+        gram_matrix_fixed_point,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"),
+    )
+    d38 = "decimal(38,0)"
+    gram = gram_matrix_fixed_point(e, "embedding", dim=64, scale=1000).select(
+        "i", "j", F.col("gram_q").cast(d38).alias("g")
+    )
+    mom = (
+        e.select(F.posexplode(qv).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast(d38)).alias("s"))
+    )
+    n = e.agg(F.count("*").cast(d38).alias("n"))
+    a = (
+        gram.join(F.broadcast(mom.select(F.col("i"), F.col("s").alias("si"))), "i")
+        .join(
+            F.broadcast(
+                mom.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            "n",
+            (F.col("n") * F.col("g") - F.col("si") * F.col("sj"))
+            .cast("double")
+            .alias("a"),
+        )
+    )
+    a2 = F.col("a") * F.col("a")
+    blocks = a.groupBy("n").agg(
+        F.sum(F.when((F.col("i") < 32) & (F.col("j") < 32), a2)).alias("fxx"),
+        F.sum(F.when((F.col("i") >= 32) & (F.col("j") >= 32), a2)).alias(
+            "fyy"
+        ),
+        F.sum(F.when((F.col("i") < 32) & (F.col("j") >= 32), a2)).alias(
+            "fxy"
+        ),
+    )
+    return blocks.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.log("fxx"), 6).alias("ln_fxx_r"),
+        F.round(F.log("fyy"), 6).alias("ln_fyy_r"),
+        F.round(F.log("fxy"), 6).alias("ln_fxy_r"),
+        F.round(
+            F.col("fxy") / F.sqrt(F.col("fxx") * F.col("fyy")), 6
+        ).alias("cka_r"),
+    )

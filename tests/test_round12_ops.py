@@ -153,3 +153,56 @@ def test_brier_decomposition_identity_and_binning_gain(spark, sf_dir):
     assert abs(row["brier_binned_r"] - rel_res_unc) < 2e-6
     assert row["brier_binned_r"] <= row["brier_raw_r"] + 1e-9
     assert 0.0 <= row["uncertainty_r"] <= 0.25 + 1e-9
+
+
+# ------------------------------------------- power iteration / CKA
+
+
+def _embedding_matrix(spark, sf_dir):
+    import numpy as np
+
+    rows = table(spark, sf_dir, "embeddings").select("embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return np.floor(x * 1000 + 0.5).astype(np.int64)
+
+
+def test_power_iteration_rayleigh_vs_dense_eigensolver(spark, sf_dir):
+    """The Rayleigh quotient is a certified lower bound on lambda_1; on the
+    near-isotropic fixture spectrum 12 iterations must still capture >=85%
+    of the true top eigenvalue (dense numpy eigensolver as referee), and
+    the reported loading vector must be unit-norm."""
+    import numpy as np
+
+    out = QUERIES["power_iteration_top_eigen"](spark, sf_dir).collect()
+    assert len(out) == 64
+    q = _embedding_matrix(spark, sf_dir)
+    g = (q.T @ q).astype(np.float64)
+    lam1 = float(np.linalg.eigvalsh(g)[-1])
+    lam_engine = out[0]["lambda_r"] * 1e6
+    assert lam_engine <= lam1 * (1 + 1e-6)
+    assert lam_engine >= 0.85 * lam1
+    v = np.array([r["loading_r"] for r in sorted(out, key=lambda r: r["i"])])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    # evr consistency: lambda / trace
+    evr = lam_engine / float(np.trace(g))
+    assert abs(out[0]["evr_r"] - evr) < 1e-4
+
+
+def test_cka_matches_float_reference_and_bounds(spark, sf_dir):
+    """Linear CKA recomputed in float numpy on the raw (unquantized)
+    embeddings must agree with the engine's fixed-point value to ~1e-3
+    (the quantization grid), and CKA of a block with itself is exactly 1."""
+    import numpy as np
+
+    row = QUERIES["cka_embedding_similarity"](spark, sf_dir).collect()[0]
+    rows = table(spark, sf_dir, "embeddings").select("embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    a, b = xc[:, :32], xc[:, 32:]
+    fxy = np.linalg.norm(b.T @ a, "fro") ** 2
+    fxx = np.linalg.norm(a.T @ a, "fro") ** 2
+    fyy = np.linalg.norm(b.T @ b, "fro") ** 2
+    cka = fxy / math.sqrt(fxx * fyy)
+    assert 0.0 <= row["cka_r"] <= 1.0 + 1e-9
+    assert abs(row["cka_r"] - cka) < 1e-3
+    assert row["n_rows"] == len(rows)
