@@ -3208,3 +3208,256 @@ def sample_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sampen_r"),
     )
+
+
+# ------------------------------------------ ADF unit-root test (lag 1)
+
+_ADF_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (
+        SELECT day, CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM d
+    ),
+    lagged AS (
+        SELECT x - lag(x) OVER (ORDER BY day) AS z,
+               lag(x) OVER (ORDER BY day) AS u,
+               lag(x) OVER (ORDER BY day)
+                   - lag(x, 2) OVER (ORDER BY day) AS v
+        FROM c
+    ),
+    m AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(z)::HUGEINT AS s_z, sum(u)::HUGEINT AS s_u,
+               sum(v)::HUGEINT AS s_v,
+               sum(z::HUGEINT * z) AS s_zz, sum(z::HUGEINT * u) AS s_zu,
+               sum(z::HUGEINT * v) AS s_zv, sum(u::HUGEINT * u) AS s_uu,
+               sum(u::HUGEINT * v) AS s_uv, sum(v::HUGEINT * v) AS s_vv
+        FROM lagged WHERE v IS NOT NULL
+    ),
+    a AS (
+        SELECT n::DOUBLE AS nd,
+               (n * s_zz - s_z * s_z)::DOUBLE AS azz,
+               (n * s_zu - s_z * s_u)::DOUBLE AS azu,
+               (n * s_zv - s_z * s_v)::DOUBLE AS azv,
+               (n * s_uu - s_u * s_u)::DOUBLE AS auu,
+               (n * s_uv - s_u * s_v)::DOUBLE AS auv,
+               (n * s_vv - s_v * s_v)::DOUBLE AS avv
+        FROM m
+    ),
+    fit AS (
+        SELECT nd,
+               (azu * avv - azv * auv) / (auu * avv - auv * auv) AS rho,
+               (azv * auu - azu * auv) / (auu * avv - auv * auv) AS phi,
+               azz, azu, azv, auu, auv, avv
+        FROM a
+    ),
+    stat AS (
+        SELECT nd, rho, phi,
+               ((azz - rho * azu - phi * azv) / nd) / (nd - 3) AS s2,
+               nd * avv / (auu * avv - auv * auv) AS inv11
+        FROM fit
+    )
+    SELECT nd::BIGINT AS n,
+           round(rho, 6) AS rho_r,
+           round(phi, 6) AS phi_r,
+           round(rho / sqrt(s2 * inv11), 4) AS t_adf_r,
+           CASE WHEN rho / sqrt(s2 * inv11) < -2.86 THEN 1 ELSE 0 END
+               AS stationary_5pct
+    FROM stat
+"""
+
+
+@register("adf_stationarity_lite", oracle=_ADF_SQL)
+def adf_stationarity_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Dickey–Fuller unit-root test (lag 1, with drift) on the
+    daily-revenue series: Δy_t ~ α + ρ·y_{t−1} + φ·Δy_{t−1}; the τ
+    statistic on ρ against the 5% Dickey–Fuller critical value (−2.86,
+    drift case, large n) decides stationarity — the formal companion to
+    ``mann_kendall_theil_sen`` (monotone trend) and the precondition check
+    for ``granger_f_lite``-style regressions on levels.
+
+    Exactness: the granger/chow discipline end-to-end — integer-cent
+    series, exact n-scaled centered moments in DECIMAL(38,0)/HUGEINT,
+    ONE double cast per moment, then the 2×2 Cramer solve, SSR, and the
+    diagonal of (XᵀX)⁻¹ computed on identical IEEE trees; τ uses
+    Var(ρ̂) = s²·n·Avv/(Auu·Avv − Auv²) so no matrix inverse is ever
+    materialized.
+
+    Scale shape: one fact pass to the calendar-bounded daily spine, two
+    lag windows over the spine, one map-combinable moment aggregate,
+    scalar arithmetic on the 1-row panel."""
+    d = _daily_revenue(spark, sf_dir)
+    c = d.select(
+        "day",
+        (F.col("rev").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    wday = Window.orderBy("day")  # bounded day spine
+    lagged = c.select(
+        (F.col("x") - F.lag("x").over(wday)).alias("z"),
+        F.lag("x").over(wday).alias("u"),
+        (F.lag("x").over(wday) - F.lag("x", 2).over(wday)).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    d38 = "decimal(38,0)"
+    cc = lambda name: F.col(name).cast(d38)  # noqa: E731
+    m = lagged.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(cc("z")).alias("s_z"),
+        F.sum(cc("u")).alias("s_u"),
+        F.sum(cc("v")).alias("s_v"),
+        F.sum(cc("z") * F.col("z")).alias("s_zz"),
+        F.sum(cc("z") * F.col("u")).alias("s_zu"),
+        F.sum(cc("z") * F.col("v")).alias("s_zv"),
+        F.sum(cc("u") * F.col("u")).alias("s_uu"),
+        F.sum(cc("u") * F.col("v")).alias("s_uv"),
+        F.sum(cc("v") * F.col("v")).alias("s_vv"),
+    )
+    a = m.select(
+        F.col("n").cast("double").alias("nd"),
+        *[
+            (F.col("n") * F.col(f"s_{p}") - F.col(f"s_{p[0]}") * F.col(f"s_{p[1]}"))
+            .cast("double")
+            .alias(f"a{p}")
+            for p in ("zz", "zu", "zv", "uu", "uv", "vv")
+        ],
+    )
+    det = F.col("auu") * F.col("avv") - F.col("auv") * F.col("auv")
+    rho = (F.col("azu") * F.col("avv") - F.col("azv") * F.col("auv")) / det
+    phi = (F.col("azv") * F.col("auu") - F.col("azu") * F.col("auv")) / det
+    fit = a.select(
+        "nd",
+        rho.alias("rho"),
+        phi.alias("phi"),
+        "azz",
+        "azu",
+        "azv",
+        "auu",
+        "auv",
+        "avv",
+    )
+    s2 = (
+        (F.col("azz") - F.col("rho") * F.col("azu") - F.col("phi") * F.col("azv"))
+        / F.col("nd")
+    ) / (F.col("nd") - 3)
+    inv11 = (
+        F.col("nd")
+        * F.col("avv")
+        / (F.col("auu") * F.col("avv") - F.col("auv") * F.col("auv"))
+    )
+    stat = fit.select(
+        "nd", "rho", "phi", s2.alias("s2"), inv11.alias("inv11")
+    )
+    t = F.col("rho") / F.sqrt(F.col("s2") * F.col("inv11"))
+    return stat.select(
+        F.col("nd").cast("long").alias("n"),
+        F.round("rho", 6).alias("rho_r"),
+        F.round("phi", 6).alias("phi_r"),
+        F.round(t, 4).alias("t_adf_r"),
+        F.when(t < -2.86, 1).otherwise(0).alias("stationary_5pct"),
+    )
+
+
+# --------------------------------------- permutation entropy (order 3)
+
+_PERMENT_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (
+        SELECT day, CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM d
+    ),
+    tri AS (
+        SELECT x AS a,
+               lead(x) OVER (ORDER BY day) AS b,
+               lead(x, 2) OVER (ORDER BY day) AS c2
+        FROM c
+        QUALIFY b IS NOT NULL AND c2 IS NOT NULL
+    ),
+    pat AS (
+        SELECT ((CASE WHEN b < a THEN 1 ELSE 0 END)
+                + (CASE WHEN c2 < a THEN 1 ELSE 0 END)) * 100
+               + ((CASE WHEN a <= b THEN 1 ELSE 0 END)
+                + (CASE WHEN c2 < b THEN 1 ELSE 0 END)) * 10
+               + ((CASE WHEN a <= c2 THEN 1 ELSE 0 END)
+                + (CASE WHEN b <= c2 THEN 1 ELSE 0 END)) AS pattern
+        FROM tri
+    ),
+    cells AS (
+        SELECT pattern, count(*)::BIGINT AS n FROM pat GROUP BY 1
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS n_all FROM cells),
+    scored AS (
+        SELECT c.pattern, c.n, t.n_all,
+               -(c.n::DOUBLE / t.n_all) * ln(c.n::DOUBLE / t.n_all) AS h_term
+        FROM cells c CROSS JOIN tot t
+    )
+    SELECT pattern, n,
+           round(n::DOUBLE / n_all, 6) AS p_r,
+           round((SELECT sum(h_term) FROM scored) / ln(6.0), 6)
+               AS pe_norm_r
+    FROM scored
+    ORDER BY pattern
+"""
+
+
+@register("permutation_entropy_daily", oracle=_PERMENT_SQL)
+def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002), order m=3: every 3-day
+    window of the daily-revenue series is reduced to its ordinal pattern
+    (which of the 6 orderings the triple realizes, ties broken by time
+    index), and the normalized Shannon entropy of the pattern histogram
+    measures dynamical complexity — 1.0 = orderings are uniform (noise),
+    low = a few motifs dominate (trend/periodicity). The symbolic
+    companion to ``sample_entropy_daily`` (value-distance regularity) and
+    ``runs_test_randomness`` (sign patterns); robust to monotone
+    transforms of the series by construction.
+
+    Exactness: integer-cent series, so every ordinal comparison is an
+    integer predicate and the pattern histogram is exact; the entropy sum
+    spans ≤ 6 cells (one double term each, identical trees).
+
+    Scale shape: two leads over the calendar-bounded day spine, a ≤ 6-key
+    combinable groupBy, scalar arithmetic on the 6-row panel."""
+    d = _daily_revenue(spark, sf_dir)
+    c = d.select(
+        "day",
+        (F.col("rev").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    wday = Window.orderBy("day")  # bounded day spine
+    tri = c.select(
+        F.col("x").alias("a"),
+        F.lead("x").over(wday).alias("b"),
+        F.lead("x", 2).over(wday).alias("c2"),
+    ).filter(F.col("b").isNotNull() & F.col("c2").isNotNull())
+    one = lambda cond: F.when(cond, 1).otherwise(0)  # noqa: E731
+    pattern = (
+        (one(F.col("b") < F.col("a")) + one(F.col("c2") < F.col("a"))) * 100
+        + (one(F.col("a") <= F.col("b")) + one(F.col("c2") < F.col("b"))) * 10
+        + (one(F.col("a") <= F.col("c2")) + one(F.col("b") <= F.col("c2")))
+    )
+    cells = (
+        tri.select(pattern.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("n_all"))
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "pattern",
+        "n",
+        "n_all",
+        (
+            -(F.col("n").cast("double") / F.col("n_all"))
+            * F.log(F.col("n").cast("double") / F.col("n_all"))
+        ).alias("h_term"),
+    )
+    htot = scored.agg(F.sum("h_term").alias("h"))
+    return (
+        scored.crossJoin(F.broadcast(htot))
+        .select(
+            "pattern",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_all"), 6).alias(
+                "p_r"
+            ),
+            F.round(F.col("h") / F.log(F.lit(6.0)), 6).alias("pe_norm_r"),
+        )
+        .orderBy("pattern")
+    )

@@ -50,6 +50,8 @@ PARTITIONLESS_ALLOWED = {
     "global_sort": 1,               # explicit total-order contract
     "granger_f_lite": 2,            # daily-spine lag pair (calendar-bounded)
     "ransac_line_fit": 1,           # daily-spine hash-rank seed pick (r12; calendar-bounded)
+    "adf_stationarity_lite": 4,     # daily-spine lag/lag-2 exprs (r12; calendar-bounded)
+    "permutation_entropy_daily": 8, # daily-spine lead pair, re-listed per reused branch (r12)
     "periodogram_peaks": 3,         # daily-spine t-index + order-less N/mean (r8; r10 sweep widened)
     "bollinger_bands": 3,           # daily-spine 20-day sliding window (r8)
     "anderson_darling_two_sample": 2,  # bounded length-domain ECDF walk (r8)

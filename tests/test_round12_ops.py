@@ -206,3 +206,74 @@ def test_cka_matches_float_reference_and_bounds(spark, sf_dir):
     assert 0.0 <= row["cka_r"] <= 1.0 + 1e-9
     assert abs(row["cka_r"] - cka) < 1e-3
     assert row["n_rows"] == len(rows)
+
+
+# ------------------------------------------- ADF / permutation entropy
+
+
+def _daily_cents(spark, sf_dir):
+    rows = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .alias("rev")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    return [int(r["rev"] * 100) for r in rows]
+
+
+def test_adf_matches_numpy_lstsq(spark, sf_dir):
+    """Rebuild the ADF design matrix in Python and fit with numpy lstsq —
+    coefficients and the tau statistic must match the engine's exact-moment
+    closed form."""
+    import numpy as np
+
+    row = QUERIES["adf_stationarity_lite"](spark, sf_dir).collect()[0]
+    y = np.array(_daily_cents(spark, sf_dir), dtype=np.float64)
+    dy = np.diff(y)
+    z = dy[1:]                      # delta y_t
+    u = y[1:-1]                     # y_{t-1}
+    v = dy[:-1]                     # delta y_{t-1}
+    X = np.column_stack([np.ones_like(u), u, v])
+    beta, *_ = np.linalg.lstsq(X, z, rcond=None)
+    resid = z - X @ beta
+    n = len(z)
+    s2 = float(resid @ resid) / (n - 3)
+    xtx_inv = np.linalg.inv(X.T @ X)
+    t_rho = beta[1] / math.sqrt(s2 * xtx_inv[1, 1])
+    assert row["n"] == n
+    assert abs(row["rho_r"] - beta[1]) < 1e-5
+    assert abs(row["phi_r"] - beta[2]) < 1e-5
+    assert abs(row["t_adf_r"] - t_rho) < 1e-3
+    assert row["stationary_5pct"] == int(t_rho < -2.86)
+    # differencing a (near-)stationary aggregate: rho must be negative
+    assert row["rho_r"] < 0
+
+
+def test_permutation_entropy_brute_force(spark, sf_dir):
+    """Histogram the 6 ordinal patterns in Python (same tie rule: earlier
+    index wins) and recompute the normalized entropy."""
+    out = QUERIES["permutation_entropy_daily"](spark, sf_dir).collect()
+    y = _daily_cents(spark, sf_dir)
+    counts = {}
+    for a, b, c in zip(y, y[1:], y[2:]):
+        ra = (b < a) + (c < a)
+        rb = (a <= b) + (c < b)
+        rc = (a <= c) + (b <= c)
+        counts[ra * 100 + rb * 10 + rc] = counts.get(
+            ra * 100 + rb * 10 + rc, 0
+        ) + 1
+    assert {r["pattern"]: r["n"] for r in out} == counts
+    n_all = sum(counts.values())
+    assert n_all == len(y) - 2
+    h = -sum(
+        (n / n_all) * math.log(n / n_all) for n in counts.values()
+    ) / math.log(6)
+    assert abs(out[0]["pe_norm_r"] - h) < 1e-5
+    assert 0.0 <= out[0]["pe_norm_r"] <= 1.0
+    # every reported pattern is one of the 6 valid permutations of 0,1,2
+    valid = {12, 21, 102, 120, 201, 210}
+    assert {r["pattern"] for r in out} <= valid
