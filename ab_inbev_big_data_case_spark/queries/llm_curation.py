@@ -2636,3 +2636,254 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_r"),
         )
     )
+
+
+# ------------------------------------- DBSCAN (grid-blocked, certified CC)
+
+_DBSCAN_EPS = 20      # milli-units: 0.02 in embedding space
+_DBSCAN_MINPTS = 5
+_DBSCAN_ROUNDS = 16   # hash-to-min rounds; fixture worst case is 15
+
+
+def _dbscan_oracle_sql() -> str:
+    """Grid-blocked DBSCAN with an unrolled hash-to-min CC (all CTEs
+    materialized — the power_iteration lesson: DuckDB otherwise inlines
+    the chain into exponentially many scans)."""
+    e, e2, mp = _DBSCAN_EPS, _DBSCAN_EPS * _DBSCAN_EPS, _DBSCAN_MINPTS
+    ctes = [
+        f"""pts AS MATERIALIZED (
+        SELECT vec_id,
+               floor(embedding[1]::DOUBLE * 1000 + 0.5)::BIGINT AS qx,
+               floor(embedding[2]::DOUBLE * 1000 + 0.5)::BIGINT AS qy
+        FROM embeddings
+    )""",
+        f"""cells AS MATERIALIZED (
+        SELECT vec_id, qx, qy,
+               floor(qx::DOUBLE / {e})::BIGINT AS cx,
+               floor(qy::DOUBLE / {e})::BIGINT AS cy
+        FROM pts
+    )""",
+        f"""nbr AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM cells a, range(-1, 2) dx(dx), range(-1, 2) dy(dy)
+        JOIN cells b ON b.cx = a.cx + dx.dx AND b.cy = a.cy + dy.dy
+        WHERE (a.qx - b.qx) * (a.qx - b.qx)
+              + (a.qy - b.qy) * (a.qy - b.qy) <= {e2}
+    )""",
+        f"""deg AS MATERIALIZED (
+        SELECT va AS vec_id, count(*)::BIGINT AS deg FROM nbr GROUP BY 1
+    )""",
+        f"""core AS MATERIALIZED (
+        SELECT vec_id FROM deg WHERE deg >= {mp}
+    )""",
+        """edges AS MATERIALIZED (
+        SELECT n.va AS src, n.vb AS dst
+        FROM nbr n
+        JOIN core ca ON ca.vec_id = n.va
+        JOIN core cb ON cb.vec_id = n.vb
+    )""",
+        """l0 AS MATERIALIZED (SELECT vec_id AS v, vec_id AS lab FROM core)""",
+    ]
+    for k in range(_DBSCAN_ROUNDS + 1):  # +1 certification round
+        ctes.append(
+            f"""l{k + 1} AS MATERIALIZED (
+        SELECT v, min(lab) AS lab FROM (
+            SELECT e.dst AS v, l.lab
+            FROM edges e JOIN l{k} l ON l.v = e.src
+            UNION ALL
+            SELECT a.v, b.lab FROM l{k} a JOIN l{k} b ON b.v = a.lab
+        ) GROUP BY 1
+    )"""
+        )
+    lf, lc = f"l{_DBSCAN_ROUNDS}", f"l{_DBSCAN_ROUNDS + 1}"
+    return f"""
+    WITH {",".join(ctes)},
+    cert AS (
+        SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS converged
+        FROM {lf} a JOIN {lc} b ON b.v = a.v AND b.lab <> a.lab
+    ),
+    border AS (
+        SELECT n.va AS v, min(l.lab) AS lab
+        FROM nbr n
+        JOIN {lf} l ON l.v = n.vb
+        LEFT JOIN core c ON c.vec_id = n.va
+        WHERE c.vec_id IS NULL
+        GROUP BY 1
+    ),
+    counts AS (
+        SELECT lab AS cluster_id,
+               count(*) FILTER (WHERE is_core)::BIGINT AS n_core,
+               count(*) FILTER (WHERE NOT is_core)::BIGINT AS n_border
+        FROM (
+            SELECT lab, TRUE AS is_core FROM {lf}
+            UNION ALL
+            SELECT lab, FALSE FROM border
+        ) GROUP BY 1
+    ),
+    noise AS (
+        SELECT count(*)::BIGINT AS n_noise
+        FROM pts p
+        LEFT JOIN {lf} l ON l.v = p.vec_id
+        LEFT JOIN border b ON b.v = p.vec_id
+        WHERE l.v IS NULL AND b.v IS NULL
+    )
+    SELECT c.cluster_id, c.n_core, c.n_border, n.n_noise, t.converged
+    FROM counts c CROSS JOIN noise n CROSS JOIN cert t
+    ORDER BY c.cluster_id
+    """
+
+
+@register("dbscan_grid_clusters", oracle=_dbscan_oracle_sql())
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester et al. 1996) over the first two embedding dimensions,
+    Spark-shaped: ε-neighborhoods come from a GRID-BLOCKED equi-join (cell
+    width = ε, 9-offset fan-out — the ``spatial_grid_radius_join`` trick,
+    never an all-pairs distance), core points are a degree filter
+    (|N_ε| ≥ minPts, self included), clusters are connected components of
+    the core-core graph via HASH-TO-MIN label propagation (min of neighbor
+    labels ∪ label-of-label — O(log diameter) rounds, not O(diameter)),
+    and border points adopt the minimum neighboring core label
+    (deterministic, where textbook DBSCAN is arrival-order-dependent).
+    Output: one row per cluster with core/border counts, the global noise
+    count, and a CONVERGED certificate — the label table is re-propagated
+    one extra round and flagged if anything still moves (the ktruss
+    fixed-point discipline), so an exotic dataset needing more than the
+    unrolled 16 rounds is visible in the result, never silently wrong.
+
+    Exactness: coordinates quantize to integer milli-units first, so cell
+    assignment, the ε² distance predicate, degrees, labels, and counts
+    are all integer — no float anywhere.
+
+    Scale shape: one fact pass to quantized points; the neighbor join
+    shuffles on cell keys with occupancy-bounded fan-out (density ×ε²,
+    independent of corpus size); CC rounds are label-table-sized joins
+    with lineage cut per round. At 100 TB the ε-grid is the same
+    partitioner a spatial bucketing would persist."""
+    e = table(spark, sf_dir, "embeddings")
+    eps, eps2, minpts = _DBSCAN_EPS, _DBSCAN_EPS * _DBSCAN_EPS, _DBSCAN_MINPTS
+    pts = e.select(
+        "vec_id",
+        F.floor(F.get("embedding", 0).cast("double") * 1000 + 0.5)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.get("embedding", 1).cast("double") * 1000 + 0.5)
+        .cast("long")
+        .alias("qy"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "qx",
+        "qy",
+        F.floor(F.col("qx").cast("double") / eps).cast("long").alias("cx"),
+        F.floor(F.col("qy").cast("double") / eps).cast("long").alias("cy"),
+    ).localCheckpoint(eager=True)
+    off = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    a = (
+        cells.crossJoin(F.broadcast(off))
+        .select(
+            F.col("vec_id").alias("va"),
+            F.col("qx").alias("qxa"),
+            F.col("qy").alias("qya"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vb"),
+        F.col("qx").alias("qxb"),
+        F.col("qy").alias("qyb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    nbr = (
+        a.join(b, ["jx", "jy"])
+        .filter(
+            (F.col("qxa") - F.col("qxb")) * (F.col("qxa") - F.col("qxb"))
+            + (F.col("qya") - F.col("qyb")) * (F.col("qya") - F.col("qyb"))
+            <= eps2
+        )
+        .select("va", "vb")
+        .localCheckpoint(eager=True)
+    )
+    deg = nbr.groupBy(F.col("va").alias("vec_id")).agg(
+        F.count("*").alias("deg")
+    )
+    core = deg.filter(F.col("deg") >= minpts).select("vec_id")
+    edges = (
+        nbr.join(core.select(F.col("vec_id").alias("va")), "va")
+        .join(core.select(F.col("vec_id").alias("vb")), "vb")
+        .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    lab = core.select(
+        F.col("vec_id").alias("v"), F.col("vec_id").alias("lab")
+    ).localCheckpoint(eager=True)
+
+    def propagate(l):
+        nb_min = edges.join(
+            l.select(F.col("v").alias("src"), "lab"), "src"
+        ).select(F.col("dst").alias("v"), "lab")
+        lol = l.select(F.col("v"), F.col("lab").alias("ptr")).join(
+            l.select(F.col("v").alias("ptr"), F.col("lab").alias("lab")),
+            "ptr",
+        ).select("v", "lab")
+        return (
+            nb_min.unionByName(lol)
+            .groupBy("v")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(_DBSCAN_ROUNDS):
+        lab = propagate(lab)
+    lab_cert = propagate(lab)
+    cert = (
+        lab.join(
+            lab_cert.select(F.col("v"), F.col("lab").alias("lab2")), "v"
+        )
+        .filter(F.col("lab") != F.col("lab2"))
+        .agg(
+            F.when(F.count("*") == 0, 1).otherwise(0).alias("converged")
+        )
+    )
+    border = (
+        nbr.join(core.select(F.col("vec_id").alias("vb")), "vb")
+        .join(
+            core.select(F.col("vec_id").alias("va")),
+            "va",
+            "left_anti",
+        )
+        .join(lab.select(F.col("v").alias("vb"), "lab"), "vb")
+        .groupBy(F.col("va").alias("v"))
+        .agg(F.min("lab").alias("lab"))
+    )
+    counts = (
+        lab.select("lab", F.lit(True).alias("is_core"))
+        .unionByName(border.select("lab", F.lit(False).alias("is_core")))
+        .groupBy(F.col("lab").alias("cluster_id"))
+        .agg(
+            F.sum(F.col("is_core").cast("long")).alias("n_core"),
+            F.sum((~F.col("is_core")).cast("long")).alias("n_border"),
+        )
+    )
+    noise = (
+        pts.join(lab.select(F.col("v").alias("vec_id")), "vec_id", "left_anti")
+        .join(
+            border.select(F.col("v").alias("vec_id")), "vec_id", "left_anti"
+        )
+        .agg(F.count("*").alias("n_noise"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(noise))
+        .crossJoin(F.broadcast(cert))
+        .select(
+            "cluster_id",
+            F.col("n_core").cast("long").alias("n_core"),
+            F.col("n_border").cast("long").alias("n_border"),
+            F.col("n_noise").cast("long").alias("n_noise"),
+            "converged",
+        )
+        .orderBy("cluster_id")
+    )

@@ -277,3 +277,67 @@ def test_permutation_entropy_brute_force(spark, sf_dir):
     # every reported pattern is one of the 6 valid permutations of 0,1,2
     valid = {12, 21, 102, 120, 201, 210}
     assert {r["pattern"] for r in out} <= valid
+
+
+# ------------------------------------------------------- DBSCAN
+
+
+def test_dbscan_matches_brute_force_and_conserves_points(spark, sf_dir):
+    """Referee DBSCAN in numpy (all-pairs distances, true connected
+    components via BFS — no grid, no unrolled rounds) must agree on the
+    cluster histogram, border assignment, and noise count; roles must
+    partition the point set; the convergence certificate must hold."""
+    import numpy as np
+
+    out = QUERIES["dbscan_grid_clusters"](spark, sf_dir).collect()
+    assert out
+    assert all(r["converged"] == 1 for r in out)
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    x = np.array(
+        [[r["embedding"][0], r["embedding"][1]] for r in rows],
+        dtype=np.float64,
+    )
+    q = np.floor(x * 1000 + 0.5).astype(np.int64)
+    eps, minpts = 20, 5
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    nb = d2 <= eps * eps
+    core = nb.sum(1) >= minpts
+    # BFS true components over core-core edges
+    lab = {}
+    for i in np.where(core)[0]:
+        if i in lab:
+            continue
+        comp, stack = [], [i]
+        seen = {i}
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for j in np.where(nb[v] & core)[0]:
+                if j not in seen:
+                    seen.add(j)
+                    stack.append(j)
+        root = min(ids[v] for v in comp)
+        for v in comp:
+            lab[v] = root
+    border = {}
+    for i in np.where(~core)[0]:
+        cand = [lab[j] for j in np.where(nb[i] & core)[0]]
+        if cand:
+            border[i] = min(cand)
+    n_noise = int((~core).sum()) - len(border)
+    ref = {}
+    for v, c in lab.items():
+        ref.setdefault(c, [0, 0])[0] += 1
+    for v, c in border.items():
+        ref.setdefault(c, [0, 0])[1] += 1
+    got = {r["cluster_id"]: [r["n_core"], r["n_border"]] for r in out}
+    assert got == ref
+    assert out[0]["n_noise"] == n_noise
+    total = sum(r["n_core"] + r["n_border"] for r in out) + out[0]["n_noise"]
+    assert total == len(ids)
