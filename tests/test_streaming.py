@@ -895,3 +895,126 @@ def test_checkpoint_recovery_windowed_agg(spark, sf_dir, tmp_path_factory):
         tuple(r[c] for c in cols) for r in want
     )
     assert len(got) > 0
+
+
+def test_checkpoint_recovery_interval_join(spark, sf_dir, tmp_path_factory):
+    """Checkpoint recovery for the STATEFUL JOIN path (round-12 extension
+    of test_checkpoint_recovery_windowed_agg, which covers aggregation
+    state): the watermarked stream-stream interval join is stopped after
+    >=2 micro-batches with both feeds still incomplete, then restarted on
+    the same checkpoint dir. The restart must restore source offsets AND
+    the buffered join state (earlier-side rows whose partners had not
+    arrived at kill time), so the union of everything the sink received
+    equals the batch twin's pair set — no duplicated pairs from re-reading
+    committed files, no lost pairs whose sides straddle the kill."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
+    from ab_inbev_big_data_case_spark.streaming.jobs import (
+        stream_stream_join,
+        stream_to_parquet_checkpointed,
+    )
+
+    load_all()
+    e = table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("ts")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("event_id", "ts", "user_id")
+        .orderBy("ts")
+    )
+
+    base = tmp_path_factory.mktemp("ssj_recovery")
+    t0 = _time.time() - 1000
+    feeds = {}
+    for side, df in (("p", purchases), ("c", clicks)):
+        rows = df.collect()
+        n = len(rows)
+        # 3 time-ordered thirds per side: the kill lands between the 2nd
+        # and 3rd, so pairs spanning that cut exercise restored join state
+        chunks = [rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :]]
+        feed = base / f"feed_{side}"
+        os.makedirs(feed)
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, df.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(base / f"{side}{i}"))
+            src = glob.glob(str(base / f"{side}{i}" / "part-*.parquet"))[0]
+            dst = str(feed / f"{i:02d}.parquet")
+            shutil.copy(src, dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        feeds[side] = str(feed)
+
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+
+    def start_query():
+        sp = (
+            spark.readStream.schema(purchases.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feeds["p"])
+        )
+        sc = (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feeds["c"])
+        )
+        joined = stream_stream_join(
+            sp, sc, "user_id", "ts", delay="1 hour", max_gap="6 hours"
+        )
+        return stream_to_parquet_checkpointed(
+            joined.select("event_id", "r_event_id"), out, ckpt
+        )
+
+    # ---- run 1: only the first two thirds of each feed exist yet. The
+    # held file must leave the feed DIRECTORY entirely — Spark's file
+    # source lists every file regardless of extension, so an in-place
+    # rename to ".hold" would still be ingested (and its later rename back
+    # would re-ingest it as a NEW file, duplicating every joined pair).
+    for side in ("p", "c"):
+        os.rename(
+            os.path.join(feeds[side], "02.parquet"),
+            str(base / f"hold_{side}.parquet"),
+        )
+    q1 = start_query()
+    q1.processAllAvailable()
+    assert q1.lastProgress["batchId"] >= 1, "need >=2 micro-batches pre-kill"
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # ---- the final thirds land while the query is down
+    for side in ("p", "c"):
+        dst = os.path.join(feeds[side], "02.parquet")
+        os.rename(str(base / f"hold_{side}.parquet"), dst)
+        os.utime(dst, (t0 + 30, t0 + 30))
+
+    # ---- run 2: same checkpoint — offsets + buffered join state resume
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+
+    got = [
+        (r["event_id"], r["r_event_id"])
+        for r in spark.read.parquet(out)
+        .select("event_id", "r_event_id")
+        .collect()
+    ]
+    assert len(got) == len(set(got)), "duplicate pairs after recovery"
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in QUERIES["interval_join_purchase_click"](spark, sf_dir)
+        .select(
+            F.col("purchase_id").alias("purchase_id"),
+            F.col("click_id").alias("click_id"),
+        )
+        .collect()
+    }
+    assert set(got) == want
+    assert len(got) > 0
