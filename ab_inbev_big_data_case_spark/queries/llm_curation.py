@@ -2638,18 +2638,36 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------- DBSCAN (grid-blocked, certified CC)
+# ---------------------- DBSCAN (subcell-certified, rep-witnessed, scaled)
 
 _DBSCAN_EPS = 20      # milli-units: 0.02 in embedding space
 _DBSCAN_MINPTS = 5
-_DBSCAN_ROUNDS = 16   # hash-to-min rounds; fixture worst case is 15
+_DBSCAN_SUB = 14      # subcell width floor(eps/sqrt(2)): in-subcell dist <= eps
+_DBSCAN_REP_CAP = 16  # witness reps per subcell; never binds below sf1
+_DBSCAN_ROUNDS = 16   # hash-to-min rounds; fixture worst case is 12
+
+# 21-subcell neighborhood: |dq| <= eps=20 implies subcell delta <= 2, and the
+# (±2,±2) corners are provably out of range (min dist 2·14−13=15 per axis →
+# 450 > eps²), the classic Gunawan grid-DBSCAN pattern.
+_DBSCAN_OFF = [
+    (dx, dy)
+    for dx in range(-2, 3)
+    for dy in range(-2, 3)
+    if not (abs(dx) == 2 and abs(dy) == 2)
+]
 
 
 def _dbscan_oracle_sql() -> str:
-    """Grid-blocked DBSCAN with an unrolled hash-to-min CC (all CTEs
-    materialized — the power_iteration lesson: DuckDB otherwise inlines
-    the chain into exponentially many scans)."""
-    e, e2, mp = _DBSCAN_EPS, _DBSCAN_EPS * _DBSCAN_EPS, _DBSCAN_MINPTS
+    """Subcell DBSCAN with an unrolled hash-to-min CC over subcell nodes
+    (all CTEs materialized — the power_iteration lesson: DuckDB otherwise
+    inlines the chain into exponentially many scans)."""
+    e2, mp, sub, cap = (
+        _DBSCAN_EPS * _DBSCAN_EPS,
+        _DBSCAN_MINPTS,
+        _DBSCAN_SUB,
+        _DBSCAN_REP_CAP,
+    )
+    off_rows = ", ".join(f"({dx}, {dy})" for dx, dy in _DBSCAN_OFF)
     ctes = [
         f"""pts AS MATERIALIZED (
         SELECT vec_id,
@@ -2657,39 +2675,70 @@ def _dbscan_oracle_sql() -> str:
                floor(embedding[2]::DOUBLE * 1000 + 0.5)::BIGINT AS qy
         FROM embeddings
     )""",
-        f"""cells AS MATERIALIZED (
+        f"""sc AS MATERIALIZED (
         SELECT vec_id, qx, qy,
-               floor(qx::DOUBLE / {e})::BIGINT AS cx,
-               floor(qy::DOUBLE / {e})::BIGINT AS cy
+               floor(qx::DOUBLE / {sub})::BIGINT AS sx,
+               floor(qy::DOUBLE / {sub})::BIGINT AS sy
         FROM pts
     )""",
-        f"""nbr AS MATERIALIZED (
-        SELECT a.vec_id AS va, b.vec_id AS vb
-        FROM cells a, range(-1, 2) dx(dx), range(-1, 2) dy(dy)
-        JOIN cells b ON b.cx = a.cx + dx.dx AND b.cy = a.cy + dy.dy
-        WHERE (a.qx - b.qx) * (a.qx - b.qx)
-              + (a.qy - b.qy) * (a.qy - b.qy) <= {e2}
+        f"""occ AS MATERIALIZED (
+        SELECT sx, sy, count(*)::BIGINT AS occ FROM sc GROUP BY 1, 2
     )""",
-        f"""deg AS MATERIALIZED (
-        SELECT va AS vec_id, count(*)::BIGINT AS deg FROM nbr GROUP BY 1
+        f"off(dx, dy) AS MATERIALIZED (VALUES {off_rows})",
+        # fringe = points in subcells below minPts: only they need exact
+        # degrees; dense-subcell members are certified core outright
+        f"""fringe AS MATERIALIZED (
+        SELECT s.* FROM sc s JOIN occ o USING (sx, sy) WHERE o.occ < {mp}
+    )""",
+        f"""fringe_core AS MATERIALIZED (
+        SELECT f.vec_id, f.qx, f.qy, f.sx, f.sy
+        FROM fringe f, off
+        JOIN sc b ON b.sx = f.sx + off.dx AND b.sy = f.sy + off.dy
+        WHERE (f.qx - b.qx) * (f.qx - b.qx)
+              + (f.qy - b.qy) * (f.qy - b.qy) <= {e2}
+        GROUP BY 1, 2, 3, 4, 5
+        HAVING count(*) >= {mp}
     )""",
         f"""core AS MATERIALIZED (
-        SELECT vec_id FROM deg WHERE deg >= {mp}
+        SELECT s.vec_id, s.qx, s.qy, s.sx, s.sy
+        FROM sc s JOIN occ o USING (sx, sy) WHERE o.occ >= {mp}
+        UNION ALL
+        SELECT vec_id, qx, qy, sx, sy FROM fringe_core
     )""",
-        """edges AS MATERIALIZED (
-        SELECT n.va AS src, n.vb AS dst
-        FROM nbr n
-        JOIN core ca ON ca.vec_id = n.va
-        JOIN core cb ON cb.vec_id = n.vb
+        f"""reps AS MATERIALIZED (
+        SELECT vec_id, qx, qy, sx, sy FROM (
+            SELECT c.*,
+                   row_number() OVER (
+                       PARTITION BY sx, sy
+                       ORDER BY ('0x' || substr(sha256('dbscan:'
+                                 || vec_id::VARCHAR), 1, 15))::BIGINT,
+                                vec_id
+                   ) AS rk
+            FROM core c
+        ) WHERE rk <= {cap}
     )""",
-        """l0 AS MATERIALIZED (SELECT vec_id AS v, vec_id AS lab FROM core)""",
+        """node AS MATERIALIZED (
+        SELECT sx, sy, min(vec_id) AS nid FROM core GROUP BY 1, 2
+    )""",
+        f"""sedge AS MATERIALIZED (
+        SELECT na.nid AS src, nb.nid AS dst
+        FROM reps a, off
+        JOIN reps b ON b.sx = a.sx + off.dx AND b.sy = a.sy + off.dy
+        JOIN node na ON na.sx = a.sx AND na.sy = a.sy
+        JOIN node nb ON nb.sx = b.sx AND nb.sy = b.sy
+        WHERE NOT (off.dx = 0 AND off.dy = 0)
+          AND (a.qx - b.qx) * (a.qx - b.qx)
+              + (a.qy - b.qy) * (a.qy - b.qy) <= {e2}
+        GROUP BY 1, 2
+    )""",
+        """l0 AS MATERIALIZED (SELECT nid AS v, nid AS lab FROM node)""",
     ]
     for k in range(_DBSCAN_ROUNDS + 1):  # +1 certification round
         ctes.append(
             f"""l{k + 1} AS MATERIALIZED (
         SELECT v, min(lab) AS lab FROM (
             SELECT e.dst AS v, l.lab
-            FROM edges e JOIN l{k} l ON l.v = e.src
+            FROM sedge e JOIN l{k} l ON l.v = e.src
             UNION ALL
             SELECT a.v, b.lab FROM l{k} a JOIN l{k} b ON b.v = a.lab
         ) GROUP BY 1
@@ -2702,12 +2751,20 @@ def _dbscan_oracle_sql() -> str:
         SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS converged
         FROM {lf} a JOIN {lc} b ON b.v = a.v AND b.lab <> a.lab
     ),
-    border AS (
-        SELECT n.va AS v, min(l.lab) AS lab
-        FROM nbr n
-        JOIN {lf} l ON l.v = n.vb
-        LEFT JOIN core c ON c.vec_id = n.va
-        WHERE c.vec_id IS NULL
+    core_lab AS MATERIALIZED (
+        SELECT c.vec_id, c.qx, c.qy, c.sx, c.sy, l.lab
+        FROM core c
+        JOIN node n ON n.sx = c.sx AND n.sy = c.sy
+        JOIN {lf} l ON l.v = n.nid
+    ),
+    border AS MATERIALIZED (
+        SELECT f.vec_id, min(cl.lab) AS lab
+        FROM (SELECT fr.* FROM fringe fr
+              LEFT JOIN fringe_core fc ON fc.vec_id = fr.vec_id
+              WHERE fc.vec_id IS NULL) f, off
+        JOIN core_lab cl ON cl.sx = f.sx + off.dx AND cl.sy = f.sy + off.dy
+        WHERE (f.qx - cl.qx) * (f.qx - cl.qx)
+              + (f.qy - cl.qy) * (f.qy - cl.qy) <= {e2}
         GROUP BY 1
     ),
     counts AS (
@@ -2715,7 +2772,7 @@ def _dbscan_oracle_sql() -> str:
                count(*) FILTER (WHERE is_core)::BIGINT AS n_core,
                count(*) FILTER (WHERE NOT is_core)::BIGINT AS n_border
         FROM (
-            SELECT lab, TRUE AS is_core FROM {lf}
+            SELECT lab, TRUE AS is_core FROM core_lab
             UNION ALL
             SELECT lab, FALSE FROM border
         ) GROUP BY 1
@@ -2723,9 +2780,9 @@ def _dbscan_oracle_sql() -> str:
     noise AS (
         SELECT count(*)::BIGINT AS n_noise
         FROM pts p
-        LEFT JOIN {lf} l ON l.v = p.vec_id
-        LEFT JOIN border b ON b.v = p.vec_id
-        WHERE l.v IS NULL AND b.v IS NULL
+        LEFT JOIN core_lab c ON c.vec_id = p.vec_id
+        LEFT JOIN border b ON b.vec_id = p.vec_id
+        WHERE c.vec_id IS NULL AND b.vec_id IS NULL
     )
     SELECT c.cluster_id, c.n_core, c.n_border, n.n_noise, t.converged
     FROM counts c CROSS JOIN noise n CROSS JOIN cert t
@@ -2736,32 +2793,47 @@ def _dbscan_oracle_sql() -> str:
 @register("dbscan_grid_clusters", oracle=_dbscan_oracle_sql())
 def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN (Ester et al. 1996) over the first two embedding dimensions,
-    Spark-shaped: ε-neighborhoods come from a GRID-BLOCKED equi-join (cell
-    width = ε, 9-offset fan-out — the ``spatial_grid_radius_join`` trick,
-    never an all-pairs distance), core points are a degree filter
-    (|N_ε| ≥ minPts, self included), clusters are connected components of
-    the core-core graph via HASH-TO-MIN label propagation (min of neighbor
-    labels ∪ label-of-label — O(log diameter) rounds, not O(diameter)),
-    and border points adopt the minimum neighboring core label
-    (deterministic, where textbook DBSCAN is arrival-order-dependent).
-    Output: one row per cluster with core/border counts, the global noise
-    count, and a CONVERGED certificate — the label table is re-propagated
-    one extra round and flagged if anything still moves (the ktruss
-    fixed-point discipline), so an exotic dataset needing more than the
-    unrolled 16 rounds is visible in the result, never silently wrong.
+    built to survive DENSITY SATURATION — the regime where a fixed ε on a
+    growing corpus makes naive grid DBSCAN quadratic (measured: Σocc²
+    grows ~95× per 10× data on the fixture geometry):
 
-    Exactness: coordinates quantize to integer milli-units first, so cell
-    assignment, the ε² distance predicate, degrees, labels, and counts
-    are all integer — no float anywhere.
+    - subcells of width ⌊ε/√2⌋ make every in-subcell pair ≤ ε, so any
+      subcell with ≥ minPts occupants certifies ALL its members core with
+      ZERO distance computations (Gunawan's grid DBSCAN); exact degrees
+      are computed only for FRINGE points (sparse subcells), whose
+      per-point candidate set is O(neighborhood occupancy) and whose
+      total cost is ≤ (minPts−1)·Σ neighborhood occupancies = O(N);
+    - cluster connectivity coarsens to the SUBCELL graph (all cores in a
+      subcell are mutually ≤ ε), with cross-subcell edges witnessed by
+      ≤ 16 hash-ranked REPRESENTATIVES per subcell over the 21-subcell
+      Gunawan neighborhood — the ``max_bucket_occupancy`` discipline: the
+      cap binds only above sf0.1 (fixture max occupancy 8), so fixture
+      results are bit-identical to textbook DBSCAN (the referee test
+      proves it), while at saturation the witness cost is
+      O(cap²·subcells), never O(occ²);
+    - components via HASH-TO-MIN label propagation (neighbor-min ∪
+      label-of-label, O(log diameter) rounds, 16 unrolled) with a
+      CONVERGED certificate re-propagated in-output (the ktruss
+      fixed-point discipline); border points adopt the minimum
+      neighboring core label (deterministic where textbook DBSCAN is
+      arrival-order-dependent); noise is the remainder.
 
-    Scale shape: one fact pass to quantized points; the neighbor join
-    shuffles on cell keys with occupancy-bounded fan-out (density ×ε²,
-    independent of corpus size); CC rounds are label-table-sized joins
-    with lineage cut per round. At 100 TB the ε-grid is the same
-    partitioner a spatial bucketing would persist."""
+    Exactness: integer milli-unit coordinates, so subcell assignment, ε²
+    predicates, degrees, labels, and counts are all integer; the rep
+    ranking uses the portable sha256 hash. Core/border/noise roles are
+    EXACT at every scale (certification and fringe degrees are exact);
+    only cross-subcell connectivity is representative-witnessed above the
+    cap, and the output certifies CC convergence.
+
+    Scale shape: one fact pass to quantized points; one subcell-key agg;
+    fringe-only degree join (O(N)); rep-capped witness join
+    (O(subcells·cap²)); CC rounds are subcell-table-sized with lineage
+    cut per round. At 100 TB the subcell grid is the same partitioner a
+    spatial bucketing would persist."""
     e = table(spark, sf_dir, "embeddings")
-    eps, eps2, minpts = _DBSCAN_EPS, _DBSCAN_EPS * _DBSCAN_EPS, _DBSCAN_MINPTS
-    pts = e.select(
+    eps2 = _DBSCAN_EPS * _DBSCAN_EPS
+    mp, sub, cap = _DBSCAN_MINPTS, _DBSCAN_SUB, _DBSCAN_REP_CAP
+    sc = e.select(
         "vec_id",
         F.floor(F.get("embedding", 0).cast("double") * 1000 + 0.5)
         .cast("long")
@@ -2769,60 +2841,88 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.get("embedding", 1).cast("double") * 1000 + 0.5)
         .cast("long")
         .alias("qy"),
-    )
-    cells = pts.select(
+    ).select(
         "vec_id",
         "qx",
         "qy",
-        F.floor(F.col("qx").cast("double") / eps).cast("long").alias("cx"),
-        F.floor(F.col("qy").cast("double") / eps).cast("long").alias("cy"),
+        F.floor(F.col("qx").cast("double") / sub).cast("long").alias("sx"),
+        F.floor(F.col("qy").cast("double") / sub).cast("long").alias("sy"),
     ).localCheckpoint(eager=True)
-    off = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
-        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    occ = sc.groupBy("sx", "sy").agg(F.count("*").alias("occ"))
+    off = spark.createDataFrame(_DBSCAN_OFF, "dx int, dy int")
+    fringe = sc.join(occ.filter(F.col("occ") < mp), ["sx", "sy"]).select(
+        "vec_id", "qx", "qy", "sx", "sy"
     )
-    a = (
-        cells.crossJoin(F.broadcast(off))
-        .select(
-            F.col("vec_id").alias("va"),
-            F.col("qx").alias("qxa"),
-            F.col("qy").alias("qya"),
-            (F.col("cx") + F.col("dx")).alias("jx"),
-            (F.col("cy") + F.col("dy")).alias("jy"),
-        )
+    bshift = sc.select(
+        F.col("qx").alias("bqx"),
+        F.col("qy").alias("bqy"),
+        F.col("sx").alias("jx"),
+        F.col("sy").alias("jy"),
     )
-    b = cells.select(
-        F.col("vec_id").alias("vb"),
-        F.col("qx").alias("qxb"),
-        F.col("qy").alias("qyb"),
-        F.col("cx").alias("jx"),
-        F.col("cy").alias("jy"),
+    within = (
+        (F.col("qx") - F.col("bqx")) * (F.col("qx") - F.col("bqx"))
+        + (F.col("qy") - F.col("bqy")) * (F.col("qy") - F.col("bqy"))
+        <= eps2
     )
-    nbr = (
-        a.join(b, ["jx", "jy"])
-        .filter(
-            (F.col("qxa") - F.col("qxb")) * (F.col("qxa") - F.col("qxb"))
-            + (F.col("qya") - F.col("qyb")) * (F.col("qya") - F.col("qyb"))
-            <= eps2
-        )
-        .select("va", "vb")
+    fringe_core = (
+        fringe.crossJoin(F.broadcast(off))
+        .withColumn("jx", F.col("sx") + F.col("dx"))
+        .withColumn("jy", F.col("sy") + F.col("dy"))
+        .join(bshift, ["jx", "jy"])
+        .filter(within)
+        .groupBy("vec_id", "qx", "qy", "sx", "sy")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= mp)
+        .select("vec_id", "qx", "qy", "sx", "sy")
+    )
+    certified = sc.join(occ.filter(F.col("occ") >= mp), ["sx", "sy"]).select(
+        "vec_id", "qx", "qy", "sx", "sy"
+    )
+    core = certified.unionByName(fringe_core).localCheckpoint(eager=True)
+    wrep = Window.partitionBy("sx", "sy").orderBy(
+        token_hash64(F.concat(F.lit("dbscan:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    reps = (
+        core.select("*", F.row_number().over(wrep).alias("rk"))
+        .filter(F.col("rk") <= cap)
+        .drop("rk")
         .localCheckpoint(eager=True)
     )
-    deg = nbr.groupBy(F.col("va").alias("vec_id")).agg(
-        F.count("*").alias("deg")
+    node = core.groupBy("sx", "sy").agg(F.min("vec_id").alias("nid"))
+    repb = reps.select(
+        F.col("qx").alias("bqx"),
+        F.col("qy").alias("bqy"),
+        F.col("sx").alias("jx"),
+        F.col("sy").alias("jy"),
     )
-    core = deg.filter(F.col("deg") >= minpts).select("vec_id")
-    edges = (
-        nbr.join(core.select(F.col("vec_id").alias("va")), "va")
-        .join(core.select(F.col("vec_id").alias("vb")), "vb")
-        .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+    sedge = (
+        reps.crossJoin(F.broadcast(off))
+        .filter(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .withColumn("jx", F.col("sx") + F.col("dx"))
+        .withColumn("jy", F.col("sy") + F.col("dy"))
+        .join(repb, ["jx", "jy"])
+        .filter(within)
+        .join(node, ["sx", "sy"])
+        .withColumnRenamed("nid", "src")
+        .join(
+            node.select(
+                F.col("sx").alias("jx"),
+                F.col("sy").alias("jy"),
+                F.col("nid").alias("dst"),
+            ),
+            ["jx", "jy"],
+        )
+        .select("src", "dst")
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    lab = core.select(
-        F.col("vec_id").alias("v"), F.col("vec_id").alias("lab")
+    lab = node.select(
+        F.col("nid").alias("v"), F.col("nid").alias("lab")
     ).localCheckpoint(eager=True)
 
     def propagate(l):
-        nb_min = edges.join(
+        nb_min = sedge.join(
             l.select(F.col("v").alias("src"), "lab"), "src"
         ).select(F.col("dst").alias("v"), "lab")
         lol = l.select(F.col("v"), F.col("lab").alias("ptr")).join(
@@ -2844,23 +2944,30 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             lab_cert.select(F.col("v"), F.col("lab").alias("lab2")), "v"
         )
         .filter(F.col("lab") != F.col("lab2"))
-        .agg(
-            F.when(F.count("*") == 0, 1).otherwise(0).alias("converged")
-        )
+        .agg(F.when(F.count("*") == 0, 1).otherwise(0).alias("converged"))
+    )
+    core_lab = core.join(node, ["sx", "sy"]).join(
+        lab.select(F.col("v").alias("nid"), "lab"), "nid"
+    )
+    clb = core_lab.select(
+        F.col("qx").alias("bqx"),
+        F.col("qy").alias("bqy"),
+        F.col("sx").alias("jx"),
+        F.col("sy").alias("jy"),
+        "lab",
     )
     border = (
-        nbr.join(core.select(F.col("vec_id").alias("vb")), "vb")
-        .join(
-            core.select(F.col("vec_id").alias("va")),
-            "va",
-            "left_anti",
-        )
-        .join(lab.select(F.col("v").alias("vb"), "lab"), "vb")
-        .groupBy(F.col("va").alias("v"))
+        fringe.join(fringe_core.select("vec_id"), "vec_id", "left_anti")
+        .crossJoin(F.broadcast(off))
+        .withColumn("jx", F.col("sx") + F.col("dx"))
+        .withColumn("jy", F.col("sy") + F.col("dy"))
+        .join(clb, ["jx", "jy"])
+        .filter(within)
+        .groupBy("vec_id")
         .agg(F.min("lab").alias("lab"))
     )
     counts = (
-        lab.select("lab", F.lit(True).alias("is_core"))
+        core_lab.select("lab", F.lit(True).alias("is_core"))
         .unionByName(border.select("lab", F.lit(False).alias("is_core")))
         .groupBy(F.col("lab").alias("cluster_id"))
         .agg(
@@ -2869,10 +2976,10 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     noise = (
-        pts.join(lab.select(F.col("v").alias("vec_id")), "vec_id", "left_anti")
-        .join(
-            border.select(F.col("v").alias("vec_id")), "vec_id", "left_anti"
+        sc.join(
+            core_lab.select(F.col("vec_id")), "vec_id", "left_anti"
         )
+        .join(border.select(F.col("vec_id")), "vec_id", "left_anti")
         .agg(F.count("*").alias("n_noise"))
     )
     return (
