@@ -88,6 +88,10 @@ HEADLINE = [
     "err_at_k_eval",              # cascade-model ranking eval over the
                                   # exact + LSH ANN pipelines (r11)
     "interval_join_purchase_click",  # stream-stream interval join twin (r11)
+    "dbscan_grid_clusters",       # subcell-certified DBSCAN + hash-to-min CC
+                                  # (r12; the saturation-proof rebuild)
+    "power_iteration_top_eigen",  # 12 exact matvec rounds on the fixed-point
+                                  # gram (r12; PCA-at-scale shape)
 ]
 
 #: Known-bounded partitionless window specs per headline plan. Every entry
