@@ -146,7 +146,16 @@ def main() -> int:
             "green": rc == 0 and bench is not None,
         }
 
-    if _git("rev-parse", "HEAD") != sha or _git("status", "--porcelain"):
+    # BENCH_AB.json is WRITTEN BY the bench gate itself (the r12 A/B
+    # side-record that keeps the stdout JSON line parseable) — it is an
+    # expected gate artifact, committed together with the close record,
+    # not a sign the tree drifted. Anything else dirty still refuses.
+    dirty = [
+        ln
+        for ln in _git("status", "--porcelain").splitlines()
+        if ln.split(None, 1)[-1] != "BENCH_AB.json"
+    ]
+    if _git("rev-parse", "HEAD") != sha or dirty:
         print(
             "REFUSED: HEAD moved or tree went dirty during the gates — the "
             "record would not describe one SHA. Re-run at the final SHA.",
