@@ -36,6 +36,17 @@ from ab_inbev_big_data_case_spark.functions.text import (
 )
 
 
+#: Production per-bucket occupancy cap for MinHash-LSH band buckets (r13:
+#: threaded through the FAMILY ROOT after the sf1->sf10 audit measured 95x
+#: candidate growth for 10x docs on the uncapped join — bucket occupancy
+#: grows ~linearly once content density saturates, so uncapped pair fan-out
+#: is Σocc² = quadratic). A band bucket with more than this many occupants
+#: is boilerplate pooling, not near-dup signal; dropping it bounds per-bucket
+#: pairs at occ*cap = linear. Mirrored in every consumer oracle via the
+#: kept_bands CTE (queries/llm.py ``_KEPT_BANDS_CTE``).
+LSH_MAX_BUCKET_OCCUPANCY = 64
+
+
 def content_hash(df: DataFrame, text_col: str, out_col: str = "content_hash") -> DataFrame:
     """Exact-dedup key: sha256 of the raw text (glue/etl_api.py:31's dedup
     generalized to content identity)."""

@@ -664,6 +664,7 @@ def reliability_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # come from EXACTLY the pipelines being compared (no re-derived variant
 # that could drift).
 from ab_inbev_big_data_case_spark.llm.dedup import (  # noqa: E402
+    LSH_MAX_BUCKET_OCCUPANCY,
     lsh_band_buckets_wide,
     lsh_candidate_pairs,
     minhash_signatures_wide,
@@ -671,6 +672,7 @@ from ab_inbev_big_data_case_spark.llm.dedup import (  # noqa: E402
 )
 from ab_inbev_big_data_case_spark.queries.llm import (  # noqa: E402
     _BANDS_CTE,
+    _KEPT_BANDS_CTE,
     _SHINGLES_CTE,
     _SIG_CTE,
     _SIMHASH_SIG_CTE_RENAMED,
@@ -678,10 +680,10 @@ from ab_inbev_big_data_case_spark.queries.llm import (  # noqa: E402
 )
 
 _MCNEMAR_SQL = f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE},
     mh AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
     ),
@@ -756,7 +758,11 @@ def mcnemar_dedup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction) is scalar arithmetic on that row."""
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
-    mh = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    mh = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
+    )
     sh = simhash_hamming_pairs(spark, sf_dir).select("id1", "id2")
 
     def doc_flags(pairs: DataFrame, flag: str) -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.functions.text import shingles, token_hash64, tokens
 from ab_inbev_big_data_case_spark.llm.dedup import (
+    LSH_MAX_BUCKET_OCCUPANCY,
     chunk_dup_stats,
     dup_clusters,
     exact_dedup_stats,
@@ -91,6 +92,23 @@ _BANDS_CTE = """
         FROM sig GROUP BY 1, 2
     )"""
 
+#: Production occupancy cap on the band buckets (r13, threaded through the
+#: FAMILY ROOT): a bucket with > 64 occupants is boilerplate pooling, not
+#: near-dup signal, and its occupancy² pair fan-out is the quadratic term
+#: the sf1->sf10 audit measured (101k -> 9.7M candidates, 95x for 10x docs;
+#: ``dup_clusters_cc`` rode it to 10.2x wall). Mirrors
+#: ``llm.dedup.LSH_MAX_BUCKET_OCCUPANCY`` = 64 — every oracle that consumes
+#: LSH candidates chains this after ``_BANDS_CTE`` and joins ``kept_bands``
+#: instead of ``bands``, exactly the flagship ``curation_pipeline_e2e``
+#: pattern.
+_KEPT_BANDS_CTE = """
+    bsize AS (SELECT band, band_sig, count(*) AS n_occ FROM bands GROUP BY 1, 2),
+    kept_bands AS (
+        SELECT b.doc_id, b.band, b.band_sig
+        FROM bands b JOIN bsize z ON z.band = b.band AND z.band_sig = b.band_sig
+        WHERE z.n_occ BETWEEN 2 AND 64
+    )"""
+
 # ------------------------------------------------------------------ dedup
 
 
@@ -127,27 +145,38 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_pairs",
     oracle=f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE}
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-    FROM bands a JOIN bands b
+    FROM kept_bands a JOIN kept_bands b
       ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs from LSH banding (4 bands × 2 rows):
-    the scale path — only same-bucket docs are ever compared."""
+    the scale path — only same-bucket docs are ever compared, and (r13)
+    the production occupancy cap is part of the FAMILY ROOT's registered
+    semantics: buckets with > 64 occupants are dropped (boilerplate
+    pooling, not near-dup signal), bounding pair fan-out linearly where
+    the uncapped join measured Σocc² quadratic growth (95x candidates
+    for 10x docs at sf1->sf10). Every consumer — dup clusters,
+    keep-list, Levenshtein/Jaccard verify tiers, leakage/agreement
+    audits — inherits the cap from this definition."""
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
-    return lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    return lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
+    )
 
 
 @register(
     "levenshtein_near_dup_pairs",
     oracle=f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE},
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
     )
@@ -181,7 +210,11 @@ def levenshtein_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel across pairs. The two doc joins are dimension-keyed."""
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
-    cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    cand = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
+    )
     x = d.select(
         F.col("doc_id").alias("id1"),
         F.col("text").alias("__t1"),
@@ -210,11 +243,11 @@ def levenshtein_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lsh_index_delta_pairs",
     oracle=f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE}
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
            ((a.doc_id % 10 = 0)::INT + (b.doc_id % 10 = 0)::INT)::INT
                AS n_new_sides
-    FROM bands a JOIN bands b
+    FROM kept_bands a JOIN kept_bands b
       ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
     """,
@@ -239,9 +272,12 @@ def lsh_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ab_inbev_big_data_case_spark.llm.dedup import lsh_delta_candidate_pairs
 
-    return lsh_delta_candidate_pairs(buckets, "doc_id", "is_new").select(
-        "id1", "id2", F.col("n_new_sides").cast("int").alias("n_new_sides")
-    )
+    return lsh_delta_candidate_pairs(
+        buckets,
+        "doc_id",
+        "is_new",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
+    ).select("id1", "id2", F.col("n_new_sides").cast("int").alias("n_new_sides"))
 
 
 @register(
@@ -804,10 +840,10 @@ def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_dedup_corpus",
     oracle=f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE},
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -843,7 +879,11 @@ def near_dup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sh = shingle_set(d, "doc_id", "text", 3)
     sig = minhash_signatures_wide(sh, "doc_id", 8)
-    cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    cand = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
+    )
     verified = jaccard_verify_candidates(cand, sh, "doc_id", 0.5)
     dupes = verified.select(F.col("id2").alias("doc_id")).distinct()
     return d.join(dupes, "doc_id", "left_anti").select("doc_id", "lang", "source")
@@ -1177,10 +1217,10 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dup_clusters_cc",
     oracle=f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE},
     pairs AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     ),
     edges AS (
@@ -1203,7 +1243,11 @@ def dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairwise keep-rule's over-dropping on transitive chains."""
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
-    pairs = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    pairs = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
+    )
     return dup_clusters(pairs, rounds=3)
 
 
@@ -2469,7 +2513,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(
         lsh_band_buckets_wide(sig, "doc_id", 8, 2),
         "doc_id",
-        max_bucket_occupancy=64,
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
     )
     # candidate-driven exact verify (r6): LINEAR in candidates — the old
     # corpus-wide ngram_jaccard_pairs + semi-join computed Σdf² regardless
@@ -2754,10 +2798,10 @@ _SPLIT_CASE = """CASE WHEN {h} < 80 THEN 'train' WHEN {h} < 90 THEN 'val'
                       ELSE 'test' END"""
 
 _LEAKAGE_SQL = f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE},
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
     ),
@@ -2794,7 +2838,11 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus²); split tags are a narrow hash map joined on doc id."""
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
-    cand = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    cand = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
+    )
     h = (
         F.conv(
             F.substring(
@@ -3430,7 +3478,7 @@ _SIMHASH_PAIRS_SQL = f"""
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
     SELECT c.id1, c.id2,
@@ -3928,10 +3976,10 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_SIG_CTE_RENAMED = _SIMHASH_SIG_CTE.replace("sig AS (", "ssig AS (")
 
 _AGREE_SQL = f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE},
     mh AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
     ),
@@ -3985,7 +4033,9 @@ def dedup_paths_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
     mh = lsh_candidate_pairs(
-        lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id"
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
     ).withColumn("in_mh", F.lit(1))
     sh = (
         simhash_hamming_pairs(spark, sf_dir)
@@ -5539,10 +5589,10 @@ def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- dedup pair transitivity audit
 
 _TRANSITIVITY_SQL = f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE},
     e AS (
         SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
     ),
@@ -5583,7 +5633,9 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
     e = lsh_candidate_pairs(
-        lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id"
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
     ).select(F.col("id1").alias("u"), F.col("id2").alias("v"))
     e1 = e.select(F.col("u"), F.col("v").alias("mid"))
     e2 = e.select(F.col("u").alias("mid"), F.col("v").alias("w"))
@@ -6428,10 +6480,10 @@ def _cc_core_ctes() -> tuple[str, str]:
             f"l{i} AS MATERIALIZED (SELECT a.v, b.l FROM r{i} a JOIN r{i} b ON a.l = b.v)"
         )
         cur = f"l{i}"
-    body = f"""{_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE},
+    body = f"""{_SHINGLES_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_KEPT_BANDS_CTE},
     prs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
     ),
@@ -6469,7 +6521,11 @@ def _cc_labels(spark: SparkSession, sf_dir: str):
     the algorithm and scale notes)."""
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures_wide(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
-    pairs = lsh_candidate_pairs(lsh_band_buckets_wide(sig, "doc_id", 8, 2), "doc_id")
+    pairs = lsh_candidate_pairs(
+        lsh_band_buckets_wide(sig, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
+    )
     edges = (
         pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
         .unionAll(pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v")))
@@ -6821,8 +6877,12 @@ def power_iteration_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     den = v.agg(F.sum(F.col("vq").cast(d38) * F.col("vq")).alias("d2"))
+    # cast BEFORE summing (ADVICE r12): Spark's long sum wraps silently on
+    # overflow while the oracle sums in HUGEINT — decimal(38,0) partials
+    # keep the trace exact at any corpus size, matching the Rayleigh/CKA
+    # moment pattern.
     tr = gram.filter(F.col("i") == F.col("j")).agg(
-        F.sum("g").cast(d38).alias("t")
+        F.sum(F.col("g").cast(d38)).alias("t")
     )
     panel = rq.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(tr))
     return (

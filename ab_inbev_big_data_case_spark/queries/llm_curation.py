@@ -1033,9 +1033,15 @@ _MINHASH_ACC_SQL = f"""
                               THEN 1000000007 ELSE 1 END)) AS band_sig
         FROM sig GROUP BY 1, 2
     ),
+    bsize AS (SELECT band, band_sig, count(*) AS n_occ FROM bands GROUP BY 1, 2),
+    kept_bands AS (
+        SELECT b.doc_id, b.band, b.band_sig
+        FROM bands b JOIN bsize z ON z.band = b.band AND z.band_sig = b.band_sig
+        WHERE z.n_occ BETWEEN 2 AND 64
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
     ),
@@ -1083,6 +1089,7 @@ def minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection join, so the expensive exact computation runs on
     O(candidates), never O(corpus²)."""
     from ab_inbev_big_data_case_spark.llm.dedup import (
+        LSH_MAX_BUCKET_OCCUPANCY,
         lsh_band_buckets_wide,
         lsh_candidate_pairs,
         minhash_signatures_wide,
@@ -1092,7 +1099,9 @@ def minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_set(d, "doc_id", "text", 3)
     sigw = minhash_signatures_wide(sh, "doc_id", 8)
     cand = lsh_candidate_pairs(
-        lsh_band_buckets_wide(sigw, "doc_id", 8, 2), "doc_id"
+        lsh_band_buckets_wide(sigw, "doc_id", 8, 2),
+        "doc_id",
+        max_bucket_occupancy=LSH_MAX_BUCKET_OCCUPANCY,
     )
     sa = sigw.select(
         F.col("doc_id").alias("id1"),

@@ -149,11 +149,15 @@ def main() -> int:
     # BENCH_AB.json is WRITTEN BY the bench gate itself (the r12 A/B
     # side-record that keeps the stdout JSON line parseable) — it is an
     # expected gate artifact, committed together with the close record,
-    # not a sign the tree drifted. Anything else dirty still refuses.
+    # not a sign the tree drifted. The exemption is STATUS-SPECIFIC
+    # (ADVICE r12): only an unstaged modification or a brand-new untracked
+    # file matches the bench gate's own write; a staged, deleted, renamed,
+    # or otherwise-statused BENCH_AB.json still refuses, so a hand-edited
+    # copy can't ride the exemption into a minted close record.
     dirty = [
         ln
         for ln in _git("status", "--porcelain").splitlines()
-        if ln.split(None, 1)[-1] != "BENCH_AB.json"
+        if ln not in (" M BENCH_AB.json", "?? BENCH_AB.json")
     ]
     if _git("rev-parse", "HEAD") != sha or dirty:
         print(
