@@ -178,6 +178,15 @@ def upsert_by_key(
     needs, since Structured Streaming replays the last uncommitted batch
     on recovery.
 
+    Crash consistency (r13): the swap is two atomic renames —
+    ``path -> path.__old__`` then ``staging -> path`` — with recovery at
+    entry, replacing the original ``rmtree(path); rename(staging, path)``
+    whose crash window left NO table at ``path``: a replay arriving in
+    that state took the bootstrap branch and silently dropped every
+    pre-existing key. Now every crash point leaves either the old or the
+    new table recoverable by rename, and the entry recovery plus the
+    replayed batch reconverge to the exact batch-twin table.
+
     Scale notes: copy-on-write rewrites the whole dataset — correct and
     simple, and exactly what Delta/Iceberg avoid with file-level pruning;
     at 100 TB the same pattern is applied per PARTITION (pair this with
@@ -188,6 +197,7 @@ def upsert_by_key(
     import os
     import shutil
 
+    _recover_upsert_swap(path)
     if order_col is not None:
         # a single batch may carry several versions of one key (e.g. a
         # multi-file micro-batch) — collapse to latest-per-key first, or the
@@ -228,9 +238,40 @@ def upsert_by_key(
             .drop("__rn", "__src")
         )
     tmp = path.rstrip("/") + ".__staging__"
+    old = path.rstrip("/") + ".__old__"
     merged.write.format(fmt).mode("overwrite").save(tmp)
-    shutil.rmtree(path)
+    # two atomic renames, never a window with no table at `path` whose
+    # replay would bootstrap-overwrite (see docstring):
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def _recover_upsert_swap(path: str) -> None:
+    """Roll an interrupted :func:`upsert_by_key` swap back to a consistent
+    table before touching ``path``. States a crash can leave:
+
+    - staging exists, ``path`` exists  → staging may be INCOMPLETE (crash
+      mid-write): drop staging; the replayed batch recomputes it.
+    - ``path`` missing, ``__old__`` exists → crash between the renames;
+      ``__old__`` is the complete pre-batch table: restore it (the
+      replayed batch re-applies the merge idempotently). Staging is
+      complete in this state too, but restoring the OLD table needs no
+      trust in staging's contents.
+    - ``path`` exists, ``__old__`` exists → crash after the swap, before
+      cleanup: the new table already won; drop ``__old__``.
+    """
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + ".__staging__"
+    old = path.rstrip("/") + ".__old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
 
 
 def upsert_by_key_partitioned(

@@ -294,11 +294,50 @@ def main() -> None:
     # concurrently — the host runs exactly one query at a time).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    head_samples: dict[str, list[float]] = {}
     pin_samples: dict[str, list[float]] = {}
+
+    def _median(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
     try:
+
+        def timed_pair(fn, name: str, head_first: bool) -> None:
+            """One interleaved (HEAD, pinned) timing of `name` — never
+            concurrent; order set by the caller's parity."""
+            nonlocal arm
+            do_pin = arm and name in arm.queries
+
+            def time_head() -> None:
+                t0 = time.time()
+                # count() forces full execution, no driver-side rows
+                fn(spark, sf_dir).count()
+                head_samples.setdefault(name, []).append(time.time() - t0)
+
+            def time_pin() -> None:
+                nonlocal arm
+                if not do_pin:
+                    return
+                try:
+                    r = arm.ask({"cmd": "time", "name": name, "dir": sf_dir})
+                    pin_samples.setdefault(name, []).append(r["sec"])
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"A/B: degraded to single-arm mid-bench ({exc})",
+                        file=sys.stderr,
+                    )
+                    arm_handle.close()  # don't orphan the pinned JVM
+                    arm = None
+
+            if head_first:
+                time_head()
+                time_pin()
+            else:
+                time_pin()
+                time_head()
+
         for qi, name in enumerate(HEADLINE):
             fn = QUERIES[name]
-            samples = []
             for run in range(n_runs):
                 # ORDER-FAIR alternation (r12): which arm runs first flips
                 # with (query_index + run) parity. Rehearsals showed the
@@ -309,37 +348,39 @@ def main() -> None:
                 # vs 0.89 on back-to-back runs). Alternating parity puts
                 # the transient on both arms equally often, so medians
                 # cancel it.
-                head_first = (qi + run) % 2 == 0
-                do_pin = arm and name in arm.queries
+                timed_pair(fn, name, head_first=(qi + run) % 2 == 0)
+            timings[name] = round(_median(head_samples[name]), 3)
 
-                def time_head() -> None:
-                    t0 = time.time()
-                    # count() forces full execution, no driver-side rows
-                    fn(spark, sf_dir).count()
-                    samples.append(time.time() - t0)
-
-                def time_pin():
-                    nonlocal arm
-                    if not do_pin:
-                        return
-                    try:
-                        r = arm.ask({"cmd": "time", "name": name, "dir": sf_dir})
-                        pin_samples.setdefault(name, []).append(r["sec"])
-                    except Exception as exc:  # noqa: BLE001
-                        print(
-                            f"A/B: degraded to single-arm mid-bench ({exc})",
-                            file=sys.stderr,
-                        )
-                        arm_handle.close()  # don't orphan the pinned JVM
-                        arm = None
-
-                if head_first:
-                    time_head()
-                    time_pin()
-                else:
-                    time_pin()
-                    time_head()
-            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # Outlier re-run (VERDICT r12 item 5): a per-query head/pin median
+        # ratio beyond 1.5x in EITHER direction is, on byte-identical code,
+        # almost always a single-run transient (r12's BENCH_AB carried a
+        # 2.74x phantom on an untouched file). Re-run each outlier pair 3
+        # more interleaved times and re-take medians over ALL samples, so
+        # one transient can't become the number of record. Genuine
+        # regressions survive 6 samples; transients don't.
+        if arm:
+            outliers = []
+            for name in shared:
+                hs, ps = head_samples.get(name), pin_samples.get(name)
+                if not hs or not ps:
+                    continue
+                h, p = _median(hs), _median(ps)
+                if p > 0 and (h / p > 1.5 or p / h > 1.5):
+                    outliers.append((name, round(h / p, 2)))
+            for ri, (name, ratio0) in enumerate(outliers):
+                if not arm:
+                    break
+                fn = QUERIES[name]
+                for run in range(3):
+                    timed_pair(fn, name, head_first=(ri + run) % 2 == 0)
+                timings[name] = round(_median(head_samples[name]), 3)
+                h, p = _median(head_samples[name]), _median(pin_samples[name])
+                print(
+                    f"A/B: outlier {name} ratio {ratio0} re-run 3x -> "
+                    f"{round(h / p, 2) if p else 'n/a'} over "
+                    f"{len(head_samples[name])} samples",
+                    file=sys.stderr,
+                )
     finally:
         if arm_handle:
             arm_handle.close()

@@ -1018,3 +1018,133 @@ def test_checkpoint_recovery_interval_join(spark, sf_dir, tmp_path_factory):
     }
     assert set(got) == want
     assert len(got) > 0
+
+
+def _upsert_crash_fixture(spark, tmp_path):
+    """One landed file + a second-landing closure (the availableNow file
+    source batches ALL currently-available files together, so the crash
+    tests land f2 only after f1's clean bootstrap run — guaranteeing the
+    crashing batch runs the table-exists swap path)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    def land_f2():
+        spark.createDataFrame(
+            [(2, "b2", 2), (3, "c", 2)], schema
+        ).coalesce(1).write.parquet(src + "/f2")
+
+    want = {1: ("a", 1), 2: ("b2", 2), 3: ("c", 2)}
+    return schema, src, land_f2, want
+
+
+def _run_upsert(spark, schema, src, out, ckpt):
+    from ab_inbev_big_data_case_spark.streaming.jobs import (
+        stream_from_parquet,
+        stream_upsert_sink,
+    )
+
+    q = stream_upsert_sink(
+        stream_from_parquet(spark, src + "/*", schema),
+        out,
+        ["id"],
+        "ver",
+        ckpt,
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_upsert_sink_crash_between_swap_renames(spark, tmp_path, monkeypatch):
+    """Exactly-once under the WORST crash point (VERDICT r12 item 6): the
+    sink dies after `path` was renamed away but before staging was renamed
+    in — the window where the pre-r13 rmtree+rename protocol left NO table
+    and a replay bootstrap-overwrote, silently dropping every key not in
+    the replayed batch. With the two-rename protocol + entry recovery, a
+    restart on the same checkpoint must converge to the batch twin."""
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    schema, src, land_f2, want = _upsert_crash_fixture(spark, tmp_path)
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    _run_upsert(spark, schema, src, out, ckpt)  # clean bootstrap on f1
+    land_f2()
+
+    real_rename = os.rename
+    fired = {"n": 0}
+
+    def crash_after_first_rename(a, b, *args, **kw):
+        # first swap attempt: let `path -> __old__` through, die before
+        # `staging -> path`
+        if str(a).endswith(".__staging__") and fired["n"] == 0:
+            fired["n"] += 1
+            raise OSError("injected crash between swap renames")
+        return real_rename(a, b, *args, **kw)
+
+    monkeypatch.setattr(os, "rename", crash_after_first_rename)
+    try:
+        _run_upsert(spark, schema, src, out, ckpt)
+        raised = False
+    except StreamingQueryException:
+        raised = True
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert raised and fired["n"] == 1, "injection did not fire"
+    # the crash left the mid-swap state the old protocol could not survive
+    assert not os.path.exists(out) and os.path.exists(out + ".__old__")
+
+    # restart on the SAME checkpoint: recovery restores the old table, the
+    # replayed micro-batch re-merges idempotently
+    _run_upsert(spark, schema, src, out, ckpt)
+    got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert not os.path.exists(out + ".__old__")
+    assert not os.path.exists(out + ".__staging__")
+
+
+def test_stream_upsert_sink_crash_after_staging_write(spark, tmp_path, monkeypatch):
+    """Milder crash point: staging fully written, table untouched (die on
+    the FIRST rename). The orphaned staging dir must not confuse the
+    restart — recovery drops it and the replay recomputes the merge."""
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    schema, src, land_f2, want = _upsert_crash_fixture(spark, tmp_path)
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    _run_upsert(spark, schema, src, out, ckpt)  # clean bootstrap on f1
+    land_f2()
+
+    real_rename = os.rename
+    fired = {"n": 0}
+
+    def crash_before_any_rename(a, b, *args, **kw):
+        if str(b).endswith(".__old__") and fired["n"] == 0:
+            fired["n"] += 1
+            raise OSError("injected crash before the swap")
+        return real_rename(a, b, *args, **kw)
+
+    monkeypatch.setattr(os, "rename", crash_before_any_rename)
+    try:
+        _run_upsert(spark, schema, src, out, ckpt)
+        raised = False
+    except StreamingQueryException:
+        raised = True
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert raised and fired["n"] == 1, "injection did not fire"
+    # table intact (pre-batch), staging orphaned
+    assert os.path.exists(out) and os.path.exists(out + ".__staging__")
+
+    _run_upsert(spark, schema, src, out, ckpt)
+    got = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert not os.path.exists(out + ".__staging__")
