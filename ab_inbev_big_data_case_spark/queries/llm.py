@@ -7345,3 +7345,265 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------- lexical retrieval + rank fusion (r13)
+
+#: fixed audit query for the lexical scorer — three corpus terms with
+#: distinct document frequencies so idf variation is fixture-visible
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    qt AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+    tf AS (
+        SELECT t.doc_id, t.tok AS term, count(*) AS tf
+        FROM toks t JOIN qt ON qt.term = t.tok
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT t.doc_id,
+               round(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * ({_BM25_K1} + 1)
+                   / (t.tf + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl)),
+                   9)::DECIMAL(18,9) AS c
+        FROM tf t
+        JOIN dfreq d USING (term)
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+    ),
+    scored AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY 1)
+    SELECT doc_id, bm25_r, rank FROM (
+        SELECT doc_id,
+               round(CAST(s AS DOUBLE), 6) AS bm25_r,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 20
+"""
+
+
+@register("bm25_doc_scores", oracle=_BM25_SQL)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (Robertson–Spärck Jones; Lucene's +1 idf form) top-20
+    documents for a fixed 3-term audit query — the LEXICAL retrieval path
+    a RAG/data-curation stack runs beside the embedding ANN: exact term
+    statistics (tf, df, doc length, corpus avgdl), k1=1.2 / b=0.75.
+
+    Exactness: per-(doc, term) contributions are computed by the same
+    double expression in both engines, quantized to DECIMAL(18,9) BEFORE
+    the per-doc sum (order-free exact addition — the repo's
+    quantize-before-sum discipline; a raw double sum is summation-order
+    dependent), ranked on the exact decimal with doc_id tiebreaks, and
+    rounded to 6 only for display.
+
+    Scale shape: one token explode (the shingle layer's little sibling),
+    a doc-length aggregate, a BROADCAST 3-row term list pruning the
+    token stream before any shuffle, a tiny df aggregate, and one
+    doc-keyed sum — inverted-index cost, never corpus×vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    tf = (
+        toks.join(F.broadcast(terms), toks["tok"] == terms["term"])
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", F.round(contrib, 9).cast("decimal(18,9)").alias("c")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("s"))
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "doc_id",
+            F.round(F.col("s").cast("double"), 6).alias("bm25_r"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# the exact-vs-IVF ranked CTE pair, shared by the RRF fusion and hubness
+# audits (the same query set / quantize / tiebreak contract as
+# ``ivf_recall_eval``)
+_RANKED_LISTS_CTES = f"""
+    {_IVF_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+    exact AS (
+        SELECT query_id, cand_id, rk FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DOT.format(x='q.qv', y='c.embedding')} /
+                             ({_NORM.format(x='q.qv', tag='a')} *
+                              {_NORM.format(x='c.embedding', tag='b')}), 3)
+                             DESC NULLS LAST, c.vec_id) AS rk
+            FROM q, embeddings c WHERE c.vec_id != q.query_id
+        ) WHERE rk <= 5
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cell_id, row_number() OVER (
+                PARTITION BY q.query_id ORDER BY
+                round({_DOT.format(x='q.qv', y='c.cv')} /
+                      ({_NORM.format(x='q.qv', tag='p')} *
+                       {_NORM.format(x='c.cv', tag='q')}), 3) DESC NULLS LAST,
+                c.cell_id) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    icand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM probes p JOIN assign a USING (cell_id)
+        WHERE a.vec_id != p.query_id
+    ),
+    ivfk AS (
+        SELECT query_id, cand_id, rk FROM (
+            SELECT cd.query_id, cd.cand_id,
+                   row_number() OVER (
+                       PARTITION BY cd.query_id
+                       ORDER BY round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                             ({_NORM.format(x='x.embedding', tag='x')} *
+                              {_NORM.format(x='y.embedding', tag='y')}), 3)
+                             DESC NULLS LAST, cd.cand_id) AS rk
+            FROM icand cd
+            JOIN embeddings x ON x.vec_id = cd.query_id
+            JOIN embeddings y ON y.vec_id = cd.cand_id
+        ) WHERE rk <= 5
+    )"""
+
+_RRF_SQL = f"""
+    WITH {_RANKED_LISTS_CTES}
+    SELECT query_id, cand_id, in_exact, in_ivf, rrf_r,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_r DESC, cand_id
+           )::BIGINT AS fused_rank
+    FROM (
+        SELECT coalesce(e.query_id, i.query_id) AS query_id,
+               coalesce(e.cand_id, i.cand_id) AS cand_id,
+               (e.cand_id IS NOT NULL)::INT AS in_exact,
+               (i.cand_id IS NOT NULL)::INT AS in_ivf,
+               round(coalesce(1.0 / (60 + e.rk), 0)
+                     + coalesce(1.0 / (60 + i.rk), 0), 6) AS rrf_r
+        FROM exact e
+        FULL JOIN ivfk i ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+    )
+"""
+
+
+@register("rrf_fusion_eval", oracle=_RRF_SQL)
+def rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009, k=60) of
+    the two published ANN rankings — exact brute cosine top-5 and IVF
+    n_probe=2 top-5 — per audit query: the standard hybrid-retrieval
+    combiner (rank-based, so scores from incomparable scorers fuse
+    without calibration). Output carries each candidate's membership
+    flags, its fused score, and the fused rank.
+
+    Exactness: RRF terms are 1/(60+rank) for integer ranks — identical
+    exactly-rounded IEEE divisions in both engines; the fused rank
+    orders by the 6-rounded score with cand_id tiebreaks (quantize
+    before argmax).
+
+    Scale shape: both input rankings are the already-bounded top-5
+    lists (Q×5 rows each); the fusion is one full outer join on
+    (query, cand) plus a per-query window over ≤ 10 rows."""
+    e = table(spark, sf_dir, "embeddings")
+    _m = sqrt_centroid_modulus(e)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5).select(
+        "query_id", "cand_id", F.col("rank").alias("rk_e")
+    )
+    ivfk = ivf_search(
+        e,
+        "vec_id",
+        "embedding",
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
+        centroid_filter=lambda vid, m=_m: vid % m == 0,
+        n_probe=2,
+        k=5,
+    ).select("query_id", "cand_id", F.col("rank").alias("rk_i"))
+    fused = exact.join(ivfk, ["query_id", "cand_id"], "full").select(
+        "query_id",
+        "cand_id",
+        F.col("rk_e").isNotNull().cast("int").alias("in_exact"),
+        F.col("rk_i").isNotNull().cast("int").alias("in_ivf"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rk_e")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rk_i")), F.lit(0.0)),
+            6,
+        ).alias("rrf_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_r").desc(), F.col("cand_id"))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )
+
+
+_HUBNESS_SQL = f"""
+    WITH {_RANKED_LISTS_CTES}
+    SELECT k_occ, count(*)::BIGINT AS n_cands
+    FROM (SELECT cand_id, count(*)::BIGINT AS k_occ FROM exact GROUP BY 1)
+    GROUP BY 1
+"""
+
+
+@register("ann_hubness_audit", oracle=_HUBNESS_SQL)
+def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the exact top-5 neighbor lists: the k-occurrence
+    histogram — how many candidates appear in exactly k of the audit
+    queries' top-5 lists (Radovanović et al. 2010: high-dimensional
+    similarity concentrates on hub points; a heavy k-occurrence tail
+    means retrieval keeps returning the same few documents and dedup
+    keeps pairing against the same hubs). A spike at high k after an
+    embedding-model change is the regression this audit exists to catch.
+
+    Exactness: pure integer counting over the deterministic (quantized,
+    tie-broken) exact top-5 lists.
+
+    Scale shape: the input is the bounded Q×5 ranked list; two keyed
+    aggregates. Nothing touches the corpus beyond the ranking the audit
+    pair already computes."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
+    return (
+        exact.groupBy("cand_id")
+        .agg(F.count("*").cast("long").alias("k_occ"))
+        .groupBy("k_occ")
+        .agg(F.count("*").cast("long").alias("n_cands"))
+    )
