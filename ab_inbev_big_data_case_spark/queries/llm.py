@@ -7331,7 +7331,9 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses; no pairwise work anywhere. Docs with < 3 tokens have
     no shingles and are absent by definition in both engines."""
     d = table(spark, sf_dir, "documents")
-    sh = shingle_set(d, "doc_id", "text", 3)
+    # shared by the first-appearance aggregate AND the per-doc join: one
+    # shingling pass, not two (lazy checkpoint, the flagship's pattern)
+    sh = shingle_set(d, "doc_id", "text", 3).localCheckpoint(eager=False)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
     return (
@@ -7413,7 +7415,13 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream before any shuffle, a tiny df aggregate, and one
     doc-keyed sum — inverted-index cost, never corpus×vocabulary."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    # the token layer feeds doc-lengths AND term frequencies (and lengths
+    # feed stats + the score join): checkpoint lazily so the corpus text is
+    # exploded once, not once per consumer (the flagship's shingle-layer
+    # pattern — at 100 TB this is the difference between 1 and 4 passes)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).localCheckpoint(eager=False)
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
