@@ -114,3 +114,85 @@ def test_lsh_family_root_carries_the_occupancy_cap(spark):
     # uncapped emits the quadratic set — 100*99/2 boilerplate pairs
     n_uncapped = lsh_candidate_pairs(buckets, "doc_id").count()
     assert n_uncapped >= 100 * 99 // 2
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark, sf_dir):
+    """Novelty is a fraction in [0,1]; the corpus's minimum doc id owns
+    every shingle it introduces, so its novelty is exactly 1.0; and
+    n_novel can never exceed n_sh."""
+    rows = QUERIES["ngram_novelty_score"](spark, sf_dir).collect()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    first = min(by_id)
+    assert by_id[first]["novelty_r"] == 1.0
+    for r in rows:
+        assert 0.0 <= r["novelty_r"] <= 1.0
+        assert 0 <= r["n_novel"] <= r["n_sh"]
+
+
+def test_bm25_ranked_and_terms_scored(spark, sf_dir):
+    """Top-20 comes back densely ranked 1..20 with non-increasing scores,
+    all positive (every scored doc contains >= 1 query term)."""
+    rows = sorted(
+        QUERIES["bm25_doc_scores"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 20
+    scores = [r["bm25_r"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    assert all(s > 0 for s in scores)
+
+
+def test_rrf_fusion_membership_and_rank_consistency(spark, sf_dir):
+    """Every fused candidate belongs to at least one source list; a
+    both-lists candidate outranks (or equals by construction never —
+    strictly outranks on score) any single-list candidate whose single
+    rank is no better than both of its ranks; fused ranks are dense per
+    query."""
+    rows = QUERIES["rrf_fusion_eval"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r["in_exact"] + r["in_ivf"] >= 1
+        per_q[r["query_id"]].append(r)
+    for q, rs in per_q.items():
+        ranks = sorted(r["fused_rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # a candidate in BOTH lists always scores >= 1/65 + 0 more than
+        # the worst single-list score floor
+        for r in rs:
+            if r["in_exact"] and r["in_ivf"]:
+                assert r["rrf_r"] >= round(2 / 65, 6) - 1e-9
+
+
+def test_hubness_histogram_conserves_slots(spark, sf_dir):
+    """Σ k_occ·n_cands equals the total number of top-5 slots (5 per
+    audit query), and occurrence counts stay within [1, n_queries]."""
+    rows = QUERIES["ann_hubness_audit"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["k_occ"] * r["n_cands"] for r in rows)
+    n_queries = total // 5
+    assert total == n_queries * 5 and n_queries > 0
+    assert all(1 <= r["k_occ"] <= n_queries for r in rows)
+
+
+def test_cap_sensitivity_monotone(spark, sf_dir):
+    """Kept pair mass and kept bucket count are non-decreasing in the
+    cap, and the kept ratio is in [0,1] ending at 1.0 for cap=64 on the
+    fixture corpus (no bucket exceeds 64 there — the occupancy report's
+    n_over_cap agrees)."""
+    rows = {
+        r["cap"]: r for r in QUERIES["dedup_cap_sensitivity"](spark, sf_dir).collect()
+    }
+    caps = sorted(rows)
+    assert caps == [2, 4, 8, 16, 64]
+    for a, b in zip(caps, caps[1:]):
+        assert rows[a]["pairs_kept"] <= rows[b]["pairs_kept"]
+        assert rows[a]["n_buckets_kept"] <= rows[b]["n_buckets_kept"]
+    assert rows[64]["kept_ratio_r"] == 1.0
+    occ = QUERIES["lsh_bucket_occupancy_report"](spark, sf_dir).collect()[0]
+    assert occ["n_over_cap"] == 0
+    assert occ["pairs_kept"] == occ["pairs_uncapped"]
