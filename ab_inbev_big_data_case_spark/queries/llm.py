@@ -3478,7 +3478,7 @@ _SIMHASH_PAIRS_SQL = f"""
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM kept_bands a JOIN kept_bands b
+        FROM bands a JOIN bands b
           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
     SELECT c.id1, c.id2,
