@@ -7452,15 +7452,16 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("c").alias("s"))
     )
+    # top-20 via orderBy+limit (TakeOrderedAndProject — a DISTRIBUTED
+    # per-partition top-k + driver merge, never a global single-partition
+    # sort); the rank window then runs on the constant 20-row result
+    # (pinned in test_plan_sweep's allowlist as a constant spine)
+    top = scored.orderBy(F.col("s").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select(
-            "doc_id",
-            F.round(F.col("s").cast("double"), 6).alias("bm25_r"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    return top.select(
+        "doc_id",
+        F.round(F.col("s").cast("double"), 6).alias("bm25_r"),
+        F.row_number().over(w).cast("long").alias("rank"),
     )
 
 

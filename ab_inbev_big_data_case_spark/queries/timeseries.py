@@ -3461,3 +3461,123 @@ def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+# ---------------------------------------------- Theil–Sen robust trend (r13)
+
+_THEIL_SEN_SQL = f"""
+    WITH d AS ({_DAILY_SQL}),
+    pts AS (
+        SELECT date_diff('day', (SELECT min(day) FROM d), day)::BIGINT AS x,
+               CAST(round(rev * 100, 0) AS BIGINT) AS y
+        FROM d
+    ),
+    prs AS (
+        SELECT b.y - a.y AS dy, b.x - a.x AS dx
+        FROM pts a JOIN pts b ON b.x > a.x
+    ),
+    ranked AS (
+        SELECT dy, dx, dy * 1.0 / dx AS sl,
+               row_number() OVER (ORDER BY dy * 1.0 / dx, dy, dx) AS rn
+        FROM prs
+    ),
+    cnt AS (SELECT count(*) AS np, (count(*) + 1) // 2 AS mid FROM prs),
+    sen AS (
+        SELECT round(r.sl / 100, 6) AS slope
+        FROM ranked r CROSS JOIN cnt c WHERE r.rn = c.mid
+    ),
+    res AS (
+        SELECT p.y / 100.0 - s.slope * p.x AS resid, p.x
+        FROM pts p CROSS JOIN sen s
+    ),
+    rr AS (
+        SELECT resid, row_number() OVER (ORDER BY resid, x) AS rn FROM res
+    ),
+    nc AS (SELECT count(*) AS nd, (count(*) + 1) // 2 AS mid FROM pts)
+    SELECT nc.nd::BIGINT AS n_days,
+           c.np::BIGINT AS n_pairs,
+           s.slope AS sen_slope_r,
+           round(rr.resid, 2) AS intercept_r
+    FROM sen s
+    CROSS JOIN cnt c
+    CROSS JOIN nc
+    JOIN rr ON rr.rn = nc.mid
+"""
+
+
+@register("theil_sen_trend", oracle=_THEIL_SEN_SQL)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue (Theil 1950 / Sen 1968):
+    the slope is the LOWER MEDIAN of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i) over the day spine, the intercept the lower
+    median of the residuals y_i − slope·x_i — the standard
+    outlier-resistant alternative to OLS trend (breakdown point ~29%,
+    where one corrupted day drags least squares arbitrarily). The robust
+    sibling of the module's exact-moment regressions, and the trend
+    number a revenue-monitoring job actually wants on spiky data.
+
+    Exactness: days and revenue-cents are exact integers, so every
+    pairwise slope is a ratio of integers — both engines compute the
+    identical exactly-rounded IEEE double dy/dx and rank with (dy, dx)
+    tiebreaks (quantize-free but deterministic: equal doubles tie-break
+    on the exact integers); the selected slope is 6-rounded BEFORE the
+    residual pass so the second median sees identical inputs in both
+    engines; lower-median indices (m = (n+1)//2) are exact integer
+    arithmetic.
+
+    Scale shape: the pair set is days² — CALENDAR-bounded (the
+    hodges_lehmann discipline: ~365² ≈ 66k rows per year, independent of
+    fact-row count); the two global rank windows run on that bounded
+    spine (PARTITIONLESS_ALLOWED, documented there); everything upstream
+    is the shared one-shuffle daily collapse."""
+    d = _daily_revenue(spark, sf_dir)
+    base = d.agg(F.min("day").alias("d0"))
+    pts = (
+        d.crossJoin(F.broadcast(base))
+        .select(
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+            F.round(F.col("rev") * 100, 0).cast("long").alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    prs = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+    )
+    sl = F.col("dy") * F.lit(1.0) / F.col("dx")
+    w = Window.orderBy(sl, F.col("dy"), F.col("dx"))
+    ranked = prs.select("dy", "dx", sl.alias("sl")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    cnt = prs.agg(
+        F.count("*").alias("np"),
+        ((F.count("*") + 1) / 2).cast("long").alias("mid"),
+    )
+    sen = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(F.col("rn") == F.col("mid"))
+        .select(F.round(F.col("sl") / 100, 6).alias("slope"))
+    )
+    res = pts.crossJoin(F.broadcast(sen)).select(
+        (F.col("y") / F.lit(100.0) - F.col("slope") * F.col("x")).alias("resid"),
+        "x",
+        "slope",
+    )
+    wr = Window.orderBy(F.col("resid"), F.col("x"))
+    rr = res.withColumn("rn", F.row_number().over(wr))
+    nc = pts.agg(
+        F.count("*").alias("nd"),
+        ((F.count("*") + 1) / 2).cast("long").alias("midd"),
+    )
+    return (
+        rr.crossJoin(F.broadcast(nc))
+        .filter(F.col("rn") == F.col("midd"))
+        .crossJoin(F.broadcast(cnt.select("np")))
+        .select(
+            F.col("nd").cast("long").alias("n_days"),
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("slope").alias("sen_slope_r"),
+            F.round(F.col("resid"), 2).alias("intercept_r"),
+        )
+    )

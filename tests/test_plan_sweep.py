@@ -56,6 +56,8 @@ PARTITIONLESS_ALLOWED = {
     "bollinger_bands": 3,           # daily-spine 20-day sliding window (r8)
     "anderson_darling_two_sample": 2,  # bounded length-domain ECDF walk (r8)
     "hodges_lehmann_shift": 2,      # weeks² bounded pair-spine median rank + pair count (r8; r10 order-less count)
+    "theil_sen_trend": 2,           # days² calendar-bounded pair-spine slope rank + residual rank (r13)
+    "bm25_doc_scores": 1,           # rank over a LIMIT-20 constant spine (TakeOrdered upstream, r13)
     "newey_west_variance": 5,       # daily-spine lag-1..3 leads + order-less Σ/count (r8; r10 sweep widened)
     "seasonal_strength": 2,         # decomposition's day-spine trend windows (r8)
     "heaps_law_fit": 2,             # per-doc-rank spine (bounded by docs)
