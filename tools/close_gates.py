@@ -159,10 +159,13 @@ def main() -> int:
         for ln in _git("status", "--porcelain").splitlines()
         if ln not in (" M BENCH_AB.json", "?? BENCH_AB.json")
     ]
-    if _git("rev-parse", "HEAD") != sha or dirty:
+    head_now = _git("rev-parse", "HEAD")
+    if head_now != sha or dirty:
         print(
             "REFUSED: HEAD moved or tree went dirty during the gates — the "
-            "record would not describe one SHA. Re-run at the final SHA.",
+            "record would not describe one SHA. Re-run at the final SHA. "
+            f"[started at {sha[:10]}, now {head_now[:10]}; "
+            f"dirty={dirty!r}]",
             file=sys.stderr,
         )
         return 3
