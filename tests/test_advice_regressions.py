@@ -184,3 +184,35 @@ def test_ivf_balance_report_regimes(spark, sf_dir):
     assert s["n_vecs"] == c["n_vecs"] > 0
     assert c["n_cells"] <= 16 < s["n_cells"]
     assert c["exp_probe_cost_r"] >= s["exp_probe_cost_r"]
+
+
+# ------------------------- close-gate BENCH_AB exemption (ADVICE r12 + r13)
+
+
+def test_close_gate_dirty_exemption_status_specific():
+    """Only the bench gate's own BENCH_AB.json states (unstaged-modified,
+    untracked) are exempt; staged/deleted/renamed copies and any other
+    path refuse. Robust to _git()'s stdout.strip() eating the first
+    line's status prefix — the bug that refused the r13 close twice."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "close_gates",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "close_gates.py"),
+    )
+    cg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cg)
+
+    # the exact state the bench gate leaves, as _git() returns it
+    # (leading space stripped off the first line):
+    assert cg._dirty_lines("M BENCH_AB.json") == []
+    assert cg._dirty_lines(" M BENCH_AB.json") == []
+    assert cg._dirty_lines("?? BENCH_AB.json") == []
+    # staged modification, delete, rename, other files: all refuse
+    assert cg._dirty_lines("M  BENCH_AB.json")  # staged (two inner spaces)
+    assert cg._dirty_lines(" D BENCH_AB.json")
+    assert cg._dirty_lines("R  BENCH_AB.json -> X.json")
+    assert cg._dirty_lines(" M bench.py")
+    # multi-line: exempt line filters out, offender stays
+    assert cg._dirty_lines(" M BENCH_AB.json\n M bench.py") == [" M bench.py"]

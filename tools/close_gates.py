@@ -37,6 +37,21 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
+def _dirty_lines(porcelain: str) -> list[str]:
+    """Porcelain lines that should refuse a close record. The ONLY exempt
+    states are the bench gate's own write of BENCH_AB.json: unstaged
+    modification (XY = ' M') or untracked ('??'). Compared on the
+    stripped line because ``_git`` strips stdout — the r13 close refused
+    twice on ' M BENCH_AB.json' whose leading space strip() had eaten;
+    a STAGED modification ('M  BENCH_AB.json', two inner spaces), a
+    delete, or a rename still refuses."""
+    return [
+        ln
+        for ln in porcelain.splitlines()
+        if ln.strip() not in ("M BENCH_AB.json", "?? BENCH_AB.json")
+    ]
+
+
 def _run(cmd: list[str], env: dict | None = None) -> tuple[int, str]:
     proc = subprocess.run(
         cmd,
@@ -154,11 +169,7 @@ def main() -> int:
     # file matches the bench gate's own write; a staged, deleted, renamed,
     # or otherwise-statused BENCH_AB.json still refuses, so a hand-edited
     # copy can't ride the exemption into a minted close record.
-    dirty = [
-        ln
-        for ln in _git("status", "--porcelain").splitlines()
-        if ln not in (" M BENCH_AB.json", "?? BENCH_AB.json")
-    ]
+    dirty = _dirty_lines(_git("status", "--porcelain"))
     head_now = _git("rev-parse", "HEAD")
     if head_now != sha or dirty:
         print(
