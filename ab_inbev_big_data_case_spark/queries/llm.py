@@ -7103,9 +7103,9 @@ _LSH_OCC_SQL = f"""
            sum((occ >= 2)::INT)::BIGINT AS n_buckets,
            sum((occ > {LSH_MAX_BUCKET_OCCUPANCY})::INT)::BIGINT AS n_over_cap,
            max(occ)::BIGINT AS max_occ,
-           sum(occ * (occ - 1) // 2)::DECIMAL(38,0) AS pairs_uncapped,
+           sum(occ * (occ - 1) // 2)::BIGINT AS pairs_uncapped,
            sum(CASE WHEN occ BETWEEN 2 AND {LSH_MAX_BUCKET_OCCUPANCY}
-                    THEN occ * (occ - 1) // 2 ELSE 0 END)::DECIMAL(38,0)
+                    THEN occ * (occ - 1) // 2 ELSE 0 END)::BIGINT
                AS pairs_kept,
            round(CAST(sum(CASE WHEN occ BETWEEN 2 AND {LSH_MAX_BUCKET_OCCUPANCY}
                                THEN occ * (occ - 1) // 2 ELSE 0 END) AS DOUBLE)
@@ -7127,9 +7127,14 @@ def lsh_bucket_occupancy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     band width or re-shingle, BEFORE the downstream verify tier melts.
 
     Exactness: all moments are exact integers over an exact occupancy
-    histogram; pair masses sum in decimal(38,0) (overflow-proof at any
-    corpus size — the power-iteration trace discipline); the one ratio
-    divides two exact integers in double and rounds to 4.
+    histogram; pair masses SUM in decimal(38,0) (overflow-proof at any
+    corpus size — the power-iteration trace discipline) but OUTPUT as
+    int64: the total pair mass fits int64 until ~4.3e9 docs share one
+    band bucket (occ·(occ−1)/2 ≤ 9.2e18), far past any real corpus —
+    and bare decimal(38,0) outputs hash-render differently between the
+    engines at the driver (the round-3 HUGEINT lesson, recurred in r13
+    on exactly these columns). The one ratio divides the two exact
+    decimal sums in double and rounds to 4.
 
     Scale shape: one groupBy over the band table (the same shuffle key
     the candidate join itself uses — at 100 TB this piggybacks the
@@ -7150,11 +7155,11 @@ def lsh_bucket_occupancy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("occ") >= 2).cast("int")).cast("long").alias("n_buckets"),
         F.sum((F.col("occ") > cap).cast("int")).cast("long").alias("n_over_cap"),
         F.max("occ").cast("long").alias("max_occ"),
-        F.sum(pairs.cast(d38)).alias("pairs_uncapped"),
-        F.sum(kept.cast(d38)).alias("pairs_kept"),
+        F.sum(pairs.cast(d38)).cast("long").alias("pairs_uncapped"),
+        F.sum(kept.cast(d38)).cast("long").alias("pairs_kept"),
         F.round(
-            F.sum(kept).cast("double")
-            / F.nullif(F.sum(pairs).cast("double"), F.lit(0.0)),
+            F.sum(kept.cast(d38)).cast("double")
+            / F.nullif(F.sum(pairs.cast(d38)).cast("double"), F.lit(0.0)),
             4,
         ).alias("kept_ratio_r"),
     )
@@ -7167,7 +7172,7 @@ _CAP_SENS_SQL = f"""
     SELECT c.cap,
            sum((o.occ BETWEEN 2 AND c.cap)::INT)::BIGINT AS n_buckets_kept,
            sum(CASE WHEN o.occ BETWEEN 2 AND c.cap
-                    THEN o.occ * (o.occ - 1) // 2 ELSE 0 END)::DECIMAL(38,0)
+                    THEN o.occ * (o.occ - 1) // 2 ELSE 0 END)::BIGINT
                AS pairs_kept,
            round(CAST(sum(CASE WHEN o.occ BETWEEN 2 AND c.cap
                                THEN o.occ * (o.occ - 1) // 2 ELSE 0 END)
@@ -7193,8 +7198,11 @@ def dedup_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vacuous all-equal table.
 
     Exactness: the occupancy histogram is computed ONCE (exact integers);
-    each cap row is a conditional sum over it — decimal(38,0) pair
-    masses, one 4-digit double ratio of exact integers.
+    each cap row is a conditional sum over it — pair masses sum in
+    decimal(38,0) and output as int64 (safe to ~4.3e9 docs per bucket;
+    bare decimal outputs are driver-hash-unsafe, see
+    ``lsh_bucket_occupancy_report``), one 4-digit double ratio of the
+    exact decimal sums.
 
     Scale shape: one band-table groupBy shared across all caps, then a
     5×K broadcast-style aggregate over the K-row histogram. The cap
@@ -7221,10 +7229,10 @@ def dedup_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_buckets_kept"),
-            F.sum(kept.cast(d38)).alias("pairs_kept"),
+            F.sum(kept.cast(d38)).cast("long").alias("pairs_kept"),
             F.round(
-                F.sum(kept).cast("double")
-                / F.nullif(F.sum(pairs).cast("double"), F.lit(0.0)),
+                F.sum(kept.cast(d38)).cast("double")
+                / F.nullif(F.sum(pairs.cast(d38)).cast("double"), F.lit(0.0)),
                 4,
             ).alias("kept_ratio_r"),
         )
@@ -7242,7 +7250,7 @@ _SIMHASH_OCC_SQL = f"""
            sum((occ >= 2)::INT)::BIGINT AS n_buckets,
            sum((occ > {LSH_MAX_BUCKET_OCCUPANCY})::INT)::BIGINT AS n_over_cap,
            max(occ)::BIGINT AS max_occ,
-           sum(occ * (occ - 1) // 2)::DECIMAL(38,0) AS candidate_pairs
+           sum(occ * (occ - 1) // 2)::BIGINT AS candidate_pairs
     FROM occ
 """
 
@@ -7261,8 +7269,9 @@ def simhash_band_occupancy_report(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Exactness / scale shape: identical discipline to
     ``lsh_bucket_occupancy_report`` — one groupBy over the banded
-    signature table, exact integer histogram moments, decimal(38,0)
-    pair mass, 1-row output."""
+    signature table, exact integer histogram moments, pair mass summed
+    in decimal(38,0) and output as int64 (driver-hash-safe; envelope
+    ~4.3e9 docs per band bucket), 1-row output."""
     d = table(spark, sf_dir, "documents")
     sig = simhash(d, "doc_id", "text", 60, shingle_n=3).withColumnRenamed(
         "simhash", "s"
@@ -7291,7 +7300,7 @@ def simhash_band_occupancy_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum((F.col("occ") >= 2).cast("int")).cast("long").alias("n_buckets"),
         F.sum((F.col("occ") > cap).cast("int")).cast("long").alias("n_over_cap"),
         F.max("occ").cast("long").alias("max_occ"),
-        F.sum(pairs.cast("decimal(38,0)")).alias("candidate_pairs"),
+        F.sum(pairs.cast("decimal(38,0)")).cast("long").alias("candidate_pairs"),
     )
 
 

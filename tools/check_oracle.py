@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import math
 import os
+import re
 import sys
 import time
 from collections import Counter
@@ -105,6 +106,38 @@ def dtype_problems(sdf, dcols, dtypes):
     for c in sorted(set(spark_t) & set(duck_t)):
         if spark_t[c] != duck_t[c]:
             out.append(f"dtype[{c}] spark={spark_t[c]} duckdb={duck_t[c]}")
+    return out
+
+
+def decimal_problems(sdf, dcols, dtypes):
+    """Flag scale-0 decimal OUTPUT columns in either engine. The driver's
+    value hash renders DuckDB HUGEINT-backed decimals and Spark decimals
+    differently even when every value is an identical integer — the
+    round-3 HUGEINT incident recurred in round 13 on exactly the three
+    queries whose outputs were bare DECIMAL(38,0) (rows+schema matched,
+    hash didn't; locally green at 3 SFs because ``type_class`` collapses
+    decimal≈decimal). Integer-valued masses must OUTPUT as BIGINT (sum in
+    decimal internally if the envelope needs it, then cast). Decimals with
+    scale ≥ 1 are allowed: ``dp_gaussian_sum``'s decimal(29,2) is the
+    driver-green precedent for scale-rendered decimals."""
+    from pyspark.sql.types import DecimalType
+
+    out = []
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, DecimalType) and f.dataType.scale == 0:
+            out.append(
+                f"scale-0 decimal output col [{f.name}] "
+                f"{f.dataType.simpleString()} (driver hash renders DuckDB "
+                "hugeint-backed decimals differently — cast to BIGINT in "
+                "BOTH engines; r13 occupancy-report incident)"
+            )
+    for c, t in zip(dcols, dtypes):
+        m = re.match(r"(?:DECIMAL|NUMERIC)\s*\(\s*\d+\s*,\s*(\d+)\s*\)", t.strip(), re.I)
+        if m and int(m.group(1)) == 0:
+            out.append(
+                f"scale-0 decimal oracle col [{c}] {t} (cast to ::BIGINT — "
+                "driver-hash-unsafe; r13 occupancy-report incident)"
+            )
     return out
 
 
@@ -206,6 +239,7 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
         problems.extend(dtype_problems(sdf, dcols, dtypes))
+        problems.extend(decimal_problems(sdf, dcols, dtypes))
         if not problems:
             ms, md = multiset(srows, scols), multiset(drows, dcols)
             if ms != md:
