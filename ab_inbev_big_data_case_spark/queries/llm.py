@@ -6872,7 +6872,8 @@ def power_iteration_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rayleigh numerator is the binding term and is documented in the test.
 
     Scale shape: ONE fact pass (the gram), then 12 joins over 4096-row
-    tables with broadcast 1-row norms — free at any corpus size. The
+    tables with the sup-norm as an unpartitioned window over the 64-row
+    iterate — one lazy plan, free at any corpus size. The
     Rayleigh quotient is a certified LOWER bound on λ₁ for any iterate;
     the invariant test pins the remaining gap against a dense eigensolver
     on the fixture spectrum, which is near-isotropic (λ₂/λ₁ ≈ 0.93–0.98,
@@ -6882,18 +6883,27 @@ def power_iteration_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_matrix_fixed_point,
     )
 
+    from pyspark.sql.window import Window
+
     e = table(spark, sf_dir, "embeddings")
-    # localCheckpoint: the gram is re-joined 14 times and each iteration
-    # nests a join+agg inside the last — without cutting lineage, Catalyst
-    # re-analyzes an exponentially growing tree (the ktruss peel lesson).
-    # The checkpointed sets are dim²- and dim-bounded: 4096 and 64 rows.
+    # localCheckpoint: the gram is re-joined 14 times — cutting its lineage
+    # once keeps the fact pass out of every downstream stage. The loop
+    # itself stays ONE lazy plan: each iteration references w and v exactly
+    # once (the sup-norm via an unpartitioned window over the 64-row w, not
+    # a separate agg + crossJoin), so the tree grows LINEARLY in depth and
+    # the 12 iterations run as one job instead of 12 eagerly-checkpointed
+    # jobs (which cost ~2x wall at sf0.1 — the r13→r14 recovery; the
+    # per-iteration checkpoints were the regression, not the decimal
+    # carrier, which times identically to long here).
     gram = (
         gram_matrix_fixed_point(e, "embedding", dim=_PI_DIM, scale=_PI_SCALE)
         .select("i", "j", F.col("gram_q").alias("g"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     d38 = "decimal(38,0)"
-    v = spark.range(_PI_DIM).select(
+    w_all = Window.partitionBy()
+    v = spark.range(_PI_DIM).coalesce(1).select(
         F.col("id").alias("i"), F.lit(1000000000).cast("long").alias("vq")
     )
     for _ in range(_PI_ITERS):
@@ -6902,21 +6912,21 @@ def power_iteration_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum(F.col("g").cast(d38) * F.col("vq")).alias("w"))
         )
-        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-        v = (
-            w.crossJoin(F.broadcast(mx))
-            .select(
-                "i",
-                F.floor(
-                    F.col("w").cast("double") / F.col("mx").cast("double")
-                    * 1e9
-                    + 0.5
-                )
-                .cast("long")
-                .alias("vq"),
+        v = w.select(
+            "i",
+            F.floor(
+                F.col("w").cast("double")
+                / F.max(F.abs(F.col("w"))).over(w_all).cast("double")
+                * 1e9
+                + 0.5
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("vq"),
         )
+    # One lineage cut before the panel fans out into rq/den/loadings (v is
+    # referenced 4 times below — without the cut the 12-deep loop tree
+    # would be re-analyzed and potentially re-executed per reference).
+    v = v.localCheckpoint(eager=True)
     rq = (
         gram.join(v.select(F.col("i"), F.col("vq").alias("va")), "i")
         .join(
