@@ -101,12 +101,12 @@ _BANDS_CTE = """
 #: LSH candidates chains this after ``_BANDS_CTE`` and joins ``kept_bands``
 #: instead of ``bands``, exactly the flagship ``curation_pipeline_e2e``
 #: pattern.
-_KEPT_BANDS_CTE = """
+_KEPT_BANDS_CTE = f"""
     bsize AS (SELECT band, band_sig, count(*) AS n_occ FROM bands GROUP BY 1, 2),
     kept_bands AS (
         SELECT b.doc_id, b.band, b.band_sig
         FROM bands b JOIN bsize z ON z.band = b.band AND z.band_sig = b.band_sig
-        WHERE z.n_occ BETWEEN 2 AND 64
+        WHERE z.n_occ BETWEEN 2 AND {LSH_MAX_BUCKET_OCCUPANCY}
     )"""
 
 # ------------------------------------------------------------------ dedup
@@ -2436,7 +2436,7 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_bands AS (
         SELECT b.doc_id, b.band, b.band_sig
         FROM bands b JOIN bsize z ON z.band = b.band AND z.band_sig = b.band_sig
-        WHERE z.n_occ BETWEEN 2 AND 64
+        WHERE z.n_occ BETWEEN 2 AND {LSH_MAX_BUCKET_OCCUPANCY}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

@@ -23,7 +23,11 @@ from ab_inbev_big_data_case_spark.functions.text import (
     token_hash64,
     tokens,
 )
-from ab_inbev_big_data_case_spark.llm.dedup import containment_pairs, shingle_set
+from ab_inbev_big_data_case_spark.llm.dedup import (
+    LSH_MAX_BUCKET_OCCUPANCY,
+    containment_pairs,
+    shingle_set,
+)
 from ab_inbev_big_data_case_spark.llm.similarity import kmeans_rounds
 from ab_inbev_big_data_case_spark.registry import register
 from ab_inbev_big_data_case_spark.sources.readers import table
@@ -1037,7 +1041,7 @@ _MINHASH_ACC_SQL = f"""
     kept_bands AS (
         SELECT b.doc_id, b.band, b.band_sig
         FROM bands b JOIN bsize z ON z.band = b.band AND z.band_sig = b.band_sig
-        WHERE z.n_occ BETWEEN 2 AND 64
+        WHERE z.n_occ BETWEEN 2 AND {LSH_MAX_BUCKET_OCCUPANCY}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

@@ -260,6 +260,13 @@ def _recover_upsert_swap(path: str) -> None:
       trust in staging's contents.
     - ``path`` exists, ``__old__`` exists → crash after the swap, before
       cleanup: the new table already won; drop ``__old__``.
+    - ``path`` missing, ``__old__`` missing, staging exists → the LEGACY
+      pre-fix protocol's crash window (rmtree(path) then rename(tmp)):
+      staging is the fully merged table and the ONLY surviving copy —
+      promote it (ADVICE r13: deleting it here re-created the exact data
+      loss the two-rename protocol fixed, for tables broken before the
+      fix deployed). The new protocol never reaches this state (``path``
+      or ``__old__`` always exists), so the promotion cannot misfire.
     """
     import os
     import shutil
@@ -268,6 +275,8 @@ def _recover_upsert_swap(path: str) -> None:
     old = path.rstrip("/") + ".__old__"
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
+    if not os.path.exists(path) and os.path.exists(tmp):
+        os.rename(tmp, path)
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(tmp):

@@ -233,8 +233,95 @@ def _start_pinned_arm() -> _PinnedArm | None:
         return None
 
 
+def _busy_jiffies() -> int:
+    """Host-wide busy jiffies from /proc/stat (everything but idle+iowait)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+
+
+def _tree_jiffies() -> int:
+    """utime+stime jiffies summed over this process and all live
+    descendants (the Spark JVM, Python worker daemons, the pinned-arm
+    worker and its JVM are all children of this bench process)."""
+    me = os.getpid()
+    parent: dict[int, int] = {}
+    stats: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm can contain spaces/parens — split after the LAST ')'
+        rest = raw[raw.rindex(")") + 2 :].split()
+        parent[int(d)] = int(rest[1])  # ppid is field 4 overall, rest[1]
+        # utime+stime plus cutime+cstime: reaped children's jiffies move
+        # into the parent's cutime/cstime, so in-tree processes that exit
+        # mid-window (short-lived Python workers) stay counted as OURS
+        # instead of surfacing as phantom foreign load.
+        stats[int(d)] = (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        )
+    tree, frontier = {me}, [me]
+    kids: dict[int, list[int]] = {}
+    for pid, pp in parent.items():
+        kids.setdefault(pp, []).append(pid)
+    while frontier:
+        p = frontier.pop()
+        for c in kids.get(p, ()):
+            if c not in tree:
+                tree.add(c)
+                frontier.append(c)
+    return sum(stats.get(p, 0) for p in tree)
+
+
+class _LoadGuard:
+    """Detects FOREIGN CPU load during a timing window (VERDICT r13 item 3:
+    the order-fair A/B + outlier re-runs still recorded a same-code 16x
+    under sustained host load — medians can't cancel load that covers every
+    sample). Foreign cores = (host busy jiffies − our process-tree jiffies)
+    over the window. The bench's own JVMs are all in-tree, so a quiet host
+    measures ~0 and a competing Spark sweep measures ~dozens."""
+
+    #: foreign cores above which a timing pair is quarantined
+    THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_FOREIGN_CORES", "2.0"))
+
+    def __init__(self) -> None:
+        self._hz = os.sysconf("SC_CLK_TCK")
+
+    def snapshot(self) -> tuple[int, int, float]:
+        return _busy_jiffies(), _tree_jiffies(), time.time()
+
+    def foreign_cores(self, s0: tuple[int, int, float]) -> float:
+        b1, t1, w1 = self.snapshot()
+        b0, t0, w0 = s0
+        dt = max(w1 - w0, 1e-6)
+        return max(0.0, ((b1 - b0) - (t1 - t0)) / self._hz / dt)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Start gate: never BEGIN a recording on a visibly busy host
+    # (BENCH_NOTES discipline, now enforced). Waits up to 120s for the
+    # 1-min loadavg to fall below the threshold, then proceeds and lets
+    # the per-pair foreign-CPU guard handle anything that starts later.
+    start_load = os.getloadavg()[0]
+    max_start = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_START_LOAD", "4.0"))
+    wait_until = time.time() + 120
+    while start_load > max_start and time.time() < wait_until:
+        print(
+            f"load guard: 1-min loadavg {start_load:.2f} > {max_start} — "
+            "waiting for a quiet host",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        start_load = os.getloadavg()[0]
+    load_info = {"start_loadavg": round(start_load, 2), "n_quarantined_pairs": 0,
+                 "flagged": []}
     from ab_inbev_big_data_case_spark.registry import QUERIES, load_all
     from ab_inbev_big_data_case_spark.session import get_spark
 
@@ -296,6 +383,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     head_samples: dict[str, list[float]] = {}
     pin_samples: dict[str, list[float]] = {}
+    guard = _LoadGuard()
+    quarantine: dict[str, dict[str, list[float]]] = {}
 
     def _median(xs: list[float]) -> float:
         return sorted(xs)[len(xs) // 2]
@@ -329,12 +418,32 @@ def main() -> None:
                     arm_handle.close()  # don't orphan the pinned JVM
                     arm = None
 
+            n_h = len(head_samples.setdefault(name, []))
+            n_p = len(pin_samples.setdefault(name, []))
+            s0 = guard.snapshot()
             if head_first:
                 time_head()
                 time_pin()
             else:
                 time_pin()
                 time_head()
+            fc = guard.foreign_cores(s0)
+            if fc > guard.THRESHOLD:
+                # Foreign load covered this pair: quarantine BOTH arms'
+                # samples so a polluted window can't enter the medians of
+                # record (the r13 zorder 16x survived medians because load
+                # covered every sample — dropping is the only safe move).
+                q = quarantine.setdefault(name, {"head": [], "pin": []})
+                q["head"].extend(head_samples[name][n_h:])
+                q["pin"].extend(pin_samples[name][n_p:])
+                del head_samples[name][n_h:]
+                del pin_samples[name][n_p:]
+                load_info["n_quarantined_pairs"] += 1
+                print(
+                    f"load guard: quarantined a {name} pair "
+                    f"({fc:.1f} foreign cores)",
+                    file=sys.stderr,
+                )
 
         for qi, name in enumerate(HEADLINE):
             fn = QUERIES[name]
@@ -349,6 +458,16 @@ def main() -> None:
                 # the transient on both arms equally often, so medians
                 # cancel it.
                 timed_pair(fn, name, head_first=(qi + run) % 2 == 0)
+            if not head_samples.get(name):
+                # Every pair was quarantined: fall back to the polluted
+                # samples but FLAG the query — the recording is explicit
+                # about which numbers were measured under load.
+                q = quarantine.get(name, {"head": [], "pin": []})
+                head_samples[name] = list(q["head"])
+                pin_samples[name] = list(q["pin"])
+                load_info["flagged"].append(name)
+            if not pin_samples.get(name):
+                pin_samples.pop(name, None)
             timings[name] = round(_median(head_samples[name]), 3)
 
         # Outlier re-run (VERDICT r12 item 5): a per-query head/pin median
@@ -373,6 +492,14 @@ def main() -> None:
                 fn = QUERIES[name]
                 for run in range(3):
                     timed_pair(fn, name, head_first=(ri + run) % 2 == 0)
+                    if not arm:
+                        # Pinned arm died mid-pair: stop re-running and keep
+                        # only head samples that have a paired pin sample,
+                        # else the head median is recomputed over more (and
+                        # later) samples than the frozen pin median — a
+                        # bias in the ratio of record (ADVICE r13).
+                        del head_samples[name][len(pin_samples[name]) :]
+                        break
                 timings[name] = round(_median(head_samples[name]), 3)
                 h, p = _median(head_samples[name]), _median(pin_samples[name])
                 print(
@@ -396,6 +523,7 @@ def main() -> None:
         ab = {
             "pinned_sha": pin_sha,
             "n_shared": len(both),
+            "load": load_info,
             "pinned_queries": pinned,
             "head_shared_total": head_total,
             "pinned_shared_total": pin_total,
@@ -432,6 +560,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "load": load_info,
                 "ab": ab,
             },
             separators=(",", ":"),

@@ -66,3 +66,64 @@ def test_no_registered_query_outputs_scale0_decimal(spark, sf_dir):
             if isinstance(f.dataType, DecimalType) and f.dataType.scale == 0:
                 bad.append(f"{name}.{f.name}:{f.dataType.simpleString()}")
     assert not bad, bad
+
+
+def test_recover_upsert_swap_promotes_legacy_staging(spark, tmp_path):
+    """ADVICE r13: the legacy pre-fix protocol (rmtree(path) then rename)
+    could die with path missing, __old__ missing, and a COMPLETE __staging__
+    — the only surviving copy of the merged table. Recovery must promote
+    staging, not delete it (deleting re-creates the exact loss the
+    two-rename protocol fixed, for tables broken before the fix shipped)."""
+    import os
+
+    from ab_inbev_big_data_case_spark.sources.writers import (
+        _recover_upsert_swap,
+        upsert_by_key,
+    )
+
+    out = str(tmp_path / "table")
+    df = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id int, v string, ver int")
+    upsert_by_key(spark, df, out, ["id"], order_col="ver")
+    # simulate the legacy crash window: table renamed away to staging,
+    # nothing at path, no __old__
+    os.rename(out, out + ".__staging__")
+    _recover_upsert_swap(out)
+    assert os.path.exists(out)
+    assert not os.path.exists(out + ".__staging__")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_load_guard_foreign_vs_in_tree():
+    """bench.py's foreign-CPU guard (VERDICT r13 item 3): CPU burned by our
+    own process tree — including children that EXIT mid-window — must not
+    count as foreign; CPU burned by a detached (re-parented) process must."""
+    import subprocess
+    import time
+
+    import bench
+
+    g = bench._LoadGuard()
+    # the guard measures FOREIGN load, so the test itself needs a quiet
+    # host (a concurrent JVM bursting mid-window is indistinguishable from
+    # the signal under test) — skip rather than flake, the same discipline
+    # the bench applies to its own recordings
+    s0 = g.snapshot()
+    time.sleep(1.5)
+    if g.foreign_cores(s0) > 0.5:
+        pytest.skip("host not quiet — foreign-load fixture would be ambiguous")
+    # in-tree churn: child spins ~1.5s then exits before the second snapshot
+    s0 = g.snapshot()
+    subprocess.run(["timeout", "1.5", "bash", "-c", "while :; do :; done"])
+    time.sleep(0.2)
+    assert g.foreign_cores(s0) < 1.0
+    # foreign: orphaned spinners re-parented away from our tree
+    subprocess.run(
+        ["bash", "-c",
+         "for i in 1 2 3 4; do (timeout 2.5 bash -c 'while :; do :; done' &) ; done"]
+    )
+    time.sleep(0.2)
+    s0 = g.snapshot()
+    time.sleep(1.8)
+    assert g.foreign_cores(s0) > 2.0
+    time.sleep(1.0)  # let the spinners die before the next test times anything

@@ -154,11 +154,16 @@ def main() -> int:
             (ln for ln in out.splitlines() if ln.startswith("{")), None
         )
         bench = json.loads(line) if line else None
+        load = (bench or {}).get("load") or {}
         record["gates"]["bench"] = {
             "rc": rc,
             "total_sec": bench["value"] if bench else None,
             "n_queries": len(bench["queries"]) if bench else 0,
-            "green": rc == 0 and bench is not None,
+            "load": load,
+            # a bench measured under foreign load is not a number of
+            # record (BENCH_NOTES r14 rule): any load-flagged query makes
+            # the gate red so the close is re-run on a quiet host
+            "green": rc == 0 and bench is not None and not load.get("flagged"),
         }
 
     # BENCH_AB.json is WRITTEN BY the bench gate itself (the r12 A/B
