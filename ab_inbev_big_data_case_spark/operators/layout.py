@@ -157,3 +157,94 @@ def file_extent_stats(
     return tiled.groupBy("file_id").agg(
         F.count("*").alias("n_rows"), *aggs
     )
+
+
+def with_hilbert_key(df, x: str, y: str, bits: int = 8, out: str = "hkey"):
+    """Add the Hilbert-curve distance of 2-D point (``x``, ``y``)
+    (bucketized to ``bits`` bits per dimension) as column ``out`` — the
+    CONTINUOUS space-filling alternative to :func:`zorder_key`. The Morton
+    curve takes 2^k-sized jumps at quadrant boundaries (a file straddling
+    such a jump must cover the whole jump in its extent); the Hilbert
+    curve moves one cell per step, so rank-equal file splits cover tighter
+    per-dimension extents on the same data (Delta OPTIMIZE offers Hilbert
+    over Z-order for exactly this; measured on the orders fixture in
+    ``hilbert_layout_extents``).
+
+    Unrolled xy→d (the classic rotate-and-accumulate walk, e.g. Hamilton,
+    "Compact Hilbert indices", CS-2006-07 §2): ``bits`` rounds of pure
+    integer CASE/XOR/subtract column algebra. The rotation makes x/y
+    STATEFUL across rounds, so each round is its own projection with
+    named intermediates — one inlined Column expression grows ~4^bits
+    nodes and overflows janino's 64KB method limit (measured at bits=8);
+    chained aliases keep the plan linear and codegen'd. No UDF,
+    deterministic in any int64 engine. 2*bits <= 62.
+    """
+    if 2 * bits > 62:
+        raise ValueError("2*bits must fit a positive int64")
+    mask = (1 << bits) - 1
+    df = df.withColumns(
+        {
+            "__hx": F.col(x).bitwiseAND(F.lit(mask)).cast("long"),
+            "__hy": F.col(y).bitwiseAND(F.lit(mask)).cast("long"),
+            "__hd": F.lit(0).cast("long"),
+        }
+    )
+    s = 1 << (bits - 1)
+    while s > 0:
+        xc, yc, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        rx = F.when(xc.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(yc.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        carry = [c for c in df.columns if c not in ("__hx", "__hy", "__hd")]
+        df = df.select(
+            *carry,
+            # rotate the quadrant: ry==1 -> unchanged; ry==0 -> swap axes,
+            # reflecting both when rx==1
+            F.when(ry == 1, xc)
+            .when(rx == 1, F.lit(s - 1) - yc)
+            .otherwise(yc)
+            .alias("__hx"),
+            F.when(ry == 1, yc)
+            .when(rx == 1, F.lit(s - 1) - xc)
+            .otherwise(xc)
+            .alias("__hy"),
+            (d + (F.lit(s).cast("long") * s) * (rx * 3).bitwiseXOR(ry)).alias(
+                "__hd"
+            ),
+        )
+        s >>= 1
+    return df.withColumn(out, F.col("__hd").cast("long")).drop(
+        "__hx", "__hy", "__hd"
+    )
+
+
+def hilbert_oracle_ctes(
+    x_sql: str, y_sql: str, src: str, carry: str, bits: int = 8
+) -> str:
+    """DuckDB twin of :func:`hilbert_key` as a chain of CTEs (the rotation
+    makes x/y stateful across rounds, so unlike ``zorder_oracle_expr`` a
+    single expression would blow up combinatorially). Produces CTEs
+    ``h0..h{bits}``; select ``hd`` from ``h{bits}``. ``carry`` is a
+    comma-separated list of COLUMN NAMES of ``src`` to thread through
+    unchanged (e.g. the original bucket values the extent report needs)."""
+    carry_sql = f"{carry}, " if carry else ""
+    parts = [
+        f"h0 AS (SELECT {carry_sql}({x_sql})::BIGINT AS hx, "
+        f"({y_sql})::BIGINT AS hy, 0::BIGINT AS hd FROM {src})"
+    ]
+    for k in range(bits):
+        s = 1 << (bits - 1 - k)
+        parts.append(
+            f"""h{k + 1} AS (
+        SELECT {carry_sql}
+               CASE WHEN (hy & {s}) > 0 THEN hx
+                    WHEN (hx & {s}) > 0 THEN {s - 1} - hy
+                    ELSE hy END AS hx,
+               CASE WHEN (hy & {s}) > 0 THEN hy
+                    WHEN (hx & {s}) > 0 THEN {s - 1} - hx
+                    ELSE hx END AS hy,
+               hd + {s}::BIGINT * {s} *
+                   xor(3 * CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END,
+                       CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END) AS hd
+        FROM h{k})"""
+        )
+    return ",\n    ".join(parts)

@@ -853,16 +853,17 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from ab_inbev_big_data_case_spark.operators.layout import (  # noqa: E402
     file_extent_stats,
+    hilbert_oracle_ctes,
     scaled_bucket,
+    with_hilbert_key,
     zorder_key,
     zorder_oracle_expr,
 )
 from ab_inbev_big_data_case_spark.sources.readers import table  # noqa: E402
 
 
-#: shared by zorder_layout_extents and zorder_pruning_audit oracles
-_ZORDER_EXT_SQL = f"""
-    raw AS (
+#: orders -> 8-bit (x, y) buckets; shared by every layout-curve oracle
+_ZBUCKET_SQL = """raw AS (
         SELECT o_custkey AS xr,
                datediff('day', DATE '1992-01-01', o_orderdate) AS yr
         FROM orders
@@ -872,7 +873,11 @@ _ZORDER_EXT_SQL = f"""
         SELECT ((xr - x0) * 256) // (x1 - x0 + 1) AS x,
                ((yr - y0) * 256) // (y1 - y0 + 1) AS y
         FROM raw CROSS JOIN bounds
-    ),
+    )"""
+
+#: shared by zorder_layout_extents and zorder_pruning_audit oracles
+_ZORDER_EXT_SQL = f"""
+    {_ZBUCKET_SQL},
     t AS (
         SELECT x, y,
                ntile(32) OVER (ORDER BY {zorder_oracle_expr('x', 'y', 8)},
@@ -924,6 +929,58 @@ def zorder_layout_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = b.withColumn("zkey", zorder_key(F.col("x"), F.col("y"), 8))
     return file_extent_stats(keyed, "zkey", ["x", "y"], n_files=32)
+
+
+@register(
+    "hilbert_layout_extents",
+    oracle=f"""
+    WITH {_ZBUCKET_SQL},
+    {hilbert_oracle_ctes('x', 'y', 'b', 'x, y', bits=8)},
+    t AS (
+        SELECT x, y, ntile(32) OVER (ORDER BY hd, x, y) AS file_id
+        FROM h8
+    ),
+    ext AS (
+        SELECT file_id::INT AS file_id, count(*)::BIGINT AS n_rows,
+               min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+               min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+        FROM t GROUP BY 1
+    )
+    SELECT file_id, n_rows, min_x, max_x, min_y, max_y FROM ext
+    """,
+)
+def hilbert_layout_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering quality report — the same 32-file extent
+    audit as ``zorder_layout_extents`` but keyed by the Hilbert distance
+    instead of the Morton interleave. The Hilbert curve has no quadrant
+    jumps (every step moves one cell), so files that straddle what would
+    be a Morton seam cover tighter extents; the round-14 pytest pins that
+    the summed extent AREA under Hilbert is <= the Z-order layout's on the
+    fixture, making the "which curve should OPTIMIZE use" question
+    answerable from registered evidence instead of folklore. Same scale
+    shape as the Z-order twin: bucketize (broadcast 1-row bounds),
+    ``with_hilbert_key``'s 8 chained integer projections, and the
+    distributed rank-split of ``file_extent_stats`` — no partitionless
+    window, no UDF."""
+    o = table(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_custkey").alias("xr"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("yr"),
+    )
+    bounds = raw.agg(
+        F.min("xr").alias("x0"),
+        F.max("xr").alias("x1"),
+        F.min("yr").alias("y0"),
+        F.max("yr").alias("y1"),
+    )
+    b = raw.crossJoin(F.broadcast(bounds)).select(
+        scaled_bucket(F.col("xr"), F.col("x0"), F.col("x1"), 8).alias("x"),
+        scaled_bucket(F.col("yr"), F.col("y0"), F.col("y1"), 8).alias("y"),
+    )
+    keyed = with_hilbert_key(b, "x", "y", 8, out="hkey")
+    return file_extent_stats(keyed, "hkey", ["x", "y"], n_files=32)
 
 
 # ----------------------------------------------- interval overlap join

@@ -190,3 +190,64 @@ def test_simhash_band_saturation_flips_where_the_law_predicts(spark):
     assert maxes == sorted(maxes, reverse=True), (
         f"max occupancy not monotone in band width: {results}"
     )
+
+
+def _xy2d_hilbert_ref(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_a_curve(spark):
+    """with_hilbert_key must equal the canonical xy2d walk on the full
+    4-bit grid, be a bijection onto [0, 2^(2·bits)), and step exactly one
+    cell between consecutive distances (the no-jump property that is the
+    whole argument for Hilbert over Morton)."""
+    from pyspark.sql import functions as F
+
+    from ab_inbev_big_data_case_spark.operators.layout import with_hilbert_key
+
+    n = 16
+    g = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    rows = sorted(
+        (r["hkey"], r["x"], r["y"])
+        for r in with_hilbert_key(g, "x", "y", 4).collect()
+    )
+    assert [d for d, _, _ in rows] == list(range(n * n))
+    for d, x, y in rows:
+        assert d == _xy2d_hilbert_ref(n, x, y)
+    steps = [
+        abs(rows[i + 1][1] - rows[i][1]) + abs(rows[i + 1][2] - rows[i][2])
+        for i in range(len(rows) - 1)
+    ]
+    assert all(s == 1 for s in steps)
+
+
+def test_hilbert_extents_not_worse_than_zorder(spark, sf_dir):
+    """The registered claim: on the orders fixture the Hilbert layout's
+    total extent area (sum over files of x-span · y-span — what row-group
+    pruning integrates over) is <= the Z-order layout's."""
+    from ab_inbev_big_data_case_spark.queries.analytics import (
+        hilbert_layout_extents,
+        zorder_layout_extents,
+    )
+
+    def area(df):
+        return sum(
+            (r["max_x"] - r["min_x"] + 1) * (r["max_y"] - r["min_y"] + 1)
+            for r in df.collect()
+        )
+
+    ah = area(hilbert_layout_extents(spark, sf_dir))
+    az = area(zorder_layout_extents(spark, sf_dir))
+    assert ah <= az, f"hilbert extent area {ah} > zorder {az}"
