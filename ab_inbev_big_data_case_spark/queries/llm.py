@@ -3443,6 +3443,227 @@ def err_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------ 1-bit (sign) embedding quantization ANN
+
+_SIGN_ANN_SQL = f"""
+    WITH packed AS (
+        -- bit 63 is the int64 sign bit: DuckDB refuses 1::BIGINT << 63,
+        -- so it contributes -2^63 directly (the same two's-complement
+        -- pattern Spark's shiftleft(1L, 63) wraps to)
+        SELECT vec_id,
+               sum(CASE WHEN embedding[t.i + 1] > 0
+                        THEN (CASE WHEN t.i = 63
+                              THEN -9223372036854775807 - 1
+                              ELSE (1::BIGINT << t.i) END)
+                        ELSE 0 END)::BIGINT AS sig
+        FROM embeddings, range(64) t(i)
+        GROUP BY 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+    exact AS (
+        SELECT qid AS query_id, cand_id FROM (
+            SELECT q.qid, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({_DOT.format(x='q.qv', y='c.embedding')} /
+                             ({_NORM.format(x='q.qv', tag='q')} *
+                              {_NORM.format(x='c.embedding', tag='c')}), 3)
+                             DESC NULLS LAST, c.vec_id) AS rk
+            FROM q, embeddings c WHERE c.vec_id != q.qid
+        ) WHERE rk <= 5
+    ),
+    hamk AS (
+        SELECT query_id, cand_id FROM (
+            SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY bit_count(xor(p.sig, c.sig)), c.vec_id) AS rk
+            FROM packed p JOIN packed c ON c.vec_id != p.vec_id
+            WHERE p.vec_id % 50 = 0 AND p.vec_id < 500
+        ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           count(h.cand_id) AS n_hits,
+           round(count(h.cand_id) * 1.0 / count(*), 4) AS recall_r
+    FROM exact e
+    LEFT JOIN hamk h ON h.query_id = e.query_id AND h.cand_id = e.cand_id
+    GROUP BY e.query_id
+"""
+
+
+@register("sign_hamming_ann", oracle=_SIGN_ANN_SQL)
+def sign_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of 1-BIT (sign) embedding quantization under Hamming
+    ranking against the exact cosine top-5 — the third point on the
+    registered compression-recall curve (int8 in
+    ``embedding_quantize_int8``, PQ in ``pq_adc_search``; sign-bit
+    packing is the 32x memory floor and the standard first-stage filter
+    in binary-quantized vector stores). Each 64-dim vector packs to ONE
+    int64 word (bit d = v_d > 0); candidate distance is
+    ``bit_count(xor(sig_q, sig_c))`` — a 2-instruction kernel vs 64 FMAs,
+    which is the whole scale argument: at 100 TB the sign index is
+    0.8 GB/100M vectors and scans at memory bandwidth, and this audit
+    ships its measured recall (same discipline as ``ann_recall_eval``).
+
+    Exactness: packing compares doubles to 0 identically in both engines;
+    Hamming distance is integer; the exact side is the published rounded
+    brute ranking. Recall is a ratio of integer counts rounded to 4.
+
+    Scale shape: packing is one in-row codegen'd fold (no shuffle);
+    ranking joins the broadcast bounded query set against the packed
+    table and window-ranks Q·N rows by (distance, cand_id) — the exact
+    brute-force audit shape every eval in this panel declares."""
+    e = table(spark, sf_dir, "embeddings")
+    pack = F.expr(
+        "aggregate(zip_with(embedding, sequence(0, 63), "
+        "(v, i) -> IF(v > 0D, shiftleft(1L, i), 0L)), "
+        "0L, (acc, el) -> acc + el)"
+    )
+    packed = e.select("vec_id", pack.alias("sig"))
+    qp = packed.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    pairs = packed.crossJoin(
+        F.broadcast(
+            qp.select(
+                F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+            )
+        )
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))), F.col("vec_id")
+    )
+    hamk = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", F.col("vec_id").alias("cand_id"), F.lit(1).alias("hit"))
+    )
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", 5)
+    return (
+        exact.select("query_id", "cand_id")
+        .join(hamk, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.count("*"), 4).alias("recall_r"),
+        )
+    )
+
+
+# ------------------------------------------------ MRR retrieval metric
+
+_MRR_SQL = f"""
+    WITH {_BUCKET_SQL},
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+    exact AS (
+        SELECT qid AS query_id, cand_id FROM (
+            SELECT q.qid, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({_DOT.format(x='q.qv', y='c.embedding')} /
+                             ({_NORM.format(x='q.qv', tag='q')} *
+                              {_NORM.format(x='c.embedding', tag='c')}), 3)
+                             DESC NULLS LAST, c.vec_id) AS rk
+            FROM q, embeddings c WHERE c.vec_id != q.qid
+        ) WHERE rk <= 5
+    ),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
+    lsh_cand AS (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
+        FROM qb JOIN buckets cb USING (tbl, bucket)
+        WHERE cb.vec_id != qb.query_id
+    ),
+    annk AS (
+        SELECT query_id, cand_id, rk FROM (
+            SELECT p.query_id, p.cand_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round({_DOT.format(x='x.embedding', y='y.embedding')} /
+                             ({_NORM.format(x='x.embedding', tag='c')} *
+                              {_NORM.format(x='y.embedding', tag='d')}), 3)
+                             DESC NULLS LAST, p.cand_id) AS rk
+            FROM lsh_cand p
+            JOIN embeddings x ON x.vec_id = p.query_id
+            JOIN embeddings y ON y.vec_id = p.cand_id
+        ) WHERE rk <= 5
+    ),
+    firsthit AS (
+        SELECT a.query_id, min(a.rk)::INT AS first_hit_rank
+        FROM annk a
+        JOIN exact e ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+        GROUP BY 1
+    )
+    SELECT eq.query_id,
+           f.first_hit_rank,
+           round(coalesce(1.0 / f.first_hit_rank, 0), 4) AS rr_r
+    FROM (SELECT DISTINCT query_id FROM exact) eq
+    LEFT JOIN firsthit f USING (query_id)
+"""
+
+
+@register("mrr_eval", oracle=_MRR_SQL)
+def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank @5 of the LSH ANN ranking against the exact-cosine
+    top-5 — the FOURTH retrieval metric on the panel (recall = set
+    overlap, nDCG = graded order, ERR = cascade; MRR is the position of
+    the FIRST relevant result, the metric QA/agent retrieval stacks
+    report most). Per query: the smallest ANN rank whose candidate is in
+    the exact top-5, and its reciprocal (0 when the ANN list misses
+    entirely, the standard convention). The fleet mean of ``rr_r`` IS the
+    corpus MRR; per-query rows keep the audit row-diffable like its three
+    siblings.
+
+    Exactness: ranks are integers from the shared rounded-cosine
+    tiebroken ranking; the reciprocal is one rounded division.
+
+    Scale shape: identical to ``ndcg_eval`` — bounded query set, LSH
+    bucket-mate candidates only, O(queries·5) metric rows."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    exact = cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", 5
+    ).select("query_id", "cand_id")
+    lsh = ann_lsh_search(
+        e,
+        "vec_id",
+        "embedding",
+        query_filter=lambda vid: (vid % 50 == 0) & (vid < 500),
+        n_planes=4,
+        n_tables=4,
+        min_cosine=-1.0,
+        dim=64,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("cand_id")
+    )
+    annk = (
+        lsh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "rk")
+    )
+    firsthit = (
+        annk.join(exact, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.min("rk").cast("int").alias("first_hit_rank"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(firsthit, "query_id", "left")
+        .select(
+            "query_id",
+            "first_hit_rank",
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_hit_rank"), F.lit(0.0)), 4
+            ).alias("rr_r"),
+        )
+    )
+
+
 # --------------------------------- SimHash banded near-dup pair search
 
 _SIMHASH_SIG_CTE = f"""
