@@ -160,6 +160,95 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kneser_ney_bigram_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1])
+        )) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    btab AS (SELECT bigram, count(*) AS n_big FROM bg GROUP BY 1),
+    ptab AS (
+        SELECT split_part(bigram, ' ', 1) AS pre, count(*) AS n_pre,
+               count(DISTINCT split_part(bigram, ' ', 2)) AS n_follow
+        FROM bg GROUP BY 1
+    ),
+    cont AS (
+        SELECT split_part(bigram, ' ', 2) AS w,
+               count(DISTINCT split_part(bigram, ' ', 1)) AS n_precede
+        FROM bg GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n_types FROM btab)
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(
+               greatest(b.n_big - 0.75, 0) / p.n_pre
+               + 0.75 * p.n_follow / p.n_pre
+                 * (c.n_precede * 1.0 / t.n_types)
+           )), 4) AS avg_neg_logprob_kn
+    FROM bg
+    JOIN btab b USING (bigram)
+    JOIN ptab p ON p.pre = split_part(bg.bigram, ' ', 1)
+    JOIN cont c ON c.w = split_part(bg.bigram, ' ', 2)
+    CROSS JOIN tot t
+    GROUP BY bg.doc_id
+    """,
+)
+def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram score per document (Kneser & Ney
+    1995; Chen & Goodman 1998 eq. 4.17, fixed discount D=0.75):
+    P(w|v) = max(c(v,w)−D, 0)/c(v·) + D·N₁₊(v·)/c(v·) · N₁₊(·w)/N₁₊(··).
+    The MLE bigram LM (``bigram_lm_score``) assigns probability ∝ raw
+    continuation frequency, so boilerplate that repeats one frequent
+    continuation ("san francisco") scores as fluent; KN's continuation
+    probability counts DISTINCT left contexts, the canonical fix — and
+    the delta between the two scores is itself a templatedness signal
+    for curation. Every count is an exact integer; D=0.75 is exact in
+    binary; the per-doc mean of −ln p is the one float reduction, rounded
+    to 4 (the green ``bigram_lm_score`` determinism envelope).
+
+    Scale shape: same explode as the MLE score plus two DISTINCT
+    aggregates on the same bigram rows and a 1-row type total — all
+    shuffles keyed on bigram/prefix/continuation, none on raw text; no
+    broadcast hints (vocabulary grows with the corpus, AQE decides)."""
+    d = table(spark, sf_dir, "documents")
+    bg = (
+        d.select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram"),
+        )
+        .withColumn("pre", F.substring_index("bigram", " ", 1))
+        .withColumn("w", F.substring_index("bigram", " ", -1))
+    )
+    btab = bg.groupBy("bigram").agg(F.count("*").alias("n_big"))
+    ptab = bg.groupBy("pre").agg(
+        F.count("*").alias("n_pre"),
+        F.countDistinct("w").alias("n_follow"),
+    )
+    cont = bg.groupBy("w").agg(F.countDistinct("pre").alias("n_precede"))
+    tot = btab.agg(F.count("*").alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("n_big") - 0.75, F.lit(0)) / F.col("n_pre")
+        + F.lit(0.75)
+        * F.col("n_follow")
+        / F.col("n_pre")
+        * (F.col("n_precede") * 1.0 / F.col("n_types"))
+    )
+    return (
+        bg.join(btab, "bigram")
+        .join(ptab, "pre")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), 4).alias("avg_neg_logprob_kn"),
+        )
+    )
+
+
+@register(
     "bpe_pair_counts",
     oracle="""
     WITH wf AS (

@@ -1841,3 +1841,136 @@ def herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s2").cast("double"), 6).alias("hhi_r"),
         F.count("*").cast("long").alias("n_nations"),
     )
+
+
+# --------------------------- Croston intermittent-demand forecasting
+
+_CROSTON_SQL = """
+    WITH dd AS (
+        SELECT l_partkey,
+               l_shipdate::DATE AS d,
+               CAST(round(sum(l_quantity), 2) * 100 AS BIGINT) AS qty_c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT l_partkey, qty_c,
+               row_number() OVER (PARTITION BY l_partkey ORDER BY d) AS k,
+               count(*) OVER (PARTITION BY l_partkey) AS kk,
+               datediff('day',
+                        lag(d) OVER (PARTITION BY l_partkey ORDER BY d),
+                        d) AS gap
+        FROM dd
+    ),
+    terms AS (
+        -- coefficients 100x: alpha=0.25 folded in as an exact INTEGER
+        -- multiplier (100 for the init term, 25 for alpha terms) on the
+        -- engine-identical 9-digit-quantized pow — multiplying the double
+        -- by 0.25 BEFORE quantizing re-rounds through double and lands on
+        -- half-boundaries the engines split on (measured at sf0.01)
+        SELECT l_partkey, kk,
+               (qty_c * CASE WHEN k = 1 THEN 100 ELSE 25 END)
+                   * round(pow(0.75, kk - k), 9)::DECIMAL(12,9) AS z_term,
+               (gap * CASE WHEN k = 2 THEN 100
+                           WHEN k > 2 THEN 25 END)
+                   * round(pow(0.75, kk - k), 9)::DECIMAL(12,9) AS p_term
+        FROM seq WHERE kk >= 2
+    ),
+    ema AS (
+        SELECT l_partkey, max(kk) AS n_demand_days,
+               sum(z_term) AS z_q100, sum(p_term) AS p_q100
+        FROM terms GROUP BY 1
+    )
+    SELECT l_partkey,
+           n_demand_days::BIGINT AS n_demand_days,
+           round(z_q100, 0)::DOUBLE / 10000 AS size_ema_r,
+           round(p_q100, 2)::DOUBLE / 100 AS interval_ema_r,
+           round(z_q100::DOUBLE / 100 / p_q100::DOUBLE, 4) AS croston_r,
+           round(0.875 * z_q100::DOUBLE / 100 / p_q100::DOUBLE, 4) AS sba_r
+    FROM ema
+"""
+
+
+@register("croston_intermittent_demand", oracle=_CROSTON_SQL)
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972) with the
+    Syntetos–Boylan approximation (SBA, Syntetos & Boylan 2005): per part,
+    separate exponential smoothing (α=0.25) of the non-zero DAILY demand
+    sizes and of the inter-demand intervals; the per-day forecast is
+    size-EMA / interval-EMA, and SBA scales by 1−α/2 to undo Croston's
+    positive bias. THE forecasting recipe for spare-parts/slow-mover SKUs,
+    where ordinary smoothing chases zeros to a useless average — the gap
+    in the panel between ``seasonal_naive_mape`` (dense series) and
+    ``newsvendor_quantile_stock`` (which needs exactly this forecast as
+    input).
+
+    Exactness: the EMA recursion unrolls to a closed-form weighted sum,
+    so no engine iterates — the ONE transcendental, pow(0.75, K−k), is
+    quantized to 9 digits and fixed to DECIMAL(12,9) (verified to round
+    identically in both engines through n=400); α enters as an exact
+    INTEGER multiplier on the 100x-scaled terms (100 init / 25 α-term —
+    scaling the double by 0.25 before quantizing lands on half-boundaries
+    the engines split on, measured at sf0.01). Sums are exact decimal,
+    the EMA outputs round in DECIMAL before any double conversion, and
+    only boundary-free quotients round doubles (1−α/2 = 0.875 exact
+    binary). The ``time_decay_attribution`` quantize-before-aggregate
+    discipline, hardened one step.
+
+    Scale shape: one (part, day) pre-aggregation on the fact table, one
+    partitioned window pass for position/interval, one grouped decimal
+    sum — all shuffles on l_partkey, output one row per part with ≥ 2
+    demand days. The closed form is what survives 100 TB: a recursive
+    EMA would serialize per-part history; the weighted sum is a plain
+    partial-aggregable reduction."""
+    li = table(spark, sf_dir, "lineitem")
+    dd = (
+        li.groupBy("l_partkey", F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            (F.round(F.sum("l_quantity"), 2) * 100)
+            .cast("long")
+            .alias("qty_c")
+        )
+    )
+    wo = Window.partitionBy("l_partkey").orderBy("d")
+    wp = Window.partitionBy("l_partkey")
+    seq = dd.select(
+        "l_partkey",
+        "qty_c",
+        F.row_number().over(wo).alias("k"),
+        F.count("*").over(wp).alias("kk"),
+        F.datediff(F.col("d"), F.lag("d").over(wo)).alias("gap"),
+    ).filter(F.col("kk") >= 2)
+    # coefficients 100x: alpha folded in as an exact INTEGER multiplier
+    # (100 init / 25 alpha-term) on the engine-identical 9-digit-quantized
+    # pow — scaling the double by 0.25 BEFORE quantizing re-rounds through
+    # double and lands on half-boundaries the engines split on; all
+    # products and sums below are exact decimal, rounds happen in DECIMAL
+    # (exact HALF_UP in both engines), and only boundary-free quotients
+    # ever round a double
+    c9 = F.round(
+        F.pow(F.lit(0.75), F.col("kk") - F.col("k")), 9
+    ).cast("decimal(12,9)")
+    zmult = F.when(F.col("k") == 1, 100).otherwise(25)
+    pmult = F.when(F.col("k") == 2, 100).when(F.col("k") > 2, 25)
+    ema = (
+        seq.select(
+            "l_partkey",
+            "kk",
+            ((F.col("qty_c") * zmult) * c9).alias("z_term"),
+            ((F.col("gap") * pmult) * c9).alias("p_term"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.max("kk").alias("n_demand_days"),
+            F.sum("z_term").alias("z_q100"),
+            F.sum("p_term").alias("p_q100"),
+        )
+    )
+    x, y = F.col("z_q100").cast("double"), F.col("p_q100").cast("double")
+    return ema.select(
+        "l_partkey",
+        F.col("n_demand_days").cast("long").alias("n_demand_days"),
+        (F.round(F.col("z_q100"), 0).cast("double") / 10000).alias("size_ema_r"),
+        (F.round(F.col("p_q100"), 2).cast("double") / 100).alias("interval_ema_r"),
+        F.round(x / 100 / y, 4).alias("croston_r"),
+        F.round(0.875 * x / 100 / y, 4).alias("sba_r"),
+    )
