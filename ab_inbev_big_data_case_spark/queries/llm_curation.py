@@ -169,17 +169,16 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )) AS bigram
         FROM t WHERE len(toks) >= 2
     ),
-    btab AS (SELECT bigram, count(*) AS n_big FROM bg GROUP BY 1),
+    btab AS (
+        SELECT bigram, split_part(bigram, ' ', 1) AS pre,
+               split_part(bigram, ' ', 2) AS w, count(*) AS n_big
+        FROM bg GROUP BY 1, 2, 3
+    ),
     ptab AS (
-        SELECT split_part(bigram, ' ', 1) AS pre, count(*) AS n_pre,
-               count(DISTINCT split_part(bigram, ' ', 2)) AS n_follow
-        FROM bg GROUP BY 1
+        SELECT pre, sum(n_big) AS n_pre, count(*) AS n_follow
+        FROM btab GROUP BY 1
     ),
-    cont AS (
-        SELECT split_part(bigram, ' ', 2) AS w,
-               count(DISTINCT split_part(bigram, ' ', 1)) AS n_precede
-        FROM bg GROUP BY 1
-    ),
+    cont AS (SELECT w, count(*) AS n_precede FROM btab GROUP BY 1),
     tot AS (SELECT count(*) AS n_types FROM btab)
     SELECT bg.doc_id, count(*) AS n_bigrams,
            round(avg(-ln(
@@ -213,20 +212,29 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles keyed on bigram/prefix/continuation, none on raw text; no
     broadcast hints (vocabulary grows with the corpus, AQE decides)."""
     d = table(spark, sf_dir, "documents")
-    bg = (
-        d.select(
-            "doc_id",
-            F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram"),
-        )
+    bg = d.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram"),
+    )
+    # every count the KN formula needs is keyed by the bigram TYPE: n_pre
+    # = Σ n_big over the prefix, N₁₊(v·)/N₁₊(·w) = type counts per
+    # prefix/continuation. So the per-type probability assembles entirely
+    # on the (much smaller) type table — one full-stream shuffle to build
+    # it, one to join the finished score back; the naive shape (three
+    # full-stream joins + two full-stream DISTINCTs, what the oracle runs)
+    # costs the same answer three token-stream shuffles more.
+    # pre/w split per TYPE, not per token-stream row
+    btab = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n_big"))
         .withColumn("pre", F.substring_index("bigram", " ", 1))
         .withColumn("w", F.substring_index("bigram", " ", -1))
     )
-    btab = bg.groupBy("bigram").agg(F.count("*").alias("n_big"))
-    ptab = bg.groupBy("pre").agg(
-        F.count("*").alias("n_pre"),
-        F.countDistinct("w").alias("n_follow"),
+    ptab = btab.groupBy("pre").agg(
+        F.sum("n_big").alias("n_pre"),
+        F.count("*").alias("n_follow"),
     )
-    cont = bg.groupBy("w").agg(F.countDistinct("pre").alias("n_precede"))
+    cont = btab.groupBy("w").agg(F.count("*").alias("n_precede"))
     tot = btab.agg(F.count("*").alias("n_types"))
     p_kn = (
         F.greatest(F.col("n_big") - 0.75, F.lit(0)) / F.col("n_pre")
@@ -235,15 +243,19 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n_pre")
         * (F.col("n_precede") * 1.0 / F.col("n_types"))
     )
-    return (
-        bg.join(btab, "bigram")
-        .join(ptab, "pre")
+    scored = (
+        btab.join(ptab, "pre")
         .join(cont, "w")
         .crossJoin(F.broadcast(tot))
+        .select("bigram", (-F.log(p_kn)).alias("nll"))
+    )
+    return (
+        bg.select("doc_id", "bigram")
+        .join(scored, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(-F.log(p_kn)), 4).alias("avg_neg_logprob_kn"),
+            F.round(F.avg("nll"), 4).alias("avg_neg_logprob_kn"),
         )
     )
 

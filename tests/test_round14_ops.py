@@ -251,3 +251,64 @@ def test_hilbert_extents_not_worse_than_zorder(spark, sf_dir):
     ah = area(hilbert_layout_extents(spark, sf_dir))
     az = area(zorder_layout_extents(spark, sf_dir))
     assert ah <= az, f"hilbert extent area {ah} > zorder {az}"
+
+
+def test_croston_invariants(spark, sf_dir):
+    """SBA = (1−α/2)·Croston within rounding; EMAs positive; the interval
+    EMA is at least 1 day (demand days are distinct dates)."""
+    from ab_inbev_big_data_case_spark.queries.retail import (
+        croston_intermittent_demand,
+    )
+
+    rows = croston_intermittent_demand(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_demand_days"] >= 2
+        assert r["size_ema_r"] > 0
+        assert r["interval_ema_r"] >= 1.0
+        assert r["croston_r"] > 0
+        assert abs(r["sba_r"] - 0.875 * r["croston_r"]) < 1.5e-4
+
+
+def test_mrr_and_sign_ann_bounds(spark, sf_dir):
+    """MRR rows: first_hit_rank in 1..5 or null with rr_r exactly its
+    reciprocal (0 on miss). Sign-ANN rows: recall over exactly the 5-item
+    exact top-k, within [0, 1]."""
+    from ab_inbev_big_data_case_spark.queries.llm import (
+        mrr_eval,
+        sign_hamming_ann,
+    )
+
+    mrr = mrr_eval(spark, sf_dir).collect()
+    assert len(mrr) == 10
+    for r in mrr:
+        if r["first_hit_rank"] is None:
+            assert r["rr_r"] == 0.0
+        else:
+            assert 1 <= r["first_hit_rank"] <= 5
+            assert abs(r["rr_r"] - round(1.0 / r["first_hit_rank"], 4)) < 1e-9
+    sa = sign_hamming_ann(spark, sf_dir).collect()
+    assert len(sa) == 10
+    for r in sa:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall_r"] - round(r["n_hits"] / 5.0, 4)) < 1e-9
+
+
+def test_kneser_ney_is_a_probability_and_differs_from_mle(spark, sf_dir):
+    """Every per-doc mean −ln p must be >= 0 (KN probabilities are in
+    (0, 1] — the discount mass is redistributed, never created), and the
+    KN score must actually differ from the MLE bigram score on the fixture
+    (the continuation-count correction is the point of the operator)."""
+    from ab_inbev_big_data_case_spark.queries.llm_curation import (
+        bigram_lm_score,
+        kneser_ney_bigram_score,
+    )
+
+    kn = {r["doc_id"]: r["avg_neg_logprob_kn"]
+          for r in kneser_ney_bigram_score(spark, sf_dir).collect()}
+    assert kn and all(v >= 0 for v in kn.values())
+    mle = {r["doc_id"]: r["avg_neg_logprob_bi"]
+           for r in bigram_lm_score(spark, sf_dir).collect()}
+    assert kn.keys() == mle.keys()
+    assert any(abs(kn[d] - mle[d]) > 1e-3 for d in kn)
