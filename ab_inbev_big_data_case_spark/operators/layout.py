@@ -181,6 +181,14 @@ def with_hilbert_key(df, x: str, y: str, bits: int = 8, out: str = "hkey"):
     """
     if 2 * bits > 62:
         raise ValueError("2*bits must fit a positive int64")
+    clash = {"__hx", "__hy", "__hd", out} & set(df.columns)
+    if clash:
+        # fail fast instead of silently overwriting caller data with the
+        # walk's temp columns (zorder_key has no temps; this one does)
+        raise ValueError(
+            f"with_hilbert_key would overwrite existing column(s) "
+            f"{sorted(clash)}; rename them or pick another `out`"
+        )
     mask = (1 << bits) - 1
     df = df.withColumns(
         {
@@ -227,9 +235,13 @@ def hilbert_oracle_ctes(
     comma-separated list of COLUMN NAMES of ``src`` to thread through
     unchanged (e.g. the original bucket values the extent report needs)."""
     carry_sql = f"{carry}, " if carry else ""
+    # same bucketization as with_hilbert_key: mask x/y into [0, 2^bits) so
+    # the twin agrees for negative or >= 2^bits inputs too, not only for
+    # pre-bucketed callers
+    mask = (1 << bits) - 1
     parts = [
-        f"h0 AS (SELECT {carry_sql}({x_sql})::BIGINT AS hx, "
-        f"({y_sql})::BIGINT AS hy, 0::BIGINT AS hd FROM {src})"
+        f"h0 AS (SELECT {carry_sql}(({x_sql}) & {mask})::BIGINT AS hx, "
+        f"(({y_sql}) & {mask})::BIGINT AS hy, 0::BIGINT AS hd FROM {src})"
     ]
     for k in range(bits):
         s = 1 << (bits - 1 - k)

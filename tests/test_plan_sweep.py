@@ -13,6 +13,14 @@ entry is a window over a documented BOUNDED spine (calendar days, fixed
 bins, decile/replicate grids, pruned local survivors — see SCALE.md and the
 queries' own docstrings), so its row count is independent of fact-table
 scale.
+
+KNOWN BLIND SPOT (ADVICE r14): the sweep reads the plan of the RETURNED
+DataFrame, so stages executed behind an EAGER ``localCheckpoint`` (e.g.
+``power_iteration_top_eigen``'s 64-row max-abs normalize windows,
+queries/llm.py) are invisible to it — their plans ran before the sweep
+looks. Today's only such site is bounded at 64 rows; any future eager
+checkpoint that hides an unbounded window must add its own plan pin here
+or in tests/test_plans.py at introduction time.
 """
 
 from __future__ import annotations

@@ -103,6 +103,20 @@ def test_load_guard_foreign_vs_in_tree():
 
     import bench
 
+    # 4 spinners can only exceed the 2.0-core assertion when the host can
+    # actually run >2 of them concurrently — on a ≤3-CPU host or cgroup
+    # the fixture is structurally unable to pass, so skip, don't fail
+    ncpu = os.cpu_count() or 1
+    try:
+        with open("/sys/fs/cgroup/cpu.max") as f:
+            quota, period = f.read().split()[:2]
+        if quota != "max":
+            ncpu = min(ncpu, int(quota) // int(period))
+    except (OSError, ValueError):
+        pass
+    if ncpu < 4:
+        pytest.skip(f"host has ~{ncpu} usable CPUs; spinner fixture needs >=4")
+
     g = bench._LoadGuard()
     # the guard measures FOREIGN load, so the test itself needs a quiet
     # host (a concurrent JVM bursting mid-window is indistinguishable from
