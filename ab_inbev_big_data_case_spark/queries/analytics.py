@@ -1699,6 +1699,71 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hilbert_pruning_audit",
+    oracle=f"""
+    WITH {_ZBUCKET_SQL},
+    {hilbert_oracle_ctes('x', 'y', 'b', 'x, y', bits=8)},
+    t AS (
+        SELECT x, y, ntile(32) OVER (ORDER BY hd, x, y) AS file_id
+        FROM h8
+    ),
+    ext AS (
+        SELECT file_id::INT AS file_id, count(*)::BIGINT AS n_rows,
+               min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+               min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+        FROM t GROUP BY 1
+    ),
+    probe AS (
+        SELECT 'x' AS dim, min_x AS lo_d, max_x AS hi_d FROM ext
+        UNION ALL
+        SELECT 'y', min_y, max_y FROM ext
+    )
+    SELECT dim, count(*) AS n_tiles,
+           sum(CASE WHEN hi_d < 96 OR lo_d > 127 THEN 1 ELSE 0 END)::BIGINT
+               AS n_pruned,
+           round(sum(CASE WHEN hi_d < 96 OR lo_d > 127 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS pruned_frac_r
+    FROM probe GROUP BY 1
+    """,
+)
+def hilbert_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-pruning effectiveness of the HILBERT layout — the same
+    one-stripe probe as ``zorder_pruning_audit`` ([96, 127] of the 256
+    domain, 1/8 of the range, on each dimension) over
+    ``hilbert_layout_extents``' 32 tile footers. This registers the
+    Hilbert half of the curve comparison as driver-checked evidence
+    (VERDICT r14 item 6): the round-14 pytest pins extent AREA <=
+    Z-order's; this query gives the operational number (fraction of files
+    a selective filter skips) the layout choice is actually made on, and
+    the round-15 pytest pins it >= the Z-order audit's on both dims.
+
+    Scale shape: identical to the Z-order twin — rides the extents
+    lineage (range-partitioned distributed rank, no partitionless
+    window); the audit itself moves 2 rows."""
+    ext = hilbert_layout_extents(spark, sf_dir)
+    x = ext.select(
+        F.lit("x").alias("dim"),
+        F.col("min_x").alias("lo_d"),
+        F.col("max_x").alias("hi_d"),
+    )
+    y = ext.select(
+        F.lit("y").alias("dim"),
+        F.col("min_y").alias("lo_d"),
+        F.col("max_y").alias("hi_d"),
+    )
+    pruned = F.when((F.col("hi_d") < 96) | (F.col("lo_d") > 127), 1).otherwise(0)
+    return (
+        x.unionAll(y)
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum(pruned).cast("long").alias("n_pruned"),
+            F.round(F.sum(pruned) / F.count("*"), 4).alias("pruned_frac_r"),
+        )
+    )
+
+
 _TIER_MIGRATION = """
     WITH spend AS (
         SELECT o_custkey, year(o_orderdate) AS y,

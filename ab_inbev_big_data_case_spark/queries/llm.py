@@ -7856,3 +7856,116 @@ def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_occ")
         .agg(F.count("*").cast("long").alias("n_cands"))
     )
+
+
+# ------------------------------------------------ URL-canonical dedup
+
+# Deterministic "messy crawl URL" per document, built from fixture
+# columns only: scheme / WWW prefix / host case / trailing slash / query
+# string / fragment all vary by doc_id residues, while the canonical
+# identity (host from `source`, path from doc_id % 40) is shared by many
+# docs — exactly the mess CCNet/C4/RefinedWeb normalize away before any
+# content-based dedup pass.
+_URL_RAW_SQL = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+           || '://'
+           || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+           || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+           || '.Example.COM/docs/' || (doc_id % 40)
+           || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 3 = 1
+               THEN '?utm_source=feed&ref=' || doc_id ELSE '' END)
+           || (CASE WHEN doc_id % 11 = 0
+               THEN '#sec-' || (doc_id % 4) ELSE '' END) AS url
+    FROM documents
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS ({_URL_RAW_SQL}),
+    stripped AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(url, '#.*$', ''),
+                              '\\?.*$', '') AS u
+        FROM raw
+    ),
+    parts AS (
+        SELECT doc_id,
+               regexp_replace(
+                   lower(regexp_extract(u, '^[A-Za-z]+://([^/]*)', 1)),
+                   '^www\\.', '') AS host,
+               regexp_replace(
+                   coalesce(regexp_extract(u, '^[A-Za-z]+://[^/]*(/.*)$', 1),
+                            ''),
+                   '/+$', '') AS path
+        FROM stripped
+    )
+    SELECT host || path AS canonical_url,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS keep_doc_id
+    FROM parts
+    GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (the CCNet/C4/RefinedWeb pre-pass: crawl
+    frontiers emit the same page under scheme, WWW, host-case, trailing-
+    slash, query-string, and fragment variants, and URL dedup keyed on the
+    canonical form runs BEFORE any content hashing): strip fragment then
+    query, extract + lowercase the host, drop a leading 'www.', strip
+    trailing slashes from the path, drop the scheme — then the standard
+    exact-dedup rollup keyed on the canonical URL (group size + min-doc_id
+    keeper, the ``dedup_canonical_keep_list`` convention).
+
+    Scale shape: one codegen projection of regexp_replace/regexp_extract
+    expressions (no UDF, no text-keyed shuffle) and ONE groupBy on the
+    canonical key with map-side partial aggregation — at 100 TB this is
+    exactly the exact-dedup shape (``llm/dedup.py:50``) with a derived
+    key. The fixture URL is synthesized deterministically from doc_id
+    residues and `source` (same expression in both engines), so every
+    canonical group mixes several surface variants."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(did % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM/docs/"),
+        (did % 40).cast("string"),
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 1,
+            F.concat(F.lit("?utm_source=feed&ref="), did.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit("#sec-"), (did % 4).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    u = F.regexp_replace(
+        F.regexp_replace(F.col("url"), "#.*$", ""), "\\?.*$", ""
+    )
+    stripped = raw.select("doc_id", u.alias("u"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("u"), "^[A-Za-z]+://([^/]*)", 1)),
+        "^www\\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(F.col("u"), "^[A-Za-z]+://[^/]*(/.*)$", 1), "/+$", ""
+    )
+    parts = stripped.select("doc_id", host.alias("host"), path.alias("path"))
+    return (
+        parts.groupBy(F.concat("host", "path").alias("canonical_url"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -136,10 +136,18 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is one explode plus three shuffles (bigram tf, prefix tf,
     per-doc avg), none keyed on the raw text."""
     d = table(spark, sf_dir, "documents")
-    bg = d.select(
-        "doc_id",
-        F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram"),
-    ).withColumn("pre", F.substring_index("bigram", " ", 1))
+    # token array materialized in its own projection (inlining the split
+    # into the shingle lambda re-splits the text once per F.get — measured
+    # 10x on the sf1 explode), then one lazy checkpoint so the three
+    # consumers (bigram tf, prefix tf, score join) share one explode pass
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bg = (
+        toked.select(
+            "doc_id", F.explode(shingles(F.col("toks"), 2)).alias("bigram")
+        )
+        .withColumn("pre", F.substring_index("bigram", " ", 1))
+        .localCheckpoint(eager=False)
+    )
     btab = bg.groupBy("bigram").agg(F.count("*").alias("n_big"))
     ptab = bg.groupBy("pre").agg(F.count("*").alias("n_pre"))
     # no broadcast hints: the bigram vocabulary grows ~linearly with corpus
@@ -207,26 +215,44 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary; the per-doc mean of −ln p is the one float reduction, rounded
     to 4 (the green ``bigram_lm_score`` determinism envelope).
 
-    Scale shape: same explode as the MLE score plus two DISTINCT
-    aggregates on the same bigram rows and a 1-row type total — all
-    shuffles keyed on bigram/prefix/continuation, none on raw text; no
+    Scale shape: ONE corpus explode pass, immediately reduced to
+    per-(doc, bigram-type) occurrence counts — map-side combine shrinks
+    the only token-stream shuffle by the within-doc repeat factor, and a
+    lazy localCheckpoint (the bm25/novelty shared-layer pattern) lets the
+    type-table build AND the per-doc score join reuse that layer instead
+    of each re-exploding the corpus. Every later shuffle is keyed on
+    bigram/prefix/continuation over type-sized rows, none on raw text; no
     broadcast hints (vocabulary grows with the corpus, AQE decides)."""
     d = table(spark, sf_dir, "documents")
-    bg = d.select(
-        "doc_id",
-        F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram"),
+    # per-(doc, bigram-type) occurrences: the compressed token stream every
+    # stage below consumes; checkpointed lazily so the corpus text is
+    # exploded exactly once (two consumers — at 100 TB this seam is a
+    # layer write, same as bm25's token layer)
+    # materialize the token ARRAY in its own projection before shingling:
+    # inlining `tokens(text)` into the shingle lambda re-evaluates the
+    # split once per F.get (measured 40 s vs 4 s for the sf1 explode —
+    # Catalyst collapses projections but keeps a multi-referenced
+    # non-cheap alias as a column, so the split runs once per row here)
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    db = (
+        toked.select(
+            "doc_id",
+            F.explode(shingles(F.col("toks"), 2)).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c_db"))
+        .localCheckpoint(eager=False)
     )
     # every count the KN formula needs is keyed by the bigram TYPE: n_pre
     # = Σ n_big over the prefix, N₁₊(v·)/N₁₊(·w) = type counts per
     # prefix/continuation. So the per-type probability assembles entirely
-    # on the (much smaller) type table — one full-stream shuffle to build
-    # it, one to join the finished score back; the naive shape (three
-    # full-stream joins + two full-stream DISTINCTs, what the oracle runs)
-    # costs the same answer three token-stream shuffles more.
+    # on the (much smaller) type table; the naive shape (three full-stream
+    # joins + two full-stream DISTINCTs, what the oracle runs) costs the
+    # same answer three token-stream shuffles more.
     # pre/w split per TYPE, not per token-stream row
     btab = (
-        bg.groupBy("bigram")
-        .agg(F.count("*").alias("n_big"))
+        db.groupBy("bigram")
+        .agg(F.sum("c_db").alias("n_big"))
         .withColumn("pre", F.substring_index("bigram", " ", 1))
         .withColumn("w", F.substring_index("bigram", " ", -1))
     )
@@ -249,13 +275,18 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("bigram", (-F.log(p_kn)).alias("nll"))
     )
+    # occurrence-weighted mean over the compressed layer ≡ the plain mean
+    # over the expanded stream (c identical doubles sum to c·x within the
+    # round-4 envelope; verified against the expanded-form oracle at
+    # sf0.001/0.01/0.1/1)
     return (
-        bg.select("doc_id", "bigram")
-        .join(scored, "bigram")
+        db.join(scored, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg("nll"), 4).alias("avg_neg_logprob_kn"),
+            F.sum("c_db").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c_db") * F.col("nll")) / F.sum("c_db"), 4
+            ).alias("avg_neg_logprob_kn"),
         )
     )
 
@@ -493,17 +524,30 @@ def backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production memory guard: singleton bigrams (the Heaps-law long
     tail, typically >50% of the table) never enter the model."""
     d = table(spark, sf_dir, "documents")
+    # token array in its own projection (inline split re-evaluates per
+    # F.get in the shingle lambda — the measured 10x), lazy checkpoint so
+    # the pruned-bigram table and the score join share one explode pass
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     bg = (
-        d.select(
-            "doc_id",
-            F.explode(shingles(tokens(F.col("text")), 2)).alias("bigram"),
+        toked.select(
+            "doc_id", F.explode(shingles(F.col("toks"), 2)).alias("bigram")
         )
         .withColumn("pre", F.substring_index("bigram", " ", 1))
         .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .localCheckpoint(eager=False)
     )
     toks1 = d.select(F.explode(F.split("text", " ")).alias("tok"))
-    uc = toks1.groupBy("tok").agg(F.count("*").alias("n_u"))
-    tot = toks1.agg(F.count("*").cast("double").alias("t"))
+    # the unigram vocabulary feeds THREE consumers (prefix counts, word
+    # counts, token total): without a seam each reference re-derives the
+    # token explode — checkpoint once, scan thrice
+    uc = (
+        toks1.groupBy("tok")
+        .agg(F.count("*").alias("n_u"))
+        .localCheckpoint(eager=False)
+    )
+    # token total = Σ unigram counts — read off the tiny vocabulary table
+    # instead of a second pass over the token stream
+    tot = uc.agg(F.sum("n_u").cast("double").alias("t"))
     btab = (
         bg.groupBy("bigram")
         .agg(F.count("*").alias("n_big"))
@@ -3107,4 +3151,182 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "converged",
         )
         .orderBy("cluster_id")
+    )
+
+
+# ------------------------------------------- published quality-rule panel
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models", table
+# A1) / FineWeb heuristics — every threshold is applied with CROSS-
+# MULTIPLIED INTEGER comparisons (10*symbols > wc, 3*wc <= chars, ...) so
+# the pass/fail decision is bit-exact in any engine; only the final
+# fail-fraction is a rounded float. The 8-word stop list is the
+# Gopher/C4 "must contain 2 of ..." presence rule.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_SQL = f"""
+    WITH f AS (
+        SELECT
+            len(string_split(text, ' ')) AS wc,
+            length(replace(text, ' ', '')) AS nc,
+            length(text) - length(replace(text, '#', '')) AS n_sym,
+            (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+            string_split(text, chr(10)) AS lines,
+            {" + ".join(
+                f"(CASE WHEN list_contains(string_split(text, ' '), '{w}') "
+                "THEN 1 ELSE 0 END)" for w in _GOPHER_STOPS
+            )} AS n_stop
+        FROM documents
+    ),
+    g AS (
+        SELECT wc, nc, n_sym, n_ell, n_stop,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+                   AS n_bullet,
+               len(list_filter(lines, l -> l LIKE '%...')) AS n_elline
+        FROM f
+    ),
+    flags AS (
+        SELECT
+            CASE WHEN wc < 50 OR wc > 100000 THEN 1 ELSE 0 END AS f_wc,
+            CASE WHEN 3 * wc <= nc AND nc <= 10 * wc THEN 0 ELSE 1 END
+                AS f_mwl,
+            CASE WHEN 10 * (n_sym + n_ell) > wc THEN 1 ELSE 0 END AS f_sym,
+            CASE WHEN 10 * n_bullet > 9 * n_lines THEN 1 ELSE 0 END AS f_bul,
+            CASE WHEN 10 * n_elline > 3 * n_lines THEN 1 ELSE 0 END AS f_ell,
+            CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop
+        FROM g
+    ),
+    agg AS (
+        SELECT count(*) AS n_docs,
+               sum(f_wc) AS s_wc, sum(f_mwl) AS s_mwl, sum(f_sym) AS s_sym,
+               sum(f_bul) AS s_bul, sum(f_ell) AS s_ell,
+               sum(f_stop) AS s_stop,
+               sum(CASE WHEN f_wc + f_mwl + f_sym + f_bul + f_ell + f_stop
+                        > 0 THEN 1 ELSE 0 END) AS s_any
+        FROM flags
+    )
+    SELECT rule, n_fail::BIGINT AS n_fail, n_docs::BIGINT AS n_docs,
+           round(n_fail * 1.0 / n_docs, 4) AS fail_frac_r
+    FROM (
+        SELECT 'word_count' AS rule, s_wc AS n_fail, n_docs FROM agg
+        UNION ALL SELECT 'mean_word_len', s_mwl, n_docs FROM agg
+        UNION ALL SELECT 'symbol_ratio', s_sym, n_docs FROM agg
+        UNION ALL SELECT 'bullet_lines', s_bul, n_docs FROM agg
+        UNION ALL SELECT 'ellipsis_lines', s_ell, n_docs FROM agg
+        UNION ALL SELECT 'stopword_presence', s_stop, n_docs FROM agg
+        UNION ALL SELECT 'any_rule', s_any, n_docs FROM agg
+    )
+    """
+
+
+@register("gopher_quality_panel", oracle=_GOPHER_SQL)
+def gopher_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published pretraining-corpus quality-rule panel (Gopher, Rae et al.
+    2021 table A1; the FineWeb/C4 heuristic family): per-document word
+    count bounds [50, 100k], mean word length window [3, 10], symbol-to-
+    word ratio (# and ellipsis) <= 0.1, bullet-start line ratio <= 0.9,
+    ellipsis-end line ratio <= 0.3, and the >= 2-stop-word presence rule —
+    reported as a per-rule failure rollup (n_fail / n_docs / fail
+    fraction) plus an 'any_rule' row, the shape a curation dashboard
+    ingests. Composes with ``quality_features``/``lang_id_heuristic``
+    (llm/textstats.py): those score, this panel gates.
+
+    Scale shape: ONE narrow codegen projection over the corpus (split /
+    replace / filter lambdas — no UDF, no shuffle keyed on text), a
+    single 1-row global aggregate, and a 7-row literal unpivot of that
+    row. Every threshold is a cross-multiplied integer comparison, so
+    pass/fail is bit-exact across engines at any scale; the one float
+    (fail fraction) is round-4 over exact integers. At 100 TB this is a
+    map-only pass plus one 7-row exchange."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens(t)
+    lines = F.split(t, "\n")
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in _GOPHER_STOPS
+    )
+    g = d.select(
+        F.size(toks).alias("wc"),
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).alias("nc"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).alias(
+            "n_sym"
+        ),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+            / F.lit(3)
+        )
+        .cast("long")
+        .alias("n_ell"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*"),
+            )
+        ).alias("n_bullet"),
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).alias(
+            "n_elline"
+        ),
+        n_stop.alias("n_stop"),
+    )
+    flags = g.select(
+        ((F.col("wc") < 50) | (F.col("wc") > 100000)).cast("int").alias("f_wc"),
+        (
+            ~((3 * F.col("wc") <= F.col("nc")) & (F.col("nc") <= 10 * F.col("wc")))
+        )
+        .cast("int")
+        .alias("f_mwl"),
+        (10 * (F.col("n_sym") + F.col("n_ell")) > F.col("wc"))
+        .cast("int")
+        .alias("f_sym"),
+        (10 * F.col("n_bullet") > 9 * F.col("n_lines")).cast("int").alias("f_bul"),
+        (10 * F.col("n_elline") > 3 * F.col("n_lines")).cast("int").alias("f_ell"),
+        (F.col("n_stop") < 2).cast("int").alias("f_stop"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_wc").alias("s_wc"),
+        F.sum("f_mwl").alias("s_mwl"),
+        F.sum("f_sym").alias("s_sym"),
+        F.sum("f_bul").alias("s_bul"),
+        F.sum("f_ell").alias("s_ell"),
+        F.sum("f_stop").alias("s_stop"),
+        F.sum(
+            (
+                (
+                    F.col("f_wc")
+                    + F.col("f_mwl")
+                    + F.col("f_sym")
+                    + F.col("f_bul")
+                    + F.col("f_ell")
+                    + F.col("f_stop")
+                )
+                > 0
+            ).cast("int")
+        ).alias("s_any"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(rule).alias("rule"), F.col(col).alias("n_fail")
+            )
+            for rule, col in (
+                ("word_count", "s_wc"),
+                ("mean_word_len", "s_mwl"),
+                ("symbol_ratio", "s_sym"),
+                ("bullet_lines", "s_bul"),
+                ("ellipsis_lines", "s_ell"),
+                ("stopword_presence", "s_stop"),
+                ("any_rule", "s_any"),
+            )
+        ]
+    )
+    return agg.select(
+        F.explode(rows).alias("r"), F.col("n_docs").cast("long").alias("n_docs")
+    ).select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_fail").cast("long").alias("n_fail"),
+        "n_docs",
+        F.round(F.col("r.n_fail") / F.col("n_docs"), 4).alias("fail_frac_r"),
     )
