@@ -215,34 +215,27 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary; the per-doc mean of −ln p is the one float reduction, rounded
     to 4 (the green ``bigram_lm_score`` determinism envelope).
 
-    Scale shape: ONE corpus explode pass, immediately reduced to
-    per-(doc, bigram-type) occurrence counts — map-side combine shrinks
-    the only token-stream shuffle by the within-doc repeat factor, and a
-    lazy localCheckpoint (the bm25/novelty shared-layer pattern) lets the
-    type-table build AND the per-doc score join reuse that layer instead
-    of each re-exploding the corpus. Every later shuffle is keyed on
-    bigram/prefix/continuation over type-sized rows, none on raw text; no
-    broadcast hints (vocabulary grows with the corpus, AQE decides)."""
+    Scale shape: ONE corpus explode pass — the token array is
+    materialized in its own projection (inlining ``tokens(text)`` into
+    the shingle lambda re-evaluates the split once per F.get: measured
+    40 s vs 4 s for the sf1 explode; Catalyst collapses projections but
+    keeps a multi-referenced non-cheap alias as a real column) and the
+    exploded stream is lazily checkpointed (the bm25/novelty
+    shared-layer pattern) so the type-table build AND the per-doc score
+    join reuse it instead of each re-exploding the corpus. The type
+    build's shuffle is map-side combined down to vocabulary size and the
+    per-doc average's partial agg compresses to doc count, so the one
+    full-stream shuffle is the score join. (A per-(doc, bigram)
+    pre-aggregation layer was measured ~3x SLOWER at sf1: within-doc
+    bigram repetition is ~1 on real short docs, so the extra full-stream
+    shuffle buys no compression.) Every vocabulary shuffle is keyed on
+    bigram/prefix/continuation, none on raw text; no broadcast hints
+    (vocabulary grows with the corpus, AQE decides)."""
     d = table(spark, sf_dir, "documents")
-    # per-(doc, bigram-type) occurrences: the compressed token stream every
-    # stage below consumes; checkpointed lazily so the corpus text is
-    # exploded exactly once (two consumers — at 100 TB this seam is a
-    # layer write, same as bm25's token layer)
-    # materialize the token ARRAY in its own projection before shingling:
-    # inlining `tokens(text)` into the shingle lambda re-evaluates the
-    # split once per F.get (measured 40 s vs 4 s for the sf1 explode —
-    # Catalyst collapses projections but keeps a multi-referenced
-    # non-cheap alias as a column, so the split runs once per row here)
     toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    db = (
-        toked.select(
-            "doc_id",
-            F.explode(shingles(F.col("toks"), 2)).alias("bigram"),
-        )
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c_db"))
-        .localCheckpoint(eager=False)
-    )
+    bg = toked.select(
+        "doc_id", F.explode(shingles(F.col("toks"), 2)).alias("bigram")
+    ).localCheckpoint(eager=False)
     # every count the KN formula needs is keyed by the bigram TYPE: n_pre
     # = Σ n_big over the prefix, N₁₊(v·)/N₁₊(·w) = type counts per
     # prefix/continuation. So the per-type probability assembles entirely
@@ -251,8 +244,8 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same answer three token-stream shuffles more.
     # pre/w split per TYPE, not per token-stream row
     btab = (
-        db.groupBy("bigram")
-        .agg(F.sum("c_db").alias("n_big"))
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n_big"))
         .withColumn("pre", F.substring_index("bigram", " ", 1))
         .withColumn("w", F.substring_index("bigram", " ", -1))
     )
@@ -275,18 +268,12 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("bigram", (-F.log(p_kn)).alias("nll"))
     )
-    # occurrence-weighted mean over the compressed layer ≡ the plain mean
-    # over the expanded stream (c identical doubles sum to c·x within the
-    # round-4 envelope; verified against the expanded-form oracle at
-    # sf0.001/0.01/0.1/1)
     return (
-        db.join(scored, "bigram")
+        bg.join(scored, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.sum("c_db").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("c_db") * F.col("nll")) / F.sum("c_db"), 4
-            ).alias("avg_neg_logprob_kn"),
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("avg_neg_logprob_kn"),
         )
     )
 
