@@ -2500,6 +2500,11 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate.withColumn("__rn", F.row_number().over(w_exact))
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", F.size(toks).alias("n_toks"), "text")
+        # shared by the shingle layer AND the final `clean` join: without
+        # the cut, every consumer re-ran the parquet scan + the gate's
+        # array_distinct(split(text)) + the sha256 dedup window (measured:
+        # five 13.4 MB document scans per execution at sf0.1 — guide §2.4)
+        .localCheckpoint(eager=False)
     )
     sh = shingle_set(exact, "doc_id", "text", 3).localCheckpoint(eager=False)
     sig = minhash_signatures_wide(sh, "doc_id", 8)

@@ -2992,6 +2992,12 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qy",
         F.floor(F.col("qx").cast("double") / sub).cast("long").alias("sx"),
         F.floor(F.col("qy").cast("double") / sub).cast("long").alias("sy"),
+        # EAGER on purpose (alone among this query's checkpoints): sc is the
+        # fact-sized table with 5 downstream consumers; eager guarantees the
+        # scan+quantize runs exactly once, where a lazy cut lets concurrent
+        # subtrees of the single final job race to compute it. Everything
+        # downstream is subcell-bounded and checkpoints lazily so the CC
+        # loop stays one job instead of 17 (the power_iteration r14 lesson).
     ).localCheckpoint(eager=True)
     occ = sc.groupBy("sx", "sy").agg(F.count("*").alias("occ"))
     off = spark.createDataFrame(_DBSCAN_OFF, "dx int, dy int")
@@ -3023,7 +3029,7 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified = sc.join(occ.filter(F.col("occ") >= mp), ["sx", "sy"]).select(
         "vec_id", "qx", "qy", "sx", "sy"
     )
-    core = certified.unionByName(fringe_core).localCheckpoint(eager=True)
+    core = certified.unionByName(fringe_core).localCheckpoint(eager=False)
     wrep = Window.partitionBy("sx", "sy").orderBy(
         token_hash64(F.concat(F.lit("dbscan:"), F.col("vec_id").cast("string"))),
         "vec_id",
@@ -3032,7 +3038,7 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         core.select("*", F.row_number().over(wrep).alias("rk"))
         .filter(F.col("rk") <= cap)
         .drop("rk")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     node = core.groupBy("sx", "sy").agg(F.min("vec_id").alias("nid"))
     repb = reps.select(
@@ -3060,11 +3066,11 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     lab = node.select(
         F.col("nid").alias("v"), F.col("nid").alias("lab")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def propagate(l):
         nb_min = sedge.join(
@@ -3078,7 +3084,7 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             nb_min.unionByName(lol)
             .groupBy("v")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     for _ in range(_DBSCAN_ROUNDS):
@@ -3101,8 +3107,16 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").alias("jy"),
         "lab",
     )
+    # Anti-join against the CHECKPOINTED core, not fringe_core: fringe and
+    # certified are disjoint by construction (occ < mp vs occ >= mp), so
+    # fringe ∖ core ≡ fringe ∖ fringe_core — but fringe_core's fringe-degree
+    # join is the single most expensive subtree here, and referencing it
+    # uncheckpointed re-ran it per consumer (measured: three ~6 s 32-task
+    # stages at sf0.1, one per consumer — guide §2.4 remove repeated
+    # passes). border itself feeds TWO consumers (counts, noise), so cut
+    # its lineage once, lazily, keeping everything one job.
     border = (
-        fringe.join(fringe_core.select("vec_id"), "vec_id", "left_anti")
+        fringe.join(core.select("vec_id"), "vec_id", "left_anti")
         .crossJoin(F.broadcast(off))
         .withColumn("jx", F.col("sx") + F.col("dx"))
         .withColumn("jy", F.col("sy") + F.col("dy"))
@@ -3110,6 +3124,7 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(within)
         .groupBy("vec_id")
         .agg(F.min("lab").alias("lab"))
+        .localCheckpoint(eager=False)
     )
     counts = (
         core_lab.select("lab", F.lit(True).alias("is_core"))

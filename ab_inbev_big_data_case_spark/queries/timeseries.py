@@ -1721,8 +1721,18 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in terms[1:]:
         acc = acc + t
     dist2 = acc.cast("decimal(38,0)")
+    # The window spine leaves the global row_number's SINGLE partition on
+    # the stream side, so the broadcast-NLJ (and the dist2 projection over
+    # ~N²/2 pairs) would run as ONE task — measured 6.3 s of a 7.1 s wall
+    # on one core with 31 idle at sf0.1 (guide §2.6). Fan the stream side
+    # out to the scheduler's width first: a round-robin exchange of the
+    # ~2,400-row spine costs microseconds and parallelizes the whole
+    # pair stage. Exactness unchanged — dist2 is per-pair integer math and
+    # the downstream argmin is an order-free min(struct).
+    par = spark.sparkContext.defaultParallelism
     half = (
-        a.join(F.broadcast(b), F.col("j") >= F.col("i") + 7)
+        a.repartition(par)
+        .join(F.broadcast(b), F.col("j") >= F.col("i") + 7)
         .select("i", "d", "j", "dj", dist2.alias("dist2"))
     )
     # each computed half-pair serves BOTH directions (d(i,j)=d(j,i)): the
