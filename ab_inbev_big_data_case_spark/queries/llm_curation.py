@@ -3072,7 +3072,7 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").alias("v"), F.col("nid").alias("lab")
     ).localCheckpoint(eager=False)
 
-    def propagate(l):
+    def propagate(l, cut: bool = True):
         nb_min = sedge.join(
             l.select(F.col("v").alias("src"), "lab"), "src"
         ).select(F.col("dst").alias("v"), "lab")
@@ -3080,15 +3080,18 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             l.select(F.col("v").alias("ptr"), F.col("lab").alias("lab")),
             "ptr",
         ).select("v", "lab")
-        return (
-            nb_min.unionByName(lol)
-            .groupBy("v")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=False)
-        )
+        out = nb_min.unionByName(lol).groupBy("v").agg(F.min("lab").alias("lab"))
+        # Stride-2 lineage cuts: each round references its input 3× (edge
+        # relax + both sides of the pointer jump), so an uncut unroll grows
+        # 3^k — but cutting every round costs a Catalyst planning pass per
+        # checkpoint call (measured: the 17 per-round executions dominate
+        # this query's wall at sf0.1, ~0.15-0.2 s each of pure planning/
+        # bookkeeping on a 737-row table). Cutting every SECOND round keeps
+        # the tree ≤ 3²-wide per segment and halves the boundary count.
+        return out.localCheckpoint(eager=False) if cut else out
 
-    for _ in range(_DBSCAN_ROUNDS):
-        lab = propagate(lab)
+    for r in range(_DBSCAN_ROUNDS):
+        lab = propagate(lab, cut=(r % 2 == 1))
     lab_cert = propagate(lab)
     cert = (
         lab.join(
