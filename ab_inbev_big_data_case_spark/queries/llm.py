@@ -2501,9 +2501,13 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", F.size(toks).alias("n_toks"), "text")
         # shared by the shingle layer AND the final `clean` join: without
-        # the cut, every consumer re-ran the parquet scan + the gate's
-        # array_distinct(split(text)) + the sha256 dedup window (measured:
-        # five 13.4 MB document scans per execution at sf0.1 — guide §2.4)
+        # the cut, the second consumer re-ran the scan + the gate's
+        # array_distinct(split(text)) + the sha256 dedup window. Lazy, not
+        # eager: a 5×-interleaved A/B measured eager barriers here at
+        # +1.1 s wall (3.46 vs 2.32 median at sf0.1) for no local gain —
+        # concurrent first-use can duplicate a lazy cut's compute, but the
+        # duplicated subtree is one cached-scan pass, far cheaper than two
+        # blocking jobs.
         .localCheckpoint(eager=False)
     )
     sh = shingle_set(exact, "doc_id", "text", 3).localCheckpoint(eager=False)
