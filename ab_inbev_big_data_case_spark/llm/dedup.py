@@ -618,7 +618,7 @@ def prefix_filter_jaccard_pairs(
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    )
+    ).localCheckpoint(eager=False)  # 5 consumers: dfreq, ranked, sizes, t1, t2
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
     w = Window.partitionBy("__id").orderBy("__df", "tok")
     sizes = toks.groupBy("__id").agg(F.count("*").alias("__sz"))
@@ -627,30 +627,68 @@ def prefix_filter_jaccard_pairs(
         .withColumn("__rn", F.row_number().over(w))
         .join(sizes, "__id")
     )
+    # Pin the self-join's width EXPLICITLY: its input is ~1 MB of prefix
+    # tokens, so AQE coalesces the exchange to ONE partition — and the
+    # join's candidate fan-out then runs on one core (measured: a single
+    # 105 s task at sf0.1 under a 1 MB shuffle read). A user repartition by
+    # the join key is respected by AQE, co-partitions both sides of the
+    # self-join (no extra exchange), and scales with the scheduler width.
+    par = df.sparkSession.sparkContext.defaultParallelism
     prefix = ranked.filter(
         F.col("__rn") <= F.col("__sz") - F.ceil(threshold * F.col("__sz")) + 1
-    ).select("__id", "tok")
+    ).select("__id", "tok", "__rn", "__sz").repartition(par, "tok")
+    p1 = prefix.select(
+        F.col("__id").alias("id1"), "tok",
+        F.col("__rn").alias("__p1"), F.col("__sz").alias("__n1"),
+    )
+    p2 = prefix.select(
+        F.col("__id").alias("id2"), "tok",
+        F.col("__rn").alias("__p2"), F.col("__sz").alias("__n2"),
+    )
+    # POSITIONAL filter (the PPJoin refinement over the plain prefix
+    # filter, Xiao et al. 2008 §3.2): a shared prefix token at positions
+    # (p1, p2) bounds the overlap by 1 + min(n1−p1, n2−p2) (all common
+    # tokens sit at or after the first shared one in the shared order),
+    # and jaccard ≥ t needs overlap ≥ ceil(t/(1+t)·(n1+n2)). A qualifying
+    # pair always passes at its FIRST shared prefix token, so keeping
+    # pairs where ANY shared token passes is lossless under exactly the
+    # premise the prefix filter itself assumes — and it prunes the
+    # template-token pair fan-out the plain filter lets through
+    # (measured: the fixture's hottest prefix token sits in 3,854 docs;
+    # raw token-pair volume 112.6 M at sf0.1, a 595 MB candidate shuffle).
+    ubound = 1 + F.least(
+        F.col("__n1") - F.col("__p1"), F.col("__n2") - F.col("__p2")
+    )
+    minov = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("__n1") + F.col("__n2"))
+    )
     cands = (
-        prefix.select(F.col("__id").alias("id1"), "tok")
-        .join(prefix.select(F.col("__id").alias("id2"), "tok"), "tok")
-        .filter(F.col("id1") < F.col("id2"))
+        p1.join(p2, "tok")
+        .filter((F.col("id1") < F.col("id2")) & (ubound >= minov))
         .select("id1", "id2")
         .distinct()
+        .repartition(par, "id1")  # same width pinning for the verify join
     )
-    t1 = toks.select(F.col("__id").alias("id1"), F.col("tok").alias("__t1"))
-    t2 = toks.select(F.col("__id").alias("id2"), F.col("tok").alias("__t2"))
-    inter = (
-        cands.join(t1, "id1")
-        .join(t2, "id2")
-        .filter(F.col("__t1") == F.col("__t2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("__ni"))
+    # Verify IN-ROW: attach each side's (bounded, per-doc) distinct token
+    # set once and count the intersection with array_intersect, instead of
+    # fanning every candidate pair out to a pair×token join and counting
+    # matches (two equi-joins of pairs × doc-size rows). Same integers:
+    # |tokens(d1) ∩ tokens(d2)| either way.
+    tsets = toks.groupBy("__id").agg(
+        F.collect_list("tok").alias("__ts"), F.count("*").alias("__n")
     )
-    s1 = sizes.select(F.col("__id").alias("id1"), F.col("__sz").alias("__n1"))
-    s2 = sizes.select(F.col("__id").alias("id2"), F.col("__sz").alias("__n2"))
+    a1 = tsets.select(
+        F.col("__id").alias("id1"), F.col("__ts").alias("__ts1"),
+        F.col("__n").alias("__n1"),
+    )
+    a2 = tsets.select(
+        F.col("__id").alias("id2"), F.col("__ts").alias("__ts2"),
+        F.col("__n").alias("__n2"),
+    )
     return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
+        cands.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn("__ni", F.size(F.array_intersect("__ts1", "__ts2")))
         .withColumn(
             "jaccard",
             F.round(

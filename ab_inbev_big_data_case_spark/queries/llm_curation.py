@@ -1617,7 +1617,12 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     d = table(spark, sf_dir, "documents")
     nd = d.agg(F.count("*").alias("n_docs"))
-    toks = d.select(
+    # fan the doc rows out BEFORE the shingle explode: the single-file scan
+    # is one task, so both consumers of `toks` (token counts + first-seen)
+    # each ran the whole explode serially (two ~3.2 s one-task stages at
+    # sf0.1 — guide §2.6); a round-robin exchange of the raw docs is far
+    # cheaper than either serial explode or caching the exploded stream
+    toks = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(shingles(tokens(F.col("text")), 3)).alias("w")
     )
 

@@ -747,7 +747,15 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_co") >= 2)
         .select("u", "v")
     )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Lazy checkpoint per round (the CC/ktruss discipline, previously
+    # missing HERE): every round is referenced 3× by the next peel (degree
+    # agg + two semi-joins) AND once more by its own stats branch, so the
+    # uncut 4-branch union re-derived the basket pair fan-out and peel
+    # chain per branch (only Exchange reuse kept it from exploding —
+    # measured 8.7 s median at sf0.1, 2.6 s with the cuts).
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
 
     def peel(cur: DataFrame) -> DataFrame:
         surv = (
@@ -762,7 +770,7 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rounds = [sym]
     for _ in range(3):
-        rounds.append(peel(rounds[-1]))
+        rounds.append(peel(rounds[-1]).localCheckpoint(eager=False))
     stats = [
         g.agg(
             F.lit(i).cast("long").alias("round"),

@@ -3550,15 +3550,38 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    a, b = pts.alias("a"), pts.alias("b")
+    par = spark.sparkContext.defaultParallelism
+    a, b = pts.repartition(par).alias("a"), pts.alias("b")
+    # repartition the STREAM side first: pts inherits the daily agg's single
+    # post-AQE partition, so the non-equi pair join AND everything fed by it
+    # ran as one task (measured: a 1-task stage writing the 71.6 MB pair
+    # set, then a 1-task 3.2 s global sort — guide §2.6)
     prs = a.join(b, F.col("b.x") > F.col("a.x")).select(
         (F.col("b.y") - F.col("a.y")).alias("dy"),
         (F.col("b.x") - F.col("a.x")).alias("dx"),
     )
     sl = F.col("dy") * F.lit(1.0) / F.col("dx")
-    w = Window.orderBy(sl, F.col("dy"), F.col("dx"))
-    ranked = prs.select("dy", "dx", sl.alias("sl")).withColumn(
-        "rn", F.row_number().over(w)
+    # TWO-LEVEL exact median selection (the gini/abc_pareto global-rank
+    # pattern) instead of row_number over one partitionless window: range-
+    # partition the days² pair set by the full sort key so partitions are
+    # globally ordered, rank WITHIN partitions in parallel, and add each
+    # partition's prefix-count offset (a ≤ defaultParallelism-row window).
+    # global_rank = offset(pid) + rank_in(pid) — exact for any boundary
+    # placement, identical tie-breaks (sl, dy, dx), and the 2.9M-row sort
+    # runs on every core instead of one.
+    slopes = prs.select("dy", "dx", sl.alias("sl")).repartitionByRange(
+        par, F.col("sl"), F.col("dy"), F.col("dx")
+    ).select("*", F.spark_partition_id().alias("__pid"))
+    pc = slopes.groupBy("__pid").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = pc.select(
+        "__pid", (F.sum("__n").over(w_off) - F.col("__n")).alias("__off")
+    )
+    w_in = Window.partitionBy("__pid").orderBy("sl", F.col("dy"), F.col("dx"))
+    ranked = slopes.withColumn("rn_in", F.row_number().over(w_in)).join(
+        F.broadcast(off), "__pid"
     )
     cnt = prs.agg(
         F.count("*").alias("np"),
@@ -3566,7 +3589,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sen = (
         ranked.crossJoin(F.broadcast(cnt))
-        .filter(F.col("rn") == F.col("mid"))
+        .filter(F.col("__off") + F.col("rn_in") == F.col("mid"))
         .select(F.round(F.col("sl") / 100, 6).alias("slope"))
     )
     res = pts.crossJoin(F.broadcast(sen)).select(

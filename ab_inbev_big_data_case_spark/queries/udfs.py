@@ -116,6 +116,13 @@ def grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 20 == 0)
         .select("l_orderkey", "l_linenumber", "l_quantity")
+        # pre-partition by the group key at scheduler width: the grouped-map
+        # exchange reuses it, where AQE otherwise coalesces the ~400 KB
+        # shuffle to ONE partition and every pandas group runs serially in
+        # a single Python worker (measured: an 11.6 s one-task stage at
+        # sf0.1 — guide §2.6/§4; the docstring's cost lesson stands, ~50×
+        # the window formulation, but now on every core instead of one)
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     )
     raw = li.groupBy("l_orderkey").applyInPandas(
         normalize, schema="l_orderkey long, l_linenumber int, qty_share double"
