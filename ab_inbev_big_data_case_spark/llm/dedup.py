@@ -618,7 +618,7 @@ def prefix_filter_jaccard_pairs(
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).localCheckpoint(eager=False)  # 5 consumers: dfreq, ranked, sizes, t1, t2
+    ).localCheckpoint(eager=False)  # 4 consumers: dfreq, ranked, sizes, tsets
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
     w = Window.partitionBy("__id").orderBy("__df", "tok")
     sizes = toks.groupBy("__id").agg(F.count("*").alias("__sz"))
@@ -659,8 +659,17 @@ def prefix_filter_jaccard_pairs(
     ubound = 1 + F.least(
         F.col("__n1") - F.col("__p1"), F.col("__n2") - F.col("__p2")
     )
+    # ceil over DOUBLES can overshoot by 1 when t/(1+t)·(n1+n2) is an exact
+    # integer and the float product lands epsilon ABOVE it (ADVICE r15:
+    # t=0.8 at n1+n2=63, t=0.9 at 133, ... — falsely pruning pairs whose
+    # jaccard equals the threshold exactly). Subtract 1e-6 before the ceil:
+    # the fp error of the product is < ~1e-9·(n1+n2) ≤ 0.5e-6 for set sizes
+    # up to 2^31, so exact-integer values still ceil to themselves, while a
+    # genuinely fractional value for any rational threshold p/q sits
+    # ≥ 1/(p+q) above its floor — unaffected for all q+p < ~6·10^5.
     minov = F.ceil(
         F.lit(threshold) / (1.0 + threshold) * (F.col("__n1") + F.col("__n2"))
+        - F.lit(1e-6)
     )
     cands = (
         p1.join(p2, "tok")

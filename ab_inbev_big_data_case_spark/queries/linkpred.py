@@ -499,11 +499,20 @@ def _ktruss_sql() -> str:
 """
 
 
-def _edge_support(ed: DataFrame) -> DataFrame:
-    """Per-undirected-edge triangle support among the edges of ``ed``
-    (p1 < p2): degree-ordered orientation makes the wedge join the m^1.5
-    enumeration (out-degree bounded by O(sqrt m)); every triangle is
-    counted once and credits its 3 edges."""
+def _triangle_edges(ed: DataFrame) -> DataFrame:
+    """Every triangle of ``ed`` (p1 < p2 canonical edges), one row per
+    triangle, carrying its 3 canonical edges as (e1x,e1y,e2x,e2y,e3x,e3y):
+    degree-ordered orientation makes the wedge join the m^1.5 enumeration
+    (out-degree bounded by O(sqrt m)); every triangle is emitted once.
+
+    r16 (guide §2.4): the peel loop used to RE-ENUMERATE wedges from
+    scratch every round — 6 runs of this join per query. A triangle of any
+    edge subset is exactly a triangle of the original set whose 3 edges
+    all survive, so the enumeration runs ONCE and each peel round instead
+    anti-joins out the triangles that lost an edge (see ``ktruss_edges``).
+    The triangle list is lazily checkpointed — the same materialization
+    the old formulation paid per round as the wedge join's intermediate,
+    now paid once and reused."""
     deg = (
         ed.select(F.col("p1").alias("p"))
         .unionAll(ed.select(F.col("p2").alias("p")))
@@ -532,18 +541,35 @@ def _edge_support(ed: DataFrame) -> DataFrame:
         .join(o3, (F.col("c_u") == F.col("w_u")) & (F.col("c_v") == F.col("x_v")))
         .select(F.col("w_u").alias("a"), F.col("w_v").alias("b"), F.col("x_v").alias("c"))
     )
+    return tri.select(
+        F.least("a", "b").alias("e1x"), F.greatest("a", "b").alias("e1y"),
+        F.least("b", "c").alias("e2x"), F.greatest("b", "c").alias("e2y"),
+        F.least("a", "c").alias("e3x"), F.greatest("a", "c").alias("e3y"),
+    )
+
+
+def _support_from(tri: DataFrame) -> DataFrame:
+    """Per-edge triangle support from a triangle-edge table: each triangle
+    credits its 3 canonical edges — identical integers to counting the
+    wedge join's output directly (the old `_edge_support`), since the rows
+    here ARE that join's output with the least/greatest projection
+    precomputed."""
     e3 = (
-        tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .unionAll(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
-        .unionAll(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
+        tri.select(F.col("e1x").alias("p1"), F.col("e1y").alias("p2"))
+        .unionAll(tri.select(F.col("e2x").alias("p1"), F.col("e2y").alias("p2")))
+        .unionAll(tri.select(F.col("e3x").alias("p1"), F.col("e3y").alias("p2")))
     )
-    return (
-        e3.select(
-            F.least("x", "y").alias("p1"), F.greatest("x", "y").alias("p2")
-        )
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("s"))
-    )
+    return e3.groupBy("p1", "p2").agg(F.count("*").alias("s"))
+
+
+def _edge_support(ed: DataFrame) -> DataFrame:
+    """FROM-SCRATCH per-edge triangle support over exactly ``ed`` (one
+    fresh wedge enumeration). ``ktruss_edges`` no longer calls this per
+    round (r16 — it maintains the triangle list incrementally); it stays
+    as the reference implementation the invariant tests peel with
+    round-by-round, so the incremental maintenance is adversarially
+    checked against a from-scratch recount on every fixture."""
+    return _support_from(_triangle_edges(ed))
 
 
 @register("ktruss_edges", oracle=_ktruss_sql())
@@ -555,21 +581,26 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     among the truss itself, the community-core / spam-ring primitive one
     level stronger than ``kcore_peeling``'s degree floor).
 
-    Algorithm: 5 unrolled peel rounds, each = degree-ordered oriented
-    triangle enumeration (the m^1.5 bound, same as
-    ``triangle_count_copurchase``) → per-edge support → filter. Like the
-    CC loop, convergence is CERTIFIED in-output, not assumed:
-    ``n_unconverged`` counts edges a 6th round would still drop (0 ⇒ the
-    reported edge set IS the fixed point, since peeling is monotone).
+    Algorithm: ONE degree-ordered oriented triangle enumeration (the
+    m^1.5 bound, same as ``triangle_count_copurchase``), then 5 unrolled
+    peel rounds of per-edge support recount + filter over the surviving
+    triangle list — each round anti-joins out the triangles that lost an
+    edge instead of re-enumerating wedges (r16; exact by the subset
+    invariant documented at the loop). Like the CC loop, convergence is
+    CERTIFIED in-output, not assumed: ``n_unconverged`` counts edges a
+    6th round would still drop (0 ⇒ the reported edge set IS the fixed
+    point, since peeling is monotone).
 
     Exactness: integer supports, integer counts, exact (d, p) tuple
     compares — no floats anywhere.
 
     Scale shape: the quadratic guard is inherited (basket-capped pair
-    fan-out, repeat-co-occurrence backbone); each round is 2 keyed
-    aggregates + the oriented wedge join, and the edge set only shrinks.
-    Label state is edge-table-sized; lazy localCheckpoint per round keeps
-    the unrolled plan K-linear (the CC/HITS pattern)."""
+    fan-out, repeat-co-occurrence backbone); the wedge join runs once,
+    each round is then linear in the (shrinking) triangle list, and the
+    edge set only shrinks. Triangle state is what the old per-round wedge
+    join materialized as its intermediate anyway, now checkpointed once;
+    lazy localCheckpoint per round keeps the unrolled plan K-linear (the
+    CC/HITS pattern)."""
     e = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
@@ -590,15 +621,45 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_initial = ed.agg(F.count("*").cast("long").alias("n_edges_initial"))
+    # Triangles enumerated ONCE (r16, VERDICT r15 item 4; guide §2.4). Loop
+    # invariant: `tri` is exactly the triangle set of the current `ed` — a
+    # triangle of ed_{r+1} ⊆ ed_r is a triangle of ed_r whose 3 edges all
+    # survived, so removing the triangles that contain a dropped edge
+    # maintains it. Dropped edges that matter are exactly the supp rows
+    # with s < k−2 (an edge absent from supp sits in NO triangle and so
+    # cannot appear in `tri`); each round therefore anti-joins `tri`
+    # against that (small, shrinking) dead set on each of its 3 edge slots
+    # instead of re-running the m^1.5 wedge enumeration — per-round support
+    # integers are identical by the invariant, hence so is every ed_r.
+    tri = _triangle_edges(ed).localCheckpoint(eager=False)
     for _ in range(_KTRUSS_ROUNDS):
-        supp = _edge_support(ed)
+        supp = _support_from(tri).localCheckpoint(eager=False)
         ed = (
             ed.join(supp, ["p1", "p2"])
             .filter(F.col("s") >= _KTRUSS_K - 2)
             .select("p1", "p2")
             .localCheckpoint(eager=False)
         )
-    supp_final = _edge_support(ed)
+        dead = supp.filter(F.col("s") < _KTRUSS_K - 2).select("p1", "p2")
+        tri = (
+            tri.join(
+                dead.select(F.col("p1").alias("e1x"), F.col("p2").alias("e1y")),
+                ["e1x", "e1y"],
+                "left_anti",
+            )
+            .join(
+                dead.select(F.col("p1").alias("e2x"), F.col("p2").alias("e2y")),
+                ["e2x", "e2y"],
+                "left_anti",
+            )
+            .join(
+                dead.select(F.col("p1").alias("e3x"), F.col("p2").alias("e3y")),
+                ["e3x", "e3y"],
+                "left_anti",
+            )
+            .localCheckpoint(eager=False)
+        )
+    supp_final = _support_from(tri)
     survivors = (
         ed.join(supp_final, ["p1", "p2"])
         .filter(F.col("s") >= _KTRUSS_K - 2)

@@ -3078,21 +3078,35 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     def propagate(l, cut: bool = True):
-        nb_min = sedge.join(
-            l.select(F.col("v").alias("src"), "lab"), "src"
-        ).select(F.col("dst").alias("v"), "lab")
-        lol = l.select(F.col("v"), F.col("lab").alias("ptr")).join(
-            l.select(F.col("v").alias("ptr"), F.col("lab").alias("lab")),
-            "ptr",
-        ).select("v", "lab")
-        out = nb_min.unionByName(lol).groupBy("v").agg(F.min("lab").alias("lab"))
-        # Stride-2 lineage cuts: each round references its input 3× (edge
-        # relax + both sides of the pointer jump), so an uncut unroll grows
-        # 3^k — but cutting every round costs a Catalyst planning pass per
-        # checkpoint call (measured: the 17 per-round executions dominate
-        # this query's wall at sf0.1, ~0.15-0.2 s each of pure planning/
-        # bookkeeping on a 737-row table). Cutting every SECOND round keeps
-        # the tree ≤ 3²-wide per segment and halves the boundary count.
+        # ONE join per round (r16, VERDICT r15 item 3; guide §2.4): the
+        # old relax + two-sided pointer jump was two joins, but BOTH
+        # probed the same `l` keyed by v — nb_min = sedge ⋈ l on
+        # (src = v) emitting (dst, lab[src]); lol = l ⋈ l on (lab[v] = v)
+        # emitting (v, lab[lab[v]]). Union the LEFT sides into one keyed
+        # relation and probe `l` once:
+        #   (k=src,  v=dst)  ⋈ l.k → (dst, lab[src])      — the edge relax
+        #   (k=lab[v], v=v)  ⋈ l.k → (v,   lab[lab[v]])   — the pointer jump
+        # Row-for-row the same multiset as the two-join form (l.v is unique
+        # in both, so join multiplicity is 1 per left row; an absent key
+        # drops the row under either formulation), so the grouped min is
+        # identical. One exchange/probe per round instead of two, and each
+        # round now references its input 2× instead of 3× (lineage segments
+        # stay ≤ 2² wide under the stride-2 cuts below, was ≤ 3²).
+        contrib = sedge.select(
+            F.col("src").alias("k"), F.col("dst").alias("v")
+        ).unionByName(l.select(F.col("lab").alias("k"), F.col("v").alias("v")))
+        out = (
+            contrib.join(
+                l.select(F.col("v").alias("k"), F.col("lab")), "k"
+            )
+            .groupBy("v")
+            .agg(F.min("lab").alias("lab"))
+        )
+        # Stride-2 lineage cuts: cutting every round costs a Catalyst
+        # planning pass per checkpoint call (measured r15: ~0.15-0.2 s each
+        # of pure planning/bookkeeping on a 737-row table); cutting every
+        # SECOND round halves the boundary count while the uncut segment
+        # stays ≤ 2² wide.
         return out.localCheckpoint(eager=False) if cut else out
 
     for r in range(_DBSCAN_ROUNDS):

@@ -1720,7 +1720,16 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = terms[0]
     for t in terms[1:]:
         acc = acc + t
-    dist2 = acc.cast("decimal(38,0)")
+    # Keep dist2 a LONG on the long-safe path (r16, guide §5): the former
+    # unconditional decimal(38,0) cast boxed a BigDecimal per half-pair —
+    # ~2.9 M allocations flowing through the symmetry explode, the
+    # min(struct) agg and both rank windows; profiled as the pair stage's
+    # per-core CPU inflating ~8× under 32-way concurrency (allocation/GC
+    # bandwidth, not arithmetic). Values are identical integers on either
+    # type: comparisons order the same and the output column is cast to
+    # long at the end of the plan in both cases. The decimal path remains
+    # for series whose range bound cannot prove 7·(max−min)² < 2⁶³.
+    dist2 = acc if long_safe else acc.cast("decimal(38,0)")
     # The window spine leaves the global row_number's SINGLE partition on
     # the stream side, so the broadcast-NLJ (and the dist2 projection over
     # ~N²/2 pairs) would run as ONE task — measured 6.3 s of a 7.1 s wall
@@ -3569,9 +3578,18 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global_rank = offset(pid) + rank_in(pid) — exact for any boundary
     # placement, identical tie-breaks (sl, dy, dx), and the 2.9M-row sort
     # runs on every core instead of one.
+    # localCheckpoint: the two-level rank depends on BOTH consumers of
+    # `slopes` (the per-pid counts and the per-pid window) observing the
+    # same spark_partition_id assignment. Exchange reuse currently
+    # guarantees that, but spark_partition_id is documented
+    # nondeterministic and nothing pinned the subtree against double
+    # execution under AQE replanning or task retry (ADVICE r15) — cut the
+    # lineage so the pid-stamped partitioning is materialized once.
     slopes = prs.select("dy", "dx", sl.alias("sl")).repartitionByRange(
         par, F.col("sl"), F.col("dy"), F.col("dx")
-    ).select("*", F.spark_partition_id().alias("__pid"))
+    ).select("*", F.spark_partition_id().alias("__pid")).localCheckpoint(
+        eager=False
+    )
     pc = slopes.groupBy("__pid").agg(F.count("*").alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -69,6 +69,35 @@ def _default_heap_gb() -> int:
         return 16
 
 
+def _default_local_dir() -> str | None:
+    """Shuffle/spill scratch on the fastest local medium (guide §2.1: local
+    disk bandwidth for shuffle files can be the tighter limit — here it IS
+    the limit: thread dumps of a trivial 32-task shuffle stage on this
+    host's virtio ext4 showed task threads in FileOutputStream.open0 /
+    write / mmap / delete natives, and moving spark.local.dir to tmpfs
+    halved the whole stage, 0.34 s → 0.17 s, r16 probe). Resolution order:
+
+    1. ``$SPARK_GRAFT_LOCAL_DIR`` — explicit override (a cluster deployment
+       sets SPARK_LOCAL_DIRS to its NVMe array instead, which Spark's
+       cluster managers use to override this conf anyway);
+    2. ``/dev/shm`` when writable with > 8 GiB free — RAM-backed scratch,
+       plenty for fixture-scale shuffles (MBs at sf0.1), the local twin of
+       "fast local disks" in the guide's §9 baseline;
+    3. ``None`` — keep Spark's default (java.io.tmpdir).
+    """
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    try:
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize > 8 * 1024**3:
+                return "/dev/shm/spark_graft_local"
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "ab_inbev_big_data_case_spark",
     master: str | None = None,
@@ -97,6 +126,11 @@ def get_spark(
         "spark.driver.memory",
         os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{_default_heap_gb()}g"),
     )
+    # Shuffle scratch on fast storage (see _default_local_dir). Only applies
+    # before the first JVM start, like the heap sizing above.
+    local_dir = _default_local_dir()
+    if local_dir is not None:
+        conf.setdefault("spark.local.dir", local_dir)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

@@ -386,9 +386,13 @@ def main() -> None:
         same_sha = bool(pin_sha) and pin_sha == head_sha and not dirty
     except Exception:  # noqa: BLE001
         same_sha = False
-    if os.environ.get("SPARK_GRAFT_BENCH_FORCE_SAME_SHA") == "1":
+    forced_same_sha = os.environ.get("SPARK_GRAFT_BENCH_FORCE_SAME_SHA") == "1"
+    if forced_same_sha:
         same_sha = bool(pin_sha)  # rehearsal knob: exercise the same-SHA
-        # noise bound on a dirty tree without minting a close
+        # noise bound on a dirty tree without minting a close.
+        # VERDICT r15 item 9: a rehearsal must never be mistaken for a
+        # recording of record — the flag is stamped into BENCH_AB*.json
+        # below so any close gate reading the file can see it.
 
     # Warm the JVM, parquet reader, shuffle machinery, the Python worker
     # pool, AND each headline plan's whole-stage codegen by running every
@@ -593,8 +597,19 @@ def main() -> None:
     # file; the printed number-of-record line stays compact (HEAD map +
     # A/B summary only) so it always parses.
     if ab is not None:
+        if forced_same_sha:
+            ab["forced_same_sha"] = True  # rehearsal, not a run of record
         with open(os.path.join(REPO, "BENCH_AB.json"), "w") as f:
             json.dump(ab, f, indent=1)
+        # VERDICT r15 item 4/5: BENCH_AB.json is overwritten by every run,
+        # which lost the 32-core run's per-query pin map when the 8-core
+        # scaling run followed it. Keep a per-core-count copy too (plus the
+        # head medians), so a later anomaly can be adjudicated per query
+        # after the fact. Additions-only: the printed JSON line and
+        # BENCH_AB.json are unchanged.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        with open(os.path.join(REPO, f"BENCH_AB_{cpus}c.json"), "w") as f:
+            json.dump({**ab, "head_queries": timings}, f, indent=1)
         ab = {
             k: ab[k]
             for k in (

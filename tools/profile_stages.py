@@ -67,13 +67,19 @@ def main() -> None:
         stages = [s for s in rest("/stages") if s["stageId"] not in seen]
         stages.sort(key=lambda s: -s.get("executorRunTime", 0))
         tot_run = sum(s.get("executorRunTime", 0) for s in stages)
+        # executorCpuTime is ns; runTime ms. run >> cpu per stage = task
+        # threads blocked (GC pause, lock, fetch wait) — the 8c-vs-32c
+        # pathology discriminator (VERDICT r15 item 1).
+        tot_cpu = sum(s.get("executorCpuTime", 0) for s in stages) / 1e6
         print(f"\n=== {name}: wall {wall:.2f}s over {args.runs} run(s), "
-              f"{len(stages)} stages, sum executorRunTime {tot_run/1000:.1f}s ===")
-        print(f"{'stage':>6} {'ms':>8} {'tasks':>5} {'input':>9} {'shR':>9} "
-              f"{'shW':>9}  name")
+              f"{len(stages)} stages, sum executorRunTime {tot_run/1000:.1f}s, "
+              f"sum executorCpuTime {tot_cpu/1000:.1f}s ===")
+        print(f"{'stage':>6} {'ms':>8} {'cpu_ms':>8} {'tasks':>5} {'input':>9} "
+              f"{'shR':>9} {'shW':>9}  name")
         for s in stages[: args.top]:
             print(
                 f"{s['stageId']:>6} {s.get('executorRunTime', 0):>8} "
+                f"{int(s.get('executorCpuTime', 0) / 1e6):>8} "
                 f"{s.get('numCompleteTasks', 0):>5} "
                 f"{s.get('inputBytes', 0):>9} "
                 f"{s.get('shuffleReadBytes', 0):>9} "
