@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ab_inbev_big_data_case_spark.registry import register
-from ab_inbev_big_data_case_spark.sources.readers import load_tables
+from ab_inbev_big_data_case_spark.sources.readers import const_df, load_tables
 
 
 def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) -> DataFrame:
@@ -2367,8 +2367,8 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cnt = trans.groupBy("src", "dst").agg(F.count("*").alias("c"))
-    cfgs = spark.createDataFrame(
-        [("none",)] + [(c,) for c in _MARKOV_CHANNELS], "cfg STRING"
+    cfgs = const_df(
+        spark, [("none",)] + [(c,) for c in _MARKOV_CHANNELS], "cfg STRING"
     )
     redirected = (
         cnt.crossJoin(F.broadcast(cfgs))
@@ -2567,7 +2567,7 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("bit"), F.lit(0)).cast("long").alias("mask"))
     )
     mcnt = umask.groupBy("mask").agg(F.count("*").alias("n_conv"))
-    coal = spark.createDataFrame(_SHAP_COAL, "smask INT, w INT")
+    coal = const_df(spark, _SHAP_COAL, "smask INT, w INT")
     v = (
         F.broadcast(coal)
         .join(
@@ -2578,7 +2578,7 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("smask", "w")
         .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
     )
-    chan = spark.createDataFrame(list(_SHAP_CHANNELS), "channel STRING, bit INT")
+    chan = const_df(spark, list(_SHAP_CHANNELS), "channel STRING, bit INT")
     s = v.select(
         F.col("smask").alias("s_mask"), F.col("w"), F.col("v").alias("v_s")
     )

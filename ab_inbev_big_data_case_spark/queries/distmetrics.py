@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.registry import register
-from ab_inbev_big_data_case_spark.sources.readers import table
+from ab_inbev_big_data_case_spark.sources.readers import const_df, table
 
 # ------------------------------------------------------ Gini concentration
 
@@ -1564,7 +1564,7 @@ def bh_fdr_chi2_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x2",
         F.row_number().over(Window.orderBy(F.col("x2").desc(), F.col("nation"))).alias("k"),
     )
-    th = spark.createDataFrame(_BH_THRESHOLDS, "k INT, x2_min DOUBLE")
+    th = const_df(spark, _BH_THRESHOLDS, "k INT, x2_min DOUBLE")
     marked = ranked.join(F.broadcast(th), "k").select(
         "nation",
         "x2",

@@ -18,7 +18,7 @@ from ab_inbev_big_data_case_spark.operators.joins import (
     range_join,
 )
 from ab_inbev_big_data_case_spark.registry import register
-from ab_inbev_big_data_case_spark.sources.readers import table
+from ab_inbev_big_data_case_spark.sources.readers import const_df, table
 
 
 @register(
@@ -237,7 +237,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/theta join against a broadcast range table (engine
     ``range_join``: BroadcastNestedLoopJoin, fact side never shuffles)."""
     li = table(spark, sf_dir, "lineitem")
-    ranges = spark.createDataFrame(
+    ranges = const_df(
+        spark,
         [("small", 0.0, 10.0), ("mid", 10.0, 30.0), ("big", 30.0, 100.0)],
         "label string, lo double, hi double",
     )

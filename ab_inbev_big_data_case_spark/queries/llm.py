@@ -55,7 +55,7 @@ from ab_inbev_big_data_case_spark.llm.textstats import (
     word_frequencies,
 )
 from ab_inbev_big_data_case_spark.registry import register
-from ab_inbev_big_data_case_spark.sources.readers import table
+from ab_inbev_big_data_case_spark.sources.readers import const_df, table
 
 # ---------------------------------------------------------------- SQL bits
 
@@ -5766,7 +5766,7 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key the left join on the full probe grid
     grid = (
         exact.select("query_id", "cand_id")
-        .crossJoin(F.broadcast(spark.createDataFrame([(1,), (2,), (4,)], ["n_probe"])))
+        .crossJoin(F.broadcast(const_df(spark, [(1,), (2,), (4,)], "n_probe bigint")))
     )
     joined = grid.join(
         runs.withColumn("hit", F.lit(1)),
@@ -6561,7 +6561,7 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is exact integers except the closed-form threshold."""
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures(shingle_set(d, "doc_id", "text", 3), "doc_id", 8)
-    cfg = spark.createDataFrame([(1,), (2,), (4,), (8,)], "r INT")
+    cfg = const_df(spark, [(1,), (2,), (4,), (8,)], "r INT")
     bucketed = (
         sig.crossJoin(F.broadcast(cfg))
         .groupBy("r", "doc_id", (F.col("seed") / F.col("r")).cast("long").alias("band"))
@@ -7454,7 +7454,7 @@ def dedup_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band", "band_sig")
         .agg(F.count("*").alias("occ"))
     )
-    caps = spark.createDataFrame([(2,), (4,), (8,), (16,), (64,)], "cap int")
+    caps = const_df(spark, [(2,), (4,), (8,), (16,), (64,)], "cap int")
     d38 = "decimal(38,0)"
     pairs = F.expr("occ * (occ - 1) DIV 2")
     kept = F.when(
@@ -7676,7 +7676,7 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    terms = const_df(spark, [(t,) for t in _BM25_TERMS], "term string")
     tf = (
         toks.join(F.broadcast(terms), toks["tok"] == terms["term"])
         .groupBy("doc_id", "term")

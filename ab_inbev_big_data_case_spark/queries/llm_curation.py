@@ -30,7 +30,7 @@ from ab_inbev_big_data_case_spark.llm.dedup import (
 )
 from ab_inbev_big_data_case_spark.llm.similarity import kmeans_rounds
 from ab_inbev_big_data_case_spark.registry import register
-from ab_inbev_big_data_case_spark.sources.readers import table
+from ab_inbev_big_data_case_spark.sources.readers import const_df, table
 
 _H64 = "('0x' || substr(sha256({x}), 1, 15))::BIGINT"
 
@@ -2767,7 +2767,7 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lrk") + F.col("rk_c")).alias("rk"),
         (F.col("lmass") + F.col("mass_c")).alias("mass_le"),
     )
-    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k INT")
+    ks = const_df(spark, [(k,) for k in _COVERAGE_KS], "k INT")
     return (
         ranked.crossJoin(F.broadcast(ks))
         .groupBy("k", "n_types", F.col("mass").alias("total_mass"))
@@ -3005,7 +3005,7 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # loop stays one job instead of 17 (the power_iteration r14 lesson).
     ).localCheckpoint(eager=True)
     occ = sc.groupBy("sx", "sy").agg(F.count("*").alias("occ"))
-    off = spark.createDataFrame(_DBSCAN_OFF, "dx int, dy int")
+    off = const_df(spark, _DBSCAN_OFF, "dx int, dy int")
     fringe = sc.join(occ.filter(F.col("occ") < mp), ["sx", "sy"]).select(
         "vec_id", "qx", "qy", "sx", "sy"
     )

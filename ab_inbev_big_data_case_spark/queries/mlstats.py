@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.registry import register
-from ab_inbev_big_data_case_spark.sources.readers import load_tables, table
+from ab_inbev_big_data_case_spark.sources.readers import const_df, load_tables, table
 
 
 def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) -> DataFrame:
@@ -3552,7 +3552,7 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = cum.select(
         F.col("bin").alias("jb"), F.col("cn").alias("nj"), F.col("cp").alias("pj")
     ).unionByName(
-        cum.sparkSession.createDataFrame([(-1, 0, 0)], "jb BIGINT, nj BIGINT, pj BIGINT")
+        const_df(cum.sparkSession, [(-1, 0, 0)], "jb BIGINT, nj BIGINT, pj BIGINT")
     )
     k = cum.select(
         F.col("bin").alias("kb"), F.col("cn").alias("nk"), F.col("cp").alias("pk")
@@ -3630,8 +3630,8 @@ def quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y_c"),
         F.col("l_quantity").cast("long").alias("x"),
     )
-    grid = spark.createDataFrame(
-        [(t, b) for t in (5, 9) for b in _QREG_SLOPES], "tau10 INT, b_c BIGINT"
+    grid = const_df(
+        spark, [(t, b) for t in (5, 9) for b in _QREG_SLOPES], "tau10 INT, b_c BIGINT"
     )
     r = F.col("y_c") - F.col("b_c") * F.col("x")
     term = F.when(r >= 0, F.col("tau10") * r).otherwise((F.col("tau10") - 10) * r)

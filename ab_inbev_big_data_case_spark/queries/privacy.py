@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.registry import register
-from ab_inbev_big_data_case_spark.sources.readers import table
+from ab_inbev_big_data_case_spark.sources.readers import const_df, table
 
 # Quasi-identifier used by both audits: nation × market segment × account
 # balance rounded down to the nearest 1000 — the classic "coarse public
@@ -552,8 +552,8 @@ def randomized_response_frequency(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(other + F.when(other >= F.col("tidx"), 1).otherwise(0))
         .alias("ridx"),
     )
-    dom = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(_RR_SEGMENTS)], "ridx INT, segment STRING"
+    dom = const_df(
+        spark, [(i, s) for i, s in enumerate(_RR_SEGMENTS)], "ridx INT, segment STRING"
     )
     obs = (
         F.broadcast(dom)

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ab_inbev_big_data_case_spark.registry import register
-from ab_inbev_big_data_case_spark.sources.readers import table
+from ab_inbev_big_data_case_spark.sources.readers import const_df, table
 
 #: ANSI daily-revenue spine shared by every oracle in this module
 #: (matches :func:`_daily_revenue` column-for-column).
@@ -2154,7 +2154,7 @@ def hurst_rs_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select("x", F.row_number().over(w).alias("i")).localCheckpoint(
         eager=False
     )
-    scales = spark.createDataFrame([(s,) for s in _HURST_SCALES], "s INT")
+    scales = const_df(spark, [(s,) for s in _HURST_SCALES], "s INT")
     blk = (
         idx.crossJoin(F.broadcast(scales))
         .filter(F.col("i") <= F.expr(f"({n_days} DIV s) * s"))

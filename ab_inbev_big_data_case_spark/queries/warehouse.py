@@ -20,7 +20,7 @@ from ..functions.text import token_hash64
 from ..operators.graph import pagerank
 from ..operators.relational import build_scd2, profile
 from ..registry import register
-from ..sources.readers import load_tables, table
+from ..sources.readers import const_df, load_tables, table
 
 
 def _union_profile(col: str, numeric: bool) -> str:
@@ -1546,7 +1546,8 @@ def bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tx_time") + F.expr("INTERVAL 30 DAYS")).alias("tx_time"),
     )
     log = base.unionByName(corrections)
-    pts = spark.createDataFrame(
+    pts = const_df(
+        spark,
         [
             ("early", "1996-06-05", "1996-06-01"),
             ("late", "1999-01-01", "1996-06-01"),

@@ -103,6 +103,22 @@ def write_xml(df: DataFrame, path: str, root_tag: str = "rows", row_tag: str = "
     )
 
 
+def const_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Single-partition constant dimension table.
+
+    ``spark.createDataFrame(rows)`` parallelizes local data over
+    ``defaultParallelism`` slices, so every broadcast build over a ~20-row
+    constant table runs a full-width job (32 near-empty tasks at local[32],
+    ~0.2 s of pure scheduling, once per use — dbscan's ``off`` table alone
+    cost 3 such stages). One slice carries the same rows in one task; at
+    cluster scale a constant table on one partition is strictly cheaper to
+    broadcast-build too (guide §2.6: scheduling overhead, not data, is the
+    cost of these stages). Schema is a DDL string — explicit, so the RDD
+    path never runs an inference job.
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from a scale-factor directory.
 
