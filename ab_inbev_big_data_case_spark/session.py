@@ -28,6 +28,22 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # Always use the sort-based shuffle writer (r16, VERDICT item 1 — the
+    # "32-core small-data pathology"). The bypass-merge writer opens one
+    # temp file PER REDUCE PARTITION per map task (M x R files per
+    # shuffle; 1024 for a 32x32 stage), and jstack sampling showed task
+    # threads in file open/delete natives and BLOCKED on the shared
+    # SecureRandom lock inside UUID.randomUUID (one UUID per temp shuffle
+    # block, DiskBlockManager.createTempShuffleBlock). The sort writer
+    # writes ONE file + index per map task. Measured at sf0.1/local[32]:
+    # trivial 32x32 stage 0.247 -> 0.076 s; minhash_lsh_pairs 1.43 ->
+    # 0.77 s; hll_distinct 0.94 -> 0.70 s; cosine_topk 0.93 -> 0.62 s;
+    # dbscan 0.80x, ktruss 0.75x ratios; one mild loser
+    # (resource_allocation_links ~1.08x, its join shuffle is genuinely
+    # bypass-friendly). Scale fidelity: a 100 TB deployment has R > 200,
+    # so bypass NEVER fires there — this also makes the local bench
+    # exercise the same writer production runs.
+    "spark.shuffle.sort.bypassMergeThreshold": "1",
 }
 
 
