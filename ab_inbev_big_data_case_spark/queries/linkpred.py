@@ -61,9 +61,21 @@ def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     RA(p1,p2) = Σ over shared orders o of 1/|basket(o)|, accumulated as
     exact integers via the lcm(1..16) fixed-point weight.
     """
-    e = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # EAGER checkpoint on the distinct edge backbone (r16): it feeds three
+    # consumers (the basket-degree aggregate, both pair-join sides) and the
+    # degree side sits under a BroadcastExchange, which blocks exchange
+    # reuse — stage profiling showed the scan+distinct pipeline computed
+    # TWICE per run; eager also bars the concurrent-subtree double-compute
+    # race (the sparse_tfidf/dbscan rationale). Width-pinning the pair
+    # stage was tried and measured WORSE (AQE local-read remaps a pinned
+    # exchange under the broadcast join; forcing width via a repartitioned
+    # checkpoint added more wall than the 1.5 s CPU it spread — rejected).
+    e = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     w = (
         e.groupBy("o")
         .agg(F.count("*").alias("deg"))
@@ -152,9 +164,11 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-cap baskets never fan out (≤120 pairs/order), partial+final
     aggregate on (p1,p2), top-100 TakeOrderedAndProject on the exact
     integer score with (p1, p2) tie-break."""
+    # eager checkpoint: same three-consumer backbone dedupe as
+    # resource_allocation_links (scan+distinct ran twice per run)
     e = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     wq = F.lit(None)
     for d, wt in _AA_W.items():
         wq = F.when(F.col("deg") == d, wt).otherwise(wq)
@@ -237,7 +251,10 @@ def jaccard_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("deg") >= 2) & (F.col("deg") <= _MAX_BASKET))
         .select("o")
     )
-    ec = e.join(ok, "o")
+    # eager checkpoint: ec feeds the degree aggregate (broadcast side —
+    # blocks exchange reuse) and both pair-join sides; same backbone
+    # dedupe as resource_allocation_links
+    ec = e.join(ok, "o").localCheckpoint(eager=True)
     # checkpoint the dimension-sized degree table so the TWO broadcast
     # attachments below don't each recompute the lineitem scan + basket
     # filter (the warehouse.py HITS pattern)
@@ -367,7 +384,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("deg") >= 2) & (F.col("deg") <= _MAX_BASKET))
         .select("o")
     )
-    ec = e.join(ok, "o")
+    # eager checkpoint: ec feeds both self-join sides of the pair build;
+    # dedupes the scan+distinct+basket-filter pipeline (backbone pattern)
+    ec = e.join(ok, "o").localCheckpoint(eager=True)
     ed = (
         ec.alias("a")
         .join(ec.alias("b"), F.expr("a.o = b.o AND a.p < b.p"))
@@ -610,7 +629,9 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("deg") >= 2) & (F.col("deg") <= _MAX_BASKET))
         .select("o")
     )
-    ec = e.join(ok, "o")
+    # eager checkpoint: ec feeds both self-join sides of the pair build;
+    # dedupes the scan+distinct+basket-filter pipeline (backbone pattern)
+    ec = e.join(ok, "o").localCheckpoint(eager=True)
     ed = (
         ec.alias("a")
         .join(ec.alias("b"), F.expr("a.o = b.o AND a.p < b.p"))
