@@ -56,6 +56,7 @@ from ab_inbev_big_data_case_spark.llm.textstats import (
 )
 from ab_inbev_big_data_case_spark.registry import register
 from ab_inbev_big_data_case_spark.sources.readers import const_df, table
+from ab_inbev_big_data_case_spark.operators.pyworker import tame_zipimport_caches
 
 # ---------------------------------------------------------------- SQL bits
 
@@ -709,6 +710,7 @@ def media_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synthesize(batches):
+        tame_zipimport_caches()  # §4 per-task fixed cost: operators/pyworker.py
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
@@ -809,6 +811,7 @@ def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synthesize(batches):
+        tame_zipimport_caches()  # §4 per-task fixed cost: operators/pyworker.py
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
@@ -6175,6 +6178,7 @@ def ahash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth_hash(batches):
+        tame_zipimport_caches()  # §4 per-task fixed cost: operators/pyworker.py
         for pdf in batches:
             out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for did in pdf["doc_id"]:
@@ -6467,6 +6471,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth_and_extract(batches):
+        tame_zipimport_caches()  # §4 per-task fixed cost: operators/pyworker.py
         for pdf in batches:
             out = []
             for did in pdf["doc_id"]:

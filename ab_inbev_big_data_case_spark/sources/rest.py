@@ -28,6 +28,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from ab_inbev_big_data_case_spark.operators.pyworker import tame_zipimport_caches
 
 FetchPage = Callable[[int], list[dict]]
 
@@ -79,6 +80,7 @@ def ingest_pages_distributed(
     field_names = [f.name for f in schema.fields]
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tame_zipimport_caches()  # §4 per-task fixed cost: operators/pyworker.py
         for pdf in batches:
             for page in pdf["page"].tolist():
                 recs = fetch_page(int(page))
