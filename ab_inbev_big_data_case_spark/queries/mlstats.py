@@ -3176,16 +3176,27 @@ def sssp_bounded_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # eager checkpoint on the edge backbone (r16): two consumers (wsym,
+    # seed) and four unrolled relaxation rounds otherwise re-derive the
+    # scan→distinct→pair-join→agg pipeline per reference (the kcore /
+    # linkpred-backbone lesson, guide §2.4)
     e = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= 2)
+        .localCheckpoint(eager=True)
     )
     w_expr = F.when(F.col("n_co") >= 100, 1).otherwise(101 - F.col("n_co"))
-    wsym = e.select("u", "v", w_expr.alias("w")).unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"), w_expr.alias("w"))
+    # one materialized copy of the symmetric weighted edges shared by all
+    # relaxation rounds (lazy: consumed inside the single final job)
+    wsym = (
+        e.select("u", "v", w_expr.alias("w"))
+        .unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), w_expr.alias("w"))
+        )
+        .localCheckpoint(eager=False)
     )
     seed = e.agg(F.min("u").alias("v")).select("v", F.lit(0).alias("d"))
     d = seed
@@ -3204,6 +3215,9 @@ def sssp_bounded_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(relaxed)
             .groupBy("v")
             .agg(F.min("d").alias("d"))
+            # each round references its input twice (carry + relax) —
+            # lazy cut keeps the unrolled plan K-linear (the CC pattern)
+            .localCheckpoint(eager=False)
         )
     return (
         d.orderBy("d", "v")
@@ -4545,9 +4559,23 @@ def survey_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = o.filter(F.col("o_orderkey") % 7 < 2).select(
         F.col("o_orderpriority").alias("grp"), F.col("o_orderstatus").alias("st")
     )
-    cells = samp.groupBy("grp", "st").agg(F.count("*").alias("n"))
-    tgt_g = pop.groupBy("grp").agg(F.count("*").alias("tg"))
-    tgt_s = pop.groupBy("st").agg(F.count("*").alias("ts"))
+    # r16 lineage hygiene (guide §2.4, the kcore/CC pattern): every
+    # broadcast below (rs/cs per round, margins, scale) sits under a
+    # BroadcastExchange, which blocks exchange reuse — without cuts each
+    # one re-derived the FACT aggregation, and the unrolled 6-scaling loop
+    # referenced `w` twice per scaling (2^6 plan copies). Checkpoint the
+    # three fact-sized aggregates once (cells eagerly: consumed by
+    # concurrent broadcast builds) and cut the 15-row `w` per round.
+    cells = (
+        samp.groupBy("grp", "st").agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tgt_g = pop.groupBy("grp").agg(F.count("*").alias("tg")).localCheckpoint(
+        eager=False
+    )
+    tgt_s = pop.groupBy("st").agg(F.count("*").alias("ts")).localCheckpoint(
+        eager=False
+    )
     scale = samp.agg(F.count("*").alias("ns")).crossJoin(
         F.broadcast(pop.agg(F.count("*").alias("np")))
     ).select((F.col("ns") * F.lit(1.0) / F.col("np")).alias("f"))
@@ -4568,6 +4596,7 @@ def survey_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "grp", "st", (F.col("w") * F.col("ts") / F.col("ss")).alias("w")
             )
+            .localCheckpoint(eager=False)
         )
     return (
         w.join(cells, ["grp", "st"])

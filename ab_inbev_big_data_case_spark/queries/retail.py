@@ -318,6 +318,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # r16 lineage hygiene (guide §2.4, the sssp/linkpred backbone lesson):
+    # the edge backbone and its symmetrization feed multiple consumers
+    # (labels + both LPA rounds + degree/modularity terms, some under
+    # BroadcastExchange which blocks exchange reuse) — checkpoint each
+    # once: eager on the fact-sized backbone, lazy inside the final job.
     e = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
@@ -325,8 +330,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= 2)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
@@ -412,6 +420,11 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # r16 lineage hygiene (guide §2.4, the sssp/linkpred backbone lesson):
+    # the edge backbone and its symmetrization feed multiple consumers
+    # (labels + both LPA rounds + degree/modularity terms, some under
+    # BroadcastExchange which blocks exchange reuse) — checkpoint each
+    # once: eager on the fact-sized backbone, lazy inside the final job.
     e = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
@@ -419,8 +432,11 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= 2)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
@@ -438,7 +454,9 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "lab")
         )
 
-    l2 = lpa_round(lpa_round(labels))
+    # three consumers (cdeg, la, lb) each re-derive two LPA rounds
+    # (window over the whole graph) without this cut
+    l2 = lpa_round(lpa_round(labels)).localCheckpoint(eager=False)
     m = e.agg(F.count("*").alias("n_edges"))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     cdeg = (
