@@ -175,7 +175,12 @@ def test_changed_name_outranks_stale_greens():
 def test_changed_since_checked_detects_live_edits():
     """The real registry: changed_since_checked() must flag exactly the
     names whose current query_hash differs from QUERY_HASHES.json — and
-    every flagged name must sit inside the derived window."""
+    the derived window must hold the HIGHEST-priority slice of the
+    never-checked + changed backlog. When that backlog exceeds the window
+    capacity (an optimization round editing shared helpers can re-flag
+    >50 symbol closures at once — r16 did), the overflow legitimately
+    spills to the next round; what must NEVER happen is an unchanged
+    green occupying a slot while a changed green waits outside."""
     registry.load_all()
     rec = registry.recorded_hashes()
     if not rec:  # hash file not seeded in this checkout
@@ -187,12 +192,23 @@ def test_changed_since_checked_detects_live_edits():
         assert rec[n] != registry.query_hash(n)
     ev = registry._evidence_rounds()
     window = set(registry._CHECK_FIRST)
-    for n in changed:
-        if n in ev and ev[n] != -1:
-            assert n in window, (
-                f"changed name {n} has green evidence but was left outside "
-                f"the driver window"
-            )
+    changed_green = {n for n in changed if n in ev and ev[n] != -1}
+    never_checked = {n for n in registry.QUERIES if ev.get(n, -1) == -1}
+    backlog = changed_green | never_checked
+    if len(backlog) <= len(registry._CHECK_FIRST):
+        missing = changed_green - window
+        assert not missing, (
+            f"changed names with green evidence left outside the driver "
+            f"window despite free capacity: {sorted(missing)}"
+        )
+    else:
+        # over-capacity: every window slot must be backlog (no unchanged
+        # green may jump the queue)
+        squatters = window - backlog
+        assert not squatters, (
+            f"unchanged greens inside the window while changed/never-"
+            f"checked names wait: {sorted(squatters)}"
+        )
 
 
 def test_query_hash_tracks_helper_symbol_content(monkeypatch):
